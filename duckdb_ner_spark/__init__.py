@@ -1,0 +1,50 @@
+"""duckdb_ner_spark — a PySpark-native engine with the query and
+data-processing capabilities of the reference (nshiab/duckdb-NER: a DuckDB
+host engine + an NER extension; see SURVEY.md §0).
+
+Layering:
+- ``session``    — SparkSession factory with pinned engine defaults
+- ``sources``    — parquet catalog over the star schema
+- ``operators``  — Tier C relational corpus, as-of join, Tier D pipeline ops
+- ``functions``  — ner()/ner_extract() pandas UDFs + text-analysis functions
+- ``ner``        — tokenizer / BIO-decode / model backend (ports of the
+                   reference's src/ner_model.cpp + src/ner_extension.cpp)
+- ``plans``      — declared-query registry + dialect helpers
+- ``streaming``  — Structured Streaming over the events table
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import SparkSession
+
+from .session import CONF_MODEL_PATH, CONF_TRUNCATE, get_spark  # noqa: F401
+
+
+class NerEngine:
+    """Engine bootstrap — the analogue of ``LOAD ner``
+    (/root/reference/src/ner_extension.cpp:188-218): registers the ner/
+    ner_extract functions and (optionally) the testdata views on a session."""
+
+    def __init__(self, spark: SparkSession | None = None):
+        self.spark = spark or get_spark()
+        self.register_all()
+
+    def register_all(self) -> None:
+        from .functions.ner_udf import register_ner_functions
+
+        register_ner_functions(self.spark)
+
+    def register_views(self, sf_dir: str) -> None:
+        from .sources.catalog import register_views
+
+        register_views(self.spark, sf_dir)
+
+    def settings(self):
+        """Introspection analogue of DuckDB's duckdb_settings()
+        (/root/reference/test/sql/ner.test:15-18)."""
+        from .session import CONF_BATCH_TOKENS
+
+        rows = []
+        for key in (CONF_MODEL_PATH, CONF_TRUNCATE, CONF_BATCH_TOKENS):
+            rows.append((key, self.spark.conf.get(key, None)))
+        return self.spark.createDataFrame(rows, ["name", "value"])

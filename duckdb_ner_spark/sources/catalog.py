@@ -1,0 +1,77 @@
+"""Parquet catalog over the driver-generated testdata star schema.
+
+Source layer of the engine: one parquet dataset per table (TESTDATA.md).
+Explicit schemas are NOT forced on read — parquet carries them — but each
+table's expected schema is documented in FIXTURES.md §1 and asserted by tests.
+
+Scale notes:
+- Plain ``spark.read.parquet`` keeps predicate pushdown, column pruning and
+  partition pruning intact (verify via ``.explain``: PushedFilters/ReadSchema).
+- At 100 TB these would be directory-partitioned (e.g. lineitem by
+  ``l_shipdate`` month) and/or bucketed by join key; ``bucket_hint`` documents
+  the intended co-location key per table so a cluster deployment can
+  ``DISTRIBUTE BY`` / bucket accordingly and turn the big joins shuffle-free.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+
+# table name -> key the 100 TB layout would bucket/partition by
+TABLES: dict[str, str | None] = {
+    "region": None,  # 5 rows: always broadcast
+    "nation": None,  # 25 rows: always broadcast
+    "customer": "c_custkey",
+    "supplier": "s_suppkey",
+    "part": "p_partkey",
+    "orders": "o_orderkey",
+    "lineitem": "l_orderkey",
+    "events": "user_id",
+    "documents": "doc_id",
+    "embeddings": "vec_id",
+}
+
+
+@dataclass
+class Catalog:
+    """Lazy handle over one scale-factor directory."""
+
+    spark: SparkSession
+    sf_dir: str
+
+    def table(self, name: str) -> DataFrame:
+        if name not in TABLES:
+            raise KeyError(f"unknown table {name!r}; catalog has {sorted(TABLES)}")
+        df = self.spark.read.parquet(f"{self.sf_dir}/{name}.parquet")
+        if name == "events":
+            # ts is INT64 TIMESTAMP(NANOS): surfaced as long nanos (see
+            # session.py nanosAsLong). Truncate ns→µs exactly as DuckDB does
+            # when it reads the same file, then expose as a naive timestamp.
+            from pyspark.sql import functions as F
+            from pyspark.sql.types import LongType
+
+            if isinstance(df.schema["ts"].dataType, LongType):
+                # integer division — ns values exceed 2^53, double math drifts
+                df = df.withColumn(
+                    "ts", F.timestamp_micros(F.expr("ts div 1000")).cast("timestamp_ntz")
+                )
+        return df
+
+    def __getattr__(self, name: str) -> DataFrame:
+        if name in TABLES:
+            return self.table(name)
+        raise AttributeError(name)
+
+
+def load_tables(spark: SparkSession, sf_dir: str) -> Catalog:
+    return Catalog(spark, sf_dir)
+
+
+def register_views(spark: SparkSession, sf_dir: str, prefix: str = "") -> None:
+    """Register every table as a temp view (``spark.sql`` surface parity with
+    the reference's SQL-only test harness, /root/reference/test/sql/ner.test)."""
+    cat = Catalog(spark, sf_dir)
+    for name in TABLES:
+        cat.table(name).createOrReplaceTempView(prefix + name)

@@ -1,0 +1,107 @@
+"""Local replica of the driver's t2 correctness gate.
+
+Runs every declared query at a given SF, runs its DuckDB oracle on the same
+parquet, and compares row count, sorted column names, and values
+(order-insensitive, after normalizing). Strict by default — the goal is
+bit-identical values so the driver's value-hash matches.
+
+Usage: python tools/selfcheck.py [sf_dir] [query ...]
+"""
+
+from __future__ import annotations
+
+import math
+import sys
+import time
+import traceback
+
+sys.path.insert(0, "/root/repo")
+
+
+def normalize(df):
+    """pandas frame → sorted-by-column-name, row-sorted list of tuples."""
+    import pandas as pd
+
+    df = df[sorted(df.columns)].copy()
+    for c in df.columns:
+        col = df[c]
+        if col.dtype == object:
+            df[c] = col.map(lambda v: None if v is None or (isinstance(v, float) and math.isnan(v)) else str(v))
+        elif str(col.dtype).startswith(("datetime", "timestamp")):
+            df[c] = col.astype(str)
+        # floats compared EXACTLY — the driver value-hashes raw values, so any
+        # last-bit divergence must be engineered away in the queries themselves
+        elif col.dtype.kind in "iu":
+            df[c] = col.astype("Int64")
+    rows = [tuple(None if (isinstance(v, float) and math.isnan(v)) or v is pd.NaT else v for v in r)
+            for r in df.itertuples(index=False, name=None)]
+    return sorted(rows, key=lambda r: tuple((x is None, str(x)) for x in r))
+
+
+def main() -> int:
+    import duckdb
+
+    import __spark_entry__ as entrymod
+    from duckdb_ner_spark.session import get_spark
+
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 and "/" in sys.argv[1] else "/root/testdata/sf0.01"
+    only = [a for a in sys.argv[1:] if "/" not in a]
+
+    spark = get_spark("selfcheck")
+    qs = entrymod.queries()
+    oracles = entrymod.oracle_sql()
+
+    con = duckdb.connect()
+    for t in ("region nation customer supplier part orders lineitem events documents embeddings").split():
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+
+    names = [n for n in qs if not only or n in only]
+    n_pass = n_fail = n_rowsonly = 0
+    for name in names:
+        t0 = time.time()
+        try:
+            sdf = qs[name](spark, sf_dir).toPandas()
+        except Exception:
+            print(f"FAIL {name}: spark query raised")
+            traceback.print_exc()
+            n_fail += 1
+            continue
+        if name not in oracles:
+            print(f"ROWS {name}: {len(sdf)} rows (rows-only, {time.time()-t0:.1f}s)")
+            n_rowsonly += 1
+            continue
+        try:
+            odf = con.execute(oracles[name]).df()
+        except Exception:
+            print(f"FAIL {name}: oracle raised")
+            traceback.print_exc()
+            n_fail += 1
+            continue
+        ok = True
+        if len(sdf) != len(odf):
+            print(f"FAIL {name}: rowcount spark={len(sdf)} duckdb={len(odf)}")
+            ok = False
+        elif sorted(sdf.columns) != sorted(odf.columns):
+            print(f"FAIL {name}: columns spark={sorted(sdf.columns)} duckdb={sorted(odf.columns)}")
+            ok = False
+        else:
+            s_rows, o_rows = normalize(sdf), normalize(odf)
+            if s_rows != o_rows:
+                diffs = [(a, b) for a, b in zip(s_rows, o_rows) if a != b]
+                print(f"FAIL {name}: {len(diffs)}/{len(s_rows)} rows differ; first 3:")
+                for a, b in diffs[:3]:
+                    print(f"   spark : {a}\n   duckdb: {b}")
+                ok = False
+        if ok:
+            print(f"PASS {name}: {len(sdf)} rows ({time.time()-t0:.1f}s)")
+            n_pass += 1
+        else:
+            n_fail += 1
+    print(f"\n== {n_pass} pass, {n_rowsonly} rows-only, {n_fail} fail / {len(names)} total ==")
+    return 1 if n_fail else 0
+
+
+if __name__ == "__main__":
+    import pandas as pd  # noqa: F401  (used in normalize)
+
+    sys.exit(main())
