@@ -34,6 +34,17 @@ class NerEngine:
 
         register_ner_functions(self.spark)
 
+    def set_model_path(self, path: str | None) -> None:
+        """``SET ner_model_path`` analogue (src/ner_extension.cpp:183-186,
+        215-217): record the path and re-snapshot the registered UDFs. Like
+        the reference, a bad path never errors here — executors fall back to
+        the empty-result stub on first use (test/sql/ner.test:39-51)."""
+        if path is None:
+            self.spark.conf.unset(CONF_MODEL_PATH)
+        else:
+            self.spark.conf.set(CONF_MODEL_PATH, path)
+        self.register_all()
+
     def register_views(self, sf_dir: str) -> None:
         from .sources.catalog import register_views
 
