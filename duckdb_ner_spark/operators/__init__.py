@@ -1,2 +1,2 @@
 # Import order registers declared queries (module import side effect).
-from . import relational  # noqa: F401
+from . import dedup, multimodal, ner_queries, relational, similarity, textstats  # noqa: F401

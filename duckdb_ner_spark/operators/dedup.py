@@ -1,0 +1,335 @@
+"""Deduplication operators for LLM-training-data pipelines (SURVEY.md §2.D
+D1/D2; BASELINE.json north star). No reference implementation exists — the
+designs are Spark-idiomatic and sized for 100 TB.
+
+Operators:
+- exact dedup              — content-hash groupBy           (q_dedup_exact)
+- MinHash + LSH near-dedup — shingle→minhash→band→bucket    (q_dedup_near)
+- n-gram inverted index    — common-shingle join + Jaccard  (q_dedup_ngram)
+- SimHash                  — bitwise majority + banded hamming (q_dedup_simhash)
+- embedding-cosine near-dup— normalized dot over candidates (q_dedup_embed)
+
+Scale notes (100 TB):
+- every operator is a constant number of shuffles, each keyed on a
+  high-cardinality column (hash / band signature / bit-band) → AQE skew
+  splitting applies; nothing collects to the driver;
+- LSH/banding bounds the candidate-pair blowup: only same-bucket pairs are
+  verified; bucket sizes are data-bounded (a crawl's exact-dup clusters are
+  the worst case — cap verification per bucket if needed);
+- min-hashes here are md5-of-string MINs so the DuckDB oracle can replay
+  them exactly; swap `seeded_md5` for xxhash64 at production scale (same
+  plan shape, cheaper hash).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..plans.registry import declared
+from ..sources.catalog import load_tables
+from .textprep import seeded_md5, shingles_expr, sql_shingles, words_col
+
+# ---------------------------------------------------------------------------
+# library operators (DataFrame -> DataFrame)
+# ---------------------------------------------------------------------------
+
+
+def dedup_exact(df: DataFrame, cols: list[str]) -> DataFrame:
+    """Keep one row per distinct (cols) content. Hash first so wide text
+    columns shuffle as 32-byte digests, not full payloads."""
+    h = F.md5(F.concat_ws("\x1f", *[F.col(c) for c in cols]))
+    w = df.withColumn("__h__", h)
+    return w.dropDuplicates(["__h__"]).drop("__h__")
+
+
+N_HASHES = 8
+N_BANDS = 4  # 2 hashes per band
+
+
+def minhash_signatures(docs: DataFrame, id_col: str, shingle_col: str) -> DataFrame:
+    """doc → K min-hashes in ONE pass: explode shingles, K min() aggregates
+    (map-side partial agg keeps the shuffle at |docs| rows)."""
+    e = docs.select(id_col, F.explode(shingle_col).alias("sh"))
+    aggs = [F.min(seeded_md5(k, F.col("sh"))).alias(f"h{k}") for k in range(N_HASHES)]
+    return e.groupBy(id_col).agg(*aggs)
+
+
+def lsh_candidate_pairs(sigs: DataFrame, id_col: str) -> DataFrame:
+    """Band the signatures and self-join per (band, signature) bucket.
+
+    Banding uses ONE posexplode pass, not a per-band union — Spark does not
+    dedupe common subtrees across union branches, so the union form would
+    recompute the minhash aggregation N_BANDS times."""
+    per_band = 2
+    band_sigs = [
+        F.concat(*[F.col(f"h{b * per_band + r}") for r in range(per_band)])
+        for b in range(N_BANDS)
+    ]
+    bands = sigs.select(
+        F.col(id_col), F.posexplode(F.array(*band_sigs)).alias("band", "sig")
+    )
+    a = bands.select(F.col(id_col).alias("doc_a"), "band", "sig")
+    b = bands.select(F.col(id_col).alias("doc_b"), "band", "sig")
+    return (
+        a.join(b, ["band", "sig"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+
+
+def jaccard_verify(
+    pairs: DataFrame, docs: DataFrame, id_col: str, shingle_col: str, threshold: float
+) -> DataFrame:
+    """Exact Jaccard on candidate pairs only (the LSH contract)."""
+    x = docs.select(F.col(id_col).alias("doc_a"), F.col(shingle_col).alias("sh_a"))
+    y = docs.select(F.col(id_col).alias("doc_b"), F.col(shingle_col).alias("sh_b"))
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.size(F.array_union("sh_a", "sh_b"))
+    # candidate pairs are LSH-bounded (tiny vs |docs|): broadcast them so the
+    # doc/shingle table never shuffles for the verify joins
+    return (
+        F.broadcast(pairs).join(x, "doc_a")
+        .join(y, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            (inter * F.lit(1.0) / union).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+def dedup_near_minhash(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", threshold: float = 0.6
+) -> DataFrame:
+    """Full MinHash-LSH near-dup pipeline → (doc_a, doc_b, jaccard).
+
+    The shingled form feeds THREE consumers (signatures + both verify
+    sides): repartition by id (single-file sources arrive as 1 partition)
+    and cache it so shingling runs once, parallel. At cluster scale the
+    equivalent is a bucketed intermediate table."""
+    spark = df.sparkSession
+    n_part = spark.sparkContext.defaultParallelism
+    docs = (
+        df.select(id_col, words_col(text_col).alias("ws"))
+        .repartition(n_part, id_col)
+        .select(id_col, shingles_expr("ws").alias("shingles"))
+    )
+    # Fused pass: carry the shingle array THROUGH the explode so one
+    # aggregation yields both the minhash signature and the array needed for
+    # Jaccard verification — one persisted frame, and (being co-partitioned
+    # on id) the groupBy needs no exchange.
+    e = docs.select(id_col, "shingles", F.explode("shingles").alias("sh"))
+    aggs = [F.min(seeded_md5(k, F.col("sh"))).alias(f"h{k}") for k in range(N_HASHES)]
+    sigsh = e.groupBy(id_col).agg(*aggs, F.first("shingles").alias("shingles")).persist()
+    cand = lsh_candidate_pairs(sigsh, id_col)
+    return jaccard_verify(cand, sigsh.select(id_col, "shingles"), id_col, "shingles", threshold)
+
+
+def simhash64(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """63-bit SimHash: per-word xxhash64, per-bit majority vote, reassembled
+    JVM-side (explode over 63 bit positions — fully distributed; swap for a
+    pandas UDF at extreme scale to cut the 63× row blowup)."""
+    n_part = df.sparkSession.sparkContext.defaultParallelism
+    w = (
+        df.repartition(n_part, id_col)
+        .select(id_col, F.explode(words_col(text_col)).alias("w"))
+        .withColumn("h", F.xxhash64("w"))
+    )
+    bits = w.select(
+        id_col, "h", F.explode(F.sequence(F.lit(0), F.lit(62))).alias("b")
+    ).withColumn(
+        # shiftright/shiftleft builtins take a literal count; expr() allows a
+        # column-valued shift
+        "vote",
+        F.expr("CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE -1 END"),
+    )
+    return (
+        bits.groupBy(id_col, "b")
+        .agg(F.sum("vote").alias("v"))
+        .groupBy(id_col)
+        .agg(F.sum(F.expr("CASE WHEN v > 0 THEN CAST(1 AS BIGINT) << b ELSE CAST(0 AS BIGINT) END")).alias("simhash"))
+    )
+
+
+def simhash_near_pairs(sim: DataFrame, id_col: str, max_hamming: int = 8) -> DataFrame:
+    """Banded hamming search: 4 bands of ~16 bits; a pair within distance d
+    collides on ≥1 band when d < 4 (pigeonhole)."""
+    sim = sim.persist()  # consumed by both sides of the band self-join
+    keys = [
+        F.shiftright(F.col("simhash"), b * 16).bitwiseAND(F.lit(0xFFFF)) for b in range(4)
+    ]
+    bands = sim.select(
+        F.col(id_col), F.col("simhash"), F.posexplode(F.array(*keys)).alias("band", "key")
+    )
+    a = bands.select(F.col(id_col).alias("doc_a"), F.col("simhash").alias("sim_a"), "band", "key")
+    b = bands.select(F.col(id_col).alias("doc_b"), F.col("simhash").alias("sim_b"), "band", "key")
+    pairs = (
+        a.join(b, ["band", "key"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", "sim_a", "sim_b")
+        .distinct()
+    )
+    return pairs.select(
+        "doc_a",
+        "doc_b",
+        F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b"))).alias("hamming"),
+    ).filter(F.col("hamming") <= max_hamming)
+
+
+# ---------------------------------------------------------------------------
+# declared queries
+# ---------------------------------------------------------------------------
+
+
+@declared(
+    "q_dedup_exact",
+    oracle="""
+    SELECT COUNT(*) AS n_total,
+           COUNT(DISTINCT md5(text)) AS n_unique,
+           COUNT(*) - COUNT(DISTINCT md5(text)) AS n_dups
+    FROM documents
+    """,
+)
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup accounting over the content hash (D1). The operator
+    itself is dedup_exact(); counts keep the result hashable."""
+    t = load_tables(spark, sf_dir)
+    docs = t.documents
+    n_total = docs.count()
+    kept = dedup_exact(docs, ["text"]).count()
+    return spark.createDataFrame(
+        [(n_total, kept, n_total - kept)], "n_total bigint, n_unique bigint, n_dups bigint"
+    )
+
+
+@declared(
+    "q_dedup_near",
+    oracle=f"""
+    WITH docs AS (
+        SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+    ), sh AS (
+        SELECT doc_id, {sql_shingles(3)} AS shingles FROM docs
+    ), e AS (
+        SELECT doc_id, unnest(shingles) AS s FROM sh
+    ), mh AS (
+        SELECT doc_id,
+               {", ".join(f"MIN(md5('s{k}|' || s)) AS h{k}" for k in range(N_HASHES))}
+        FROM e GROUP BY doc_id
+    ), bands AS (
+        {" UNION ALL ".join(f"SELECT doc_id, {b} AS band, h{2 * b} || h{2 * b + 1} AS sig FROM mh" for b in range(N_BANDS))}
+    ), cand AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM bands a JOIN bands b ON a.band = b.band AND a.sig = b.sig
+        WHERE a.doc_id < b.doc_id
+    )
+    SELECT doc_a, doc_b,
+           LEN(LIST_INTERSECT(x.shingles, y.shingles)) * 1.0
+             / LEN(LIST_DISTINCT(x.shingles || y.shingles)) AS jaccard
+    FROM cand JOIN sh x ON x.doc_id = doc_a JOIN sh y ON y.doc_id = doc_b
+    WHERE LEN(LIST_INTERSECT(x.shingles, y.shingles)) * 1.0
+             / LEN(LIST_DISTINCT(x.shingles || y.shingles)) >= 0.6
+    """,
+)
+def q_dedup_near(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH near-dedup (D2), hash-verified against a DuckDB replay of
+    the identical md5-min-hash construction."""
+    t = load_tables(spark, sf_dir)
+    return dedup_near_minhash(t.documents, threshold=0.6)
+
+
+@declared(
+    "q_dedup_ngram",
+    oracle=f"""
+    WITH docs AS (
+        SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+    ), sh AS (
+        SELECT doc_id, {sql_shingles(3)} AS shingles FROM docs
+    ), e AS (
+        SELECT doc_id, unnest(shingles) AS s FROM sh
+    ), common AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
+        FROM e a JOIN e b ON a.s = b.s AND a.doc_id < b.doc_id
+        GROUP BY 1, 2 HAVING COUNT(*) >= 15
+    )
+    SELECT doc_a, doc_b, n_common,
+           n_common * 1.0 / (LEN(x.shingles) + LEN(y.shingles) - n_common) AS jaccard
+    FROM common JOIN sh x ON x.doc_id = doc_a JOIN sh y ON y.doc_id = doc_b
+    WHERE n_common * 1.0 / (LEN(x.shingles) + LEN(y.shingles) - n_common) >= 0.5
+    """,
+)
+def q_dedup_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """n-gram Jaccard via inverted shingle index (no approximation): pairs
+    sharing ≥15 shingles, exact Jaccard from |A∩B| and set sizes. The
+    shingle-join is the scalable alternative to all-pairs: the shuffle key is
+    the shingle itself. At crawl scale, drop shingles with document-frequency
+    above a cap first (stop-shingles dominate the join otherwise)."""
+    t = load_tables(spark, sf_dir)
+    docs = (
+        t.documents.select("doc_id", words_col().alias("ws"))
+        .repartition(spark.sparkContext.defaultParallelism, "doc_id")
+        .select("doc_id", shingles_expr("ws").alias("shingles"))
+        .persist()
+    )
+    e = docs.select("doc_id", F.explode("shingles").alias("s"))
+    a = e.select(F.col("doc_id").alias("doc_a"), "s")
+    b = e.select(F.col("doc_id").alias("doc_b"), "s")
+    common = (
+        a.join(b, "s")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("n_common"))
+        .filter(F.col("n_common") >= 15)
+    )
+    x = docs.select(F.col("doc_id").alias("doc_a"), F.size("shingles").alias("sz_a"))
+    y = docs.select(F.col("doc_id").alias("doc_b"), F.size("shingles").alias("sz_b"))
+    jac = F.col("n_common") * F.lit(1.0) / (F.col("sz_a") + F.col("sz_b") - F.col("n_common"))
+    return (
+        common.join(x, "doc_a")
+        .join(y, "doc_b")
+        .select("doc_a", "doc_b", "n_common", jac.alias("jaccard"))
+        .filter(F.col("jaccard") >= 0.5)
+    )
+
+
+@declared("q_dedup_simhash")
+def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup candidates (rows-only: xxhash64 is Spark-specific;
+    determinism is still exact across runs — golden-tested in pytest)."""
+    t = load_tables(spark, sf_dir)
+    sim = simhash64(t.documents, "doc_id", "text")
+    return simhash_near_pairs(sim, "doc_id", max_hamming=8)
+
+
+@declared(
+    "q_dedup_embed",
+    oracle="""
+    WITH ex AS (
+        SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS x,
+               generate_subscripts(embedding, 1) AS i
+        FROM embeddings
+    ), norms AS (
+        SELECT vec_id, SQRT(SUM(x * x)) AS nrm FROM ex GROUP BY vec_id
+    ), dots AS (
+        SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, SUM(a.x * b.x) AS dot
+        FROM ex a JOIN ex b ON a.i = b.i AND a.vec_id < b.vec_id
+        GROUP BY 1, 2
+    )
+    SELECT vec_a, vec_b,
+           ROUND(dot / (na.nrm * nb.nrm), 6) AS cosine
+    FROM dots JOIN norms na ON na.vec_id = vec_a JOIN norms nb ON nb.vec_id = vec_b
+    WHERE dot / (na.nrm * nb.nrm) >= 0.45
+    """,
+)
+def q_dedup_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup (threshold 0.45 — this corpus has no planted
+    embedding dups; the operator is the point). Implemented as all-pairs over
+    the position-exploded form so Spark and DuckDB sum the SAME rounded
+    products; at 100 TB the LSH-bucketed variant in similarity.py replaces
+    the quadratic join."""
+    from .similarity import cosine_pairs_exploded
+
+    t = load_tables(spark, sf_dir)
+    return cosine_pairs_exploded(t.embeddings, threshold=0.45)

@@ -1,0 +1,124 @@
+"""Multimodal column plumbing (SURVEY.md §2.D D5).
+
+Design: media is an opaque ``binary`` column + a typed metadata struct
+(mime, n_bytes, dims...). Heavy per-item work (decode, resize, frame-sample,
+feature-extract) runs as Arrow-batched ``mapInPandas`` — the same executor-
+side pattern as the NER UDF (one decoder instance per worker process,
+batches of bytes through it).
+
+The actual image/audio codecs are NOT in this container, so ``decode_media``
+below is a deterministic fake (documented, test-pinned); the Spark-side
+contract — schema, batch shape, partitioning, null behavior — is real and is
+what this module verifies. A production deployment swaps `_extract_features`
+for PIL/torchaudio/ffmpeg calls without touching the plan.
+
+Scale notes (100 TB): binary payloads dominate I/O — never shuffle them.
+The featurize plan is scan → mapInPandas → narrow projection: zero shuffles;
+metadata-only queries prune the binary column at the parquet reader
+(columnar ReadSchema), which is the point of splitting metadata out.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    BinaryType,
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from ..plans.registry import declared
+from ..sources.catalog import load_tables
+
+MEDIA_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("payload", BinaryType()),
+        StructField("mime", StringType()),
+        StructField("n_bytes", LongType()),
+    ]
+)
+
+FEATURE_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("n_bytes", LongType()),
+        StructField("header_hex", StringType()),
+        StructField("checksum", IntegerType()),
+    ]
+)
+
+
+def attach_media(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Synthesize a binary media column from text (deterministic stand-in
+    for reading real blobs): payload + typed metadata."""
+    payload = F.encode(F.col(text_col), "utf-8")
+    return df.select(
+        "doc_id",
+        payload.alias("payload"),
+        F.lit("application/octet-stream").alias("mime"),
+        F.octet_length(payload).cast("bigint").alias("n_bytes"),
+    )
+
+
+def _extract_features(payload: bytes) -> tuple[int, str, int]:
+    """STUB decoder: real deployments decode image/audio here. Deterministic
+    fake: byte length, first-4-bytes hex, bounded byte checksum."""
+    n = len(payload)
+    header = payload[:4].hex()
+    checksum = sum(payload[:64]) % 997
+    return n, header, checksum
+
+
+def featurize_media(media: DataFrame) -> DataFrame:
+    """Arrow-batched feature extraction over the binary column."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            feats = [_extract_features(p) for p in pdf["payload"]]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "n_bytes": [f[0] for f in feats],
+                    "header_hex": [f[1] for f in feats],
+                    "checksum": [f[2] for f in feats],
+                }
+            )
+
+    return media.mapInPandas(run, schema=FEATURE_SCHEMA)
+
+
+def decode_image(payload: bytes):  # pragma: no cover - documented stub
+    """Real image decode — requires PIL/libvips, not present in this
+    environment. The mapInPandas plumbing above is the tested surface."""
+    raise NotImplementedError("image codecs not available in this environment")
+
+
+@declared(
+    "q_multimodal",
+    oracle="""
+    SELECT doc_id,
+           CAST(LENGTH(text) AS BIGINT) AS n_bytes,
+           LOWER(HEX(SUBSTRING(text, 1, 4))) AS header_hex,
+           CAST(LIST_SUM([ASCII(SUBSTRING(text, i, 1))
+                          FOR i IN RANGE(1, LEAST(LENGTH(text), 64) + 1)]) % 997 AS INT)
+               AS checksum
+    FROM documents
+    """,
+)
+def q_multimodal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-column round trip: attach payload → mapInPandas featurize.
+    The oracle recomputes the same features from the source text in SQL
+    (ASCII corpus ⇒ byte length == char length) — implementation-orthogonal
+    verification of the Python batch path."""
+    t = load_tables(spark, sf_dir)
+    docs = t.documents.repartition(spark.sparkContext.defaultParallelism)
+    media = attach_media(docs)
+    return featurize_media(media)

@@ -1,0 +1,59 @@
+"""NER-at-scale declared queries (SURVEY.md §2.D D6).
+
+Rows-only: the DuckDB 1.0 oracle has no ner() function. Determinism comes
+from the committed stub model (resources/doc_stub_model.json) whose
+token→label map covers the documents vocabulary, so entity extraction and
+the BIO merge run for real over every row; pytest pins golden outputs.
+
+Scale notes: scan → Arrow-batched UDF → explode → partial-agg count. One
+shuffle (on entity/label), model loaded once per executor process.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..plans.registry import declared
+from ..sources.catalog import load_tables
+
+DOC_STUB_MODEL = os.path.join(os.path.dirname(os.path.dirname(__file__)), "resources", "doc_stub_model.json")
+
+
+@declared("q_ner")
+def q_ner(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity counts over documents with the committed stub model: the full
+    A1-A14 dataflow (tokenize → eval → BIO merge → list<struct>) at table
+    scale, then a relational rollup of the nested result."""
+    from ..functions.ner_udf import make_ner_udf
+
+    t = load_tables(spark, sf_dir)
+    udf = make_ner_udf(DOC_STUB_MODEL, default_truncate=True)
+    # single-file source arrives as 1 partition — spread across Python workers
+    docs = t.documents.repartition(spark.sparkContext.defaultParallelism)
+    ents = docs.select("doc_id", udf(F.col("text")).alias("entities"))
+    ex = ents.select("doc_id", F.explode("entities").alias("e"))
+    return (
+        ex.groupBy(F.col("e.label").alias("label"), F.col("e.entity").alias("entity"))
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.col("n").desc(), "label", "entity")
+        .limit(50)
+    )
+
+
+@declared("q_ner_default_empty")
+def q_ner_default_empty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reference default semantics at table scale: no model ⇒ every non-null
+    row yields [] (src/ner_extension.cpp:68-76). Output is a 1-row audit."""
+    from ..functions.ner_udf import make_ner_udf
+
+    t = load_tables(spark, sf_dir)
+    udf = make_ner_udf(None)
+    ents = t.documents.select(udf(F.col("text")).alias("entities"))
+    return ents.agg(
+        F.count("*").alias("n_rows"),
+        F.sum(F.when(F.size("entities") == 0, 1).otherwise(0)).cast("bigint").alias("n_empty"),
+        F.sum(F.when(F.col("entities").isNull(), 1).otherwise(0)).cast("bigint").alias("n_null"),
+    )

@@ -1,0 +1,171 @@
+"""Similarity search over embedding columns (SURVEY.md §2.D D3).
+
+- brute-force cosine top-k (baseline, exact)   → q_sim_topk
+- all-pairs cosine above threshold (exploded)  → used by q_dedup_embed
+- LSH-bucketed ANN (random hyperplanes)        → q_sim_ann (rows-only)
+
+Scale notes (100 TB):
+- top-k against a QUERY vector is a broadcast: the query rides into every
+  partition as a literal; one pass, no shuffle, TakeOrdered for the k.
+- all-pairs is quadratic by nature — production path is the hyperplane-LSH
+  bucketing below (cands only within a bucket), or block-matrix multiply
+  (group vectors into row/col blocks, BLAS per block pair via pandas UDF).
+- signed random projections are seeded deterministically → reproducible
+  buckets across runs/executors.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..plans.registry import declared
+from ..sources.catalog import load_tables
+
+
+def _explode_embeddings(df: DataFrame, id_col: str = "vec_id") -> DataFrame:
+    """(id, array<float>) → (id, i, x double) — position-exploded form.
+
+    posexplode keeps Spark's 0-based positions; +1 matches DuckDB's
+    generate_subscripts for oracle replay."""
+    return df.select(
+        id_col, F.posexplode("embedding").alias("i0", "xf")
+    ).select(id_col, (F.col("i0") + 1).alias("i"), F.col("xf").cast("double").alias("x"))
+
+
+def cosine_pairs_exploded(df: DataFrame, threshold: float) -> DataFrame:
+    """All-pairs cosine ≥ threshold via the exploded self-join (exact)."""
+    ex = _explode_embeddings(
+        df.repartition(df.sparkSession.sparkContext.defaultParallelism, "vec_id")
+    ).persist()
+    norms = ex.groupBy("vec_id").agg(F.sqrt(F.sum(F.col("x") * F.col("x"))).alias("nrm"))
+    a = ex.select(F.col("vec_id").alias("vec_a"), "i", F.col("x").alias("xa"))
+    b = ex.select(F.col("vec_id").alias("vec_b"), "i", F.col("x").alias("xb"))
+    dots = (
+        a.join(b, "i")
+        .filter(F.col("vec_a") < F.col("vec_b"))
+        .groupBy("vec_a", "vec_b")
+        .agg(F.sum(F.col("xa") * F.col("xb")).alias("dot"))
+    )
+    na = norms.select(F.col("vec_id").alias("vec_a"), F.col("nrm").alias("na"))
+    nb = norms.select(F.col("vec_id").alias("vec_b"), F.col("nrm").alias("nb"))
+    cos = F.col("dot") / (F.col("na") * F.col("nb"))
+    return (
+        dots.join(na, "vec_a")
+        .join(nb, "vec_b")
+        .filter(cos >= threshold)
+        .select("vec_a", "vec_b", F.round(cos, 6).alias("cosine"))
+    )
+
+
+def topk_cosine(df: DataFrame, query_vec: list[float], k: int, id_col: str = "vec_id") -> DataFrame:
+    """Exact top-k cosine neighbors of a literal query vector.
+
+    The dot product runs JVM-side via zip_with + aggregate (whole-stage
+    codegen, no Python); the query vector is a broadcast literal."""
+    q = [float(v) for v in query_vec]
+    qn = float(np.sqrt(sum(v * v for v in q)))
+    qlit = F.array(*[F.lit(v) for v in q])
+    emb_d = F.expr("transform(embedding, v -> CAST(v AS DOUBLE))")
+    dot = F.aggregate(
+        F.zip_with(emb_d, qlit, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    nrm = F.sqrt(F.aggregate(F.zip_with(emb_d, emb_d, lambda x, y: x * y), F.lit(0.0), lambda a, v: a + v))
+    cos = dot / (nrm * F.lit(qn))
+    return (
+        df.select(id_col, F.round(cos, 6).alias("cosine"))
+        .orderBy(F.col("cosine").desc(), F.col(id_col))
+        .limit(k)
+    )
+
+
+# --- LSH-bucketed ANN (scale path) -----------------------------------------
+
+N_PLANES = 12
+_SEED = 0x5EED
+
+
+def _hyperplanes(dim: int) -> np.ndarray:
+    rng = np.random.RandomState(_SEED)
+    return rng.randn(N_PLANES, dim)
+
+
+def lsh_bucket_ids(df: DataFrame, dim: int, id_col: str = "vec_id") -> DataFrame:
+    """Signed-random-projection bucket per vector: bit p = sign(v · h_p).
+
+    The planes are deterministic literals compiled into the plan (a few KB) —
+    the Spark-idiomatic equivalent of broadcasting the projection matrix."""
+    planes = _hyperplanes(dim)
+    emb_d = F.expr("transform(embedding, v -> CAST(v AS DOUBLE))")
+    bucket = F.lit(0).cast("bigint")
+    for p in range(N_PLANES):
+        plane = F.array(*[F.lit(float(v)) for v in planes[p]])
+        dot = F.aggregate(F.zip_with(emb_d, plane, lambda x, y: x * y), F.lit(0.0), lambda a, v: a + v)
+        bucket = bucket + F.when(dot > 0, F.lit(1 << p).cast("bigint")).otherwise(0)
+    return df.select(id_col, "embedding", bucket.alias("bucket"))
+
+
+def ann_pairs(df: DataFrame, dim: int, threshold: float, id_col: str = "vec_id") -> DataFrame:
+    """Approximate near pairs: exact cosine only within an LSH bucket."""
+    bucketed = lsh_bucket_ids(df, dim, id_col).persist()  # both join sides
+    a = bucketed.select(F.col(id_col).alias("vec_a"), F.col("embedding").alias("ea"), "bucket")
+    b = bucketed.select(F.col(id_col).alias("vec_b"), F.col("embedding").alias("eb"), "bucket")
+    pairs = a.join(b, "bucket").filter(F.col("vec_a") < F.col("vec_b"))
+    da = F.expr("transform(ea, v -> CAST(v AS DOUBLE))")
+    db = F.expr("transform(eb, v -> CAST(v AS DOUBLE))")
+    dot = F.aggregate(F.zip_with(da, db, lambda x, y: x * y), F.lit(0.0), lambda a_, v: a_ + v)
+    na = F.sqrt(F.aggregate(F.zip_with(da, da, lambda x, y: x * y), F.lit(0.0), lambda a_, v: a_ + v))
+    nb = F.sqrt(F.aggregate(F.zip_with(db, db, lambda x, y: x * y), F.lit(0.0), lambda a_, v: a_ + v))
+    cos = dot / (na * nb)
+    return pairs.select("vec_a", "vec_b", F.round(cos, 6).alias("cosine")).filter(
+        F.col("cosine") >= threshold
+    )
+
+
+# ---------------------------------------------------------------------------
+# declared queries
+# ---------------------------------------------------------------------------
+
+
+@declared(
+    "q_sim_topk",
+    oracle="""
+    WITH ex AS (
+        SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS x,
+               generate_subscripts(embedding, 1) AS i
+        FROM embeddings
+    ), q AS (
+        SELECT i, x AS qx FROM ex WHERE vec_id = 0
+    ), qn AS (
+        SELECT SQRT(SUM(qx * qx)) AS qnrm FROM q
+    ), scored AS (
+        SELECT e.vec_id,
+               SUM(e.x * q.qx) AS dot,
+               SQRT(SUM(e.x * e.x)) AS nrm
+        FROM ex e JOIN q ON e.i = q.i
+        GROUP BY e.vec_id
+    )
+    SELECT vec_id, ROUND(dot / (nrm * (SELECT qnrm FROM qn)), 6) AS cosine
+    FROM scored
+    WHERE vec_id <> 0
+    ORDER BY cosine DESC, vec_id
+    LIMIT 5
+    """,
+)
+def q_sim_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-5 cosine neighbors of vec_id 0 (exact brute force, D3 baseline)."""
+    t = load_tables(spark, sf_dir)
+    emb = t.embeddings
+    qvec = emb.filter(F.col("vec_id") == 0).select("embedding").head()[0]
+    return topk_cosine(emb.filter(F.col("vec_id") != 0), list(qvec), k=5)
+
+
+@declared("q_sim_ann")
+def q_sim_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-bucketed ANN pairs (rows-only: bucket assignment is engine-local;
+    deterministic across runs via the fixed seed)."""
+    t = load_tables(spark, sf_dir)
+    return ann_pairs(t.embeddings, dim=64, threshold=0.3)

@@ -1,0 +1,197 @@
+"""Text-analysis operators (SURVEY.md §2.D D4 + task Tier-D list): top terms,
+language-ID heuristic, quality scoring, token counting, fingerprinting.
+
+All JVM-side built-ins (split/explode/filter/aggregate) — zero Python UDFs —
+so the plans are whole-stage-codegen'd and shuffle only on (lang, word) or
+doc_id. Every query here has a full DuckDB oracle.
+
+Scale notes (100 TB): term-frequency is the canonical map-side-combine agg
+(partial counts per partition before the shuffle); per-doc scores are
+shuffle-free narrow projections; the fingerprint explode shuffles |words|
+rows keyed by doc_id — bucketing documents by doc_id makes it co-located.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..plans.registry import declared
+from ..sources.catalog import load_tables
+from .textprep import words_col
+
+# deterministic marker lists for the lang-ID heuristic (the synthetic corpus
+# shares one vocabulary across langs — the operator's *mechanics* are the
+# deliverable; with real corpora these are per-language stopword lists)
+MARKERS_EN = ("the", "a", "is")
+MARKERS_QUERY = ("join", "filter", "scan", "sort")
+STOPWORDS = ("the", "a", "is", "in")
+
+
+@declared(
+    "q_text_stats",
+    oracle="""
+    WITH w AS (
+        SELECT lang, unnest(string_split(text, ' ')) AS word FROM documents
+    ), c AS (
+        SELECT lang, word, COUNT(*) AS cnt FROM w GROUP BY lang, word
+    ), r AS (
+        SELECT lang, word, cnt,
+               ROW_NUMBER() OVER (PARTITION BY lang ORDER BY cnt DESC, word) AS rn
+        FROM c
+    )
+    SELECT lang, word, cnt, CAST(rn AS BIGINT) AS rn FROM r WHERE rn <= 5
+    """,
+)
+def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-5 terms per language (explode → two-level agg → windowed top-k)."""
+    t = load_tables(spark, sf_dir)
+    w = t.documents.select("lang", F.explode(words_col()).alias("word"))
+    c = w.groupBy("lang", "word").agg(F.count("*").alias("cnt"))
+    win = Window.partitionBy("lang").orderBy(F.col("cnt").desc(), F.col("word"))
+    return (
+        c.withColumn("rn", F.row_number().over(win).cast("bigint"))
+        .filter(F.col("rn") <= 5)
+        .select("lang", "word", "cnt", "rn")
+    )
+
+
+@declared(
+    "q_lang_id",
+    oracle=f"""
+    WITH scored AS (
+        SELECT doc_id, lang,
+               LEN(LIST_FILTER(string_split(text, ' '),
+                   w -> w IN ({", ".join(repr(m) for m in MARKERS_EN)}))) AS score_en,
+               LEN(LIST_FILTER(string_split(text, ' '),
+                   w -> w IN ({", ".join(repr(m) for m in MARKERS_QUERY)}))) AS score_q
+        FROM documents
+    )
+    SELECT doc_id, lang,
+           CAST(score_en AS INT) AS score_en,
+           CAST(score_q AS INT) AS score_q,
+           CASE WHEN score_en >= 3 THEN 'en'
+                WHEN score_q > score_en THEN 'qlang'
+                ELSE 'unknown' END AS pred_lang
+    FROM scored
+    """,
+)
+def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """n-gram/marker-count language-ID heuristic: count marker-token hits per
+    candidate language, argmax with a confidence floor."""
+    t = load_tables(spark, sf_dir)
+    en_list = ", ".join(repr(m) for m in MARKERS_EN)
+    q_list = ", ".join(repr(m) for m in MARKERS_QUERY)
+    score_en = F.expr(f"size(filter(split(text, ' '), w -> w IN ({en_list})))")
+    score_q = F.expr(f"size(filter(split(text, ' '), w -> w IN ({q_list})))")
+    d = t.documents.select(
+        "doc_id",
+        "lang",
+        score_en.cast("int").alias("score_en"),
+        score_q.cast("int").alias("score_q"),
+    )
+    pred = (
+        F.when(F.col("score_en") >= 3, "en")
+        .when(F.col("score_q") > F.col("score_en"), "qlang")
+        .otherwise("unknown")
+    )
+    return d.select("doc_id", "lang", "score_en", "score_q", pred.alias("pred_lang"))
+
+
+@declared(
+    "q_quality",
+    oracle=f"""
+    WITH base AS (
+        SELECT doc_id,
+               LEN(string_split(text, ' ')) AS n_words,
+               LENGTH(text) AS n_chars,
+               LEN(LIST_FILTER(string_split(text, ' '),
+                   w -> w IN ({", ".join(repr(s) for s in STOPWORDS)}))) AS n_stop
+        FROM documents
+    )
+    SELECT doc_id,
+           CAST(n_words AS INT) AS n_words,
+           CAST(n_chars AS BIGINT) AS n_chars,
+           (n_chars - (n_words - 1)) * 1.0 / n_words AS avg_word_len,
+           n_stop * 1.0 / n_words AS stopword_ratio,
+           CAST(n_words >= 10 AND n_stop * 1.0 / n_words < 0.5 AS INT) AS passes
+    FROM base
+    """,
+)
+def q_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality scoring: length, word-shape and stopword-ratio gates (the
+    punctuation ratio is 0 on this corpus; the gate composition is the op).
+    Divisions are int/int on identical operands → bit-identical doubles."""
+    t = load_tables(spark, sf_dir)
+    stop_list = ", ".join(repr(s) for s in STOPWORDS)
+    base = t.documents.select(
+        "doc_id",
+        F.size(words_col()).alias("n_words"),
+        F.length("text").cast("bigint").alias("n_chars"),
+        F.expr(f"size(filter(split(text, ' '), w -> w IN ({stop_list})))").alias("n_stop"),
+    )
+    awl = (F.col("n_chars") - (F.col("n_words") - 1)) * F.lit(1.0) / F.col("n_words")
+    sr = F.col("n_stop") * F.lit(1.0) / F.col("n_words")
+    return base.select(
+        "doc_id",
+        F.col("n_words").cast("int").alias("n_words"),
+        "n_chars",
+        awl.alias("avg_word_len"),
+        sr.alias("stopword_ratio"),
+        ((F.col("n_words") >= 10) & (sr < 0.5)).cast("int").alias("passes"),
+    )
+
+
+@declared(
+    "q_token_count",
+    oracle="""
+    SELECT doc_id,
+           CAST(LEN(string_split(text, ' ')) AS INT) AS ws_tokens,
+           CAST(LEN(regexp_extract_all(text, '[a-z0-9]+')) AS INT) AS re_tokens,
+           CAST(CEIL(LENGTH(text) / 4.0) AS BIGINT) AS byte_pair_est
+    FROM documents
+    """,
+)
+def q_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting: whitespace tokens, BPE-ish regex tokens, and the
+    chars/4 heuristic estimate."""
+    t = load_tables(spark, sf_dir)
+    return t.documents.select(
+        "doc_id",
+        F.size(words_col()).cast("int").alias("ws_tokens"),
+        F.size(F.regexp_extract_all(F.col("text"), F.lit("[a-z0-9]+"), F.lit(0)))
+        .cast("int")
+        .alias("re_tokens"),
+        F.ceil(F.length("text") / 4.0).cast("bigint").alias("byte_pair_est"),
+    )
+
+
+@declared(
+    "q_fingerprint",
+    oracle="""
+    WITH w AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS word,
+               generate_subscripts(string_split(text, ' '), 1) AS pos
+        FROM documents
+    )
+    SELECT doc_id,
+           SUM(pos * (LENGTH(word) * 31 + ASCII(SUBSTRING(word, 1, 1)))) % 1000000007
+               AS fingerprint,
+           MIN(md5(word)) AS min_word_hash
+    FROM w GROUP BY doc_id
+    """,
+)
+def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprinting: position-weighted word-code rolling sum mod a
+    prime (engine-portable), plus the md5 min-hash anchor. Pure integer
+    arithmetic → exact parity. A production 64-bit rolling hash swaps the
+    word code for xxhash64(word) — same plan shape."""
+    t = load_tables(spark, sf_dir)
+    w = t.documents.select(
+        "doc_id", F.posexplode(words_col()).alias("pos0", "word")
+    ).select("doc_id", (F.col("pos0") + 1).alias("pos"), "word")
+    code = F.length("word").cast("bigint") * 31 + F.ascii(F.substring("word", 1, 1))
+    return w.groupBy("doc_id").agg(
+        (F.sum(F.col("pos") * code) % F.lit(1000000007)).alias("fingerprint"),
+        F.min(F.md5("word")).alias("min_word_hash"),
+    )

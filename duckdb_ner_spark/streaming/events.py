@@ -1,0 +1,92 @@
+"""Structured Streaming over the events table (beyond-reference surface —
+the reference has no streaming, SURVEY.md §2.E; this is the Spark-native
+path a production events pipeline would run).
+
+Batch/stream parity: the same windowed aggregation expressed once, runnable
+in batch or as a micro-batch stream over the parquet file source with a
+watermark for late data. Tests assert stream result == batch result.
+
+Scale notes: file-source streaming shards by file; at production scale the
+source is Kafka with the identical transformation; the watermark bounds
+state, and the (user_id × window) grouping is the shuffle key.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    DoubleType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+# explicit schema: streaming sources cannot infer; ts arrives as raw int64
+# nanos (same nanosAsLong surface the batch catalog normalizes)
+EVENTS_SCHEMA = StructType(
+    [
+        StructField("event_id", LongType()),
+        StructField("ts", LongType()),
+        StructField("user_id", LongType()),
+        StructField("event_type", StringType()),
+        StructField("value", DoubleType()),
+        StructField("props", StringType()),
+    ]
+)
+
+
+def _normalize(df: DataFrame) -> DataFrame:
+    return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+
+def windowed_counts(events: DataFrame, window: str = "1 hour", watermark: str = "2 hours") -> DataFrame:
+    """Tumbling-window counts per event_type with a watermark (streaming) —
+    watermark is a no-op under batch, so one definition serves both."""
+    e = events
+    if e.isStreaming:
+        e = e.withWatermark("ts", watermark)
+    return (
+        e.groupBy(F.window("ts", window).alias("w"), "event_type")
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("total_value"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n",
+            "total_value",
+        )
+    )
+
+
+def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The file stream source requires a *directory* (it tails new files);
+    the testdata ships one file per table, so stage it into a temp dir —
+    in production the directory IS the landing zone."""
+    import shutil
+    import tempfile
+
+    stage = tempfile.mkdtemp(prefix="events_stream_")
+    shutil.copy(f"{sf_dir}/events.parquet", f"{stage}/events.parquet")
+    raw = spark.readStream.schema(EVENTS_SCHEMA).parquet(stage)
+    return _normalize(raw)
+
+
+def batch_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    raw = spark.read.schema(EVENTS_SCHEMA).parquet(f"{sf_dir}/events.parquet")
+    return _normalize(raw)
+
+
+def run_stream_to_memory(spark: SparkSession, sf_dir: str, table_name: str = "stream_out") -> None:
+    """Drain the whole file source in availableNow micro-batches into an
+    in-memory sink (complete mode), then stop."""
+    q = (
+        windowed_counts(stream_events(spark, sf_dir))
+        .writeStream.format("memory")
+        .queryName(table_name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    q.stop()
