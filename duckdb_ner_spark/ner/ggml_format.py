@@ -1,0 +1,127 @@
+"""Reader/writer for the reference's GGML model container.
+
+Format (public, defined by /root/reference/src/ner_model.cpp:162-290 and
+scripts/convert_ner_to_ggml.py:38-89):
+
+    uint32  magic = 0x67676d6c (LE)
+    int32 × 8 hparams: n_vocab, n_max_tokens, n_embd, n_intermediate,
+                       n_head, n_layer, ftype, n_labels
+    vocab:  n_vocab × (uint32 byte_len, utf-8 bytes)   (id order)
+    tensors (until EOF):
+        int32 n_dims, int32 name_len, int32 ftype
+        int32 × n_dims dims  — written REVERSED (ne[0] = innermost/cols)
+        name bytes
+        raw data: f32 | f16 | q4_0 (blocks of 32: f16 scale + 16 nibble bytes)
+
+A file whose magic doesn't match yields None upstream — exactly how the
+reference's 8-byte bundled placeholder fails to load
+(src/include/default_model.hpp:10-15, src/ner_model.cpp:164-167).
+"""
+
+from __future__ import annotations
+
+import struct
+from dataclasses import dataclass
+
+import numpy as np
+
+MAGIC = 0x67676D6C
+HPARAM_NAMES = (
+    "n_vocab",
+    "n_max_tokens",
+    "n_embd",
+    "n_intermediate",
+    "n_head",
+    "n_layer",
+    "ftype",
+    "n_labels",
+)
+
+F32, F16, Q4_0 = 0, 1, 2
+_Q4_BLOCK = 32
+_Q4_BYTES = 2 + 16  # f16 scale + 32 nibbles
+
+
+@dataclass
+class GgmlModelFile:
+    hparams: dict[str, int]
+    vocab: list[str]
+    tensors: dict[str, np.ndarray]  # float32, shape = (rows, cols)
+
+
+def _dequant_q4_0(raw: bytes, n_elems: int) -> np.ndarray:
+    n_blocks = n_elems // _Q4_BLOCK
+    buf = np.frombuffer(raw, dtype=np.uint8).reshape(n_blocks, _Q4_BYTES)
+    scales = buf[:, :2].copy().view(np.float16).astype(np.float32)  # (n_blocks, 1)
+    nib = buf[:, 2:]
+    lo = (nib & 0x0F).astype(np.int8) - 8
+    hi = (nib >> 4).astype(np.int8) - 8
+    # ggml q4_0 interleave: 16 low nibbles then 16 high nibbles per block
+    block_vals = np.concatenate([lo, hi], axis=1).astype(np.float32)
+    return (block_vals * scales).reshape(-1)
+
+
+def read_ggml(path: str) -> GgmlModelFile | None:
+    with open(path, "rb") as f:
+        head = f.read(4)
+        if len(head) < 4 or struct.unpack("<I", head)[0] != MAGIC:
+            return None
+        hp_raw = f.read(4 * 8)
+        if len(hp_raw) < 32:
+            return None
+        hparams = dict(zip(HPARAM_NAMES, struct.unpack("<8i", hp_raw)))
+
+        vocab: list[str] = []
+        for _ in range(hparams["n_vocab"]):
+            (ln,) = struct.unpack("<i", f.read(4))
+            vocab.append(f.read(ln).decode("utf-8", errors="replace"))
+
+        tensors: dict[str, np.ndarray] = {}
+        while True:
+            hdr = f.read(12)
+            if len(hdr) < 12:
+                break
+            n_dims, name_len, ftype = struct.unpack("<3i", hdr)
+            dims_rev = struct.unpack(f"<{n_dims}i", f.read(4 * n_dims))
+            name = f.read(name_len).decode("utf-8")
+            shape = tuple(reversed(dims_rev))  # back to row-major (rows, cols)
+            n_elems = int(np.prod(shape))
+            if ftype == F32:
+                data = np.frombuffer(f.read(4 * n_elems), dtype="<f4").astype(np.float32)
+            elif ftype == F16:
+                data = np.frombuffer(f.read(2 * n_elems), dtype="<f2").astype(np.float32)
+            elif ftype == Q4_0:
+                data = _dequant_q4_0(f.read(n_elems // _Q4_BLOCK * _Q4_BYTES), n_elems)
+            else:
+                return None
+            tensors[name] = data.reshape(shape)
+        return GgmlModelFile(hparams, vocab, tensors)
+
+
+def write_ggml(
+    path: str,
+    hparams: dict[str, int],
+    vocab: list[str],
+    tensors: dict[str, np.ndarray],
+) -> None:
+    """Writer — our analogue of the reference's converter (A17): same
+    container, produced from numpy arrays. 2-D float16 when ftype==1,
+    mirroring convert_ner_to_ggml.py:77-82."""
+    ftype = int(hparams.get("ftype", 0))
+    with open(path, "wb") as f:
+        f.write(struct.pack("<I", MAGIC))
+        f.write(struct.pack("<8i", *[int(hparams[k]) for k in HPARAM_NAMES]))
+        for word in vocab:
+            b = word.encode("utf-8")
+            f.write(struct.pack("<i", len(b)))
+            f.write(b)
+        for name, arr in tensors.items():
+            arr = np.asarray(arr)
+            use_f16 = ftype == F16 and name.endswith(".weight") and arr.ndim == 2
+            data = arr.astype(np.float16 if use_f16 else np.float32)
+            nb = name.encode("utf-8")
+            f.write(struct.pack("<3i", arr.ndim, len(nb), F16 if use_f16 else F32))
+            for i in range(arr.ndim):
+                f.write(struct.pack("<i", arr.shape[arr.ndim - 1 - i]))
+            f.write(nb)
+            data.tofile(f)

@@ -71,10 +71,23 @@ class StubMapModel:
 def load_model(path: str | None):
     """Silent-failure loader: any problem → None (reference parity:
     test/sql/ner.test:39-51 expects SET to a bad path to succeed and the next
-    ner() call to return [])."""
+    ner() call to return []).
+
+    Formats, sniffed by magic: the reference's GGML container
+    (magic 0x67676d6c LE — a file that merely *spells* 'ggml' in ASCII fails
+    the check, exactly like the reference's bundled placeholder) and the JSON
+    stub format."""
     if not path:
         return None
     try:
+        with open(path, "rb") as f:
+            head = f.read(4)
+        if head == b"\x6c\x6d\x67\x67":  # struct LE of 0x67676d6c
+            from .bert_numpy import GgmlBertModel
+            from .ggml_format import read_ggml
+
+            mf = read_ggml(path)
+            return GgmlBertModel(mf) if mf is not None else None
         with open(path) as f:
             spec = json.load(f)
         if spec.get("format") != "ner-stub-v1":

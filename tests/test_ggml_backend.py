@@ -1,0 +1,110 @@
+"""GGML container + NumPy BERT backend tests (A8/A10 parity)."""
+
+import struct
+
+import numpy as np
+import pytest
+
+from duckdb_ner_spark.ner.ggml_format import read_ggml, write_ggml
+from duckdb_ner_spark.ner.model import load_model
+
+
+@pytest.fixture(scope="module")
+def tiny_model(tmp_path_factory):
+    from tools.convert_model import STUB_VOCAB, random_model
+
+    path = str(tmp_path_factory.mktemp("m") / "tiny.bin")
+    hp, t = random_model(STUB_VOCAB, n_embd=32, n_head=4, n_layer=2, n_labels=9, n_max_tokens=64)
+    write_ggml(path, hp, STUB_VOCAB, t)
+    return path, hp, t
+
+
+def test_roundtrip_f32(tiny_model):
+    path, hp, t = tiny_model
+    mf = read_ggml(path)
+    assert mf is not None
+    assert mf.hparams["n_embd"] == 32 and mf.hparams["n_labels"] == 9
+    assert mf.vocab[0] == "[CLS]"
+    for name, arr in t.items():
+        np.testing.assert_array_equal(mf.tensors[name], arr.astype(np.float32))
+
+
+def test_roundtrip_f16_lossy(tiny_model, tmp_path):
+    path, hp, t = tiny_model
+    p16 = str(tmp_path / "tiny16.bin")
+    hp16 = dict(hp, ftype=1)
+    write_ggml(p16, hp16, read_ggml(path).vocab, t)
+    mf = read_ggml(p16)
+    w = "encoder.layer.0.attention.self.query.weight"
+    np.testing.assert_allclose(mf.tensors[w], t[w], atol=1e-3)
+    # 1-D tensors stay f32 exactly (converter rule, convert_ner_to_ggml.py:77-82)
+    np.testing.assert_array_equal(
+        mf.tensors["embeddings.LayerNorm.weight"], t["embeddings.LayerNorm.weight"]
+    )
+
+
+def test_q4_0_dequant():
+    from duckdb_ner_spark.ner.ggml_format import _dequant_q4_0
+
+    # one block: scale=2.0, nibbles 0..15 twice → values (n-8)*2
+    scale = np.float16(2.0).tobytes()
+    nibbles = bytes((hi << 4) | lo for lo, hi in zip(range(16), range(16)))
+    out = _dequant_q4_0(scale + nibbles, 32)
+    lows = [(n - 8) * 2.0 for n in range(16)]
+    highs = [(n - 8) * 2.0 for n in range(16)]
+    np.testing.assert_array_equal(out, np.array(lows + highs, dtype=np.float32))
+
+
+def test_bad_magic_rejected(tmp_path):
+    # the reference's bundled placeholder spells 'ggml' in ASCII — wrong
+    # byte order for the LE magic check → must NOT load
+    p = str(tmp_path / "placeholder.bin")
+    with open(p, "wb") as f:
+        f.write(b"ggml\x00\x00\x00\x00")
+    assert read_ggml(p) is None
+    assert load_model(p) is None
+    # correct magic but truncated → loader returns None, never raises
+    p2 = str(tmp_path / "trunc.bin")
+    with open(p2, "wb") as f:
+        f.write(struct.pack("<I", 0x67676D6C))
+    assert load_model(p2) is None
+
+
+def test_forward_pass_shapes_and_determinism(tiny_model):
+    path, _, _ = tiny_model
+    m = load_model(path)
+    assert m is not None and m.n_max_tokens == 64
+    ids = m.vocab.token_to_id
+    toks = [ids["[CLS]"], ids["duck"], ids["labs"], ids["[SEP]"]]
+    l1 = m.eval_tokens(toks)
+    l2 = m.eval_tokens(toks)
+    assert l1.shape == (4, 9)
+    np.testing.assert_array_equal(l1, l2)
+    # token identity matters: different tokens ⇒ different logit rows
+    assert not np.allclose(l1[1], l1[2])
+
+
+def test_position_matters(tiny_model):
+    path, _, _ = tiny_model
+    m = load_model(path)
+    ids = m.vocab.token_to_id
+    a = m.eval_tokens([ids["[CLS]"], ids["duck"], ids["labs"], ids["[SEP]"]])
+    b = m.eval_tokens([ids["[CLS]"], ids["labs"], ids["duck"], ids["[SEP]"]])
+    assert not np.allclose(a[1], b[2])  # position embeddings shift the result
+
+
+def test_ggml_model_through_spark_udf(tiny_model, engine):
+    """End-to-end: the reference's model format driving ner() on Spark."""
+    path, _, _ = tiny_model
+    engine.set_model_path(path)
+    rows = engine.spark.sql(
+        "SELECT ner('duck labs in amsterdam') AS e, ner('') AS empty"
+    ).collect()
+    # random weights ⇒ arbitrary (but valid) entities; the contract is
+    # structural: list<struct<entity,label>> with labels from the BIO map
+    from duckdb_ner_spark.ner.decode import LABEL_MAP
+
+    for ent in rows[0].e:
+        assert ent.label in LABEL_MAP
+    assert rows[0].empty is not None
+    engine.set_model_path(None)

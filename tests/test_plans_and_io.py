@@ -1,0 +1,92 @@
+"""Plan-quality assertions (C40) and writer round-trips (C39).
+
+These pin the *physical* properties the 100 TB design depends on: pushdown,
+pruning, broadcasts — a plan regression fails here even while results stay
+correct."""
+
+import pyspark.sql.functions as F
+
+from tests.conftest import SF_SMOKE
+
+
+def test_filter_pushdown_reaches_scan(spark):
+    from duckdb_ner_spark.plans.inspect import plan_report
+
+    li = spark.read.parquet(f"{SF_SMOKE}/lineitem.parquet")
+    df = li.filter(F.col("l_quantity") < 10).select("l_orderkey", "l_quantity")
+    rep = plan_report(df)
+    assert any("l_quantity" in p for p in rep.pushed_filters), rep.pushed_filters
+    # column pruning: scan must not read all 11 columns
+    assert rep.read_schemas and "l_extendedprice" not in rep.read_schemas[0]
+
+
+def test_small_dim_join_broadcasts(spark):
+    from duckdb_ner_spark.plans.inspect import plan_report
+
+    cust = spark.read.parquet(f"{SF_SMOKE}/customer.parquet")
+    nat = spark.read.parquet(f"{SF_SMOKE}/nation.parquet")
+    df = cust.join(F.broadcast(nat), F.col("c_nationkey") == F.col("n_nationkey"))
+    rep = plan_report(df)
+    assert rep.n_broadcasts >= 1
+
+
+def test_flagship_plan_is_single_shuffle(spark):
+    """TPC-H Q1 shape: one exchange (the group-by), wholestage codegen on."""
+    import __spark_entry__ as e
+    from duckdb_ner_spark.plans.inspect import plan_report
+
+    df = e.queries()["q_agg_group"](spark, SF_SMOKE)
+    rep = plan_report(df)
+    assert rep.n_exchanges == 1, rep.summary()
+    assert not rep.has_python_udf
+    # codegen spans only materialize in the AQE-final (executed) plan
+    df.collect()
+    executed = df._jdf.queryExecution().executedPlan().toString()
+    assert "*(" in executed  # '*(N)' prefix marks WholeStageCodegen spans
+
+
+def test_topk_uses_take_ordered(spark):
+    import __spark_entry__ as e
+    from duckdb_ner_spark.plans.inspect import formatted_plan
+
+    df = e.queries()["q_topk"](spark, SF_SMOKE)
+    assert "TakeOrderedAndProject" in formatted_plan(df)
+
+
+def test_write_read_roundtrips(spark, tmp_path):
+    from duckdb_ner_spark.sources.writers import (
+        read_csv,
+        read_json,
+        write_csv,
+        write_json,
+        write_parquet,
+    )
+
+    src = spark.read.parquet(f"{SF_SMOKE}/region.parquet")
+    p = str(tmp_path / "p")
+    write_parquet(src, p)
+    assert spark.read.parquet(p).count() == src.count()
+
+    c = str(tmp_path / "c")
+    write_csv(src, c)
+    back = read_csv(spark, c, schema=src.schema)
+    assert {r.r_name for r in back.collect()} == {r.r_name for r in src.collect()}
+
+    j = str(tmp_path / "j")
+    write_json(src, j)
+    assert read_json(spark, j, schema=src.schema).count() == src.count()
+
+
+def test_partitioned_write_prunes(spark, tmp_path):
+    from duckdb_ner_spark.plans.inspect import formatted_plan
+    from duckdb_ner_spark.sources.writers import write_parquet
+
+    orders = spark.read.parquet(f"{SF_SMOKE}/orders.parquet").withColumn(
+        "yr", F.year("o_orderdate")
+    )
+    p = str(tmp_path / "orders_by_year")
+    write_parquet(orders, p, partition_cols=["yr"])
+    pruned = spark.read.parquet(p).filter(F.col("yr") == 1997)
+    plan = formatted_plan(pruned)
+    assert "PartitionFilters" in plan
+    assert pruned.count() == orders.filter(F.col("yr") == 1997).count()
