@@ -1,2 +1,10 @@
 # Import order registers declared queries (module import side effect).
-from . import dedup, multimodal, ner_queries, relational, similarity, textstats  # noqa: F401
+from . import (  # noqa: F401
+    dedup,
+    multimodal,
+    ner_queries,
+    relational,
+    relational_ext,
+    similarity,
+    textstats,
+)

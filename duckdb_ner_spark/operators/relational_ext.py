@@ -1,0 +1,437 @@
+"""Tier C extensions: deeper coverage of the host-engine function surface
+(SURVEY.md §2.C families, second pass — cube/grouping sets, distribution
+windows, string/regex/date breadth, higher-order list lambdas, statistical
+aggregates, percentiles, null-safe comparisons, bag set-ops, sessionization,
+time buckets).
+
+Same dialect-parity rules as relational.py. Statistical aggregates are
+derived from decimal-exact sums (doubles' summation order differs between
+engines); interpolated percentiles are exact arithmetic over identical
+operands, hence bit-stable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..plans.registry import declared
+from ..sources.catalog import load_tables
+
+
+# --------------------------------------------------------------------------
+# C14b CUBE
+# --------------------------------------------------------------------------
+@declared(
+    "q_cube",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           CAST(GROUPING(l_returnflag) AS INT) AS g_flag,
+           CAST(GROUPING(l_linestatus) AS INT) AS g_status,
+           COUNT(*) AS n,
+           ROUND(SUM(l_quantity), 2) AS qty
+    FROM lineitem
+    GROUP BY CUBE(l_returnflag, l_linestatus)
+    """,
+)
+def q_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    return (
+        t.lineitem.cube("l_returnflag", "l_linestatus")
+        .agg(
+            F.grouping("l_returnflag").cast("int").alias("g_flag"),
+            F.grouping("l_linestatus").cast("int").alias("g_status"),
+            F.count("*").alias("n"),
+            F.round(F.sum("l_quantity"), 2).alias("qty"),
+        )
+        .select("l_returnflag", "l_linestatus", "g_flag", "g_status", "n", "qty")
+    )
+
+
+# --------------------------------------------------------------------------
+# C14c GROUPING SETS (via spark.sql — the SQL-surface form)
+# --------------------------------------------------------------------------
+@declared(
+    "q_grouping_sets",
+    oracle="""
+    SELECT c_mktsegment, o_orderstatus, COUNT(*) AS n
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    GROUP BY GROUPING SETS ((c_mktsegment), (o_orderstatus), ())
+    """,
+)
+def q_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    t.orders.createOrReplaceTempView("v_gs_orders")
+    t.customer.createOrReplaceTempView("v_gs_customer")
+    return spark.sql(
+        """
+        SELECT c_mktsegment, o_orderstatus, COUNT(*) AS n
+        FROM v_gs_orders JOIN v_gs_customer ON o_custkey = c_custkey
+        GROUP BY GROUPING SETS ((c_mktsegment), (o_orderstatus), ())
+        """
+    )
+
+
+# --------------------------------------------------------------------------
+# C18b distribution window functions
+# --------------------------------------------------------------------------
+@declared(
+    "q_window_dist",
+    oracle="""
+    SELECT o_orderkey, o_custkey,
+           PERCENT_RANK() OVER w AS pct_rank,
+           CUME_DIST() OVER w AS cume,
+           NTH_VALUE(o_totalprice, 2) OVER (PARTITION BY o_custkey
+               ORDER BY o_totalprice DESC, o_orderkey
+               ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS second_price,
+           LAST_VALUE(o_totalprice) OVER (PARTITION BY o_custkey
+               ORDER BY o_totalprice DESC, o_orderkey
+               ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS min_price
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey)
+    """,
+)
+def q_window_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """percent_rank/cume_dist are (rank-1)/(n-1)-style divisions of identical
+    ints → bit-stable doubles; nth/last_value pinned with explicit frames."""
+    t = load_tables(spark, sf_dir)
+    w = Window.partitionBy("o_custkey").orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+    wfull = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    return t.orders.select(
+        "o_orderkey",
+        "o_custkey",
+        F.percent_rank().over(w).alias("pct_rank"),
+        F.cume_dist().over(w).alias("cume"),
+        F.nth_value("o_totalprice", 2).over(wfull).alias("second_price"),
+        F.last("o_totalprice").over(wfull).alias("min_price"),
+    )
+
+
+# --------------------------------------------------------------------------
+# C27b string function breadth
+# --------------------------------------------------------------------------
+@declared(
+    "q_string2",
+    oracle="""
+    SELECT p_partkey,
+           LPAD(p_brand, 10, '*') AS padded,
+           RPAD(p_brand, 10, '.') AS rpadded,
+           REVERSE(p_name) AS rev,
+           CAST(STRPOS(p_name, 'o') AS INT) AS o_pos,
+           LEFT(p_name, 3) AS l3,
+           RIGHT(p_name, 3) AS r3,
+           REPEAT(p_type, 2) AS doubled,
+           TRANSLATE(p_name, 'aeiou', 'AEIOU') AS vowels_up,
+           CAST(CONTAINS(p_name, 'ring') AS INT) AS has_ring,
+           CAST(STARTS_WITH(p_name, 'small') AS INT) AS is_small
+    FROM part
+    """,
+)
+def q_string2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    return t.part.select(
+        "p_partkey",
+        F.lpad("p_brand", 10, "*").alias("padded"),
+        F.rpad("p_brand", 10, ".").alias("rpadded"),
+        F.reverse("p_name").alias("rev"),
+        F.instr("p_name", "o").alias("o_pos"),
+        F.substring("p_name", 1, 3).alias("l3"),
+        F.expr("right(p_name, 3)").alias("r3"),
+        F.repeat("p_type", 2).alias("doubled"),
+        F.translate("p_name", "aeiou", "AEIOU").alias("vowels_up"),
+        F.col("p_name").contains("ring").cast("int").alias("has_ring"),
+        F.col("p_name").startswith("small").cast("int").alias("is_small"),
+    )
+
+
+# --------------------------------------------------------------------------
+# C27c regular expressions
+# --------------------------------------------------------------------------
+@declared(
+    "q_regex",
+    oracle="""
+    SELECT p_partkey,
+           REGEXP_EXTRACT(p_name, '([a-z]+) ([a-z]+)', 2) AS noun,
+           REGEXP_REPLACE(p_name, '[aeiou]', '_', 'g') AS devoweled,
+           CAST(REGEXP_MATCHES(p_brand, '#[0-9]$') AS INT) AS single_digit,
+           REGEXP_EXTRACT(p_brand, '[0-9]+') AS brand_num
+    FROM part
+    """,
+)
+def q_regex(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DuckDB regexp_replace is first-match unless the 'g' flag is given;
+    Spark's is always global — the oracle passes 'g' for parity."""
+    t = load_tables(spark, sf_dir)
+    return t.part.select(
+        "p_partkey",
+        F.regexp_extract("p_name", r"([a-z]+) ([a-z]+)", 2).alias("noun"),
+        F.regexp_replace("p_name", "[aeiou]", "_").alias("devoweled"),
+        F.regexp_like(F.col("p_brand"), F.lit("#[0-9]$")).cast("int").alias("single_digit"),
+        F.regexp_extract("p_brand", "[0-9]+", 0).alias("brand_num"),
+    )
+
+
+# --------------------------------------------------------------------------
+# C28b date arithmetic breadth
+# --------------------------------------------------------------------------
+@declared(
+    "q_date_diff",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           CAST(DATE_DIFF('day', o_orderdate, l_shipdate) AS INT) AS ship_days,
+           CAST(EXTRACT(dow FROM l_shipdate) AS INT) AS ship_dow,
+           CAST(EXTRACT(doy FROM l_shipdate) AS INT) AS ship_doy,
+           STRFTIME(LAST_DAY(o_orderdate), '%Y-%m-%d') AS month_end
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    """,
+)
+def q_date_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dialect note: Spark dayofweek is 1=Sunday; DuckDB dow is 0=Sunday —
+    normalize to DuckDB's convention."""
+    t = load_tables(spark, sf_dir)
+    return (
+        t.lineitem.join(t.orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .select(
+            "l_orderkey",
+            "l_linenumber",
+            F.datediff(F.col("l_shipdate"), F.col("o_orderdate")).alias("ship_days"),
+            (F.dayofweek("l_shipdate") - 1).alias("ship_dow"),
+            F.dayofyear("l_shipdate").alias("ship_doy"),
+            F.date_format(F.last_day("o_orderdate"), "yyyy-MM-dd").alias("month_end"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# C31c higher-order list lambdas
+# --------------------------------------------------------------------------
+@declared(
+    "q_higher_order",
+    oracle="""
+    WITH packed AS (
+        SELECT o_custkey, LIST_SORT(LIST(o_orderkey)) AS ok FROM orders GROUP BY o_custkey
+    )
+    SELECT o_custkey,
+           ARRAY_TO_STRING(LIST_TRANSFORM(ok, x -> x * 2 + 1), ',') AS transformed,
+           CAST(LEN(LIST_FILTER(ok, x -> x % 3 = 0)) AS INT) AS n_div3,
+           LIST_REDUCE(LIST_TRANSFORM(ok, x -> x % 97), (a, b) -> a + b) AS mod_sum,
+           CAST(LEN(LIST_FILTER(ok, x -> x % 5 = 0)) > 0 AS INT) AS any_div5
+    FROM packed
+    """,
+)
+def q_higher_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """transform / filter / aggregate(reduce) / exists — Catalyst's lambda
+    expressions (JVM-evaluated, no Python)."""
+    t = load_tables(spark, sf_dir)
+    packed = t.orders.groupBy("o_custkey").agg(
+        F.sort_array(F.collect_list("o_orderkey")).alias("ok")
+    )
+    return packed.select(
+        "o_custkey",
+        F.array_join(F.transform("ok", lambda x: x * 2 + 1), ",").alias("transformed"),
+        F.size(F.filter("ok", lambda x: x % 3 == 0)).alias("n_div3"),
+        F.aggregate(
+            F.transform("ok", lambda x: x % 97), F.lit(0).cast("bigint"), lambda a, b: a + b
+        ).alias("mod_sum"),
+        F.exists("ok", lambda x: x % 5 == 0).cast("int").alias("any_div5"),
+    )
+
+
+# --------------------------------------------------------------------------
+# statistical aggregates (decimal-derived, engine-stable)
+# --------------------------------------------------------------------------
+@declared(
+    "q_stats",
+    oracle="""
+    SELECT l_returnflag,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS s1,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(12,2)) * CAST(l_quantity AS DECIMAL(12,2)))
+                AS DOUBLE) AS s2,
+           SQRT((CAST(SUM(CAST(l_quantity AS DECIMAL(12,2)) * CAST(l_quantity AS DECIMAL(12,2)))
+                      AS DOUBLE) * COUNT(*)
+                 - CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE)
+                   * CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE))
+                / (CAST(COUNT(*) AS DOUBLE) * (COUNT(*) - 1))) AS stddev_qty
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def q_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sample stddev from decimal-exact moments: builtin stddev sums doubles
+    in engine-specific order (not hash-stable); the moment formula over exact
+    decimal sums is bit-identical in both engines."""
+    t = load_tables(spark, sf_dir)
+    q = F.col("l_quantity").cast("decimal(12,2)")
+    g = t.lineitem.groupBy("l_returnflag").agg(
+        F.count("*").alias("n"),
+        F.sum(q).cast("double").alias("s1"),
+        F.sum(q * q).cast("double").alias("s2"),
+    )
+    n = F.col("n")
+    var = (F.col("s2") * n - F.col("s1") * F.col("s1")) / (n.cast("double") * (n - 1))
+    return g.select("l_returnflag", "n", "s1", "s2", F.sqrt(var).alias("stddev_qty"))
+
+
+# --------------------------------------------------------------------------
+# percentiles (exact interpolation)
+# --------------------------------------------------------------------------
+@declared(
+    "q_percentile",
+    oracle="""
+    SELECT l_returnflag,
+           QUANTILE_CONT(l_quantity, 0.5) AS median_qty,
+           QUANTILE_CONT(l_quantity, 0.9) AS p90_qty,
+           MIN(l_quantity) AS min_qty,
+           MAX(l_quantity) AS max_qty
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def q_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles (Spark `percentile` ≡ DuckDB
+    QUANTILE_CONT): linear interpolation between identical order statistics
+    → identical doubles. (approx_percentile is the sketch-based sibling —
+    engine-specific, covered rows-only by q_approx_distinct's family.)"""
+    t = load_tables(spark, sf_dir)
+    return t.lineitem.groupBy("l_returnflag").agg(
+        F.percentile("l_quantity", 0.5).alias("median_qty"),
+        F.percentile("l_quantity", 0.9).alias("p90_qty"),
+        F.min("l_quantity").alias("min_qty"),
+        F.max("l_quantity").alias("max_qty"),
+    )
+
+
+# --------------------------------------------------------------------------
+# null-safe comparison / greatest / least
+# --------------------------------------------------------------------------
+@declared(
+    "q_nullsafe",
+    oracle="""
+    SELECT o_orderkey,
+           CAST((NULLIF(o_orderstatus, 'O') IS NOT DISTINCT FROM NULL) AS INT) AS open_flag,
+           CAST((NULLIF(o_orderstatus, 'O') IS DISTINCT FROM NULLIF(o_orderpriority, '1-URGENT'))
+                AS INT) AS distinct_flag,
+           GREATEST(o_totalprice, 100000.0) AS floor_price,
+           LEAST(CAST(o_custkey AS BIGINT), o_orderkey) AS min_key,
+           IFNULL(NULLIF(o_orderstatus, 'F'), 'finished') AS status2
+    FROM orders
+    """,
+)
+def q_nullsafe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """<=> (eqNullSafe) vs IS NOT DISTINCT FROM, greatest/least, ifnull."""
+    t = load_tables(spark, sf_dir)
+    st = F.nullif(F.col("o_orderstatus"), F.lit("O"))
+    pr = F.nullif(F.col("o_orderpriority"), F.lit("1-URGENT"))
+    return t.orders.select(
+        "o_orderkey",
+        st.eqNullSafe(F.lit(None).cast("string")).cast("int").alias("open_flag"),
+        (~st.eqNullSafe(pr)).cast("int").alias("distinct_flag"),
+        F.greatest("o_totalprice", F.lit(100000.0)).alias("floor_price"),
+        F.least(F.col("o_custkey").cast("bigint"), F.col("o_orderkey")).alias("min_key"),
+        F.ifnull(F.nullif(F.col("o_orderstatus"), F.lit("F")), F.lit("finished")).alias("status2"),
+    )
+
+
+# --------------------------------------------------------------------------
+# C23b bag-semantics set ops
+# --------------------------------------------------------------------------
+@declared(
+    "q_setops_all",
+    oracle="""
+    SELECT 'except_all' AS tag, k FROM (
+        SELECT l_orderkey AS k FROM lineitem
+        EXCEPT ALL
+        SELECT o_orderkey AS k FROM orders) t1
+    UNION ALL
+    SELECT 'intersect_all' AS tag, k FROM (
+        SELECT l_orderkey AS k FROM lineitem
+        INTERSECT ALL
+        SELECT o_orderkey AS k FROM orders) t2
+    """,
+)
+def q_setops_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXCEPT ALL / INTERSECT ALL (multiset semantics — duplicates counted)."""
+    t = load_tables(spark, sf_dir)
+    li = t.lineitem.select(F.col("l_orderkey").alias("k"))
+    od = t.orders.select(F.col("o_orderkey").alias("k"))
+    ex = li.exceptAll(od).select(F.lit("except_all").alias("tag"), "k")
+    it = li.intersectAll(od).select(F.lit("intersect_all").alias("tag"), "k")
+    return ex.unionAll(it)
+
+
+# --------------------------------------------------------------------------
+# sessionization: session_window vs gaps-and-islands oracle
+# --------------------------------------------------------------------------
+@declared(
+    "q_sessionize",
+    oracle="""
+    WITH marked AS (
+        SELECT user_id, ts,
+               CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                         > INTERVAL 30 MINUTE
+                    OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                    THEN 1 ELSE 0 END AS is_start
+        FROM events
+    ), islands AS (
+        SELECT user_id, ts,
+               SUM(is_start) OVER (PARTITION BY user_id ORDER BY ts
+                                   ROWS UNBOUNDED PRECEDING) AS session_id
+        FROM marked
+    )
+    SELECT user_id,
+           STRFTIME(MIN(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+           COUNT(*) AS n_events
+    FROM islands
+    GROUP BY user_id, session_id
+    """,
+)
+def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark's native session_window (30-min gap) vs the classic
+    gaps-and-islands SQL — orthogonal formulations of sessionization.
+    session_start is truncated to seconds so both engines print identically
+    (session identity itself is µs-exact)."""
+    t = load_tables(spark, sf_dir)
+    return (
+        t.events.groupBy(F.session_window("ts", "30 minutes").alias("sw"), "user_id")
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            "user_id",
+            F.date_format(F.col("sw.start"), "yyyy-MM-dd HH:mm:ss").alias("session_start"),
+            "n_events",
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# time-bucket rollup (hypertable-style)
+# --------------------------------------------------------------------------
+@declared(
+    "q_time_bucket",
+    oracle="""
+    SELECT STRFTIME(TIME_BUCKET(INTERVAL 15 MINUTE, ts), '%Y-%m-%d %H:%M:%S') AS bucket,
+           event_type,
+           COUNT(*) AS n,
+           CAST(ROUND(SUM(CAST(value AS DECIMAL(12,2))), 2) AS DOUBLE) AS total_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def q_time_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width time buckets (the hypertable rollup primitive): Spark's
+    window() tumbling bucket vs DuckDB's TIME_BUCKET."""
+    t = load_tables(spark, sf_dir)
+    return (
+        t.events.groupBy(F.window("ts", "15 minutes").alias("w"), "event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.sum(F.col("value").cast("decimal(12,2)")), 2)
+            .cast("double")
+            .alias("total_value"),
+        )
+        .select(
+            F.date_format(F.col("w.start"), "yyyy-MM-dd HH:mm:ss").alias("bucket"),
+            "event_type",
+            "n",
+            "total_value",
+        )
+    )

@@ -21,3 +21,31 @@ def test_stream_matches_batch(spark):
     }
     assert got == expect
     assert len(expect) > 0
+
+
+def test_stateful_running_stats_matches_batch(spark):
+    """applyInPandasWithState: the last emitted state per user must equal the
+    batch aggregate over the whole table."""
+    import pyspark.sql.functions as F
+
+    from duckdb_ner_spark.streaming.events import batch_events
+    from duckdb_ner_spark.streaming.stateful import run_stateful_to_memory
+
+    run_stateful_to_memory(spark, SF_SMOKE, table_name="t_stateful_out")
+    out = spark.table("t_stateful_out")
+    # 'update' mode may emit one row per micro-batch per user; keep the last
+    final = {
+        r.user_id: (r.n_events, r.total_value)
+        for r in out.orderBy("user_id", "n_events").collect()
+    }
+    expect = {
+        r.user_id: (r.n_events, r.total_value)
+        for r in batch_events(spark, SF_SMOKE)
+        .groupBy("user_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+        .collect()
+    }
+    assert final == expect
