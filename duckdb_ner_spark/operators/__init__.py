@@ -1,5 +1,6 @@
 # Import order registers declared queries (module import side effect).
 from . import (  # noqa: F401
+    components,
     dedup,
     multimodal,
     ner_queries,

@@ -163,6 +163,72 @@ def q_sim_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return topk_cosine(emb.filter(F.col("vec_id") != 0), list(qvec), k=5)
 
 
+# --- IVF (inverted-file) ANN: the centroid-bucketed scale path -------------
+
+N_CENTROID_STEP = 50  # deterministic centroid choice: every 50th vec_id
+
+
+def ivf_assign(df: DataFrame, id_col: str = "vec_id") -> DataFrame:
+    """Assign each vector to its nearest centroid (max dot product).
+
+    Centroids are a deterministic subset of the data (vec_id % STEP == 0) —
+    the seeded stand-in for k-means training, which at production scale runs
+    once offline and broadcasts its centroid matrix exactly like this join."""
+    cents = df.filter(F.col(id_col) % N_CENTROID_STEP == 0).select(
+        F.col(id_col).alias("cent_id"), F.col("embedding").alias("cent_emb")
+    )
+    da = F.expr("transform(embedding, v -> CAST(v AS DOUBLE))")
+    db = F.expr("transform(cent_emb, v -> CAST(v AS DOUBLE))")
+    dot = F.aggregate(F.zip_with(da, db, lambda x, y: x * y), F.lit(0.0), lambda a, v: a + v)
+    scored = df.crossJoin(F.broadcast(cents)).select(
+        id_col, "embedding", "cent_id", dot.alias("dot")
+    )
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy(id_col).orderBy(F.col("dot").desc(), F.col("cent_id"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(id_col, "embedding", "cent_id")
+    )
+
+
+def ivf_topk(df: DataFrame, query_vec: list[float], k: int, n_probe: int = 2,
+             id_col: str = "vec_id") -> DataFrame:
+    """ANN top-k: score only vectors in the query's n_probe nearest cells.
+
+    At 100 TB the assignment table is written once, partitioned by cent_id
+    (partition pruning turns the probe into a targeted scan)."""
+    assigned = ivf_assign(df, id_col)
+    cents = assigned.select("cent_id").distinct()
+    # nearest centroids to the query (tiny: computed on the centroid list)
+    cvecs = df.filter(F.col(id_col) % N_CENTROID_STEP == 0).select(
+        F.col(id_col).alias("cent_id"), "embedding"
+    )
+    q = [float(v) for v in query_vec]
+    qlit = F.array(*[F.lit(v) for v in q])
+    dd = F.expr("transform(embedding, v -> CAST(v AS DOUBLE))")
+    dot = F.aggregate(F.zip_with(dd, qlit, lambda x, y: x * y), F.lit(0.0), lambda a, v: a + v)
+    probe = (
+        cvecs.select("cent_id", dot.alias("dot"))
+        .orderBy(F.col("dot").desc(), F.col("cent_id"))
+        .limit(n_probe)
+        .select("cent_id")
+    )
+    shortlist = assigned.join(F.broadcast(probe), "cent_id")
+    return topk_cosine(shortlist.select(id_col, "embedding"), q, k, id_col)
+
+
+@declared("q_sim_ivf")
+def q_sim_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN top-5 for vec_id 0 (rows-only; recall vs exact top-k is
+    pinned in pytest)."""
+    t = load_tables(spark, sf_dir)
+    emb = t.embeddings
+    qvec = emb.filter(F.col("vec_id") == 0).select("embedding").head()[0]
+    return ivf_topk(emb.filter(F.col("vec_id") != 0), list(qvec), k=5)
+
+
 @declared("q_sim_ann")
 def q_sim_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LSH-bucketed ANN pairs (rows-only: bucket assignment is engine-local;
