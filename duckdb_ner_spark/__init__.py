@@ -45,6 +45,21 @@ class NerEngine:
             self.spark.conf.set(CONF_MODEL_PATH, path)
         self.register_all()
 
+    def set_model_broadcast(self, path: str) -> None:
+        """Ship the model to executors via a SparkContext broadcast of the
+        file bytes — the distribution path for clusters where executors
+        can't read the driver's filesystem. Weights transfer once per
+        executor (BitTorrent-style), then cache in the worker process."""
+        from .functions.ner_udf import make_ner_udf
+        from .session import CONF_TRUNCATE
+
+        with open(path, "rb") as f:
+            bc = self.spark.sparkContext.broadcast(f.read())
+        default_truncate = (self.spark.conf.get(CONF_TRUNCATE, "true") or "true").lower() == "true"
+        udf = make_ner_udf(None, default_truncate, broadcast=bc)
+        self.spark.udf.register("ner", udf)
+        self.spark.udf.register("ner_extract", udf)
+
     def register_views(self, sf_dir: str) -> None:
         from .sources.catalog import register_views
 

@@ -54,12 +54,19 @@ NER_RESULT_TYPE = ArrayType(
     )
 )
 
-# Per-worker-process model cache: path -> Backend | None (failed loads cached
+# Per-worker-process model cache: key -> Backend | None (failed loads cached
 # as None so a bad path stays a silent, cheap fallback — reference A9).
 _MODEL_CACHE: dict[str, object] = {}
 
 
-def _get_model(path: Optional[str]):
+def _get_model(path: Optional[str], broadcast=None):
+    if broadcast is not None:
+        key = f"bc:{broadcast.id if hasattr(broadcast, 'id') else id(broadcast)}"
+        if key not in _MODEL_CACHE:
+            from ..ner.model import load_model_bytes
+
+            _MODEL_CACHE[key] = load_model_bytes(broadcast.value)
+        return _MODEL_CACHE[key]
     if not path:
         return None
     if path not in _MODEL_CACHE:
@@ -68,29 +75,49 @@ def _get_model(path: Optional[str]):
 
 
 def _ner_batch(texts: pd.Series, model, truncate: bool) -> pd.Series:
-    out = []
     if model is None:
-        for v in texts:
-            out.append(None if v is None else [])
-        return pd.Series(out, dtype=object)
+        return pd.Series([None if v is None else [] for v in texts], dtype=object)
 
     n_max = model.n_max_tokens
+    tokenized: list[list[int] | None] = []
     for v in texts:
         if v is None:
-            out.append(None)
+            tokenized.append(None)
             continue
         token_ids = tokenize(model.vocab, v, n_max)
         if not truncate and len(token_ids) >= n_max:
             raise ValueError("Input string exceeds model token limit and truncate=false")
-        logits = model.eval_tokens(token_ids)
-        ents = decode_entities(token_ids, logits, model.vocab.id_to_token)
+        tokenized.append(token_ids)
+
+    # Cross-row batching (the reference evaluates per row — its own noted
+    # inefficiency, SURVEY.md §4.2): if the backend supports it, rows are
+    # grouped by token length and run as one (B, n, d) pass per group, which
+    # is mask-free and therefore bit-identical to per-row evaluation.
+    rows = [(i, t) for i, t in enumerate(tokenized) if t is not None]
+    logits_by_row: dict[int, object] = {}
+    if hasattr(model, "eval_tokens_batch") and rows:
+        all_logits = model.eval_tokens_batch([t for _, t in rows])
+        for (i, _), lg in zip(rows, all_logits):
+            logits_by_row[i] = lg
+    else:
+        for i, t in rows:
+            logits_by_row[i] = model.eval_tokens(t)
+
+    out = []
+    for i, token_ids in enumerate(tokenized):
+        if token_ids is None:
+            out.append(None)
+            continue
+        ents = decode_entities(token_ids, logits_by_row[i], model.vocab.id_to_token)
         out.append([{"entity": e, "label": lb} for e, lb in ents])
     return pd.Series(out, dtype=object)
 
 
-def make_ner_udf(model_path: Optional[str], default_truncate: bool = True):
+def make_ner_udf(model_path: Optional[str], default_truncate: bool = True, broadcast=None):
     """Build the pandas UDF with a conf snapshot (model path + default
-    truncate) taken NOW — per-query semantics, SURVEY.md §3.2."""
+    truncate) taken NOW — per-query semantics, SURVEY.md §3.2. Pass
+    ``broadcast`` (a SparkContext broadcast of the model file bytes) to ship
+    weights via the torrent-style broadcast channel instead of shared FS."""
 
     # no type annotations: the optional 2nd arg (SQL overload parity, A2/B2)
     # needs the legacy SCALAR eval path — hint inference can't express it
@@ -99,7 +126,7 @@ def make_ner_udf(model_path: Optional[str], default_truncate: bool = True):
         if truncate is not None and len(truncate) > 0 and truncate.iloc[0] is not None:
             # reference reads row 0 of the chunk only (src/ner_extension.cpp:55-61)
             trunc = bool(truncate.iloc[0])
-        model = _get_model(model_path)
+        model = _get_model(model_path, broadcast)
         return _ner_batch(texts, model, trunc)
 
     import warnings

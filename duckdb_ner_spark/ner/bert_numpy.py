@@ -77,9 +77,11 @@ class GgmlBertModel:
             )
         self.cls = (t["classifier.weight"], t["classifier.bias"])
 
-    def eval_tokens(self, token_ids: list[int]) -> np.ndarray:
-        ids = np.asarray(token_ids, dtype=np.int64)
-        n = len(ids)
+    def _forward(self, ids: np.ndarray) -> np.ndarray:
+        """(B, n) int ids → (B, n, n_labels) logits. Mask-free: every row in
+        a batch has the SAME length, so batched results are bit-identical to
+        per-row evaluation (padding would perturb the softmax)."""
+        b, n = ids.shape
         # HF weight layout is (out, in): linear(x) = x @ W.T + b
         x = self.word_emb[ids] + self.type_emb[0] + self.pos_emb[:n]
         x = _layernorm(x, *self.ln_e)
@@ -89,12 +91,12 @@ class GgmlBertModel:
             q = x @ L["q"][0].T + L["q"][1]
             k = x @ L["k"][0].T + L["k"][1]
             v = x @ L["v"][0].T + L["v"][1]
-            # (n_head, n, d_head)
-            q = q.reshape(n, self.n_head, d_head).transpose(1, 0, 2)
-            k = k.reshape(n, self.n_head, d_head).transpose(1, 0, 2)
-            v = v.reshape(n, self.n_head, d_head).transpose(1, 0, 2)
-            scores = _softmax((q @ k.transpose(0, 2, 1)) / np.sqrt(d_head))
-            ctxv = (scores @ v).transpose(1, 0, 2).reshape(n, self.n_embd)
+            # (B, n_head, n, d_head)
+            q = q.reshape(b, n, self.n_head, d_head).transpose(0, 2, 1, 3)
+            k = k.reshape(b, n, self.n_head, d_head).transpose(0, 2, 1, 3)
+            v = v.reshape(b, n, self.n_head, d_head).transpose(0, 2, 1, 3)
+            scores = _softmax((q @ k.transpose(0, 1, 3, 2)) / np.sqrt(d_head))
+            ctxv = (scores @ v).transpose(0, 2, 1, 3).reshape(b, n, self.n_embd)
             att = ctxv @ L["o"][0].T + L["o"][1]
             x = _layernorm(att + x, *L["ln_att"])
             ff = _gelu_tanh(x @ L["ff_i"][0].T + L["ff_i"][1])
@@ -102,3 +104,21 @@ class GgmlBertModel:
             x = _layernorm(ff + x, *L["ln_out"])
 
         return (x @ self.cls[0].T + self.cls[1]).astype(np.float32)
+
+    def eval_tokens(self, token_ids: list[int]) -> np.ndarray:
+        ids = np.asarray(token_ids, dtype=np.int64)[None, :]
+        return self._forward(ids)[0]
+
+    def eval_tokens_batch(self, token_lists: list[list[int]]) -> list[np.ndarray]:
+        """Cross-row batching: group rows by token length (mask-free), one
+        (B, n, d) pass per group, results re-ordered to the input order."""
+        by_len: dict[int, list[int]] = {}
+        for i, toks in enumerate(token_lists):
+            by_len.setdefault(len(toks), []).append(i)
+        out: list[np.ndarray | None] = [None] * len(token_lists)
+        for n, idxs in by_len.items():
+            ids = np.asarray([token_lists[i] for i in idxs], dtype=np.int64)
+            logits = self._forward(ids)
+            for j, i in enumerate(idxs):
+                out[i] = logits[j]
+        return out

@@ -68,6 +68,34 @@ class StubMapModel:
         return logits
 
 
+def load_model_bytes(data: bytes):
+    """Load a model from in-memory bytes (broadcast distribution path — for
+    clusters where executors lack shared-FS access to the model file). Same
+    silent-failure contract as load_model."""
+    import os
+    import tempfile
+
+    try:
+        if data[:4] == b"\x6c\x6d\x67\x67":
+            from .bert_numpy import GgmlBertModel
+            from .ggml_format import read_ggml
+
+            fd, tmp = tempfile.mkstemp(suffix=".bin")
+            try:
+                with os.fdopen(fd, "wb") as f:
+                    f.write(data)
+                mf = read_ggml(tmp)
+            finally:
+                os.unlink(tmp)
+            return GgmlBertModel(mf) if mf is not None else None
+        spec = json.loads(data.decode("utf-8"))
+        if spec.get("format") != "ner-stub-v1":
+            return None
+        return StubMapModel.from_dict(spec)
+    except Exception:
+        return None
+
+
 def load_model(path: str | None):
     """Silent-failure loader: any problem → None (reference parity:
     test/sql/ner.test:39-51 expects SET to a bad path to succeed and the next
