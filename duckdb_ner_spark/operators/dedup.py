@@ -197,11 +197,11 @@ def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact dedup accounting over the content hash (D1). The operator
     itself is dedup_exact(); counts keep the result hashable."""
     t = load_tables(spark, sf_dir)
-    docs = t.documents
-    n_total = docs.count()
-    kept = dedup_exact(docs, ["text"]).count()
-    return spark.createDataFrame(
-        [(n_total, kept, n_total - kept)], "n_total bigint, n_unique bigint, n_dups bigint"
+    h = F.md5(F.col("text"))
+    return t.documents.agg(
+        F.count("*").alias("n_total"),
+        F.countDistinct(h).alias("n_unique"),
+        (F.count("*") - F.countDistinct(h)).alias("n_dups"),
     )
 
 
