@@ -42,7 +42,16 @@ def main() -> None:
     import __spark_entry__ as entrymod
     from duckdb_ner_spark.session import get_spark
 
-    spark = get_spark("bench")
+    # parallelismFirst=false is the recommended large-scale setting (coalesce
+    # to advisory size instead of max parallelism) — and it also trims local
+    # task-scheduling overhead on small SFs
+    spark = get_spark(
+        "bench",
+        extra_conf={
+            "spark.sql.adaptive.coalescePartitions.parallelismFirst": "false",
+            "spark.sql.adaptive.advisoryPartitionSizeInBytes": "16m",
+        },
+    )
     qs = entrymod.queries()
 
     # warm engine state outside the timed region: JVM, parquet footers, and

@@ -175,8 +175,8 @@ def q_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM documents
     )
     SELECT doc_id,
-           SUM(pos * (LENGTH(word) * 31 + ASCII(SUBSTRING(word, 1, 1)))) % 1000000007
-               AS fingerprint,
+           CAST(SUM(pos * (LENGTH(word) * 31 + ASCII(SUBSTRING(word, 1, 1)))) AS BIGINT)
+               % 1000000007 AS fingerprint,
            MIN(md5(word)) AS min_word_hash
     FROM w GROUP BY doc_id
     """,
