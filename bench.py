@@ -32,6 +32,7 @@ HEADLINE = [
     "q_text_stats",
     "q_fingerprint",
     "q_ner",
+    "q_ner_bert",
 ]
 
 

@@ -101,6 +101,60 @@ def decode_image(payload: bytes):  # pragma: no cover - documented stub
     raise NotImplementedError("image codecs not available in this environment")
 
 
+FRAME_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("frame_idx", IntegerType()),
+        StructField("frame", BinaryType()),
+        StructField("frame_bytes", LongType()),
+    ]
+)
+
+
+def sample_frames(media: DataFrame, frame_size: int = 64, every_n: int = 2) -> DataFrame:
+    """Frame-sampling plumbing (video analogue): 1→N mapInPandas that chops
+    the payload into fixed-size 'frames' and keeps every n-th. A real
+    deployment replaces the chop with ffmpeg keyframe extraction; the Spark
+    contract — 1:N batch fan-out, binary chunks, ordered frame index —
+    is identical and is what the tests pin."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, idxs, frames, sizes = [], [], [], []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                chunks = [
+                    payload[o : o + frame_size] for o in range(0, len(payload), frame_size)
+                ]
+                for i, ch in enumerate(chunks):
+                    if i % every_n == 0:
+                        ids.append(doc_id)
+                        idxs.append(i)
+                        frames.append(ch)
+                        sizes.append(len(ch))
+            yield pd.DataFrame(
+                {"doc_id": ids, "frame_idx": idxs, "frame": frames, "frame_bytes": sizes}
+            )
+
+    return media.mapInPandas(run, schema=FRAME_SCHEMA)
+
+
+def resize_stub(media: DataFrame, target: int = 32) -> DataFrame:
+    """Resize plumbing (image analogue): payload → fixed-size byte signature
+    (deterministic stride sampling — stands in for bilinear resize; swap the
+    inner lambda for PIL.Image.resize in production)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for payload in pdf["payload"]:
+                stride = max(1, len(payload) // target)
+                out.append(bytes(payload[::stride][:target]))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": out,
+                                "mime": pdf["mime"], "n_bytes": [len(o) for o in out]})
+
+    return media.mapInPandas(run, schema=MEDIA_SCHEMA)
+
+
 @declared(
     "q_multimodal",
     oracle="""

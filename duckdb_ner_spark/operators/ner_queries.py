@@ -43,6 +43,39 @@ def q_ner(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@declared("q_ner_bert")
+def q_ner_bert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full transformer inference at table scale: a deterministic tiny BERT
+    (GGML container, seeded random weights over the documents vocabulary)
+    through the batched NumPy forward pass. Rows-only; pins the
+    tokenize→encode→BIO pipeline cost in BENCH."""
+    import tempfile
+
+    from ..functions.ner_udf import make_ner_udf
+    from ..ner.ggml_format import write_ggml
+
+    doc_vocab = [
+        "[CLS]", "[SEP]", "key", "agg", "row", "scan", "slow", "fast", "table",
+        "value", "part", "hash", "a", "the", "batch", "window", "spark", "order",
+        "data", "column", "join", "small", "line", "customer", "query", "merge",
+        "big", "filter", "sort", "stream", "group",
+    ]
+    model_path = os.path.join(tempfile.gettempdir(), "ner_bench_bert_v1.bin")
+    if not os.path.exists(model_path):
+        from tools.convert_model import random_model
+
+        hp, tensors = random_model(
+            doc_vocab, n_embd=32, n_head=4, n_layer=2, n_labels=9, n_max_tokens=128, seed=11
+        )
+        write_ggml(model_path, hp, doc_vocab, tensors)
+
+    t = load_tables(spark, sf_dir)
+    udf = make_ner_udf(model_path, default_truncate=True)
+    docs = t.documents.repartition(spark.sparkContext.defaultParallelism)
+    ents = docs.select("doc_id", udf(F.col("text")).alias("entities"))
+    return ents.select("doc_id", F.size("entities").alias("n_entities"))
+
+
 @declared("q_ner_default_empty")
 def q_ner_default_empty(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Reference default semantics at table scale: no model ⇒ every non-null

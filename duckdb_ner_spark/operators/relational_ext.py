@@ -360,6 +360,80 @@ def q_setops_all(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# C20b RANGE-frame window (value-range, not row-count)
+# --------------------------------------------------------------------------
+@declared(
+    "q_window_range",
+    oracle="""
+    WITH days AS (
+        SELECT o_orderkey, o_custkey, o_totalprice,
+               CAST(DATE_DIFF('day', TIMESTAMP '1990-01-01', o_orderdate) AS BIGINT) AS day_no
+        FROM orders
+    )
+    SELECT o_orderkey, o_custkey,
+           COUNT(*) OVER (PARTITION BY o_custkey ORDER BY day_no
+                          RANGE BETWEEN 90 PRECEDING AND CURRENT ROW) AS n_last90,
+           CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(12,2))) OVER (
+                PARTITION BY o_custkey ORDER BY day_no
+                RANGE BETWEEN 90 PRECEDING AND CURRENT ROW), 2) AS DOUBLE) AS spend_last90
+    FROM days
+    """,
+)
+def q_window_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE frame over a day-number axis: 'orders in the last 90 days' —
+    unlike ROWS frames, peers are defined by value distance."""
+    t = load_tables(spark, sf_dir)
+    days = t.orders.select(
+        "o_orderkey",
+        "o_custkey",
+        "o_totalprice",
+        F.datediff(F.col("o_orderdate"), F.lit("1990-01-01").cast("timestamp_ntz"))
+        .cast("bigint")
+        .alias("day_no"),
+    )
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("day_no")
+        .rangeBetween(-90, Window.currentRow)
+    )
+    return days.select(
+        "o_orderkey",
+        "o_custkey",
+        F.count("*").over(w).alias("n_last90"),
+        F.round(F.sum(F.col("o_totalprice").cast("decimal(12,2)")).over(w), 2)
+        .cast("double")
+        .alias("spend_last90"),
+    )
+
+
+# --------------------------------------------------------------------------
+# boolean / conditional-count / string aggregates
+# --------------------------------------------------------------------------
+@declared(
+    "q_boolagg",
+    oracle="""
+    SELECT l_returnflag,
+           COUNT_IF(l_quantity > 40) AS n_big,
+           CAST(BOOL_AND(l_quantity > 0) AS INT) AS all_positive,
+           CAST(BOOL_OR(l_discount > 0.09) AS INT) AS any_deep_discount,
+           STRING_AGG(DISTINCT l_linestatus, ',' ORDER BY l_linestatus) AS statuses
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def q_boolagg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """count_if / bool_and / bool_or / ordered string_agg (Spark: sorted
+    collect_set + array_join — deterministic by construction)."""
+    t = load_tables(spark, sf_dir)
+    return t.lineitem.groupBy("l_returnflag").agg(
+        F.count_if(F.col("l_quantity") > 40).alias("n_big"),
+        F.bool_and(F.col("l_quantity") > 0).cast("int").alias("all_positive"),
+        F.bool_or(F.col("l_discount") > 0.09).cast("int").alias("any_deep_discount"),
+        F.array_join(F.sort_array(F.collect_set("l_linestatus")), ",").alias("statuses"),
+    )
+
+
+# --------------------------------------------------------------------------
 # sessionization: session_window vs gaps-and-islands oracle
 # --------------------------------------------------------------------------
 @declared(

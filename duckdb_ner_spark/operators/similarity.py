@@ -219,6 +219,49 @@ def ivf_topk(df: DataFrame, query_vec: list[float], k: int, n_probe: int = 2,
     return topk_cosine(shortlist.select(id_col, "embedding"), q, k, id_col)
 
 
+@declared(
+    "q_embed_join",
+    oracle="""
+    WITH ex AS (
+        SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS x FROM embeddings
+    ), norms AS (
+        SELECT vec_id, SQRT(SUM(x * x)) AS nrm FROM ex GROUP BY vec_id
+    )
+    SELECT d.lang,
+           COUNT(*) AS n_docs,
+           ROUND(AVG(n.nrm), 6) AS avg_norm,
+           ROUND(MIN(n.nrm), 6) AS min_norm,
+           ROUND(MAX(n.nrm), 6) AS max_norm
+    FROM documents d JOIN norms n ON d.doc_id = n.vec_id
+    GROUP BY d.lang
+    """,
+)
+def q_embed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-modal join: documents ⋈ embeddings on id, vector-norm stats per
+    language. Norm is a per-row deterministic fold (aggregate over the
+    array); AVG divides identical doubles by identical counts.
+
+    Note the rounding question: per-row norms are bit-identical (same fold
+    order both engines — ascending positions), so ROUND(AVG) is safe at 6dp
+    only because AVG of ≤hundreds of values keeps error ≪ 5e-7."""
+    t = load_tables(spark, sf_dir)
+    emb_d = F.expr("transform(embedding, v -> CAST(v AS DOUBLE))")
+    nrm = F.sqrt(
+        F.aggregate(F.zip_with(emb_d, emb_d, lambda x, y: x * y), F.lit(0.0), lambda a, v: a + v)
+    )
+    norms = t.embeddings.select(F.col("vec_id"), nrm.alias("nrm"))
+    return (
+        t.documents.join(norms, F.col("doc_id") == F.col("vec_id"))
+        .groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.round(F.avg("nrm"), 6).alias("avg_norm"),
+            F.round(F.min("nrm"), 6).alias("min_norm"),
+            F.round(F.max("nrm"), 6).alias("max_norm"),
+        )
+    )
+
+
 @declared("q_sim_ivf")
 def q_sim_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF ANN top-5 for vec_id 0 (rows-only; recall vs exact top-k is

@@ -121,6 +121,29 @@ def test_multimodal_features_match_python(docs):
         assert f.checksum == sum(payload[:64]) % 997
 
 
+def test_frame_sampling_plumbing(docs):
+    from duckdb_ner_spark.operators.multimodal import attach_media, sample_frames
+
+    media = attach_media(docs.limit(10))
+    frames = sample_frames(media, frame_size=64, every_n=2).collect()
+    src = {r.doc_id: r.text.encode() for r in docs.limit(10).collect()}
+    assert frames
+    for r in frames:
+        assert r.frame_idx % 2 == 0
+        expect = src[r.doc_id][r.frame_idx * 64 : r.frame_idx * 64 + 64]
+        assert bytes(r.frame) == expect
+        assert r.frame_bytes == len(expect)
+
+
+def test_resize_stub_plumbing(docs):
+    from duckdb_ner_spark.operators.multimodal import attach_media, resize_stub
+
+    media = attach_media(docs.limit(5))
+    out = resize_stub(media, target=32).collect()
+    assert all(r.n_bytes <= 32 for r in out)
+    assert all(len(bytes(r.payload)) == r.n_bytes for r in out)
+
+
 def test_asof_join_backward_semantics(spark):
     from duckdb_ner_spark.operators.asof import asof_join
 
@@ -136,3 +159,26 @@ def test_asof_join_backward_semantics(spark):
     assert by_id[2].val == "b"  # latest rt<=250 is 240
     assert by_id[3].val is None  # no right row <= 50 for k=2
     assert len(out) == 3  # left rows preserved exactly
+
+
+def test_asof_join_forward_and_tolerance(spark):
+    from duckdb_ner_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame(
+        [(1, 1, 100), (2, 1, 250), (3, 2, 500)], ["id", "k", "t"]
+    ).select("id", "k", F.col("t").cast("timestamp").alias("t"))
+    right = spark.createDataFrame(
+        [(1, 120, "a"), (1, 400, "b"), (2, 450, "c")], ["k", "rt", "val"]
+    ).select("k", F.col("rt").cast("timestamp").alias("rt"), "val")
+
+    fwd = {r.id: r.val for r in asof_join(left, right, "k", "t", "rt", "forward").collect()}
+    assert fwd == {1: "a", 2: "b", 3: None}  # next rt >= t per key
+
+    tol = {
+        r.id: r.val
+        for r in asof_join(
+            left, right, "k", "t", "rt", "backward", tolerance="60 seconds"
+        ).collect()
+    }
+    # id=2: latest click at 120 is 130s before 250 → outside 60s tolerance
+    assert tol == {1: None, 2: None, 3: "c"}
