@@ -7,5 +7,6 @@ from . import (  # noqa: F401
     relational,
     relational_ext,
     similarity,
+    sources_queries,
     textstats,
 )

@@ -1,0 +1,95 @@
+"""Declared queries for the source/sink surface (SURVEY.md C1/C39 breadth):
+custom Python DataSource, CSV and JSON round-trips.
+
+The CSV/JSON queries write a deterministic copy of a parquet table to a
+scratch directory, read it back through the respective Spark source, and
+aggregate; the oracle aggregates the original parquet view — so the
+round-trip (write → parse → types) is what's actually under test.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..plans.registry import declared
+from ..sources.catalog import load_tables
+
+
+@declared(
+    "q_source_custom",
+    oracle="""
+    SELECT cat,
+           COUNT(*) AS n,
+           CAST(SUM(val) AS BIGINT) AS total_val,
+           CAST(MIN(id) AS BIGINT) AS first_id
+    FROM (SELECT i AS id, (i * i) % 97 AS val, 'cat_' || CAST(i % 5 AS VARCHAR) AS cat
+          FROM range(1000) t(i))
+    GROUP BY cat
+    """,
+)
+def q_source_custom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom Python DataSource (partitioned executor-side generation) vs a
+    DuckDB range() replay of the same formula."""
+    from ..sources.pydatasource import register_synthetic_source
+
+    register_synthetic_source(spark)
+    df = spark.read.format("synthetic").option("n_rows", 1000).option("n_parts", 8).load()
+    return df.groupBy("cat").agg(
+        F.count("*").alias("n"),
+        F.sum("val").cast("bigint").alias("total_val"),
+        F.min("id").cast("bigint").alias("first_id"),
+    )
+
+
+def _scratch(name: str) -> str:
+    return os.path.join(tempfile.gettempdir(), f"dns_src_{name}")
+
+
+@declared(
+    "q_source_csv",
+    oracle="""
+    SELECT lang, COUNT(*) AS n, CAST(SUM(n_chars) AS BIGINT) AS total_chars
+    FROM documents GROUP BY lang
+    """,
+)
+def q_source_csv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CSV sink+source round-trip: documents → csv → parse with explicit
+    schema → aggregate; must equal the parquet-truth aggregate."""
+    from ..sources.writers import read_csv, write_csv
+
+    t = load_tables(spark, sf_dir)
+    path = _scratch("csv_documents")
+    docs = t.documents.select("doc_id", "lang", "n_chars")  # text has no commas, but keep it simple
+    write_csv(docs, path)
+    back = read_csv(spark, path, schema="doc_id BIGINT, lang STRING, n_chars BIGINT")
+    return back.groupBy("lang").agg(
+        F.count("*").alias("n"), F.sum("n_chars").cast("bigint").alias("total_chars")
+    )
+
+
+@declared(
+    "q_source_json",
+    oracle="""
+    SELECT event_type, COUNT(*) AS n,
+           CAST(ROUND(SUM(CAST(value AS DECIMAL(12,2))), 2) AS DOUBLE) AS total_value
+    FROM events GROUP BY event_type
+    """,
+)
+def q_source_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON-lines sink+source round-trip over events (sans timestamps — JSON
+    round-trips of µs timestamps are format-lossy; covered by parquet)."""
+    from ..sources.writers import read_json, write_json
+
+    t = load_tables(spark, sf_dir)
+    path = _scratch("json_events")
+    ev = t.events.select("event_id", "event_type", "value")
+    write_json(ev, path)
+    back = read_json(spark, path, schema="event_id BIGINT, event_type STRING, value DOUBLE")
+    return back.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.round(F.sum(F.col("value").cast("decimal(12,2)")), 2).cast("double").alias("total_value"),
+    )

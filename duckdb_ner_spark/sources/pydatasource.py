@@ -1,0 +1,59 @@
+"""Custom Python DataSource (Spark 4 DataSource API) — the engine's
+"bring your own source" surface, the Spark-native analogue of a DuckDB table
+function (e.g. range()/read_csv_auto that the host engine provides).
+
+``SyntheticDataSource``: a deterministic, partitioned generator of
+(id, val, cat) rows — formulaic, so a DuckDB oracle can replay it exactly
+from range(). Demonstrates the full contract: schema declaration, partition
+planning (parallel reads), per-partition iteration.
+
+Scale notes: partitions() drives read parallelism — each partition generates
+its slice independently on an executor (no driver data path), exactly how a
+production source shards row-ranges/files/offsets.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql.types import StructType
+
+
+class _RangePartition(InputPartition):
+    def __init__(self, start: int, end: int):
+        self.start = start
+        self.end = end
+
+
+class SyntheticReader(DataSourceReader):
+    def __init__(self, options):
+        self.n_rows = int(options.get("n_rows", 1000))
+        self.n_parts = int(options.get("n_parts", 8))
+
+    def partitions(self):
+        step = max(1, self.n_rows // self.n_parts)
+        return [
+            _RangePartition(s, min(s + step, self.n_rows))
+            for s in range(0, self.n_rows, step)
+        ]
+
+    def read(self, partition: _RangePartition):
+        for i in range(partition.start, partition.end):
+            yield (i, (i * i) % 97, f"cat_{i % 5}")
+
+
+class SyntheticDataSource(DataSource):
+    """spark.read.format("synthetic").option("n_rows", N).load()"""
+
+    @classmethod
+    def name(cls) -> str:
+        return "synthetic"
+
+    def schema(self) -> str:
+        return "id BIGINT, val BIGINT, cat STRING"
+
+    def reader(self, schema: StructType) -> DataSourceReader:
+        return SyntheticReader(self.options)
+
+
+def register_synthetic_source(spark) -> None:
+    spark.dataSource.register(SyntheticDataSource)

@@ -121,6 +121,26 @@ def test_multimodal_features_match_python(docs):
         assert f.checksum == sum(payload[:64]) % 997
 
 
+def test_map_in_arrow_byte_stats(docs):
+    from duckdb_ner_spark.functions.arrow_ops import arrow_byte_stats
+
+    out = {r.doc_id: r for r in arrow_byte_stats(docs.limit(20), "doc_id", "text").collect()}
+    for r in docs.limit(20).collect():
+        assert out[r.doc_id].n_bytes == len(r.text.encode())
+        assert out[r.doc_id].n_chars == len(r.text)
+        assert out[r.doc_id].upper == r.text.upper()
+
+
+def test_custom_datasource_partitioned_read(spark):
+    from duckdb_ner_spark.sources.pydatasource import register_synthetic_source
+
+    register_synthetic_source(spark)
+    df = spark.read.format("synthetic").option("n_rows", 100).option("n_parts", 4).load()
+    assert df.rdd.getNumPartitions() == 4
+    rows = sorted((r.id, r.val, r.cat) for r in df.collect())
+    assert rows == [(i, (i * i) % 97, f"cat_{i % 5}") for i in range(100)]
+
+
 def test_frame_sampling_plumbing(docs):
     from duckdb_ner_spark.operators.multimodal import attach_media, sample_frames
 
