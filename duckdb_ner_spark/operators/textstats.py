@@ -167,6 +167,82 @@ def q_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @declared(
+    "q_heavy_hitters",
+    oracle="""
+    WITH w AS (
+        SELECT unnest(string_split(text, ' ')) AS word FROM documents
+    ), sketch AS (
+        -- 2-row x 64-bucket count-min: bucket = first hex nibbles of seeded md5
+        SELECT r, b, COUNT(*) AS c
+        FROM (
+            SELECT word, 0 AS r,
+                   CAST(('0x' || SUBSTRING(md5('r0|' || word), 1, 2)) AS INT) % 64 AS b
+            FROM w
+            UNION ALL
+            SELECT word, 1 AS r,
+                   CAST(('0x' || SUBSTRING(md5('r1|' || word), 1, 2)) AS INT) % 64 AS b
+            FROM w
+        ) GROUP BY r, b
+    ), top_words AS (
+        SELECT word, COUNT(*) AS exact_cnt
+        FROM w GROUP BY word ORDER BY exact_cnt DESC, word LIMIT 10
+    )
+    SELECT t.word, t.exact_cnt,
+           CAST(LEAST(
+             (SELECT c FROM sketch WHERE r = 0
+              AND b = CAST(('0x' || SUBSTRING(md5('r0|' || t.word), 1, 2)) AS INT) % 64),
+             (SELECT c FROM sketch WHERE r = 1
+              AND b = CAST(('0x' || SUBSTRING(md5('r1|' || t.word), 1, 2)) AS INT) % 64)
+           ) AS BIGINT) AS cm_estimate
+    FROM top_words t
+    """,
+)
+def q_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min-sketch heavy hitters, engine-portable by construction: the
+    bucket hash is md5-derived (identical hex in both engines), so the
+    DuckDB oracle rebuilds the *same sketch* and the estimates hash-match.
+    CM guarantee (estimate ≥ exact) is pinned in pytest.
+
+    Scale notes: the sketch is 2×64 counters — a groupBy over (row, bucket)
+    with map-side combine; the estimate lookup is a broadcast join of the
+    tiny sketch onto the candidate words. At 100 TB widen to 4×4096 buckets;
+    same plan."""
+    t = load_tables(spark, sf_dir)
+    w = t.documents.select(F.explode(words_col()).alias("word"))
+
+    def bucket(r: int) -> F.Column:
+        return (
+            F.conv(F.substring(F.md5(F.concat(F.lit(f"r{r}|"), F.col("word"))), 1, 2), 16, 10)
+            .cast("int")
+            % 64
+        )
+
+    rows = w.select(F.lit(0).alias("r"), bucket(0).alias("b")).unionAll(
+        w.select(F.lit(1).alias("r"), bucket(1).alias("b"))
+    )
+    sketch = rows.groupBy("r", "b").agg(F.count("*").alias("c"))
+    top = (
+        w.groupBy("word")
+        .agg(F.count("*").alias("exact_cnt"))
+        .orderBy(F.col("exact_cnt").desc(), "word")
+        .limit(10)
+    )
+    s0 = sketch.filter(F.col("r") == 0).select(F.col("b").alias("b0"), F.col("c").alias("c0"))
+    s1 = sketch.filter(F.col("r") == 1).select(F.col("b").alias("b1"), F.col("c").alias("c1"))
+    return (
+        top.withColumn("b0", bucket(0))
+        .withColumn("b1", bucket(1))
+        .join(F.broadcast(s0), "b0")
+        .join(F.broadcast(s1), "b1")
+        .select(
+            "word",
+            "exact_cnt",
+            F.least(F.col("c0"), F.col("c1")).cast("bigint").alias("cm_estimate"),
+        )
+    )
+
+
+@declared(
     "q_fingerprint",
     oracle="""
     WITH w AS (

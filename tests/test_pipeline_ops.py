@@ -121,6 +121,16 @@ def test_multimodal_features_match_python(docs):
         assert f.checksum == sum(payload[:64]) % 997
 
 
+def test_count_min_overestimates_only(spark):
+    """CM guarantee: estimate >= exact for every reported word."""
+    import __spark_entry__ as e
+
+    rows = e.queries()["q_heavy_hitters"](spark, SF_SMOKE).collect()
+    assert len(rows) == 10
+    for r in rows:
+        assert r.cm_estimate >= r.exact_cnt
+
+
 def test_map_in_arrow_byte_stats(docs):
     from duckdb_ner_spark.functions.arrow_ops import arrow_byte_stats
 
