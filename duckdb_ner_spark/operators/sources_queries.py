@@ -45,8 +45,9 @@ def q_source_custom(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _scratch(name: str) -> str:
-    return os.path.join(tempfile.gettempdir(), f"dns_src_{name}")
+def _scratch(name: str, sf_dir: str) -> str:
+    sf_tag = os.path.basename(sf_dir.rstrip("/"))
+    return os.path.join(tempfile.gettempdir(), f"dns_src_{name}_{sf_tag}")
 
 
 @declared(
@@ -62,7 +63,7 @@ def q_source_csv(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..sources.writers import read_csv, write_csv
 
     t = load_tables(spark, sf_dir)
-    path = _scratch("csv_documents")
+    path = _scratch("csv_documents", sf_dir)
     docs = t.documents.select("doc_id", "lang", "n_chars")  # text has no commas, but keep it simple
     write_csv(docs, path)
     back = read_csv(spark, path, schema="doc_id BIGINT, lang STRING, n_chars BIGINT")
@@ -85,7 +86,7 @@ def q_source_json(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..sources.writers import read_json, write_json
 
     t = load_tables(spark, sf_dir)
-    path = _scratch("json_events")
+    path = _scratch("json_events", sf_dir)
     ev = t.events.select("event_id", "event_type", "value")
     write_json(ev, path)
     back = read_json(spark, path, schema="event_id BIGINT, event_type STRING, value DOUBLE")

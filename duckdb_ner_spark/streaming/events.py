@@ -77,6 +77,36 @@ def batch_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _normalize(raw)
 
 
+def run_stream_etl_to_parquet(
+    spark: SparkSession, sf_dir: str, out_dir: str, checkpoint_dir: str
+) -> None:
+    """Streaming-ETL pattern via foreachBatch: each micro-batch is enriched
+    with arbitrary batch-only logic (joins, dedup, upserts) and appended as
+    parquet. foreachBatch is the escape hatch for sinks/logic the streaming
+    engine doesn't natively support; exactly-once comes from the checkpoint
+    + idempotent write pairing."""
+    from pyspark.sql import functions as F
+
+    def handle(batch_df: DataFrame, batch_id: int) -> None:
+        (
+            batch_df.withColumn("batch_id", F.lit(batch_id))
+            .withColumn("day", F.to_date("ts"))
+            .write.mode("append")
+            .partitionBy("day")
+            .parquet(out_dir)
+        )
+
+    q = (
+        stream_events(spark, sf_dir)
+        .writeStream.foreachBatch(handle)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    q.stop()
+
+
 def run_stream_to_memory(spark: SparkSession, sf_dir: str, table_name: str = "stream_out") -> None:
     """Drain the whole file source in availableNow micro-batches into an
     in-memory sink (complete mode), then stop."""

@@ -23,6 +23,16 @@ def test_stream_matches_batch(spark):
     assert len(expect) > 0
 
 
+def test_foreach_batch_etl_roundtrip(spark, tmp_path):
+    from duckdb_ner_spark.streaming.events import batch_events, run_stream_etl_to_parquet
+
+    out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+    run_stream_etl_to_parquet(spark, SF_SMOKE, out, ckpt)
+    got = spark.read.parquet(out)
+    assert got.count() == batch_events(spark, SF_SMOKE).count()
+    assert "day" in got.columns and "batch_id" in got.columns
+
+
 def test_stateful_running_stats_matches_batch(spark):
     """applyInPandasWithState: the last emitted state per user must equal the
     batch aggregate over the whole table."""
