@@ -46,8 +46,12 @@ def q_source_custom(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _scratch(name: str, sf_dir: str) -> str:
-    sf_tag = os.path.basename(sf_dir.rstrip("/"))
-    return os.path.join(tempfile.gettempdir(), f"dns_src_{name}_{sf_tag}")
+    # keyed on the FULL source path (hashed), not the basename — distinct
+    # datasets sharing a dir name must not collide
+    import hashlib
+
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:12]
+    return os.path.join(tempfile.gettempdir(), f"dns_src_{name}_{tag}")
 
 
 @declared(

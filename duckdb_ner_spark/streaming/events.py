@@ -62,12 +62,22 @@ def windowed_counts(events: DataFrame, window: str = "1 hour", watermark: str = 
 def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The file stream source requires a *directory* (it tails new files);
     the testdata ships one file per table, so stage it into a temp dir —
-    in production the directory IS the landing zone."""
+    in production the directory IS the landing zone.
+
+    The staging dir is DETERMINISTIC per source (hash of sf_dir): re-runs
+    against the same checkpoint see the same source path, so checkpoint
+    resume semantics hold, and temp usage is bounded at one copy per SF."""
+    import hashlib
+    import os
     import shutil
     import tempfile
 
-    stage = tempfile.mkdtemp(prefix="events_stream_")
-    shutil.copy(f"{sf_dir}/events.parquet", f"{stage}/events.parquet")
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:12]
+    stage = os.path.join(tempfile.gettempdir(), f"events_stream_{tag}")
+    os.makedirs(stage, exist_ok=True)
+    target = f"{stage}/events.parquet"
+    if not os.path.exists(target):
+        shutil.copy(f"{sf_dir}/events.parquet", target)
     raw = spark.readStream.schema(EVENTS_SCHEMA).parquet(stage)
     return _normalize(raw)
 
@@ -81,19 +91,17 @@ def run_stream_etl_to_parquet(
     spark: SparkSession, sf_dir: str, out_dir: str, checkpoint_dir: str
 ) -> None:
     """Streaming-ETL pattern via foreachBatch: each micro-batch is enriched
-    with arbitrary batch-only logic (joins, dedup, upserts) and appended as
-    parquet. foreachBatch is the escape hatch for sinks/logic the streaming
-    engine doesn't natively support; exactly-once comes from the checkpoint
-    + idempotent write pairing."""
-    from pyspark.sql import functions as F
+    with arbitrary batch-only logic (joins, dedup, upserts) and written as
+    parquet. foreachBatch alone is at-least-once; the write below is made
+    IDEMPOTENT by targeting a deterministic per-batch directory with
+    overwrite mode — a replayed batch overwrites its own previous output,
+    which together with the checkpoint yields effective exactly-once."""
 
     def handle(batch_df: DataFrame, batch_id: int) -> None:
         (
-            batch_df.withColumn("batch_id", F.lit(batch_id))
-            .withColumn("day", F.to_date("ts"))
-            .write.mode("append")
-            .partitionBy("day")
-            .parquet(out_dir)
+            batch_df.withColumn("day", F.to_date("ts"))
+            .write.mode("overwrite")
+            .parquet(f"{out_dir}/batch_id={batch_id}")
         )
 
     q = (
@@ -103,8 +111,18 @@ def run_stream_etl_to_parquet(
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(120)
-    q.stop()
+    _await_drain(q)
+
+
+def _await_drain(q, timeout: int = 300) -> None:
+    """availableNow queries terminate on their own; a False return means the
+    drain did NOT finish — raise instead of silently stopping mid-stream."""
+    try:
+        finished = q.awaitTermination(timeout)
+        if not finished:
+            raise TimeoutError(f"streaming drain did not finish within {timeout}s")
+    finally:
+        q.stop()
 
 
 def run_stream_to_memory(spark: SparkSession, sf_dir: str, table_name: str = "stream_out") -> None:
@@ -118,5 +136,4 @@ def run_stream_to_memory(spark: SparkSession, sf_dir: str, table_name: str = "st
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(120)
-    q.stop()
+    _await_drain(q)

@@ -84,5 +84,6 @@ def run_stateful_to_memory(spark, sf_dir: str, table_name: str = "stateful_out")
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(120)
-    q.stop()
+    from .events import _await_drain
+
+    _await_drain(q)

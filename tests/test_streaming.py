@@ -31,6 +31,10 @@ def test_foreach_batch_etl_roundtrip(spark, tmp_path):
     got = spark.read.parquet(out)
     assert got.count() == batch_events(spark, SF_SMOKE).count()
     assert "day" in got.columns and "batch_id" in got.columns
+    # idempotent replay: rerunning with the SAME checkpoint must not
+    # duplicate rows (checkpoint says done; per-batch overwrite is a no-op)
+    run_stream_etl_to_parquet(spark, SF_SMOKE, out, ckpt)
+    assert spark.read.parquet(out).count() == got.count()
 
 
 def test_stateful_running_stats_matches_batch(spark):
