@@ -69,9 +69,20 @@ def _get_model(path: Optional[str], broadcast=None):
         return _MODEL_CACHE[key]
     if not path:
         return None
-    if path not in _MODEL_CACHE:
-        _MODEL_CACHE[path] = load_model(path)
-    return _MODEL_CACHE[path]
+    # cache keyed by (path, mtime, size): a file that appears or is replaced
+    # after a failed/stale load is picked up on the next batch — matching the
+    # reference's re-load-on-every-SET behavior (ner_extension.cpp:183-186).
+    # A missing file is NOT negatively cached.
+    import os
+
+    try:
+        st = os.stat(path)
+        key = f"{path}:{st.st_mtime_ns}:{st.st_size}"
+    except OSError:
+        return None
+    if key not in _MODEL_CACHE:
+        _MODEL_CACHE[key] = load_model(path)
+    return _MODEL_CACHE[key]
 
 
 def _ner_batch(texts: pd.Series, model, truncate: bool) -> pd.Series:

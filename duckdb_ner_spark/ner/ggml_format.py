@@ -39,7 +39,14 @@ HPARAM_NAMES = (
 
 F32, F16, Q4_0 = 0, 1, 2
 _Q4_BLOCK = 32
-_Q4_BYTES = 2 + 16  # f16 scale + 32 nibbles
+# Two q4_0 block layouts exist in ggml's history; the reference's vendored
+# bert.cpp/ggml pin is an EMPTY submodule so the vintage can't be read from
+# the repo. Both are supported, auto-detected by stream consistency:
+#  - "legacy" (2023-era, what bert.cpp vendored): f32 scale + 16 bytes of
+#    nibbles interleaved pairwise (lo→y[2j], hi→y[2j+1]) → 20 B / 32 elems
+#  - "modern": f16 scale + 16 low nibbles then 16 high → 18 B / 32 elems
+_Q4_BYTES_LEGACY = 4 + 16
+_Q4_BYTES_MODERN = 2 + 16
 
 
 @dataclass
@@ -49,19 +56,31 @@ class GgmlModelFile:
     tensors: dict[str, np.ndarray]  # float32, shape = (rows, cols)
 
 
-def _dequant_q4_0(raw: bytes, n_elems: int) -> np.ndarray:
+def _dequant_q4_0_modern(raw: bytes, n_elems: int) -> np.ndarray:
     n_blocks = n_elems // _Q4_BLOCK
-    buf = np.frombuffer(raw, dtype=np.uint8).reshape(n_blocks, _Q4_BYTES)
+    buf = np.frombuffer(raw, dtype=np.uint8).reshape(n_blocks, _Q4_BYTES_MODERN)
     scales = buf[:, :2].copy().view(np.float16).astype(np.float32)  # (n_blocks, 1)
     nib = buf[:, 2:]
     lo = (nib & 0x0F).astype(np.int8) - 8
     hi = (nib >> 4).astype(np.int8) - 8
-    # ggml q4_0 interleave: 16 low nibbles then 16 high nibbles per block
     block_vals = np.concatenate([lo, hi], axis=1).astype(np.float32)
     return (block_vals * scales).reshape(-1)
 
 
-def read_ggml(path: str) -> GgmlModelFile | None:
+def _dequant_q4_0_legacy(raw: bytes, n_elems: int) -> np.ndarray:
+    n_blocks = n_elems // _Q4_BLOCK
+    buf = np.frombuffer(raw, dtype=np.uint8).reshape(n_blocks, _Q4_BYTES_LEGACY)
+    scales = buf[:, :4].copy().view(np.float32)  # (n_blocks, 1)
+    nib = buf[:, 4:]
+    lo = (nib & 0x0F).astype(np.int8) - 8
+    hi = (nib >> 4).astype(np.int8) - 8
+    inter = np.empty((n_blocks, _Q4_BLOCK), dtype=np.float32)
+    inter[:, 0::2] = lo
+    inter[:, 1::2] = hi
+    return (inter * scales).reshape(-1)
+
+
+def _read_ggml_with_layout(path: str, q4_legacy: bool) -> GgmlModelFile | None:
     with open(path, "rb") as f:
         head = f.read(4)
         if len(head) < 4 or struct.unpack("<I", head)[0] != MAGIC:
@@ -82,7 +101,14 @@ def read_ggml(path: str) -> GgmlModelFile | None:
             if len(hdr) < 12:
                 break
             n_dims, name_len, ftype = struct.unpack("<3i", hdr)
+            # consistency guard: a mis-framed q4_0 stream (wrong block
+            # layout) lands here with garbage — reject so the caller can
+            # retry with the other layout
+            if not (1 <= n_dims <= 2 and 0 < name_len < 512 and 0 <= ftype <= 2):
+                raise ValueError("tensor stream misframed")
             dims_rev = struct.unpack(f"<{n_dims}i", f.read(4 * n_dims))
+            if any(d <= 0 or d > 10_000_000 for d in dims_rev):
+                raise ValueError("tensor stream misframed")
             name = f.read(name_len).decode("utf-8")
             shape = tuple(reversed(dims_rev))  # back to row-major (rows, cols)
             n_elems = int(np.prod(shape))
@@ -90,12 +116,32 @@ def read_ggml(path: str) -> GgmlModelFile | None:
                 data = np.frombuffer(f.read(4 * n_elems), dtype="<f4").astype(np.float32)
             elif ftype == F16:
                 data = np.frombuffer(f.read(2 * n_elems), dtype="<f2").astype(np.float32)
-            elif ftype == Q4_0:
-                data = _dequant_q4_0(f.read(n_elems // _Q4_BLOCK * _Q4_BYTES), n_elems)
+            elif q4_legacy:
+                data = _dequant_q4_0_legacy(
+                    f.read(n_elems // _Q4_BLOCK * _Q4_BYTES_LEGACY), n_elems
+                )
             else:
-                return None
+                data = _dequant_q4_0_modern(
+                    f.read(n_elems // _Q4_BLOCK * _Q4_BYTES_MODERN), n_elems
+                )
+            if data.size != n_elems:
+                raise ValueError("tensor stream misframed")
             tensors[name] = data.reshape(shape)
         return GgmlModelFile(hparams, vocab, tensors)
+
+
+def read_ggml(path: str) -> GgmlModelFile | None:
+    """Read with q4_0 layout auto-detection: try the legacy (bert.cpp-era)
+    block first; if the stream misframes, retry with the modern layout.
+    Files without q4_0 tensors parse identically either way."""
+    try:
+        return _read_ggml_with_layout(path, q4_legacy=True)
+    except Exception:
+        pass
+    try:
+        return _read_ggml_with_layout(path, q4_legacy=False)
+    except Exception:
+        return None
 
 
 def write_ggml(

@@ -49,6 +49,12 @@ def asof_join(
     payload_cols = [c for c in right.columns if c not in keys]
     if not payload_cols:
         raise ValueError("right side has no payload columns")
+    clash = sorted(set(payload_cols) & set(left.columns))
+    if clash:
+        raise ValueError(
+            f"right payload columns {clash} collide with left columns; "
+            "rename one side (e.g. right_ts must differ from left_ts)"
+        )
 
     l_tagged = left.withColumn(_TAG, F.lit(1))
     for c in payload_cols:

@@ -35,6 +35,7 @@ def connected_components(pairs: DataFrame, a: str = "doc_a", b: str = "doc_b", m
         .select("node", F.col("node").alias("comp"))
         .persist()
     )
+    converged = False
     for _ in range(max_iter):
         # candidate label for v = min over neighbors u of label(u)
         prop = (
@@ -56,9 +57,18 @@ def connected_components(pairs: DataFrame, a: str = "doc_a", b: str = "doc_b", m
             .filter(F.col("comp") != F.col("old"))
             .count()
         )
+        labels.unpersist()  # superseded round's cache
         labels = updated
         if changed == 0:
+            converged = True
             break
+    if not converged:
+        # silent non-convergence would hand back WRONG labels
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iter} rounds "
+            "(graph diameter too large — raise max_iter)"
+        )
+    edges.unpersist()
     return labels.select("node", "comp")
 
 

@@ -37,22 +37,16 @@ from .textprep import seeded_md5, shingles_expr, sql_shingles, words_col
 
 def dedup_exact(df: DataFrame, cols: list[str]) -> DataFrame:
     """Keep one row per distinct (cols) content. Hash first so wide text
-    columns shuffle as 32-byte digests, not full payloads."""
-    h = F.md5(F.concat_ws("\x1f", *[F.col(c) for c in cols]))
+    columns shuffle as 32-byte digests, not full payloads. The digest input
+    is the JSON encoding of the column struct — unambiguous under embedded
+    separators and NULLs (a concat_ws hash would collide on both)."""
+    h = F.md5(F.to_json(F.struct(*[F.col(c) for c in cols])))
     w = df.withColumn("__h__", h)
     return w.dropDuplicates(["__h__"]).drop("__h__")
 
 
 N_HASHES = 8
 N_BANDS = 4  # 2 hashes per band
-
-
-def minhash_signatures(docs: DataFrame, id_col: str, shingle_col: str) -> DataFrame:
-    """doc → K min-hashes in ONE pass: explode shingles, K min() aggregates
-    (map-side partial agg keeps the shuffle at |docs| rows)."""
-    e = docs.select(id_col, F.explode(shingle_col).alias("sh"))
-    aggs = [F.min(seeded_md5(k, F.col("sh"))).alias(f"h{k}") for k in range(N_HASHES)]
-    return e.groupBy(id_col).agg(*aggs)
 
 
 def lsh_candidate_pairs(sigs: DataFrame, id_col: str) -> DataFrame:

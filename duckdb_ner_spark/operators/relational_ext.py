@@ -440,7 +440,7 @@ def q_boolagg(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_sessionize",
     oracle="""
     WITH marked AS (
-        SELECT user_id, ts,
+        SELECT user_id, ts, event_id,
                CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
                          > INTERVAL 30 MINUTE
                     OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
@@ -448,7 +448,7 @@ def q_boolagg(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM events
     ), islands AS (
         SELECT user_id, ts,
-               SUM(is_start) OVER (PARTITION BY user_id ORDER BY ts
+               SUM(is_start) OVER (PARTITION BY user_id ORDER BY ts, event_id
                                    ROWS UNBOUNDED PRECEDING) AS session_id
         FROM marked
     )

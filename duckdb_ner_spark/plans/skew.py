@@ -26,7 +26,9 @@ def salted_agg_sum(
 
     Salt must be deterministic for exact-parity testing → derived from a
     row-stable hash, not rand()."""
-    salt = (F.xxhash64(*[F.col(c) for c in df.columns]) % n_salts).alias("__salt__")
+    # pmod, not %: Spark % keeps the dividend's sign, which would double the
+    # salt-bucket count with negative hashes
+    salt = F.pmod(F.xxhash64(*[F.col(c) for c in df.columns]), F.lit(n_salts)).alias("__salt__")
     partial = (
         df.withColumn("__salt__", salt)
         .groupBy(*key_cols, "__salt__")

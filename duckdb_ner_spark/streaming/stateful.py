@@ -29,6 +29,9 @@ STATE_SCHEMA = StructType(
     [
         StructField("n", LongType()),
         StructField("total", DoubleType()),
+        # epoch micros: the running max must live IN the state — late events
+        # in a later micro-batch must not move last_ts backwards
+        StructField("last_ts_us", LongType()),
     ]
 )
 
@@ -44,20 +47,20 @@ OUTPUT_SCHEMA = StructType(
 
 def _update(key, pdfs, state: GroupState):
     (user_id,) = key
-    n, total = state.get if state.exists else (0, 0.0)
-    last_ts = None
+    n, total, last_us = state.get if state.exists else (0, 0.0, 0)
     for pdf in pdfs:
         n += len(pdf)
         total += float(pdf["value"].sum())
         mx = pdf["ts"].max()
-        last_ts = mx if last_ts is None else max(last_ts, mx)
-    state.update((n, total))
+        if pd.notna(mx):
+            last_us = max(last_us, int(mx.value // 1000))
+    state.update((n, total, last_us))
     yield pd.DataFrame(
         {
             "user_id": [user_id],
             "n_events": [n],
             "total_value": [round(total, 2)],
-            "last_ts": [last_ts],
+            "last_ts": [pd.Timestamp(last_us * 1000) if last_us else pd.NaT],
         }
     )
 

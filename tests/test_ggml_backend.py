@@ -43,16 +43,29 @@ def test_roundtrip_f16_lossy(tiny_model, tmp_path):
     )
 
 
-def test_q4_0_dequant():
-    from duckdb_ner_spark.ner.ggml_format import _dequant_q4_0
+def test_q4_0_dequant_modern():
+    from duckdb_ner_spark.ner.ggml_format import _dequant_q4_0_modern
 
-    # one block: scale=2.0, nibbles 0..15 twice → values (n-8)*2
+    # one block: f16 scale=2.0, 16 low nibbles then 16 high → (n-8)*2
     scale = np.float16(2.0).tobytes()
     nibbles = bytes((hi << 4) | lo for lo, hi in zip(range(16), range(16)))
-    out = _dequant_q4_0(scale + nibbles, 32)
+    out = _dequant_q4_0_modern(scale + nibbles, 32)
     lows = [(n - 8) * 2.0 for n in range(16)]
     highs = [(n - 8) * 2.0 for n in range(16)]
     np.testing.assert_array_equal(out, np.array(lows + highs, dtype=np.float32))
+
+
+def test_q4_0_dequant_legacy_interleaved():
+    from duckdb_ner_spark.ner.ggml_format import _dequant_q4_0_legacy
+
+    # bert.cpp-era block: f32 scale, pairwise interleave lo→y[2j], hi→y[2j+1]
+    scale = np.float32(2.0).tobytes()
+    nibbles = bytes((hi << 4) | lo for lo, hi in zip(range(16), range(16)))
+    out = _dequant_q4_0_legacy(scale + nibbles, 32)
+    expect = []
+    for n in range(16):
+        expect += [(n - 8) * 2.0, (n - 8) * 2.0]  # lo then hi of same byte
+    np.testing.assert_array_equal(out, np.array(expect, dtype=np.float32))
 
 
 def test_bad_magic_rejected(tmp_path):
