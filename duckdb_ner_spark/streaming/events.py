@@ -114,6 +114,17 @@ def run_stream_etl_to_parquet(
     _await_drain(q)
 
 
+def dedup_stream(events: DataFrame, keys: list[str] | None = None, watermark: str = "1 hour") -> DataFrame:
+    """Streaming exact-dedup: dropDuplicatesWithinWatermark bounds the dedup
+    state to the watermark horizon — the streaming sibling of
+    operators.dedup.dedup_exact. At 100 TB the horizon is the knob trading
+    state size against how late a duplicate can still be caught."""
+    keys = keys or ["event_id"]
+    if events.isStreaming:
+        return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(keys)
+    return events.dropDuplicates(keys)
+
+
 def _await_drain(q, timeout: int = 300) -> None:
     """availableNow queries terminate on their own; a False return means the
     drain did NOT finish — raise instead of silently stopping mid-stream."""

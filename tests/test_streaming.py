@@ -37,6 +37,28 @@ def test_foreach_batch_etl_roundtrip(spark, tmp_path):
     assert spark.read.parquet(out).count() == got.count()
 
 
+def test_streaming_dedup_matches_batch_distinct(spark):
+    from duckdb_ner_spark.streaming.events import batch_events, dedup_stream, stream_events
+    from duckdb_ner_spark.streaming.events import _await_drain
+
+    q = (
+        dedup_stream(stream_events(spark, SF_SMOKE), ["user_id", "event_type"])
+        .select("user_id", "event_type")
+        .writeStream.format("memory")
+        .queryName("t_dedup_stream")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    _await_drain(q)
+    got = {(r.user_id, r.event_type) for r in spark.table("t_dedup_stream").collect()}
+    expect = {
+        (r.user_id, r.event_type)
+        for r in batch_events(spark, SF_SMOKE).select("user_id", "event_type").distinct().collect()
+    }
+    assert got == expect
+
+
 def test_stateful_running_stats_matches_batch(spark):
     """applyInPandasWithState: the last emitted state per user must equal the
     batch aggregate over the whole table."""
