@@ -434,6 +434,92 @@ def q_boolagg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# bitwise operators + bit aggregates
+# --------------------------------------------------------------------------
+@declared(
+    "q_bitops",
+    oracle="""
+    SELECT l_returnflag,
+           BIT_AND(l_orderkey) AS key_and,
+           BIT_OR(l_linenumber) AS key_or,
+           BIT_XOR(l_orderkey) AS key_xor,
+           CAST(SUM(l_orderkey & 255) AS BIGINT) AS low_byte_sum,
+           CAST(MAX(l_orderkey >> 4) AS BIGINT) AS max_shifted
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def q_bitops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    return t.lineitem.groupBy("l_returnflag").agg(
+        F.bit_and("l_orderkey").alias("key_and"),
+        F.bit_or(F.col("l_linenumber").cast("int")).alias("key_or"),
+        F.bit_xor("l_orderkey").alias("key_xor"),
+        F.sum(F.col("l_orderkey").bitwiseAND(F.lit(255))).cast("bigint").alias("low_byte_sum"),
+        F.max(F.expr("l_orderkey >> 4")).cast("bigint").alias("max_shifted"),
+    )
+
+
+# --------------------------------------------------------------------------
+# arg-max / arg-min aggregates (deterministic composite orderer)
+# --------------------------------------------------------------------------
+@declared(
+    "q_argmax",
+    oracle="""
+    SELECT o_orderstatus,
+           ARG_MAX(o_orderkey, o_totalprice + o_orderkey / 1000000000.0) AS priciest_order,
+           ARG_MIN(o_orderkey, o_totalprice + o_orderkey / 1000000000.0) AS cheapest_order,
+           ARG_MAX(o_orderpriority, o_totalprice + o_orderkey / 1000000000.0) AS priciest_prio
+    FROM orders
+    GROUP BY o_orderstatus
+    """,
+)
+def q_argmax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """max_by/min_by ≡ DuckDB arg_max/arg_min. The orderer is made strictly
+    unique (price + key/1e9 — keys are distinct, the offset is below the
+    2-decimal price grid) so ties can't make the winner engine-dependent."""
+    t = load_tables(spark, sf_dir)
+    orderer = F.col("o_totalprice") + F.col("o_orderkey") / F.lit(1_000_000_000.0)
+    return t.orders.groupBy("o_orderstatus").agg(
+        F.max_by("o_orderkey", orderer).alias("priciest_order"),
+        F.min_by("o_orderkey", orderer).alias("cheapest_order"),
+        F.max_by("o_orderpriority", orderer).alias("priciest_prio"),
+    )
+
+
+# --------------------------------------------------------------------------
+# try_cast + string formatting
+# --------------------------------------------------------------------------
+@declared(
+    "q_trycast_format",
+    oracle="""
+    SELECT o_orderkey,
+           TRY_CAST(o_orderpriority AS INT) AS prio_try,
+           TRY_CAST(SUBSTRING(o_orderpriority, 1, 1) AS INT) AS prio_digit,
+           PRINTF('%s-%05d', o_orderstatus, o_orderkey % 10000) AS tag,
+           PRINTF('%.2f', ROUND(CAST(o_totalprice AS DECIMAL(12,2)), 2)) AS price_str
+    FROM orders
+    """,
+)
+def q_trycast_format(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """try_cast (NULL on failure, never error) + printf-style formatting
+    (Spark format_string ≡ DuckDB printf)."""
+    t = load_tables(spark, sf_dir)
+    return t.orders.select(
+        "o_orderkey",
+        F.col("o_orderpriority").try_cast("int").alias("prio_try"),
+        F.substring("o_orderpriority", 1, 1).try_cast("int").alias("prio_digit"),
+        F.format_string("%s-%05d", F.col("o_orderstatus"), F.col("o_orderkey") % 10000).alias(
+            "tag"
+        ),
+        F.format_string(
+            "%.2f",
+            F.round(F.col("o_totalprice").cast("decimal(12,2)"), 2).cast("double"),
+        ).alias("price_str"),
+    )
+
+
+# --------------------------------------------------------------------------
 # sessionization: session_window vs gaps-and-islands oracle
 # --------------------------------------------------------------------------
 @declared(
