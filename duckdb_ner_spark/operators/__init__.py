@@ -10,3 +10,4 @@ from . import (  # noqa: F401
     sources_queries,
     textstats,
 )
+from ..functions import grouped  # noqa: F401,E402  (declared grouped-API queries)
