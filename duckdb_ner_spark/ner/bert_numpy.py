@@ -49,6 +49,13 @@ class GgmlBertModel:
 
     def __init__(self, mf: GgmlModelFile):
         hp = mf.hparams
+        if hp["n_embd"] % max(hp["n_head"], 1) != 0:
+            # the multi-head reshape requires divisibility (the reference's
+            # ggml reshape_3d has the identical constraint); reject at load
+            # so the silent-failure loader maps it to "no model"
+            raise ValueError(
+                f"n_embd={hp['n_embd']} not divisible by n_head={hp['n_head']}"
+            )
         self.n_max_tokens = hp["n_max_tokens"]
         self.n_labels = hp["n_labels"]
         self.n_head = hp["n_head"]

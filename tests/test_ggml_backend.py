@@ -83,6 +83,18 @@ def test_bad_magic_rejected(tmp_path):
     assert load_model(p2) is None
 
 
+def test_indivisible_heads_rejected(tmp_path):
+    """n_embd % n_head != 0 would silently corrupt the multi-head reshape —
+    the loader must map such a model to None (silent-failure contract)."""
+    from tools.convert_model import STUB_VOCAB, random_model
+
+    hp, t = random_model(STUB_VOCAB, n_embd=32, n_head=4, n_layer=1, n_labels=9, n_max_tokens=64)
+    hp["n_head"] = 5  # 32 % 5 != 0
+    p = str(tmp_path / "badheads.bin")
+    write_ggml(p, hp, STUB_VOCAB, t)
+    assert load_model(p) is None
+
+
 def test_forward_pass_shapes_and_determinism(tiny_model):
     path, _, _ = tiny_model
     m = load_model(path)
