@@ -19,6 +19,52 @@ from pyspark.sql import SparkSession
 
 from .session import CONF_MODEL_PATH, CONF_TRUNCATE, get_spark  # noqa: F401
 
+__all__ = [
+    "NerEngine",
+    "get_spark",
+    "CONF_MODEL_PATH",
+    "CONF_TRUNCATE",
+    # operator library (lazy imports below keep engine startup light)
+    "asof_join",
+    "dedup_exact",
+    "dedup_near_minhash",
+    "simhash64",
+    "simhash_near_pairs",
+    "connected_components",
+    "collapse_near_dups",
+    "topk_cosine",
+    "ann_pairs",
+    "ivf_topk",
+    "cosine_pairs_exploded",
+    "salted_agg_sum",
+    "zscore_per_user",
+]
+
+
+def __getattr__(name: str):
+    # lazy re-exports: importing duckdb_ner_spark must not drag in every
+    # operator module (pyspark import cost) until a symbol is touched
+    _HOMES = {
+        "asof_join": "duckdb_ner_spark.operators.asof",
+        "dedup_exact": "duckdb_ner_spark.operators.dedup",
+        "dedup_near_minhash": "duckdb_ner_spark.operators.dedup",
+        "simhash64": "duckdb_ner_spark.operators.dedup",
+        "simhash_near_pairs": "duckdb_ner_spark.operators.dedup",
+        "connected_components": "duckdb_ner_spark.operators.components",
+        "collapse_near_dups": "duckdb_ner_spark.operators.components",
+        "topk_cosine": "duckdb_ner_spark.operators.similarity",
+        "ann_pairs": "duckdb_ner_spark.operators.similarity",
+        "ivf_topk": "duckdb_ner_spark.operators.similarity",
+        "cosine_pairs_exploded": "duckdb_ner_spark.operators.similarity",
+        "salted_agg_sum": "duckdb_ner_spark.plans.skew",
+        "zscore_per_user": "duckdb_ner_spark.functions.grouped",
+    }
+    if name in _HOMES:
+        import importlib
+
+        return getattr(importlib.import_module(_HOMES[name]), name)
+    raise AttributeError(name)
+
 
 class NerEngine:
     """Engine bootstrap — the analogue of ``LOAD ner``

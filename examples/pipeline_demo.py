@@ -1,0 +1,57 @@
+"""End-to-end demo: what a reference (duckdb-NER) user's workflow looks like
+on this engine — SQL analytics + ner() + the training-data pipeline ops.
+
+Run: python examples/pipeline_demo.py [sf_dir]
+"""
+
+from __future__ import annotations
+
+import sys
+
+sys.path.insert(0, "/root/repo")
+
+import pyspark.sql.functions as F  # noqa: E402
+
+from duckdb_ner_spark import (  # noqa: E402
+    NerEngine,
+    collapse_near_dups,
+    dedup_near_minhash,
+    get_spark,
+    topk_cosine,
+)
+
+
+def main() -> None:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
+    engine = NerEngine(get_spark("demo"))
+    spark = engine.spark
+    engine.register_views(sf_dir)
+
+    print("== relational SQL (host-engine surface) ==")
+    spark.sql(
+        """
+        SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
+               ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        FROM lineitem GROUP BY 1, 2 ORDER BY 1, 2
+        """
+    ).show()
+
+    print("== ner() with the stub model (extension surface) ==")
+    engine.set_model_path("/root/repo/tests/fixtures/stub_model.json")
+    spark.sql("SELECT ner('sam is in new york') AS entities").show(truncate=False)
+
+    print("== near-dedup: MinHash-LSH pairs -> cluster collapse ==")
+    docs = spark.table("documents")
+    pairs = dedup_near_minhash(docs, threshold=0.9).select("doc_a", "doc_b")
+    pairs.show(5)
+    kept = collapse_near_dups(docs, pairs)
+    print(f"documents: {docs.count()} -> {kept.count()} after near-dedup")
+
+    print("== similarity: top-5 neighbors of vec 0 ==")
+    emb = spark.table("embeddings")
+    q = list(emb.filter(F.col("vec_id") == 0).head().embedding)
+    topk_cosine(emb.filter(F.col("vec_id") != 0), q, 5).show()
+
+
+if __name__ == "__main__":
+    main()
