@@ -85,3 +85,26 @@ def test_stateful_running_stats_matches_batch(spark):
         .collect()
     }
     assert final == expect
+
+def test_ner_stream_matches_batch(spark):
+    """The Tier-A NER UDF inside Structured Streaming: entity-label counts
+    from the micro-batch drain must equal the same aggregation run in batch
+    (stub model → deterministic entities)."""
+    from duckdb_ner_spark.operators.ner_queries import DOC_STUB_MODEL
+    from duckdb_ner_spark.streaming.ner_stream import (
+        DOCS_SCHEMA,
+        entity_label_counts,
+        run_ner_stream_to_memory,
+    )
+
+    run_ner_stream_to_memory(
+        spark, SF_SMOKE, table_name="t_ner_stream_out", model_path=DOC_STUB_MODEL
+    )
+    got = {(r.label): r.n for r in spark.table("t_ner_stream_out").collect()}
+    batch_docs = spark.read.schema(DOCS_SCHEMA).parquet(f"{SF_SMOKE}/documents.parquet")
+    expect = {
+        (r.label): r.n
+        for r in entity_label_counts(spark, batch_docs, DOC_STUB_MODEL).collect()
+    }
+    assert got == expect
+    assert len(expect) > 0  # the stub model does extract entities
