@@ -54,3 +54,82 @@ def test_bucketed_join_has_no_exchange(spark, tmp_path):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
         spark.sql(f"DROP TABLE IF EXISTS {t_orders}")
         spark.sql(f"DROP TABLE IF EXISTS {t_line}")
+
+
+class TestZOrder:
+    def test_zvalue_interleave_known_bits(self, spark):
+        """z(x,y) interleaves bits: x=0b11, y=0b00 → 0b0101; x=0b00,y=0b11 →
+        0b1010; x=y=0b11 → 0b1111 (x occupies even positions)."""
+        from pyspark.sql import functions as F
+
+        from duckdb_ner_spark.plans.zorder import zvalue
+
+        df = spark.createDataFrame(
+            [(3, 0), (0, 3), (3, 3), (2, 1)], "x long, y long"
+        )
+        got = [
+            r.z for r in df.select(zvalue(["x", "y"], bits=2).alias("z")).collect()
+        ]
+        # (2,1): x=0b10 → bits at pos 0,2 = 0,1; y=0b01 → pos 1,3 = 1,0 → 0b0110
+        assert got == [0b0101, 0b1010, 0b1111, 0b0110]
+
+    def test_zvalue_monotone_locality(self, spark):
+        """Points close in (x,y) have close z-values at the quadrant level:
+        the top bit pair of z identifies the quadrant."""
+        from duckdb_ner_spark.plans.zorder import zvalue
+
+        df = spark.createDataFrame(
+            [(x, y) for x in range(4) for y in range(4)], "x long, y long"
+        )
+        rows = df.select("x", "y", zvalue(["x", "y"], bits=2).alias("z")).collect()
+        for r in rows:
+            quadrant = (r.x >> 1, r.y >> 1)
+            z_quadrant = ((r.z >> 2) & 1, (r.z >> 3) & 1)
+            assert quadrant == z_quadrant
+
+    def test_zorder_write_tightens_rowgroup_stats(self, spark, tmp_path):
+        """The measurable claim behind the layout: after Z-order clustering,
+        parquet row-group min/max extents shrink in BOTH dimensions, so a
+        selective filter on either column can skip most groups."""
+        import pyarrow.parquet as pq
+        from pyspark.sql import functions as F
+
+        from duckdb_ner_spark.plans.zorder import cluster_by_zorder
+
+        n = 1 << 14
+        grid = 1 << 8
+        df = (
+            spark.range(n)
+            .select(
+                (F.hash(F.col("id")).bitwiseAND(F.lit(grid - 1))).alias("x"),
+                (F.hash(F.col("id") + 999).bitwiseAND(F.lit(grid - 1))).alias("y"),
+            )
+        )
+
+        def mean_extent(path):
+            ext_x, ext_y, groups = 0.0, 0.0, 0
+            import os
+            for f in os.listdir(path):
+                if not f.endswith(".parquet"):
+                    continue
+                md = pq.ParquetFile(f"{path}/{f}").metadata
+                for g in range(md.num_row_groups):
+                    rg = md.row_group(g)
+                    cx = {rg.column(i).path_in_schema: rg.column(i).statistics
+                          for i in range(rg.num_columns)}
+                    ext_x += cx["x"].max - cx["x"].min
+                    ext_y += cx["y"].max - cx["y"].min
+                    groups += 1
+            return ext_x / groups, ext_y / groups
+
+        plain, zed = str(tmp_path / "plain"), str(tmp_path / "zed")
+        df.repartition(16).write.parquet(plain)
+        (
+            cluster_by_zorder(df, ["x", "y"], bits=8, num_partitions=16)
+            .write.parquet(zed)
+        )
+        px, py = mean_extent(plain)
+        zx, zy = mean_extent(zed)
+        # unclustered hash data spans ~the full [0,256) range per group;
+        # z-clustered groups must be at least 2x tighter in BOTH dims
+        assert zx < px / 2 and zy < py / 2, (px, py, zx, zy)
