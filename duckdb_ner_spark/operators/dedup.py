@@ -122,6 +122,61 @@ def dedup_near_minhash(
     return jaccard_verify(cand, sigsh.select(id_col, "shingles"), id_col, "shingles", threshold)
 
 
+def minhash_bands(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """LSH bucket memberships (id, band, sig) — the persistent corpus index
+    for incremental dedup. Stored bucketed/partitioned by (band, sig) at
+    production scale so probes are co-located joins."""
+    n_part = df.sparkSession.sparkContext.defaultParallelism
+    docs = (
+        df.select(id_col, words_col(text_col).alias("ws"))
+        .repartition(n_part, id_col)
+        .select(id_col, shingles_expr("ws").alias("shingles"))
+    )
+    e = docs.select(id_col, F.explode("shingles").alias("sh"))
+    aggs = [F.min(seeded_md5(k, F.col("sh"))).alias(f"h{k}") for k in range(N_HASHES)]
+    sigs = e.groupBy(id_col).agg(*aggs)
+    per_band = N_HASHES // N_BANDS
+    band_sigs = [
+        F.concat(*[F.col(f"h{b * per_band + r}") for r in range(per_band)])
+        for b in range(N_BANDS)
+    ]
+    return sigs.select(
+        F.col(id_col), F.posexplode(F.array(*band_sigs)).alias("band", "sig")
+    )
+
+
+def dedup_incremental(
+    new_docs: DataFrame,
+    corpus_bands: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> tuple[DataFrame, DataFrame]:
+    """Continuous-ingest near-dedup: admit only new docs whose every LSH band
+    misses the existing corpus index; return (survivors, survivor_bands) —
+    union survivor_bands into the index for the next batch.
+
+    Semantics: a band collision = near-dup candidate = rejected (recall-
+    oriented, the cheap filter a crawl pipeline wants; add jaccard_verify on
+    the collisions to trade recall for precision). Within-batch duplicates
+    are NOT collapsed here — run dedup_near_minhash on the batch first.
+
+    Scale notes (100 TB): the corpus never rescans — the probe is one
+    equi-join of the new batch's bands against the (band, sig)-keyed index;
+    state lives in the index table, not on the driver; index growth is
+    O(N_BANDS) rows per admitted doc."""
+    nb = minhash_bands(new_docs, id_col, text_col).persist()
+    hit_ids = (
+        nb.join(corpus_bands.select("band", "sig").distinct(), ["band", "sig"])
+        .select(id_col)
+        .distinct()
+    )
+    survivors = new_docs.join(hit_ids, id_col, "left_anti")
+    survivor_bands = nb.join(hit_ids, id_col, "left_anti")
+    return survivors, survivor_bands
+
+
 def simhash64(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """63-bit SimHash: per-word xxhash64, per-bit majority vote, reassembled
     JVM-side (explode over 63 bit positions — fully distributed; swap for a

@@ -212,3 +212,36 @@ def test_asof_join_forward_and_tolerance(spark):
     }
     # id=2: latest click at 120 is 130s before 250 → outside 60s tolerance
     assert tol == {1: None, 2: None, 3: "c"}
+
+
+def test_dedup_incremental_filters_corpus_near_dups(spark):
+    """Continuous-ingest dedup: batch-2 docs that near-duplicate the indexed
+    corpus are rejected; novel docs survive and extend the index."""
+    from duckdb_ner_spark.operators.dedup import dedup_incremental, minhash_bands
+
+    base = "the quick brown fox jumps over the lazy dog again and again today"
+    corpus = spark.createDataFrame(
+        [(1, base), (2, "completely different content about spark shuffles and joins ok")],
+        "doc_id long, text string",
+    )
+    index = minhash_bands(corpus).persist()
+
+    batch2 = spark.createDataFrame(
+        [
+            # near-dup of doc 1: one word changed → most shingles shared
+            (10, base.replace("dog", "cat")),
+            # novel
+            (11, "training data pipelines need scalable deduplication operators now"),
+        ],
+        "doc_id long, text string",
+    )
+    survivors, surv_bands = dedup_incremental(batch2, index)
+    ids = sorted(r.doc_id for r in survivors.collect())
+    assert ids == [11]
+    # the survivor's bands extend the index; the rejected doc's do not
+    band_ids = sorted(set(r.doc_id for r in surv_bands.collect()))
+    assert band_ids == [11]
+    # idempotence: replaying the same batch against the grown index admits nothing
+    grown = index.unionByName(surv_bands)
+    survivors2, _ = dedup_incremental(batch2, grown)
+    assert survivors2.count() == 0

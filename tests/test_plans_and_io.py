@@ -90,3 +90,44 @@ def test_partitioned_write_prunes(spark, tmp_path):
     plan = formatted_plan(pruned)
     assert "PartitionFilters" in plan
     assert pruned.count() == orders.filter(F.col("yr") == 1997).count()
+
+
+def test_runtime_bloom_filter_prunes_fact_scan(spark):
+    """Catalyst injects a bloom filter built from a selective dim onto the
+    fact side of a shuffle join (`might_contain(...)` in the fact's Filter):
+    at 100 TB this turns 'shuffle all of lineitem' into 'shuffle the ~matching
+    rows'. Local thresholds are production-sized, so the test lowers the
+    application-side floor; the rewrite itself is what's pinned."""
+    from pyspark.sql import functions as F
+
+    from tests.conftest import SF_SMOKE
+
+    old_app = spark.conf.get(
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold"
+    )
+    old_bc = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set(
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+            "0",
+        )
+        # force a shuffle join: with a broadcast join Spark would prune via
+        # the broadcast hash relation instead, and no bloom filter is needed
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        li = spark.read.parquet(f"{SF_SMOKE}/lineitem.parquet")
+        pt = spark.read.parquet(f"{SF_SMOKE}/part.parquet").filter(
+            F.col("p_size") > 45
+        )
+        j = li.join(pt, F.col("l_partkey") == F.col("p_partkey")).groupBy(
+            "p_size"
+        ).count()
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "might_contain" in plan
+        assert "bloom_filter_agg" in plan
+        j.count()  # and it executes
+    finally:
+        spark.conf.set(
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+            old_app,
+        )
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_bc)
