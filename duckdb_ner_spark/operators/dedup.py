@@ -290,6 +290,44 @@ def q_dedup_near(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @declared(
+    "q_dedup_incr",
+    oracle="""
+    WITH docs AS (
+        SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+    ), sh AS (
+        SELECT doc_id, CASE WHEN len(ws) >= 3 THEN list_distinct([ws[i+0] || ' ' || ws[i+1] || ' ' || ws[i+2] FOR i IN range(1, len(ws) - 1)]) ELSE [] END AS shingles FROM docs
+    ), e AS (
+        SELECT doc_id, unnest(shingles) AS s FROM sh
+    ), mh AS (
+        SELECT doc_id, MIN(md5('s0|' || s)) AS h0, MIN(md5('s1|' || s)) AS h1, MIN(md5('s2|' || s)) AS h2, MIN(md5('s3|' || s)) AS h3, MIN(md5('s4|' || s)) AS h4, MIN(md5('s5|' || s)) AS h5, MIN(md5('s6|' || s)) AS h6, MIN(md5('s7|' || s)) AS h7
+        FROM e GROUP BY doc_id
+    ), bands AS (
+        SELECT doc_id, 0 AS band, h0 || h1 AS sig FROM mh UNION ALL SELECT doc_id, 1 AS band, h2 || h3 AS sig FROM mh UNION ALL SELECT doc_id, 2 AS band, h4 || h5 AS sig FROM mh UNION ALL SELECT doc_id, 3 AS band, h6 || h7 AS sig FROM mh
+    ), corpus AS (
+        SELECT DISTINCT band, sig FROM bands WHERE doc_id % 2 = 0
+    ), hits AS (
+        SELECT DISTINCT b.doc_id
+        FROM bands b JOIN corpus c ON b.band = c.band AND b.sig = c.sig
+        WHERE b.doc_id % 2 = 1
+    )
+    SELECT doc_id FROM documents
+    WHERE doc_id % 2 = 1 AND doc_id NOT IN (SELECT doc_id FROM hits)
+    """,
+)
+def q_dedup_incr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental-ingest dedup as a verifiable query: even doc_ids form the
+    indexed corpus, odd doc_ids arrive as the new batch; admitted survivors
+    are the batch docs with zero LSH band collisions against the corpus
+    index. DuckDB replays the identical md5 min-hash banding."""
+    t = load_tables(spark, sf_dir)
+    corpus = t.documents.filter(F.col("doc_id") % 2 == 0)
+    batch = t.documents.filter(F.col("doc_id") % 2 == 1)
+    index = minhash_bands(corpus)
+    survivors, _ = dedup_incremental(batch, index)
+    return survivors.select("doc_id")
+
+
+@declared(
     "q_dedup_ngram",
     oracle=f"""
     WITH docs AS (
