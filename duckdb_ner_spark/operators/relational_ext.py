@@ -667,3 +667,55 @@ def q_stats2(spark: SparkSession, sf_dir: str) -> DataFrame:
         intercept.alias("intercept"),
         r2.alias("r2"),
     )
+
+
+# --------------------------------------------------------------------------
+# recursive CTE (calendar spine — Spark 4 WITH RECURSIVE vs DuckDB's)
+# --------------------------------------------------------------------------
+@declared(
+    "q_recursive",
+    oracle="""
+    WITH RECURSIVE months(m) AS (
+      SELECT DATE '1992-01-01'
+      UNION ALL
+      SELECT CAST(m + INTERVAL 1 MONTH AS DATE) FROM months WHERE m < DATE '1998-12-01'
+    ), rev AS (
+      SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS m,
+             COUNT(*) AS n,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS total
+      FROM orders GROUP BY 1
+    )
+    SELECT strftime(months.m, '%Y-%m') AS month,
+           COALESCE(n, 0) AS n_orders,
+           COALESCE(total, 0.0) AS revenue
+    FROM months LEFT JOIN rev ON months.m = rev.m
+    """,
+)
+def q_recursive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recursive CTE generating a complete month spine, outer-joined to
+    monthly revenue so empty months surface as zeros — the calendar-dimension
+    pattern. Spark 4's WITH RECURSIVE iterates on the driver plan-side (84
+    tiny rows here); the heavy side stays one distributed aggregation.
+    Money sum uses the exact cent-scaled long fast path (== the oracle's
+    decimal sum, see relational._fxsum)."""
+    t = load_tables(spark, sf_dir)
+    t.orders.createOrReplaceTempView("v_orders_rec")
+    return spark.sql(
+        """
+        WITH RECURSIVE months(m) AS (
+          SELECT DATE '1992-01-01'
+          UNION ALL
+          SELECT add_months(m, 1) FROM months WHERE m < DATE '1998-12-01'
+        ), rev AS (
+          SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS m,
+                 COUNT(*) AS n,
+                 CAST(CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT))
+                           AS DECIMAL(28,0)) / 100 AS DOUBLE) AS total
+          FROM v_orders_rec GROUP BY 1
+        )
+        SELECT date_format(months.m, 'yyyy-MM') AS month,
+               COALESCE(n, CAST(0 AS BIGINT)) AS n_orders,
+               COALESCE(total, 0.0) AS revenue
+        FROM months LEFT JOIN rev ON months.m = rev.m
+        """
+    )
