@@ -719,3 +719,104 @@ def q_recursive(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM months LEFT JOIN rev ON months.m = rev.m
         """
     )
+
+
+# --------------------------------------------------------------------------
+# C27b fuzzy string matching (levenshtein edit distance)
+# --------------------------------------------------------------------------
+@declared(
+    "q_fuzzy",
+    oracle="""
+    SELECT n1.n_name AS name_a, n2.n_name AS name_b,
+           CAST(levenshtein(n1.n_name, n2.n_name) AS INT) AS edit_dist
+    FROM nation n1 JOIN nation n2 ON n1.n_nationkey < n2.n_nationkey
+    WHERE levenshtein(n1.n_name, n2.n_name) <= 2
+    """,
+)
+def q_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy self-join on edit distance (host-engine ``levenshtein``, exercised
+    as DuckDB's function surface would be). The pair space is bounded by a
+    key-inequality join over the 25-row nation dim, so both sides broadcast —
+    at 100 TB this pattern is only sane against a small dim (or pre-blocked
+    candidates, e.g. the LSH buckets from dedup.py); the declared query keeps
+    the candidate set dim-sized on purpose."""
+    t = load_tables(spark, sf_dir)
+    n1 = t.nation.select(F.col("n_nationkey").alias("k1"), F.col("n_name").alias("name_a"))
+    n2 = t.nation.select(F.col("n_nationkey").alias("k2"), F.col("n_name").alias("name_b"))
+    return (
+        n1.join(F.broadcast(n2), F.col("k1") < F.col("k2"))
+        .withColumn("edit_dist", F.levenshtein("name_a", "name_b").cast("int"))
+        .filter(F.col("edit_dist") <= 2)
+        .select("name_a", "name_b", "edit_dist")
+    )
+
+
+# --------------------------------------------------------------------------
+# C31c array set operations (intersect / union / except, sorted for hashing)
+# --------------------------------------------------------------------------
+@declared(
+    "q_array_setops",
+    oracle="""
+    SELECT user_id,
+           list_sort(list_intersect(list(DISTINCT event_type),
+                                    ['click', 'view', 'purchase'])) AS funnel_types,
+           list_sort(list_filter(list(DISTINCT event_type),
+                                 x -> x NOT IN ('click', 'view', 'purchase'))) AS other_types,
+           CAST(len(list(DISTINCT event_type)) AS INT) AS n_types
+    FROM events
+    GROUP BY user_id
+    """,
+)
+def q_array_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array set algebra over per-user collected event types: intersect and
+    except against a constant funnel list, sorted so the LIST hash is
+    deterministic. One shuffle (the groupBy); collect_set stays bounded by
+    the event-type cardinality, so per-group state is O(1) at any scale."""
+    t = load_tables(spark, sf_dir)
+    funnel = F.array(F.lit("click"), F.lit("view"), F.lit("purchase"))
+    return (
+        t.events.groupBy("user_id")
+        .agg(F.collect_set("event_type").alias("s"))
+        .select(
+            "user_id",
+            F.sort_array(F.array_intersect("s", funnel)).alias("funnel_types"),
+            F.sort_array(F.array_except("s", funnel)).alias("other_types"),
+            F.size("s").cast("int").alias("n_types"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# C5b LATERAL join (correlated per-row subquery with ORDER BY + LIMIT)
+# --------------------------------------------------------------------------
+@declared(
+    "q_lateral",
+    oracle="""
+    SELECT c.c_custkey, t.o_orderkey, t.o_totalprice
+    FROM customer c, LATERAL (
+      SELECT o_orderkey, o_totalprice FROM orders o
+      WHERE o.o_custkey = c.c_custkey
+      ORDER BY o_totalprice DESC, o_orderkey
+      LIMIT 2) t
+    """,
+)
+def q_lateral(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-customer top-2 orders via a correlated LATERAL subquery — the SQL
+    surface form of top-k-per-group (q_window_rank is the window form).
+    Catalyst decorrelates this into a join + per-key limit rather than
+    executing the subquery per row, so it scales as one shuffle; the tie-break
+    on o_orderkey makes the LIMIT deterministic for hashing. No float math —
+    values pass through from parquet, so the hash is exact."""
+    t = load_tables(spark, sf_dir)
+    t.customer.createOrReplaceTempView("v_lat_customer")
+    t.orders.createOrReplaceTempView("v_lat_orders")
+    return spark.sql(
+        """
+        SELECT c.c_custkey, t.o_orderkey, t.o_totalprice
+        FROM v_lat_customer c, LATERAL (
+          SELECT o_orderkey, o_totalprice FROM v_lat_orders o
+          WHERE o.o_custkey = c.c_custkey
+          ORDER BY o_totalprice DESC, o_orderkey
+          LIMIT 2) t
+        """
+    )

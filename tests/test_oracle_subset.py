@@ -22,6 +22,8 @@ SUBSET = [
     "q_sessionize",
     "q_fingerprint",
     "q_multimodal",
+    "q_fuzzy",
+    "q_array_setops",
 ]
 
 
