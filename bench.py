@@ -41,16 +41,20 @@ def main() -> None:
     sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or "0.1")
 
     import __spark_entry__ as entrymod
-    from duckdb_ner_spark.session import get_spark
+    from duckdb_ner_spark.session import default_parallelism, get_spark
 
     # parallelismFirst=false is the recommended large-scale setting (coalesce
     # to advisory size instead of max parallelism) — and it also trims local
     # task-scheduling overhead on small SFs
+    cpus = default_parallelism()
     spark = get_spark(
         "bench",
         extra_conf={
             "spark.sql.adaptive.coalescePartitions.parallelismFirst": "false",
             "spark.sql.adaptive.advisoryPartitionSizeInBytes": "16m",
+            # testdata parquet is one row group per table → a raw scan is one
+            # split; spread the cached tables across cores (see catalog.py)
+            "spark.duckdb_ner.scanRepartition": str(cpus),
         },
     )
     qs = entrymod.queries()

