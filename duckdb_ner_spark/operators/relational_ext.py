@@ -820,3 +820,48 @@ def q_lateral(spark: SparkSession, sf_dir: str) -> DataFrame:
           LIMIT 2) t
         """
     )
+
+
+# --------------------------------------------------------------------------
+# C24b TPC-H Q15 shape: top supplier(s) by quarterly revenue
+# --------------------------------------------------------------------------
+@declared(
+    "q_supplier_rev",
+    oracle="""
+    WITH revenue AS (
+      SELECT l_suppkey AS supplier_no,
+             CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+                            * (1 - CAST(l_discount AS DECIMAL(4,2)))), 2) AS DOUBLE)
+                 AS total_revenue
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        AND l_shipdate < TIMESTAMP '1996-04-01'
+      GROUP BY l_suppkey)
+    SELECT s_suppkey, s_name, total_revenue
+    FROM supplier JOIN revenue ON s_suppkey = supplier_no
+    WHERE total_revenue = (SELECT MAX(total_revenue) FROM revenue)
+    """,
+)
+def q_supplier_rev(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15: per-supplier revenue over one quarter, keep the max-revenue
+    supplier(s) via a scalar-subquery-style join. The shipdate range is pushed
+    to the scan; the revenue CTE shuffles once on l_suppkey; the 1-row MAX is
+    broadcast back. Equality on total_revenue is safe because both sides round
+    an identical exact decimal (the fixed-point long sum, relational._fxsum)."""
+    from .relational import _fx_revenue, _fxsum
+
+    t = load_tables(spark, sf_dir)
+    rev = (
+        t.lineitem.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
+        )
+        .groupBy(F.col("l_suppkey").alias("supplier_no"))
+        .agg(_fxsum(_fx_revenue(), 4).alias("total_revenue"))
+    )
+    mx = rev.agg(F.max("total_revenue").alias("mx"))
+    return (
+        t.supplier.join(rev, F.col("s_suppkey") == F.col("supplier_no"))
+        .join(F.broadcast(mx), F.col("total_revenue") == F.col("mx"))
+        .select("s_suppkey", "s_name", "total_revenue")
+    )
