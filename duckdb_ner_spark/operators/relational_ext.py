@@ -865,3 +865,105 @@ def q_supplier_rev(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(mx), F.col("total_revenue") == F.col("mx"))
         .select("s_suppkey", "s_name", "total_revenue")
     )
+
+
+# --------------------------------------------------------------------------
+# C11b supplier dimension rollup (s_nationkey / s_acctbal coverage)
+# --------------------------------------------------------------------------
+@declared(
+    "q_supplier_balance",
+    oracle="""
+    SELECT n_name,
+           COUNT(*) AS n_suppliers,
+           CAST(ROUND(SUM(CAST(s_acctbal AS DECIMAL(12,2))), 2) AS DOUBLE) AS total_bal,
+           ROUND(CAST(SUM(CAST(s_acctbal AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*), 4)
+               AS avg_bal,
+           MIN(s_acctbal) AS min_bal,
+           MAX(s_acctbal) AS max_bal
+    FROM supplier JOIN nation ON s_nationkey = n_nationkey
+    GROUP BY n_name
+    """,
+)
+def q_supplier_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-nation supplier account-balance profile. The nation dim broadcasts;
+    the aggregate shuffles on 25 keys — at 100 TB this is a classic two-phase
+    (partial/final) agg with trivially small state. MIN/MAX pass raw doubles
+    through (no arithmetic ⇒ exact parity); sums take the fixed-point path."""
+    from .relational import _fx100, _fxsum
+
+    t = load_tables(spark, sf_dir)
+    return (
+        t.supplier.join(
+            F.broadcast(t.nation), F.col("s_nationkey") == F.col("n_nationkey")
+        )
+        .groupBy("n_name")
+        .agg(
+            F.count("*").alias("n_suppliers"),
+            _fxsum(_fx100("s_acctbal"), 2).alias("total_bal"),
+            F.round(
+                (
+                    F.sum(_fx100("s_acctbal")).cast("decimal(28,0)")
+                    / F.lit(100).cast("decimal(3,0)")
+                ).cast("double")
+                / F.count("*"),
+                4,
+            ).alias("avg_bal"),
+            F.min("s_acctbal").alias("min_bal"),
+            F.max("s_acctbal").alias("max_bal"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# C29b part margin (p_retailprice coverage; ratio-of-sums, not sum-of-ratios)
+# --------------------------------------------------------------------------
+@declared(
+    "q_part_margin",
+    oracle="""
+    SELECT p_brand,
+           COUNT(*) AS n_lines,
+           ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE)
+                 / CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE), 4)
+               AS avg_unit_price,
+           ROUND(CAST(SUM(CAST(p_retailprice AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*), 4)
+               AS avg_retail,
+           ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE)
+                 / CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE)
+                 / (CAST(SUM(CAST(p_retailprice AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*)), 4)
+               AS margin_ratio
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    GROUP BY p_brand
+    """,
+)
+def q_part_margin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Realized unit price vs catalog retail price per brand. Ratio-of-exact-
+    sums (never sum-of-ratios: double ratio sums are summation-order dependent
+    and would break cross-engine hashing — the denominators are exact decimal
+    sums, the final divisions are single IEEE ops on identical operands).
+    Part broadcasts into the lineitem scan; one 25-key shuffle."""
+    from .relational import _fx100
+
+    t = load_tables(spark, sf_dir)
+
+    def _dsum(col: str) -> F.Column:
+        return (
+            F.sum(_fx100(col)).cast("decimal(28,0)") / F.lit(100).cast("decimal(3,0)")
+        ).cast("double")
+
+    return (
+        t.lineitem.join(F.broadcast(t.part), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("p_brand")
+        .agg(
+            F.count("*").alias("n_lines"),
+            F.round(_dsum("l_extendedprice") / _dsum("l_quantity"), 4).alias(
+                "avg_unit_price"
+            ),
+            F.round(_dsum("p_retailprice") / F.count("*"), 4).alias("avg_retail"),
+            F.round(
+                _dsum("l_extendedprice")
+                / _dsum("l_quantity")
+                / (_dsum("p_retailprice") / F.count("*")),
+                4,
+            ).alias("margin_ratio"),
+        )
+    )
