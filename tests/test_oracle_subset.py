@@ -24,6 +24,8 @@ SUBSET = [
     "q_multimodal",
     "q_fuzzy",
     "q_array_setops",
+    "q_supplier_rev",
+    "q_part_margin",
 ]
 
 
