@@ -44,6 +44,16 @@ class Catalog:
     def table(self, name: str) -> DataFrame:
         if name not in TABLES:
             raise KeyError(f"unknown table {name!r}; catalog has {sorted(TABLES)}")
+        if name == "events":
+            # events.parquet stores ts as INT64 TIMESTAMP(NANOS), which Spark's
+            # parquet reader rejects (PARQUET_TYPE_ILLEGAL) unless nanos are
+            # surfaced as raw longs. The engine's own session factory
+            # (session.py) pins this conf, but the read path must be
+            # self-contained for *any* SparkSession (e.g. the driver's vanilla
+            # harness session) — DuckDB reads TIMESTAMP_NS natively, so the
+            # parity surface can't depend on who built the session. Runtime
+            # conf.set is honoured per-read by the parquet source.
+            self.spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = self.spark.read.parquet(f"{self.sf_dir}/{name}.parquet")
         # The driver-generated testdata is one parquet file with ONE row group
         # per table, so a local scan is a single split — every downstream map
