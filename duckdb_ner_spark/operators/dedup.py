@@ -327,6 +327,62 @@ def q_dedup_incr(spark: SparkSession, sf_dir: str) -> DataFrame:
     return survivors.select("doc_id")
 
 
+NGRAM_DF_CAP = 100  # shingles present in more docs than this never index
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_common: int = 15,
+    threshold: float = 0.5,
+    df_cap: int = NGRAM_DF_CAP,
+) -> DataFrame:
+    """Inverted-shingle-index near-dup: (doc_a, doc_b, n_common, jaccard).
+
+    Candidate generation uses ONLY shingles with document-frequency ≤
+    df_cap — stop-shingles ("of the and"-style n-grams appearing in a large
+    fraction of a crawl) would otherwise dominate the self-join with O(df²)
+    pairs per shingle. The DF table is one map-side-combined groupBy on the
+    same key the self-join shuffles on. Candidates then get an EXACT verify
+    (array_intersect over the full shingle sets), so reported n_common /
+    jaccard are uncapped; the cap only bounds recall (a pair whose shared
+    shingles are mostly stop-shingles may fall under min_common capped hits
+    — the standard index-pruning trade, replayed identically by the oracle).
+    """
+    docs = (
+        df.select(id_col, words_col(text_col).alias("ws"))
+        .repartition(df.sparkSession.sparkContext.defaultParallelism, id_col)
+        .select(id_col, shingles_expr("ws").alias("shingles"))
+        .persist()
+    )
+    e = docs.select(F.col(id_col).alias("doc_id"), F.explode("shingles").alias("s"))
+    # shingle arrays are distinct per doc, so count(*) per shingle == DF
+    ok = e.groupBy("s").agg(F.count("*").alias("df")).filter(F.col("df") <= df_cap)
+    ef = e.join(ok.select("s"), "s")
+    a = ef.select(F.col("doc_id").alias("doc_a"), "s")
+    b = ef.select(F.col("doc_id").alias("doc_b"), "s")
+    cands = (
+        a.join(b, "s")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("n_capped"))
+        .filter(F.col("n_capped") >= min_common)
+        .select("doc_a", "doc_b")
+    )
+    x = docs.select(F.col(id_col).alias("doc_a"), F.col("shingles").alias("sh_a"))
+    y = docs.select(F.col(id_col).alias("doc_b"), F.col("shingles").alias("sh_b"))
+    n_common = F.size(F.array_intersect("sh_a", "sh_b"))
+    jac = n_common * F.lit(1.0) / (F.size("sh_a") + F.size("sh_b") - n_common)
+    return (
+        F.broadcast(cands)
+        .join(x, "doc_a")
+        .join(y, "doc_b")
+        .select("doc_a", "doc_b", n_common.alias("n_common"), jac.alias("jaccard"))
+        .filter((F.col("jaccard") >= threshold) & (F.col("n_common") >= min_common))
+    )
+
+
 @declared(
     "q_dedup_ngram",
     oracle=f"""
@@ -336,49 +392,34 @@ def q_dedup_incr(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT doc_id, {sql_shingles(3)} AS shingles FROM docs
     ), e AS (
         SELECT doc_id, unnest(shingles) AS s FROM sh
-    ), common AS (
-        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
-        FROM e a JOIN e b ON a.s = b.s AND a.doc_id < b.doc_id
+    ), ok AS (
+        SELECT s FROM e GROUP BY s HAVING COUNT(*) <= {NGRAM_DF_CAP}
+    ), ef AS (
+        SELECT e.doc_id, e.s FROM e JOIN ok USING (s)
+    ), cands AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM ef a JOIN ef b ON a.s = b.s AND a.doc_id < b.doc_id
         GROUP BY 1, 2 HAVING COUNT(*) >= 15
     )
-    SELECT doc_a, doc_b, n_common,
-           n_common * 1.0 / (LEN(x.shingles) + LEN(y.shingles) - n_common) AS jaccard
-    FROM common JOIN sh x ON x.doc_id = doc_a JOIN sh y ON y.doc_id = doc_b
-    WHERE n_common * 1.0 / (LEN(x.shingles) + LEN(y.shingles) - n_common) >= 0.5
+    SELECT doc_a, doc_b,
+           LEN(list_intersect(x.shingles, y.shingles)) AS n_common,
+           LEN(list_intersect(x.shingles, y.shingles)) * 1.0
+             / (LEN(x.shingles) + LEN(y.shingles)
+                - LEN(list_intersect(x.shingles, y.shingles))) AS jaccard
+    FROM cands JOIN sh x ON x.doc_id = doc_a JOIN sh y ON y.doc_id = doc_b
+    WHERE LEN(list_intersect(x.shingles, y.shingles)) * 1.0
+             / (LEN(x.shingles) + LEN(y.shingles)
+                - LEN(list_intersect(x.shingles, y.shingles))) >= 0.5
+      AND LEN(list_intersect(x.shingles, y.shingles)) >= 15
     """,
 )
 def q_dedup_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """n-gram Jaccard via inverted shingle index (no approximation): pairs
-    sharing ≥15 shingles, exact Jaccard from |A∩B| and set sizes. The
-    shingle-join is the scalable alternative to all-pairs: the shuffle key is
-    the shingle itself. At crawl scale, drop shingles with document-frequency
-    above a cap first (stop-shingles dominate the join otherwise)."""
+    """n-gram Jaccard near-dup with a document-frequency-capped inverted
+    index (cap={NGRAM_DF_CAP} docs): candidates from sub-cap shingles only,
+    exact intersect/Jaccard verify on candidates. The oracle replays the
+    identical cap, candidate threshold, and exact verify."""
     t = load_tables(spark, sf_dir)
-    docs = (
-        t.documents.select("doc_id", words_col().alias("ws"))
-        .repartition(spark.sparkContext.defaultParallelism, "doc_id")
-        .select("doc_id", shingles_expr("ws").alias("shingles"))
-        .persist()
-    )
-    e = docs.select("doc_id", F.explode("shingles").alias("s"))
-    a = e.select(F.col("doc_id").alias("doc_a"), "s")
-    b = e.select(F.col("doc_id").alias("doc_b"), "s")
-    common = (
-        a.join(b, "s")
-        .filter(F.col("doc_a") < F.col("doc_b"))
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count("*").alias("n_common"))
-        .filter(F.col("n_common") >= 15)
-    )
-    x = docs.select(F.col("doc_id").alias("doc_a"), F.size("shingles").alias("sz_a"))
-    y = docs.select(F.col("doc_id").alias("doc_b"), F.size("shingles").alias("sz_b"))
-    jac = F.col("n_common") * F.lit(1.0) / (F.col("sz_a") + F.col("sz_b") - F.col("n_common"))
-    return (
-        common.join(x, "doc_a")
-        .join(y, "doc_b")
-        .select("doc_a", "doc_b", "n_common", jac.alias("jaccard"))
-        .filter(F.col("jaccard") >= 0.5)
-    )
+    return ngram_jaccard_pairs(t.documents, min_common=15, threshold=0.5)
 
 
 @declared("q_dedup_simhash")
@@ -390,33 +431,18 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash_near_pairs(sim, "doc_id", max_hamming=8)
 
 
-@declared(
-    "q_dedup_embed",
-    oracle="""
-    WITH ex AS (
-        SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS x,
-               generate_subscripts(embedding, 1) AS i
-        FROM embeddings
-    ), norms AS (
-        SELECT vec_id, SQRT(SUM(x * x)) AS nrm FROM ex GROUP BY vec_id
-    ), dots AS (
-        SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, SUM(a.x * b.x) AS dot
-        FROM ex a JOIN ex b ON a.i = b.i AND a.vec_id < b.vec_id
-        GROUP BY 1, 2
-    )
-    SELECT vec_a, vec_b,
-           ROUND(dot / (na.nrm * nb.nrm), 6) AS cosine
-    FROM dots JOIN norms na ON na.vec_id = vec_a JOIN norms nb ON nb.vec_id = vec_b
-    WHERE dot / (na.nrm * nb.nrm) >= 0.45
-    """,
-)
-def q_dedup_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine near-dup (threshold 0.45 — this corpus has no planted
-    embedding dups; the operator is the point). Implemented as all-pairs over
-    the position-exploded form so Spark and DuckDB sum the SAME rounded
-    products; at 100 TB the LSH-bucketed variant in similarity.py replaces
-    the quadratic join."""
-    from .similarity import cosine_pairs_exploded
+from .similarity import fx_lsh_oracle_sql, lsh_cosine_pairs  # noqa: E402
 
+
+@declared("q_dedup_embed", oracle=fx_lsh_oracle_sql(dim=64, threshold=0.45))
+def q_dedup_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup via banded hyperplane LSH — the 100 TB
+    shape: fixed-point (integer) signed-random-projection bucketing, exact
+    cosine only within a (band, sig) bucket, NO all-pairs join anywhere.
+    The DuckDB oracle replays the identical bucketing (same integer plane
+    literals — integer sums are order-independent, so the bucket bits are
+    bit-identical across engines), then the same 6dp-rounded cosine verify.
+    Threshold 0.45; candidate recall at the threshold ≈ 72% by the banding
+    formula — deterministic and replayed, so the hash gate stays exact."""
     t = load_tables(spark, sf_dir)
-    return cosine_pairs_exploded(t.embeddings, threshold=0.45)
+    return lsh_cosine_pairs(t.embeddings, dim=64, threshold=0.45)

@@ -125,6 +125,146 @@ def ann_pairs(df: DataFrame, dim: int, threshold: float, id_col: str = "vec_id")
     )
 
 
+# --- Fixed-point banded hyperplane LSH (oracle-replayable scale path) -------
+#
+# The q_dedup_embed contract needs BOTH of:
+#   (a) no all-pairs join anywhere in the plan (100 TB viability), and
+#   (b) an exact DuckDB replay (hash-match oracle).
+# Float hyperplane dots can't give (b): SUM over doubles is order-sensitive
+# and the two engines fold in different orders, so a dot near zero could
+# bucket differently. Fix: quantize BOTH the embedding values and the plane
+# coefficients to integers (×1e6) — integer sums are associative, so the
+# bucket bits are bit-identical in any evaluation order, in any engine. The
+# plane coefficients are deterministic literals compiled into the Spark plan
+# AND inlined into the oracle SQL from the same numpy array.
+
+FX_SCALE = 1_000_000
+N_FX_PLANES = 12
+FX_BANDS = 4  # 3 planes per band: P[cand | cos=.45] ≈ 1-(1-.6487³)⁴ ≈ .72
+
+
+def _fx_planes(dim: int) -> np.ndarray:
+    """Gaussian hyperplanes quantized to int64 (×FX_SCALE), fixed seed."""
+    rng = np.random.RandomState(_SEED ^ 0x51AE)
+    return np.rint(rng.randn(N_FX_PLANES, dim) * FX_SCALE).astype(np.int64)
+
+
+def fx_band_sigs(df: DataFrame, dim: int, id_col: str = "vec_id") -> DataFrame:
+    """(id, embedding) → (id, band, sig): banded signed-random-projection
+    signatures over fixed-point arithmetic.
+
+    One projection pass per row, all JVM-side (zip_with/aggregate folds in
+    whole-stage codegen); the only shuffle downstream is the (band, sig)
+    bucket join — same shape as MinHash-LSH banding (dedup.py)."""
+    planes = _fx_planes(dim)
+    per_band = N_FX_PLANES // FX_BANDS
+    xi = F.expr(
+        f"transform(embedding, v -> CAST(ROUND(CAST(v AS DOUBLE) * {FX_SCALE}, 0) AS BIGINT))"
+    )
+    w = df.select(F.col(id_col), xi.alias("__xi__"))
+    bits = []
+    for p in range(N_FX_PLANES):
+        pl = F.array(*[F.lit(int(v)) for v in planes[p]])
+        dot = F.aggregate(
+            F.zip_with(F.col("__xi__"), pl, lambda x, y: x * y),
+            F.lit(0).cast("bigint"),
+            lambda a, v: a + v,
+        )
+        bits.append(F.when(dot > 0, F.lit(1)).otherwise(F.lit(0)))
+    band_sigs = [
+        sum(bits[b * per_band + r] * F.lit(1 << (per_band - 1 - r)) for r in range(per_band))
+        for b in range(FX_BANDS)
+    ]
+    return w.select(
+        F.col(id_col), F.posexplode(F.array(*band_sigs)).alias("band", "sig")
+    )
+
+
+def lsh_cosine_pairs(
+    df: DataFrame, dim: int, threshold: float, id_col: str = "vec_id"
+) -> DataFrame:
+    """Near-dup pairs via banded hyperplane LSH: candidates only within a
+    (band, sig) bucket, exact cosine verify on the candidates. No all-pairs
+    join anywhere — candidate volume is LSH-bounded, verify joins broadcast
+    the (tiny) candidate list so the vector table never reshuffles."""
+    sigs = fx_band_sigs(df, dim, id_col)
+    a = sigs.select(F.col(id_col).alias("vec_a"), "band", "sig")
+    b = sigs.select(F.col(id_col).alias("vec_b"), "band", "sig")
+    cands = (
+        a.join(b, ["band", "sig"])
+        .filter(F.col("vec_a") < F.col("vec_b"))
+        .select("vec_a", "vec_b")
+        .distinct()
+    )
+    ea = df.select(F.col(id_col).alias("vec_a"), F.col("embedding").alias("ea"))
+    eb = df.select(F.col(id_col).alias("vec_b"), F.col("embedding").alias("eb"))
+    da = F.expr("transform(ea, v -> CAST(v AS DOUBLE))")
+    db = F.expr("transform(eb, v -> CAST(v AS DOUBLE))")
+    dot = F.aggregate(F.zip_with(da, db, lambda x, y: x * y), F.lit(0.0), lambda a_, v: a_ + v)
+    na = F.sqrt(F.aggregate(F.zip_with(da, da, lambda x, y: x * y), F.lit(0.0), lambda a_, v: a_ + v))
+    nb = F.sqrt(F.aggregate(F.zip_with(db, db, lambda x, y: x * y), F.lit(0.0), lambda a_, v: a_ + v))
+    cos = dot / (na * nb)
+    return (
+        F.broadcast(cands)
+        .join(ea, "vec_a")
+        .join(eb, "vec_b")
+        .select("vec_a", "vec_b", F.round(cos, 6).alias("cosine"))
+        .filter(F.col("cosine") >= threshold)
+    )
+
+
+def fx_lsh_oracle_sql(dim: int, threshold: float) -> str:
+    """DuckDB twin of lsh_cosine_pairs: replays the identical fixed-point
+    banded bucketing (same integer plane literals, same quantization), then
+    the same double-precision cosine verify rounded to 6dp."""
+    planes = _fx_planes(dim)
+    per_band = N_FX_PLANES // FX_BANDS
+    values = ",".join(
+        f"({p},{i + 1},{int(planes[p, i])})"
+        for p in range(N_FX_PLANES)
+        for i in range(dim)
+    )
+    sig_weight = " ".join(
+        f"WHEN {r} THEN {1 << (per_band - 1 - r)}" for r in range(per_band)
+    )
+    return f"""
+    WITH planes(p, i, h) AS (VALUES {values}),
+    ex AS (
+        SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS x,
+               generate_subscripts(embedding, 1) AS i
+        FROM embeddings
+    ), exq AS (
+        SELECT vec_id, i, CAST(ROUND(x * {FX_SCALE}) AS BIGINT) AS xi FROM ex
+    ), bits AS (
+        SELECT q.vec_id, pl.p,
+               CASE WHEN SUM(q.xi * pl.h) > 0 THEN 1 ELSE 0 END AS bit
+        FROM exq q JOIN planes pl ON q.i = pl.i
+        GROUP BY q.vec_id, pl.p
+    ), sigs AS (
+        SELECT vec_id, p // {per_band} AS band,
+               SUM(bit * CASE p % {per_band} {sig_weight} END) AS sig
+        FROM bits GROUP BY vec_id, p // {per_band}
+    ), cands AS (
+        SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+        FROM sigs a JOIN sigs b
+          ON a.band = b.band AND a.sig = b.sig AND a.vec_id < b.vec_id
+    ), dots AS (
+        SELECT c.vec_a, c.vec_b, SUM(ea.x * eb.x) AS dot
+        FROM cands c
+        JOIN ex ea ON ea.vec_id = c.vec_a
+        JOIN ex eb ON eb.vec_id = c.vec_b AND eb.i = ea.i
+        GROUP BY 1, 2
+    ), norms AS (
+        SELECT vec_id, SQRT(SUM(x * x)) AS nrm FROM ex GROUP BY vec_id
+    )
+    SELECT vec_a, vec_b, ROUND(dot / (na.nrm * nb.nrm), 6) AS cosine
+    FROM dots
+    JOIN norms na ON na.vec_id = vec_a
+    JOIN norms nb ON nb.vec_id = vec_b
+    WHERE dot / (na.nrm * nb.nrm) >= {threshold}
+    """
+
+
 # ---------------------------------------------------------------------------
 # declared queries
 # ---------------------------------------------------------------------------

@@ -245,3 +245,36 @@ def test_dedup_incremental_filters_corpus_near_dups(spark):
     grown = index.unionByName(surv_bands)
     survivors2, _ = dedup_incremental(batch2, grown)
     assert survivors2.count() == 0
+
+
+def test_ngram_df_cap_prunes_stop_shingles(spark):
+    """A shingle shared by more docs than df_cap must not generate candidate
+    pairs; docs whose ONLY overlap is the stop-shingle disappear, while a
+    genuine near-dup pair (overlap via sub-cap shingles) survives with its
+    EXACT uncapped n_common/jaccard."""
+    from duckdb_ner_spark.operators.dedup import ngram_jaccard_pairs
+
+    stop = "of the and"  # 3-gram planted in every doc
+    rows = [
+        # near-dup pair 1-2: share 'p q r s t' shingles + the stop shingle
+        (1, "p q r s t u of the and"),
+        (2, "p q r s t u of the and"),
+        # 3 and 4 overlap ONLY via the stop shingle
+        (3, "x1 y1 z1 of the and"),
+        (4, "x2 y2 z2 of the and"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    # cap=3 < 4 docs → 'of the and' is a stop-shingle and never indexes
+    out = ngram_jaccard_pairs(
+        df, min_common=1, threshold=0.1, df_cap=3
+    ).collect()
+    pairs = {(r.doc_a, r.doc_b) for r in out}
+    assert pairs == {(1, 2)}
+    (r,) = out
+    # verify is exact/uncapped: n_common counts the stop-shingle too (7 = 6
+    # rolling 3-grams over 'p q r s t u of' + ... all 7 shingles shared)
+    assert r.n_common == 7
+    assert r.jaccard == 1.0
+    # sanity: without the cap the stop-shingle links 3-4 as well
+    uncapped = ngram_jaccard_pairs(df, min_common=1, threshold=0.1, df_cap=10)
+    assert {(r.doc_a, r.doc_b) for r in uncapped.collect()} > {(1, 2)}
