@@ -758,10 +758,10 @@ def q_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_array_setops",
     oracle="""
     SELECT user_id,
-           list_sort(list_intersect(list(DISTINCT event_type),
-                                    ['click', 'view', 'purchase'])) AS funnel_types,
-           list_sort(list_filter(list(DISTINCT event_type),
-                                 x -> x NOT IN ('click', 'view', 'purchase'))) AS other_types,
+           array_to_string(list_sort(list_intersect(list(DISTINCT event_type),
+                                    ['click', 'view', 'purchase'])), ',') AS funnel_types,
+           array_to_string(list_sort(list_filter(list(DISTINCT event_type),
+                                 x -> x NOT IN ('click', 'view', 'purchase'))), ',') AS other_types,
            CAST(len(list(DISTINCT event_type)) AS INT) AS n_types
     FROM events
     GROUP BY user_id
@@ -769,8 +769,9 @@ def q_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_array_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Array set algebra over per-user collected event types: intersect and
-    except against a constant funnel list, sorted so the LIST hash is
-    deterministic. One shuffle (the groupBy); collect_set stays bounded by
+    except against a constant funnel list, sorted and CSV-serialized so the
+    value hash is array-layout-independent (same convention as q_array,
+    SURVEY.md §7.4). One shuffle (the groupBy); collect_set stays bounded by
     the event-type cardinality, so per-group state is O(1) at any scale."""
     t = load_tables(spark, sf_dir)
     funnel = F.array(F.lit("click"), F.lit("view"), F.lit("purchase"))
@@ -779,8 +780,10 @@ def q_array_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.collect_set("event_type").alias("s"))
         .select(
             "user_id",
-            F.sort_array(F.array_intersect("s", funnel)).alias("funnel_types"),
-            F.sort_array(F.array_except("s", funnel)).alias("other_types"),
+            F.array_join(F.sort_array(F.array_intersect("s", funnel)), ",").alias(
+                "funnel_types"
+            ),
+            F.array_join(F.sort_array(F.array_except("s", funnel)), ",").alias("other_types"),
             F.size("s").cast("int").alias("n_types"),
         )
     )

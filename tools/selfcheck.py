@@ -6,6 +6,11 @@ parquet, and compares row count, sorted column names, and values
 bit-identical values so the driver's value-hash matches.
 
 Usage: python tools/selfcheck.py [sf_dir] [query ...]
+
+Set ``VANILLA=1`` to run against a plain ``SparkSession.builder`` session with
+none of the engine's confs — this reproduces the driver's harness exactly, so
+read-path self-containment bugs (e.g. the events nanos conf, CORRECTNESS_r01)
+surface here instead of in the round gate.
 """
 
 from __future__ import annotations
@@ -47,7 +52,21 @@ def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 and "/" in sys.argv[1] else "/root/testdata/sf0.01"
     only = [a for a in sys.argv[1:] if "/" not in a]
 
-    spark = get_spark("selfcheck")
+    import os
+
+    if os.environ.get("VANILLA"):
+        # Mimic the driver: a bare session with no engine confs beyond what any
+        # harness would set (shuffle partitions to keep local runs sane).
+        from pyspark.sql import SparkSession
+
+        spark = (
+            SparkSession.builder.master("local[32]")
+            .appName("selfcheck-vanilla")
+            .config("spark.sql.shuffle.partitions", "32")
+            .getOrCreate()
+        )
+    else:
+        spark = get_spark("selfcheck")
     qs = entrymod.queries()
     oracles = entrymod.oracle_sql()
 
