@@ -71,10 +71,14 @@ SQL_REV_DEC = "(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS
 # summing longs stays inside whole-stage codegen, and dividing the exact long
 # sum back down as a decimal reproduces the decimal sum bit-for-bit (same
 # value, same HALF_UP rounding) — oracle parity is unchanged.
-# Overflow bound: long holds ±9.2e18, so a group may sum to ~9.2e14 money
-# units at the 1e-4 scale before overflow — far above any per-group sum at
-# 100 TB. A single GLOBAL sum at extreme scale should keep _dec()
-# (q_agg_global does).
+# Overflow bound: long holds ±9.2e18 — ~9.2e14 money units at the 1e-4 scale,
+# ~9.2e12 at 1e-6. That is ample for HIGH-cardinality group keys (per-customer,
+# per-order, per-supplier sums stay tiny), but a LOW-cardinality agg funnels
+# the whole table into a handful of groups: TPC-H Q1's 4 groups at 1e-6 scale
+# wrap around sf~100-200 (Spark's non-ANSI long sum wraps silently). Those
+# queries route through _agg2/_fxmerge below: long partials bounded by input
+# partition size, exact decimal merge over #partitions×#groups rows. A single
+# GLOBAL decimal sum at extreme scale should keep _dec() (q_agg_global does).
 def _fx100(col: str) -> F.Column:
     """Exact 2-decimal double → long in units of 1e-2."""
     return F.round(F.col(col) * 100).cast("long")
@@ -94,6 +98,31 @@ def _fxsum(fx: F.Column, frac_digits: int, digits: int = 2) -> F.Column:
 def _fx_revenue() -> F.Column:
     """l_extendedprice*(1-l_discount) in units of 1e-4, exact long."""
     return _fx100("l_extendedprice") * (F.lit(100) - _fx100("l_discount"))
+
+
+def _agg2(df: DataFrame, keys: list[str], partials: list[F.Column], finals: list[F.Column]) -> DataFrame:
+    """Two-level aggregation for LOW-cardinality group keys.
+
+    Level 1 groups by (keys + input partition id): the long fixed-point
+    partial sums run fully inside whole-stage codegen and each only ever sees
+    one input partition (~128 MB ≈ 6e6 rows), so no partial can approach 2^63
+    even at 1e-6 scale — a task would need ~2.6e10 rows to wrap, and AQE skew
+    splitting bounds tasks far below that. Level 2 merges the partials under
+    exact decimal arithmetic over #partitions × #groups rows, so the decimal
+    slow path costs nothing. Map-side combine makes both exchanges move only
+    pre-aggregated rows; the value is bit-identical to a single-level sum
+    (integer/decimal addition is associative), so oracle parity is unchanged.
+    """
+    lvl1 = df.groupBy(*keys, F.spark_partition_id().alias("_fx_part")).agg(*partials)
+    return lvl1.groupBy(*keys).agg(*finals)
+
+
+def _fxmerge(partial: str, frac_digits: int, digits: int = 2) -> F.Column:
+    """Merge level-1 long fixed-point partials exactly: decimal sum → scale
+    down → round → double. Value-identical to _fxsum on the same input."""
+    total = F.sum(F.col(partial).cast("decimal(38,0)"))
+    denom = F.lit(10**frac_digits).cast(f"decimal({frac_digits + 1},0)")
+    return F.round(total / denom, digits).cast("double")
 
 
 # --------------------------------------------------------------------------
@@ -205,18 +234,22 @@ def q_join_inner(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q_join_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """5-way star join; nation/region broadcast (fixed 25/5 rows at any SF)."""
+    """5-way star join; nation/region broadcast (fixed 25/5 rows at any SF).
+    The 25-group revenue sum is two-level (_agg2): at 1e-4 fixed-point scale
+    a single-level long sum sits within ~10% of 2^63 at 100 TB lineitem —
+    too close to wrap under skew."""
     t = load_tables(spark, sf_dir)
-    return (
+    joined = (
         t.lineitem.join(t.orders, F.col("l_orderkey") == F.col("o_orderkey"))
         .join(t.customer, F.col("o_custkey") == F.col("c_custkey"))
         .join(F.broadcast(t.nation), F.col("c_nationkey") == F.col("n_nationkey"))
         .join(F.broadcast(t.region), F.col("n_regionkey") == F.col("r_regionkey"))
-        .groupBy("r_name", "n_name")
-        .agg(
-            _fxsum(_fx_revenue(), 4).alias("revenue"),
-            F.count("*").alias("n_lines"),
-        )
+    )
+    return _agg2(
+        joined,
+        ["r_name", "n_name"],
+        partials=[F.sum(_fx_revenue()).alias("p_rev"), F.count("*").alias("p_n")],
+        finals=[_fxmerge("p_rev", 4).alias("revenue"), F.sum("p_n").alias("n_lines")],
     )
 
 
@@ -293,19 +326,20 @@ def q_join_semi_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_join_range(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Equi key + range predicate: Spark plans the equi-hash join and applies
-    the range residual as a post-join filter — no nested-loop blowup."""
+    the range residual as a post-join filter — no nested-loop blowup. The
+    25-brand revenue sum is two-level (_agg2) for the same 1e-4-scale
+    overflow headroom reason as q_join_multi."""
     t = load_tables(spark, sf_dir)
-    return (
-        t.lineitem.join(
-            t.part,
-            (F.col("l_partkey") == F.col("p_partkey"))
-            & (F.col("l_quantity") < F.col("p_size")),
-        )
-        .groupBy("p_brand")
-        .agg(
-            F.count("*").alias("n_lines"),
-            _fxsum(_fx_revenue(), 4).alias("revenue"),
-        )
+    joined = t.lineitem.join(
+        t.part,
+        (F.col("l_partkey") == F.col("p_partkey"))
+        & (F.col("l_quantity") < F.col("p_size")),
+    )
+    return _agg2(
+        joined,
+        ["p_brand"],
+        partials=[F.sum(_fx_revenue()).alias("p_rev"), F.count("*").alias("p_n")],
+        finals=[F.sum("p_n").alias("n_lines"), _fxmerge("p_rev", 4).alias("revenue")],
     )
 
 
@@ -391,26 +425,50 @@ def q_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q_agg_group(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q1 pricing summary: scan→filter→project→partial agg→final agg.
-    The whole pipeline is one shuffle (on the 2-column group key)."""
+    """TPC-H Q1 pricing summary: scan→filter→per-partition partial agg→exact
+    decimal merge. Two-level (_agg2) because Q1 has only 4 groups: a
+    single-level long sum at 1e-6 fixed-point scale would silently wrap
+    around sf~100-200; the long partials stay bounded by input partition
+    size and the decimal merge handles the unbounded totals exactly. The
+    data-bearing exchange still moves only pre-aggregated rows."""
     t = load_tables(spark, sf_dir)
-    return (
-        t.lineitem.filter(F.col("l_shipdate") <= "1998-09-02")
-        .groupBy("l_returnflag", "l_linestatus")
-        .agg(
-            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
-            _fxsum(_fx100("l_extendedprice"), 2).alias("sum_base_price"),
-            _fxsum(_fx_revenue(), 4).alias("sum_disc_price"),
-            _fxsum(_fx_revenue() * (F.lit(100) + _fx100("l_tax")), 6).alias("sum_charge"),
-            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+    base = t.lineitem.filter(F.col("l_shipdate") <= "1998-09-02")
+    n = F.sum("p_n")
+    return _agg2(
+        base,
+        ["l_returnflag", "l_linestatus"],
+        partials=[
+            F.sum("l_quantity").alias("p_qty"),
+            F.sum(_fx100("l_extendedprice")).alias("p_base"),
+            F.sum(_fx_revenue()).alias("p_disc"),
+            F.sum(_fx_revenue() * (F.lit(100) + _fx100("l_tax"))).alias("p_charge"),
+            F.sum(_fx100("l_discount")).alias("p_drate"),
+            F.count("*").alias("p_n"),
+        ],
+        finals=[
+            F.round(F.sum("p_qty"), 2).alias("sum_qty"),
+            _fxmerge("p_base", 2).alias("sum_base_price"),
+            _fxmerge("p_disc", 4).alias("sum_disc_price"),
+            _fxmerge("p_charge", 6).alias("sum_charge"),
+            F.round(F.sum("p_qty") / n, 4).alias("avg_qty"),
             F.round(
-                _fx2dec(F.sum(_fx100("l_extendedprice")), 2).cast("double") / F.count("*"), 4
+                (
+                    F.sum(F.col("p_base").cast("decimal(38,0)"))
+                    / F.lit(100).cast("decimal(3,0)")
+                ).cast("double")
+                / n,
+                4,
             ).alias("avg_price"),
-            F.round(F.sum(_dec_rate("l_discount")).cast("double") / F.count("*"), 4).alias(
-                "avg_disc"
-            ),
-            F.count("*").alias("count_order"),
-        )
+            F.round(
+                (
+                    F.sum(F.col("p_drate").cast("decimal(38,0)"))
+                    / F.lit(100).cast("decimal(3,0)")
+                ).cast("double")
+                / n,
+                4,
+            ).alias("avg_disc"),
+            F.sum("p_n").alias("count_order"),
+        ],
     )
 
 
