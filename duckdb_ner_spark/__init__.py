@@ -80,11 +80,24 @@ class NerEngine:
 
         register_ner_functions(self.spark)
 
-    def set_model_path(self, path: str | None) -> None:
+    def set_model_path(self, path: str | None, validate: bool = False) -> None:
         """``SET ner_model_path`` analogue (src/ner_extension.cpp:183-186,
         215-217): record the path and re-snapshot the registered UDFs. Like
         the reference, a bad path never errors here — executors fall back to
-        the empty-result stub on first use (test/sql/ner.test:39-51)."""
+        the empty-result stub on first use (test/sql/ner.test:39-51).
+
+        ``validate=True`` mirrors the reference's SET-time behavior more
+        closely: the reference loads the model synchronously inside the SET
+        callback (driver-side), so a bad file is discovered immediately
+        (though still silently — it logs and later yields ``[]``). With
+        validate on, we eagerly load driver-side and raise ``ValueError`` on
+        an unloadable file — strictly louder than the reference, useful when
+        a silent empty-result fallback would waste a cluster-sized job."""
+        if path is not None and validate:
+            from .ner.model import load_model
+
+            if load_model(path) is None:
+                raise ValueError(f"ner model failed to load: {path!r}")
         if path is None:
             self.spark.conf.unset(CONF_MODEL_PATH)
         else:

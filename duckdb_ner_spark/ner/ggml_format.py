@@ -144,15 +144,52 @@ def read_ggml(path: str) -> GgmlModelFile | None:
         return None
 
 
+def _quant_q4_0_modern(arr: np.ndarray) -> bytes:
+    """ggml quantize_row_q4_0: per 32-block signed-max scale d = max/-8
+    (stored f16), nibbles = trunc(x/d + 8.5) capped at 15; elements 0-15 in
+    low nibbles, 16-31 in high."""
+    x = np.ascontiguousarray(arr, dtype=np.float32).reshape(-1, _Q4_BLOCK)
+    idx = np.argmax(np.abs(x), axis=1)
+    maxv = x[np.arange(len(x)), idx]
+    d = maxv / -8.0
+    inv = np.divide(1.0, d, out=np.zeros_like(d), where=d != 0)
+    q = np.minimum((x * inv[:, None] + 8.5).astype(np.int32), 15).astype(np.uint8)
+    out = np.empty((len(x), _Q4_BYTES_MODERN), dtype=np.uint8)
+    out[:, :2] = np.ascontiguousarray(d.astype(np.float16)).view(np.uint8).reshape(-1, 2)
+    out[:, 2:] = q[:, :16] | (q[:, 16:] << 4)
+    return out.tobytes()
+
+
+def _quant_q4_0_legacy(arr: np.ndarray) -> bytes:
+    """2023-era q4_0: per 32-block d = amax/7 (stored f32), nibbles =
+    roundf(x/d) + 8 (round half away from zero), consecutive elements
+    interleaved pairwise (even → low nibble, odd → high)."""
+    x = np.ascontiguousarray(arr, dtype=np.float32).reshape(-1, _Q4_BLOCK)
+    d = np.abs(x).max(axis=1) / 7.0
+    inv = np.divide(1.0, d, out=np.zeros_like(d), where=d != 0)
+    v = x * inv[:, None]
+    q = (np.floor(np.abs(v) + 0.5) * np.sign(v)).astype(np.int32) + 8
+    q = np.clip(q, 0, 15).astype(np.uint8)
+    out = np.empty((len(x), _Q4_BYTES_LEGACY), dtype=np.uint8)
+    out[:, :4] = np.ascontiguousarray(d.astype(np.float32)).view(np.uint8).reshape(-1, 4)
+    out[:, 4:] = q[:, 0::2] | (q[:, 1::2] << 4)
+    return out.tobytes()
+
+
 def write_ggml(
     path: str,
     hparams: dict[str, int],
     vocab: list[str],
     tensors: dict[str, np.ndarray],
+    q4_legacy: bool = False,
 ) -> None:
     """Writer — our analogue of the reference's converter (A17): same
-    container, produced from numpy arrays. 2-D float16 when ftype==1,
-    mirroring convert_ner_to_ggml.py:77-82."""
+    container, produced from numpy arrays. 2-D weights are float16 when
+    ftype==1 (mirroring convert_ner_to_ggml.py:77-82) or q4_0 when ftype==2
+    (the reference's quantized path, src/ner_model.cpp:194); biases and 1-D
+    tensors stay f32, as in every ggml converter. ``q4_legacy`` selects the
+    2023-era 20-byte block layout (see module header) — the reader
+    auto-detects either."""
     ftype = int(hparams.get("ftype", 0))
     with open(path, "wb") as f:
         f.write(struct.pack("<I", MAGIC))
@@ -163,11 +200,18 @@ def write_ggml(
             f.write(b)
         for name, arr in tensors.items():
             arr = np.asarray(arr)
-            use_f16 = ftype == F16 and name.endswith(".weight") and arr.ndim == 2
-            data = arr.astype(np.float16 if use_f16 else np.float32)
+            eligible = name.endswith(".weight") and arr.ndim == 2
+            t_ftype = F32
+            if ftype == F16 and eligible:
+                t_ftype = F16
+            elif ftype == Q4_0 and eligible and arr.size % _Q4_BLOCK == 0:
+                t_ftype = Q4_0
             nb = name.encode("utf-8")
-            f.write(struct.pack("<3i", arr.ndim, len(nb), F16 if use_f16 else F32))
+            f.write(struct.pack("<3i", arr.ndim, len(nb), t_ftype))
             for i in range(arr.ndim):
                 f.write(struct.pack("<i", arr.shape[arr.ndim - 1 - i]))
             f.write(nb)
-            data.tofile(f)
+            if t_ftype == Q4_0:
+                f.write(_quant_q4_0_legacy(arr) if q4_legacy else _quant_q4_0_modern(arr))
+            else:
+                arr.astype(np.float16 if t_ftype == F16 else np.float32).tofile(f)

@@ -17,6 +17,27 @@ class Vocab:
     token_to_id: dict[str, int] = field(default_factory=dict)
     subword_token_to_id: dict[str, int] = field(default_factory=dict)
     _id_to_token: dict[int, str] = field(default_factory=dict)
+    # UTF-8-byte-keyed twins of the two maps, built lazily: the tokenizer
+    # matches over word BYTES to reproduce the reference's std::string
+    # semantics (ner_model.cpp:135-155) exactly for non-ASCII input.
+    _token_bytes: dict[bytes, int] | None = field(default=None, repr=False)
+    _subword_bytes: dict[bytes, int] | None = field(default=None, repr=False)
+    # word → token-id-list memo used by tokenizer._tokenize_word.
+    word_cache: dict[str, list[int]] = field(default_factory=dict, repr=False)
+
+    @property
+    def token_bytes_to_id(self) -> dict[bytes, int]:
+        if self._token_bytes is None:
+            self._token_bytes = {t.encode("utf-8"): i for t, i in self.token_to_id.items()}
+        return self._token_bytes
+
+    @property
+    def subword_bytes_to_id(self) -> dict[bytes, int]:
+        if self._subword_bytes is None:
+            self._subword_bytes = {
+                t.encode("utf-8"): i for t, i in self.subword_token_to_id.items()
+            }
+        return self._subword_bytes
 
     @classmethod
     def from_tokens(cls, tokens: list[str]) -> "Vocab":

@@ -19,6 +19,7 @@ from pyspark.sql import functions as F
 
 from ..plans.registry import declared
 from ..sources.catalog import load_tables
+from .textprep import sql_shingles
 
 
 def connected_components(pairs: DataFrame, a: str = "doc_a", b: str = "doc_b", max_iter: int = 20) -> DataFrame:
@@ -85,23 +86,40 @@ def collapse_near_dups(df: DataFrame, pairs: DataFrame, id_col: str = "doc_id") 
     return survivors_in_graph.unionByName(not_in_graph)
 
 
-@declared(
-    "q_dedup_clusters",
-    oracle="""
+def _clusters_oracle() -> str:
+    """Oracle with IMPLEMENTATION-EQUIVALENT edges (ADVICE r1): the pairs CTE
+    replays the exact md5 min-hash banding + Jaccard verify that
+    dedup_near_minhash runs (same construction as q_dedup_near's oracle), so
+    a borderline pair missing every LSH band is absent on BOTH sides and the
+    hash gate cannot sit on the banding recall cliff. Only the closure stays
+    orthogonal: recursive-CTE transitive expansion vs iterative min-label."""
+    from .dedup import N_BANDS, N_HASHES
+
+    mh_cols = ", ".join(f"MIN(md5('s{k}|' || s)) AS h{k}" for k in range(N_HASHES))
+    band_union = " UNION ALL ".join(
+        f"SELECT doc_id, {b} AS band, h{2 * b} || h{2 * b + 1} AS sig FROM mh"
+        for b in range(N_BANDS)
+    )
+    return f"""
     WITH RECURSIVE docs AS (
         SELECT doc_id, string_split(text, ' ') AS ws FROM documents
     ), sh AS (
-        SELECT doc_id,
-               CASE WHEN len(ws) >= 3 THEN
-                 list_distinct([ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]
-                                FOR i IN range(1, len(ws) - 1)])
-               ELSE [] END AS shingles
-        FROM docs
+        SELECT doc_id, {sql_shingles(3)} AS shingles FROM docs
+    ), e AS (
+        SELECT doc_id, unnest(shingles) AS s FROM sh
+    ), mh AS (
+        SELECT doc_id, {mh_cols} FROM e GROUP BY doc_id
+    ), bands AS (
+        {band_union}
+    ), cand AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM bands a JOIN bands b ON a.band = b.band AND a.sig = b.sig
+        WHERE a.doc_id < b.doc_id
     ), pairs AS (
-        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
-        FROM sh a JOIN sh b ON a.doc_id < b.doc_id
-        WHERE len(list_intersect(a.shingles, b.shingles)) * 1.0
-              / len(list_distinct(a.shingles || b.shingles)) >= 0.6
+        SELECT doc_a, doc_b
+        FROM cand JOIN sh x ON x.doc_id = doc_a JOIN sh y ON y.doc_id = doc_b
+        WHERE LEN(LIST_INTERSECT(x.shingles, y.shingles)) * 1.0
+              / LEN(LIST_DISTINCT(x.shingles || y.shingles)) >= 0.6
     ), edges AS (
         SELECT doc_a AS u, doc_b AS v FROM pairs
         UNION SELECT doc_b, doc_a FROM pairs
@@ -109,18 +127,20 @@ def collapse_near_dups(df: DataFrame, pairs: DataFrame, id_col: str = "doc_id") 
         -- transitive closure by recursive expansion (pair graph is tiny)
         SELECT u, v FROM edges
         UNION
-        SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u
+        SELECT r.u, e2.v FROM reach r JOIN edges e2 ON r.v = e2.u
     )
     SELECT n.u AS node, LEAST(n.u, MIN(r.v)) AS comp
     FROM (SELECT DISTINCT u FROM edges) n
     LEFT JOIN reach r ON r.u = n.u
     GROUP BY n.u
-    """,
-)
+    """
+
+
+@declared("q_dedup_clusters", oracle=_clusters_oracle())
 def q_dedup_clusters(spark, sf_dir: str) -> DataFrame:
     """Near-dup clusters: MinHash-LSH pairs → iterative min-label components.
-    The DuckDB oracle recomputes components via brute-force pairs + a
-    recursive-CTE transitive closure — fully orthogonal implementation."""
+    Edges replayed by the oracle (see _clusters_oracle); the closure itself is
+    an orthogonal recursive-CTE implementation."""
     from .dedup import dedup_near_minhash
 
     t = load_tables(spark, sf_dir)

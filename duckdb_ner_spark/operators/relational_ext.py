@@ -970,3 +970,52 @@ def q_part_margin(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("margin_ratio"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# C10b as-of join, forward direction + tolerance bound
+# --------------------------------------------------------------------------
+@declared(
+    "q_asof_tol",
+    oracle="""
+    SELECT p.event_id,
+           p.user_id,
+           CAST(( SELECT MIN(c.ts) FROM events c
+                  WHERE c.user_id = p.user_id
+                    AND c.event_type = 'click'
+                    AND c.ts >= p.ts
+                    AND c.ts <= p.ts + INTERVAL 1 HOUR ) AS VARCHAR) AS next_click_ts
+    FROM events p
+    WHERE p.event_type = 'purchase'
+    """,
+)
+def q_asof_tol(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join, forward + tolerance: each purchase matched to the EARLIEST
+    click at-or-after its timestamp by the same user, but only within the next
+    hour (matches outside the bound null out). Covers the operator's other
+    direction and the tolerance parameter (operators/asof.py:79-110); q_asof
+    covers backward/unbounded. Same union+window plan — one shuffle on
+    user_id, no candidate-pair blowup at scale. Oracle is the equivalent
+    bounded correlated subquery."""
+    from .asof import asof_join
+
+    t = load_tables(spark, sf_dir)
+    ev = t.events
+    left = ev.filter(F.col("event_type") == "purchase").select("event_id", "user_id", "ts")
+    right = ev.filter(F.col("event_type") == "click").select(
+        "user_id", F.col("ts").alias("click_ts")
+    )
+    joined = asof_join(
+        left,
+        right,
+        on="user_id",
+        left_ts="ts",
+        right_ts="click_ts",
+        direction="forward",
+        tolerance="1 HOUR",
+    )
+    return joined.select(
+        "event_id",
+        "user_id",
+        F.col("click_ts").cast("string").alias("next_click_ts"),
+    )

@@ -75,9 +75,17 @@ def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     tag = hashlib.md5(sf_dir.encode()).hexdigest()[:12]
     stage = os.path.join(tempfile.gettempdir(), f"events_stream_{tag}")
     os.makedirs(stage, exist_ok=True)
+    source = f"{sf_dir}/events.parquet"
     target = f"{stage}/events.parquet"
-    if not os.path.exists(target):
-        shutil.copy(f"{sf_dir}/events.parquet", target)
+    # Refresh the staged copy whenever the source changed (mtime/size):
+    # regenerated testdata at the same path must not leave batch/stream
+    # parity comparing different data through a stale copy (ADVICE r1).
+    if os.path.exists(target):
+        s, t = os.stat(source), os.stat(target)
+        if (s.st_mtime, s.st_size) != (t.st_mtime, t.st_size):
+            shutil.copy2(source, target)
+    else:
+        shutil.copy2(source, target)
     raw = spark.readStream.schema(EVENTS_SCHEMA).parquet(stage)
     return _normalize(raw)
 

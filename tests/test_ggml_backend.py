@@ -68,6 +68,30 @@ def test_q4_0_dequant_legacy_interleaved():
     np.testing.assert_array_equal(out, np.array(expect, dtype=np.float32))
 
 
+def test_roundtrip_q4_0_both_layouts(tiny_model, tmp_path):
+    """ftype=2 writes real q4_0 blocks (both historical layouts); read_ggml
+    auto-detects each and dequantizes within one quantization step of the
+    original weights (block step = scale; error bound step/2 + f16 scale
+    rounding). 1-D tensors stay f32 exactly, as in every ggml converter."""
+    path, hp, t = tiny_model
+    vocab = read_ggml(path).vocab
+    w = "encoder.layer.0.attention.self.query.weight"
+    for legacy in (False, True):
+        pq = str(tmp_path / f"tiny_q4_{legacy}.bin")
+        write_ggml(pq, dict(hp, ftype=2), vocab, t, q4_legacy=legacy)
+        mf = read_ggml(pq)
+        assert mf is not None, f"auto-detect failed (legacy={legacy})"
+        arr = t[w].astype(np.float32)
+        step = np.abs(arr.reshape(-1, 32)).max(axis=1) / 7.0  # coarsest scale
+        tol = float(step.max()) * 0.6 + 1e-3
+        np.testing.assert_allclose(mf.tensors[w], arr, atol=tol)
+        # quantized read is NOT bit-equal to f32 (the lossy branch really ran)
+        assert not np.array_equal(mf.tensors[w], arr)
+        np.testing.assert_array_equal(
+            mf.tensors["embeddings.LayerNorm.weight"], t["embeddings.LayerNorm.weight"]
+        )
+
+
 def test_bad_magic_rejected(tmp_path):
     # the reference's bundled placeholder spells 'ggml' in ASCII — wrong
     # byte order for the LE magic check → must NOT load
@@ -132,4 +156,18 @@ def test_ggml_model_through_spark_udf(tiny_model, engine):
     for ent in rows[0].e:
         assert ent.label in LABEL_MAP
     assert rows[0].empty is not None
+    engine.set_model_path(None)
+
+
+def test_set_model_path_validate(tiny_model, engine, tmp_path):
+    """validate=True eagerly loads at SET time (reference loads in the SET
+    callback, src/ner_extension.cpp:183-186) and raises on an unloadable
+    file; default stays silent like the reference."""
+    path, _, _ = tiny_model
+    engine.set_model_path(path, validate=True)  # loadable: no error
+    bad = tmp_path / "bad.bin"
+    bad.write_bytes(b"ggml1234")  # ASCII magic — never loads
+    engine.set_model_path(str(bad))  # silent, reference default
+    with pytest.raises(ValueError, match="failed to load"):
+        engine.set_model_path(str(bad), validate=True)
     engine.set_model_path(None)

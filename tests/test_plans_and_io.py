@@ -31,13 +31,19 @@ def test_small_dim_join_broadcasts(spark):
 
 
 def test_flagship_plan_is_single_shuffle(spark):
-    """TPC-H Q1 shape: one exchange (the group-by), wholestage codegen on."""
+    """TPC-H Q1 shape: two exchanges, both post-partial-aggregation (level 1
+    groups by (key, input partition) so each moves only #mappers × #groups
+    pre-aggregated rows — the _agg2 overflow-safe form; the data-bearing scan
+    stage still aggregates before any shuffle). Wholestage codegen on."""
     import __spark_entry__ as e
     from duckdb_ner_spark.plans.inspect import plan_report
 
     df = e.queries()["q_agg_group"](spark, SF_SMOKE)
     rep = plan_report(df)
-    assert rep.n_exchanges == 1, rep.summary()
+    assert rep.n_exchanges == 2, rep.summary()
+    # both exchanges sit ABOVE a partial HashAggregate: no raw-row shuffle
+    plan = df._jdf.queryExecution().optimizedPlan().toString()
+    assert "spark_partition_id" in plan.lower()
     assert not rep.has_python_udf
     # codegen spans only materialize in the AQE-final (executed) plan
     df.collect()

@@ -61,3 +61,22 @@ def test_truncation_exact_boundary():
 
 def test_empty_string():
     assert tokenize(V, "", 512) == ids("[CLS]", "[SEP]")
+
+
+def test_byte_level_skip_and_word_cache():
+    """Byte-level parity (ner_model.cpp:152-155): unknown non-ASCII chars are
+    skipped byte-at-a-time over the UTF-8 encoding; UTF-8 self-synchronization
+    means mid-sequence offsets never match a valid-UTF-8 vocab, so ASCII
+    behavior is unchanged — this pins the multi-byte skip path and the
+    per-word memo cache."""
+    from duckdb_ner_spark.ner.tokenizer import tokenize
+    from duckdb_ner_spark.ner.vocab import Vocab
+
+    v = Vocab.from_tokens(["[CLS]", "[SEP]", "duck", "##db", "x"])
+    # '€' is 3 UTF-8 bytes, none matching: 3 single-byte skips, then 'x'
+    # matches from the SUBWORD map (the word switched maps on first skip —
+    # and 'x' is full-word only, so nothing is emitted for it).
+    assert tokenize(v, "€x duckdb", 16) == [0, 2, 3, 1]
+    # cache is populated per distinct word and reused
+    assert set(v.word_cache) == {"€x", "duckdb"}
+    assert tokenize(v, "duckdb duckdb", 16) == [0, 2, 3, 2, 3, 1]

@@ -1,0 +1,62 @@
+"""DuckDB-side timing of the headline queries' oracle SQL (the de facto
+baseline — the reference publishes no numbers, BASELINE.md).
+
+Runs each oracle at $SPARK_GRAFT_SF_DIR, best-of-2 after one warmup, and
+prints one JSON line mirroring bench.py so ratios are per-query comparable.
+Queries without an oracle (q_ner*) are skipped and reported as null.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main() -> None:
+    import duckdb
+
+    import __spark_entry__ as entrymod
+    from bench import HEADLINE
+
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or "0.1")
+
+    oracles = entrymod.oracle_sql()
+    con = duckdb.connect()
+    for t in "region nation customer supplier part orders lineitem events documents embeddings".split():
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+
+    timings: dict[str, float | None] = {}
+    for name in HEADLINE:
+        sql = oracles.get(name)
+        if sql is None:
+            timings[name] = None
+            continue
+        con.execute(sql).fetchall()  # warmup (buffer pool)
+        best = float("inf")
+        for _ in range(2):
+            t0 = time.time()
+            con.execute(sql).fetchall()
+            best = min(best, time.time() - t0)
+        timings[name] = round(best, 3)
+
+    total = round(sum(v for v in timings.values() if v is not None), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "duckdb_oracle_total",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()
