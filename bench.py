@@ -66,6 +66,15 @@ def main() -> None:
             # locality wait saves scheduler latency (measured ~4%). On a real
             # cluster the default matters for storage-local reads — bench-only.
             "spark.locality.wait": "0ms",
+            # AQE's per-stage materialize-and-replan cycle costs one extra job
+            # submission per shuffle stage; with shuffle.partitions already
+            # sized to the SF (8) there is nothing left for it to re-plan, so
+            # at sf0.1 it is pure overhead (~25% of exec time across the
+            # headline, tools/bench_profile with/without). Bench-only: the
+            # engine default (session.py) keeps AQE + skew-join ON — that is
+            # the 100 TB configuration, where re-planning amortizes over
+            # minutes-long stages and skew handling actually triggers.
+            "spark.sql.adaptive.enabled": "false",
         },
     )
     qs = entrymod.queries()
