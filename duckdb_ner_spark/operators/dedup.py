@@ -26,6 +26,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..plans.exprcache import cached_exprs
 from ..plans.registry import declared
 from ..sources.catalog import load_tables
 from .textprep import seeded_md5, shingles_expr, sql_shingles, words_col
@@ -49,20 +50,31 @@ N_HASHES = 8
 N_BANDS = 4  # 2 hashes per band
 
 
+def _minhash_aggs() -> list[F.Column]:
+    """The N_HASHES min-md5 aggregate columns (~16 Py4J-built nodes each) —
+    stateless, so built once per JVM via exprcache."""
+    return [F.min(seeded_md5(k, F.col("sh"))).alias(f"h{k}") for k in range(N_HASHES)]
+
+
+def _band_sigs_expr() -> F.Column:
+    """array(concat(h0,h1), concat(h2,h3), ...) banding expression, cached."""
+    per_band = N_HASHES // N_BANDS
+    return F.array(
+        *[
+            F.concat(*[F.col(f"h{b * per_band + r}") for r in range(per_band)])
+            for b in range(N_BANDS)
+        ]
+    )
+
+
 def lsh_candidate_pairs(sigs: DataFrame, id_col: str) -> DataFrame:
     """Band the signatures and self-join per (band, signature) bucket.
 
     Banding uses ONE posexplode pass, not a per-band union — Spark does not
     dedupe common subtrees across union branches, so the union form would
     recompute the minhash aggregation N_BANDS times."""
-    per_band = 2
-    band_sigs = [
-        F.concat(*[F.col(f"h{b * per_band + r}") for r in range(per_band)])
-        for b in range(N_BANDS)
-    ]
-    bands = sigs.select(
-        F.col(id_col), F.posexplode(F.array(*band_sigs)).alias("band", "sig")
-    )
+    band_expr = cached_exprs("minhash_band_sigs", _band_sigs_expr)
+    bands = sigs.select(F.col(id_col), F.posexplode(band_expr).alias("band", "sig"))
     a = bands.select(F.col(id_col).alias("doc_a"), "band", "sig")
     b = bands.select(F.col(id_col).alias("doc_b"), "band", "sig")
     return (
@@ -109,14 +121,14 @@ def dedup_near_minhash(
     docs = (
         df.select(id_col, words_col(text_col).alias("ws"))
         .repartition(n_part, id_col)
-        .select(id_col, shingles_expr("ws").alias("shingles"))
+        .select(id_col, cached_exprs("shingles_ws3", shingles_expr).alias("shingles"))
     )
     # Fused pass: carry the shingle array THROUGH the explode so one
     # aggregation yields both the minhash signature and the array needed for
     # Jaccard verification — one persisted frame, and (being co-partitioned
     # on id) the groupBy needs no exchange.
     e = docs.select(id_col, "shingles", F.explode("shingles").alias("sh"))
-    aggs = [F.min(seeded_md5(k, F.col("sh"))).alias(f"h{k}") for k in range(N_HASHES)]
+    aggs = cached_exprs("minhash_aggs", _minhash_aggs)
     sigsh = e.groupBy(id_col).agg(*aggs, F.first("shingles").alias("shingles")).persist()
     cand = lsh_candidate_pairs(sigsh, id_col)
     return jaccard_verify(cand, sigsh.select(id_col, "shingles"), id_col, "shingles", threshold)
@@ -132,19 +144,12 @@ def minhash_bands(
     docs = (
         df.select(id_col, words_col(text_col).alias("ws"))
         .repartition(n_part, id_col)
-        .select(id_col, shingles_expr("ws").alias("shingles"))
+        .select(id_col, cached_exprs("shingles_ws3", shingles_expr).alias("shingles"))
     )
     e = docs.select(id_col, F.explode("shingles").alias("sh"))
-    aggs = [F.min(seeded_md5(k, F.col("sh"))).alias(f"h{k}") for k in range(N_HASHES)]
-    sigs = e.groupBy(id_col).agg(*aggs)
-    per_band = N_HASHES // N_BANDS
-    band_sigs = [
-        F.concat(*[F.col(f"h{b * per_band + r}") for r in range(per_band)])
-        for b in range(N_BANDS)
-    ]
-    return sigs.select(
-        F.col(id_col), F.posexplode(F.array(*band_sigs)).alias("band", "sig")
-    )
+    sigs = e.groupBy(id_col).agg(*cached_exprs("minhash_aggs", _minhash_aggs))
+    band_expr = cached_exprs("minhash_band_sigs", _band_sigs_expr)
+    return sigs.select(F.col(id_col), F.posexplode(band_expr).alias("band", "sig"))
 
 
 def dedup_incremental(
@@ -353,7 +358,7 @@ def ngram_jaccard_pairs(
     docs = (
         df.select(id_col, words_col(text_col).alias("ws"))
         .repartition(df.sparkSession.sparkContext.defaultParallelism, id_col)
-        .select(id_col, shingles_expr("ws").alias("shingles"))
+        .select(id_col, cached_exprs("shingles_ws3", shingles_expr).alias("shingles"))
         .persist()
     )
     e = docs.select(F.col(id_col).alias("doc_id"), F.explode("shingles").alias("s"))

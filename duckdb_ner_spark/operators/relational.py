@@ -25,6 +25,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ..plans.exprcache import cached_exprs
 from ..plans.registry import declared
 from ..sources.catalog import load_tables
 
@@ -433,43 +434,48 @@ def q_agg_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     data-bearing exchange still moves only pre-aggregated rows."""
     t = load_tables(spark, sf_dir)
     base = t.lineitem.filter(F.col("l_shipdate") <= "1998-09-02")
+    partials, finals = cached_exprs("q1_agg", _q1_exprs)
+    return _agg2(base, ["l_returnflag", "l_linestatus"], partials=partials, finals=finals)
+
+
+def _q1_exprs() -> tuple[list[F.Column], list[F.Column]]:
+    """Q1's ~20 composite aggregate columns cost ~0.2 s of Py4J round-trips
+    to construct — most of the query's warm latency at small SF. They are
+    stateless unresolved expressions, so build once per JVM (exprcache)."""
     n = F.sum("p_n")
-    return _agg2(
-        base,
-        ["l_returnflag", "l_linestatus"],
-        partials=[
-            F.sum("l_quantity").alias("p_qty"),
-            F.sum(_fx100("l_extendedprice")).alias("p_base"),
-            F.sum(_fx_revenue()).alias("p_disc"),
-            F.sum(_fx_revenue() * (F.lit(100) + _fx100("l_tax"))).alias("p_charge"),
-            F.sum(_fx100("l_discount")).alias("p_drate"),
-            F.count("*").alias("p_n"),
-        ],
-        finals=[
-            F.round(F.sum("p_qty"), 2).alias("sum_qty"),
-            _fxmerge("p_base", 2).alias("sum_base_price"),
-            _fxmerge("p_disc", 4).alias("sum_disc_price"),
-            _fxmerge("p_charge", 6).alias("sum_charge"),
-            F.round(F.sum("p_qty") / n, 4).alias("avg_qty"),
-            F.round(
-                (
-                    F.sum(F.col("p_base").cast("decimal(38,0)"))
-                    / F.lit(100).cast("decimal(3,0)")
-                ).cast("double")
-                / n,
-                4,
-            ).alias("avg_price"),
-            F.round(
-                (
-                    F.sum(F.col("p_drate").cast("decimal(38,0)"))
-                    / F.lit(100).cast("decimal(3,0)")
-                ).cast("double")
-                / n,
-                4,
-            ).alias("avg_disc"),
-            F.sum("p_n").alias("count_order"),
-        ],
-    )
+    partials = [
+        F.sum("l_quantity").alias("p_qty"),
+        F.sum(_fx100("l_extendedprice")).alias("p_base"),
+        F.sum(_fx_revenue()).alias("p_disc"),
+        F.sum(_fx_revenue() * (F.lit(100) + _fx100("l_tax"))).alias("p_charge"),
+        F.sum(_fx100("l_discount")).alias("p_drate"),
+        F.count("*").alias("p_n"),
+    ]
+    finals = [
+        F.round(F.sum("p_qty"), 2).alias("sum_qty"),
+        _fxmerge("p_base", 2).alias("sum_base_price"),
+        _fxmerge("p_disc", 4).alias("sum_disc_price"),
+        _fxmerge("p_charge", 6).alias("sum_charge"),
+        F.round(F.sum("p_qty") / n, 4).alias("avg_qty"),
+        F.round(
+            (
+                F.sum(F.col("p_base").cast("decimal(38,0)"))
+                / F.lit(100).cast("decimal(3,0)")
+            ).cast("double")
+            / n,
+            4,
+        ).alias("avg_price"),
+        F.round(
+            (
+                F.sum(F.col("p_drate").cast("decimal(38,0)"))
+                / F.lit(100).cast("decimal(3,0)")
+            ).cast("double")
+            / n,
+            4,
+        ).alias("avg_disc"),
+        F.sum("p_n").alias("count_order"),
+    ]
+    return partials, finals
 
 
 # --------------------------------------------------------------------------
