@@ -208,12 +208,54 @@ def simhash64(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     )
 
 
-def simhash_near_pairs(sim: DataFrame, id_col: str, max_hamming: int = 8) -> DataFrame:
-    """Banded hamming search: 4 bands of ~16 bits; a pair within distance d
+def simhash_md5(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """60-bit SimHash whose bits come from the first 15 hex chars of
+    md5(word) — engine-portable (the DuckDB oracle replays it exactly), same
+    plan shape as simhash64: per-word hash, per-bit majority vote, JVM-side
+    reassembly. Production corpora should prefer simhash64 (xxhash64 is one
+    codegen'd instruction vs md5's digest); this form exists so the declared
+    query is differential-testable."""
+    n_part = df.sparkSession.sparkContext.defaultParallelism
+    w = (
+        df.repartition(n_part, id_col)
+        .select(id_col, F.explode(words_col(text_col)).alias("w"))
+        .withColumn("hx", F.md5("w"))
+    )
+    bits = w.select(
+        id_col, "hx", F.explode(F.sequence(F.lit(0), F.lit(59))).alias("b")
+    ).withColumn(
+        # bit b (MSB-first over the first 15 hex chars): nibble = hex char
+        # b div 4, bit within nibble = 3 - b % 4
+        "vote",
+        F.expr(
+            "CASE WHEN (CAST(conv(substr(hx, 1 + b DIV 4, 1), 16, 10) AS INT)"
+            " >> (3 - b % 4)) & 1 = 1 THEN 1 ELSE -1 END"
+        ),
+    )
+    return (
+        bits.groupBy(id_col, "b")
+        .agg(F.sum("vote").alias("v"))
+        .groupBy(id_col)
+        .agg(
+            F.sum(
+                F.expr(
+                    "CASE WHEN v > 0 THEN shiftleft(CAST(1 AS BIGINT), 59 - b)"
+                    " ELSE CAST(0 AS BIGINT) END"
+                )
+            ).alias("simhash")
+        )
+    )
+
+
+def simhash_near_pairs(
+    sim: DataFrame, id_col: str, max_hamming: int = 8, band_bits: int = 16
+) -> DataFrame:
+    """Banded hamming search: 4 bands of band_bits; a pair within distance d
     collides on ≥1 band when d < 4 (pigeonhole)."""
     sim = sim.persist()  # consumed by both sides of the band self-join
     keys = [
-        F.shiftright(F.col("simhash"), b * 16).bitwiseAND(F.lit(0xFFFF)) for b in range(4)
+        F.shiftright(F.col("simhash"), b * band_bits).bitwiseAND(F.lit((1 << band_bits) - 1))
+        for b in range(4)
     ]
     bands = sim.select(
         F.col(id_col), F.col("simhash"), F.posexplode(F.array(*keys)).alias("band", "key")
@@ -427,13 +469,48 @@ def q_dedup_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ngram_jaccard_pairs(t.documents, min_common=15, threshold=0.5)
 
 
-@declared("q_dedup_simhash")
+_SIMHASH_ORACLE = """
+    WITH words AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents
+    ), h AS (
+        SELECT doc_id, md5(w) AS hx FROM words
+    ), bits AS (
+        SELECT doc_id, b,
+               CASE WHEN ((strpos('0123456789abcdef', substr(hx, 1 + b // 4, 1)) - 1)
+                          >> (3 - (b % 4))) & 1 = 1 THEN 1 ELSE -1 END AS vote
+        FROM h, (SELECT unnest(range(60)) AS b)
+    ), votes AS (
+        SELECT doc_id, b, SUM(vote) AS v FROM bits GROUP BY doc_id, b
+    ), sim AS (
+        SELECT doc_id,
+               SUM(CASE WHEN v > 0 THEN (CAST(1 AS BIGINT) << CAST(59 - b AS INT))
+                        ELSE CAST(0 AS BIGINT) END) AS simhash
+        FROM votes GROUP BY doc_id
+    ), bands AS (
+        SELECT doc_id, simhash, b AS band, (simhash >> CAST(b * 15 AS INT)) & 32767 AS key
+        FROM sim, (SELECT unnest(range(4)) AS b)
+    ), pairs AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b2.doc_id AS doc_b,
+                        a.simhash AS sim_a, b2.simhash AS sim_b
+        FROM bands a JOIN bands b2 ON a.band = b2.band AND a.key = b2.key
+        WHERE a.doc_id < b2.doc_id
+    )
+    SELECT doc_a, doc_b, bit_count(xor(sim_a, sim_b)) AS hamming
+    FROM pairs
+    WHERE bit_count(xor(sim_a, sim_b)) <= 8
+"""
+
+
+@declared("q_dedup_simhash", oracle=_SIMHASH_ORACLE)
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash near-dup candidates (rows-only: xxhash64 is Spark-specific;
-    determinism is still exact across runs — golden-tested in pytest)."""
+    """SimHash near-dup candidates over an md5-bit SimHash (simhash_md5) so
+    the DuckDB oracle replays the construction bit-for-bit: same per-word
+    hash bits, same majority vote, same 4×15-bit banding, same hamming ≤ 8
+    verify. The xxhash64 production variant (simhash64 — cheaper hash, same
+    plan) stays golden-tested in pytest."""
     t = load_tables(spark, sf_dir)
-    sim = simhash64(t.documents, "doc_id", "text")
-    return simhash_near_pairs(sim, "doc_id", max_hamming=8)
+    sim = simhash_md5(t.documents, "doc_id", "text")
+    return simhash_near_pairs(sim, "doc_id", max_hamming=8, band_bits=15)
 
 
 from .similarity import fx_lsh_oracle_sql, lsh_cosine_pairs  # noqa: E402

@@ -1175,6 +1175,33 @@ def q_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@declared(
+    "q_sample_det",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, l_quantity
+    FROM lineitem
+    WHERE md5(CAST(l_orderkey AS VARCHAR) || '|' || CAST(l_linenumber AS VARCHAR)) < '1a'
+    """,
+)
+def q_sample_det(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic ~10% hash sample (md5-of-key < '1a' ⇒ 26/256 ≈ 10.16%).
+    Unlike seeded Bernoulli sampling (q_sample — engine- and partition-
+    dependent even when seeded), the hash filter selects the SAME rows on any
+    engine, partitioning, or cluster size — the reproducible train/eval-split
+    primitive a training-data pipeline needs. Pure scan+filter: no shuffle,
+    embarrassingly parallel at 100 TB, and downstream of column pruning the
+    scan reads only the 2 key columns plus the payload."""
+    t = load_tables(spark, sf_dir)
+    key = F.concat_ws(
+        "|",
+        F.col("l_orderkey").cast("string"),
+        F.col("l_linenumber").cast("string"),
+    )
+    return t.lineitem.filter(F.md5(key) < "1a").select(
+        "l_orderkey", "l_linenumber", "l_quantity"
+    )
+
+
 # --------------------------------------------------------------------------
 # C36 QUALIFY-equivalent (window filter)
 # --------------------------------------------------------------------------
