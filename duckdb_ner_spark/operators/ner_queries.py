@@ -22,7 +22,7 @@ from ..sources.catalog import load_tables
 DOC_STUB_MODEL = os.path.join(os.path.dirname(os.path.dirname(__file__)), "resources", "doc_stub_model.json")
 
 
-@declared("q_ner")
+@declared("q_ner", cache_plan=False)
 def q_ner(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Entity counts over documents with the committed stub model: the full
     A1-A14 dataflow (tokenize → eval → BIO merge → list<struct>) at table
@@ -43,7 +43,7 @@ def q_ner(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@declared("q_ner_bert")
+@declared("q_ner_bert", cache_plan=False)
 def q_ner_bert(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full transformer inference at table scale: a deterministic tiny BERT
     (GGML container, seeded random weights over the documents vocabulary)
@@ -76,7 +76,7 @@ def q_ner_bert(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ents.select("doc_id", F.size("entities").alias("n_entities"))
 
 
-@declared("q_ner_default_empty")
+@declared("q_ner_default_empty", cache_plan=False)
 def q_ner_default_empty(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Reference default semantics at table scale: no model ⇒ every non-null
     row yields [] (src/ner_extension.cpp:68-76). Output is a 1-row audit."""

@@ -21,6 +21,7 @@ from ..sources.catalog import load_tables
 
 @declared(
     "q_source_custom",
+    cache_plan=False,
     oracle="""
     SELECT cat,
            COUNT(*) AS n,
@@ -56,6 +57,7 @@ def _scratch(name: str, sf_dir: str) -> str:
 
 @declared(
     "q_source_csv",
+    cache_plan=False,
     oracle="""
     SELECT lang, COUNT(*) AS n, CAST(SUM(n_chars) AS BIGINT) AS total_chars
     FROM documents GROUP BY lang
@@ -78,6 +80,7 @@ def q_source_csv(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @declared(
     "q_source_json",
+    cache_plan=False,
     oracle="""
     SELECT event_type, COUNT(*) AS n,
            CAST(ROUND(SUM(CAST(value AS DECIMAL(12,2))), 2) AS DOUBLE) AS total_value

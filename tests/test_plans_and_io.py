@@ -37,7 +37,12 @@ def test_flagship_plan_is_single_shuffle(spark):
     stage still aggregates before any shuffle). Wholestage codegen on."""
     import __spark_entry__ as e
     from duckdb_ner_spark.plans.inspect import plan_report
+    from duckdb_ner_spark.plans.registry import clear_plan_cache
 
+    # plan-SHAPE assertions need a freshly constructed plan: on an already-
+    # executed cached DataFrame the AQE-final formatted plan lists each
+    # exchange twice (inside its ShuffleQueryStage and in the final tree)
+    clear_plan_cache()
     df = e.queries()["q_agg_group"](spark, SF_SMOKE)
     rep = plan_report(df)
     assert rep.n_exchanges == 2, rep.summary()
@@ -54,7 +59,9 @@ def test_flagship_plan_is_single_shuffle(spark):
 def test_topk_uses_take_ordered(spark):
     import __spark_entry__ as e
     from duckdb_ner_spark.plans.inspect import formatted_plan
+    from duckdb_ner_spark.plans.registry import clear_plan_cache
 
+    clear_plan_cache()  # fresh plan (see test_flagship_plan_is_single_shuffle)
     df = e.queries()["q_topk"](spark, SF_SMOKE)
     assert "TakeOrderedAndProject" in formatted_plan(df)
 
