@@ -9,5 +9,6 @@ from . import (  # noqa: F401
     similarity,
     sources_queries,
     textstats,
+    trainprep,
 )
 from ..functions import grouped  # noqa: F401,E402  (declared grouped-API queries)

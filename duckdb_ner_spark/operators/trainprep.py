@@ -1,0 +1,277 @@
+"""Training-data preparation operators (task Tier-D extension): distinct-count
+sketching, document chunking, repetition-based quality filtering, PII-style
+redaction. These are the remaining prep stages a 100 TB pretraining pipeline
+runs between raw ingest and tokenization, beyond dedup (operators/dedup.py),
+quality/lang-ID (operators/textstats.py) and similarity (operators/similarity.py).
+
+All four queries are JVM-side built-ins only (split / slice / sequence /
+regexp_replace / TakeOrdered) — no Python UDFs — and every one is
+hash-verified against a DuckDB replay of the identical construction
+(md5-based hashing keeps the sketch engine-portable, the same trick as
+q_dedup_near / q_dedup_simhash).
+
+Scale notes (100 TB):
+- KMV sketch: per-partition top-k mins (TakeOrderedAndProject — no wide
+  shuffle of raw rows; only k-sized partials merge at the driver-free final
+  stage). The sketch is mergeable: union two KMVs = merge + re-truncate to k,
+  which is how per-partition / per-day sketches roll up.
+- chunking: narrow per-row explode — embarrassingly parallel, output
+  partitioning inherits the input's doc_id distribution.
+- repetition filter: explode + two-level count/count-distinct keyed by
+  doc_id; bucketing documents by doc_id makes it co-located at scale.
+- redaction: pure narrow projection (regexp_replace is codegen'd) — zero
+  shuffle until the final small aggregate.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..plans.registry import declared
+from ..sources.catalog import load_tables
+
+# --------------------------------------------------------------------------
+# KMV (k-minimum-values) distinct sketch — engine-portable approx distinct
+# --------------------------------------------------------------------------
+
+KMV_K = 256
+# the k smallest raw hashes may contain duplicate keys (same key ⇒ same md5);
+# take OVERSAMPLE×k raw mins first, dedup, re-truncate. lineitem averages ~4
+# rows per l_orderkey, so 8× leaves >2× headroom of distinct hashes.
+KMV_OVERSAMPLE = 8
+
+_KMV_ORACLE = f"""
+    WITH h AS (
+        SELECT md5('kmv|' || CAST(l_orderkey AS VARCHAR)) AS h FROM lineitem
+    ), raw_mins AS (
+        SELECT h FROM h ORDER BY h LIMIT {KMV_K * KMV_OVERSAMPLE}
+    ), dk AS (
+        SELECT DISTINCT h FROM raw_mins ORDER BY h LIMIT {KMV_K}
+    ), kth AS (
+        SELECT MAX(h) AS kth_hash, COUNT(*) AS k FROM dk
+    ), v AS (
+        -- value of the 15-hex-char prefix as a 60-bit integer
+        SELECT kth.kth_hash, kth.k,
+               (SELECT SUM(CAST(strpos('0123456789abcdef', substr(kth.kth_hash, CAST(i AS INT), 1)) - 1 AS BIGINT)
+                           << CAST((15 - i) * 4 AS INT))
+                FROM range(1, 16) t(i)) AS hv
+        FROM kth
+    ), ex AS (
+        SELECT COUNT(DISTINCT l_orderkey) AS exact_distinct FROM lineitem
+    )
+    SELECT CAST(v.k AS BIGINT) AS k,
+           v.kth_hash,
+           ROUND((CAST(v.k AS DOUBLE) - 1) * 1152921504606846976 / CAST(v.hv AS DOUBLE), 2)
+               AS est_distinct,
+           ex.exact_distinct,
+           ROUND(ABS((CAST(v.k AS DOUBLE) - 1) * 1152921504606846976 / CAST(v.hv AS DOUBLE)
+                     - ex.exact_distinct) / ex.exact_distinct, 4) AS rel_err
+    FROM v, ex
+"""
+
+
+@declared("q_kmv_distinct", oracle=_KMV_ORACLE)
+def q_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV distinct-count sketch over l_orderkey, hash-verified end to end.
+
+    Complements q_approx_distinct (Spark's native HLL — engine-local, so
+    rows-only): KMV over md5 is engine-portable, so the DuckDB oracle replays
+    the sketch bit-for-bit — kth hash, estimate, and relative error all
+    hash-match. Estimator: (k-1) / frac(kth min hash), frac over the 60-bit
+    hex prefix (2^60 = 1152921504606846976). Both TakeOrdered stages are
+    per-partition heaps — raw rows never shuffle."""
+    t = load_tables(spark, sf_dir)
+    h = t.lineitem.select(
+        F.md5(F.concat(F.lit("kmv|"), F.col("l_orderkey").cast("string"))).alias("h")
+    )
+    dk = (
+        h.orderBy("h")
+        .limit(KMV_K * KMV_OVERSAMPLE)
+        .distinct()
+        .orderBy("h")
+        .limit(KMV_K)
+    )
+    kth = dk.agg(F.max("h").alias("kth_hash"), F.count("*").alias("k"))
+    # conv() parses the 15-hex-char prefix (60 bits — no sign/overflow risk)
+    hv = F.conv(F.substring("kth_hash", 1, 15), 16, 10).cast("bigint")
+    est = (F.col("k").cast("double") - 1) * F.lit(float(1 << 60)) / hv.cast("double")
+    exact = t.lineitem.agg(
+        F.countDistinct("l_orderkey").alias("exact_distinct")
+    )
+    return (
+        kth.crossJoin(exact)
+        .select(
+            F.col("k").cast("bigint").alias("k"),
+            "kth_hash",
+            F.round(est, 2).alias("est_distinct"),
+            "exact_distinct",
+            F.round(F.abs(est - F.col("exact_distinct")) / F.col("exact_distinct"), 4).alias(
+                "rel_err"
+            ),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Document chunking (training-sample windowing with overlap)
+# --------------------------------------------------------------------------
+
+CHUNK_WORDS = 50
+CHUNK_STRIDE = 40  # = 50 - 10 words of overlap
+
+_CHUNK_ORACLE = f"""
+    WITH d AS (
+        SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+    ), starts AS (
+        SELECT doc_id, ws, CAST(s AS BIGINT) AS s
+        FROM d, unnest(range(1, GREATEST(LEN(ws), 1) + 1, {CHUNK_STRIDE})) t(s)
+    )
+    SELECT doc_id,
+           CAST((s - 1) // {CHUNK_STRIDE} AS BIGINT) AS chunk_id,
+           CAST(LEN(list_slice(ws, CAST(s AS INT), LEAST(CAST(s AS INT) + {CHUNK_WORDS - 1}, LEN(ws)))) AS BIGINT)
+               AS n_words,
+           md5(array_to_string(list_slice(ws, CAST(s AS INT), LEAST(CAST(s AS INT) + {CHUNK_WORDS - 1}, LEN(ws))), ' '))
+               AS chunk_md5
+    FROM starts
+"""
+
+
+@declared("q_chunk", oracle=_CHUNK_ORACLE)
+def q_chunk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping word-window chunking: 50-word chunks, 40-word stride
+    (10-word overlap) — the standard pretraining-sample windowing. Chunks are
+    emitted as (doc_id, chunk_id, n_words, md5(chunk_text)): the md5 keeps
+    the verified result compact while still pinning the exact chunk content.
+    Narrow explode, no shuffle — at 100 TB this is a pure map stage."""
+    t = load_tables(spark, sf_dir)
+    ws = F.split(F.col("text"), " ")
+    d = t.documents.select("doc_id", ws.alias("ws"))
+    # sequence() is DESCENDING when start > stop, so clamp the stop at 1
+    starts = d.select(
+        "doc_id",
+        "ws",
+        F.explode(
+            F.sequence(F.lit(1), F.greatest(F.size("ws"), F.lit(1)), F.lit(CHUNK_STRIDE))
+        ).alias("s"),
+    )
+    chunk = F.slice(F.col("ws"), F.col("s"), CHUNK_WORDS)
+    return starts.select(
+        "doc_id",
+        ((F.col("s") - 1) / CHUNK_STRIDE).cast("bigint").alias("chunk_id"),
+        F.size(chunk).cast("bigint").alias("n_words"),
+        F.md5(F.concat_ws(" ", chunk)).alias("chunk_md5"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Repetition-ratio quality filter (duplicate-2-gram share per document)
+# --------------------------------------------------------------------------
+
+REP_FLAG_THRESHOLD = 0.5
+
+_REPETITION_ORACLE = f"""
+    WITH d AS (
+        SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+    ), grams AS (
+        SELECT doc_id, ws[CAST(i AS INT)] || ' ' || ws[CAST(i AS INT) + 1] AS g
+        FROM d, unnest(range(1, GREATEST(LEN(ws), 1))) t(i)
+    ), agg AS (
+        SELECT doc_id, COUNT(*) AS n_grams, COUNT(DISTINCT g) AS n_distinct
+        FROM grams GROUP BY doc_id
+    )
+    SELECT doc_id,
+           n_grams,
+           n_distinct,
+           ROUND(1 - CAST(n_distinct AS DOUBLE) / n_grams, 6) AS rep_ratio,
+           (1 - CAST(n_distinct AS DOUBLE) / n_grams) > {REP_FLAG_THRESHOLD} AS flagged
+    FROM agg
+"""
+
+
+@declared("q_repetition", oracle=_REPETITION_ORACLE)
+def q_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition quality signal: share of duplicate word
+    2-grams per document; documents above the threshold get flagged for
+    drop. The ratio is a single division of two exact counts — bit-identical
+    across engines, so the 6dp rounding is hash-safe. Two-level aggregate
+    keyed by doc_id; single-word docs produce no 2-grams and drop out on
+    both sides identically."""
+    t = load_tables(spark, sf_dir)
+    ws = F.split(F.col("text"), " ")
+    d = t.documents.select("doc_id", ws.alias("ws"))
+    # element_at is 1-based; docs with <2 words must yield an EMPTY sequence
+    # (sequence(1, 0) counts DOWN), hence the explicit guard
+    grams = d.select(
+        "doc_id",
+        F.explode(
+            F.when(
+                F.size("ws") >= 2,
+                F.expr(
+                    "transform(sequence(1, size(ws) - 1),"
+                    " i -> concat(element_at(ws, i), ' ', element_at(ws, i + 1)))"
+                ),
+            ).otherwise(F.array().cast("array<string>"))
+        ).alias("g"),
+    )
+    agg = grams.groupBy("doc_id").agg(
+        F.count("*").alias("n_grams"), F.countDistinct("g").alias("n_distinct")
+    )
+    ratio = F.lit(1) - F.col("n_distinct").cast("double") / F.col("n_grams")
+    return agg.select(
+        "doc_id",
+        "n_grams",
+        "n_distinct",
+        F.round(ratio, 6).alias("rep_ratio"),
+        (ratio > REP_FLAG_THRESHOLD).alias("flagged"),
+    )
+
+
+# --------------------------------------------------------------------------
+# PII-style redaction (numeric-literal scrub over semi-structured payloads)
+# --------------------------------------------------------------------------
+
+_SCRUB_ORACLE = """
+    WITH r AS (
+        SELECT event_type,
+               LENGTH(props) AS len_raw,
+               LENGTH(regexp_replace(props, '[0-9]+', '#', 'g')) AS len_marked,
+               LENGTH(regexp_replace(props, '[0-9]+', '', 'g')) AS len_stripped
+        FROM events
+    )
+    SELECT event_type,
+           COUNT(*) AS n_events,
+           SUM(len_marked - len_stripped) AS total_redactions,
+           SUM(len_raw - len_stripped) AS total_chars_removed
+    FROM r
+    GROUP BY event_type
+"""
+
+
+@declared("q_pii_scrub", oracle=_SCRUB_ORACLE)
+def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Numeric-literal redaction over the events.props payloads — the
+    PII-scrub pattern (emails / phone numbers / ids → placeholder tokens)
+    with a digit-run pattern, since the synthetic corpus carries numbers in
+    its JSON props. Occurrences counted engine-portably as
+    len(replace-with-#) − len(replace-with-'') (one residual char per
+    match). regexp_replace is a codegen'd narrow projection: zero shuffle
+    before the final per-type aggregate, so the scrub runs at scan speed at
+    100 TB. Spark's regexp_replace is global by default = DuckDB's 'g'."""
+    t = load_tables(spark, sf_dir)
+    marked = F.length(F.regexp_replace("props", "[0-9]+", "#"))
+    stripped = F.length(F.regexp_replace("props", "[0-9]+", ""))
+    raw = F.length("props")
+    return (
+        t.events.select(
+            "event_type",
+            (marked - stripped).alias("redactions"),
+            (raw - stripped).alias("chars_removed"),
+        )
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum("redactions").alias("total_redactions"),
+            F.sum("chars_removed").alias("total_chars_removed"),
+        )
+    )

@@ -278,3 +278,92 @@ def test_ngram_df_cap_prunes_stop_shingles(spark):
     # sanity: without the cap the stop-shingle links 3-4 as well
     uncapped = ngram_jaccard_pairs(df, min_common=1, threshold=0.1, df_cap=10)
     assert {(r.doc_a, r.doc_b) for r in uncapped.collect()} > {(1, 2)}
+
+
+def test_chunking_boundaries_and_overlap(spark):
+    """Chunk windows: 50-word chunks every 40 words; the final chunk is the
+    (possibly short) tail; consecutive chunks overlap by exactly 10 words."""
+    from duckdb_ner_spark.operators.trainprep import q_chunk
+
+    words = [f"w{i}" for i in range(95)]  # → starts 1, 41, 81
+    df = spark.createDataFrame(
+        [(1, " ".join(words)), (2, "single")], "doc_id long, text string"
+    )
+    df.createOrReplaceTempView("__chunk_in__")
+    # drive the operator body directly over a tiny frame via its components
+    from pyspark.sql import functions as F
+
+    ws = F.split(F.col("text"), " ")
+    d = df.select("doc_id", ws.alias("ws"))
+    starts = d.select(
+        "doc_id", "ws",
+        F.explode(F.sequence(F.lit(1), F.greatest(F.size("ws"), F.lit(1)), F.lit(40))).alias("s"),
+    )
+    chunk = F.slice(F.col("ws"), F.col("s"), 50)
+    out = starts.select(
+        "doc_id",
+        ((F.col("s") - 1) / 40).cast("bigint").alias("chunk_id"),
+        F.size(chunk).cast("bigint").alias("n_words"),
+        F.concat_ws(" ", chunk).alias("chunk_text"),
+    ).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    c1 = sorted(by_doc[1], key=lambda r: r.chunk_id)
+    assert [r.n_words for r in c1] == [50, 50, 15]  # tail chunk is short
+    # overlap: last 10 words of chunk 0 == first 10 of chunk 1
+    assert c1[0].chunk_text.split()[-10:] == c1[1].chunk_text.split()[:10]
+    # single-word doc yields exactly one 1-word chunk (sequence clamp)
+    (c2,) = by_doc[2]
+    assert (c2.chunk_id, c2.n_words, c2.chunk_text) == (0, 1, "single")
+
+
+def test_repetition_ratio_flags_repetitive_doc(spark):
+    from duckdb_ner_spark.operators.trainprep import REP_FLAG_THRESHOLD
+
+    assert REP_FLAG_THRESHOLD == 0.5
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [
+            (1, "spam spam spam spam spam spam spam spam"),  # 7 grams, 1 distinct
+            (2, "each word appears only once in here"),      # all distinct
+            (3, "solo"),                                     # no 2-grams → drops out
+        ],
+        "doc_id long, text string",
+    )
+    ws = F.split(F.col("text"), " ")
+    d = df.select("doc_id", ws.alias("ws"))
+    grams = d.select(
+        "doc_id",
+        F.explode(
+            F.when(
+                F.size("ws") >= 2,
+                F.expr(
+                    "transform(sequence(1, size(ws) - 1),"
+                    " i -> concat(element_at(ws, i), ' ', element_at(ws, i + 1)))"
+                ),
+            ).otherwise(F.array().cast("array<string>"))
+        ).alias("g"),
+    )
+    agg = grams.groupBy("doc_id").agg(
+        F.count("*").alias("n"), F.countDistinct("g").alias("d")
+    )
+    rows = {r.doc_id: (r.n, r.d) for r in agg.collect()}
+    assert rows == {1: (7, 1), 2: (6, 6)}  # doc 3 absent
+    assert 1 - rows[1][1] / rows[1][0] > REP_FLAG_THRESHOLD
+    assert 1 - rows[2][1] / rows[2][0] == 0.0
+
+
+def test_kmv_estimate_within_tolerance(spark):
+    """KMV estimate at k=256 has relative σ ≈ 1/√k ≈ 6.3%; require the
+    declared query's rel_err < 4σ at sf0.001 (15k→1.5k distinct orderkeys)."""
+    import __spark_entry__ as e
+
+    row = e.queries()["q_kmv_distinct"](spark, "/root/testdata/sf0.001").collect()[0]
+    assert row.k == 256
+    assert row.rel_err < 0.25
+    # rel_err is computed from the UNROUNDED estimate; recomputing from the
+    # 2dp-rounded est_distinct must agree to the rounding granularity
+    recomputed = abs(row.est_distinct - row.exact_distinct) / row.exact_distinct
+    assert abs(recomputed - row.rel_err) < 1e-4
