@@ -1,7 +1,7 @@
 """DuckDB-side timing of the headline queries' oracle SQL (the de facto
 baseline — the reference publishes no numbers, BASELINE.md).
 
-Runs each oracle at $SPARK_GRAFT_SF_DIR, best-of-2 after one warmup, and
+Runs each oracle at $SPARK_GRAFT_SF_DIR, best-of-3 after one warmup, and
 prints one JSON line mirroring bench.py so ratios are per-query comparable.
 Queries without an oracle (q_ner*) are skipped and reported as null.
 """
@@ -38,7 +38,7 @@ def main() -> None:
             continue
         con.execute(sql).fetchall()  # warmup (buffer pool)
         best = float("inf")
-        for _ in range(2):
+        for _ in range(3):
             t0 = time.time()
             con.execute(sql).fetchall()
             best = min(best, time.time() - t0)
