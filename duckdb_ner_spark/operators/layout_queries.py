@@ -1,0 +1,290 @@
+"""Physical-layout and data-selection queries (SURVEY.md C39 breadth + D7):
+partition-pruned scans, bucketed co-located joins, ORC round-trip, and the
+two deterministic selection stages a pretraining pipeline runs after quality
+scoring — stratified domain mixing and per-domain quality cuts.
+
+Scale notes (100 TB):
+- q_partition_prune: the layout pattern for time-sliced corpora — writing
+  partitioned by a derived month key means a month-bounded scan reads 1/80th
+  of the files (PartitionFilters, asserted in tests/test_layout.py). At
+  100 TB this is the difference between a 100 TB scan and a ~1 TB scan.
+- q_bucket_join: both fact tables bucketed by the join key ⇒ the sort-merge
+  join reads co-located buckets with NO Exchange on either side (asserted in
+  tests). This is the mechanism that removes the two big shuffles from the
+  lineitem⋈orders family at cluster scale.
+- q_source_orc: ORC is Spark-native columnar I/O — same predicate-pushdown
+  story as parquet.
+- q_mix_sample: per-domain Bernoulli sampling keyed on md5(doc_id) — a
+  narrow, shuffle-free projection+filter. Deterministic: re-running the
+  pipeline (or running it per-shard on 1000 executors) selects the identical
+  document set, no RNG state to coordinate. Rates are compared as fixed-width
+  hex-string thresholds so any engine with md5 replays the exact choice.
+- q_quality_cut: per-domain top-half selection by a quality ordering —
+  one window over a lang-partitioned sort. At scale lang is low-cardinality
+  but each partition is huge: the same selection can run as
+  rank-within-bucket after a repartition by (lang, salt) with a two-pass
+  threshold estimate; documented here, exact window form declared.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..plans.registry import declared
+from ..sources.catalog import load_tables
+
+
+def _scratch(name: str, sf_dir: str) -> str:
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:12]
+    return os.path.join(tempfile.gettempdir(), f"dns_layout_{name}_{tag}")
+
+
+# --------------------------------------------------------------------------
+# Partition-pruned scan over a month-partitioned parquet layout
+# --------------------------------------------------------------------------
+
+PRUNE_YEAR = "1997"
+
+_PRUNE_ORACLE = f"""
+    SELECT strftime(o_orderdate, '%Y-%m') AS month,
+           COUNT(*) AS n_orders,
+           CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(12,2))), 2) AS DOUBLE) AS revenue
+    FROM orders
+    WHERE strftime(o_orderdate, '%Y-%m') LIKE '{PRUNE_YEAR}-%'
+    GROUP BY month
+"""
+
+
+@declared("q_partition_prune", cache_plan=False, oracle=_PRUNE_ORACLE)
+def q_partition_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Month-partitioned write + partition-pruned read-back.
+
+    orders is rewritten partitioned by month(o_orderdate) (80 partitions),
+    then scanned with a month-prefix predicate: Spark prunes at the FILE
+    LISTING level (PartitionFilters in the scan node — asserted in
+    tests/test_layout.py), so the 12 matching partition dirs are the only
+    ones opened. The oracle runs the same predicate over the raw table —
+    identical results prove pruning is a pure access-path optimization."""
+    t = load_tables(spark, sf_dir)
+    path = _scratch("orders_by_month", sf_dir)
+    src = t.orders.withColumn("month", F.date_format("o_orderdate", "yyyy-MM"))
+    src.write.mode("overwrite").partitionBy("month").parquet(path)
+    back = spark.read.parquet(path)
+    return (
+        back.filter(F.col("month").startswith(f"{PRUNE_YEAR}-"))
+        .groupBy("month")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.round(F.sum(F.col("o_totalprice").cast("decimal(12,2)")), 2)
+            .cast("double")
+            .alias("revenue"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Bucketed co-located join (shuffle-free fact⋈fact)
+# --------------------------------------------------------------------------
+
+N_BUCKETS = 8
+
+_BUCKET_ORACLE = """
+    SELECT o_orderpriority,
+           COUNT(*) AS n_items,
+           CAST(SUM(l_quantity) AS BIGINT) AS total_qty
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    GROUP BY o_orderpriority
+"""
+
+
+@declared("q_bucket_join", cache_plan=False, oracle=_BUCKET_ORACLE)
+def q_bucket_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lineitem⋈orders with BOTH sides bucketed by the join key.
+
+    Each side is persisted as an external bucketed table (8 buckets on the
+    orderkey, sorted within buckets); the join then reads co-located buckets
+    — with broadcast disabled the physical plan is a sort-merge join with no
+    Exchange on either side (asserted in tests/test_layout.py). At 100 TB
+    this layout turns every orderkey-family join into a local merge.
+
+    External tables (explicit ``path``) keep the data in scratch space; only
+    metastore entries live in the session catalog, so a vanilla driver
+    session needs no warehouse dir."""
+    t = load_tables(spark, sf_dir)
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:12]
+    li_name, od_name = f"li_bkt_{tag}", f"od_bkt_{tag}"
+    for name, df, key, cols in (
+        (li_name, t.lineitem, "l_orderkey", ["l_orderkey", "l_quantity"]),
+        (od_name, t.orders, "o_orderkey", ["o_orderkey", "o_orderpriority"]),
+    ):
+        if not spark.catalog.tableExists(name):
+            (
+                df.select(*cols)
+                .write.mode("overwrite")
+                .bucketBy(N_BUCKETS, key)
+                .sortBy(key)
+                .option("path", _scratch(name, sf_dir))
+                .saveAsTable(name, format="parquet")
+            )
+    li, od = spark.table(li_name), spark.table(od_name)
+    return (
+        li.join(od, li.l_orderkey == od.o_orderkey)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count("*").alias("n_items"),
+            F.sum("l_quantity").cast("bigint").alias("total_qty"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# ORC sink+source round-trip
+# --------------------------------------------------------------------------
+
+_ORC_ORACLE = """
+    SELECT lang,
+           COUNT(*) AS n,
+           CAST(SUM(LENGTH(text)) AS BIGINT) AS total_text_chars,
+           CAST(SUM(n_chars) AS BIGINT) AS total_n_chars
+    FROM documents GROUP BY lang
+"""
+
+
+@declared("q_source_orc", cache_plan=False, oracle=_ORC_ORACLE)
+def q_source_orc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORC sink+source round-trip: documents → ORC → read → aggregate,
+    including the full text column so string round-tripping is what's
+    verified (the CSV twin drops text; ORC is binary-safe)."""
+    t = load_tables(spark, sf_dir)
+    path = _scratch("orc_documents", sf_dir)
+    t.documents.select("doc_id", "lang", "text", "n_chars").write.mode("overwrite").orc(path)
+    back = spark.read.orc(path)
+    return back.groupBy("lang").agg(
+        F.count("*").alias("n"),
+        F.sum(F.length("text")).cast("bigint").alias("total_text_chars"),
+        F.sum("n_chars").cast("bigint").alias("total_n_chars"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Deterministic stratified sampling (domain mixing)
+# --------------------------------------------------------------------------
+
+# pretraining-mix rates per language domain; any unlisted domain keeps 10%
+MIX_RATES: dict[str, float] = {"en": 0.5, "es": 0.25, "de": 0.25, "fr": 0.125, "zh": 0.125}
+MIX_DEFAULT_RATE = 0.1
+
+
+def _rate_hex(rate: float) -> str:
+    """rate → fixed-width 15-hex-digit threshold: keep doc iff the first 15
+    hex chars of md5('mix|'||doc_id) sort below it. Fixed-width lowercase hex
+    compares lexicographically == numerically, so no hex→int conversion is
+    needed on either engine."""
+    return format(int(rate * (1 << 60)), "015x")
+
+
+def _mix_oracle() -> str:
+    cases = " ".join(
+        f"WHEN lang = '{k}' THEN '{_rate_hex(v)}'" for k, v in sorted(MIX_RATES.items())
+    )
+    return f"""
+    WITH d AS (
+        SELECT lang,
+               substr(md5('mix|' || CAST(doc_id AS VARCHAR)), 1, 15) AS hv,
+               CASE {cases} ELSE '{_rate_hex(MIX_DEFAULT_RATE)}' END AS thr
+        FROM documents
+    )
+    SELECT lang,
+           COUNT(*) AS n_total,
+           SUM(CASE WHEN hv < thr THEN 1 ELSE 0 END) AS n_kept,
+           SUM(CASE WHEN hv < thr THEN 1 ELSE 0 END) * 1.0 / COUNT(*) AS kept_rate
+    FROM d GROUP BY lang
+    """
+
+
+@declared("q_mix_sample", oracle=_mix_oracle())
+def q_mix_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified deterministic sampling for domain mixing: each language
+    keeps a configured fraction of its documents, selected by hashing the
+    document id (md5 → 60-bit threshold) rather than an RNG. Properties that
+    matter at 100 TB: (1) shuffle-free — a narrow filter; (2) reproducible
+    across reruns AND across executors — no seed coordination; (3) stable
+    under corpus growth — a document's keep/drop never flips when other
+    documents arrive (the property RAND()-sampling lacks). The same keyed-
+    hash trick as q_sample_det, stratified per domain."""
+    t = load_tables(spark, sf_dir)
+    thr = F.lit(_rate_hex(MIX_DEFAULT_RATE))
+    for k, v in sorted(MIX_RATES.items(), reverse=True):
+        thr = F.when(F.col("lang") == k, F.lit(_rate_hex(v))).otherwise(thr)
+    d = t.documents.select(
+        "lang",
+        F.substring(F.md5(F.concat(F.lit("mix|"), F.col("doc_id").cast("string"))), 1, 15).alias(
+            "hv"
+        ),
+        thr.alias("thr"),
+    )
+    kept = F.sum(F.when(F.col("hv") < F.col("thr"), 1).otherwise(0))
+    return d.groupBy("lang").agg(
+        F.count("*").alias("n_total"),
+        kept.alias("n_kept"),
+        (kept * F.lit(1.0) / F.count("*")).alias("kept_rate"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Per-domain quality cut (top half per language by quality ordering)
+# --------------------------------------------------------------------------
+
+_QUALITY_CUT_ORACLE = """
+    WITH scored AS (
+        SELECT doc_id, lang,
+               LEN(string_split(text, ' ')) AS n_words,
+               LENGTH(text) AS n_chars,
+               ROW_NUMBER() OVER (
+                   PARTITION BY lang
+                   ORDER BY LENGTH(text) * 1.0 / LEN(string_split(text, ' ')) DESC,
+                            doc_id
+               ) AS rn,
+               COUNT(*) OVER (PARTITION BY lang) AS n_lang
+        FROM documents
+    )
+    SELECT doc_id, lang, CAST(n_words AS INT) AS n_words,
+           CAST(n_chars AS BIGINT) AS n_chars, CAST(rn AS BIGINT) AS rn
+    FROM scored
+    WHERE rn * 2 <= n_lang
+"""
+
+
+@declared("q_quality_cut", oracle=_QUALITY_CUT_ORACLE)
+def q_quality_cut(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-domain quality cut: keep the top half of each language by a
+    quality ordering (chars-per-word proxy, doc_id tiebreak — the ordering
+    is what's under test; swap in any score). Rank-based (rn*2 <= count)
+    rather than a precomputed threshold: exact, integer-compared, and
+    engine-portable — both sides rank identically because the score is the
+    same int/int division. One window over a lang-partitioned sort; at scale
+    the identical selection runs per-bucket after repartitioning by lang."""
+    t = load_tables(spark, sf_dir)
+    score = F.length("text") * F.lit(1.0) / F.size(F.split(F.col("text"), " "))
+    w = Window.partitionBy("lang").orderBy(F.desc("score"), F.asc("doc_id"))
+    scored = t.documents.select(
+        "doc_id",
+        "lang",
+        F.size(F.split(F.col("text"), " ")).cast("int").alias("n_words"),
+        F.length("text").cast("bigint").alias("n_chars"),
+        score.alias("score"),
+    ).select(
+        "doc_id",
+        "lang",
+        "n_words",
+        "n_chars",
+        F.row_number().over(w).cast("bigint").alias("rn"),
+        F.count("*").over(Window.partitionBy("lang")).alias("n_lang"),
+    )
+    return scored.filter(F.col("rn") * 2 <= F.col("n_lang")).drop("n_lang")
