@@ -9,6 +9,7 @@ from . import (  # noqa: F401
     layout_queries,
     similarity,
     sources_queries,
+    streaming_queries,
     textstats,
     trainprep,
 )

@@ -1,0 +1,130 @@
+"""Declared Structured Streaming queries (beyond-reference surface; the
+reference has no streaming — SURVEY.md §2.E). Each query runs a REAL
+micro-batch stream to completion (availableNow trigger) inside the declared-
+query call, drains into an in-memory sink, and returns the sink table — so
+the driver's oracle gate verifies actual Structured Streaming execution, not
+a batch re-expression. The DuckDB oracle replays the same aggregation over
+the raw events table, which is exactly the batch/stream-parity contract.
+
+Scale notes (100 TB / production):
+- The file source here stands in for Kafka; the transformations, watermarks
+  and sinks are identical. availableNow is also the production backfill
+  trigger (drain-everything-then-stop).
+- q_stream_window: (window × event_type) is the shuffle key; the watermark
+  bounds state. Decimal-exact sums make micro-batch accumulation order
+  irrelevant — the property that lets a backfill and a live run agree.
+- q_stream_dedup: dropDuplicatesWithinWatermark holds only the watermark
+  horizon of keys in state — constant-bounded memory at any scale.
+- q_stream_user_stats: applyInPandasWithState — arbitrary per-key state,
+  partitioned by key across executors and checkpointed. Rows-only by design
+  (custom stateful streaming is the task prompt's named non-SQL case).
+"""
+
+from __future__ import annotations
+
+import itertools
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..plans.registry import declared
+
+_SINK_IDS = itertools.count()
+
+
+def _drain(df: DataFrame, mode: str) -> str:
+    """Run a streaming frame to completion into a fresh memory sink; return
+    the sink table name. Unique name per call: memory sinks live for the
+    session, and a second drain must not race a stale registration."""
+    name = f"dns_sink_{next(_SINK_IDS)}"
+    q = (
+        df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        finished = q.awaitTermination(300)
+        if not finished:
+            raise TimeoutError("streaming drain did not finish within 300s")
+    finally:
+        q.stop()
+    return name
+
+
+_WINDOW_ORACLE = """
+    SELECT STRFTIME(TIME_BUCKET(INTERVAL 1 HOUR, ts), '%Y-%m-%d %H:%M:%S') AS window_start,
+           event_type,
+           COUNT(*) AS n,
+           CAST(ROUND(SUM(CAST(value AS DECIMAL(12,2))), 2) AS DOUBLE) AS total_value
+    FROM events
+    GROUP BY 1, 2
+"""
+
+
+@declared("q_stream_window", cache_plan=False, oracle=_WINDOW_ORACLE)
+def q_stream_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1-hour windowed counts computed BY A STREAM: the events file
+    is drained through readStream → watermark → window agg → memory sink in
+    availableNow micro-batches, and the sink is what's returned. The oracle
+    is the batch replay (DuckDB TIME_BUCKET) — hash-matching it proves
+    batch/stream parity through the driver's own gate. Complete output mode:
+    every window is in the sink after the drain."""
+    from ..streaming.events import stream_events, windowed_counts
+
+    name = _drain(windowed_counts(stream_events(spark, sf_dir)), mode="complete")
+    return spark.table(name).select(
+        F.date_format("window_start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+        "event_type",
+        "n",
+        "total_value",
+    )
+
+
+_DEDUP_ORACLE = """
+    SELECT event_type, COUNT(*) AS n_unique
+    FROM (SELECT DISTINCT event_id, event_type FROM events)
+    GROUP BY event_type
+"""
+
+
+@declared("q_stream_dedup", cache_plan=False, oracle=_DEDUP_ORACLE)
+def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming exact-dedup drained to completion: each first-seen event_id
+    passes through, later duplicates (within the watermark horizon) are
+    dropped; the sink then aggregates per type. event_id is the table's
+    unique key, so the deduped stream is deterministic and the oracle is a
+    plain DISTINCT replay — what's verified is the streaming dedup path
+    (state handling + append-mode emission), end to end."""
+    from ..streaming.events import dedup_stream, stream_events
+
+    name = _drain(
+        dedup_stream(stream_events(spark, sf_dir), keys=["event_id"]), mode="append"
+    )
+    return spark.table(name).groupBy("event_type").agg(F.count("*").alias("n_unique"))
+
+
+@declared("q_stream_user_stats", cache_plan=False, oracle=None)
+def q_stream_user_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful streaming operator (applyInPandasWithState): per-user
+    running (count, total, last-seen ts) state updated each micro-batch;
+    after the availableNow drain the sink holds every user's final state.
+    Rows-only by design — arbitrary-state streaming is the prompt's named
+    non-SQL-expressible case; value determinism is pinned separately by
+    tests/test_streaming.py's batch-parity assertions."""
+    from ..streaming.events import stream_events
+    from ..streaming.stateful import running_user_stats
+
+    name = _drain(running_user_stats(stream_events(spark, sf_dir)), mode="update")
+    sink = spark.table(name)
+    # update-mode sinks append one row per (user, micro-batch) emission —
+    # keep each user's LAST emission (max n_events) as the final state
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("user_id").orderBy(F.desc("n_events"))
+    return (
+        sink.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+    )

@@ -49,7 +49,14 @@ def windowed_counts(events: DataFrame, window: str = "1 hour", watermark: str = 
         e = e.withWatermark("ts", watermark)
     return (
         e.groupBy(F.window("ts", window).alias("w"), "event_type")
-        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("total_value"))
+        # decimal-exact sum: micro-batch accumulation must not depend on
+        # float addition order, so stream == batch == any SQL oracle
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.sum(F.col("value").cast("decimal(12,2)")), 2)
+            .cast("double")
+            .alias("total_value"),
+        )
         .select(
             F.col("w.start").alias("window_start"),
             "event_type",

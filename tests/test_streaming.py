@@ -86,6 +86,31 @@ def test_stateful_running_stats_matches_batch(spark):
     }
     assert final == expect
 
+def test_declared_stream_user_stats_final_state(spark):
+    """The declared q_stream_user_stats (last-emission-per-user selection
+    over the update-mode sink) must equal the batch per-user aggregate."""
+    import pyspark.sql.functions as F
+
+    from duckdb_ner_spark.operators.streaming_queries import q_stream_user_stats
+    from duckdb_ner_spark.streaming.events import batch_events
+
+    got = {
+        r.user_id: (r.n_events, round(r.total_value, 2))
+        for r in q_stream_user_stats(spark, SF_SMOKE).collect()
+    }
+    expect = {
+        r.user_id: (r.n_events, r.total_value)
+        for r in batch_events(spark, SF_SMOKE)
+        .groupBy("user_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+        .collect()
+    }
+    assert got == expect and len(got) > 0
+
+
 def test_ner_stream_matches_batch(spark):
     """The Tier-A NER UDF inside Structured Streaming: entity-label counts
     from the micro-batch drain must equal the same aggregation run in batch
