@@ -288,3 +288,51 @@ def q_quality_cut(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").over(Window.partitionBy("lang")).alias("n_lang"),
     )
     return scored.filter(F.col("rn") * 2 <= F.col("n_lang")).drop("n_lang")
+
+
+# --------------------------------------------------------------------------
+# Schema evolution: mergeSchema read across batches with differing schemas
+# --------------------------------------------------------------------------
+
+_EVOLUTION_ORACLE = """
+    SELECT CASE WHEN o_orderkey % 2 = 0 THEN '<pre-schema>' ELSE o_orderpriority END
+               AS priority,
+           COUNT(*) AS n,
+           CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(12,2))), 2) AS DOUBLE) AS revenue
+    FROM orders
+    GROUP BY 1
+"""
+
+
+@declared("q_schema_evolution", cache_plan=False, oracle=_EVOLUTION_ORACLE)
+def q_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-evolution read: batch=1 was written BEFORE a column existed
+    (o_orderkey, o_totalprice only), batch=2 after adding o_orderpriority;
+    ``mergeSchema`` reconciles the layouts and back-fills NULL for the old
+    batch — the operational reality of any long-lived 100 TB corpus whose
+    schema grew over time. The oracle replays the evolution as a CASE over
+    the raw table. mergeSchema costs one footer read per file at planning
+    time (not a data scan); steady-state clusters pin the merged schema in
+    the table catalog instead."""
+    t = load_tables(spark, sf_dir)
+    path = _scratch("orders_evolving", sf_dir)
+    old = t.orders.filter(F.col("o_orderkey") % 2 == 0).select("o_orderkey", "o_totalprice")
+    new = t.orders.filter(F.col("o_orderkey") % 2 == 1).select(
+        "o_orderkey", "o_totalprice", "o_orderpriority"
+    )
+    old.write.mode("overwrite").parquet(f"{path}/batch=1")
+    new.write.mode("overwrite").parquet(f"{path}/batch=2")
+    back = spark.read.option("mergeSchema", "true").parquet(path)
+    return (
+        back.select(
+            F.coalesce("o_orderpriority", F.lit("<pre-schema>")).alias("priority"),
+            "o_totalprice",
+        )
+        .groupBy("priority")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.sum(F.col("o_totalprice").cast("decimal(12,2)")), 2)
+            .cast("double")
+            .alias("revenue"),
+        )
+    )

@@ -418,3 +418,61 @@ def q_sim_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     deterministic across runs via the fixed seed)."""
     t = load_tables(spark, sf_dir)
     return ann_pairs(t.embeddings, dim=64, threshold=0.3)
+
+
+# --- int8 scalar quantization (embedding storage compression) --------------
+
+_QUANT_ORACLE = """
+    WITH m AS (
+        SELECT vec_id,
+               LEN(embedding) AS n_dims,
+               list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) AS max_abs
+        FROM embeddings
+    ), s AS (
+        SELECT vec_id, n_dims,
+               CASE WHEN max_abs = 0 THEN 0.0 ELSE 127.0 / max_abs END AS scale
+        FROM m
+    ), q AS (
+        SELECT e.vec_id, s.n_dims, s.scale,
+               list_transform(e.embedding,
+                   x -> CAST(FLOOR(CAST(x AS DOUBLE) * s.scale + 0.5) AS BIGINT)) AS qv
+        FROM embeddings e JOIN s ON e.vec_id = s.vec_id
+    )
+    SELECT vec_id,
+           CAST(n_dims AS INT) AS n_dims,
+           scale,
+           CAST(list_sum(qv) AS BIGINT) AS sum_q,
+           CAST(list_min(qv) AS BIGINT) AS min_q,
+           CAST(list_max(qv) AS BIGINT) AS max_q
+    FROM q
+"""
+
+
+@declared("q_embed_quant", oracle=_QUANT_ORACLE)
+def q_embed_quant(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-vector int8 scalar quantization — the embedding-storage compression
+    step (float32 -> int8 = 4x smaller ANN index) a 100 TB vector corpus runs
+    before indexing. scale = 127/max|x| per vector; q_i = floor(x*scale + 0.5)
+    (explicit half-up — engines disagree on ROUND ties, FLOOR(+0.5) they
+    cannot). Everything the oracle compares is either an untouched IEEE
+    quotient (scale) or integer aggregates of the quantized values —
+    order-free, so the hash match survives any partitioning. Narrow per-row
+    transform: zero shuffle at any scale."""
+    t = load_tables(spark, sf_dir)
+    max_abs = F.array_max(F.expr("transform(embedding, x -> abs(CAST(x AS DOUBLE)))"))
+    base = t.embeddings.select(
+        "vec_id",
+        "embedding",
+        F.size("embedding").cast("int").alias("n_dims"),
+        F.when(max_abs == 0, F.lit(0.0)).otherwise(F.lit(127.0) / max_abs).alias("scale"),
+    )
+    qv = F.expr("transform(embedding, x -> CAST(FLOOR(CAST(x AS DOUBLE) * scale + 0.5) AS BIGINT))")
+    quant = base.select("vec_id", "n_dims", "scale", qv.alias("qv"))
+    return quant.select(
+        "vec_id",
+        "n_dims",
+        "scale",
+        F.aggregate("qv", F.lit(0).cast("bigint"), lambda a, v: a + v).alias("sum_q"),
+        F.array_min("qv").cast("bigint").alias("min_q"),
+        F.array_max("qv").cast("bigint").alias("max_q"),
+    )

@@ -95,3 +95,13 @@ def test_quality_cut_keeps_top_half_per_lang(spark):
     )
     for r in agg.collect():
         assert r.worst_kept >= r.best_dropped - 1e-12, r
+
+
+def test_schema_evolution_backfills_nulls(spark):
+    from duckdb_ner_spark.operators.layout_queries import q_schema_evolution
+
+    rows = {r.priority: r.n for r in q_schema_evolution(spark, SF_SMOKE).collect()}
+    orders = spark.read.parquet(f"{SF_SMOKE}/orders.parquet")
+    n_even = orders.filter(F.col("o_orderkey") % 2 == 0).count()
+    assert rows["<pre-schema>"] == n_even  # the old-schema batch groups whole
+    assert sum(rows.values()) == orders.count()

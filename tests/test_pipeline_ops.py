@@ -367,3 +367,15 @@ def test_kmv_estimate_within_tolerance(spark):
     # 2dp-rounded est_distinct must agree to the rounding granularity
     recomputed = abs(row.est_distinct - row.exact_distinct) / row.exact_distinct
     assert abs(recomputed - row.rel_err) < 1e-4
+
+
+def test_embed_quant_int8_range_and_saturation(spark):
+    """Quantized values live in [-127, 127]; each vector's max-|x| element
+    saturates to exactly ±127 (the defining property of max-abs scaling)."""
+    from duckdb_ner_spark.operators.similarity import q_embed_quant
+
+    rows = q_embed_quant(spark, "/root/testdata/sf0.001").collect()
+    assert rows
+    for r in rows:
+        assert -127 <= r.min_q and r.max_q <= 127
+        assert r.max_q == 127 or r.min_q == -127, r
