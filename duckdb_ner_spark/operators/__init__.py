@@ -6,6 +6,7 @@ from . import (  # noqa: F401
     ner_queries,
     relational,
     relational_ext,
+    scalepatterns,
     layout_queries,
     similarity,
     sources_queries,

@@ -1,0 +1,53 @@
+"""Bucketed range join + merge/upsert (operators/scalepatterns.py)."""
+
+import pyspark.sql.functions as F
+
+from tests.conftest import SF_SMOKE
+
+
+def test_range_bucket_join_is_hash_not_nested_loop(spark):
+    """The whole point of the bucket decomposition: the interval join must
+    plan as an equi (hash/sort-merge) join — never a nested-loop or
+    cartesian — because the bucket equality is a proper join key."""
+    from duckdb_ner_spark.operators.scalepatterns import q_range_bucket
+    from duckdb_ner_spark.plans.inspect import formatted_plan
+
+    plan = formatted_plan(q_range_bucket(spark, SF_SMOKE))
+    assert "NestedLoop" not in plan and "Cartesian" not in plan, plan
+    assert "HashJoin" in plan or "SortMergeJoin" in plan
+
+
+def test_range_bucket_matches_naive_interval_join(spark):
+    """Bucket-decomposed result == the naive non-equi join on the same data
+    (here small enough to run the naive plan directly)."""
+    from duckdb_ner_spark.operators.scalepatterns import INCIDENT_STEP, q_range_bucket
+    from duckdb_ner_spark.sources.catalog import load_tables
+
+    got = {r.inc_id: (r.n_events, r.n_users) for r in q_range_bucket(spark, SF_SMOKE).collect()}
+    ev = load_tables(spark, SF_SMOKE).events
+    inc = ev.filter(F.col("event_id") % INCIDENT_STEP == 0).select(
+        F.col("event_id").alias("inc_id"),
+        F.col("ts").alias("s"),
+        (F.col("ts") + F.expr("INTERVAL 2 HOURS")).alias("e"),
+    )
+    probe = ev.select(F.col("event_id").alias("ev_id"), "user_id", F.col("ts").alias("ev_ts"))
+    naive = (
+        inc.join(probe, (probe.ev_ts >= inc.s) & (probe.ev_ts < inc.e), "left")
+        .groupBy("inc_id")
+        .agg(F.count("ev_id").alias("n_events"), F.countDistinct("user_id").alias("n_users"))
+    )
+    expect = {r.inc_id: (r.n_events, r.n_users) for r in naive.collect()}
+    assert got == expect and len(got) > 0
+
+
+def test_upsert_counts_and_inserts(spark):
+    from duckdb_ner_spark.operators.scalepatterns import UPSERT_TOUCH, q_upsert
+
+    orders = spark.read.parquet(f"{SF_SMOKE}/orders.parquet")
+    n_orders = orders.count()
+    n_touched = orders.filter(F.col("o_orderkey") % UPSERT_TOUCH == 0).count()
+    rows = q_upsert(spark, SF_SMOKE).collect()
+    assert sum(r.n for r in rows) == n_orders + n_touched  # base + inserts
+    assert sum(r.n_updated for r in rows) == n_touched
+    new_row = next(r for r in rows if r.o_orderpriority == "NEW")
+    assert new_row.n == n_touched and abs(new_row.total_price - 100.0 * n_touched) < 1e-9
