@@ -161,3 +161,88 @@ def q_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("updated").cast("bigint").alias("n_updated"),
         F.round(F.sum("price"), 2).cast("double").alias("total_price"),
     )
+
+
+# --------------------------------------------------------------------------
+# Salted skewed aggregation (deterministic two-level spray/collapse)
+# --------------------------------------------------------------------------
+
+_SALTED_ORACLE = """
+    SELECT l_returnflag,
+           COUNT(*) AS n,
+           CAST(ROUND(SUM(CAST(l_quantity AS DECIMAL(12,2))), 2) AS DOUBLE) AS total_qty
+    FROM lineitem
+    GROUP BY l_returnflag
+"""
+
+
+@declared("q_skew_salted", oracle=_SALTED_ORACLE)
+def q_skew_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skewed-aggregation handling the oracle gate can verify: l_returnflag
+    has only 3 values — the degenerate-cardinality case where a direct
+    groupBy leaves 3 reducers doing all the work and AQE cannot help (it
+    splits skewed JOIN partitions, not hot groupBy keys). The salted form
+    (plans/skew.py) sprays each key over 16 deterministic salt buckets,
+    partially aggregates, then collapses — result provably identical to the
+    oracle's direct GROUP BY because decimal sums are order-insensitive.
+    At 100 TB this is the shape for any hot-key rollup (per-language corpus
+    stats, per-source counts)."""
+    from ..plans.skew import salted_agg_sum
+
+    t = load_tables(spark, sf_dir)
+    df = t.lineitem.select(
+        "l_returnflag", F.col("l_quantity").cast("decimal(12,2)").alias("q")
+    )
+    out = salted_agg_sum(df, ["l_returnflag"], "q", n_salts=16, count_alias="n",
+                         sum_alias="total_qty")
+    return out.select(
+        "l_returnflag", "n", F.round("total_qty", 2).cast("double").alias("total_qty")
+    )
+
+
+# --------------------------------------------------------------------------
+# Hopping (sliding) windows — each event lands in length/slide windows
+# --------------------------------------------------------------------------
+
+_HOP_ORACLE = """
+    WITH starts AS (
+        SELECT event_type, value,
+               unnest([TIME_BUCKET(INTERVAL 30 MINUTE, ts),
+                       TIME_BUCKET(INTERVAL 30 MINUTE, ts) - INTERVAL 30 MINUTE])
+                   AS ws
+        FROM events
+    )
+    SELECT STRFTIME(ws, '%Y-%m-%d %H:%M:%S') AS window_start,
+           event_type,
+           COUNT(*) AS n,
+           CAST(ROUND(SUM(CAST(value AS DECIMAL(12,2))), 2) AS DOUBLE) AS total_value
+    FROM starts
+    GROUP BY 1, 2
+"""
+
+
+@declared("q_hop_window", oracle=_HOP_ORACLE)
+def q_hop_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hopping-window aggregation (1-hour windows every 30 minutes): Spark's
+    native sliding window() — each event contributes to length/slide = 2
+    windows. The oracle replays the window assignment by explicit bucket
+    arithmetic (an event's covering windows start at its 30-min bucket and
+    one slide earlier); both engines epoch-align sub-day buckets, which
+    q_time_bucket already pins for the tumbling case. Same plan shape as any
+    windowed rollup: explode ×2 then one shuffle on (window, type)."""
+    t = load_tables(spark, sf_dir)
+    return (
+        t.events.groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"), "event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.sum(F.col("value").cast("decimal(12,2)")), 2)
+            .cast("double")
+            .alias("total_value"),
+        )
+        .select(
+            F.date_format(F.col("w.start"), "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+            "event_type",
+            "n",
+            "total_value",
+        )
+    )

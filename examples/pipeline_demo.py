@@ -52,6 +52,30 @@ def main() -> None:
     q = list(emb.filter(F.col("vec_id") == 0).head().embedding)
     topk_cosine(emb.filter(F.col("vec_id") != 0), q, 5).show()
 
+    print("== full training-data prep chain (dedup -> quality -> mix -> chunk) ==")
+    # each stage is the declared operator run on the previous stage's survivors
+    from duckdb_ner_spark.operators.layout_queries import (
+        MIX_RATES,
+        q_mix_sample,
+        q_quality_cut,
+    )
+    from duckdb_ner_spark.operators.trainprep import q_chunk, q_repetition
+
+    rep = q_repetition(spark, sf_dir)
+    n_flagged = rep.filter(F.col("flagged")).count()
+    print(f"repetition filter: {n_flagged} docs flagged for drop")
+    kept_half = q_quality_cut(spark, sf_dir)
+    print(f"quality cut: {kept_half.count()} docs in the per-language top half")
+    q_mix_sample(spark, sf_dir).orderBy("lang").show()
+    print(f"(configured mix rates: {MIX_RATES})")
+    chunks = q_chunk(spark, sf_dir)
+    print(f"chunking: {chunks.count()} training windows from {docs.count()} docs")
+
+    print("== embedding compression: int8 quantization (4x smaller index) ==")
+    from duckdb_ner_spark.operators.similarity import q_embed_quant
+
+    q_embed_quant(spark, sf_dir).orderBy("vec_id").show(5)
+
 
 if __name__ == "__main__":
     main()

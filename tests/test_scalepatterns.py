@@ -51,3 +51,33 @@ def test_upsert_counts_and_inserts(spark):
     assert sum(r.n_updated for r in rows) == n_touched
     new_row = next(r for r in rows if r.o_orderpriority == "NEW")
     assert new_row.n == n_touched and abs(new_row.total_price - 100.0 * n_touched) < 1e-9
+
+
+def test_skew_salted_two_level_plan_and_parity(spark):
+    """Salted agg: two shuffle stages (spray on (key, salt), collapse on key)
+    and results identical to the direct aggregation."""
+    from duckdb_ner_spark.operators.scalepatterns import q_skew_salted
+    from duckdb_ner_spark.plans.inspect import plan_report
+    from duckdb_ner_spark.sources.catalog import load_tables
+
+    df = q_skew_salted(spark, SF_SMOKE)
+    assert plan_report(df).n_exchanges == 2
+    got = {r.l_returnflag: (r.n, r.total_qty) for r in df.collect()}
+    li = load_tables(spark, SF_SMOKE).lineitem
+    direct = li.groupBy("l_returnflag").agg(
+        F.count("*").alias("n"),
+        F.round(F.sum(F.col("l_quantity").cast("decimal(12,2)")), 2)
+        .cast("double")
+        .alias("total_qty"),
+    )
+    assert got == {r.l_returnflag: (r.n, r.total_qty) for r in direct.collect()}
+
+
+def test_hop_window_double_counts_events(spark):
+    """1-hour windows hopping every 30 min: every event lands in exactly 2
+    windows, so the n-sum is exactly 2x the event count."""
+    from duckdb_ner_spark.operators.scalepatterns import q_hop_window
+
+    rows = q_hop_window(spark, SF_SMOKE).collect()
+    n_events = spark.read.parquet(f"{SF_SMOKE}/events.parquet").count()
+    assert sum(r.n for r in rows) == 2 * n_events
