@@ -275,3 +275,111 @@ def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("chars_removed").alias("total_chars_removed"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Single-pass data-quality audit (the validation gate before training prep)
+# --------------------------------------------------------------------------
+
+_DQ_ORACLE = """
+    WITH row_checks AS (
+        SELECT COUNT(*) AS n_checked,
+               SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS null_custkey,
+               SUM(CASE WHEN o_totalprice <= 0 THEN 1 ELSE 0 END) AS nonpositive_price,
+               SUM(CASE WHEN o_orderdate > TIMESTAMP '1998-08-02' THEN 1 ELSE 0 END)
+                   AS future_orderdate
+        FROM orders
+    ), fk AS (
+        SELECT COUNT(*) AS orphan_custkey
+        FROM orders o WHERE NOT EXISTS (
+            SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey)
+    )
+    SELECT u.constraint_name, u.n_violations, r.n_checked
+    FROM row_checks r, fk, LATERAL (
+        SELECT * FROM (VALUES
+            ('null_custkey', r.null_custkey),
+            ('nonpositive_price', r.nonpositive_price),
+            ('future_orderdate', r.future_orderdate),
+            ('orphan_custkey', fk.orphan_custkey)
+        ) v(constraint_name, n_violations)) u
+"""
+
+
+@declared("q_dq_audit", oracle=_DQ_ORACLE)
+def q_dq_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-quality audit in ONE pass: all row-level constraints (null keys,
+    non-positive prices, out-of-range dates) are conditional sums inside a
+    single scan-aggregate; the referential check (orders whose customer is
+    missing) is one anti-join. At 100 TB this is the shape that matters — a
+    per-constraint scan would multiply the read cost by the constraint count.
+    The tiny (constraint, count) result unpivots via stack()."""
+    t = load_tables(spark, sf_dir)
+    row_checks = t.orders.agg(
+        F.count("*").alias("n_checked"),
+        F.sum(F.when(F.col("o_custkey").isNull(), 1).otherwise(0)).alias("null_custkey"),
+        F.sum(F.when(F.col("o_totalprice") <= 0, 1).otherwise(0)).alias("nonpositive_price"),
+        F.sum(
+            F.when(F.col("o_orderdate") > F.lit("1998-08-02").cast("timestamp"), 1).otherwise(0)
+        ).alias("future_orderdate"),
+    )
+    orphans = (
+        t.orders.join(
+            t.customer, t.orders.o_custkey == t.customer.c_custkey, "left_anti"
+        ).agg(F.count("*").alias("orphan_custkey"))
+    )
+    wide = row_checks.crossJoin(orphans)
+    return wide.select(
+        F.expr(
+            "stack(4,"
+            " 'null_custkey', null_custkey,"
+            " 'nonpositive_price', nonpositive_price,"
+            " 'future_orderdate', future_orderdate,"
+            " 'orphan_custkey', orphan_custkey)"
+        ).alias("constraint_name", "n_violations"),
+        "n_checked",
+    )
+
+
+# --------------------------------------------------------------------------
+# Equi-width histogram (integer-exact bucket arithmetic)
+# --------------------------------------------------------------------------
+
+HIST_WIDTH_CENTS = 50_000  # 500.00-wide buckets over o_totalprice
+
+_HIST_ORACLE = f"""
+    WITH b AS (
+        SELECT CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT)
+                   // {HIST_WIDTH_CENTS} AS bucket_id
+        FROM orders
+    ), h AS (
+        SELECT bucket_id, COUNT(*) AS n FROM b GROUP BY bucket_id
+    )
+    SELECT bucket_id,
+           CAST(bucket_id * {HIST_WIDTH_CENTS} AS DOUBLE) / 100 AS bucket_lo,
+           n,
+           SUM(n) OVER (ORDER BY bucket_id) AS cum_n
+    FROM h
+"""
+
+
+@declared("q_histogram", oracle=_HIST_ORACLE)
+def q_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-width histogram with a cumulative curve: bucket assignment runs
+    on exact integer cents (decimal ×100 → BIGINT floor-div), so bucket
+    membership can never straddle a float boundary differently per engine.
+    One aggregation + one tiny window over the bucket list — the standard
+    distribution-profiling query a pipeline runs before choosing filter
+    thresholds."""
+    t = load_tables(spark, sf_dir)
+    cents = (F.col("o_totalprice").cast("decimal(12,2)") * 100).cast("bigint")
+    b = t.orders.select((cents / HIST_WIDTH_CENTS).cast("bigint").alias("bucket_id"))
+    h = b.groupBy("bucket_id").agg(F.count("*").alias("n"))
+    from pyspark.sql.window import Window
+
+    w = Window.orderBy("bucket_id").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return h.select(
+        "bucket_id",
+        (F.col("bucket_id") * HIST_WIDTH_CENTS / 100).cast("double").alias("bucket_lo"),
+        "n",
+        F.sum("n").over(w).alias("cum_n"),
+    )

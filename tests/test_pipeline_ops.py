@@ -379,3 +379,40 @@ def test_embed_quant_int8_range_and_saturation(spark):
     for r in rows:
         assert -127 <= r.min_q and r.max_q <= 127
         assert r.max_q == 127 or r.min_q == -127, r
+
+
+def test_histogram_partitions_all_rows(spark):
+    """Equi-width histogram: bucket counts partition the table exactly and
+    the cumulative curve ends at the row count."""
+    from duckdb_ner_spark.operators.trainprep import q_histogram
+
+    rows = sorted(q_histogram(spark, "/root/testdata/sf0.001").collect(),
+                  key=lambda r: r.bucket_id)
+    n_orders = spark.read.parquet("/root/testdata/sf0.001/orders.parquet").count()
+    assert sum(r.n for r in rows) == n_orders
+    assert rows[-1].cum_n == n_orders
+    assert all(a.cum_n < b.cum_n for a, b in zip(rows, rows[1:]))
+
+
+def test_dq_audit_counts_match_direct_checks(spark):
+    """Each audit constraint's violation count equals the directly-computed
+    count (the corpus is referentially clean but its dates extend past the
+    audit horizon, so future_orderdate is a real non-zero signal)."""
+    import pyspark.sql.functions as F
+
+    from duckdb_ner_spark.operators.trainprep import q_dq_audit
+
+    rows = {r.constraint_name: r for r in q_dq_audit(spark, "/root/testdata/sf0.001").collect()}
+    orders = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+    n_orders = orders.count()
+    assert set(rows) == {"null_custkey", "nonpositive_price", "future_orderdate",
+                         "orphan_custkey"}
+    for r in rows.values():
+        assert r.n_checked == n_orders
+    assert rows["null_custkey"].n_violations == 0
+    assert rows["nonpositive_price"].n_violations == 0
+    assert rows["orphan_custkey"].n_violations == 0
+    expect_future = orders.filter(
+        F.col("o_orderdate") > F.lit("1998-08-02").cast("timestamp")
+    ).count()
+    assert rows["future_orderdate"].n_violations == expect_future > 0
