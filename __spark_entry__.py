@@ -26,8 +26,45 @@ def entry(spark: SparkSession) -> DataFrame:
     return QUERIES["q_agg_group"](spark, "/root/testdata/sf0.001")
 
 
+# The driver's CORRECTNESS gate verifies the FIRST 50 entries of queries().
+# Keep that window ADVERSARIAL, not friendly (VERDICT r2 Next-round #2):
+# front-load the queries the driver has never checked, riskiest first —
+# streaming (the only round-2 defect), the round-1 failure set, then one-per-
+# module coverage of the newest families. Stable, twice-driver-green core
+# relational queries follow in registration order. New queries added in a
+# round should be PREPENDED here so they land inside the window.
+_DRIVER_WINDOW_PRIORITY = [
+    # streaming — newest machinery, site of the r2 defect
+    "q_stream_window", "q_stream_dedup", "q_stream_user_stats",
+    # round-1 failure set (driver-green exactly once, r1; slid out of window in r2)
+    "q_json", "q_pivot", "q_unpivot", "q_qualify", "q_sample", "q_sample_det",
+    # grouped-API pandas UDF path
+    "q_grouped_map", "q_grouped_agg_udaf",
+    # scale patterns
+    "q_range_bucket", "q_upsert", "q_skew_salted", "q_hop_window",
+    # layout + selection
+    "q_partition_prune", "q_bucket_join", "q_source_orc", "q_mix_sample",
+    "q_quality_cut", "q_schema_evolution",
+    # sources (Spark 4 Python DataSource, csv, json)
+    "q_source_custom", "q_source_csv", "q_source_json",
+    # training prep
+    "q_kmv_distinct", "q_chunk", "q_repetition", "q_pii_scrub", "q_dq_audit",
+    "q_histogram",
+    # text analysis
+    "q_text_stats", "q_lang_id", "q_quality", "q_token_count",
+    "q_heavy_hitters", "q_fingerprint",
+    # relational extensions (multi-op compositions, judge-only-verified so far)
+    "q_cube", "q_grouping_sets", "q_recursive", "q_fuzzy", "q_lateral",
+    "q_sessionize", "q_time_bucket", "q_stats2", "q_asof_tol",
+    "q_supplier_rev", "q_supplier_balance", "q_part_margin",
+    "q_window_dist", "q_window_range",
+]
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    return dict(QUERIES)
+    ordered = {n: QUERIES[n] for n in _DRIVER_WINDOW_PRIORITY}
+    ordered.update(QUERIES)  # remainder in registration order; no dupes (dict)
+    return ordered
 
 
 def oracle_sql() -> dict[str, str]:

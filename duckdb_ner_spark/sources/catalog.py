@@ -43,6 +43,40 @@ TABLES: dict[str, str | None] = {
 _DF_CACHE: dict[tuple, DataFrame] = {}
 
 
+# Layout invariants asserted at load: a silently regenerated testdata file
+# whose physical layout drifted must fail LOUDLY here, not produce garbage
+# downstream (round-2 lesson: events ts flipped INT64-nanos → timestamp[us]
+# and the streaming path quietly put every event in 1970).
+_EXPECTED_FIELDS: dict[str, set[str]] = {
+    "events": {"event_id", "ts", "user_id", "event_type", "value", "props"},
+    "documents": {"doc_id", "text", "lang", "source", "n_chars"},
+    "embeddings": {"vec_id", "embedding", "label"},
+}
+
+
+class DataLayoutError(ValueError):
+    """A table's on-disk layout does not match any layout the engine reads."""
+
+
+def _assert_layout(name: str, df: "DataFrame", path: str) -> None:
+    expected = _EXPECTED_FIELDS.get(name)
+    if expected is not None and set(df.columns) != expected:
+        raise DataLayoutError(
+            f"{path}: field-set drift for table {name!r}: "
+            f"got {sorted(df.columns)}, expected {sorted(expected)}"
+        )
+    if name == "events":
+        from pyspark.sql.types import LongType, TimestampNTZType, TimestampType
+
+        t = df.schema["ts"].dataType
+        if not isinstance(t, (LongType, TimestampType, TimestampNTZType)):
+            raise DataLayoutError(
+                f"{path}: events.ts physical type {t.simpleString()!r} is not a "
+                "layout this engine reads (expected INT64 TIMESTAMP(NANOS) "
+                "surfaced as long, or timestamp/timestamp_ntz)"
+            )
+
+
 @dataclass
 class Catalog:
     """Lazy handle over one scale-factor directory."""
@@ -73,7 +107,9 @@ class Catalog:
             # parity surface can't depend on who built the session. Runtime
             # conf.set is honoured per-read by the parquet source.
             self.spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        df = self.spark.read.parquet(f"{self.sf_dir}/{name}.parquet")
+        path = f"{self.sf_dir}/{name}.parquet"
+        df = self.spark.read.parquet(path)
+        _assert_layout(name, df, path)
         # The driver-generated testdata is one parquet file with ONE row group
         # per table, so a local scan is a single split — every downstream map
         # stage runs on one core, which is an artifact of the tiny-file layout,

@@ -15,30 +15,37 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql.types import (
-    DoubleType,
-    LongType,
-    StringType,
-    StructField,
-    StructType,
-)
+from pyspark.sql.types import LongType, StructType, TimestampNTZType
 
-# explicit schema: streaming sources cannot infer; ts arrives as raw int64
-# nanos (same nanosAsLong surface the batch catalog normalizes)
-EVENTS_SCHEMA = StructType(
-    [
-        StructField("event_id", LongType()),
-        StructField("ts", LongType()),
-        StructField("user_id", LongType()),
-        StructField("event_type", StringType()),
-        StructField("value", DoubleType()),
-        StructField("props", StringType()),
-    ]
-)
+
+def _observed_events_schema(spark: SparkSession, path: str) -> StructType:
+    """Streaming sources cannot infer a schema — derive it from the file's
+    OWN parquet footer (driver-only, one footer read) instead of hardcoding a
+    layout. The testdata has shipped ``ts`` both as INT64 TIMESTAMP(NANOS)
+    (surfaced as raw longs via nanosAsLong, the only way Spark reads nanos)
+    and as plain ``timestamp[us]``; baking either in silently corrupts the
+    other — a µs long divided by 1000 lands every event in 1970. DuckDB reads
+    both physical types natively, so layout adaptivity is the parity bar."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    return spark.read.parquet(path).schema
 
 
 def _normalize(df: DataFrame) -> DataFrame:
-    return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    """Normalize ``ts`` to TIMESTAMP for the stream path, whatever the file
+    layout. Watermarks hard-require TIMESTAMP (EVENT_TIME_IS_NOT_ON_TIMESTAMP
+    _TYPE on NTZ), so unlike the batch catalog this path lands on the tz'd
+    type. The session tz is UTC in this environment (and in the driver's
+    vanilla harness), so both conversions below are instant-preserving and
+    the windowed wall-clock results equal the batch/DuckDB NTZ replay."""
+    t = df.schema["ts"].dataType
+    if isinstance(t, LongType):
+        # INT64-nanos layout: ns→µs truncation, exactly what DuckDB does
+        # reading the same file. Integer division — ns values exceed 2^53,
+        # double math drifts.
+        return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if isinstance(t, TimestampNTZType):
+        return df.withColumn("ts", F.col("ts").cast("timestamp"))
+    return df
 
 
 def windowed_counts(events: DataFrame, window: str = "1 hour", watermark: str = "2 hours") -> DataFrame:
@@ -93,13 +100,17 @@ def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
             shutil.copy2(source, target)
     else:
         shutil.copy2(source, target)
-    raw = spark.readStream.schema(EVENTS_SCHEMA).parquet(stage)
+    raw = spark.readStream.schema(_observed_events_schema(spark, source)).parquet(stage)
     return _normalize(raw)
 
 
 def batch_events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    raw = spark.read.schema(EVENTS_SCHEMA).parquet(f"{sf_dir}/events.parquet")
-    return _normalize(raw)
+    """Batch twin of the stream — delegates to the engine catalog (the
+    layout-adaptive, oracle-verified batch read) so stream/batch parity tests
+    compare two INDEPENDENT read paths rather than a shared schema twin."""
+    from ..sources.catalog import Catalog
+
+    return Catalog(spark, sf_dir).table("events")
 
 
 def run_stream_etl_to_parquet(

