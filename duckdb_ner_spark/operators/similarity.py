@@ -305,57 +305,134 @@ def q_sim_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --- IVF (inverted-file) ANN: the centroid-bucketed scale path -------------
 
-N_CENTROID_STEP = 50  # deterministic centroid choice: every 50th vec_id
+N_IVF_CELLS = 10  # default k for centroid training (≈ sqrt(n) at test SFs)
+N_IVF_ITERS = 2  # Lloyd iterations — recall plateaus fast for IVF routing
 
 
-def ivf_assign(df: DataFrame, id_col: str = "vec_id") -> DataFrame:
-    """Assign each vector to its nearest centroid (max dot product).
+def train_ivf_centroids(
+    df: DataFrame, k: int = N_IVF_CELLS, n_iter: int = N_IVF_ITERS,
+    id_col: str = "vec_id",
+) -> list[list[float]]:
+    """Deterministic Lloyd k-means over the embedding column.
 
-    Centroids are a deterministic subset of the data (vec_id % STEP == 0) —
-    the seeded stand-in for k-means training, which at production scale runs
-    once offline and broadcasts its centroid matrix exactly like this join."""
-    cents = df.filter(F.col(id_col) % N_CENTROID_STEP == 0).select(
-        F.col(id_col).alias("cent_id"), F.col("embedding").alias("cent_emb")
+    Distribution shape (the part that must survive 100 TB): each iteration is
+    (1) assign — a broadcast of the k×dim centroid matrix joined against the
+    vectors, no shuffle of the vectors themselves; (2) update — posexplode to
+    (cell, dim, x) and a map-side-combined SUM/COUNT per (cell, dim), so the
+    shuffle carries at most k·dim·n_partitions combiner rows, never raw
+    vectors. The driver receives and re-broadcasts only the k×dim centroid
+    matrix per iteration — O(k·dim) traffic, the legitimate scalar-sized
+    driver exchange (same class as a collected query vector).
+
+    Determinism: seeds are the k lowest-id vectors spread by stride, update
+    sums are fixed-order folds per (cell, dim); no RNG anywhere.
+    """
+    spark = df.sparkSession
+    n = df.count()
+    k = max(1, min(k, n))
+    stride = max(1, n // k)
+    seeds = (
+        df.filter(F.col(id_col) % stride == 0)
+        .orderBy(id_col)
+        .limit(k)
+        .select("embedding")
+        .collect()
+    )
+    cents = [[float(v) for v in r[0]] for r in seeds]
+    for _ in range(n_iter):
+        assigned = ivf_assign(df, id_col=id_col, centroids=cents)
+        stats = (
+            assigned.select(
+                "cent_id",
+                F.posexplode(F.expr("transform(embedding, v -> CAST(v AS DOUBLE))")).alias(
+                    "i", "x"
+                ),
+            )
+            .groupBy("cent_id", "i")
+            .agg(F.sum("x").alias("s"), F.count("*").alias("cnt"))
+            .collect()  # k·dim rows — the O(k·dim) driver exchange
+        )
+        new_cents = [list(c) for c in cents]  # empty cells keep their centroid
+        per_cell: dict[int, list] = {}
+        for r in stats:
+            per_cell.setdefault(r.cent_id, []).append(r)
+        for cid, rows in per_cell.items():
+            vec = new_cents[cid]
+            for r in rows:
+                vec[r.i] = r.s / r.cnt
+        cents = new_cents
+    return cents
+
+
+def _centroids_df(spark, cents: list[list[float]]) -> DataFrame:
+    return spark.createDataFrame(
+        [(i, c) for i, c in enumerate(cents)],
+        "cent_id INT, cent_emb ARRAY<DOUBLE>",
+    )
+
+
+def ivf_assign(
+    df: DataFrame, id_col: str = "vec_id",
+    centroids: list[list[float]] | None = None,
+) -> DataFrame:
+    """Assign each vector to its nearest centroid (min squared-L2, computed
+    as argmax of dot(x,c) − ‖c‖²/2 — the ‖x‖² term is constant per row).
+
+    ``centroids`` is the trained k×dim matrix (train_ivf_centroids); at
+    production scale training runs once offline and the matrix is broadcast
+    exactly like this join."""
+    spark = df.sparkSession
+    if centroids is None:
+        centroids = train_ivf_centroids(df, id_col=id_col)
+    cents = _centroids_df(spark, centroids).withColumn(
+        "cent_sqnorm",
+        F.aggregate(
+            F.zip_with("cent_emb", "cent_emb", lambda x, y: x * y),
+            F.lit(0.0),
+            lambda a, v: a + v,
+        ),
     )
     da = F.expr("transform(embedding, v -> CAST(v AS DOUBLE))")
-    db = F.expr("transform(cent_emb, v -> CAST(v AS DOUBLE))")
-    dot = F.aggregate(F.zip_with(da, db, lambda x, y: x * y), F.lit(0.0), lambda a, v: a + v)
-    scored = df.crossJoin(F.broadcast(cents)).select(
-        id_col, "embedding", "cent_id", dot.alias("dot")
+    dot = F.aggregate(
+        F.zip_with(da, F.col("cent_emb"), lambda x, y: x * y), F.lit(0.0), lambda a, v: a + v
     )
-    from pyspark.sql import Window as W
-
-    w = W.partitionBy(id_col).orderBy(F.col("dot").desc(), F.col("cent_id"))
+    scored = df.crossJoin(F.broadcast(cents)).select(
+        id_col,
+        "embedding",
+        "cent_id",
+        (dot - F.col("cent_sqnorm") / F.lit(2.0)).alias("score"),
+    )
+    # per-row argmax without a window shuffle: max_by over the k broadcast
+    # copies, grouped by the vector id (map-side combinable)
     return (
-        scored.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
+        scored.groupBy(id_col)
+        .agg(
+            F.first("embedding").alias("embedding"),
+            F.max_by(
+                "cent_id", F.struct(F.col("score"), (-F.col("cent_id")).alias("tb"))
+            ).alias("cent_id"),
+        )
         .select(id_col, "embedding", "cent_id")
     )
 
 
 def ivf_topk(df: DataFrame, query_vec: list[float], k: int, n_probe: int = 2,
              id_col: str = "vec_id") -> DataFrame:
-    """ANN top-k: score only vectors in the query's n_probe nearest cells.
+    """ANN top-k: score only vectors in the query's n_probe nearest cells
+    (same min-L2 routing metric as assignment — probe and index agree).
 
     At 100 TB the assignment table is written once, partitioned by cent_id
     (partition pruning turns the probe into a targeted scan)."""
-    assigned = ivf_assign(df, id_col)
-    cents = assigned.select("cent_id").distinct()
-    # nearest centroids to the query (tiny: computed on the centroid list)
-    cvecs = df.filter(F.col(id_col) % N_CENTROID_STEP == 0).select(
-        F.col(id_col).alias("cent_id"), "embedding"
-    )
+    cents = train_ivf_centroids(df, id_col=id_col)
+    assigned = ivf_assign(df, id_col=id_col, centroids=cents)
     q = [float(v) for v in query_vec]
-    qlit = F.array(*[F.lit(v) for v in q])
-    dd = F.expr("transform(embedding, v -> CAST(v AS DOUBLE))")
-    dot = F.aggregate(F.zip_with(dd, qlit, lambda x, y: x * y), F.lit(0.0), lambda a, v: a + v)
-    probe = (
-        cvecs.select("cent_id", dot.alias("dot"))
-        .orderBy(F.col("dot").desc(), F.col("cent_id"))
-        .limit(n_probe)
-        .select("cent_id")
-    )
-    shortlist = assigned.join(F.broadcast(probe), "cent_id")
+    # route the query on the driver: k×dim floats, same math as the executors
+    scores = [
+        (sum(x * c for x, c in zip(q, cv)) - sum(c * c for c in cv) / 2.0, cid)
+        for cid, cv in enumerate(cents)
+    ]
+    probe_ids = [cid for _, cid in sorted(scores, key=lambda t: (-t[0], t[1]))[:n_probe]]
+    shortlist = assigned.filter(F.col("cent_id").isin(probe_ids))
     return topk_cosine(shortlist.select(id_col, "embedding"), q, k, id_col)
 
 

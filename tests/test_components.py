@@ -53,3 +53,35 @@ def test_ivf_topk_recall_vs_exact(spark):
     # with nonzero overlap against exact top-10 at 3 probes
     assert len(approx) == 10
     assert len(set(approx) & set(exact)) >= 3
+
+
+def test_ivf_kmeans_recovers_separable_clusters(spark):
+    """Lloyd training on 3 well-separated synthetic clusters must place one
+    centroid per cluster (assignment == ground-truth membership) and each
+    trained centroid must land near its cluster mean — i.e. the training is
+    real k-means, not a data-subset stand-in."""
+    from duckdb_ner_spark.operators.similarity import ivf_assign, train_ivf_centroids
+
+    # 3 clusters of 20 vectors around (0,0), (10,0), (0,10), deterministic jitter
+    rows = []
+    vid = 0
+    for cx, cy in [(0.0, 0.0), (10.0, 0.0), (0.0, 10.0)]:
+        for j in range(20):
+            rows.append((vid, [cx + (j % 5) * 0.1, cy + (j % 7) * 0.1]))
+            vid += 1
+    emb = spark.createDataFrame(rows, "vec_id INT, embedding ARRAY<FLOAT>")
+
+    cents = train_ivf_centroids(emb, k=3, n_iter=3)
+    assigned = {r.vec_id: r.cent_id for r in ivf_assign(emb, centroids=cents).collect()}
+    # one centroid per ground-truth cluster, no splits/merges
+    groups = [set(assigned[v] for v in range(s, s + 20)) for s in (0, 20, 40)]
+    assert all(len(g) == 1 for g in groups)
+    assert len(set().union(*groups)) == 3
+    # each trained centroid within 0.5 of its cluster mean (means are
+    # (0.2, 0.3)-ish offsets from the anchors)
+    import math
+
+    anchors = [(0.2, 0.3), (10.2, 0.3), (0.2, 10.3)]
+    for g, (ax, ay) in zip(groups, anchors):
+        cx, cy = cents[g.pop()]
+        assert math.hypot(cx - ax, cy - ay) < 0.5, (cx, cy, ax, ay)
