@@ -88,6 +88,48 @@ def main() -> None:
     )
     qs = entrymod.queries()
 
+    # ---- COLD pass (reported as cold_value/cold_queries): each query timed
+    # on its FIRST run in a fresh session with ENGINE-DEFAULT confs — AQE +
+    # skew handling ON, default 10 MB broadcast threshold, no scan
+    # repartition, no plan cache, no cached/persisted intermediates. This is
+    # the first-run latency a user pays; the steady-state number below is the
+    # recurring-workload latency. JVM and OS page cache are warm in both
+    # (JVM startup is not the number of interest). Runs BEFORE any table
+    # caching so it cannot borrow the steady-state pass's warm state.
+    from duckdb_ner_spark.plans.registry import clear_plan_cache
+
+    cold_spark = spark.newSession()
+    for k, v in {
+        "spark.sql.adaptive.enabled": "true",
+        "spark.sql.shuffle.partitions": "32",
+        "spark.sql.autoBroadcastJoinThreshold": str(10 * 1024 * 1024),
+        "spark.duckdb_ner.scanRepartition": "0",
+    }.items():
+        cold_spark.conf.set(k, v)
+    clear_plan_cache()
+    # Query-neutral engine warmup on synthetic data: loads the scheduler,
+    # codegen and operator infrastructure (agg/join/window classes) once so
+    # the first HEADLINE query's cold number measures that query, not JVM
+    # bootstrap. Touches none of the benchmark tables or plans.
+    from pyspark.sql import functions as _F
+
+    _w = cold_spark.range(1000).withColumn("k", _F.col("id") % 10)
+    _w.groupBy("k").agg(_F.sum("id")).count()
+    _w.join(_w.select(_F.col("id").alias("id2")), _F.col("id") == _F.col("id2")).count()
+    from pyspark.sql.window import Window as _W
+
+    _w.withColumn("rn", _F.row_number().over(_W.partitionBy("k").orderBy("id"))).count()
+    cold_timings: dict[str, float] = {}
+    for name in HEADLINE:
+        t0 = time.time()
+        qs[name](cold_spark, sf_dir).count()
+        cold_timings[name] = round(time.time() - t0, 3)
+    cold_total = round(sum(cold_timings.values()), 3)
+    # drop anything the cold pass cached/persisted so the steady-state pass
+    # starts from its own documented warm protocol only
+    spark.catalog.clearCache()
+    clear_plan_cache()
+
     # warm engine state outside the timed region: JVM, parquet footers, and
     # the table cache (the analogue of DuckDB's buffer pool being warm)
     from duckdb_ner_spark.sources.catalog import TABLES, load_tables
@@ -118,6 +160,8 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "cold_value": cold_total,
+                "cold_queries": cold_timings,
                 "sf": sf,
             }
         )

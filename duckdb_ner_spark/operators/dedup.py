@@ -50,10 +50,20 @@ N_HASHES = 8
 N_BANDS = 4  # 2 hashes per band
 
 
-def _minhash_aggs() -> list[F.Column]:
-    """The N_HASHES min-md5 aggregate columns (~16 Py4J-built nodes each) —
-    stateless, so built once per JVM via exprcache."""
-    return [F.min(seeded_md5(k, F.col("sh"))).alias(f"h{k}") for k in range(N_HASHES)]
+def _minhash_cols() -> list[F.Column]:
+    """The N_HASHES per-row min-hash columns: array_min over a transform of
+    the shingle array — a NARROW expression (no explode, no aggregation, no
+    shuffle). The earlier explode→groupBy formulation carried each doc's
+    full shingle array through a ~200× row blowup and a sort-heavy aggregate
+    (measured 7-9 s cold at sf0.1 vs ~1 s for this form; identical values —
+    same lexicographic min over the same distinct shingles). Stateless, so
+    built once per JVM via exprcache."""
+    return [
+        F.array_min(F.transform(F.col("shingles"), lambda sh: seeded_md5(k, sh))).alias(
+            f"h{k}"
+        )
+        for k in range(N_HASHES)
+    ]
 
 
 def _band_sigs_expr() -> F.Column:
@@ -114,22 +124,23 @@ def dedup_near_minhash(
 
     The shingled form feeds THREE consumers (signatures + both verify
     sides): repartition by id (single-file sources arrive as 1 partition)
-    and cache it so shingling runs once, parallel. At cluster scale the
-    equivalent is a bucketed intermediate table."""
+    and persist it so shingling runs once, parallel. At cluster scale the
+    equivalent is a bucketed intermediate table.
+
+    Docs with no shingles (< n words) carry no signature and can never be
+    candidates — filtered up front (also keeps NULL band sigs out of the
+    bucket join)."""
     spark = df.sparkSession
     n_part = spark.sparkContext.defaultParallelism
     docs = (
         df.select(id_col, words_col(text_col).alias("ws"))
         .repartition(n_part, id_col)
         .select(id_col, cached_exprs("shingles_ws3", shingles_expr).alias("shingles"))
+        .filter(F.size("shingles") > 0)
     )
-    # Fused pass: carry the shingle array THROUGH the explode so one
-    # aggregation yields both the minhash signature and the array needed for
-    # Jaccard verification — one persisted frame, and (being co-partitioned
-    # on id) the groupBy needs no exchange.
-    e = docs.select(id_col, "shingles", F.explode("shingles").alias("sh"))
-    aggs = cached_exprs("minhash_aggs", _minhash_aggs)
-    sigsh = e.groupBy(id_col).agg(*aggs, F.first("shingles").alias("shingles")).persist()
+    # One narrow pass: signature AND the shingle array for Jaccard verify in
+    # the same persisted frame — per-row expressions, zero pre-join shuffles.
+    sigsh = docs.select(id_col, "shingles", *cached_exprs("minhash_cols", _minhash_cols)).persist()
     cand = lsh_candidate_pairs(sigsh, id_col)
     return jaccard_verify(cand, sigsh.select(id_col, "shingles"), id_col, "shingles", threshold)
 
@@ -145,9 +156,9 @@ def minhash_bands(
         df.select(id_col, words_col(text_col).alias("ws"))
         .repartition(n_part, id_col)
         .select(id_col, cached_exprs("shingles_ws3", shingles_expr).alias("shingles"))
+        .filter(F.size("shingles") > 0)
     )
-    e = docs.select(id_col, F.explode("shingles").alias("sh"))
-    sigs = e.groupBy(id_col).agg(*cached_exprs("minhash_aggs", _minhash_aggs))
+    sigs = docs.select(id_col, *cached_exprs("minhash_cols", _minhash_cols))
     band_expr = cached_exprs("minhash_band_sigs", _band_sigs_expr)
     return sigs.select(F.col(id_col), F.posexplode(band_expr).alias("band", "sig"))
 

@@ -17,13 +17,25 @@ def words_col(text: str = "text") -> F.Column:
 
 
 def shingles_expr(words: str = "ws", n: int = 3) -> F.Column:
-    """Distinct n-word shingles. Guarded: < n words → empty array (Spark's
-    sequence() would otherwise generate a DESCENDING range — footgun)."""
-    parts = ", ".join(f"{words}[i+{k}]" for k in range(n))
-    return F.when(
-        F.size(F.col(words)) >= n,
-        F.expr(f"array_distinct(transform(sequence(0, size({words})-{n}), i -> concat_ws(' ', {parts})))"),
-    ).otherwise(F.array().cast("array<string>"))
+    """Distinct n-word shingles, built as a zip_with of n shifted slices.
+
+    Deliberately NO array indexing inside a lambda: the obvious
+    ``transform(sequence(0, size(ws)-n), i -> concat_ws(' ', ws[i], ...))``
+    is a performance trap — when ``ws`` is itself a projected expression
+    (split(text)), CollapseProject inlines the split into EVERY ``ws[i]``
+    reference, so each shingle re-splits the whole document (~n·shingles
+    splits per row; measured 3.7 s vs 0.2 s for 5 k docs at sf0.1). The
+    slice form references ``ws`` a constant n+1 times regardless of
+    document length. Guarded: < n words → empty array (slice/zip_with on
+    negative lengths would misbehave, and sequence() would descend)."""
+    ws = F.col(words)
+    m = F.size(ws) - (n - 1)  # shingle count
+    acc = F.slice(ws, n, m)
+    for k in range(n - 1, 0, -1):
+        acc = F.zip_with(F.slice(ws, k, m), acc, lambda x, y: F.concat_ws(" ", x, y))
+    return F.when(F.size(ws) >= n, F.array_distinct(acc)).otherwise(
+        F.array().cast("array<string>")
+    )
 
 
 def seeded_md5(seed: int, col: F.Column) -> F.Column:

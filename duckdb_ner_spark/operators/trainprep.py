@@ -200,20 +200,20 @@ def q_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = load_tables(spark, sf_dir)
     ws = F.split(F.col("text"), " ")
     d = t.documents.select("doc_id", ws.alias("ws"))
-    # element_at is 1-based; docs with <2 words must yield an EMPTY sequence
-    # (sequence(1, 0) counts DOWN), hence the explicit guard
-    grams = d.select(
-        "doc_id",
-        F.explode(
-            F.when(
-                F.size("ws") >= 2,
-                F.expr(
-                    "transform(sequence(1, size(ws) - 1),"
-                    " i -> concat(element_at(ws, i), ' ', element_at(ws, i + 1)))"
-                ),
-            ).otherwise(F.array().cast("array<string>"))
-        ).alias("g"),
-    )
+    # 2-grams as zip_with of two shifted slices — NOT element_at inside a
+    # transform lambda, which would re-inline the split() per array access
+    # (see textprep.shingles_expr). Docs with <2 words must yield an EMPTY
+    # array (slice with negative length misbehaves), hence the guard.
+    sz = F.size("ws")
+    grams_arr = F.when(
+        sz >= 2,
+        F.zip_with(
+            F.slice(F.col("ws"), 1, sz - 1),
+            F.slice(F.col("ws"), 2, sz - 1),
+            lambda x, y: F.concat(x, F.lit(" "), y),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    grams = d.select("doc_id", F.explode(grams_arr).alias("g"))
     agg = grams.groupBy("doc_id").agg(
         F.count("*").alias("n_grams"), F.countDistinct("g").alias("n_distinct")
     )

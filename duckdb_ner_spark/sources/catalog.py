@@ -110,17 +110,26 @@ class Catalog:
         path = f"{self.sf_dir}/{name}.parquet"
         df = self.spark.read.parquet(path)
         _assert_layout(name, df, path)
-        # The driver-generated testdata is one parquet file with ONE row group
-        # per table, so a local scan is a single split — every downstream map
-        # stage runs on one core, which is an artifact of the tiny-file layout,
-        # not of the plans (at 100 TB a table is thousands of splits and this
-        # conf stays off). Benchmarks opt in via this conf to restore the
-        # parallelism a real layout gives: fact tables are round-robin
-        # repartitioned once, then cached, so queries plan over an evenly
-        # spread InMemoryRelation. Off by default — correctness runs and the
-        # driver's t2 gate see the untouched scan.
-        if n_split > 0 and TABLES[name] is not None:
-            df = df.repartition(n_split)
+        # Scan parallelism floor. The driver-generated testdata is one parquet
+        # file with ONE row group per table, so a local scan is a single
+        # split — every downstream map stage runs on one core. That is an
+        # artifact of the tiny-file layout, not of the plans, and it is bad
+        # for ANY user on ANY multi-core machine (a cold near-dedup ran its
+        # whole minhash stage serially: 10.8 s of a 29 s first run). Default
+        # AUTO mode repartitions a fact table only when its scan yields fewer
+        # splits than min(defaultParallelism, 8) — at 100 TB a table is
+        # thousands of splits, so auto mode is a no-op there by construction.
+        # Aggregation results stay hash-identical: every declared query's
+        # float output is decimal-exact or fold-order-pinned (relational.py
+        # header), so partitioning cannot shift values.
+        #   conf: N>0 = explicit split count; 0/unset = auto; -1 = untouched.
+        if TABLES[name] is not None:
+            if n_split > 0:
+                df = df.repartition(n_split)
+            elif n_split == 0:
+                target = min(self.spark.sparkContext.defaultParallelism, 8)
+                if df.rdd.getNumPartitions() < target:
+                    df = df.repartition(target)
         if name == "events":
             # ts is INT64 TIMESTAMP(NANOS): surfaced as long nanos (see
             # session.py nanosAsLong). Truncate ns→µs exactly as DuckDB does

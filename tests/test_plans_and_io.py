@@ -41,11 +41,19 @@ def test_flagship_plan_is_single_shuffle(spark):
 
     # plan-SHAPE assertions need a freshly constructed plan: on an already-
     # executed cached DataFrame the AQE-final formatted plan lists each
-    # exchange twice (inside its ShuffleQueryStage and in the final tree)
-    clear_plan_cache()
-    df = e.queries()["q_agg_group"](spark, SF_SMOKE)
-    rep = plan_report(df)
-    assert rep.n_exchanges == 2, rep.summary()
+    # exchange twice (inside its ShuffleQueryStage and in the final tree).
+    # scanRepartition=-1: assert the CLUSTER-SCALE shape (untouched scan — at
+    # 100 TB the scan has thousands of splits and the catalog's parallelism
+    # floor is a no-op by construction; on the one-split testdata files the
+    # default auto floor adds one round-robin exchange below the partial agg).
+    spark.conf.set("spark.duckdb_ner.scanRepartition", "-1")
+    try:
+        clear_plan_cache()
+        df = e.queries()["q_agg_group"](spark, SF_SMOKE)
+        rep = plan_report(df)
+        assert rep.n_exchanges == 2, rep.summary()
+    finally:
+        spark.conf.set("spark.duckdb_ner.scanRepartition", "0")
     # both exchanges sit ABOVE a partial HashAggregate: no raw-row shuffle
     plan = df._jdf.queryExecution().optimizedPlan().toString()
     assert "spark_partition_id" in plan.lower()

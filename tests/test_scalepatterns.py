@@ -60,8 +60,18 @@ def test_skew_salted_two_level_plan_and_parity(spark):
     from duckdb_ner_spark.plans.inspect import plan_report
     from duckdb_ner_spark.sources.catalog import load_tables
 
-    df = q_skew_salted(spark, SF_SMOKE)
-    assert plan_report(df).n_exchanges == 2
+    # cluster-scale plan shape: untouched scan (the default parallelism floor
+    # adds one round-robin exchange on these one-split testdata files; at
+    # 100 TB it is a no-op — see test_flagship_plan_is_single_shuffle)
+    from duckdb_ner_spark.plans.registry import clear_plan_cache
+
+    spark.conf.set("spark.duckdb_ner.scanRepartition", "-1")
+    try:
+        clear_plan_cache()
+        df = q_skew_salted(spark, SF_SMOKE)
+        assert plan_report(df).n_exchanges == 2
+    finally:
+        spark.conf.set("spark.duckdb_ner.scanRepartition", "0")
     got = {r.l_returnflag: (r.n, r.total_qty) for r in df.collect()}
     li = load_tables(spark, SF_SMOKE).lineitem
     direct = li.groupBy("l_returnflag").agg(

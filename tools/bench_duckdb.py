@@ -26,10 +26,29 @@ def main() -> None:
     sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or "0.1")
 
     oracles = entrymod.oracle_sql()
-    con = duckdb.connect()
-    for t in "region nation customer supplier part orders lineitem events documents embeddings".split():
-        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
 
+    def fresh_con():
+        c = duckdb.connect()
+        for t in "region nation customer supplier part orders lineitem events documents embeddings".split():
+            c.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+        return c
+
+    # cold pass first (mirrors bench.py cold_*): fresh connection per query,
+    # single run, no warm buffer pool — first-run latency
+    cold_timings: dict[str, float | None] = {}
+    for name in HEADLINE:
+        sql = oracles.get(name)
+        if sql is None:
+            cold_timings[name] = None
+            continue
+        c = fresh_con()
+        t0 = time.time()
+        c.execute(sql).fetchall()
+        cold_timings[name] = round(time.time() - t0, 3)
+        c.close()
+    cold_total = round(sum(v for v in cold_timings.values() if v is not None), 3)
+
+    con = fresh_con()
     timings: dict[str, float | None] = {}
     for name in HEADLINE:
         sql = oracles.get(name)
@@ -52,6 +71,8 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "cold_value": cold_total,
+                "cold_queries": cold_timings,
                 "sf": sf,
             }
         )
