@@ -35,7 +35,7 @@ def entry(spark: SparkSession) -> DataFrame:
 # round should be PREPENDED here so they land inside the window.
 _DRIVER_WINDOW_PRIORITY = [
     # streaming — newest machinery, site of the r2 defect
-    "q_stream_window", "q_stream_dedup", "q_stream_user_stats",
+    "q_stream_window", "q_stream_session", "q_stream_dedup", "q_stream_user_stats",
     # round-1 failure set (driver-green exactly once, r1; slid out of window in r2)
     "q_json", "q_pivot", "q_unpivot", "q_qualify", "q_sample", "q_sample_det",
     # grouped-API pandas UDF path

@@ -105,6 +105,47 @@ def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table(name).groupBy("event_type").agg(F.count("*").alias("n_unique"))
 
 
+_SESSION_ORACLE = """
+    WITH d AS (
+        SELECT user_id, ts,
+               LAG(ts) OVER (PARTITION BY user_id ORDER BY ts) AS prev
+        FROM events
+    ), i AS (
+        SELECT user_id, ts,
+               SUM(CASE WHEN prev IS NULL OR ts - prev > INTERVAL 30 MINUTE
+                        THEN 1 ELSE 0 END)
+                 OVER (PARTITION BY user_id ORDER BY ts) AS sid
+        FROM d
+    ), s AS (
+        SELECT user_id, sid, MIN(ts) AS session_start, MAX(ts) AS last_ts,
+               COUNT(*) AS n_events
+        FROM i GROUP BY user_id, sid
+    ), mx AS (SELECT MAX(ts) AS m FROM events)
+    SELECT user_id,
+           STRFTIME(session_start, '%Y-%m-%d %H:%M:%S') AS session_start,
+           n_events
+    FROM s, mx
+    WHERE s.last_ts + INTERVAL 30 MINUTE < mx.m - INTERVAL 1 SECOND
+"""
+
+
+@declared("q_stream_session", cache_plan=False, oracle=_SESSION_ORACLE)
+def q_stream_session(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session windows BY A STREAM in append mode: the events file drains in
+    N_STREAM_PARTS micro-batches; the session-window state store merges
+    sessions across batches and the advancing watermark emits each session
+    exactly once when it closes. The sink therefore holds the CLOSED
+    sessions; the oracle is the gaps-and-islands replay restricted to the
+    same closed set (last event + gap < max(ts) − watermark delay). The
+    boundary comparison is safe at µs event granularity (an exact-equality
+    collision would need an event landing on the watermark to the µs —
+    sessions here end ≫1 s apart; same precedent as batch q_sessionize)."""
+    from ..streaming.events import session_counts, stream_events
+
+    name = _drain(session_counts(stream_events(spark, sf_dir)), mode="append")
+    return spark.table(name)
+
+
 @declared("q_stream_user_stats", cache_plan=False, oracle=None)
 def q_stream_user_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Custom stateful streaming operator (applyInPandasWithState): per-user

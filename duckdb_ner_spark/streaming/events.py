@@ -73,34 +73,70 @@ def windowed_counts(events: DataFrame, window: str = "1 hour", watermark: str = 
     )
 
 
+N_STREAM_PARTS = 4  # staged micro-batch count (events are time-ordered)
+
+
 def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The file stream source requires a *directory* (it tails new files);
     the testdata ships one file per table, so stage it into a temp dir —
     in production the directory IS the landing zone.
 
+    The source is staged as N_STREAM_PARTS row-range slices with ascending
+    mtimes and ``maxFilesPerTrigger=1``, so an availableNow drain runs N
+    REAL micro-batches — state accumulation, watermark advancement and
+    window merges are exercised across batches, not collapsed into one.
+    The testdata events are globally time-ordered (asserted in tests), so
+    slicing by row range preserves event-time order across batches and no
+    row is ever late relative to the advancing watermark.
+
     The staging dir is DETERMINISTIC per source (hash of sf_dir): re-runs
     against the same checkpoint see the same source path, so checkpoint
-    resume semantics hold, and temp usage is bounded at one copy per SF."""
+    resume semantics hold, and temp usage is bounded at one copy per SF.
+    Slices are refreshed whenever the source changes (mtime/size marker) —
+    regenerated testdata at the same path must not leave batch/stream parity
+    comparing different data through a stale copy (ADVICE r1)."""
     import hashlib
+    import json
+    import math
     import os
-    import shutil
     import tempfile
 
     tag = hashlib.md5(sf_dir.encode()).hexdigest()[:12]
     stage = os.path.join(tempfile.gettempdir(), f"events_stream_{tag}")
     os.makedirs(stage, exist_ok=True)
     source = f"{sf_dir}/events.parquet"
-    target = f"{stage}/events.parquet"
-    # Refresh the staged copy whenever the source changed (mtime/size):
-    # regenerated testdata at the same path must not leave batch/stream
-    # parity comparing different data through a stale copy (ADVICE r1).
-    if os.path.exists(target):
-        s, t = os.stat(source), os.stat(target)
-        if (s.st_mtime, s.st_size) != (t.st_mtime, t.st_size):
-            shutil.copy2(source, target)
-    else:
-        shutil.copy2(source, target)
-    raw = spark.readStream.schema(_observed_events_schema(spark, source)).parquet(stage)
+    marker = os.path.join(stage, "_staged.json")
+    s = os.stat(source)
+    want = {"mtime": s.st_mtime, "size": s.st_size, "parts": N_STREAM_PARTS}
+    have = None
+    if os.path.exists(marker):
+        with open(marker) as fh:
+            have = json.load(fh)
+    if have != want:
+        import pyarrow.parquet as pq
+
+        tbl = pq.read_table(source)
+        per = max(1, math.ceil(tbl.num_rows / N_STREAM_PARTS))
+        for f in os.listdir(stage):
+            if f.endswith(".parquet"):
+                os.remove(os.path.join(stage, f))
+        base = s.st_mtime
+        for i in range(N_STREAM_PARTS):
+            sl = tbl.slice(i * per, per)
+            if sl.num_rows == 0:
+                break
+            p = os.path.join(stage, f"part-{i}.parquet")
+            pq.write_table(sl, p)
+            # ascending mtimes pin the file-source processing order to the
+            # event-time order of the slices
+            os.utime(p, (base + i, base + i))
+        with open(marker, "w") as fh:
+            json.dump(want, fh)
+    raw = (
+        spark.readStream.schema(_observed_events_schema(spark, source))
+        .option("maxFilesPerTrigger", "1")
+        .parquet(stage)
+    )
     return _normalize(raw)
 
 
@@ -111,6 +147,31 @@ def batch_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..sources.catalog import Catalog
 
     return Catalog(spark, sf_dir).table("events")
+
+
+def session_counts(
+    events: DataFrame, gap: str = "30 minutes", watermark: str = "1 second"
+) -> DataFrame:
+    """Gap-based session windows per user (session_window) — one definition
+    for batch and stream. Streaming runs in APPEND mode: a session is
+    emitted exactly once, when the watermark passes its close (last event +
+    gap) — so the drained sink holds every CLOSED session, and sessions
+    still open at end-of-data stay in state. At 100 TB the (user × session)
+    grouping is the shuffle key and the watermark bounds the session state;
+    merges of adjacent sessions across micro-batches are handled by the
+    session-window state store."""
+    e = events
+    if e.isStreaming:
+        e = e.withWatermark("ts", watermark)
+    return (
+        e.groupBy(F.session_window("ts", gap).alias("sw"), "user_id")
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            "user_id",
+            F.date_format("sw.start", "yyyy-MM-dd HH:mm:ss").alias("session_start"),
+            "n_events",
+        )
+    )
 
 
 def run_stream_etl_to_parquet(

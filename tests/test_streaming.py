@@ -145,8 +145,13 @@ def test_streaming_dedup_matches_batch_distinct(spark):
     from duckdb_ner_spark.streaming.events import batch_events, dedup_stream, stream_events
     from duckdb_ner_spark.streaming.events import _await_drain
 
+    # horizon must cover the dataset's full time span: the staged stream now
+    # runs REAL multi-batch drains with an advancing watermark, and
+    # dropDuplicatesWithinWatermark only equals a global DISTINCT when no
+    # duplicate pair is farther apart than the horizon (the production
+    # trade-off the operator exists to make)
     q = (
-        dedup_stream(stream_events(spark, SF_SMOKE), ["user_id", "event_type"])
+        dedup_stream(stream_events(spark, SF_SMOKE), ["user_id", "event_type"], watermark="40 days")
         .select("user_id", "event_type")
         .writeStream.format("memory")
         .queryName("t_dedup_stream")
@@ -237,3 +242,67 @@ def test_ner_stream_matches_batch(spark):
     }
     assert got == expect
     assert len(expect) > 0  # the stub model does extract entities
+
+
+def test_staged_stream_runs_multiple_batches(spark):
+    """The staged drain must exercise REAL multi-batch streaming (state and
+    watermark across batches), not collapse into one micro-batch."""
+    from duckdb_ner_spark.streaming.events import (
+        N_STREAM_PARTS,
+        stream_events,
+        windowed_counts,
+        _await_drain,
+    )
+
+    q = (
+        windowed_counts(stream_events(spark, SF_SMOKE))
+        .writeStream.format("memory")
+        .queryName("t_multibatch")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    _await_drain(q)
+    data_batches = [p for p in q.recentProgress if p["numInputRows"] > 0]
+    assert len(data_batches) == N_STREAM_PARTS, [p["numInputRows"] for p in q.recentProgress]
+
+
+def test_events_time_ordered_staging_invariant():
+    """Row-range slicing of the source preserves event-time order across
+    micro-batches ONLY because the testdata events are globally time-ordered
+    — assert that invariant so a reordered regeneration fails loudly here
+    rather than via silently dropped late rows."""
+    import pyarrow.parquet as pq
+
+    ts = pq.read_table(f"{SF_SMOKE}/events.parquet", columns=["ts"]).to_pandas()["ts"]
+    assert ts.is_monotonic_increasing
+
+
+def test_stream_session_closed_sessions_match_gaps_and_islands(spark):
+    """Append-mode session windows: drained sink == gaps-and-islands replay
+    restricted to sessions closed before the final watermark."""
+    import duckdb
+
+    from duckdb_ner_spark.operators.streaming_queries import q_stream_session
+
+    got = {
+        (r.user_id, r.session_start): r.n_events
+        for r in q_stream_session(spark, SF_SMOKE).collect()
+    }
+    rows = duckdb.sql(
+        f"""
+        WITH e AS (SELECT * FROM read_parquet('{SF_SMOKE}/events.parquet')),
+        d AS (SELECT user_id, ts, LAG(ts) OVER (PARTITION BY user_id ORDER BY ts) AS prev FROM e),
+        i AS (SELECT user_id, ts,
+                     SUM(CASE WHEN prev IS NULL OR ts - prev > INTERVAL 30 MINUTE THEN 1 ELSE 0 END)
+                       OVER (PARTITION BY user_id ORDER BY ts) AS sid FROM d),
+        s AS (SELECT user_id, sid, MIN(ts) AS st, MAX(ts) AS lt, COUNT(*) AS n
+              FROM i GROUP BY user_id, sid),
+        mx AS (SELECT MAX(ts) AS m FROM e)
+        SELECT user_id, STRFTIME(st, '%Y-%m-%d %H:%M:%S') AS st, n
+        FROM s, mx WHERE s.lt + INTERVAL 30 MINUTE < mx.m - INTERVAL 1 SECOND
+        """
+    ).fetchall()
+    expect = {(u, st): n for u, st, n in rows}
+    assert got == expect
+    assert len(got) > 0
