@@ -539,3 +539,85 @@ def q_dedup_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
     formula — deterministic and replayed, so the hash gate stays exact."""
     t = load_tables(spark, sf_dir)
     return lsh_cosine_pairs(t.embeddings, dim=64, threshold=0.45)
+
+
+# --------------------------------------------------------------------------
+# MinHash estimation quality: signature-estimated vs exact Jaccard
+# --------------------------------------------------------------------------
+
+_JACCARD_EST_ORACLE = f"""
+    WITH docs AS (
+        SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+    ), sh AS (
+        SELECT doc_id, {sql_shingles(3)} AS shingles FROM docs
+    ), e AS (
+        SELECT doc_id, unnest(shingles) AS s FROM sh
+    ), mh AS (
+        SELECT doc_id,
+               {", ".join(f"MIN(md5('s{k}|' || s)) AS h{k}" for k in range(N_HASHES))}
+        FROM e GROUP BY doc_id
+    ), bands AS (
+        {" UNION ALL ".join(f"SELECT doc_id, {b} AS band, h{2 * b} || h{2 * b + 1} AS sig FROM mh" for b in range(N_BANDS))}
+    ), cand AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM bands a JOIN bands b ON a.band = b.band AND a.sig = b.sig
+        WHERE a.doc_id < b.doc_id
+    )
+    SELECT doc_a, doc_b,
+           ({" + ".join(f"CASE WHEN ma.h{k} = mb.h{k} THEN 1 ELSE 0 END" for k in range(N_HASHES))}) * 1.0
+             / {N_HASHES} AS est_jaccard,
+           ROUND(LEN(LIST_INTERSECT(x.shingles, y.shingles)) * 1.0
+             / LEN(LIST_DISTINCT(x.shingles || y.shingles)), 6) AS jaccard
+    FROM cand
+    JOIN mh ma ON ma.doc_id = doc_a
+    JOIN mh mb ON mb.doc_id = doc_b
+    JOIN sh x ON x.doc_id = doc_a
+    JOIN sh y ON y.doc_id = doc_b
+"""
+
+
+@declared("q_jaccard_est", oracle=_JACCARD_EST_ORACLE)
+def q_jaccard_est(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash estimation quality audit: for every LSH candidate pair, the
+    signature-estimated Jaccard (fraction of agreeing min-hashes — the
+    statistic LSH thresholds actually act on) next to the exact Jaccard.
+    The production use: calibrate band/row counts from a sample before
+    committing a 100 TB dedup sweep. est is a k/N_HASHES rational (exactly
+    representable), exact Jaccard rounds at 6dp; identical md5 min-hash
+    construction replayed by the oracle."""
+    t = load_tables(spark, sf_dir)
+    n_part = spark.sparkContext.defaultParallelism
+    docs = (
+        t.documents.select("doc_id", words_col("text").alias("ws"))
+        .repartition(n_part, "doc_id")
+        .select("doc_id", cached_exprs("shingles_ws3", shingles_expr).alias("shingles"))
+        .filter(F.size("shingles") > 0)
+    )
+    sigsh = docs.select("doc_id", "shingles", *cached_exprs("minhash_cols", _minhash_cols)).persist()
+    cand = lsh_candidate_pairs(sigsh, "doc_id")
+    a = sigsh.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("shingles").alias("sh_a"),
+        *[F.col(f"h{k}").alias(f"a{k}") for k in range(N_HASHES)],
+    )
+    b = sigsh.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("shingles").alias("sh_b"),
+        *[F.col(f"h{k}").alias(f"b{k}") for k in range(N_HASHES)],
+    )
+    matches = sum(
+        F.when(F.col(f"a{k}") == F.col(f"b{k}"), 1).otherwise(0) for k in range(N_HASHES)
+    )
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.size(F.array_union("sh_a", "sh_b"))
+    return (
+        F.broadcast(cand)
+        .join(a, "doc_a")
+        .join(b, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            (matches * F.lit(1.0) / N_HASHES).alias("est_jaccard"),
+            F.round(inter * F.lit(1.0) / union, 6).alias("jaccard"),
+        )
+    )

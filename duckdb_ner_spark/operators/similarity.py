@@ -553,3 +553,86 @@ def q_embed_quant(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.array_min("qv").cast("bigint").alias("min_q"),
         F.array_max("qv").cast("bigint").alias("max_q"),
     )
+
+
+# --- k-NN join: top-k neighbors for EACH query in a set (batch retrieval) --
+
+N_KNN_QUERIES = 5  # vec_id < 5 form the query set
+KNN_K = 3
+
+
+_KNN_ORACLE = f"""
+    WITH ex AS (
+        SELECT vec_id, i, CAST(x AS DOUBLE) AS x
+        FROM (SELECT vec_id, unnest(embedding) AS x,
+                     generate_subscripts(embedding, 1) AS i
+              FROM embeddings)
+    ), q AS (
+        SELECT vec_id AS qid, i, x AS qx FROM ex WHERE vec_id < {N_KNN_QUERIES}
+    ), c AS (
+        SELECT vec_id, i, x FROM ex WHERE vec_id >= {N_KNN_QUERIES}
+    ), nrm AS (
+        SELECT vec_id, SQRT(SUM(x * x)) AS n FROM ex GROUP BY vec_id
+    ), scored AS (
+        SELECT q.qid, c.vec_id, SUM(c.x * q.qx) AS dot
+        FROM c JOIN q ON c.i = q.i
+        GROUP BY q.qid, c.vec_id
+    ), ranked AS (
+        SELECT s.qid, s.vec_id,
+               s.dot / (na.n * nb.n) AS cosine,
+               ROW_NUMBER() OVER (PARTITION BY s.qid
+                                  ORDER BY s.dot / (na.n * nb.n) DESC, s.vec_id) AS rn
+        FROM scored s
+        JOIN nrm na ON na.vec_id = s.qid
+        JOIN nrm nb ON nb.vec_id = s.vec_id
+    )
+    SELECT qid, vec_id AS neighbor_id, rn AS rank, ROUND(cosine, 6) AS cosine
+    FROM ranked WHERE rn <= {KNN_K}
+"""
+
+
+@declared("q_knn_join", oracle=_KNN_ORACLE)
+def q_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-NN JOIN: exact top-k cosine neighbors for EVERY vector in a query
+    set (batch retrieval — the shape a RAG/eval pipeline runs, vs
+    q_sim_topk's single query). The query side is broadcast (queries ≪
+    corpus — the retrieval asymmetry), scoring is one narrow JVM pass over
+    the corpus (zip_with/aggregate fold, ascending positions, so doubles are
+    bit-identical to the oracle's i-ordered SUM), and per-query ranking
+    shuffles only (n_queries × corpus) score rows, never embeddings.
+
+    Scale notes (100 TB): with q queries the scored relation is q×N rows of
+    three scalars — for large q, swap the final window for a per-partition
+    partial top-k (mapInPandas heap) + merge, or route through the IVF index
+    (ivf_topk) per query; both keep the corpus unshuffled. Rank ties are
+    impossible at equal cosine (deterministic vec_id tiebreak)."""
+    t = load_tables(spark, sf_dir)
+    emb = t.embeddings
+    dd = F.expr("transform(embedding, v -> CAST(v AS DOUBLE))")
+    nrm = F.sqrt(
+        F.aggregate(F.zip_with(dd, dd, lambda x, y: x * y), F.lit(0.0), lambda a, v: a + v)
+    )
+    qs = emb.filter(F.col("vec_id") < N_KNN_QUERIES).select(
+        F.col("vec_id").alias("qid"),
+        dd.alias("qemb"),
+        nrm.alias("qnrm"),
+    )
+    corpus = emb.filter(F.col("vec_id") >= N_KNN_QUERIES).select(
+        "vec_id", dd.alias("cemb"), nrm.alias("cnrm")
+    )
+    dot = F.aggregate(
+        F.zip_with("cemb", "qemb", lambda x, y: x * y), F.lit(0.0), lambda a, v: a + v
+    )
+    scored = corpus.crossJoin(F.broadcast(qs)).select(
+        "qid",
+        "vec_id",
+        (dot / (F.col("qnrm") * F.col("cnrm"))).alias("cosine"),
+    )
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("qid").orderBy(F.col("cosine").desc(), F.col("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= KNN_K)
+        .select("qid", F.col("vec_id").alias("neighbor_id"), "rank", F.round("cosine", 6).alias("cosine"))
+    )

@@ -91,3 +91,31 @@ def test_hop_window_double_counts_events(spark):
     rows = q_hop_window(spark, SF_SMOKE).collect()
     n_events = spark.read.parquet(f"{SF_SMOKE}/events.parquet").count()
     assert sum(r.n for r in rows) == 2 * n_events
+
+
+def test_scd2_version_chain_invariants(spark):
+    """SCD2 output must form a gapless version chain per entity: exactly one
+    is_current row per user, each valid_to equal to the next valid_from, and
+    event counts summing to the user's event total."""
+    import pyspark.sql.functions as F
+
+    from duckdb_ner_spark.operators.scalepatterns import q_scd2
+    from duckdb_ner_spark.sources.catalog import load_tables
+
+    out = q_scd2(spark, SF_SMOKE)
+    rows = out.collect()
+    by_user = {}
+    for r in rows:
+        by_user.setdefault(r.user_id, []).append(r)
+    totals = {
+        r.user_id: r.n
+        for r in load_tables(spark, SF_SMOKE).events.groupBy("user_id").agg(F.count("*").alias("n")).collect()
+    }
+    assert set(by_user) == set(totals)
+    for uid, vs in by_user.items():
+        vs.sort(key=lambda r: r.valid_from)
+        assert sum(1 for r in vs if r.is_current) == 1
+        assert vs[-1].is_current and vs[-1].valid_to is None
+        for a, b in zip(vs, vs[1:]):
+            assert a.valid_to == b.valid_from  # gapless, non-overlapping
+        assert sum(r.n_events for r in vs) == totals[uid]
