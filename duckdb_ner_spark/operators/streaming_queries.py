@@ -105,6 +105,46 @@ def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table(name).groupBy("event_type").agg(F.count("*").alias("n_unique"))
 
 
+_HOP_STREAM_ORACLE = """
+    WITH starts AS (
+        SELECT event_type, value,
+               unnest([TIME_BUCKET(INTERVAL 30 MINUTE, ts),
+                       TIME_BUCKET(INTERVAL 30 MINUTE, ts) - INTERVAL 30 MINUTE])
+                   AS ws
+        FROM events
+    )
+    SELECT STRFTIME(ws, '%Y-%m-%d %H:%M:%S') AS window_start,
+           event_type,
+           COUNT(*) AS n,
+           CAST(ROUND(SUM(CAST(value AS DECIMAL(12,2))), 2) AS DOUBLE) AS total_value
+    FROM starts
+    GROUP BY 1, 2
+"""
+
+
+@declared("q_stream_hop", cache_plan=False, oracle=_HOP_STREAM_ORACLE)
+def q_stream_hop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hopping (sliding) windows BY A STREAM: 1-hour windows every 30 min
+    over the multi-batch drain — each event contributes to 2 windows and
+    window state accumulates across micro-batches; complete mode keeps every
+    window in the sink. Oracle = the batch bucket-arithmetic replay (same
+    SQL as batch q_hop_window — the batch/stream parity contract for
+    sliding windows). Decimal-exact sums keep micro-batch accumulation
+    order-independent."""
+    from ..streaming.events import stream_events, windowed_counts
+
+    name = _drain(
+        windowed_counts(stream_events(spark, sf_dir), window="1 hour", slide="30 minutes"),
+        mode="complete",
+    )
+    return spark.table(name).select(
+        F.date_format("window_start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+        "event_type",
+        "n",
+        "total_value",
+    )
+
+
 _SESSION_ORACLE = """
     WITH d AS (
         SELECT user_id, ts,

@@ -271,3 +271,70 @@ def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.sum(F.col("pos") * code) % F.lit(1000000007)).alias("fingerprint"),
         F.min(F.md5("word")).alias("min_word_hash"),
     )
+
+
+# --------------------------------------------------------------------------
+# TF-IDF distinctive terms per document (float-safe rational scoring)
+# --------------------------------------------------------------------------
+
+TFIDF_TOP = 3
+
+_TFIDF_ORACLE = f"""
+    WITH w AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+    ), tf AS (
+        SELECT doc_id, term, COUNT(*) AS tf FROM w GROUP BY doc_id, term
+    ), df AS (
+        SELECT term, COUNT(DISTINCT doc_id) AS df FROM w GROUP BY term
+    ), n AS (SELECT COUNT(*) AS n FROM documents
+    ), s AS (
+        SELECT tf.doc_id, tf.term, tf.tf, df.df,
+               CAST(tf.tf AS DOUBLE) * CAST(n.n AS DOUBLE) / CAST(df.df AS DOUBLE)
+                 AS score
+        FROM tf JOIN df USING (term), n
+    ), r AS (
+        SELECT doc_id, term, tf, df, score,
+               ROW_NUMBER() OVER (PARTITION BY doc_id
+                                  ORDER BY score DESC, term) AS rnk
+        FROM s
+    )
+    SELECT doc_id, term, tf, df, CAST(rnk AS BIGINT) AS rnk,
+           ROUND(score, 6) AS score
+    FROM r WHERE rnk <= {TFIDF_TOP}
+"""
+
+
+@declared("q_tfidf", oracle=_TFIDF_ORACLE)
+def q_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-{3} distinctive terms per document by tf·N/df — tf-idf with the
+    raw inverse-document-frequency RATIO instead of its logarithm, because
+    ln() is not guaranteed correctly-rounded across libms and a 1-ulp
+    divergence fails the hash gate; the ratio is two exact integer-valued
+    doubles and one division, bit-identical in both engines, and induces the
+    SAME per-doc ranking as log tf-idf for tf=const (monotone transform).
+
+    Scale notes (100 TB): tf is the canonical map-side-combine aggregate
+    keyed (doc, term); df aggregates the same exploded pass keyed term; the
+    df table is corpus-vocabulary-sized — broadcastable for natural-language
+    vocabularies; the final top-k windows only the (doc, term) score rows.
+    The N scalar rides in via a 1-row broadcast cross join."""
+    t = load_tables(spark, sf_dir)
+    w = t.documents.select("doc_id", F.explode(words_col("text")).alias("term"))
+    tf = w.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    df = w.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    n = t.documents.agg(F.count("*").alias("n"))
+    score = (
+        F.col("tf").cast("double") * F.col("n").cast("double") / F.col("df").cast("double")
+    )
+    scored = (
+        tf.join(F.broadcast(df), "term")
+        .crossJoin(F.broadcast(n))
+        .select("doc_id", "term", "tf", "df", score.alias("score"))
+    )
+    win = Window.partitionBy("doc_id").orderBy(F.col("score").desc(), F.col("term"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(win))
+        .filter(F.col("rnk") <= TFIDF_TOP)
+        .select("doc_id", "term", "tf", "df", F.col("rnk").cast("bigint").alias("rnk"),
+                F.round("score", 6).alias("score"))
+    )

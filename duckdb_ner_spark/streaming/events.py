@@ -48,14 +48,21 @@ def _normalize(df: DataFrame) -> DataFrame:
     return df
 
 
-def windowed_counts(events: DataFrame, window: str = "1 hour", watermark: str = "2 hours") -> DataFrame:
-    """Tumbling-window counts per event_type with a watermark (streaming) —
-    watermark is a no-op under batch, so one definition serves both."""
+def windowed_counts(
+    events: DataFrame,
+    window: str = "1 hour",
+    watermark: str = "2 hours",
+    slide: str | None = None,
+) -> DataFrame:
+    """Tumbling (or, with ``slide``, hopping) window counts per event_type
+    with a watermark (streaming) — watermark is a no-op under batch, so one
+    definition serves both."""
     e = events
     if e.isStreaming:
         e = e.withWatermark("ts", watermark)
+    win = F.window("ts", window, slide) if slide else F.window("ts", window)
     return (
-        e.groupBy(F.window("ts", window).alias("w"), "event_type")
+        e.groupBy(win.alias("w"), "event_type")
         # decimal-exact sum: micro-batch accumulation must not depend on
         # float addition order, so stream == batch == any SQL oracle
         .agg(

@@ -306,3 +306,32 @@ def test_stream_session_closed_sessions_match_gaps_and_islands(spark):
     expect = {(u, st): n for u, st, n in rows}
     assert got == expect
     assert len(got) > 0
+
+
+def test_catalog_batch_reads_both_ts_layouts(spark, tmp_path):
+    """The BATCH catalog must read both events ts layouts to identical
+    values (the streaming twin of this test covers the stream path; the
+    nanos branch would otherwise be untested now that the shipped testdata
+    is timestamp[us])."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from duckdb_ner_spark.sources.catalog import Catalog
+
+    src = pq.read_table(f"{SF_SMOKE}/events.parquet")
+    i = src.schema.get_field_index("ts")
+    results = {}
+    for tag, typ in [("us", pa.timestamp("us")), ("ns", pa.timestamp("ns"))]:
+        d = tmp_path / f"cat_{tag}"
+        d.mkdir()
+        pq.write_table(
+            src.set_column(i, "ts", src.column("ts").cast(typ)),
+            str(d / "events.parquet"),
+            version="2.6",
+        )
+        ev = Catalog(spark, str(d)).table("events")
+        results[tag] = sorted(
+            (r.event_id, r.ts.strftime("%Y-%m-%d %H:%M:%S.%f")) for r in ev.collect()
+        )
+    assert results["us"] == results["ns"]
+    assert len(results["us"]) > 0
