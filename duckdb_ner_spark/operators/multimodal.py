@@ -176,3 +176,38 @@ def q_multimodal(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = t.documents.repartition(spark.sparkContext.defaultParallelism)
     media = attach_media(docs)
     return featurize_media(media)
+
+
+_FRAMES_ORACLE = """
+    WITH m AS (
+        SELECT doc_id, LENGTH(text) AS L, (LENGTH(text) + 63) // 64 AS nc
+        FROM documents
+    )
+    SELECT doc_id,
+           CAST((nc + 1) // 2 AS BIGINT) AS n_frames,
+           CAST(((nc + 1) // 2) * 64
+                - CASE WHEN (nc - 1) % 2 = 0 AND L % 64 <> 0
+                       THEN 64 - (L % 64) ELSE 0 END
+             AS BIGINT) AS total_frame_bytes,
+           CAST((nc - 1) - ((nc - 1) % 2) AS INT) AS last_frame_idx
+    FROM m WHERE nc > 0
+"""
+
+
+@declared("q_multimodal_frames", oracle=_FRAMES_ORACLE)
+def q_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame-sampling round trip: the 1→N mapInPandas fan-out (sample_frames,
+    the video keyframe-extraction shape) aggregated back per document —
+    frames kept, bytes kept, last kept index. The oracle derives the same
+    counts arithmetically from the text length (64-byte frames, every 2nd
+    kept), so the Python fan-out path is verified end-to-end against closed-
+    form SQL. Plan: scan → mapInPandas → one map-side-combined agg keyed
+    doc_id; frames (binary) reduce to scalars BEFORE the shuffle."""
+    t = load_tables(spark, sf_dir)
+    docs = t.documents.repartition(spark.sparkContext.defaultParallelism)
+    frames = sample_frames(attach_media(docs), frame_size=64, every_n=2)
+    return frames.groupBy("doc_id").agg(
+        F.count("*").alias("n_frames"),
+        F.sum("frame_bytes").alias("total_frame_bytes"),
+        F.max("frame_idx").alias("last_frame_idx"),
+    )

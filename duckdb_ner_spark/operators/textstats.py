@@ -314,7 +314,10 @@ def q_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     SAME per-doc ranking as log tf-idf for tf=const (monotone transform).
 
     Scale notes (100 TB): tf is the canonical map-side-combine aggregate
-    keyed (doc, term); df aggregates the same exploded pass keyed term; the
+    keyed (doc, term); df runs a second explode pass keyed term — Catalyst
+    does not share subtrees across aggregates, and that is the right
+    trade anyway: re-running a narrow split+explode costs a scan, while
+    materializing the word-level table costs |corpus|×|words| storage. The
     df table is corpus-vocabulary-sized — broadcastable for natural-language
     vocabularies; the final top-k windows only the (doc, term) score rows.
     The N scalar rides in via a 1-row broadcast cross join."""

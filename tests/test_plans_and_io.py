@@ -175,3 +175,14 @@ def test_exprcache_identity_and_equivalence(spark):
     r1 = df.groupBy().agg(*a).collect()[0].s
     r2 = df.filter("v >= 0").groupBy().agg(*a).collect()[0].s
     assert r1 == r2 == sum(i * 2 for i in range(5))
+
+
+def test_knn_join_broadcasts_query_side(spark):
+    """q_knn_join's retrieval asymmetry: the query set must ride in as a
+    broadcast — the corpus is never shuffled for the scoring join."""
+    import __spark_entry__ as e
+    from duckdb_ner_spark.plans.inspect import plan_report
+
+    rep = plan_report(e.queries()["q_knn_join"](spark, SF_SMOKE))
+    assert rep.n_broadcasts >= 1, rep.summary()
+    assert not rep.has_python_udf
