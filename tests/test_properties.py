@@ -79,3 +79,31 @@ def test_truncation_monotone(cap):
     # a larger cap extends the token stream prefix-compatibly ([SEP] aside)
     assert bigger[: len(out) - 1][: len(out) - 1][0] == out[0]
     assert out[:-1] == bigger[: len(out) - 1]
+
+
+# --- shingles_expr: the zip_with-of-slices rewrite must be EXACTLY the
+# naive first-occurrence-distinct n-gram construction for any word list ----
+
+word = st.text(alphabet="abc", min_size=1, max_size=3)
+word_lists = st.lists(st.lists(word, max_size=8), min_size=1, max_size=6)
+
+
+def _ref_shingles(ws, n=3):
+    seen, out = set(), []
+    for i in range(len(ws) - n + 1):
+        s = " ".join(ws[i : i + n])
+        if s not in seen:
+            seen.add(s)
+            out.append(s)
+    return out
+
+
+@given(batches=word_lists)
+@settings(max_examples=15, deadline=None)
+def test_shingles_expr_matches_reference(spark, batches):
+    from duckdb_ner_spark.operators.textprep import shingles_expr
+
+    df = spark.createDataFrame([(i, ws) for i, ws in enumerate(batches)], "i INT, ws ARRAY<STRING>")
+    got = {r.i: list(r.sh) for r in df.select("i", shingles_expr().alias("sh")).collect()}
+    expect = {i: _ref_shingles(ws) for i, ws in enumerate(batches)}
+    assert got == expect
