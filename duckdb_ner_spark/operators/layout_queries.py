@@ -336,3 +336,50 @@ def q_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("revenue"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Z-order (Morton) clustering math through the oracle gate
+# --------------------------------------------------------------------------
+
+ZORDER_BITS = 8
+
+_Z_SQL = " + ".join(
+    f"((((l_partkey % 256) >> {b}) & 1) << {2 * b})"
+    f" + ((((l_suppkey % 256) >> {b}) & 1) << {2 * b + 1})"
+    for b in range(ZORDER_BITS)
+)
+
+_ZORDER_ORACLE = f"""
+    WITH z AS (
+        SELECT CAST({_Z_SQL} AS BIGINT) AS zv FROM lineitem
+    )
+    SELECT CAST(zv >> 10 AS BIGINT) AS z_bucket,
+           COUNT(*) AS n,
+           MIN(zv) AS min_z,
+           MAX(zv) AS max_z
+    FROM z GROUP BY 1
+"""
+
+
+@declared("q_zorder", oracle=_ZORDER_ORACLE)
+def q_zorder(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Morton z-value computation (plans/zorder.py — the clustering key
+    behind Delta/Iceberg ZORDER BY) hash-verified bit-for-bit against a
+    DuckDB replay of the interleave arithmetic, then bucketed to the
+    64-bucket histogram a range-partitioned clustered write would produce.
+    The zvalue expression is pure built-in bitwise arithmetic (codegen'd,
+    no UDF); the full clustering pipeline (repartitionByRange on zv +
+    row-group stat tightening) is exercised in tests/test_zorder.py — this
+    query pins the MATH that layout depends on."""
+    from ..plans.zorder import zvalue
+
+    t = load_tables(spark, sf_dir)
+    zv = zvalue(
+        [F.col("l_partkey") % 256, F.col("l_suppkey") % 256], bits=ZORDER_BITS
+    )
+    return (
+        t.lineitem.select(zv.alias("zv"))
+        .groupBy(F.shiftright("zv", 10).cast("bigint").alias("z_bucket"))
+        .agg(F.count("*").alias("n"), F.min("zv").alias("min_z"), F.max("zv").alias("max_z"))
+    )
