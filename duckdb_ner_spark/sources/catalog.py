@@ -128,7 +128,7 @@ class Catalog:
                 df = df.repartition(n_split)
             elif n_split == 0:
                 target = min(self.spark.sparkContext.defaultParallelism, 8)
-                if df.rdd.getNumPartitions() < target:
+                if self._estimate_splits(path) < target:
                     df = df.repartition(target)
         if name == "events":
             # ts is INT64 TIMESTAMP(NANOS): surfaced as long nanos (see
@@ -143,6 +143,32 @@ class Catalog:
                     "ts", F.timestamp_micros(F.expr("ts div 1000")).cast("timestamp_ntz")
                 )
         return df
+
+    def _estimate_splits(self, path: str) -> int:
+        """Estimate the scan's split count from file size alone — replicating
+        Spark's FilePartition sizing (splits of ~max(openCostInBytes≈4MB,
+        size/defaultParallelism), capped at maxPartitionBytes) WITHOUT the
+        DataFrame→RDD conversion a getNumPartitions() probe forces (~80 ms+
+        of driver planning per table, which the cold path pays 10×). An
+        estimate is all the parallelism floor needs: it only gates a
+        repartition of tiny single-file tables."""
+        import math
+        import os
+
+        if os.path.isdir(path):
+            size = sum(
+                os.path.getsize(os.path.join(r, f))
+                for r, _, fs in os.walk(path)
+                for f in fs
+                if not f.startswith(("_", "."))
+            )
+        else:
+            size = os.path.getsize(path)
+        dp = max(1, self.spark.sparkContext.defaultParallelism)
+        open_cost = 4 * 1024 * 1024
+        max_part = 128 * 1024 * 1024
+        split = min(max_part, max(open_cost, size // dp or 1))
+        return max(1, math.ceil(size / split))
 
     def __getattr__(self, name: str) -> DataFrame:
         if name in TABLES:
