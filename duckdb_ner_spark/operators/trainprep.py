@@ -383,3 +383,43 @@ def q_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n",
         F.sum("n").over(w).alias("cum_n"),
     )
+
+
+# --------------------------------------------------------------------------
+# Spark 4 Python UDTF surface: the chunker as a table function
+# --------------------------------------------------------------------------
+
+
+@declared("q_udtf_chunk", oracle=_CHUNK_ORACLE, cache_plan=False)
+def q_udtf_chunk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The overlapping-window chunker expressed as a Spark 4 Python UDTF in
+    a LATERAL join — same semantics and SAME oracle as q_chunk, which stays
+    the production (built-in, codegen'd) path. This query exists to put the
+    UDTF API surface itself through the hash gate: per-row fan-out, typed
+    output schema, lateral correlation. UDTFs are row-at-a-time Python (the
+    documented slow path) — acceptable here because chunk hashing is one
+    md5 per ~50 words, not per row of a hot relational query."""
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="doc_id BIGINT, chunk_id BIGINT, n_words BIGINT, chunk_md5 STRING")
+    class ChunkEmitter:
+        def eval(self, doc_id: int, text: str):
+            import hashlib
+
+            ws = text.split(" ")
+            for s in range(0, max(len(ws), 1), CHUNK_STRIDE):
+                chunk = ws[s : s + CHUNK_WORDS]
+                yield (
+                    doc_id,
+                    s // CHUNK_STRIDE,
+                    len(chunk),
+                    hashlib.md5(" ".join(chunk).encode()).hexdigest(),
+                )
+
+    spark.udtf.register("dns_chunk_udtf", ChunkEmitter)
+    t = load_tables(spark, sf_dir)
+    t.documents.createOrReplaceTempView("dns_udtf_docs")
+    return spark.sql(
+        "SELECT c.doc_id, c.chunk_id, c.n_words, c.chunk_md5 "
+        "FROM dns_udtf_docs, LATERAL dns_chunk_udtf(doc_id, text) c"
+    )
