@@ -1025,3 +1025,43 @@ def q_asof_tol(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id",
         F.col("click_ts").cast("string").alias("next_click_ts"),
     )
+
+
+# --------------------------------------------------------------------------
+# as-of join, forward direction (the C10 family's other half)
+# --------------------------------------------------------------------------
+@declared(
+    "q_asof_forward",
+    oracle="""
+    SELECT p.event_id,
+           p.user_id,
+           CAST(( SELECT MIN(c.ts) FROM events c
+                  WHERE c.user_id = p.user_id
+                    AND c.event_type = 'click'
+                    AND c.ts >= p.ts ) AS VARCHAR) AS next_click_ts
+    FROM events p
+    WHERE p.event_type = 'purchase'
+    """,
+)
+def q_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forward as-of join: each purchase matched to the EARLIEST click ≥ its
+    timestamp by the same user — the attribution-window complement of
+    q_asof's backward match. Same union+window single-shuffle plan
+    (operators/asof.py, direction='forward'); oracle is the correlated
+    MIN subquery."""
+    from .asof import asof_join
+
+    t = load_tables(spark, sf_dir)
+    ev = t.events
+    left = ev.filter(F.col("event_type") == "purchase").select("event_id", "user_id", "ts")
+    right = ev.filter(F.col("event_type") == "click").select(
+        "user_id", F.col("ts").alias("click_ts")
+    )
+    joined = asof_join(
+        left, right, on="user_id", left_ts="ts", right_ts="click_ts", direction="forward"
+    )
+    return joined.select(
+        "event_id",
+        "user_id",
+        F.col("click_ts").cast("string").alias("next_click_ts"),
+    )
