@@ -230,6 +230,65 @@ def q_stream_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_SS_JOIN_ORACLE = """
+    SELECT p.event_id,
+           p.user_id,
+           COUNT(*) AS n_clicks,
+           STRFTIME(MAX(c.ts), '%Y-%m-%d %H:%M:%S.%f') AS last_click_ts
+    FROM events p
+    JOIN events c
+      ON c.user_id = p.user_id
+     AND c.event_type = 'click'
+     AND c.ts >= p.ts - INTERVAL 1 HOUR
+     AND c.ts <= p.ts
+    WHERE p.event_type = 'purchase'
+    GROUP BY p.event_id, p.user_id
+"""
+
+
+@declared("q_stream_join", cache_plan=False, oracle=_SS_JOIN_ORACLE)
+def q_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAM-STREAM interval join: purchases joined to the same user's
+    clicks from the preceding hour, both sides watermarked — the last major
+    Structured Streaming primitive (two-sided state with watermark-bounded
+    eviction: a click is held in state only until no future purchase can
+    reach back to it). Inner join emits matches eagerly, so the availableNow
+    multi-batch drain (time-ordered slices — no late data) yields the
+    complete pair set; the exact per-purchase rollup runs on the sink.
+    Oracle = the batch interval-join replay."""
+    from ..streaming.events import stream_events
+
+    p = (
+        stream_events(spark, sf_dir)
+        .filter(F.col("event_type") == "purchase")
+        .select("event_id", F.col("user_id").alias("p_user"), F.col("ts").alias("pts"))
+        .withWatermark("pts", "1 second")
+    )
+    c = (
+        stream_events(spark, sf_dir)
+        .filter(F.col("event_type") == "click")
+        .select(F.col("user_id").alias("c_user"), F.col("ts").alias("cts"))
+        .withWatermark("cts", "1 second")
+    )
+    joined = p.join(
+        c,
+        (F.col("p_user") == F.col("c_user"))
+        & (F.col("cts") >= F.col("pts") - F.expr("INTERVAL 1 HOUR"))
+        & (F.col("cts") <= F.col("pts")),
+    )
+    name = _drain(joined.select("event_id", "p_user", "cts"), mode="append")
+    return (
+        spark.table(name)
+        .groupBy("event_id", F.col("p_user").alias("user_id"))
+        .agg(
+            F.count("*").alias("n_clicks"),
+            F.date_format(F.max("cts"), "yyyy-MM-dd HH:mm:ss.SSSSSS").alias(
+                "last_click_ts"
+            ),
+        )
+    )
+
+
 @declared("q_stream_user_stats", cache_plan=False, oracle=None)
 def q_stream_user_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Custom stateful streaming operator (applyInPandasWithState): per-user
