@@ -165,7 +165,7 @@ _SESSION_ORACLE = """
            STRFTIME(session_start, '%Y-%m-%d %H:%M:%S') AS session_start,
            n_events
     FROM s, mx
-    WHERE s.last_ts + INTERVAL 30 MINUTE < mx.m - INTERVAL 1 SECOND
+    WHERE s.last_ts + INTERVAL 30 MINUTE <= mx.m - INTERVAL 1 SECOND
 """
 
 
@@ -176,10 +176,9 @@ def q_stream_session(spark: SparkSession, sf_dir: str) -> DataFrame:
     sessions across batches and the advancing watermark emits each session
     exactly once when it closes. The sink therefore holds the CLOSED
     sessions; the oracle is the gaps-and-islands replay restricted to the
-    same closed set (last event + gap < max(ts) − watermark delay). The
-    boundary comparison is safe at µs event granularity (an exact-equality
-    collision would need an event landing on the watermark to the µs —
-    sessions here end ≫1 s apart; same precedent as batch q_sessionize)."""
+    same closed set (last event + gap <= max(ts) − watermark delay —
+    Spark EMITS a session whose end equals the watermark exactly; pinned
+    empirically in tests/test_streaming.py::test_session_boundary)."""
     from ..streaming.events import session_counts, stream_events
 
     name = _drain(session_counts(stream_events(spark, sf_dir)), mode="append")

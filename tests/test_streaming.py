@@ -300,7 +300,7 @@ def test_stream_session_closed_sessions_match_gaps_and_islands(spark):
               FROM i GROUP BY user_id, sid),
         mx AS (SELECT MAX(ts) AS m FROM e)
         SELECT user_id, STRFTIME(st, '%Y-%m-%d %H:%M:%S') AS st, n
-        FROM s, mx WHERE s.lt + INTERVAL 30 MINUTE < mx.m - INTERVAL 1 SECOND
+        FROM s, mx WHERE s.lt + INTERVAL 30 MINUTE <= mx.m - INTERVAL 1 SECOND
         """
     ).fetchall()
     expect = {(u, st): n for u, st, n in rows}
@@ -391,3 +391,48 @@ def test_checkpoint_resume_processes_only_new_files(spark, tmp_path):
 
     batch_dirs = sorted(d for d in os.listdir(out) if d.startswith("batch_id="))
     assert len(batch_dirs) >= 3
+
+
+def test_session_boundary_emits_at_exact_watermark_equality(spark, tmp_path):
+    """Pin the eviction boundary the q_stream_session oracle depends on:
+    a session whose end (last event + gap) EQUALS the final watermark
+    (max ts − delay) is EMITTED — i.e. the closed-set predicate is <=,
+    not <. Synthetic data hits the boundary to the microsecond."""
+    import datetime as dt
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from duckdb_ner_spark.streaming.events import (
+        _await_drain,
+        session_counts,
+        stream_events,
+    )
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [(1, t0, 1), (2, t0 + dt.timedelta(minutes=30, seconds=1), 2)]
+    tbl = pa.table(
+        {
+            "event_id": pa.array([r[2] for r in rows], pa.int64()),
+            "ts": pa.array([r[1] for r in rows], pa.timestamp("us")),
+            "user_id": pa.array([r[0] for r in rows], pa.int64()),
+            "event_type": pa.array(["click", "click"]),
+            "value": pa.array([1.0, 1.0]),
+            "props": pa.array(["{}", "{}"]),
+        }
+    )
+    d = tmp_path / "bnd"
+    d.mkdir()
+    pq.write_table(tbl, str(d / "events.parquet"))
+    q = (
+        session_counts(stream_events(spark, str(d)))
+        .writeStream.format("memory")
+        .queryName("t_bnd")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    _await_drain(q)
+    emitted = {r.user_id for r in spark.table("t_bnd").collect()}
+    assert 1 in emitted  # end == watermark -> emitted (<= semantics)
+    assert 2 not in emitted  # still open at end of data
