@@ -636,3 +636,51 @@ def q_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") <= KNN_K)
         .select("qid", F.col("vec_id").alias("neighbor_id"), "rank", F.round("cosine", 6).alias("cosine"))
     )
+
+
+# --- per-group embedding centroids (engine-exact fixed-point group means) --
+
+_CENTROID_ORACLE = f"""
+    WITH ex AS (
+        SELECT d.lang,
+               generate_subscripts(e.embedding, 1) AS i,
+               CAST(ROUND(CAST(unnest(e.embedding) AS DOUBLE) * {FX_SCALE}) AS BIGINT) AS xi
+        FROM embeddings e JOIN documents d ON e.vec_id = d.doc_id
+    )
+    SELECT lang, CAST(i AS BIGINT) AS i, COUNT(*) AS n,
+           ROUND(CAST(SUM(xi) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) / {FX_SCALE}.0, 6)
+               AS centroid
+    FROM ex GROUP BY lang, i
+"""
+
+
+@declared("q_embed_centroid", oracle=_CENTROID_ORACLE)
+def q_embed_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language embedding centroid (the class-centroid / domain-profile
+    pipeline op), engine-exact: float group means are NOT portable (sum
+    order differs between engines), so components quantize to int64
+    (×FX_SCALE) first — integer addition is associative, making the group
+    sums bit-identical in any fold order on any engine — then divide once.
+    Same quantization the FX-LSH path uses (q_dedup_embed precedent).
+
+    Scale notes (100 TB): one narrow quantize+posexplode, then a single
+    map-side-combined SUM/COUNT keyed (lang, dim) — shuffle volume is
+    |groups|·dim combiner rows, never vectors; the join to documents is the
+    id-keyed equi-join, broadcastable when the metadata side is small."""
+    t = load_tables(spark, sf_dir)
+    xi = F.expr(
+        f"transform(embedding, v -> CAST(ROUND(CAST(v AS DOUBLE) * {FX_SCALE}, 0) AS BIGINT))"
+    )
+    joined = t.embeddings.join(
+        t.documents.select("doc_id", "lang"), F.col("vec_id") == F.col("doc_id")
+    )
+    ex = joined.select("lang", F.posexplode(xi.alias("xi")).alias("i0", "xi")).select(
+        "lang", (F.col("i0") + 1).cast("bigint").alias("i"), "xi"
+    )
+    return ex.groupBy("lang", "i").agg(
+        F.count("*").alias("n"),
+        F.round(
+            F.sum("xi").cast("double") / F.count("*").cast("double") / F.lit(float(FX_SCALE)),
+            6,
+        ).alias("centroid"),
+    )
