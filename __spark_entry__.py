@@ -36,7 +36,7 @@ def entry(spark: SparkSession) -> DataFrame:
 _DRIVER_WINDOW_PRIORITY = [
     # round-3 additions — newest code first
     "q_scd2", "q_knn_join", "q_jaccard_est", "q_stream_hop", "q_tfidf",
-    "q_multimodal_frames", "q_zorder", "q_udtf_chunk", "q_asof_forward", "q_stream_enrich", "q_stream_join", "q_embed_centroid",
+    "q_multimodal_frames", "q_zorder", "q_udtf_chunk", "q_asof_forward", "q_stream_enrich", "q_stream_join", "q_stream_left_join", "q_embed_centroid",
     # streaming — newest machinery, site of the r2 defect
     "q_stream_window", "q_stream_session", "q_stream_dedup", "q_stream_user_stats",
     # round-1 failure set (driver-green exactly once, r1; slid out of window in r2)

@@ -288,6 +288,81 @@ def q_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_SS_LEFT_ORACLE = """
+    WITH p AS (SELECT event_id, user_id, ts AS pts FROM events WHERE event_type = 'purchase'),
+    c AS (SELECT user_id AS c_user, ts AS cts FROM events WHERE event_type = 'click'),
+    wm AS (
+        -- the GLOBAL watermark is the min over both inputs' own event-time
+        -- maxima (each minus its delay), NOT the table-wide max ts
+        SELECT LEAST((SELECT MAX(pts) FROM p), (SELECT MAX(cts) FROM c))
+               - INTERVAL 1 SECOND AS w
+    ),
+    j AS (
+        SELECT p.event_id, p.user_id, p.pts, c.cts
+        FROM p LEFT JOIN c
+          ON c.c_user = p.user_id
+         AND c.cts >= p.pts - INTERVAL 1 HOUR
+         AND c.cts <= p.pts
+    )
+    SELECT event_id, user_id,
+           COUNT(cts) AS n_clicks,
+           STRFTIME(MAX(cts), '%Y-%m-%d %H:%M:%S.%f') AS last_click_ts
+    FROM j, wm
+    -- matched rows emit eagerly; a null row emits only once the left row's
+    -- event time is at or below the global watermark (empirically pinned:
+    -- the max-pts purchase — 1 s above the watermark by construction — is
+    -- HELD, every unmatched purchase at or below it emits)
+    WHERE cts IS NOT NULL OR pts <= wm.w
+    GROUP BY event_id, user_id
+"""
+
+
+@declared("q_stream_left_join", cache_plan=False, oracle=_SS_LEFT_ORACLE)
+def q_stream_left_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT-OUTER stream-stream interval join — the subtle half of two-sided
+    state: matched pairs emit eagerly, but a null row for an unmatched
+    purchase emits only on state eviction. Two empirically-pinned facts the
+    oracle must encode (verified against all three SFs): (1) the GLOBAL
+    watermark is the MIN over both inputs' own event-time maxima minus
+    their delays — the purchases stream's max pts, not the table-wide max
+    ts, is usually the binding side; (2) an unmatched left row null-emits
+    iff its event time is at or below that global watermark (the max-pts
+    purchase, 1 s above it by construction, stays HELD). availableNow's
+    trailing no-data batch performs the final eviction pass."""
+    from ..streaming.events import stream_events
+
+    p = (
+        stream_events(spark, sf_dir)
+        .filter(F.col("event_type") == "purchase")
+        .select("event_id", F.col("user_id").alias("p_user"), F.col("ts").alias("pts"))
+        .withWatermark("pts", "1 second")
+    )
+    c = (
+        stream_events(spark, sf_dir)
+        .filter(F.col("event_type") == "click")
+        .select(F.col("user_id").alias("c_user"), F.col("ts").alias("cts"))
+        .withWatermark("cts", "1 second")
+    )
+    joined = p.join(
+        c,
+        (F.col("p_user") == F.col("c_user"))
+        & (F.col("cts") >= F.col("pts") - F.expr("INTERVAL 1 HOUR"))
+        & (F.col("cts") <= F.col("pts")),
+        "left_outer",
+    )
+    name = _drain(joined.select("event_id", "p_user", "cts"), mode="append")
+    return (
+        spark.table(name)
+        .groupBy("event_id", F.col("p_user").alias("user_id"))
+        .agg(
+            F.count("cts").alias("n_clicks"),
+            F.date_format(F.max("cts"), "yyyy-MM-dd HH:mm:ss.SSSSSS").alias(
+                "last_click_ts"
+            ),
+        )
+    )
+
+
 @declared("q_stream_user_stats", cache_plan=False, oracle=None)
 def q_stream_user_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Custom stateful streaming operator (applyInPandasWithState): per-user
