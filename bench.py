@@ -90,8 +90,10 @@ def main() -> None:
 
     # ---- COLD pass (reported as cold_value/cold_queries): each query timed
     # on its FIRST run in a fresh session with ENGINE-DEFAULT confs — AQE +
-    # skew handling ON, default 10 MB broadcast threshold, no scan
-    # repartition, no plan cache, no cached/persisted intermediates. This is
+    # skew handling ON, default 10 MB broadcast threshold, the engine-default
+    # AUTO scan-parallelism floor (scanRepartition=0 splits single-file local
+    # scans to ≤8 partitions — matches BASELINE.md's description), no plan
+    # cache, no cached/persisted intermediates. This is
     # the first-run latency a user pays; the steady-state number below is the
     # recurring-workload latency. JVM and OS page cache are warm in both
     # (JVM startup is not the number of interest). Runs BEFORE any table

@@ -202,7 +202,7 @@ def _mix_oracle() -> str:
     )
     SELECT lang,
            COUNT(*) AS n_total,
-           SUM(CASE WHEN hv < thr THEN 1 ELSE 0 END) AS n_kept,
+           CAST(SUM(CASE WHEN hv < thr THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
            SUM(CASE WHEN hv < thr THEN 1 ELSE 0 END) * 1.0 / COUNT(*) AS kept_rate
     FROM d GROUP BY lang
     """

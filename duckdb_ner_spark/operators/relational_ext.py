@@ -413,7 +413,7 @@ def q_window_range(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_boolagg",
     oracle="""
     SELECT l_returnflag,
-           COUNT_IF(l_quantity > 40) AS n_big,
+           CAST(COUNT_IF(l_quantity > 40) AS BIGINT) AS n_big,
            CAST(BOOL_AND(l_quantity > 0) AS INT) AS all_positive,
            CAST(BOOL_OR(l_discount > 0.09) AS INT) AS any_deep_discount,
            STRING_AGG(DISTINCT l_linestatus, ',' ORDER BY l_linestatus) AS statuses

@@ -254,13 +254,13 @@ def q_hop_window(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _SCD2_ORACLE = """
     WITH d AS (
-        SELECT user_id, event_type, ts,
-               LAG(event_type) OVER (PARTITION BY user_id ORDER BY ts) AS prev
+        SELECT user_id, event_type, ts, event_id,
+               LAG(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
         FROM events
     ), r AS (
         SELECT user_id, event_type, ts,
                SUM(CASE WHEN prev IS NULL OR prev <> event_type THEN 1 ELSE 0 END)
-                 OVER (PARTITION BY user_id ORDER BY ts) AS run_id
+                 OVER (PARTITION BY user_id ORDER BY ts, event_id) AS run_id
         FROM d
     ), v AS (
         SELECT user_id, run_id, event_type,
@@ -269,9 +269,9 @@ _SCD2_ORACLE = """
     )
     SELECT user_id, event_type,
            STRFTIME(vf, '%Y-%m-%d %H:%M:%S.%f') AS valid_from,
-           STRFTIME(LEAD(vf) OVER (PARTITION BY user_id ORDER BY vf),
+           STRFTIME(LEAD(vf) OVER (PARTITION BY user_id ORDER BY vf, run_id),
                     '%Y-%m-%d %H:%M:%S.%f') AS valid_to,
-           LEAD(vf) OVER (PARTITION BY user_id ORDER BY vf) IS NULL AS is_current,
+           LEAD(vf) OVER (PARTITION BY user_id ORDER BY vf, run_id) IS NULL AS is_current,
            n_events
     FROM v
 """
@@ -288,13 +288,19 @@ def q_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
     (windows and the run aggregate share the user_id partitioning, Catalyst
     reuses the exchange); skew = the longest single entity history, the
     irreducible lower bound for order-dependent versioning. Microsecond-
-    precision validity bounds printed fixed-width on both engines."""
+    precision validity bounds printed fixed-width on both engines.
+
+    Tie order is PINNED (ADVICE r3): event_id is the secondary sort key in
+    the run-segmentation window (and run_id in the validity window) in BOTH
+    engines, so duplicate per-user timestamps in a regenerated dataset
+    cannot silently diverge; test_scd2_duplicate_ts_ties pins the semantics
+    on a synthetic tie corpus."""
     t = load_tables(spark, sf_dir)
     from pyspark.sql.window import Window
 
-    w = Window.partitionBy("user_id").orderBy("ts")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     prev = F.lag("event_type").over(w)
-    runs = t.events.select("user_id", "event_type", "ts").withColumn(
+    runs = t.events.select("user_id", "event_type", "ts", "event_id").withColumn(
         "run_id",
         F.sum(
             F.when(prev.isNull() | (prev != F.col("event_type")), 1).otherwise(0)
@@ -303,7 +309,7 @@ def q_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
     vers = runs.groupBy("user_id", "run_id", "event_type").agg(
         F.min("ts").alias("vf"), F.count("*").alias("n_events")
     )
-    w2 = Window.partitionBy("user_id").orderBy("vf")
+    w2 = Window.partitionBy("user_id").orderBy("vf", "run_id")
     nxt = F.lead("vf").over(w2)
     fmt = "yyyy-MM-dd HH:mm:ss.SSSSSS"
     return vers.select(

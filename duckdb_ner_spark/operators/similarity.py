@@ -563,25 +563,30 @@ KNN_K = 3
 
 _KNN_ORACLE = f"""
     WITH ex AS (
-        SELECT vec_id, i, CAST(x AS DOUBLE) AS x
+        SELECT vec_id, i,
+               CAST(ROUND(CAST(x AS DOUBLE) * {FX_SCALE}) AS BIGINT) AS xi
         FROM (SELECT vec_id, unnest(embedding) AS x,
                      generate_subscripts(embedding, 1) AS i
               FROM embeddings)
     ), q AS (
-        SELECT vec_id AS qid, i, x AS qx FROM ex WHERE vec_id < {N_KNN_QUERIES}
+        SELECT vec_id AS qid, i, xi AS qxi FROM ex WHERE vec_id < {N_KNN_QUERIES}
     ), c AS (
-        SELECT vec_id, i, x FROM ex WHERE vec_id >= {N_KNN_QUERIES}
+        SELECT vec_id, i, xi FROM ex WHERE vec_id >= {N_KNN_QUERIES}
     ), nrm AS (
-        SELECT vec_id, SQRT(SUM(x * x)) AS n FROM ex GROUP BY vec_id
+        SELECT vec_id, SQRT(CAST(CAST(SUM(xi * xi) AS BIGINT) AS DOUBLE)) AS n
+        FROM ex GROUP BY vec_id
     ), scored AS (
-        SELECT q.qid, c.vec_id, SUM(c.x * q.qx) AS dot
+        -- int64 dot product: integer addition is associative, so the SUM is
+        -- exact in ANY accumulation order — no 1-ulp cross-engine drift
+        SELECT q.qid, c.vec_id, CAST(SUM(c.xi * q.qxi) AS BIGINT) AS dot_fx
         FROM c JOIN q ON c.i = q.i
         GROUP BY q.qid, c.vec_id
     ), ranked AS (
         SELECT s.qid, s.vec_id,
-               s.dot / (na.n * nb.n) AS cosine,
+               CAST(s.dot_fx AS DOUBLE) / (na.n * nb.n) AS cosine,
                ROW_NUMBER() OVER (PARTITION BY s.qid
-                                  ORDER BY s.dot / (na.n * nb.n) DESC, s.vec_id) AS rn
+                                  ORDER BY CAST(s.dot_fx AS DOUBLE) / (na.n * nb.n) DESC,
+                                           s.vec_id) AS rn
         FROM scored s
         JOIN nrm na ON na.vec_id = s.qid
         JOIN nrm nb ON nb.vec_id = s.vec_id
@@ -597,36 +602,49 @@ def q_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     set (batch retrieval — the shape a RAG/eval pipeline runs, vs
     q_sim_topk's single query). The query side is broadcast (queries ≪
     corpus — the retrieval asymmetry), scoring is one narrow JVM pass over
-    the corpus (zip_with/aggregate fold, ascending positions, so doubles are
-    bit-identical to the oracle's i-ordered SUM), and per-query ranking
-    shuffles only (n_queries × corpus) score rows, never embeddings.
+    the corpus, and per-query ranking shuffles only (n_queries × corpus)
+    score rows, never embeddings.
+
+    Determinism (ADVICE r3): components quantize to int64 (×FX_SCALE, the
+    q_embed_centroid precedent) so dot products and squared norms are EXACT
+    integer sums — associative, identical in any accumulation order on any
+    engine. The subsequent double ops (cast, sqrt, multiply, divide) are
+    IEEE-identical sequences in both engines, so ranking happens on
+    bit-identical cosines; near-tie rank flips from 1-ulp float-sum drift
+    (the r2 q_stats2 class) are impossible, and equal cosines fall back to
+    the vec_id tiebreak.
 
     Scale notes (100 TB): with q queries the scored relation is q×N rows of
     three scalars — for large q, swap the final window for a per-partition
     partial top-k (mapInPandas heap) + merge, or route through the IVF index
-    (ivf_topk) per query; both keep the corpus unshuffled. Rank ties are
-    impossible at equal cosine (deterministic vec_id tiebreak)."""
+    (ivf_topk) per query; both keep the corpus unshuffled."""
     t = load_tables(spark, sf_dir)
     emb = t.embeddings
-    dd = F.expr("transform(embedding, v -> CAST(v AS DOUBLE))")
-    nrm = F.sqrt(
-        F.aggregate(F.zip_with(dd, dd, lambda x, y: x * y), F.lit(0.0), lambda a, v: a + v)
+    fx = F.expr(
+        f"transform(embedding, v -> CAST(ROUND(CAST(v AS DOUBLE) * {FX_SCALE}, 0) AS BIGINT))"
+    )
+    nrm_fx = F.sqrt(
+        F.aggregate(
+            F.zip_with(fx, fx, lambda x, y: x * y), F.lit(0).cast("bigint"), lambda a, v: a + v
+        ).cast("double")
     )
     qs = emb.filter(F.col("vec_id") < N_KNN_QUERIES).select(
         F.col("vec_id").alias("qid"),
-        dd.alias("qemb"),
-        nrm.alias("qnrm"),
+        fx.alias("qemb"),
+        nrm_fx.alias("qnrm"),
     )
     corpus = emb.filter(F.col("vec_id") >= N_KNN_QUERIES).select(
-        "vec_id", dd.alias("cemb"), nrm.alias("cnrm")
+        "vec_id", fx.alias("cemb"), nrm_fx.alias("cnrm")
     )
-    dot = F.aggregate(
-        F.zip_with("cemb", "qemb", lambda x, y: x * y), F.lit(0.0), lambda a, v: a + v
+    dot_fx = F.aggregate(
+        F.zip_with("cemb", "qemb", lambda x, y: x * y),
+        F.lit(0).cast("bigint"),
+        lambda a, v: a + v,
     )
     scored = corpus.crossJoin(F.broadcast(qs)).select(
         "qid",
         "vec_id",
-        (dot / (F.col("qnrm") * F.col("cnrm"))).alias("cosine"),
+        (dot_fx.cast("double") / (F.col("qnrm") * F.col("cnrm"))).alias("cosine"),
     )
     from pyspark.sql.window import Window
 

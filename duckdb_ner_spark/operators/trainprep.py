@@ -241,8 +241,8 @@ _SCRUB_ORACLE = """
     )
     SELECT event_type,
            COUNT(*) AS n_events,
-           SUM(len_marked - len_stripped) AS total_redactions,
-           SUM(len_raw - len_stripped) AS total_chars_removed
+           CAST(SUM(len_marked - len_stripped) AS BIGINT) AS total_redactions,
+           CAST(SUM(len_raw - len_stripped) AS BIGINT) AS total_chars_removed
     FROM r
     GROUP BY event_type
 """
@@ -294,7 +294,7 @@ _DQ_ORACLE = """
         FROM orders o WHERE NOT EXISTS (
             SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey)
     )
-    SELECT u.constraint_name, u.n_violations, r.n_checked
+    SELECT u.constraint_name, CAST(u.n_violations AS BIGINT) AS n_violations, r.n_checked
     FROM row_checks r, fk, LATERAL (
         SELECT * FROM (VALUES
             ('null_custkey', r.null_custkey),
@@ -357,7 +357,7 @@ _HIST_ORACLE = f"""
     SELECT bucket_id,
            CAST(bucket_id * {HIST_WIDTH_CENTS} AS DOUBLE) / 100 AS bucket_lo,
            n,
-           SUM(n) OVER (ORDER BY bucket_id) AS cum_n
+           CAST(SUM(n) OVER (ORDER BY bucket_id) AS BIGINT) AS cum_n
     FROM h
 """
 

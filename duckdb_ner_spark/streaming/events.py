@@ -133,7 +133,12 @@ def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
             if sl.num_rows == 0:
                 break
             p = os.path.join(stage, f"part-{i}.parquet")
-            pq.write_table(sl, p)
+            # Pin the parquet format version: the readStream schema is
+            # OBSERVED from the source file, so the staged slices must
+            # round-trip the source's physical types exactly (a default
+            # format version that coerces TIMESTAMP(NANOS)→micros would
+            # break the nanosAsLong read path). ADVICE r3.
+            pq.write_table(sl, p, version="2.6")
             # ascending mtimes pin the file-source processing order to the
             # event-time order of the slices
             os.utime(p, (base + i, base + i))

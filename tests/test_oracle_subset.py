@@ -85,3 +85,47 @@ def test_fixedpoint_sum_equals_decimal_sum(spark):
     f = {r["g"]: (r["s_price"], r["s_rev"]) for r in fast.collect()}
     s = {r["g"]: (r["s_price"], r["s_rev"]) for r in slow.collect()}
     assert f == s  # exact double equality, every group
+
+
+def test_oracle_numeric_dtype_kinds_full_registry(spark, oracle_con):
+    """Driver-hash-faithful TYPE audit over the FULL oracle registry
+    (VERDICT r3 #5): the r3 red rows were numerically equal but
+    hash-different because DuckDB returned HUGEINT (pandas float64) where
+    Spark returned LONG — a class tools/selfcheck.py's value-coercing
+    comparison could not see. This test makes the class unlandable: for
+    every declared oracle pair, the numeric family (int/float/bool/decimal)
+    of each output column must agree between the Spark analyzed schema
+    (pure driver-side — no job runs) and the DuckDB LIMIT-0 result frame
+    (type mapping only — no rows scanned). Streaming queries are excluded:
+    their builders drain real micro-batches (covered by the driver gate and
+    tests/test_streaming.py), and the audit must stay cheap enough to run
+    on every pytest."""
+    import pyspark.sql.types as T
+
+    import __spark_entry__ as e
+    from tools.selfcheck import _numeric_kind
+
+    def spark_kind(dt):
+        if isinstance(dt, (T.ByteType, T.ShortType, T.IntegerType, T.LongType)):
+            return "int"
+        if isinstance(dt, (T.FloatType, T.DoubleType)):
+            return "float"
+        if isinstance(dt, T.BooleanType):
+            return "bool"
+        if isinstance(dt, T.DecimalType):
+            return "decimal"
+        return None
+
+    qs, oracles = e.queries(), e.oracle_sql()
+    bad = []
+    for name, sql in oracles.items():
+        if name.startswith("q_stream_"):
+            continue
+        sdf = qs[name](spark, SF_SMOKE)
+        odf = oracle_con.execute(f"SELECT * FROM ({sql}) _q LIMIT 0").df()
+        skinds = {f.name: spark_kind(f.dataType) for f in sdf.schema.fields}
+        for c in odf.columns:
+            sk, ok = skinds.get(c), _numeric_kind(odf[c])
+            if sk is not None and ok is not None and sk != ok:
+                bad.append((name, c, sk, ok))
+    assert not bad, f"numeric dtype-kind mismatches (driver hash would differ): {bad}"

@@ -119,3 +119,63 @@ def test_scd2_version_chain_invariants(spark):
         for a, b in zip(vs, vs[1:]):
             assert a.valid_to == b.valid_from  # gapless, non-overlapping
         assert sum(r.n_events for r in vs) == totals[uid]
+
+
+def test_scd2_duplicate_ts_ties(spark, tmp_path):
+    """Duplicate per-user timestamps (absent from the generated testdata, so
+    never exercised by the oracle gate) must resolve IDENTICALLY in Spark
+    and the DuckDB oracle — event_id is the pinned secondary sort key in
+    both engines' run-segmentation windows (ADVICE r3). Synthetic corpus
+    puts ties both inside a run and exactly at a run boundary."""
+    import datetime
+
+    import duckdb
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from duckdb_ner_spark.operators.scalepatterns import _SCD2_ORACLE, q_scd2
+
+    t0 = datetime.datetime(2024, 1, 1, 12, 0, 0)
+    s = datetime.timedelta(seconds=1)
+    rows = [
+        # user 1: tie at the FIRST event — event_id decides which type opens
+        (10, t0, 1, "click", 1.0, "{}"),
+        (11, t0, 1, "view", 1.0, "{}"),
+        (12, t0 + 5 * s, 1, "view", 1.0, "{}"),
+        # user 2: tie at a run boundary (click/view at the same instant)
+        (20, t0, 2, "view", 1.0, "{}"),
+        (21, t0 + s, 2, "click", 1.0, "{}"),
+        (22, t0 + s, 2, "view", 2.0, "{}"),
+        (23, t0 + 9 * s, 2, "view", 3.0, "{}"),
+    ]
+    tbl = pa.table(
+        {
+            "event_id": pa.array([r[0] for r in rows], pa.int64()),
+            "ts": pa.array([r[1] for r in rows], pa.timestamp("us")),
+            "user_id": pa.array([r[2] for r in rows], pa.int64()),
+            "event_type": pa.array([r[3] for r in rows], pa.string()),
+            "value": pa.array([r[4] for r in rows], pa.float64()),
+            "props": pa.array([r[5] for r in rows], pa.string()),
+        }
+    )
+    pq.write_table(tbl, str(tmp_path / "events.parquet"), version="2.6")
+
+    got = {
+        (r.user_id, r.event_type, r.valid_from, r.valid_to, r.is_current, r.n_events)
+        for r in q_scd2(spark, str(tmp_path)).collect()
+    }
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW events AS SELECT * FROM '{tmp_path}/events.parquet'")
+    want = {tuple(r) for r in con.execute(_SCD2_ORACLE).fetchall()}
+    assert got == want
+    # pinned semantics: user 1 = click then view (event_id 10 first, so the
+    # click run opens a ZERO-WIDTH version [t0, t0) and view is current);
+    # user 2 = view, click, view (the boundary tie resolves click before 22).
+    # A same-instant run pair shares valid_from, so sort ties by is_current
+    # (the superseded zero-width version first).
+    u1 = sorted((r for r in got if r[0] == 1), key=lambda r: (r[2], r[4]))
+    u2 = sorted((r for r in got if r[0] == 2), key=lambda r: (r[2], r[4]))
+    assert [r[1] for r in u1] == ["click", "view"]
+    assert [r[5] for r in u1] == [1, 2]
+    assert [r[1] for r in u2] == ["view", "click", "view"]
+    assert [r[5] for r in u2] == [1, 1, 2]

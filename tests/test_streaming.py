@@ -436,3 +436,19 @@ def test_session_boundary_emits_at_exact_watermark_equality(spark, tmp_path):
     emitted = {r.user_id for r in spark.table("t_bnd").collect()}
     assert 1 in emitted  # end == watermark -> emitted (<= semantics)
     assert 2 not in emitted  # still open at end of data
+
+
+def test_events_per_user_ts_uniqueness_invariant():
+    """The streaming-session oracle (gaps-and-islands replay) and q_scd2's
+    pre-r4 window order were deterministic ONLY because (user_id, ts) is
+    unique in the generated testdata. q_scd2 now pins ties via event_id,
+    but the session oracle still relies on uniqueness — assert it so a
+    regenerated corpus with per-user duplicate timestamps fails loudly here
+    instead of silently diverging engine-vs-oracle (ADVICE r3)."""
+    import duckdb
+
+    n = duckdb.connect().execute(
+        f"SELECT COUNT(*) FROM (SELECT user_id, ts FROM '{SF_SMOKE}/events.parquet' "
+        "GROUP BY user_id, ts HAVING COUNT(*) > 1)"
+    ).fetchone()[0]
+    assert n == 0

@@ -23,6 +23,56 @@ import traceback
 sys.path.insert(0, "/root/repo")
 
 
+def _numeric_kind(col):
+    """Classify a pandas column into the driver-hash-relevant numeric family.
+
+    The driver's value-hash is type-sensitive: DuckDB HUGEINT surfaces as
+    float64/object in pandas while Spark LONG stays int64, and the hashes
+    differ even when every value is numerically equal (the r3 q_pii_scrub
+    class). Returns one of 'int' / 'float' / 'bool' / 'decimal', or None for
+    non-numeric columns (strings, dates, arrays — value comparison covers
+    those)."""
+    import decimal
+
+    k = col.dtype.kind
+    if k in "iu":
+        return "int"
+    if k == "f":
+        return "float"
+    if k == "b":
+        return "bool"
+    if col.dtype == object:
+        for v in col:
+            if v is None:
+                continue
+            if isinstance(v, bool):
+                return "bool"
+            if isinstance(v, decimal.Decimal):
+                return "decimal"
+            if isinstance(v, int):
+                return "int"
+            if isinstance(v, float):
+                if not math.isnan(v):
+                    return "float"
+                continue
+            return None
+    return None
+
+
+def dtype_mismatches(sdf, odf):
+    """Columns whose numeric family differs between the Spark and DuckDB
+    frames — each is a driver hash_match:false waiting to happen, even when
+    the values compare equal after coercion."""
+    out = []
+    for c in sorted(sdf.columns):
+        if c not in odf.columns:
+            continue
+        sk, ok = _numeric_kind(sdf[c]), _numeric_kind(odf[c])
+        if sk is not None and ok is not None and sk != ok:
+            out.append((c, sk, ok))
+    return out
+
+
 def normalize(df):
     """pandas frame → sorted-by-column-name, row-sorted list of tuples."""
     import pandas as pd
@@ -97,6 +147,11 @@ def main() -> int:
             n_fail += 1
             continue
         ok = True
+        bad_kinds = dtype_mismatches(sdf, odf)
+        if bad_kinds:
+            print(f"FAIL {name}: numeric dtype-kind mismatch (driver hash would differ): "
+                  + ", ".join(f"{c} spark={sk} duckdb={ok_}" for c, sk, ok_ in bad_kinds))
+            ok = False
         if len(sdf) != len(odf):
             print(f"FAIL {name}: rowcount spark={len(sdf)} duckdb={len(odf)}")
             ok = False
