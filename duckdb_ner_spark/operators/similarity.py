@@ -309,11 +309,40 @@ N_IVF_CELLS = 10  # default k for centroid training (≈ sqrt(n) at test SFs)
 N_IVF_ITERS = 2  # Lloyd iterations — recall plateaus fast for IVF routing
 
 
+def _unit_expr() -> "F.Column":
+    """L2-normalized copy of the embedding column, linear in dim: the norm
+    is evaluated ONCE per row (array_repeat materializes it before the
+    zip_with), never re-inlined per element — the CollapseProject trap that
+    bit shingles_expr in r3 (a scalar expr referenced inside a transform
+    lambda gets inlined per element access)."""
+    da = F.expr("transform(embedding, v -> CAST(v AS DOUBLE))")
+    nrm = F.sqrt(
+        F.aggregate(F.zip_with(da, da, lambda x, y: x * y), F.lit(0.0), lambda a, v: a + v)
+    )
+    return F.zip_with(
+        da, F.array_repeat(nrm, F.size("embedding")), lambda x, n: x / n
+    )
+
+
+def _l2_normalize(vec: list[float]) -> list[float]:
+    import math
+
+    n = math.sqrt(sum(v * v for v in vec))
+    return [v / n for v in vec] if n > 0 else list(vec)
+
+
 def train_ivf_centroids(
     df: DataFrame, k: int = N_IVF_CELLS, n_iter: int = N_IVF_ITERS,
     id_col: str = "vec_id",
 ) -> list[list[float]]:
-    """Deterministic Lloyd k-means over the embedding column.
+    """Deterministic SPHERICAL Lloyd k-means over the embedding column:
+    vectors are L2-normalized before seeding and mean-updates, and every
+    updated centroid is re-normalized to the unit sphere. The index scores
+    candidates by COSINE (topk_cosine), so the routing metric must be cosine
+    too — plain L2 k-means on unnormalized vectors puts a low-norm vector's
+    cosine neighbors in L2-distant cells and recall collapses for exactly
+    those queries (caught by test_ivf_topk_recall_at_5_across_slices: one
+    query had recall 0/5 even probing 8 of 10 cells).
 
     Distribution shape (the part that must survive 100 TB): each iteration is
     (1) assign — a broadcast of the k×dim centroid matrix joined against the
@@ -338,15 +367,13 @@ def train_ivf_centroids(
         .select("embedding")
         .collect()
     )
-    cents = [[float(v) for v in r[0]] for r in seeds]
+    cents = [_l2_normalize([float(v) for v in r[0]]) for r in seeds]
     for _ in range(n_iter):
         assigned = ivf_assign(df, id_col=id_col, centroids=cents)
         stats = (
             assigned.select(
                 "cent_id",
-                F.posexplode(F.expr("transform(embedding, v -> CAST(v AS DOUBLE))")).alias(
-                    "i", "x"
-                ),
+                F.posexplode(_unit_expr()).alias("i", "x"),
             )
             .groupBy("cent_id", "i")
             .agg(F.sum("x").alias("s"), F.count("*").alias("cnt"))
@@ -360,6 +387,7 @@ def train_ivf_centroids(
             vec = new_cents[cid]
             for r in rows:
                 vec[r.i] = r.s / r.cnt
+            new_cents[cid] = _l2_normalize(vec)  # spherical: re-project
         cents = new_cents
     return cents
 
@@ -375,8 +403,10 @@ def ivf_assign(
     df: DataFrame, id_col: str = "vec_id",
     centroids: list[list[float]] | None = None,
 ) -> DataFrame:
-    """Assign each vector to its nearest centroid (min squared-L2, computed
-    as argmax of dot(x,c) − ‖c‖²/2 — the ‖x‖² term is constant per row).
+    """Assign each vector to its nearest centroid on the unit sphere: the
+    vector is L2-normalized and scored by argmax of dot(x̂,c) − ‖c‖²/2
+    (min squared-L2 between unit points ≡ max cosine — the same metric
+    topk_cosine ranks by, so probe and index agree for cosine retrieval).
 
     ``centroids`` is the trained k×dim matrix (train_ivf_centroids); at
     production scale training runs once offline and the matrix is broadcast
@@ -392,7 +422,7 @@ def ivf_assign(
             lambda a, v: a + v,
         ),
     )
-    da = F.expr("transform(embedding, v -> CAST(v AS DOUBLE))")
+    da = _unit_expr()
     dot = F.aggregate(
         F.zip_with(da, F.col("cent_emb"), lambda x, y: x * y), F.lit(0.0), lambda a, v: a + v
     )
@@ -426,9 +456,11 @@ def ivf_topk(df: DataFrame, query_vec: list[float], k: int, n_probe: int = 2,
     cents = train_ivf_centroids(df, id_col=id_col)
     assigned = ivf_assign(df, id_col=id_col, centroids=cents)
     q = [float(v) for v in query_vec]
-    # route the query on the driver: k×dim floats, same math as the executors
+    # route the NORMALIZED query on the driver: k×dim floats, same
+    # unit-sphere math as the executors (assignment normalizes too)
+    qn = _l2_normalize(q)
     scores = [
-        (sum(x * c for x, c in zip(q, cv)) - sum(c * c for c in cv) / 2.0, cid)
+        (sum(x * c for x, c in zip(qn, cv)) - sum(c * c for c in cv) / 2.0, cid)
         for cid, cv in enumerate(cents)
     ]
     probe_ids = [cid for _, cid in sorted(scores, key=lambda t: (-t[0], t[1]))[:n_probe]]

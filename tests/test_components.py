@@ -56,18 +56,33 @@ def test_ivf_topk_recall_vs_exact(spark):
 
 
 def test_ivf_kmeans_recovers_separable_clusters(spark):
-    """Lloyd training on 3 well-separated synthetic clusters must place one
-    centroid per cluster (assignment == ground-truth membership) and each
-    trained centroid must land near its cluster mean — i.e. the training is
-    real k-means, not a data-subset stand-in."""
-    from duckdb_ner_spark.operators.similarity import ivf_assign, train_ivf_centroids
+    """Spherical Lloyd training on 3 well-separated DIRECTIONAL clusters must
+    place one centroid per cluster (assignment == ground-truth membership)
+    and each trained centroid must align with its cluster's mean direction —
+    i.e. the training is real spherical k-means, not a data-subset stand-in.
+    (r4: the index became cosine-consistent — spherical k-means on
+    L2-normalized vectors — so the ground truth is directions, not offsets;
+    the pre-r4 L2 version of this test put one cluster AT the origin, where
+    direction is undefined.)"""
+    import math
 
-    # 3 clusters of 20 vectors around (0,0), (10,0), (0,10), deterministic jitter
+    from duckdb_ner_spark.operators.similarity import (
+        _l2_normalize,
+        ivf_assign,
+        train_ivf_centroids,
+    )
+
+    # 3 directional clusters of 20 vectors around orthogonal-ish anchors,
+    # varied magnitudes (cosine must ignore them), deterministic jitter
+    anchors = [(1.0, 0.1), (0.1, 1.0), (-1.0, 0.8)]
     rows = []
     vid = 0
-    for cx, cy in [(0.0, 0.0), (10.0, 0.0), (0.0, 10.0)]:
+    for ax, ay in anchors:
         for j in range(20):
-            rows.append((vid, [cx + (j % 5) * 0.1, cy + (j % 7) * 0.1]))
+            mag = 0.5 + (j % 4) * 2.0  # magnitudes 0.5..6.5
+            rows.append(
+                (vid, [mag * (ax + (j % 5) * 0.02), mag * (ay + (j % 7) * 0.02)])
+            )
             vid += 1
     emb = spark.createDataFrame(rows, "vec_id INT, embedding ARRAY<FLOAT>")
 
@@ -77,11 +92,91 @@ def test_ivf_kmeans_recovers_separable_clusters(spark):
     groups = [set(assigned[v] for v in range(s, s + 20)) for s in (0, 20, 40)]
     assert all(len(g) == 1 for g in groups)
     assert len(set().union(*groups)) == 3
-    # each trained centroid within 0.5 of its cluster mean (means are
-    # (0.2, 0.3)-ish offsets from the anchors)
-    import math
-
-    anchors = [(0.2, 0.3), (10.2, 0.3), (0.2, 10.3)]
+    # each trained centroid is unit-norm and within ~8° of its cluster's
+    # mean direction (jitter shifts the true mean slightly off the anchor)
     for g, (ax, ay) in zip(groups, anchors):
         cx, cy = cents[g.pop()]
-        assert math.hypot(cx - ax, cy - ay) < 0.5, (cx, cy, ax, ay)
+        assert abs(math.hypot(cx, cy) - 1.0) < 1e-6
+        ux, uy = _l2_normalize([ax, ay])
+        assert cx * ux + cy * uy > math.cos(math.radians(8)), ((cx, cy), (ux, uy))
+
+
+def _clustered_corpus(seed: int, n_clusters: int = 8, per: int = 40, dim: int = 16):
+    """Deterministic directional clusters on the unit sphere — no RNG.
+    Anchors are pseudo-random unit vectors derived from integer mixing;
+    members add a small deterministic jitter. Different ``seed`` values give
+    genuinely different anchor layouts and jitter patterns."""
+    import math
+
+    def anchor(j):
+        raw = [((j * 31 + i * 17 + seed * 57) % 13) - 6 for i in range(dim)]
+        n = math.sqrt(sum(v * v for v in raw)) or 1.0
+        return [v / n for v in raw]
+
+    rows = []
+    vid = 0
+    for j in range(n_clusters):
+        a = anchor(j)
+        for m in range(per):
+            jit = [(((m * 7 + i * 11 + j * 3 + seed) % 9) - 4) / 40.0 for i in range(dim)]
+            rows.append((vid, j, [a[i] + jit[i] for i in range(dim)]))
+            vid += 1
+    return rows
+
+
+def test_ivf_recall_at_5_trained_centroids_three_seeds(spark):
+    """Thresholded ANN quality gate (VERDICT r3 #7): q_sim_ivf/q_sim_ann are
+    rows-only forever (sketch internals have no SQL twin), so recall IS the
+    correctness metric. On corpora that HAVE cosine cluster structure (the
+    regime an IVF index exists for), trained spherical centroids must give
+    recall@5 ≥ 0.8 vs exact cosine top-5 at n_probe=2 of 8 cells, for every
+    one of three deterministic seeds (distinct anchor layouts + jitter).
+    The engine's real testdata embeddings are near-uniform on the sphere
+    (cell-label purity ≈ chance), where no index can beat the
+    probed-fraction floor — that regime is covered by the slice test below."""
+    from duckdb_ner_spark.operators.similarity import ivf_topk, topk_cosine
+
+    for seed in (1, 2, 3):
+        rows = _clustered_corpus(seed)
+        # hold out one member of cluster 2 as the query
+        qrow = next(r for r in rows if r[1] == 2)
+        corpus = [(vid, emb) for vid, c, emb in rows if vid != qrow[0]]
+        df = spark.createDataFrame(corpus, "vec_id INT, embedding ARRAY<FLOAT>")
+        exact = [r.vec_id for r in topk_cosine(df, qrow[2], 5).collect()]
+        approx = [r.vec_id for r in ivf_topk(df, qrow[2], 5, n_probe=2).collect()]
+        hits = len(set(approx) & set(exact))
+        assert hits >= 4, f"seed={seed}: recall@5={hits}/5"
+
+
+def test_ivf_shortlist_is_exact_within_probed_cells(spark):
+    """On the REAL testdata embeddings (near-uniform — no recall floor can
+    hold), the index contract is mechanical: for three query/corpus-slice
+    cases, ivf_topk must return exactly the cosine top-k of the union of
+    probed cells (no vector in a probed cell may be skipped, no unprobed
+    vector may appear)."""
+    from duckdb_ner_spark.operators.similarity import (
+        _l2_normalize,
+        ivf_assign,
+        ivf_topk,
+        topk_cosine,
+        train_ivf_centroids,
+    )
+
+    emb = spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet")
+    for qid, residue in [(0, 0), (17, 1), (42, 2)]:
+        q = [float(v) for v in emb.filter(F.col("vec_id") == qid).head().embedding]
+        corpus = emb.filter((F.col("vec_id") != qid) & (F.col("vec_id") % 3 != residue))
+        cents = train_ivf_centroids(corpus)
+        assigned = ivf_assign(corpus, centroids=cents)
+        qn = _l2_normalize(q)
+        scores = [
+            (sum(x * c for x, c in zip(qn, cv)) - sum(c * c for c in cv) / 2.0, cid)
+            for cid, cv in enumerate(cents)
+        ]
+        probe = {cid for _, cid in sorted(scores, key=lambda t: (-t[0], t[1]))[:3]}
+        shortlist = assigned.filter(F.col("cent_id").isin(list(probe))).select(
+            "vec_id", "embedding"
+        )
+        want = [r.vec_id for r in topk_cosine(shortlist, q, 5).collect()]
+        got = [r.vec_id for r in ivf_topk(corpus, q, 5, n_probe=3).collect()]
+        assert got == want, (qid, residue, got, want)

@@ -107,3 +107,130 @@ def test_shingles_expr_matches_reference(spark, batches):
     got = {r.i: list(r.sh) for r in df.select("i", shingles_expr().alias("sh")).collect()}
     expect = {i: _ref_shingles(ws) for i, ws in enumerate(batches)}
     assert got == expect
+
+
+# asof-join boundary semantics vs a brute-force reference --------------------
+
+_asof_cases = st.tuples(
+    # left needles: (key, ts_sec) — duplicates allowed
+    st.lists(
+        st.tuples(st.integers(0, 1), st.integers(0, 8)), min_size=1, max_size=6
+    ),
+    # right quotes: unique (key, ts_sec) — the union+window formulation (like
+    # pandas merge_asof) leaves the winner among EXACT right-side duplicates
+    # unspecified, so uniqueness is the documented precondition
+    st.lists(
+        st.tuples(st.integers(0, 1), st.integers(0, 8)),
+        min_size=1,
+        max_size=6,
+        unique=True,
+    ),
+    st.sampled_from(["backward", "forward"]),
+    st.sampled_from([None, "2 seconds"]),
+)
+
+
+@given(case=_asof_cases)
+@settings(max_examples=25, deadline=None)
+def test_asof_join_boundaries_match_reference(spark, case):
+    """Property test for the as-of family's boundary semantics (VERDICT r3
+    #6): equal-timestamp needles/quotes (match must be INCLUSIVE — 'at or
+    before/after'), multiple needles at one instant, and quotes exactly at
+    the tolerance bound (inclusive: |lts−rts| ≤ tol) — against a
+    brute-force per-needle reference."""
+    import datetime
+
+    from duckdb_ner_spark.operators.asof import asof_join
+
+    lrows, rrows, direction, tolerance = case
+    base = datetime.datetime(2024, 1, 1)
+
+    def ts(s):
+        return base + datetime.timedelta(seconds=s)
+
+    left = spark.createDataFrame(
+        [(i, k, ts(s)) for i, (k, s) in enumerate(lrows)],
+        "lid INT, k INT, lts TIMESTAMP",
+    )
+    right = spark.createDataFrame(
+        [(k, ts(s), k * 100 + s) for k, s in rrows],
+        "k INT, rts TIMESTAMP, quote INT",
+    )
+    got = {
+        r.lid: (r.quote if tolerance is None else r.quote)
+        for r in asof_join(
+            left, right, on="k", left_ts="lts", right_ts="rts",
+            direction=direction, tolerance=tolerance,
+        ).collect()
+    }
+
+    tol = 2 if tolerance is not None else None
+    expect = {}
+    for i, (k, s) in enumerate(lrows):
+        if direction == "backward":
+            cand = [(rs, k * 100 + rs) for rk, rs in rrows if rk == k and rs <= s]
+            best = max(cand) if cand else None
+        else:
+            cand = [(rs, k * 100 + rs) for rk, rs in rrows if rk == k and rs >= s]
+            best = min(cand) if cand else None
+        if best is not None and tol is not None and abs(best[0] - s) > tol:
+            best = None
+        expect[i] = best[1] if best is not None else None
+
+    assert got == expect, (lrows, rrows, direction, tolerance)
+
+
+# SCD2 run segmentation vs the DuckDB oracle under timestamp collisions -----
+
+_scd2_events = st.lists(
+    st.tuples(
+        st.integers(0, 1),            # user_id
+        st.integers(0, 5),            # ts seconds — small range forces ties
+        st.sampled_from(["a", "b"]),  # event_type
+    ),
+    min_size=1,
+    max_size=8,
+)
+
+
+@given(events=_scd2_events)
+@settings(max_examples=15, deadline=None)
+def test_scd2_ties_match_oracle(spark, events, tmp_path_factory):
+    """Property test (VERDICT r3 #6): q_scd2's gaps-and-islands build must
+    match the DuckDB oracle on ARBITRARY small change logs — including
+    duplicate (user, ts) pairs with conflicting types (two updates at the
+    same instant) and runs that close at the exact next-version boundary.
+    event_id (the insertion index) is the pinned tiebreak in both engines."""
+    import datetime
+
+    import duckdb
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from duckdb_ner_spark.operators.scalepatterns import _SCD2_ORACLE, q_scd2
+
+    base = datetime.datetime(2024, 1, 1)
+    d = tmp_path_factory.mktemp("scd2prop")
+    tbl = pa.table(
+        {
+            "event_id": pa.array(range(len(events)), pa.int64()),
+            "ts": pa.array(
+                [base + datetime.timedelta(seconds=s) for _, s, _ in events],
+                pa.timestamp("us"),
+            ),
+            "user_id": pa.array([u for u, _, _ in events], pa.int64()),
+            "event_type": pa.array([t for _, _, t in events], pa.string()),
+            "value": pa.array([1.0] * len(events), pa.float64()),
+            "props": pa.array(["{}"] * len(events), pa.string()),
+        }
+    )
+    pq.write_table(tbl, str(d / "events.parquet"), version="2.6")
+
+    got = {
+        (r.user_id, r.event_type, r.valid_from, r.valid_to, r.is_current, r.n_events)
+        for r in q_scd2(spark, str(d)).collect()
+    }
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW events AS SELECT * FROM '{d}/events.parquet'")
+    want = {tuple(r) for r in con.execute(_SCD2_ORACLE).fetchall()}
+    assert got == want, events
