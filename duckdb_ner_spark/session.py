@@ -47,6 +47,13 @@ def get_spark(
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions or max(cpus, 8)))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        # Coalesce to the advisory partition SIZE rather than stopping at max
+        # parallelism — the Spark-docs-recommended production setting: at
+        # 100 TB it sizes reduce tasks to data (not to a hand-tuned count);
+        # on small inputs it collapses near-empty reduce tasks instead of
+        # scheduling `shuffle.partitions` of them.
+        .config("spark.sql.adaptive.coalescePartitions.parallelismFirst", "false")
+        .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", "64m")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         # DataChunk-sized Arrow batches for pandas UDFs (SURVEY.md §4.2).

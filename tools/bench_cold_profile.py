@@ -37,31 +37,17 @@ def main() -> None:
             i += 1
 
     import __spark_entry__ as entrymod
-    from bench import HEADLINE
+    from bench import COLD_CONF, HEADLINE, cold_warmup
     from duckdb_ner_spark.plans.registry import clear_plan_cache
     from duckdb_ner_spark.session import get_spark
 
     spark = get_spark("bench-cold-profile")
     cold = spark.newSession()
-    # identical protocol to bench.py's cold pass: engine defaults
-    for k, v in {
-        "spark.sql.adaptive.enabled": "true",
-        "spark.sql.shuffle.partitions": "32",
-        "spark.sql.autoBroadcastJoinThreshold": str(10 * 1024 * 1024),
-        "spark.duckdb_ner.scanRepartition": "0",
-        **extra,
-    }.items():
+    # identical protocol to bench.py's cold pass: engine defaults + warmup
+    for k, v in {**COLD_CONF, **extra}.items():
         cold.conf.set(k, v)
     clear_plan_cache()
-
-    # same query-neutral warmup bench.py uses
-    from pyspark.sql import functions as F
-    from pyspark.sql.window import Window as W
-
-    w = cold.range(1000).withColumn("k", F.col("id") % 10)
-    w.groupBy("k").agg(F.sum("id")).count()
-    w.join(w.select(F.col("id").alias("id2")), F.col("id") == F.col("id2")).count()
-    w.withColumn("rn", F.row_number().over(W.partitionBy("k").orderBy("id"))).count()
+    cold_warmup(cold)
 
     qs = entrymod.queries()
     names = only or HEADLINE
