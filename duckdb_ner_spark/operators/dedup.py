@@ -123,18 +123,19 @@ def dedup_near_minhash(
     """Full MinHash-LSH near-dup pipeline → (doc_a, doc_b, jaccard).
 
     The shingled form feeds THREE consumers (signatures + both verify
-    sides): repartition by id (single-file sources arrive as 1 partition)
-    and persist it so shingling runs once, parallel. At cluster scale the
-    equivalent is a bucketed intermediate table.
+    sides): persist it so shingling runs once. Partitioning is inherited
+    from the source scan (the catalog's parallelism floor locally; natural
+    maxPartitionBytes-sized splits at cluster scale — an explicit
+    repartition(defaultParallelism) here would both add a shuffle and force
+    cores-count partitions onto a 100 TB corpus, i.e. multi-GB partitions).
+    At cluster scale the persisted form's equivalent is a bucketed
+    intermediate table.
 
     Docs with no shingles (< n words) carry no signature and can never be
     candidates — filtered up front (also keeps NULL band sigs out of the
     bucket join)."""
-    spark = df.sparkSession
-    n_part = spark.sparkContext.defaultParallelism
     docs = (
         df.select(id_col, words_col(text_col).alias("ws"))
-        .repartition(n_part, id_col)
         .select(id_col, cached_exprs("shingles_ws3", shingles_expr).alias("shingles"))
         .filter(F.size("shingles") > 0)
     )
@@ -151,10 +152,8 @@ def minhash_bands(
     """LSH bucket memberships (id, band, sig) — the persistent corpus index
     for incremental dedup. Stored bucketed/partitioned by (band, sig) at
     production scale so probes are co-located joins."""
-    n_part = df.sparkSession.sparkContext.defaultParallelism
     docs = (
         df.select(id_col, words_col(text_col).alias("ws"))
-        .repartition(n_part, id_col)
         .select(id_col, cached_exprs("shingles_ws3", shingles_expr).alias("shingles"))
         .filter(F.size("shingles") > 0)
     )
@@ -197,10 +196,8 @@ def simhash64(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """63-bit SimHash: per-word xxhash64, per-bit majority vote, reassembled
     JVM-side (explode over 63 bit positions — fully distributed; swap for a
     pandas UDF at extreme scale to cut the 63× row blowup)."""
-    n_part = df.sparkSession.sparkContext.defaultParallelism
     w = (
-        df.repartition(n_part, id_col)
-        .select(id_col, F.explode(words_col(text_col)).alias("w"))
+        df.select(id_col, F.explode(words_col(text_col)).alias("w"))
         .withColumn("h", F.xxhash64("w"))
     )
     bits = w.select(
@@ -226,10 +223,8 @@ def simhash_md5(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     reassembly. Production corpora should prefer simhash64 (xxhash64 is one
     codegen'd instruction vs md5's digest); this form exists so the declared
     query is differential-testable."""
-    n_part = df.sparkSession.sparkContext.defaultParallelism
     w = (
-        df.repartition(n_part, id_col)
-        .select(id_col, F.explode(words_col(text_col)).alias("w"))
+        df.select(id_col, F.explode(words_col(text_col)).alias("w"))
         .withColumn("hx", F.md5("w"))
     )
     bits = w.select(
@@ -410,7 +405,6 @@ def ngram_jaccard_pairs(
     """
     docs = (
         df.select(id_col, words_col(text_col).alias("ws"))
-        .repartition(df.sparkSession.sparkContext.defaultParallelism, id_col)
         .select(id_col, cached_exprs("shingles_ws3", shingles_expr).alias("shingles"))
         .persist()
     )
@@ -586,10 +580,8 @@ def q_jaccard_est(spark: SparkSession, sf_dir: str) -> DataFrame:
     representable), exact Jaccard rounds at 6dp; identical md5 min-hash
     construction replayed by the oracle."""
     t = load_tables(spark, sf_dir)
-    n_part = spark.sparkContext.defaultParallelism
     docs = (
         t.documents.select("doc_id", words_col("text").alias("ws"))
-        .repartition(n_part, "doc_id")
         .select("doc_id", cached_exprs("shingles_ws3", shingles_expr).alias("shingles"))
         .filter(F.size("shingles") > 0)
     )

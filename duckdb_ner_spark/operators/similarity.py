@@ -36,9 +36,9 @@ def _explode_embeddings(df: DataFrame, id_col: str = "vec_id") -> DataFrame:
 
 def cosine_pairs_exploded(df: DataFrame, threshold: float) -> DataFrame:
     """All-pairs cosine ≥ threshold via the exploded self-join (exact)."""
-    ex = _explode_embeddings(
-        df.repartition(df.sparkSession.sparkContext.defaultParallelism, "vec_id")
-    ).persist()
+    # partitioning inherited from the source scan (catalog floor locally;
+    # natural splits at scale)
+    ex = _explode_embeddings(df).persist()
     norms = ex.groupBy("vec_id").agg(F.sqrt(F.sum(F.col("x") * F.col("x"))).alias("nrm"))
     a = ex.select(F.col("vec_id").alias("vec_a"), "i", F.col("x").alias("xa"))
     b = ex.select(F.col("vec_id").alias("vec_b"), "i", F.col("x").alias("xb"))
