@@ -423,3 +423,134 @@ def q_udtf_chunk(spark: SparkSession, sf_dir: str) -> DataFrame:
         "SELECT c.doc_id, c.chunk_id, c.n_words, c.chunk_md5 "
         "FROM dns_udtf_docs, LATERAL dns_chunk_udtf(doc_id, text) c"
     )
+
+
+# --------------------------------------------------------------------------
+# Benchmark decontamination: n-gram overlap between an eval set and the
+# training corpus — the standard pre-training hygiene step (flag training
+# documents that contain any n-gram from the held-out benchmark).
+# --------------------------------------------------------------------------
+
+DECONTAM_N = 8  # 8-word shingles — the common contamination-check n-gram size
+DECONTAM_EVAL_MOD = 89  # doc_id % 89 == 0 plays the role of the benchmark set
+
+_DECONTAM_ORACLE = f"""
+    WITH d AS (
+        SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+    ), sh AS (
+        SELECT doc_id, {{shingles}} AS gs FROM d
+    ), eval_g AS (
+        SELECT DISTINCT g
+        FROM sh, unnest(gs) t(g)
+        WHERE doc_id % {DECONTAM_EVAL_MOD} = 0
+    ), train_g AS (
+        SELECT doc_id, g
+        FROM sh, unnest(gs) t(g)
+        WHERE doc_id % {DECONTAM_EVAL_MOD} <> 0
+    )
+    SELECT t.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_contaminated_ngrams,
+           MIN(t.g) AS first_ngram
+    FROM train_g t JOIN eval_g e ON t.g = e.g
+    GROUP BY t.doc_id
+    ORDER BY n_contaminated_ngrams DESC, t.doc_id
+"""
+
+from .textprep import sql_shingles as _sql_shingles  # noqa: E402
+
+_DECONTAM_ORACLE_SQL = _DECONTAM_ORACLE.format(shingles=_sql_shingles(DECONTAM_N))
+
+
+@declared("q_decontam", oracle=_DECONTAM_ORACLE_SQL)
+def q_decontam(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination sweep: every training document that shares
+    at least one 8-word shingle with the eval set, with the overlap count
+    and a deterministic example n-gram (MIN — order-independent).
+
+    Scale notes (100 TB): the eval/benchmark side is small by construction
+    (a benchmark is thousands of documents, not billions) — its distinct
+    n-gram set is broadcast, so the training corpus is scanned once, never
+    shuffled before the per-doc aggregate; the explode is narrow. Per-doc
+    shingles are distinct (shingles_expr), so COUNT(*) after the join counts
+    distinct contaminated n-grams without a count-distinct shuffle."""
+    from .textprep import shingles_expr, words_col
+
+    t = load_tables(spark, sf_dir)
+    sh = t.documents.select(
+        "doc_id", words_col("text").alias("ws")
+    ).select("doc_id", shingles_expr("ws", DECONTAM_N).alias("gs"))
+    eval_g = (
+        sh.filter(F.col("doc_id") % DECONTAM_EVAL_MOD == 0)
+        .select(F.explode("gs").alias("g"))
+        .distinct()
+    )
+    train_g = sh.filter(F.col("doc_id") % DECONTAM_EVAL_MOD != 0).select(
+        "doc_id", F.explode("gs").alias("g")
+    )
+    return (
+        train_g.join(F.broadcast(eval_g), "g")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_contaminated_ngrams"),
+            F.min("g").alias("first_ngram"),
+        )
+        .orderBy(F.col("n_contaminated_ngrams").desc(), "doc_id")
+    )
+
+
+# --------------------------------------------------------------------------
+# Sequence packing (offset-based): assign documents to fixed-size token
+# windows for training-loader sharding.
+# --------------------------------------------------------------------------
+
+PACK_CAP = 2048  # context-window token budget
+
+_PACK_ORACLE = f"""
+    WITH d AS (
+        SELECT source, doc_id, CAST(LEN(string_split(text, ' ')) AS BIGINT) AS n_tokens
+        FROM documents
+    ), c AS (
+        SELECT source, doc_id, n_tokens,
+               CAST(SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id) AS BIGINT) AS cum_tokens
+        FROM d
+    )
+    SELECT source, doc_id, n_tokens,
+           CAST(cum_tokens - n_tokens AS BIGINT) AS stream_offset,
+           CAST((cum_tokens - 1) // {PACK_CAP} AS BIGINT) AS window_id
+    FROM c
+    ORDER BY source, doc_id
+"""
+
+
+@declared("q_pack", oracle=_PACK_ORACLE)
+def q_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Offset-based sequence packing: per source shard, documents in doc_id
+    order form one token stream; each document is assigned the fixed-size
+    context window its END token falls into, plus its stream offset — the
+    assignment a training data-loader consumes. Window token counts are an
+    aggregation away (grouped by (source, window_id)).
+
+    Offset packing (vs first-fit bin packing) is the scalable variant: the
+    exact greedy packers are sequential scans, while this is one window
+    function per shard — at 100 TB the PARTITION BY source keys the shuffle
+    and each shard's prefix sum is independent. Uses word count as the token
+    proxy (same proxy as q_token_count's whitespace tokenizer)."""
+    from pyspark.sql.window import Window
+
+    t = load_tables(spark, sf_dir)
+    d = t.documents.select(
+        "source",
+        "doc_id",
+        F.size(F.split(F.col("text"), " ")).cast("bigint").alias("n_tokens"),
+    )
+    w = Window.partitionBy("source").orderBy("doc_id").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    c = d.withColumn("cum_tokens", F.sum("n_tokens").over(w))
+    return c.select(
+        "source",
+        "doc_id",
+        "n_tokens",
+        (F.col("cum_tokens") - F.col("n_tokens")).cast("bigint").alias("stream_offset"),
+        F.expr(f"(cum_tokens - 1) div {PACK_CAP}").cast("bigint").alias("window_id"),
+    ).orderBy("source", "doc_id")

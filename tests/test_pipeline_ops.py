@@ -416,3 +416,60 @@ def test_dq_audit_counts_match_direct_checks(spark):
         F.col("o_orderdate") > F.lit("1998-08-02").cast("timestamp")
     ).count()
     assert rows["future_orderdate"].n_violations == expect_future > 0
+
+
+def test_decontam_flags_planted_overlap(spark):
+    """A training doc sharing an 8-gram with an eval doc (doc_id % 89 == 0)
+    is flagged with the right count; disjoint docs are not."""
+    from duckdb_ner_spark.operators.textprep import shingles_expr, words_col
+    from duckdb_ner_spark.operators.trainprep import DECONTAM_EVAL_MOD
+
+    eval_text = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    rows = [
+        (DECONTAM_EVAL_MOD, eval_text),  # eval doc
+        (1, "x " + eval_text),  # shares 3 of the eval doc's 8-grams
+        (2, "totally different words with no overlap at all here now"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    sh = df.select("doc_id", words_col("text").alias("ws")).select(
+        "doc_id", shingles_expr("ws", 8).alias("gs")
+    )
+    eval_g = (
+        sh.filter(F.col("doc_id") % DECONTAM_EVAL_MOD == 0)
+        .select(F.explode("gs").alias("g"))
+        .distinct()
+    )
+    train_g = sh.filter(F.col("doc_id") % DECONTAM_EVAL_MOD != 0).select(
+        "doc_id", F.explode("gs").alias("g")
+    )
+    got = {
+        r.doc_id: r.n
+        for r in train_g.join(eval_g, "g").groupBy("doc_id").agg(F.count("*").alias("n")).collect()
+    }
+    # eval doc has 10 words -> 3 distinct 8-grams; "x "+text contains all 3
+    assert got == {1: 3}
+
+
+def test_pack_offsets_are_contiguous_streams(spark):
+    """q_pack invariants on real data: per source, offsets form one gapless
+    token stream, window_id is the window of the doc's last token, and
+    window_id is non-decreasing in doc_id order."""
+    import __spark_entry__ as e
+    from duckdb_ner_spark.operators.trainprep import PACK_CAP
+
+    rows = e.queries()["q_pack"](spark, SF_SMOKE).collect()
+    by_source = {}
+    for r in rows:
+        by_source.setdefault(r.source, []).append(r)
+    assert by_source
+    for src, rs in by_source.items():
+        rs.sort(key=lambda r: r.doc_id)
+        pos = 0
+        prev_w = -1
+        for r in rs:
+            assert r.stream_offset == pos, (src, r)
+            end_token = r.stream_offset + r.n_tokens  # exclusive end
+            assert r.window_id == (end_token - 1) // PACK_CAP
+            assert r.window_id >= prev_w
+            prev_w = r.window_id
+            pos = end_token
