@@ -34,9 +34,10 @@ def entry(spark: SparkSession) -> DataFrame:
 # relational queries follow in registration order. New queries added in a
 # round should be PREPENDED here so they land inside the window.
 _DRIVER_WINDOW_PRIORITY = [
-    # round-4 additions: benchmark decontamination + sequence packing — new
-    # queries land in-window on their first round.
-    "q_decontam", "q_pack",
+    # round-4 additions: benchmark decontamination, sequence packing,
+    # surprisal quality scoring — new queries land in-window on their first
+    # round.
+    "q_decontam", "q_pack", "q_surprisal",
     # round-4 fixes — the r3 hash_match:false set (HUGEINT-cast defect) plus
     # the latent same-class instance q_boolagg; these MUST land in-window to
     # convert the red rows green.

@@ -341,3 +341,66 @@ def q_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "term", "tf", "df", F.col("rnk").cast("bigint").alias("rnk"),
                 F.round("score", 6).alias("score"))
     )
+
+
+# --------------------------------------------------------------------------
+# Quantized-surprisal quality score (CCNet-style perplexity filter, made
+# engine-exact)
+# --------------------------------------------------------------------------
+
+_SURPRISAL_ORACLE = """
+    WITH w AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents
+    ), freq AS (
+        SELECT w, COUNT(*) AS n FROM w GROUP BY w
+    ), tot AS (
+        SELECT COUNT(*) AS total FROM w
+    ), s AS (
+        SELECT w.doc_id, CAST(LENGTH(bin(t.total // f.n)) - 1 AS BIGINT) AS q
+        FROM w JOIN freq f ON w.w = f.w CROSS JOIN tot t
+    )
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_words,
+           CAST(SUM(q) AS BIGINT) AS sum_surprisal,
+           CAST(SUM(q) AS DOUBLE) / COUNT(*) AS avg_surprisal
+    FROM s
+    GROUP BY doc_id
+    ORDER BY avg_surprisal DESC, doc_id
+"""
+
+
+@declared("q_surprisal", oracle=_SURPRISAL_ORACLE)
+def q_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram-surprisal quality scoring — the shape of a CCNet/Gopher-style
+    perplexity filter: score every document by the average information
+    content of its words under the corpus's own unigram model; the high tail
+    is rare-token noise, the low tail is boilerplate/repetition.
+
+    Engine-exact trick: real surprisal is -ln p(w), and ln() is not
+    bit-identical across engines (the q_tfidf lesson), so the score is the
+    QUANTIZED surprisal floor(log2(total/n_w)) computed with pure integer
+    math — floor(log2(total/n)) == LENGTH(bin(total div n)) - 1 for
+    integers (2^(bitlen-1) <= total div n <= total/n < total div n + 1 <=
+    2^bitlen) — then averaged as an exact bigint-sum / count double
+    division. Same ranking behavior as the float version at the 1-bit
+    granularity a filter threshold actually uses.
+
+    Scale notes (100 TB): word frequencies are the canonical map-side-
+    combine aggregate; the freq table is vocabulary-sized — broadcast for
+    the scoring join, so the corpus shuffles once (the per-doc aggregate,
+    keyed by doc_id)."""
+    t = load_tables(spark, sf_dir)
+    w = t.documents.select("doc_id", F.explode(words_col("text")).alias("w"))
+    freq = w.groupBy("w").agg(F.count("*").alias("n"))
+    tot = w.agg(F.count("*").alias("total"))
+    q = (F.length(F.bin(F.expr("total div n"))) - 1).cast("bigint")
+    s = w.join(F.broadcast(freq), "w").crossJoin(F.broadcast(tot)).select("doc_id", q.alias("q"))
+    return (
+        s.groupBy("doc_id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_words"),
+            F.sum("q").cast("bigint").alias("sum_surprisal"),
+            (F.sum("q").cast("double") / F.count("*")).alias("avg_surprisal"),
+        )
+        .orderBy(F.col("avg_surprisal").desc(), "doc_id")
+    )

@@ -473,3 +473,43 @@ def test_pack_offsets_are_contiguous_streams(spark):
             assert r.window_id >= prev_w
             prev_w = r.window_id
             pos = end_token
+
+
+def test_surprisal_bitlen_formula_matches_log2(spark):
+    """floor(log2(total/n)) == LENGTH(bin(total div n)) - 1 for every
+    integer pair — the exactness claim the q_surprisal oracle rests on —
+    checked against Python's float log2 across magnitude-spanning pairs."""
+    import math
+
+    pairs = [(t, n) for t in [1, 2, 3, 7, 8, 9, 100, 2**20, 2**40 + 12345, 10**15] for n in [1, 2, 3, 5, 16, 17, 997] if n <= t]
+    df = spark.createDataFrame(pairs, "total long, n long")
+    got = {
+        (r.total, r.n): r.k
+        for r in df.select(
+            "total", "n", (F.length(F.bin(F.expr("total div n"))) - 1).alias("k")
+        ).collect()
+    }
+    for t, n in pairs:
+        assert got[(t, n)] == math.floor(math.log2(t / n)), (t, n)
+
+
+def test_surprisal_ranks_rare_word_docs_highest(spark):
+    """A doc made of corpus-unique words outranks a doc of corpus-dominant
+    words under the quantized-surprisal score."""
+    from duckdb_ner_spark.operators.textstats import q_surprisal  # registry import side
+
+    rows = [(1, "common common common common"), (2, "rarest unigram tokens here")] + [
+        (i, "common common common common") for i in range(3, 20)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    w = df.select("doc_id", F.explode(F.split("text", " ")).alias("w"))
+    freq = w.groupBy("w").agg(F.count("*").alias("n"))
+    tot = w.agg(F.count("*").alias("total"))
+    q = (F.length(F.bin(F.expr("total div n"))) - 1).cast("bigint")
+    s = (
+        w.join(freq, "w").crossJoin(tot).select("doc_id", q.alias("q"))
+        .groupBy("doc_id")
+        .agg((F.sum("q") / F.count("*")).alias("avg_q"))
+    )
+    scores = {r.doc_id: r.avg_q for r in s.collect()}
+    assert scores[2] > scores[1]
