@@ -392,7 +392,9 @@ def q_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = load_tables(spark, sf_dir)
     w = t.documents.select("doc_id", F.explode(words_col("text")).alias("w"))
     freq = w.groupBy("w").agg(F.count("*").alias("n"))
-    tot = w.agg(F.count("*").alias("total"))
+    # total word count derived from the vocabulary-sized freq table — one
+    # fewer full corpus explode than a separate w.count() pass
+    tot = freq.agg(F.sum("n").alias("total"))
     q = (F.length(F.bin(F.expr("total div n"))) - 1).cast("bigint")
     s = w.join(F.broadcast(freq), "w").crossJoin(F.broadcast(tot)).select("doc_id", q.alias("q"))
     return (
