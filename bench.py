@@ -156,9 +156,11 @@ def main() -> None:
 
     # ---- COLD pass (reported as cold_value/cold_queries): each query timed
     # on its FIRST run in a fresh session with ENGINE-DEFAULT confs — AQE +
-    # skew handling ON, default 10 MB broadcast threshold, the engine-default
-    # AUTO scan-parallelism floor (scanRepartition=0 splits single-file local
-    # scans to ≤8 partitions — matches BASELINE.md's description), no plan
+    # skew handling ON, AQE coalesce-to-advisory-size, default 10 MB
+    # broadcast threshold, the engine-default AUTO scan-parallelism floor
+    # (scanRepartition=0: single-split scans of the compute-per-byte-heavy
+    # corpora documents/embeddings spread to ≤8 partitions; relational
+    # tables scan untouched — catalog.py _FLOOR_TABLES), no plan
     # cache, no cached/persisted intermediates. This is
     # the first-run latency a user pays; the steady-state number below is the
     # recurring-workload latency. JVM and OS page cache are warm in both

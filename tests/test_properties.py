@@ -234,3 +234,44 @@ def test_scd2_ties_match_oracle(spark, events, tmp_path_factory):
     con.execute(f"CREATE VIEW events AS SELECT * FROM '{d}/events.parquet'")
     want = {tuple(r) for r in con.execute(_SCD2_ORACLE).fetchall()}
     assert got == want, events
+
+
+@given(
+    st.lists(
+        st.tuples(st.sampled_from(["web", "wiki", "code"]), st.integers(1, 5000)),
+        min_size=1,
+        max_size=60,
+    )
+)
+@settings(max_examples=60, deadline=None)
+def test_pack_window_math_matches_reference(spark, docs):
+    """q_pack's window/offset math (prefix sum + end-token window) equals a
+    sequential Python packer over random shard/length mixes — including
+    docs longer than the window cap."""
+    from duckdb_ner_spark.operators.trainprep import PACK_CAP
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    rows = [(src, i, n) for i, (src, n) in enumerate(docs)]
+    df = spark.createDataFrame(rows, "source string, doc_id long, n_tokens long")
+    w = Window.partitionBy("source").orderBy("doc_id").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    got = {
+        (r.source, r.doc_id): (r.off, r.win)
+        for r in df.withColumn("cum", F.sum("n_tokens").over(w))
+        .select(
+            "source",
+            "doc_id",
+            (F.col("cum") - F.col("n_tokens")).alias("off"),
+            F.expr(f"(cum - 1) div {PACK_CAP}").alias("win"),
+        )
+        .collect()
+    }
+    # sequential reference
+    pos = {}
+    for src, doc_id, n in sorted(rows, key=lambda r: (r[0], r[1])):
+        off = pos.get(src, 0)
+        end = off + n
+        assert got[(src, doc_id)] == (off, (end - 1) // PACK_CAP), (src, doc_id, n)
+        pos[src] = end
