@@ -34,9 +34,10 @@ def entry(spark: SparkSession) -> DataFrame:
 # relational queries follow in registration order. New queries added in a
 # round should be PREPENDED here so they land inside the window.
 _DRIVER_WINDOW_PRIORITY = [
-    # round-4 additions: benchmark decontamination, sequence packing,
-    # surprisal quality scoring — new queries land in-window on their first
-    # round.
+    # round-4 additions: curation family (split/mix-budget/template-audit/
+    # CCNet buckets), benchmark decontamination, sequence packing, surprisal
+    # quality scoring — new queries land in-window on their first round.
+    "q_split", "q_token_budget", "q_template_spectrum", "q_ccnet_bucket",
     "q_decontam", "q_pack", "q_surprisal",
     # round-4 fixes — the r3 hash_match:false set (HUGEINT-cast defect) plus
     # the latent same-class instance q_boolagg; these MUST land in-window to

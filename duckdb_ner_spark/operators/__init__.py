@@ -1,6 +1,7 @@
 # Import order registers declared queries (module import side effect).
 from . import (  # noqa: F401
     components,
+    curation,
     dedup,
     multimodal,
     ner_queries,

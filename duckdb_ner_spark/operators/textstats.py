@@ -348,7 +348,10 @@ def q_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
 # engine-exact)
 # --------------------------------------------------------------------------
 
-_SURPRISAL_ORACLE = """
+# Doc-level quantized-surprisal scores as a reusable SQL block (no ORDER BY)
+# — q_surprisal consumes it directly; curation.py's CCNet-style bucketing
+# wraps it in a further window + aggregate.
+SURPRISAL_DOC_SQL = """
     WITH w AS (
         SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents
     ), freq AS (
@@ -365,8 +368,9 @@ _SURPRISAL_ORACLE = """
            CAST(SUM(q) AS DOUBLE) / COUNT(*) AS avg_surprisal
     FROM s
     GROUP BY doc_id
-    ORDER BY avg_surprisal DESC, doc_id
 """
+
+_SURPRISAL_ORACLE = SURPRISAL_DOC_SQL + " ORDER BY avg_surprisal DESC, doc_id"
 
 
 @declared("q_surprisal", oracle=_SURPRISAL_ORACLE)
@@ -390,19 +394,22 @@ def q_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
     the scoring join, so the corpus shuffles once (the per-doc aggregate,
     keyed by doc_id)."""
     t = load_tables(spark, sf_dir)
-    w = t.documents.select("doc_id", F.explode(words_col("text")).alias("w"))
+    return surprisal_per_doc(t.documents).orderBy(F.col("avg_surprisal").desc(), "doc_id")
+
+
+def surprisal_per_doc(documents: DataFrame) -> DataFrame:
+    """Doc-level quantized-surprisal scores (doc_id, n_words, sum_surprisal,
+    avg_surprisal) — the DataFrame twin of SURPRISAL_DOC_SQL. Shared by
+    q_surprisal and the CCNet-style per-language bucketing in curation.py."""
+    w = documents.select("doc_id", F.explode(words_col("text")).alias("w"))
     freq = w.groupBy("w").agg(F.count("*").alias("n"))
     # total word count derived from the vocabulary-sized freq table — one
     # fewer full corpus explode than a separate w.count() pass
     tot = freq.agg(F.sum("n").alias("total"))
     q = (F.length(F.bin(F.expr("total div n"))) - 1).cast("bigint")
     s = w.join(F.broadcast(freq), "w").crossJoin(F.broadcast(tot)).select("doc_id", q.alias("q"))
-    return (
-        s.groupBy("doc_id")
-        .agg(
-            F.count("*").cast("bigint").alias("n_words"),
-            F.sum("q").cast("bigint").alias("sum_surprisal"),
-            (F.sum("q").cast("double") / F.count("*")).alias("avg_surprisal"),
-        )
-        .orderBy(F.col("avg_surprisal").desc(), "doc_id")
+    return s.groupBy("doc_id").agg(
+        F.count("*").cast("bigint").alias("n_words"),
+        F.sum("q").cast("bigint").alias("sum_surprisal"),
+        (F.sum("q").cast("double") / F.count("*")).alias("avg_surprisal"),
     )

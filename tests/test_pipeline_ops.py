@@ -513,3 +513,80 @@ def test_surprisal_ranks_rare_word_docs_highest(spark):
     )
     scores = {r.doc_id: r.avg_q for r in s.collect()}
     assert scores[2] > scores[1]
+
+
+def test_split_partitions_corpus_deterministically(spark, docs):
+    """q_split: the three splits partition every document exactly once, the
+    train fraction lands near 80%, and re-running yields identical counts
+    (hash-keyed, not RNG-keyed)."""
+    from duckdb_ner_spark.operators.curation import q_split
+
+    rows = q_split(spark, SF_SMOKE).collect()
+    n_total = docs.count()
+    assert sum(r.n_docs for r in rows) == n_total
+    by_split = {}
+    for r in rows:
+        by_split[r.split] = by_split.get(r.split, 0) + r.n_docs
+    assert set(by_split) <= {"train", "val", "test"}
+    assert 0.7 <= by_split["train"] / n_total <= 0.9
+    again = q_split(spark, SF_SMOKE).collect()
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, again))
+
+
+def test_token_budget_allocation_invariants(spark):
+    """q_token_budget: alloc never exceeds supply, the summed allocation
+    never exceeds the global budget, weighted sources get proportionally
+    more, and `exhausted` marks exactly the supply-capped sources."""
+    from duckdb_ner_spark.operators.curation import (
+        BUDGET_FRACTION,
+        BUDGET_WEIGHTS,
+        q_token_budget,
+    )
+
+    rows = q_token_budget(spark, SF_SMOKE).collect()
+    total = sum(r.avail_tokens for r in rows)
+    budget = total * BUDGET_FRACTION
+    assert sum(r.alloc_tokens for r in rows) <= budget + 1e-6
+    for r in rows:
+        assert r.alloc_tokens <= r.avail_tokens + 1e-9
+        assert r.exhausted == (r.avail_tokens < r.target_tokens)
+        assert abs(r.keep_rate - r.alloc_tokens / r.avail_tokens) < 1e-12
+    # a weight-4 source must target 4x an unweighted source's share
+    w4 = next(r for r in rows if r.source == "src0")
+    w1 = next(r for r in rows if r.source not in BUDGET_WEIGHTS)
+    assert abs(w4.target_tokens - 4 * w1.target_tokens) < 1e-6
+
+
+def test_template_spectrum_accounts_every_doc(spark, docs):
+    """q_template_spectrum: spectrum rows account for every document, and
+    per-row n_docs/n_excess are consistent with cluster_size * n_clusters."""
+    from duckdb_ner_spark.operators.curation import q_template_spectrum
+
+    rows = q_template_spectrum(spark, SF_SMOKE).collect()
+    assert sum(r.n_docs for r in rows) == docs.count()
+    for r in rows:
+        assert r.n_docs == r.cluster_size * r.n_clusters
+        assert r.n_excess == (r.cluster_size - 1) * r.n_clusters
+
+
+def test_ccnet_buckets_are_balanced_and_ordered(spark, docs):
+    """q_ccnet_bucket: per language the tertiles partition the docs with
+    sizes differing by <=1 (NTILE contract), and the surprisal ranges are
+    ordered head <= middle <= tail (ties at boundaries allowed)."""
+    from duckdb_ner_spark.operators.curation import q_ccnet_bucket
+
+    rows = q_ccnet_bucket(spark, SF_SMOKE).collect()
+    by_lang = {}
+    for r in rows:
+        by_lang.setdefault(r.lang, {})[r.tier_id] = r
+    n_by_lang = {
+        r.lang: r.cnt for r in docs.groupBy("lang").agg(F.count("*").alias("cnt")).collect()
+    }
+    for lang, tiers in by_lang.items():
+        sizes = [tiers[t].n_docs for t in sorted(tiers)]
+        assert sum(sizes) == n_by_lang[lang]
+        assert max(sizes) - min(sizes) <= 1
+        for lo, hi in zip(sorted(tiers)[:-1], sorted(tiers)[1:]):
+            assert tiers[lo].max_surprisal <= tiers[hi].min_surprisal + 1e-12
+        for t in tiers.values():
+            assert t.min_surprisal <= t.mean_surprisal <= t.max_surprisal + 1e-12
