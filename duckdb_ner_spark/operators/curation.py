@@ -298,15 +298,18 @@ def q_ccnet_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale notes: the NTILE window shuffles doc-LEVEL score rows (4 numbers
     per doc) partitioned by lang — the corpus text never reaches the sort.
-    At 100 TB with one dominant language the production variant replaces
-    the exact window with approx_percentile thresholds + a narrow bucket
-    assignment (2 passes, no per-lang total sort); exact NTILE is kept here
-    for bit-equal oracle verification."""
+    lang rides through the per-doc aggregate (carry=) instead of joining
+    back to the corpus — same grouping (lang is doc-functionally
+    dependent), one corpus-sized shuffle join saved; the oracle keeps the
+    join form, which is the point of the cross-engine gate. At 100 TB with
+    one dominant language the production variant replaces the exact window
+    with approx_percentile thresholds + a narrow bucket assignment (2
+    passes, no per-lang total sort); exact NTILE is kept here for bit-equal
+    oracle verification."""
     t = load_tables(spark, sf_dir)
-    scores = surprisal_per_doc(t.documents)
-    joined = scores.join(t.documents.select("doc_id", "lang"), "doc_id")
+    scores = surprisal_per_doc(t.documents, carry=("lang",))
     win = Window.partitionBy("lang").orderBy("avg_surprisal", "doc_id")
-    b = joined.withColumn("tier_id", F.ntile(3).over(win))
+    b = scores.withColumn("tier_id", F.ntile(3).over(win))
     tier = (
         F.when(F.col("tier_id") == 1, "head")
         .when(F.col("tier_id") == 2, "middle")

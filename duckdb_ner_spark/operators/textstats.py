@@ -397,18 +397,27 @@ def q_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
     return surprisal_per_doc(t.documents).orderBy(F.col("avg_surprisal").desc(), "doc_id")
 
 
-def surprisal_per_doc(documents: DataFrame) -> DataFrame:
+def surprisal_per_doc(documents: DataFrame, carry: tuple[str, ...] = ()) -> DataFrame:
     """Doc-level quantized-surprisal scores (doc_id, n_words, sum_surprisal,
     avg_surprisal) — the DataFrame twin of SURPRISAL_DOC_SQL. Shared by
-    q_surprisal and the CCNet-style per-language bucketing in curation.py."""
-    w = documents.select("doc_id", F.explode(words_col("text")).alias("w"))
+    q_surprisal and the CCNet-style per-language bucketing in curation.py.
+
+    ``carry`` rides doc-functionally-dependent columns (e.g. lang) through
+    the per-doc aggregate so downstream stages need no join back to the
+    corpus — grouping by (doc_id, dependent-col) is the same grouping, and
+    it saves a corpus-sized shuffle join per carried column's consumer."""
+    w = documents.select("doc_id", *carry, F.explode(words_col("text")).alias("w"))
     freq = w.groupBy("w").agg(F.count("*").alias("n"))
     # total word count derived from the vocabulary-sized freq table — one
     # fewer full corpus explode than a separate w.count() pass
     tot = freq.agg(F.sum("n").alias("total"))
     q = (F.length(F.bin(F.expr("total div n"))) - 1).cast("bigint")
-    s = w.join(F.broadcast(freq), "w").crossJoin(F.broadcast(tot)).select("doc_id", q.alias("q"))
-    return s.groupBy("doc_id").agg(
+    s = (
+        w.join(F.broadcast(freq), "w")
+        .crossJoin(F.broadcast(tot))
+        .select("doc_id", *carry, q.alias("q"))
+    )
+    return s.groupBy("doc_id", *carry).agg(
         F.count("*").cast("bigint").alias("n_words"),
         F.sum("q").cast("bigint").alias("sum_surprisal"),
         (F.sum("q").cast("double") / F.count("*")).alias("avg_surprisal"),
