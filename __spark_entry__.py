@@ -38,7 +38,7 @@ _DRIVER_WINDOW_PRIORITY = [
     # CCNet buckets), benchmark decontamination, sequence packing, surprisal
     # quality scoring — new queries land in-window on their first round.
     "q_split", "q_token_budget", "q_template_spectrum", "q_ccnet_bucket",
-    "q_decontam", "q_pack", "q_surprisal",
+    "q_skew_audit", "q_decontam", "q_pack", "q_surprisal",
     # round-4 fixes — the r3 hash_match:false set (HUGEINT-cast defect) plus
     # the latent same-class instance q_boolagg; these MUST land in-window to
     # convert the red rows green.

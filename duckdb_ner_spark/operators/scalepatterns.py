@@ -320,3 +320,74 @@ def q_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
         nxt.isNull().alias("is_current"),
         "n_events",
     )
+
+
+# --------------------------------------------------------------------------
+# Join-key skew audit (pre-flight diagnostic for salting / skew-join hints)
+# --------------------------------------------------------------------------
+
+SKEW_TOP_K = 10
+
+_SKEW_AUDIT_ORACLE = f"""
+    WITH per_key AS (
+        SELECT user_id, COUNT(*) AS n FROM events GROUP BY user_id
+    ), tot AS (
+        SELECT CAST(SUM(n) AS BIGINT) AS total,
+               CAST(COUNT(*) AS BIGINT) AS n_keys
+        FROM per_key
+    ), ranked AS (
+        SELECT p.user_id, CAST(p.n AS BIGINT) AS n, t.total, t.n_keys,
+               ROW_NUMBER() OVER (ORDER BY p.n DESC, p.user_id) AS rnk,
+               CAST(SUM(p.n) OVER (ORDER BY p.n DESC, p.user_id) AS BIGINT) AS cum_n
+        FROM per_key p CROSS JOIN tot t
+    )
+    SELECT CAST(rnk AS BIGINT) AS rnk, user_id, n,
+           CAST(n AS DOUBLE) / CAST(total AS DOUBLE) AS share,
+           CAST(cum_n AS DOUBLE) / CAST(total AS DOUBLE) AS cum_share,
+           CAST(n * n_keys AS DOUBLE) / CAST(total AS DOUBLE) AS x_mean
+    FROM ranked WHERE rnk <= {SKEW_TOP_K}
+"""
+
+
+@declared("q_skew_audit", oracle=_SKEW_AUDIT_ORACLE)
+def q_skew_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-key skew audit — the pre-flight diagnostic for q_skew_salted and
+    AQE skew-join tuning: the top-10 heaviest events.user_id keys with their
+    row share, cumulative share, and multiple-of-mean (x_mean is the number
+    AQE's skewedPartitionFactor compares against; keys with x_mean above the
+    planned salt count need a bigger spray). Production loops run this on a
+    deterministic sample before every big join of a new dataset — the cost
+    of discovering skew here is one combiner-friendly aggregate; the cost of
+    discovering it mid-shuffle is a straggler executor an hour in.
+
+    Engine-exactness: all ratios divide exact bigint sums once; the ranking
+    total order is pinned by (n DESC, user_id).
+
+    Scale notes (100 TB): per-key counts are the canonical map-side-combine
+    aggregate (the combiner collapses the hot key BEFORE the shuffle, so the
+    audit itself cannot be skewed by the skew it measures); the rank window
+    runs on key-cardinality rows — and for billion-key corpora the same
+    shape over a hash-sampled key subset bounds it further."""
+    t = load_tables(spark, sf_dir)
+    from pyspark.sql.window import Window
+
+    per_key = t.events.groupBy("user_id").agg(F.count("*").alias("n"))
+    tot = per_key.agg(
+        F.sum("n").cast("bigint").alias("total"),
+        F.count("*").cast("bigint").alias("n_keys"),
+    )
+    win = Window.orderBy(F.col("n").desc(), "user_id")
+    ranked = (
+        per_key.crossJoin(F.broadcast(tot))
+        .withColumn("rnk", F.row_number().over(win))
+        .withColumn("cum_n", F.sum("n").over(win).cast("bigint"))
+    )
+    total_d = F.col("total").cast("double")
+    return ranked.filter(F.col("rnk") <= SKEW_TOP_K).select(
+        F.col("rnk").cast("bigint").alias("rnk"),
+        "user_id",
+        F.col("n").cast("bigint").alias("n"),
+        (F.col("n").cast("double") / total_d).alias("share"),
+        (F.col("cum_n").cast("double") / total_d).alias("cum_share"),
+        ((F.col("n") * F.col("n_keys")).cast("double") / total_d).alias("x_mean"),
+    )

