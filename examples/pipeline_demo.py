@@ -76,6 +76,23 @@ def main() -> None:
 
     q_embed_quant(spark, sf_dir).orderBy("vec_id").show(5)
 
+    print("== corpus curation (audit -> budget -> buckets -> split) ==")
+    from duckdb_ner_spark.operators.curation import (
+        q_ccnet_bucket,
+        q_split,
+        q_template_spectrum,
+        q_token_budget,
+    )
+
+    print("boilerplate-template spectrum (cluster sizes -> how duplicated):")
+    q_template_spectrum(spark, sf_dir).orderBy("cluster_size").show()
+    print("per-source token-budget allocation (weighted data mixing):")
+    q_token_budget(spark, sf_dir).orderBy("source").show(5)
+    print("CCNet-style per-language quality tertiles (keep the head):")
+    q_ccnet_bucket(spark, sf_dir).orderBy("lang", "tier_id").show(6)
+    print("deterministic train/val/test split audit:")
+    q_split(spark, sf_dir).orderBy("split", "lang").show()
+
 
 if __name__ == "__main__":
     main()
