@@ -34,6 +34,11 @@ def entry(spark: SparkSession) -> DataFrame:
 # relational queries follow in registration order. New queries added in a
 # round should be PREPENDED here so they land inside the window.
 _DRIVER_WINDOW_PRIORITY = [
+    # round-4 late additions: sampling family (per-domain cap, temperature
+    # mix, quantile length filter) and cleaning family (block-level line
+    # dedup, DSIR importance weights) — in-window on their first round.
+    "q_domain_cap", "q_temperature_mix", "q_len_quantile",
+    "q_line_dedup", "q_dsir", "q_funnel", "q_cohort_retention",
     # round-4 additions: curation family (split/mix-budget/template-audit/
     # CCNet buckets), benchmark decontamination, sequence packing, surprisal
     # quality scoring — new queries land in-window on their first round.

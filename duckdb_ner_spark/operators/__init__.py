@@ -1,5 +1,6 @@
 # Import order registers declared queries (module import side effect).
 from . import (  # noqa: F401
+    cleaning,
     components,
     curation,
     dedup,
@@ -7,6 +8,7 @@ from . import (  # noqa: F401
     ner_queries,
     relational,
     relational_ext,
+    sampling,
     scalepatterns,
     layout_queries,
     similarity,

@@ -1,0 +1,238 @@
+"""Corpus-sampling operators (Tier-D extension, round 4 cont.): the
+selection primitives a pretraining mixture pipeline runs once per-document
+scores and per-source budgets exist — per-domain contribution caps,
+temperature-scaled mixture allocation, and robust length-window filtering.
+
+House rules apply: md5-threshold / md5-rank hashing for every sampling
+decision (deterministic across reruns, executors, and corpus growth — the
+property RAND() lacks), integer or correctly-rounded-single-op double
+arithmetic only (both engines evaluate the identical expression tree), and
+every integer aggregate cast to BIGINT on both sides (the SURVEY §2.C
+HUGEINT hazard).
+
+Scale notes (100 TB):
+- domain cap: the corpus shuffles (source)-partitioned 3-column rows
+  (id, source, 15-hex digest) — never text. Per-source ROW_NUMBER is the
+  one rank-global stage; a single mega-domain (the CommonCrawl case) is the
+  documented skew point — production escape hatch is a 2-pass approximate
+  rank (per-partition histogram of digests → threshold digest → narrow
+  filter), which this operator's hash-ordering makes possible precisely
+  because the rank key is a uniform digest, not a data value.
+- temperature mix: one map-side-combinable per-language aggregate (5–100
+  groups), then all mixture arithmetic on the tiny allocation table. The
+  corpus is read once and never shuffled.
+- length quantile: exact per-language PERCENTILE_DISC is rank-global (it
+  shuffles (lang, n_chars) pairs — 2 numbers/doc); the outlier count pass
+  broadcasts the 3-threshold-per-language table back. At 100 TB the
+  production swap-in is approx_percentile (2-pass, no total sort); exact
+  disc is kept here because the oracle gate needs bit-equal thresholds.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..plans.registry import declared
+from ..sources.catalog import load_tables
+
+# --------------------------------------------------------------------------
+# Per-domain contribution cap (CommonCrawl-style per-domain doc limits)
+# --------------------------------------------------------------------------
+
+CAP_PER_SOURCE = 18  # binds at every SF (testdata has >=25 docs/source)
+
+
+_DOMAIN_CAP_ORACLE = f"""
+    WITH d AS (
+        SELECT doc_id, source,
+               substr(md5('cap|' || CAST(doc_id AS VARCHAR)), 1, 15) AS hv
+        FROM documents
+    ), r AS (
+        SELECT doc_id, source,
+               CAST(ROW_NUMBER() OVER (
+                   PARTITION BY source ORDER BY hv, doc_id
+               ) AS BIGINT) AS rn
+        FROM d
+    )
+    SELECT doc_id, source, rn FROM r WHERE rn <= {CAP_PER_SOURCE}
+"""
+
+
+@declared("q_domain_cap", oracle=_DOMAIN_CAP_ORACLE)
+def q_domain_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-domain contribution cap: keep at most CAP_PER_SOURCE documents
+    per source, selected by md5-rank rather than arrival order or RNG —
+    the per-domain limit step of a CommonCrawl-style pipeline (no single
+    domain may dominate the mixture).
+
+    Determinism: rank key is substr(md5('cap|'||doc_id),1,15) with doc_id
+    tiebreak — identical hex in both engines, total order, and a document's
+    rank among its domain peers is stable under reruns (though, unlike the
+    threshold samplers, a cap rank CAN shift as a domain grows — that is
+    the semantics a cap wants: the limit holds, membership re-balances).
+
+    Scale: shuffles (doc_id, source, digest) — 3 narrow columns, never
+    text; see module docstring for the mega-domain skew escape hatch."""
+    t = load_tables(spark, sf_dir)
+    d = t.documents.select(
+        "doc_id",
+        "source",
+        F.substring(
+            F.md5(F.concat(F.lit("cap|"), F.col("doc_id").cast("string"))), 1, 15
+        ).alias("hv"),
+    )
+    w = Window.partitionBy("source").orderBy("hv", "doc_id")
+    return (
+        d.withColumn("rn", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rn") <= CAP_PER_SOURCE)
+        .select("doc_id", "source", "rn")
+    )
+
+
+# --------------------------------------------------------------------------
+# Temperature-scaled mixture allocation (multilingual-sampling shape)
+# --------------------------------------------------------------------------
+
+# tau = 2 => weights proportional to sqrt(natural share): the standard
+# temperature trick that up-samples low-resource languages. sqrt is the one
+# transcendental that is IEEE-754 correctly rounded, hence bit-equal across
+# engines — higher taus (pow(p, 1/tau)) would not be oracle-exact.
+W_SCALE = 1_000_000_000_000  # weight fixed-point scale (1e12)
+SHARE_SCALE = 1_000_000  # reported share fixed-point scale (1e6)
+
+
+_TEMP_MIX_ORACLE = f"""
+    WITH per_lang AS (
+        SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs FROM documents GROUP BY lang
+    ), tot AS (
+        SELECT CAST(SUM(n_docs) AS BIGINT) AS n_total FROM per_lang
+    ), wq AS (
+        SELECT p.lang, p.n_docs, t.n_total,
+               CAST(ROUND(SQRT(CAST(p.n_docs AS DOUBLE) / CAST(t.n_total AS DOUBLE))
+                          * {W_SCALE}) AS BIGINT) AS wq
+        FROM per_lang p CROSS JOIN tot t
+    ), s AS (
+        SELECT lang, n_docs, n_total, wq,
+               CAST(SUM(wq) OVER () AS BIGINT) AS sum_wq
+        FROM wq
+    )
+    SELECT lang, n_docs, wq,
+           CAST((n_total // 2) * wq // sum_wq AS BIGINT) AS target_n,
+           CAST(wq * {SHARE_SCALE} // sum_wq AS BIGINT) AS share_fx,
+           wq * {SHARE_SCALE} // sum_wq * n_total > {SHARE_SCALE} * n_docs AS upsampled
+    FROM s
+"""
+
+
+@declared("q_temperature_mix", oracle=_TEMP_MIX_ORACLE)
+def q_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled mixture allocation (tau=2): each language's
+    sampling weight is sqrt of its natural share, re-normalized — the
+    standard multilingual-pretraining trick that boosts low-resource
+    languages without letting them dominate. Targets are allocated from a
+    budget of half the corpus; `upsampled` marks languages whose
+    temperature share exceeds their natural share.
+
+    Engine-exactness: n/N division, sqrt, and *1e12 are each a single
+    correctly-rounded double op on identical inputs (sqrt is the only
+    IEEE-exact transcendental — the reason tau is pinned to 2); the
+    rounded weight is then a BIGINT, and every downstream step (sum,
+    floor-division shares and targets, the upsampled comparison) is pure
+    integer arithmetic — order-independent and bit-equal by construction.
+
+    Scale: one combiner-friendly aggregate over the corpus; all mixture
+    math happens on the languages-count-sized table."""
+    t = load_tables(spark, sf_dir)
+    # persist the languages-sized aggregate: it feeds three plan references
+    # (weights, the 1-row total, the weight-sum) — without it each reference
+    # re-scans the corpus (pre-ReuseExchange logical shape); with it the
+    # corpus is read exactly once (the q_dedup_near persist pattern)
+    per_lang = (
+        t.documents.groupBy("lang").agg(F.count("*").cast("bigint").alias("n_docs")).persist()
+    )
+    tot = per_lang.agg(F.sum("n_docs").cast("bigint").alias("n_total"))
+    wq = per_lang.crossJoin(F.broadcast(tot)).withColumn(
+        "wq",
+        F.round(
+            F.sqrt(F.col("n_docs").cast("double") / F.col("n_total").cast("double"))
+            * W_SCALE
+        ).cast("bigint"),
+    )
+    # global sum via 1-row broadcast (not an unpartitioned window: same
+    # result, but keeps the plan free of a move-everything-to-one-partition
+    # WindowExec — the allocation table is tiny, the plan shape still
+    # matters as the template readers copy)
+    s = wq.crossJoin(F.broadcast(wq.agg(F.sum("wq").cast("bigint").alias("sum_wq"))))
+    return s.select(
+        "lang",
+        "n_docs",
+        "wq",
+        F.expr("CAST((n_total div 2) * wq div sum_wq AS BIGINT)").alias("target_n"),
+        F.expr(f"CAST(wq * {SHARE_SCALE} div sum_wq AS BIGINT)").alias("share_fx"),
+        F.expr(
+            f"wq * {SHARE_SCALE} div sum_wq * n_total > {SHARE_SCALE} * n_docs"
+        ).alias("upsampled"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Robust length-window filter (exact per-language quantile thresholds)
+# --------------------------------------------------------------------------
+
+_LEN_QUANTILE_ORACLE = """
+    WITH thr AS (
+        SELECT lang,
+               CAST(PERCENTILE_DISC(0.05) WITHIN GROUP (ORDER BY n_chars) AS BIGINT) AS p05,
+               CAST(PERCENTILE_DISC(0.5)  WITHIN GROUP (ORDER BY n_chars) AS BIGINT) AS p50,
+               CAST(PERCENTILE_DISC(0.95) WITHIN GROUP (ORDER BY n_chars) AS BIGINT) AS p95
+        FROM documents GROUP BY lang
+    )
+    SELECT d.lang, t.p05, t.p50, t.p95,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(CASE WHEN d.n_chars < t.p05 THEN 1 ELSE 0 END) AS BIGINT) AS n_below,
+           CAST(SUM(CASE WHEN d.n_chars > t.p95 THEN 1 ELSE 0 END) AS BIGINT) AS n_above
+    FROM documents d JOIN thr t ON d.lang = t.lang
+    GROUP BY d.lang, t.p05, t.p50, t.p95
+"""
+
+
+@declared("q_len_quantile", oracle=_LEN_QUANTILE_ORACLE)
+def q_len_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust length-window filtering: per-language p05/p50/p95 of document
+    length via exact PERCENTILE_DISC, plus how many documents each language
+    would drop below/above the band — the Gopher-style outlier-length rule
+    computed from the corpus's own distribution rather than fixed bounds.
+
+    PERCENTILE_DISC (not _CONT): returns an actual data element, so there
+    is no interpolation arithmetic to diverge by an ulp between engines —
+    the threshold is exact in both and casts losslessly to BIGINT.
+
+    Scale: thresholds are the rank-global stage (shuffles 2-number rows
+    per doc); the count pass broadcasts the per-language threshold table.
+    Production swap-in at 100 TB is approx_percentile — see module note."""
+    t = load_tables(spark, sf_dir)
+    thr = t.documents.groupBy("lang").agg(
+        F.expr("CAST(percentile_disc(0.05) WITHIN GROUP (ORDER BY n_chars) AS BIGINT)").alias(
+            "p05"
+        ),
+        F.expr("CAST(percentile_disc(0.5) WITHIN GROUP (ORDER BY n_chars) AS BIGINT)").alias(
+            "p50"
+        ),
+        F.expr("CAST(percentile_disc(0.95) WITHIN GROUP (ORDER BY n_chars) AS BIGINT)").alias(
+            "p95"
+        ),
+    )
+    return (
+        t.documents.join(F.broadcast(thr), "lang")
+        .groupBy("lang", "p05", "p50", "p95")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.sum(F.when(F.col("n_chars") < F.col("p05"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_below"),
+            F.sum(F.when(F.col("n_chars") > F.col("p95"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_above"),
+        )
+    )

@@ -18,7 +18,7 @@ Scale notes (100 TB):
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..plans.registry import declared
@@ -390,4 +390,181 @@ def q_skew_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("n").cast("double") / total_d).alias("share"),
         (F.col("cum_n").cast("double") / total_d).alias("cum_share"),
         ((F.col("n") * F.col("n_keys")).cast("double") / total_d).alias("x_mean"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Ordered funnel analysis (view -> click -> purchase)
+# --------------------------------------------------------------------------
+
+_FUNNEL_ORACLE = """
+    WITH e1 AS (
+        SELECT user_id, ts, event_type,
+               MIN(CASE WHEN event_type = 'view' THEN ts END)
+                   OVER (PARTITION BY user_id) AS t1
+        FROM events
+    ), e2 AS (
+        SELECT *, MIN(CASE WHEN event_type = 'click' AND ts > t1 THEN ts END)
+                      OVER (PARTITION BY user_id) AS t2
+        FROM e1
+    ), e3 AS (
+        SELECT *, MIN(CASE WHEN event_type = 'purchase' AND ts > t2 THEN ts END)
+                      OVER (PARTITION BY user_id) AS t3
+        FROM e2
+    ), per_user AS (
+        SELECT user_id, MIN(t1) AS t1, MIN(t2) AS t2, MIN(t3) AS t3
+        FROM e3 GROUP BY user_id
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_users,
+           CAST(COUNT(t1) AS BIGINT) AS n_view,
+           CAST(COUNT(t2) AS BIGINT) AS n_click,
+           CAST(COUNT(t3) AS BIGINT) AS n_purchase,
+           COUNT(t2) * 1.0 / COUNT(t1) AS view_to_click,
+           COUNT(t3) * 1.0 / COUNT(t2) AS click_to_purchase,
+           COUNT(t3) * 1.0 / COUNT(t1) AS overall_conv
+    FROM per_user
+"""
+
+
+@declared("q_funnel", oracle=_FUNNEL_ORACLE)
+def q_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered 3-step funnel (view -> click -> purchase): a step counts only
+    if it happens STRICTLY AFTER the user's previous step — the sequential
+    dependency that separates a funnel from three independent filters. Each
+    stage timestamp is the user's earliest qualifying event given the prior
+    stage (t1 = first view; t2 = first click after t1; t3 = first purchase
+    after t2).
+
+    Plan shape (the 100 TB point): ONE shuffle of the events table — the
+    three stage computations are stacked unordered window aggregates over
+    the same user_id partitioning, and the per-user collapse reuses that
+    partitioning (no second event-level exchange); only user-level rows
+    reach the final 1-row aggregate. The naive form is three self-joins =
+    three shuffles of the full fact table.
+
+    Engine-exactness: stage timestamps are MIN over exact microsecond
+    values; conversion rates are int*1.0/int — a single correctly-rounded
+    division on identical operands."""
+    t = load_tables(spark, sf_dir)
+    w = Window.partitionBy("user_id")
+    e = (
+        t.events.select("user_id", "ts", "event_type")
+        .withColumn(
+            "t1", F.min(F.when(F.col("event_type") == "view", F.col("ts"))).over(w)
+        )
+        .withColumn(
+            "t2",
+            F.min(
+                F.when(
+                    (F.col("event_type") == "click") & (F.col("ts") > F.col("t1")),
+                    F.col("ts"),
+                )
+            ).over(w),
+        )
+        .withColumn(
+            "t3",
+            F.min(
+                F.when(
+                    (F.col("event_type") == "purchase") & (F.col("ts") > F.col("t2")),
+                    F.col("ts"),
+                )
+            ).over(w),
+        )
+    )
+    per_user = e.groupBy("user_id").agg(
+        F.min("t1").alias("t1"), F.min("t2").alias("t2"), F.min("t3").alias("t3")
+    )
+    c1, c2, c3 = F.count("t1"), F.count("t2"), F.count("t3")
+    return per_user.agg(
+        F.count("*").cast("bigint").alias("n_users"),
+        c1.cast("bigint").alias("n_view"),
+        c2.cast("bigint").alias("n_click"),
+        c3.cast("bigint").alias("n_purchase"),
+        (c2 * F.lit(1.0) / c1).alias("view_to_click"),
+        (c3 * F.lit(1.0) / c2).alias("click_to_purchase"),
+        (c3 * F.lit(1.0) / c1).alias("overall_conv"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Cohort retention (weekly cohorts x weekly activity offsets)
+# --------------------------------------------------------------------------
+
+# Fixed well-before-any-data anchor: offsets stay non-negative, so integer
+# division is floor in both engines (DuckDB // floors, Spark div truncates
+# toward zero — they only agree on non-negatives; a data-relative anchor
+# could go negative under testdata regeneration).
+COHORT_ANCHOR = "DATE '2000-01-03'"  # a Monday
+
+
+_COHORT_ORACLE = f"""
+    WITH f AS (
+        SELECT user_id, ts,
+               MIN(ts) OVER (PARTITION BY user_id) AS first_ts
+        FROM events
+    ), d AS (
+        SELECT DISTINCT user_id,
+               datediff('day', {COHORT_ANCHOR}, CAST(first_ts AS DATE)) // 7
+                   AS cohort_id,
+               datediff('day', CAST(first_ts AS DATE), CAST(ts AS DATE)) // 7
+                   AS week_offset
+        FROM f
+    ), g AS (
+        SELECT cohort_id, week_offset,
+               CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_active
+        FROM d GROUP BY cohort_id, week_offset
+    )
+    SELECT CAST(cohort_id AS BIGINT) AS cohort_id,
+           CAST(week_offset AS BIGINT) AS week_offset,
+           n_active,
+           CAST(MAX(CASE WHEN week_offset = 0 THEN n_active END)
+                    OVER (PARTITION BY cohort_id) AS BIGINT) AS n_cohort,
+           n_active * 1.0 / MAX(CASE WHEN week_offset = 0 THEN n_active END)
+                                OVER (PARTITION BY cohort_id) AS retention
+    FROM g
+"""
+
+
+@declared("q_cohort_retention", oracle=_COHORT_ORACLE)
+def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohort retention: users are cohorted by the week of their
+    first event, activity is bucketed by whole weeks since that first
+    event, and each (cohort, offset) cell reports distinct active users
+    against the cohort's size (its offset-0 cell — every user is active in
+    their own first week by construction, so offset 0 IS the cohort
+    census). The classic growth-analytics triangle.
+
+    Engine-exactness: week ids are pure integer arithmetic on day diffs
+    from a fixed pre-data anchor (non-negative, so floor-vs-truncate
+    division divergence cannot bite — see COHORT_ANCHOR note); retention is
+    int*1.0/int.
+
+    Plan shape (100 TB): first-event timestamps ride the user_id
+    partitioning (window min — one events shuffle); the DISTINCT collapses
+    event-level rows to (user, cohort, offset) BEFORE the count-distinct
+    aggregate, and the cohort-size lookup is a window over the tiny
+    aggregated triangle, not a second pass over events."""
+    t = load_tables(spark, sf_dir)
+    w = Window.partitionBy("user_id")
+    f = t.events.select("user_id", "ts").withColumn("first_ts", F.min("ts").over(w))
+    d = f.select(
+        "user_id",
+        F.expr(f"datediff(CAST(first_ts AS DATE), {COHORT_ANCHOR}) div 7").alias(
+            "cohort_id"
+        ),
+        F.expr("datediff(CAST(ts AS DATE), CAST(first_ts AS DATE)) div 7").alias(
+            "week_offset"
+        ),
+    ).distinct()
+    g = d.groupBy("cohort_id", "week_offset").agg(
+        F.countDistinct("user_id").cast("bigint").alias("n_active")
+    )
+    wc = Window.partitionBy("cohort_id")
+    census = F.max(F.when(F.col("week_offset") == 0, F.col("n_active"))).over(wc)
+    return g.select(
+        F.col("cohort_id").cast("bigint").alias("cohort_id"),
+        F.col("week_offset").cast("bigint").alias("week_offset"),
+        "n_active",
+        census.cast("bigint").alias("n_cohort"),
+        (F.col("n_active") * F.lit(1.0) / census).alias("retention"),
     )

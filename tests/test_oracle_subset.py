@@ -26,6 +26,8 @@ SUBSET = [
     "q_array_setops",
     "q_supplier_rev",
     "q_part_margin",
+    "q_domain_cap",
+    "q_line_dedup",
 ]
 
 

@@ -590,3 +590,145 @@ def test_ccnet_buckets_are_balanced_and_ordered(spark, docs):
             assert tiers[lo].max_surprisal <= tiers[hi].min_surprisal + 1e-12
         for t in tiers.values():
             assert t.min_surprisal <= t.mean_surprisal <= t.max_surprisal + 1e-12
+
+
+def test_domain_cap_binds_and_is_deterministic(spark, docs):
+    """q_domain_cap: every source contributes exactly min(CAP, its size)
+    docs, ranks are 1..CAP, and the kept membership is identical across
+    re-invocations (md5-rank, no RNG)."""
+    from duckdb_ner_spark.operators.sampling import CAP_PER_SOURCE, q_domain_cap
+
+    rows = q_domain_cap(spark, SF_SMOKE).collect()
+    n_by_src = {
+        r.source: r.cnt
+        for r in docs.groupBy("source").agg(F.count("*").alias("cnt")).collect()
+    }
+    got = {}
+    for r in rows:
+        assert 1 <= r.rn <= CAP_PER_SOURCE
+        got.setdefault(r.source, set()).add(r.doc_id)
+    assert set(got) == set(n_by_src)
+    for src, ids in got.items():
+        assert len(ids) == min(CAP_PER_SOURCE, n_by_src[src])
+    again = {(r.source, r.doc_id) for r in q_domain_cap(spark, SF_SMOKE).collect()}
+    assert again == {(s, d) for s, ids in got.items() for d in ids}
+
+
+def test_temperature_mix_flattens_shares(spark, docs):
+    """q_temperature_mix (tau=2): shares sum to ~1 (floor loss < #langs
+    units), weights are monotone in size, and temperature compresses the
+    distribution — the largest language's share shrinks vs natural, the
+    smallest grows (upsampled flag agrees)."""
+    from duckdb_ner_spark.operators.sampling import SHARE_SCALE, q_temperature_mix
+
+    rows = q_temperature_mix(spark, SF_SMOKE).collect()
+    n_total = sum(r.n_docs for r in rows)
+    assert n_total == docs.count()
+    assert sum(r.target_n for r in rows) <= n_total // 2
+    assert n_total * SHARE_SCALE >= sum(r.share_fx for r in rows) * n_total >= (
+        SHARE_SCALE - len(rows)
+    ) * n_total
+    by_n = sorted(rows, key=lambda r: r.n_docs)
+    for a, b in zip(by_n, by_n[1:]):
+        assert a.wq <= b.wq
+    smallest, largest = by_n[0], by_n[-1]
+    assert smallest.upsampled
+    assert not largest.upsampled
+    # natural-vs-temperature cross-check from first principles
+    assert largest.share_fx * n_total < SHARE_SCALE * largest.n_docs
+
+
+def test_len_quantile_disc_thresholds_are_elements(spark, docs):
+    """q_len_quantile: each threshold is an actual n_chars value of its
+    language (PERCENTILE_DISC contract), and the outlier tails hold <= 5%
+    of the language's docs each."""
+    from duckdb_ner_spark.operators.sampling import q_len_quantile
+
+    rows = q_len_quantile(spark, SF_SMOKE).collect()
+    vals = {
+        lang: {r.n_chars for r in docs.filter(F.col("lang") == lang).collect()}
+        for lang in {r.lang for r in rows}
+    }
+    for r in rows:
+        assert r.p05 in vals[r.lang] and r.p50 in vals[r.lang] and r.p95 in vals[r.lang]
+        assert r.p05 <= r.p50 <= r.p95
+        assert r.n_below <= 0.05 * r.n_docs
+        assert r.n_above <= 0.05 * r.n_docs
+
+
+def test_line_dedup_charges_non_canonical_blocks(spark):
+    """Planted corpus: doc 2 repeats doc 1's first 8-word block; doc 3 is
+    8 copies of one block (self-repetition). Canonical-first accounting
+    must charge doc 2 with 1 dup and doc 3 with 7, and the keep rule drops
+    only doc 3."""
+    from duckdb_ner_spark.operators.cleaning import line_dedup_stats
+
+    w = lambda tag: " ".join(f"{tag}{i}" for i in range(8))  # noqa: E731
+    corpus = spark.createDataFrame(
+        [
+            (1, w("a") + " " + w("b")),  # blocks A, B — both canonical
+            (2, w("a") + " " + w("c")),  # repeats A, own C
+            (3, " ".join([w("d")] * 8)),  # 8x block D: 1 canonical + 7 dups
+            (4, "short words only"),  # < 8 words: no blocks, excluded
+        ],
+        ["doc_id", "text"],
+    )
+    out = {r.doc_id: r for r in line_dedup_stats(corpus).collect()}
+    assert set(out) == {1, 2, 3}
+    assert (out[1].n_blocks, out[1].n_dup, out[1].keep) == (2, 0, True)
+    assert (out[2].n_blocks, out[2].n_dup, out[2].keep) == (2, 1, True)
+    assert (out[3].n_blocks, out[3].n_dup, out[3].keep) == (8, 7, False)
+    assert abs(out[3].dup_frac - 7 / 8) < 1e-15
+
+
+def test_line_dedup_global_accounting(spark, docs):
+    """Corpus-wide invariant: kept (canonical) block instances == number of
+    distinct blocks — every distinct block is kept exactly once."""
+    from duckdb_ner_spark.operators.cleaning import BLOCK_WORDS, line_dedup_stats
+
+    rows = line_dedup_stats(docs).collect()
+    kept = sum(r.n_blocks - r.n_dup for r in rows)
+    distinct_blocks = (
+        docs.select(F.split("text", " ").alias("ws"))
+        .select(
+            F.explode(
+                F.expr(
+                    f"transform(sequence(0, size(ws) div {BLOCK_WORDS} - 1),"
+                    f" p -> array_join(slice(ws, p*{BLOCK_WORDS}+1, {BLOCK_WORDS}), ' '))"
+                )
+            ).alias("blk")
+        )
+        .filter(F.size(F.split(F.col("blk"), " ")) == BLOCK_WORDS)
+        .distinct()
+        .count()
+    )
+    assert kept == distinct_blocks
+
+
+def test_dsir_separates_target_lookalikes(spark):
+    """Planted corpus with disjoint vocabularies: docs sharing the target
+    domain's vocabulary must score far above docs that share nothing (whose
+    buckets have ~zero target mass — exact zero up to md5-prefix bucket
+    collisions)."""
+    from duckdb_ner_spark.operators.cleaning import dsir_scores
+
+    tvocab = lambda i: f"tgt{i % 7}"  # noqa: E731
+    bvocab = lambda i: f"bg{i % 11}"  # noqa: E731
+    rows = []
+    for d in range(3):  # target domain docs
+        rows.append((d, "src0", " ".join(tvocab(d + i) for i in range(30))))
+    for d in range(3, 6):  # lookalikes: target vocabulary, other source
+        rows.append((d, "srcX", " ".join(tvocab(d + i) for i in range(30))))
+    for d in range(6, 12):  # disjoint background
+        rows.append((d, "srcY", " ".join(bvocab(d + i) for i in range(30))))
+    corpus = spark.createDataFrame(rows, ["doc_id", "source", "text"])
+    out = {r.doc_id: r for r in dsir_scores(corpus).collect()}
+    lookalike = min(out[d].avg_ratio_fx for d in range(3, 6))
+    disjoint = max(out[d].avg_ratio_fx for d in range(6, 12))
+    assert lookalike > 2 * max(disjoint, 1)
+    # instance-weighted mean ratio over the whole corpus is 1.0 by
+    # construction (the background model is the corpus itself), minus
+    # bounded floor loss: sum(score) in [ (SCALE-1)*N, SCALE*N ]
+    n = sum(r.n_bigrams for r in out.values())
+    s = sum(r.score_fx for r in out.values())
+    assert (1_000_000 - 1) * n <= s <= 1_000_000 * n

@@ -202,3 +202,64 @@ def test_skew_audit_shares_are_consistent(spark):
             assert r.n <= prev_n
         prev_n = r.n
         assert r.x_mean > 0
+
+
+def test_funnel_matches_python_recompute(spark):
+    """q_funnel vs an independent pure-Python recompute of the sequential
+    funnel (first view -> first later click -> first later purchase) over
+    the same events — and the monotone step property."""
+    from duckdb_ner_spark.operators.scalepatterns import q_funnel
+    from duckdb_ner_spark.sources.catalog import load_tables
+
+    ev = load_tables(spark, SF_SMOKE).events.select("user_id", "ts", "event_type").collect()
+    by_user = {}
+    for r in ev:
+        by_user.setdefault(r.user_id, []).append((r.ts, r.event_type))
+    n_view = n_click = n_purchase = 0
+    ordering_matters = False
+    for events in by_user.values():
+        t1 = min((ts for ts, et in events if et == "view"), default=None)
+        t2 = (
+            min((ts for ts, et in events if et == "click" and ts > t1), default=None)
+            if t1
+            else None
+        )
+        t3 = (
+            min((ts for ts, et in events if et == "purchase" and ts > t2), default=None)
+            if t2
+            else None
+        )
+        n_view += t1 is not None
+        n_click += t2 is not None
+        n_purchase += t3 is not None
+        if t1 is not None and any(et == "click" and ts <= t1 for ts, et in events):
+            ordering_matters = True  # a click the unordered version would count
+    row = q_funnel(spark, SF_SMOKE).collect()[0]
+    assert (row.n_users, row.n_view, row.n_click, row.n_purchase) == (
+        len(by_user),
+        n_view,
+        n_click,
+        n_purchase,
+    )
+    assert row.n_purchase <= row.n_click <= row.n_view <= row.n_users
+    assert abs(row.overall_conv - n_purchase / n_view) < 1e-15
+    assert ordering_matters, "corpus has no pre-view clicks; funnel test is vacuous"
+
+
+def test_cohort_retention_census_and_bounds(spark):
+    """q_cohort_retention: offset-0 cell equals the cohort census, every
+    cell's retention is in (0, 1], and cohort sizes sum to the distinct
+    user count."""
+    from duckdb_ner_spark.operators.scalepatterns import q_cohort_retention
+    from duckdb_ner_spark.sources.catalog import load_tables
+
+    rows = q_cohort_retention(spark, SF_SMOKE).collect()
+    zero = {r.cohort_id: r for r in rows if r.week_offset == 0}
+    for r in rows:
+        assert r.n_cohort == zero[r.cohort_id].n_active
+        assert 0 < r.retention <= 1.0
+        assert r.n_active <= r.n_cohort  # nobody is active who never started
+        assert r.week_offset >= 0
+    assert zero[min(zero)].retention == 1.0
+    n_users = load_tables(spark, SF_SMOKE).events.select("user_id").distinct().count()
+    assert sum(r.n_active for r in zero.values()) == n_users
