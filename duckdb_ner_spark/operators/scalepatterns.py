@@ -446,9 +446,26 @@ def q_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     values; conversion rates are int*1.0/int — a single correctly-rounded
     division on identical operands."""
     t = load_tables(spark, sf_dir)
+    per_user = funnel_user_stages(t.events)
+    c1, c2, c3 = F.count("t1"), F.count("t2"), F.count("t3")
+    return per_user.agg(
+        F.count("*").cast("bigint").alias("n_users"),
+        c1.cast("bigint").alias("n_view"),
+        c2.cast("bigint").alias("n_click"),
+        c3.cast("bigint").alias("n_purchase"),
+        (c2 * F.lit(1.0) / c1).alias("view_to_click"),
+        (c3 * F.lit(1.0) / c2).alias("click_to_purchase"),
+        (c3 * F.lit(1.0) / c1).alias("overall_conv"),
+    )
+
+
+def funnel_user_stages(events: DataFrame) -> DataFrame:
+    """Per-user funnel stage timestamps (user_id, t1, t2, t3) on an
+    arbitrary events frame — q_funnel's windowed core, factored out for
+    property tests."""
     w = Window.partitionBy("user_id")
     e = (
-        t.events.select("user_id", "ts", "event_type")
+        events.select("user_id", "ts", "event_type")
         .withColumn(
             "t1", F.min(F.when(F.col("event_type") == "view", F.col("ts"))).over(w)
         )
@@ -471,18 +488,8 @@ def q_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).over(w),
         )
     )
-    per_user = e.groupBy("user_id").agg(
+    return e.groupBy("user_id").agg(
         F.min("t1").alias("t1"), F.min("t2").alias("t2"), F.min("t3").alias("t3")
-    )
-    c1, c2, c3 = F.count("t1"), F.count("t2"), F.count("t3")
-    return per_user.agg(
-        F.count("*").cast("bigint").alias("n_users"),
-        c1.cast("bigint").alias("n_view"),
-        c2.cast("bigint").alias("n_click"),
-        c3.cast("bigint").alias("n_purchase"),
-        (c2 * F.lit(1.0) / c1).alias("view_to_click"),
-        (c3 * F.lit(1.0) / c2).alias("click_to_purchase"),
-        (c3 * F.lit(1.0) / c1).alias("overall_conv"),
     )
 
 

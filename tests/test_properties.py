@@ -275,3 +275,53 @@ def test_pack_window_math_matches_reference(spark, docs):
         end = off + n
         assert got[(src, doc_id)] == (off, (end - 1) // PACK_CAP), (src, doc_id, n)
         pos[src] = end
+
+
+# ---- ordered-funnel windowed core vs pure-Python reference ----------------
+
+_funnel_events = st.lists(
+    st.tuples(
+        st.integers(min_value=1, max_value=4),  # user_id
+        st.integers(min_value=0, max_value=30),  # second offset (ties likely)
+        st.sampled_from(["view", "click", "purchase", "signup", "error"]),
+    ),
+    min_size=1,
+    max_size=40,
+)
+
+
+@given(events=_funnel_events)
+@settings(max_examples=15, deadline=None)
+def test_funnel_stages_match_reference(spark, events):
+    """funnel_user_stages (stacked unordered windows) == the sequential
+    definition computed in pure Python: t1 = first view, t2 = first click
+    strictly after t1, t3 = first purchase strictly after t2 — including
+    tie cases (same-timestamp view/click must NOT chain)."""
+    import datetime as dt
+
+    from duckdb_ner_spark.operators.scalepatterns import funnel_user_stages
+
+    base = dt.datetime(2024, 1, 1)
+    rows = [
+        (u, base + dt.timedelta(seconds=s), et) for u, s, et in events
+    ]
+    df = spark.createDataFrame(rows, ["user_id", "ts", "event_type"])
+    got = {r.user_id: (r.t1, r.t2, r.t3) for r in funnel_user_stages(df).collect()}
+
+    by_user = {}
+    for u, ts, et in rows:
+        by_user.setdefault(u, []).append((ts, et))
+    for u, evs in by_user.items():
+        t1 = min((ts for ts, et in evs if et == "view"), default=None)
+        t2 = (
+            min((ts for ts, et in evs if et == "click" and ts > t1), default=None)
+            if t1 is not None
+            else None
+        )
+        t3 = (
+            min((ts for ts, et in evs if et == "purchase" and ts > t2), default=None)
+            if t2 is not None
+            else None
+        )
+        assert got[u] == (t1, t2, t3), (u, evs)
+    assert set(got) == set(by_user)
