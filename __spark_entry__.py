@@ -39,6 +39,7 @@ _DRIVER_WINDOW_PRIORITY = [
     # dedup, DSIR importance weights) — in-window on their first round.
     "q_domain_cap", "q_temperature_mix", "q_len_quantile",
     "q_line_dedup", "q_dsir", "q_funnel", "q_cohort_retention",
+    "q_attribution", "q_incr_agg",
     # round-4 additions: curation family (split/mix-budget/template-audit/
     # CCNet buckets), benchmark decontamination, sequence packing, surprisal
     # quality scoring — new queries land in-window on their first round.

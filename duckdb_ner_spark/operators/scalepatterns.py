@@ -575,3 +575,129 @@ def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
         census.cast("bigint").alias("n_cohort"),
         (F.col("n_active") * F.lit(1.0) / census).alias("retention"),
     )
+
+
+# --------------------------------------------------------------------------
+# Last-touch attribution (event-to-event as-of via RANGE-frame window)
+# --------------------------------------------------------------------------
+
+_ATTRIBUTION_ORACLE = """
+    WITH e AS (
+        SELECT event_id, user_id, ts, event_type,
+               MAX(CASE WHEN event_type = 'view' THEN ts END) OVER (
+                   PARTITION BY user_id ORDER BY ts
+                   RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS view_ts
+        FROM events
+    )
+    SELECT event_id, user_id,
+           ts AS purchase_ts, view_ts,
+           epoch_us(ts) - epoch_us(view_ts) AS gap_us
+    FROM e
+    WHERE event_type = 'purchase' AND view_ts IS NOT NULL
+"""
+
+
+@declared("q_attribution", oracle=_ATTRIBUTION_ORACLE)
+def q_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-touch attribution: every purchase is credited to the user's
+    most recent view at-or-before it — the event-to-event as-of join of
+    marketing analytics, expressed as ONE pass over the events fact.
+
+    Tie determinism: the frame is RANGE (not ROWS) UNBOUNDED PRECEDING —
+    a view sharing the purchase's exact timestamp is always inside the
+    frame regardless of how the sort breaks the tie, so both engines see
+    the identical frame contents (a ROWS frame would make same-microsecond
+    ties an ordering lottery). Gap is exact integer microseconds
+    (epoch_us/unix_micros) — no datediff boundary-counting semantics to
+    diverge between engines.
+
+    Plan shape (100 TB): one events shuffle (user_id partitioning for the
+    running-max window), then a narrow filter; the naive form is a
+    purchases-x-views non-equi self-join."""
+    t = load_tables(spark, sf_dir)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts")
+        .rangeBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    e = t.events.select("event_id", "user_id", "ts", "event_type").withColumn(
+        "view_ts",
+        F.max(F.when(F.col("event_type") == "view", F.col("ts"))).over(w),
+    )
+    return e.filter(
+        (F.col("event_type") == "purchase") & F.col("view_ts").isNotNull()
+    ).select(
+        "event_id",
+        "user_id",
+        F.col("ts").alias("purchase_ts"),
+        "view_ts",
+        F.expr("timestampdiff(MICROSECOND, view_ts, ts)").alias("gap_us"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Incremental aggregate maintenance (mergeable partial state)
+# --------------------------------------------------------------------------
+
+INCR_AGG_SPLIT = "TIMESTAMP '2024-01-15 00:00:00'"
+INCR_FX = 1_000_000  # value fixed-point scale (sum order independence)
+
+
+_INCR_AGG_ORACLE = f"""
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(CAST(ROUND(value * {INCR_FX}) AS BIGINT)) AS BIGINT) AS total_fx,
+           SUM(CAST(ROUND(value * {INCR_FX}) AS BIGINT)) * 1.0
+               / (COUNT(*) * {INCR_FX}) AS avg_value
+    FROM events
+    GROUP BY event_type
+"""
+
+
+@declared("q_incr_agg", oracle=_INCR_AGG_ORACLE)
+def q_incr_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental aggregate maintenance: the engine computes per-type
+    totals as OLD STATE (events before a cutoff) merged with a NEW BATCH
+    (events at/after it) — the two-phase partial-state shape of an
+    incremental pipeline or materialized-view refresh — and must equal the
+    oracle's direct one-pass aggregate. COUNT and SUM are mergeable
+    partials; AVG is derived at read time from the merged sums (never
+    merged itself — the classic incremental-view rule).
+
+    Engine-exactness: values are quantized to 1e6 fixed-point BIGINT before
+    summing, so the merge order (old+new vs one pass) and the shuffle's
+    accumulation order cannot produce ulp drift; avg is one exact integer
+    expression divided once.
+
+    Plan shape (100 TB): each phase is a combiner-friendly aggregate over
+    its time slice (partition pruning applies when events are date-
+    partitioned); the merge re-aggregates a types-count-sized union."""
+    t = load_tables(spark, sf_dir)
+    fx = F.expr(f"CAST(ROUND(value * {INCR_FX}) AS BIGINT)")
+    cutoff = F.expr(INCR_AGG_SPLIT)
+
+    def partial(df: DataFrame) -> DataFrame:
+        return df.groupBy("event_type").agg(
+            F.count("*").cast("bigint").alias("n_events"),
+            F.sum(fx).cast("bigint").alias("total_fx"),
+        )
+
+    old_state = partial(t.events.filter(F.col("ts") < cutoff))
+    new_batch = partial(t.events.filter(F.col("ts") >= cutoff))
+    merged = (
+        old_state.unionByName(new_batch)
+        .groupBy("event_type")
+        .agg(
+            F.sum("n_events").cast("bigint").alias("n_events"),
+            F.sum("total_fx").cast("bigint").alias("total_fx"),
+        )
+    )
+    return merged.select(
+        "event_type",
+        "n_events",
+        "total_fx",
+        (F.col("total_fx") * F.lit(1.0) / (F.col("n_events") * F.lit(INCR_FX))).alias(
+            "avg_value"
+        ),
+    )

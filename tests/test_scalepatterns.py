@@ -263,3 +263,58 @@ def test_cohort_retention_census_and_bounds(spark):
     assert zero[min(zero)].retention == 1.0
     n_users = load_tables(spark, SF_SMOKE).events.select("user_id").distinct().count()
     assert sum(r.n_active for r in zero.values()) == n_users
+
+
+def test_attribution_last_touch_semantics(spark):
+    """Planted events: the purchase credits the LATEST at-or-before view
+    (same-timestamp view counts, gap 0); purchases with no preceding view
+    are excluded; a later view never attributes backwards."""
+    import datetime as dt
+
+    from duckdb_ner_spark.operators.scalepatterns import q_attribution
+    from duckdb_ner_spark.sources.catalog import load_tables
+
+    rows = q_attribution(spark, SF_SMOKE).collect()
+    ev = load_tables(spark, SF_SMOKE).events.select(
+        "event_id", "user_id", "ts", "event_type"
+    ).collect()
+    views = {}
+    for r in ev:
+        if r.event_type == "view":
+            views.setdefault(r.user_id, []).append(r.ts)
+    expect = {}
+    for r in ev:
+        if r.event_type == "purchase":
+            prior = [t for t in views.get(r.user_id, []) if t <= r.ts]
+            if prior:
+                expect[r.event_id] = max(prior)
+    got = {r.event_id: r.view_ts for r in rows}
+    assert got == expect
+    for r in rows:
+        assert r.gap_us >= 0
+        assert r.view_ts + dt.timedelta(microseconds=r.gap_us) == r.purchase_ts
+
+
+def test_incr_agg_merge_equals_direct(spark):
+    """The two-phase partial-state merge must equal a direct one-pass
+    aggregate computed inside Spark itself (engine-internal parity, on top
+    of the DuckDB oracle), and per-type counts must account every event."""
+    from duckdb_ner_spark.operators.scalepatterns import INCR_FX, q_incr_agg
+    from duckdb_ner_spark.sources.catalog import load_tables
+
+    rows = {r.event_type: r for r in q_incr_agg(spark, SF_SMOKE).collect()}
+    ev = load_tables(spark, SF_SMOKE).events
+    direct = {
+        r.event_type: r
+        for r in ev.groupBy("event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.expr(f"CAST(ROUND(value * {INCR_FX}) AS BIGINT)")).alias("fx"),
+        )
+        .collect()
+    }
+    assert set(rows) == set(direct)
+    for et, r in rows.items():
+        assert (r.n_events, r.total_fx) == (direct[et].n, direct[et].fx)
+        assert abs(r.avg_value - r.total_fx / (r.n_events * INCR_FX)) < 1e-15
+    assert sum(r.n_events for r in rows.values()) == ev.count()
