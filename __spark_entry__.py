@@ -39,7 +39,7 @@ _DRIVER_WINDOW_PRIORITY = [
     # dedup, DSIR importance weights) — in-window on their first round.
     "q_domain_cap", "q_temperature_mix", "q_len_quantile",
     "q_line_dedup", "q_dsir", "q_funnel", "q_cohort_retention",
-    "q_attribution", "q_incr_agg",
+    "q_attribution", "q_incr_agg", "q_pmi",
     # round-4 additions: curation family (split/mix-budget/template-audit/
     # CCNet buckets), benchmark decontamination, sequence packing, surprisal
     # quality scoring — new queries land in-window on their first round.
@@ -58,6 +58,10 @@ _DRIVER_WINDOW_PRIORITY = [
     "q_part_margin", "q_window_dist", "q_window_range", "q_string2",
     "q_regex", "q_date_diff", "q_higher_order", "q_nullsafe", "q_setops_all",
     "q_bitops", "q_argmax", "q_trycast_format", "q_array_setops",
+    # just-below-window: the 50-slot window is exactly full (10 new + 13
+    # r4-fix/curation + 27 burn-down); q_rolling_7d is selfcheck-green at
+    # all three SFs and rotates in next round.
+    "q_rolling_7d",
     # oldest-green refresh (last driver row r2): the heaviest pipeline
     # operators first — dedup/similarity/asof — so no family goes two rounds
     # unchecked.

@@ -701,3 +701,71 @@ def q_incr_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
             "avg_value"
         ),
     )
+
+
+# --------------------------------------------------------------------------
+# Per-user rolling time-window features (RANGE frame on integer microseconds)
+# --------------------------------------------------------------------------
+
+ROLL_WINDOW_US = 7 * 24 * 3600 * 1_000_000  # 7 days in microseconds
+ROLL_FX = 1_000_000  # value fixed-point scale
+
+
+_ROLLING_ORACLE = f"""
+    WITH e AS (
+        SELECT event_id, user_id, ts,
+               epoch_us(ts) AS ts_us,
+               CAST(ROUND(value * {ROLL_FX}) AS BIGINT) AS v_fx
+        FROM events
+    )
+    SELECT event_id, user_id, ts,
+           CAST(COUNT(*) OVER w AS BIGINT) AS n_7d,
+           CAST(SUM(v_fx) OVER w AS BIGINT) AS value_7d_fx
+    FROM e
+    WINDOW w AS (
+        PARTITION BY user_id ORDER BY ts_us
+        RANGE BETWEEN {ROLL_WINDOW_US} PRECEDING AND CURRENT ROW
+    )
+"""
+
+
+@declared("q_rolling_7d", oracle=_ROLLING_ORACLE)
+def q_rolling_7d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user rolling 7-day activity features at every event — trailing
+    event count and value sum — the feature-engineering pass behind
+    velocity/abuse signals and activity models.
+
+    Engine-exactness: the frame is a RANGE window over INTEGER epoch
+    microseconds (epoch_us/timestampdiff from the epoch), so both engines
+    evaluate the identical integer interval — no engine INTERVAL-arithmetic
+    or tie-order hazard (RANGE includes all same-microsecond rows on both
+    frame edges regardless of sort tiebreak); values are summed in 1e6
+    fixed-point BIGINT.
+
+    Plan shape (100 TB): one events shuffle (user_id partitioning), one
+    per-partition ordered pass — Spark's WindowExec maintains the sliding
+    frame incrementally; the naive form is a self-join on the time band
+    (q_range_bucket's problem, needed only when the band join is BETWEEN
+    two different tables)."""
+    t = load_tables(spark, sf_dir)
+    e = t.events.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.expr("timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)").alias(
+            "ts_us"
+        ),
+        F.expr(f"CAST(ROUND(value * {ROLL_FX}) AS BIGINT)").alias("v_fx"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts_us")
+        .rangeBetween(-ROLL_WINDOW_US, Window.currentRow)
+    )
+    return e.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.count("*").over(w).cast("bigint").alias("n_7d"),
+        F.sum("v_fx").over(w).cast("bigint").alias("value_7d_fx"),
+    )

@@ -422,3 +422,102 @@ def surprisal_per_doc(documents: DataFrame, carry: tuple[str, ...] = ()) -> Data
         F.sum("q").cast("bigint").alias("sum_surprisal"),
         (F.sum("q").cast("double") / F.count("*")).alias("avg_surprisal"),
     )
+
+
+# --------------------------------------------------------------------------
+# PMI collocation mining (rational fixed-point, top-k phrases)
+# --------------------------------------------------------------------------
+
+PMI_SCALE = 1_000_000
+PMI_MIN_COUNT = 5  # bigram support floor (noise gate)
+PMI_TOP = 50
+
+
+_PMI_ORACLE = f"""
+    WITH d AS (
+        SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+    ), bg AS (
+        SELECT unnest([struct_pack(w1 := ws[i], w2 := ws[i+1])
+                       FOR i IN range(1, len(ws))]) AS p
+        FROM d
+    ), pairs AS (
+        SELECT p.w1 AS w1, p.w2 AS w2, CAST(COUNT(*) AS BIGINT) AS n_xy FROM bg GROUP BY 1, 2
+    ), uni AS (
+        SELECT w, CAST(COUNT(*) AS BIGINT) AS n FROM (
+            SELECT unnest(string_split(text, ' ')) AS w FROM documents
+        ) GROUP BY w
+    ), tot AS (
+        SELECT CAST(SUM(n_xy) AS BIGINT) AS n_total FROM pairs
+    )
+    SELECT p.w1, p.w2, p.n_xy,
+           p.n_xy * t.n_total * {PMI_SCALE} // (u1.n * u2.n) AS pmi_fx
+    FROM pairs p
+    JOIN uni u1 ON p.w1 = u1.w
+    JOIN uni u2 ON p.w2 = u2.w
+    CROSS JOIN tot t
+    WHERE p.n_xy >= {PMI_MIN_COUNT}
+    ORDER BY pmi_fx DESC, w1, w2
+    LIMIT {PMI_TOP}
+"""
+
+
+@declared("q_pmi", oracle=_PMI_ORACLE)
+def q_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PMI collocation mining: rank adjacent word pairs by pointwise mutual
+    information — the phrase-detection pass a tokenizer-training or
+    phrase-vocabulary pipeline runs over the corpus. A high-PMI pair
+    co-occurs far more often than its words' independent frequencies
+    predict.
+
+    Engine-exactness: PMI's log is monotone, so ranking by the RATIONAL
+    inside n_xy·N/(n_x·n_y) ranks identically to PMI itself — kept in 1e6
+    fixed-point BIGINT (the q_dsir trick; no cross-engine ln()). The top-k
+    row set is pinned by the (pmi_fx DESC, w1, w2) total order.
+
+    Scale notes (100 TB): bigram and unigram counts are the canonical
+    map-side-combine aggregates; the unigram table is corpus-vocabulary-
+    sized — broadcast here (natural-language vocabularies fit), with the
+    documented fallback of a shuffled join on w1/w2 when it doesn't; the
+    support floor prunes the pair table before both joins; top-k is
+    TakeOrdered (no global sort materialization)."""
+    t = load_tables(spark, sf_dir)
+    ws = F.col("ws")
+    m = F.size(ws) - 1
+    bigrams = F.when(
+        F.size(ws) >= 2,
+        F.zip_with(
+            F.slice(ws, 1, m), F.slice(ws, 2, m), lambda x, y: F.struct(x.alias("w1"), y.alias("w2"))
+        ),
+    ).otherwise(F.expr("CAST(array() AS array<struct<w1:string,w2:string>>)"))
+    pairs_all = (
+        t.documents.select(F.split("text", " ").alias("ws"))
+        .select(F.explode(bigrams).alias("p"))
+        .select("p.w1", "p.w2")
+        .groupBy("w1", "w2")
+        .agg(F.count("*").cast("bigint").alias("n_xy"))
+        # persisted: feeds BOTH the full-mass total and the filtered
+        # candidate set — without it each reference re-runs the bigram
+        # explode+aggregate over the corpus (the q_dedup_near pattern)
+        .persist()
+    )
+    # N is the FULL bigram mass (before the support floor) — the floor
+    # prunes candidates, it must not reweight the probability model
+    tot = pairs_all.agg(F.sum("n_xy").cast("bigint").alias("n_total"))
+    pairs = pairs_all.filter(F.col("n_xy") >= PMI_MIN_COUNT)
+    uni = (
+        t.documents.select(F.explode(words_col("text")).alias("w"))
+        .groupBy("w")
+        .agg(F.count("*").cast("bigint").alias("n"))
+    )
+    scored = (
+        pairs.join(F.broadcast(uni.select(F.col("w").alias("w1"), F.col("n").alias("n1"))), "w1")
+        .join(F.broadcast(uni.select(F.col("w").alias("w2"), F.col("n").alias("n2"))), "w2")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "w1",
+            "w2",
+            "n_xy",
+            F.expr(f"n_xy * n_total * {PMI_SCALE} div (n1 * n2)").alias("pmi_fx"),
+        )
+    )
+    return scored.orderBy(F.col("pmi_fx").desc(), "w1", "w2").limit(PMI_TOP)

@@ -732,3 +732,64 @@ def test_dsir_separates_target_lookalikes(spark):
     n = sum(r.n_bigrams for r in out.values())
     s = sum(r.score_fx for r in out.values())
     assert (1_000_000 - 1) * n <= s <= 1_000_000 * n
+
+
+def test_pmi_matches_python_recompute(spark, docs):
+    """q_pmi vs an independent pure-Python recompute of the rational PMI
+    ranking (bigram support floor, full-mass N, (score, w1, w2) order)."""
+    from duckdb_ner_spark.operators.textstats import (
+        PMI_MIN_COUNT,
+        PMI_SCALE,
+        PMI_TOP,
+        q_pmi,
+    )
+
+    texts = [r.text for r in docs.select("text").collect()]
+    uni, pairs = {}, {}
+    n_total = 0
+    for t in texts:
+        ws = t.split(" ")
+        for w in ws:
+            uni[w] = uni.get(w, 0) + 1
+        for a, b in zip(ws, ws[1:]):
+            pairs[(a, b)] = pairs.get((a, b), 0) + 1
+            n_total += 1
+    scored = [
+        (n_xy * n_total * PMI_SCALE // (uni[a] * uni[b]), a, b, n_xy)
+        for (a, b), n_xy in pairs.items()
+        if n_xy >= PMI_MIN_COUNT
+    ]
+    scored.sort(key=lambda t: (-t[0], t[1], t[2]))
+    expect = [(a, b, n_xy, s) for s, a, b, n_xy in scored[:PMI_TOP]]
+    got = [
+        (r.w1, r.w2, r.n_xy, r.pmi_fx) for r in q_pmi(spark, SF_SMOKE).collect()
+    ]
+    assert got == expect
+
+
+def test_rolling_7d_matches_python_recompute(spark):
+    """q_rolling_7d vs a brute-force per-user trailing-window recompute:
+    every event's 7-day count and fixed-point value sum must match,
+    including same-microsecond ties (RANGE frame includes all of them)."""
+    from duckdb_ner_spark.operators.scalepatterns import (
+        ROLL_FX,
+        ROLL_WINDOW_US,
+        q_rolling_7d,
+    )
+    from duckdb_ner_spark.sources.catalog import load_tables
+
+    ev = load_tables(spark, SF_SMOKE).events.select("event_id", "user_id", "ts", "value").collect()
+    import datetime as dt
+
+    epoch = dt.datetime(1970, 1, 1)
+    by_user = {}
+    for r in ev:
+        us = round((r.ts - epoch).total_seconds() * 1_000_000)
+        by_user.setdefault(r.user_id, []).append((us, r.event_id, round(r.value * ROLL_FX)))
+    expect = {}
+    for evs in by_user.values():
+        for us, eid, vfx in evs:
+            in_win = [(u, v) for u, _, v in evs if us - ROLL_WINDOW_US <= u <= us]
+            expect[eid] = (len(in_win), sum(v for _, v in in_win))
+    got = {r.event_id: (r.n_7d, r.value_7d_fx) for r in q_rolling_7d(spark, SF_SMOKE).collect()}
+    assert got == expect
