@@ -60,8 +60,10 @@ _DRIVER_WINDOW_PRIORITY = [
     "q_bitops", "q_argmax", "q_trycast_format", "q_array_setops",
     # just-below-window: the 50-slot window is exactly full (10 new + 13
     # r4-fix/curation + 27 burn-down); q_rolling_7d is selfcheck-green at
-    # all three SFs and rotates in next round.
-    "q_rolling_7d",
+    # all three SFs and rotates in next round; q_stream_attribution is
+    # rows-only (batch parity pinned in pytest) so it cedes its slot to
+    # hash-checked queries.
+    "q_rolling_7d", "q_stream_attribution",
     # oldest-green refresh (last driver row r2): the heaviest pipeline
     # operators first — dedup/similarity/asof — so no family goes two rounds
     # unchecked.

@@ -386,3 +386,20 @@ def q_stream_user_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") == 1)
         .drop("rn")
     )
+
+
+@declared("q_stream_attribution", cache_plan=False, oracle=None)
+def q_stream_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming last-touch attribution with UNBOUNDED lookback
+    (applyInPandasWithState): each user's latest view timestamp is the
+    entire state (O(1) per key), and purchases are attributed the moment
+    they arrive — semantics a watermarked stream-stream interval join
+    cannot express without unbounded join state (see
+    streaming/attribution.py). Rows-only by design (arbitrary-state
+    streaming is the prompt's named non-SQL case); value parity with the
+    batch q_attribution is pinned by tests/test_streaming.py."""
+    from ..streaming.attribution import streaming_attribution
+    from ..streaming.events import stream_events
+
+    name = _drain(streaming_attribution(stream_events(spark, sf_dir)), mode="append")
+    return spark.table(name)

@@ -452,3 +452,26 @@ def test_events_per_user_ts_uniqueness_invariant():
         "GROUP BY user_id, ts HAVING COUNT(*) > 1)"
     ).fetchone()[0]
     assert n == 0
+
+
+def test_stream_attribution_matches_batch(spark):
+    """Streaming unbounded-lookback attribution == the batch q_attribution
+    twin: same attributed purchases, same view timestamps, same gaps — the
+    4-micro-batch staged drain must carry per-user view state ACROSS
+    batches (a purchase in batch 3 attributed to a view from batch 1)."""
+    from tests.conftest import SF_SMOKE
+
+    import __spark_entry__ as e
+
+    stream = {
+        r.event_id: (r.view_us, r.gap_us)
+        for r in e.queries()["q_stream_attribution"](spark, SF_SMOKE).collect()
+    }
+    import datetime as dt
+
+    epoch = dt.datetime(1970, 1, 1)
+    batch = {}
+    for r in e.queries()["q_attribution"](spark, SF_SMOKE).collect():
+        vus = round((r.view_ts - epoch).total_seconds() * 1_000_000)
+        batch[r.event_id] = (vus, r.gap_us)
+    assert stream == batch
