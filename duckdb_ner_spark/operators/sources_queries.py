@@ -101,3 +101,60 @@ def q_source_json(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n"),
         F.round(F.sum(F.col("value").cast("decimal(12,2)")), 2).cast("double").alias("total_value"),
     )
+
+
+@declared(
+    "q_source_stream",
+    cache_plan=False,
+    oracle="""
+    SELECT cat,
+           COUNT(*) AS n,
+           CAST(SUM(val) AS BIGINT) AS total_val,
+           CAST(MAX(id) AS BIGINT) AS last_id
+    FROM (SELECT i AS id, (i * i) % 97 AS val, 'cat_' || CAST(i % 5 AS VARCHAR) AS cat
+          FROM range(1000) t(i))
+    GROUP BY cat
+    """,
+)
+def q_source_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom Python STREAMING DataSource (Spark 4
+    SimpleDataSourceStreamReader): the engine-checkpointed offset cursor
+    walks the deterministic generator in 250-row micro-batches (4 batches
+    for 1000 rows); the drained sink must aggregate to the same answer as
+    DuckDB's range() replay of the formula — proving the offset bookkeeping
+    loses and duplicates nothing across batch boundaries.
+
+    Scale notes: offsets are the source of truth (restart replays
+    readBetweenOffsets), which is exactly the Kafka/file-source contract a
+    production Python source implements; per-batch work happens executor-
+    side, the driver only advances the cursor."""
+    from ..sources.pydatasource import register_synthetic_stream_source
+
+    register_synthetic_stream_source(spark)
+    stream = (
+        spark.readStream.format("synthetic_stream")
+        .option("n_rows", 1000)
+        .option("chunk", 250)
+        .load()
+    )
+    name = f"dns_stream_src_{abs(hash(sf_dir)) % 10_000}"
+    q = (
+        stream.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(processingTime="0 seconds")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return (
+        spark.table(name)
+        .groupBy("cat")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("val").cast("bigint").alias("total_val"),
+            F.max("id").cast("bigint").alias("last_id"),
+        )
+    )

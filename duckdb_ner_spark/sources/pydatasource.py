@@ -14,7 +14,12 @@ production source shards row-ranges/files/offsets.
 
 from __future__ import annotations
 
-from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    InputPartition,
+    SimpleDataSourceStreamReader,
+)
 from pyspark.sql.types import StructType
 
 
@@ -57,3 +62,65 @@ class SyntheticDataSource(DataSource):
 
 def register_synthetic_source(spark) -> None:
     spark.dataSource.register(SyntheticDataSource)
+
+
+# --------------------------------------------------------------------------
+# Streaming Python DataSource (Spark 4 SimpleDataSourceStreamReader)
+# --------------------------------------------------------------------------
+
+
+class SyntheticStreamReader(SimpleDataSourceStreamReader):
+    """Offset-tracked streaming reader over the same deterministic formula
+    as the batch source: offsets are row indices, each micro-batch emits at
+    most `chunk` rows until `n_rows` is exhausted, then reports no growth
+    (so processAllAvailable() terminates). The offset dict is the engine-
+    checkpointed cursor — restart-safe by construction because the formula
+    is a pure function of the row index."""
+
+    def __init__(self, options):
+        self.n_rows = int(options.get("n_rows", 1000))
+        self.chunk = int(options.get("chunk", 250))
+
+    def initialOffset(self):
+        return {"pos": 0}
+
+    def read(self, start):
+        pos = int(start["pos"])
+        end = min(pos + self.chunk, self.n_rows)
+        # a LIST ITERATOR, not a generator: the engine's prefetch cache
+        # both next()s and copy.copy()s what read() returns — list
+        # iterators support both, generators cannot be copied
+        rows = [(i, (i * i) % 97, f"cat_{i % 5}") for i in range(pos, end)]
+        return (iter(rows), {"pos": end})
+
+    def readBetweenOffsets(self, start, end):
+        # replay for recovery: same pure formula, any offset range
+        return iter(
+            [
+                (i, (i * i) % 97, f"cat_{i % 5}")
+                for i in range(int(start["pos"]), int(end["pos"]))
+            ]
+        )
+
+    def commit(self, end):
+        pass
+
+
+class SyntheticStreamDataSource(DataSource):
+    """spark.readStream.format("synthetic_stream").option("n_rows", N)
+    .option("chunk", C).load() — C-row micro-batches of the deterministic
+    (id, val, cat) generator."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "synthetic_stream"
+
+    def schema(self) -> str:
+        return "id BIGINT, val BIGINT, cat STRING"
+
+    def simpleStreamReader(self, schema: StructType):
+        return SyntheticStreamReader(self.options)
+
+
+def register_synthetic_stream_source(spark) -> None:
+    spark.dataSource.register(SyntheticStreamDataSource)

@@ -793,3 +793,36 @@ def test_rolling_7d_matches_python_recompute(spark):
             expect[eid] = (len(in_win), sum(v for _, v in in_win))
     got = {r.event_id: (r.n_7d, r.value_7d_fx) for r in q_rolling_7d(spark, SF_SMOKE).collect()}
     assert got == expect
+
+
+def test_streaming_datasource_offsets_exact_once(spark):
+    """The Python streaming source must deliver every generated row exactly
+    once across micro-batches: distinct ids == n_rows == sink rows, and the
+    drain takes multiple micro-batches (chunk < n_rows forces >= 4)."""
+    from duckdb_ner_spark.sources.pydatasource import register_synthetic_stream_source
+
+    register_synthetic_stream_source(spark)
+    stream = (
+        spark.readStream.format("synthetic_stream")
+        .option("n_rows", 1000)
+        .option("chunk", 250)
+        .load()
+    )
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("syn_stream_test")
+        .outputMode("append")
+        .trigger(processingTime="0 seconds")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        n_batches = sum(
+            1 for p in q.recentProgress if p["numInputRows"] > 0
+        )
+    finally:
+        q.stop()
+    sink = spark.table("syn_stream_test")
+    assert sink.count() == 1000
+    assert sink.select("id").distinct().count() == 1000
+    assert n_batches >= 4
