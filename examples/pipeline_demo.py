@@ -93,6 +93,40 @@ def main() -> None:
     print("deterministic train/val/test split audit:")
     q_split(spark, sf_dir).orderBy("split", "lang").show()
 
+    print("== sampling + sub-document cleaning (caps -> temperature -> lines -> DSIR) ==")
+    from duckdb_ner_spark.operators.cleaning import q_dsir, q_line_dedup
+    from duckdb_ner_spark.operators.sampling import (
+        q_domain_cap,
+        q_len_quantile,
+        q_temperature_mix,
+    )
+
+    capped = q_domain_cap(spark, sf_dir)
+    print(f"per-domain cap: {capped.count()} docs kept across {capped.select('source').distinct().count()} sources")
+    print("temperature-scaled mixture allocation (tau=2):")
+    q_temperature_mix(spark, sf_dir).orderBy("lang").show()
+    print("per-language length windows (PERCENTILE_DISC p05/p50/p95):")
+    q_len_quantile(spark, sf_dir).orderBy("lang").show()
+    ld = q_line_dedup(spark, sf_dir)
+    n_drop = ld.filter(~F.col("keep")).count()
+    print(f"block-level line dedup: {n_drop} docs exceed the 50% duplicate-block rule")
+    print("DSIR importance weights (top target-domain lookalikes):")
+    q_dsir(spark, sf_dir).orderBy(F.desc("avg_ratio_fx"), "doc_id").show(5)
+
+    print("== behavioral analytics over the events stream ==")
+    from duckdb_ner_spark.operators.scalepatterns import (
+        q_attribution,
+        q_cohort_retention,
+        q_funnel,
+    )
+
+    print("ordered funnel (view -> click -> purchase):")
+    q_funnel(spark, sf_dir).show()
+    print("weekly cohort retention triangle (first 6 cells):")
+    q_cohort_retention(spark, sf_dir).orderBy("cohort_id", "week_offset").show(6)
+    attr = q_attribution(spark, sf_dir)
+    print(f"last-touch attribution: {attr.count()} purchases credited to a view")
+
 
 if __name__ == "__main__":
     main()
