@@ -52,7 +52,11 @@ def _scratch(name: str, sf_dir: str) -> str:
     import hashlib
 
     tag = hashlib.md5(sf_dir.encode()).hexdigest()[:12]
-    return os.path.join(tempfile.gettempdir(), f"dns_src_{name}_{tag}")
+    # os.getpid(): staging is re-run per call (cache_plan=False), and two
+    # CONCURRENT processes (pytest + selfcheck on the same sf_dir) must not
+    # overwrite each other's staged files mid-read — observed as a transient
+    # q_schema_evolution failure when the full sweep ran beside the suite
+    return os.path.join(tempfile.gettempdir(), f"dns_src_{name}_{tag}_{os.getpid()}")
 
 
 @declared(
