@@ -63,7 +63,7 @@ _DRIVER_WINDOW_PRIORITY = [
     # all three SFs and rotates in next round; q_stream_attribution is
     # rows-only (batch parity pinned in pytest) so it cedes its slot to
     # hash-checked queries.
-    "q_rolling_7d", "q_stream_attribution", "q_source_stream",
+    "q_rolling_7d", "q_stream_attribution", "q_source_stream", "q_bm25",
     # oldest-green refresh (last driver row r2): the heaviest pipeline
     # operators first — dedup/similarity/asof — so no family goes two rounds
     # unchecked.

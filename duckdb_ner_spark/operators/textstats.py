@@ -521,3 +521,123 @@ def q_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return scored.orderBy(F.col("pmi_fx").desc(), "w1", "w2").limit(PMI_TOP)
+
+
+# --------------------------------------------------------------------------
+# BM25-style ranked retrieval (integer-exact, log-free rational idf)
+# --------------------------------------------------------------------------
+
+BM25_QUERY = ("dup", "join", "scan")  # mixed-rarity query terms
+BM25_TOP = 20
+BM25_SCALE = 1_000_000
+# k1=1.2, b=0.75 folded into integer coefficients: with T = total corpus
+# words and N = docs, avgdl = T/N, so
+#   tf_norm = tf*(k1+1) / (tf + k1*(1-b) + k1*b*dl/avgdl)
+#           = 22*T*tf / (10*T*tf + 3*T + 9*dl*N)     [x10T, exact integers]
+
+
+def _bm25_terms_sql() -> str:
+    return ", ".join(f"'{t}'" for t in BM25_QUERY)
+
+
+_BM25_ORACLE = f"""
+    WITH d AS (
+        SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+    ), corpus AS (
+        SELECT CAST(SUM(len(ws)) AS BIGINT) AS t_words,
+               CAST(COUNT(*) AS BIGINT) AS n_docs
+        FROM d
+    ), tf AS (
+        SELECT doc_id, w AS term,
+               CAST(COUNT(*) AS BIGINT) AS tf,
+               CAST(MIN(dl) AS BIGINT) AS dl
+        FROM (
+            SELECT doc_id, len(ws) AS dl, unnest(ws) AS w FROM d
+        )
+        WHERE w IN ({_bm25_terms_sql()})
+        GROUP BY doc_id, w
+    ), df AS (
+        SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY term
+    ), scored AS (
+        SELECT tf.doc_id,
+               CAST(ROUND((c.n_docs - df.df + 0.5) * {BM25_SCALE}.0 / (df.df + 0.5))
+                    AS BIGINT)
+                   * (22 * c.t_words * tf.tf)
+                   // (10 * c.t_words * tf.tf + 3 * c.t_words + 9 * tf.dl * c.n_docs)
+                   AS term_score_fx
+        FROM tf JOIN df ON tf.term = df.term CROSS JOIN corpus c
+    )
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_terms,
+           CAST(SUM(term_score_fx) AS BIGINT) AS score_fx
+    FROM scored
+    GROUP BY doc_id
+    ORDER BY score_fx DESC, doc_id
+    LIMIT {BM25_TOP}
+"""
+
+
+@declared("q_bm25", oracle=_BM25_ORACLE)
+def q_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25-style ranked retrieval for a fixed keyword query — the missing
+    half of q_tfidf (which profiles documents; this RANKS them for a
+    query): per-term scores combine rarity (idf) with a saturating,
+    length-normalized term frequency (k1=1.2, b=0.75).
+
+    Engine-exactness, two deviations from textbook BM25, both documented:
+    (1) idf is the RATIONAL (N-df+0.5)/(df+0.5) in 1e6 fixed point — true
+    BM25 wraps it in ln(1+..), and ln() is not bit-identical across engines
+    (the q_tfidf lesson); the ranking effect is to weight very-rare terms
+    more steeply. (2) the tf normalization is cleared of fractions by
+    multiplying through by 10T (avgdl = T/N exactly), making the entire
+    per-term score integer arithmetic; per-document totals are integer sums
+    — order-independent, bit-equal.
+
+    Scale notes (100 TB): the posting extraction pushes the term filter
+    into the explode (only query-term instances survive the map side); df
+    and the corpus totals are query-sized and 1-row broadcasts; the only
+    corpus-wide shuffle is the (doc, term) tf aggregate, and top-k is
+    TakeOrdered. This is exactly an inverted-index probe expressed
+    relationally — a production system would pre-materialize the tf table
+    as the index."""
+    t = load_tables(spark, sf_dir)
+    d = t.documents.select("doc_id", F.split("text", " ").alias("ws"))
+    corpus = d.agg(
+        F.sum(F.size("ws")).cast("bigint").alias("t_words"),
+        F.count("*").cast("bigint").alias("n_docs"),
+    )
+    tf = (
+        d.select("doc_id", F.size("ws").alias("dl"), F.explode("ws").alias("term"))
+        .filter(F.col("term").isin(*BM25_QUERY))
+        .groupBy("doc_id", "term")
+        .agg(F.count("*").cast("bigint").alias("tf"), F.min("dl").cast("bigint").alias("dl"))
+        # posting-list-sized (docs x query terms); feeds df AND the scoring
+        # join — persist so the corpus explode runs once (house pattern)
+        .persist()
+    )
+    df = tf.groupBy("term").agg(F.count("*").cast("bigint").alias("df"))
+    scored = (
+        tf.join(F.broadcast(df), "term")
+        .crossJoin(F.broadcast(corpus))
+        .select(
+            "doc_id",
+            (
+                F.expr(
+                    f"CAST(ROUND((n_docs - df + 0.5) * {BM25_SCALE}.0 / (df + 0.5)) AS BIGINT)"
+                )
+                * F.expr("22 * t_words * tf")
+            ).alias("num")
+            .cast("bigint"),
+            F.expr("10 * t_words * tf + 3 * t_words + 9 * dl * n_docs").alias("den"),
+        )
+        .select("doc_id", F.expr("num div den").alias("term_score_fx"))
+    )
+    return (
+        scored.groupBy("doc_id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_terms"),
+            F.sum("term_score_fx").cast("bigint").alias("score_fx"),
+        )
+        .orderBy(F.col("score_fx").desc(), "doc_id")
+        .limit(BM25_TOP)
+    )

@@ -826,3 +826,43 @@ def test_streaming_datasource_offsets_exact_once(spark):
     assert sink.count() == 1000
     assert sink.select("id").distinct().count() == 1000
     assert n_batches >= 4
+
+
+def test_bm25_matches_python_recompute(spark, docs):
+    """q_bm25 vs an independent pure-Python recompute of the rational-idf
+    BM25 ranking (integer tf-normalization cleared of fractions, top-20 by
+    (score, doc_id))."""
+    from duckdb_ner_spark.operators.textstats import (
+        BM25_QUERY,
+        BM25_SCALE,
+        BM25_TOP,
+        q_bm25,
+    )
+
+    rows = [(r.doc_id, r.text.split(" ")) for r in docs.select("doc_id", "text").collect()]
+    t_words = sum(len(ws) for _, ws in rows)
+    n_docs = len(rows)
+    df = {t: sum(1 for _, ws in rows if t in ws) for t in BM25_QUERY}
+    scores = {}
+    for doc_id, ws in rows:
+        dl = len(ws)
+        total, n_terms = 0, 0
+        for term in BM25_QUERY:
+            tf = ws.count(term)
+            if tf == 0:
+                continue
+            n_terms += 1
+            idf_fx = round((n_docs - df[term] + 0.5) * BM25_SCALE / (df[term] + 0.5))
+            total += idf_fx * (22 * t_words * tf) // (
+                10 * t_words * tf + 3 * t_words + 9 * dl * n_docs
+            )
+        if n_terms:
+            scores[doc_id] = (n_terms, total)
+    expect = sorted(scores.items(), key=lambda kv: (-kv[1][1], kv[0]))[:BM25_TOP]
+    expect = [(d, n, s) for d, (n, s) in expect]
+    got = [(r.doc_id, r.n_terms, r.score_fx) for r in q_bm25(spark, SF_SMOKE).collect()]
+    assert got == expect
+    # the rarest term must dominate: every top doc contains 'dup' (df ~5% of
+    # corpus -> idf ~20x the common terms')
+    texts = {doc_id: ws for doc_id, ws in rows}
+    assert all("dup" in texts[d] for d, _, _ in got[:5])
