@@ -236,3 +236,32 @@ def q_len_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("n_above"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Approximate length quantiles (the documented 100 TB swap-in)
+# --------------------------------------------------------------------------
+
+
+@declared("q_len_quantile_approx", oracle=None)
+def q_len_quantile_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The production form of q_len_quantile at 100 TB: approx_percentile
+    (Greenwald-Khanna sketch, relative rank error <= 1/accuracy) replaces
+    the exact rank-global PERCENTILE_DISC — mergeable sketch partials flow
+    map-side, so there is no total per-language sort no matter how large a
+    language gets. Declared rows-only: the sketch's picks are
+    engine-internal (DuckDB's approx_quantile is a t-digest — different
+    internals, both within their error bounds, no shared oracle); the
+    accuracy contract is pinned instead by a rank-error pytest against the
+    exact thresholds."""
+    t = load_tables(spark, sf_dir)
+    return t.documents.groupBy("lang").agg(
+        F.expr("approx_percentile(n_chars, array(0.05, 0.5, 0.95), 10000)").alias("p"),
+        F.count("*").cast("bigint").alias("n_docs"),
+    ).select(
+        "lang",
+        F.col("p")[0].cast("bigint").alias("p05"),
+        F.col("p")[1].cast("bigint").alias("p50"),
+        F.col("p")[2].cast("bigint").alias("p95"),
+        "n_docs",
+    )

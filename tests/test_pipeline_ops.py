@@ -866,3 +866,30 @@ def test_bm25_matches_python_recompute(spark, docs):
     # corpus -> idf ~20x the common terms')
     texts = {doc_id: ws for doc_id, ws in rows}
     assert all("dup" in texts[d] for d, _, _ in got[:5])
+
+
+def test_len_quantile_approx_rank_error_bound(spark, docs):
+    """The approx-percentile swap-in must land within the sketch's rank
+    error of the exact thresholds: with accuracy=10000 the relative rank
+    error is <= 1/10000, far under one rank at sf0.001 sizes — so each
+    approx threshold must have rank within 1 of the exact percentile rank
+    per language."""
+    from duckdb_ner_spark.operators.sampling import q_len_quantile_approx
+
+    by_lang = {}
+    for r in docs.select("lang", "n_chars").collect():
+        by_lang.setdefault(r.lang, []).append(r.n_chars)
+    rows = q_len_quantile_approx(spark, SF_SMOKE).collect()
+    assert {r.lang for r in rows} == set(by_lang)
+    for r in rows:
+        vals = sorted(by_lang[r.lang])
+        n = len(vals)
+        for q, got in ((0.05, r.p05), (0.5, r.p50), (0.95, r.p95)):
+            # rank of the returned value vs the target rank
+            import bisect
+
+            lo = bisect.bisect_left(vals, got)
+            hi = bisect.bisect_right(vals, got) - 1
+            target = q * (n - 1)
+            assert lo - 1 <= target <= hi + 1, (r.lang, q, got, lo, hi, target)
+            assert got in vals  # GK returns actual elements

@@ -325,3 +325,49 @@ def test_funnel_stages_match_reference(spark, events):
         )
         assert got[u] == (t1, t2, t3), (u, evs)
     assert set(got) == set(by_user)
+
+
+# ---- block-level line dedup vs pure-Python reference ----------------------
+
+_corpora = st.lists(
+    st.lists(
+        st.sampled_from(["aa", "bb", "cc", "dd"]),  # tiny vocab => dup blocks likely
+        min_size=0,
+        max_size=40,
+    ),
+    min_size=1,
+    max_size=12,
+)
+
+
+@given(wordlists=_corpora)
+@settings(max_examples=15, deadline=None)
+def test_line_dedup_matches_reference(spark, wordlists):
+    """line_dedup_stats == the canonical-first definition computed in pure
+    Python over random corpora: blocks are 8-word non-overlapping windows,
+    an instance is a dup iff an earlier (doc_id, pos) instance of the same
+    block exists anywhere."""
+    from duckdb_ner_spark.operators.cleaning import BLOCK_WORDS, line_dedup_stats
+
+    rows = [(i, " ".join(ws)) for i, ws in enumerate(wordlists)]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {
+        r.doc_id: (r.n_blocks, r.n_dup) for r in line_dedup_stats(df).collect()
+    }
+    seen: set[str] = set()
+    expect = {}
+    for doc_id, ws in enumerate(wordlists):
+        blocks = [
+            " ".join(ws[p * BLOCK_WORDS : (p + 1) * BLOCK_WORDS])
+            for p in range(len(ws) // BLOCK_WORDS)
+        ]
+        if not blocks:
+            continue
+        n_dup = 0
+        for b in blocks:
+            if b in seen:
+                n_dup += 1
+            else:
+                seen.add(b)
+        expect[doc_id] = (len(blocks), n_dup)
+    assert got == expect
