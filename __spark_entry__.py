@@ -64,7 +64,7 @@ _DRIVER_WINDOW_PRIORITY = [
     # rows-only (batch parity pinned in pytest) so it cedes its slot to
     # hash-checked queries.
     "q_rolling_7d", "q_stream_attribution", "q_source_stream", "q_bm25",
-    "q_len_quantile_approx",
+    "q_len_quantile_approx", "q_ab_test", "q_funnel_timing",
     # oldest-green refresh (last driver row r2): the heaviest pipeline
     # operators first — dedup/similarity/asof — so no family goes two rounds
     # unchecked.

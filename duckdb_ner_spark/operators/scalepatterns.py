@@ -769,3 +769,164 @@ def q_rolling_7d(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").over(w).cast("bigint").alias("n_7d"),
         F.sum("v_fx").over(w).cast("bigint").alias("value_7d_fx"),
     )
+
+
+# --------------------------------------------------------------------------
+# A/B experiment readout (two-proportion z, engine-exact)
+# --------------------------------------------------------------------------
+
+_AB_ORACLE = """
+    WITH per_user AS (
+        SELECT user_id, CAST(user_id % 2 AS BIGINT) AS arm,
+               CASE WHEN SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                       > SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+                    THEN 1 ELSE 0 END AS conv
+        FROM events GROUP BY user_id
+    ), arms AS (
+        SELECT CAST(SUM(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n0,
+               CAST(SUM(CASE WHEN arm = 0 THEN conv ELSE 0 END) AS BIGINT) AS c0,
+               CAST(SUM(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+               CAST(SUM(CASE WHEN arm = 1 THEN conv ELSE 0 END) AS BIGINT) AS c1
+        FROM per_user
+    )
+    SELECT n0, c0, c0 * 1.0 / n0 AS rate0,
+           n1, c1, c1 * 1.0 / n1 AS rate1,
+           (c0 * 1.0 / n0 - c1 * 1.0 / n1)
+             / SQRT((c0 + c1) * 1.0 / (n0 + n1)
+                    * (1.0 - (c0 + c1) * 1.0 / (n0 + n1))
+                    * (1.0 / n0 + 1.0 / n1)) AS z,
+           ABS((c0 * 1.0 / n0 - c1 * 1.0 / n1)
+             / SQRT((c0 + c1) * 1.0 / (n0 + n1)
+                    * (1.0 - (c0 + c1) * 1.0 / (n0 + n1))
+                    * (1.0 / n0 + 1.0 / n1))) > 1.96 AS significant
+    FROM arms
+"""
+
+
+@declared("q_ab_test", oracle=_AB_ORACLE)
+def q_ab_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A/B experiment readout: users split into two arms by a deterministic
+    key hash (user_id parity — production uses the md5-threshold trick),
+    per-arm conversion = a per-user outcome predicate (here "more purchases
+    than clicks" — chosen because it stays non-degenerate at every testdata
+    SF, where "any purchase" saturates to 100%; a real experiment plugs in
+    its own predicate), and the two-proportion pooled
+    z-statistic with the |z| > 1.96 call — the standard experiment-analysis
+    rollup.
+
+    Engine-exactness: the z formula chains correctly-rounded double ops
+    (divisions, one sqrt — the IEEE-exact transcendental) over exact
+    integer counts, with the IDENTICAL parenthesized expression tree on
+    both engines, so the result is bit-equal without any rounding.
+
+    Plan shape (100 TB): per-user conversion is one combiner-friendly
+    aggregate over events; everything after runs on a 2-row (here 1-row
+    pivoted) table."""
+    t = load_tables(spark, sf_dir)
+    n_p = F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0))
+    n_c = F.sum(F.when(F.col("event_type") == "click", 1).otherwise(0))
+    per_user = t.events.groupBy("user_id").agg(
+        F.when(n_p > n_c, 1).otherwise(0).alias("conv")
+    )
+    arms = per_user.select(
+        (F.col("user_id") % 2).cast("bigint").alias("arm"), "conv"
+    ).agg(
+        F.sum(F.when(F.col("arm") == 0, 1).otherwise(0)).cast("bigint").alias("n0"),
+        F.sum(F.when(F.col("arm") == 0, F.col("conv")).otherwise(0))
+        .cast("bigint")
+        .alias("c0"),
+        F.sum(F.when(F.col("arm") == 1, 1).otherwise(0)).cast("bigint").alias("n1"),
+        F.sum(F.when(F.col("arm") == 1, F.col("conv")).otherwise(0))
+        .cast("bigint")
+        .alias("c1"),
+    )
+    # 1e0, not 1.0: Spark SQL parses the literal 1.0 as DECIMAL(2,1) (DuckDB
+    # as DOUBLE) — the decimal division would change both dtype and rounding
+    z = F.expr(
+        "(c0 * 1e0 / n0 - c1 * 1e0 / n1)"
+        " / SQRT((c0 + c1) * 1e0 / (n0 + n1)"
+        "        * (1e0 - (c0 + c1) * 1e0 / (n0 + n1))"
+        "        * (1e0 / n0 + 1e0 / n1))"
+    )
+    return arms.select(
+        "n0",
+        "c0",
+        F.expr("c0 * 1e0 / n0").alias("rate0"),
+        "n1",
+        "c1",
+        F.expr("c1 * 1e0 / n1").alias("rate1"),
+        z.alias("z"),
+        (F.abs(z) > 1.96).alias("significant"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Funnel step timing (exact percentile of integer-microsecond deltas)
+# --------------------------------------------------------------------------
+
+_FUNNEL_TIMING_ORACLE = """
+    WITH e1 AS (
+        SELECT user_id, ts, event_type,
+               MIN(CASE WHEN event_type = 'view' THEN ts END)
+                   OVER (PARTITION BY user_id) AS t1
+        FROM events
+    ), e2 AS (
+        SELECT *, MIN(CASE WHEN event_type = 'click' AND ts > t1 THEN ts END)
+                      OVER (PARTITION BY user_id) AS t2
+        FROM e1
+    ), e3 AS (
+        SELECT *, MIN(CASE WHEN event_type = 'purchase' AND ts > t2 THEN ts END)
+                      OVER (PARTITION BY user_id) AS t3
+        FROM e2
+    ), per_user AS (
+        SELECT user_id, MIN(t1) AS t1, MIN(t2) AS t2, MIN(t3) AS t3
+        FROM e3 GROUP BY user_id
+    ), deltas AS (
+        SELECT epoch_us(t2) - epoch_us(t1) AS d12_us,
+               epoch_us(t3) - epoch_us(t2) AS d23_us,
+               epoch_us(t3) - epoch_us(t1) AS d13_us
+        FROM per_user WHERE t3 IS NOT NULL
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_completed,
+           CAST(PERCENTILE_DISC(0.5) WITHIN GROUP (ORDER BY d12_us) AS BIGINT)
+               AS median_view_to_click_us,
+           CAST(PERCENTILE_DISC(0.5) WITHIN GROUP (ORDER BY d23_us) AS BIGINT)
+               AS median_click_to_purchase_us,
+           CAST(PERCENTILE_DISC(0.9) WITHIN GROUP (ORDER BY d13_us) AS BIGINT)
+               AS p90_overall_us
+    FROM deltas
+"""
+
+
+@declared("q_funnel_timing", oracle=_FUNNEL_TIMING_ORACLE)
+def q_funnel_timing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Funnel step timing: for users who complete the full
+    view→click→purchase sequence, the median per-step delay and the p90
+    end-to-end delay — the latency half of funnel analysis (q_funnel is the
+    conversion half; both share funnel_user_stages' single-shuffle core).
+
+    Engine-exactness: deltas are exact integer microseconds
+    (epoch_us/timestampdiff), and PERCENTILE_DISC returns actual elements —
+    no interpolation arithmetic anywhere."""
+    t = load_tables(spark, sf_dir)
+    deltas = (
+        funnel_user_stages(t.events)
+        .filter(F.col("t3").isNotNull())
+        .select(
+            F.expr("timestampdiff(MICROSECOND, t1, t2)").alias("d12_us"),
+            F.expr("timestampdiff(MICROSECOND, t2, t3)").alias("d23_us"),
+            F.expr("timestampdiff(MICROSECOND, t1, t3)").alias("d13_us"),
+        )
+    )
+    return deltas.agg(
+        F.count("*").cast("bigint").alias("n_completed"),
+        F.expr(
+            "CAST(percentile_disc(0.5) WITHIN GROUP (ORDER BY d12_us) AS BIGINT)"
+        ).alias("median_view_to_click_us"),
+        F.expr(
+            "CAST(percentile_disc(0.5) WITHIN GROUP (ORDER BY d23_us) AS BIGINT)"
+        ).alias("median_click_to_purchase_us"),
+        F.expr(
+            "CAST(percentile_disc(0.9) WITHIN GROUP (ORDER BY d13_us) AS BIGINT)"
+        ).alias("p90_overall_us"),
+    )

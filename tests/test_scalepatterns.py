@@ -318,3 +318,65 @@ def test_incr_agg_merge_equals_direct(spark):
         assert (r.n_events, r.total_fx) == (direct[et].n, direct[et].fx)
         assert abs(r.avg_value - r.total_fx / (r.n_events * INCR_FX)) < 1e-15
     assert sum(r.n_events for r in rows.values()) == ev.count()
+
+
+def test_ab_test_matches_python_recompute(spark):
+    """q_ab_test vs an independent pure-Python recompute: per-arm counts,
+    rates, and the pooled two-proportion z (math.sqrt is the same
+    IEEE-exact op both engines use)."""
+    import math
+
+    from duckdb_ner_spark.operators.scalepatterns import q_ab_test
+    from duckdb_ner_spark.sources.catalog import load_tables
+
+    ev = load_tables(spark, SF_SMOKE).events.select("user_id", "event_type").collect()
+    per_user = {}
+    for r in ev:
+        d = per_user.setdefault(r.user_id, {"purchase": 0, "click": 0})
+        if r.event_type in d:
+            d[r.event_type] += 1
+    n = {0: 0, 1: 0}
+    c = {0: 0, 1: 0}
+    for uid, d in per_user.items():
+        arm = uid % 2
+        n[arm] += 1
+        c[arm] += 1 if d["purchase"] > d["click"] else 0
+    row = q_ab_test(spark, SF_SMOKE).collect()[0]
+    assert (row.n0, row.c0, row.n1, row.c1) == (n[0], c[0], n[1], c[1])
+    p = (c[0] + c[1]) * 1.0 / (n[0] + n[1])
+    z = (c[0] * 1.0 / n[0] - c[1] * 1.0 / n[1]) / math.sqrt(
+        p * (1.0 - p) * (1.0 / n[0] + 1.0 / n[1])
+    )
+    assert row.z == z
+    assert row.significant == (abs(z) > 1.96)
+    assert 0 < row.rate0 < 1 and 0 < row.rate1 < 1  # non-degenerate predicate
+
+
+def test_funnel_timing_deltas_are_real_gaps(spark):
+    """q_funnel_timing: the reported medians/p90 must be actual observed
+    per-user deltas (PERCENTILE_DISC contract) with the right ranks."""
+    from duckdb_ner_spark.operators.scalepatterns import (
+        funnel_user_stages,
+        q_funnel_timing,
+    )
+    from duckdb_ner_spark.sources.catalog import load_tables
+
+    stages = funnel_user_stages(load_tables(spark, SF_SMOKE).events).collect()
+    us = lambda t: round(t.timestamp() * 1_000_000)  # noqa: E731
+    d12, d23, d13 = [], [], []
+    for r in stages:
+        if r.t3 is not None:
+            d12.append(us(r.t2) - us(r.t1))
+            d23.append(us(r.t3) - us(r.t2))
+            d13.append(us(r.t3) - us(r.t1))
+    row = q_funnel_timing(spark, SF_SMOKE).collect()[0]
+    assert row.n_completed == len(d13) > 0
+    import math
+
+    def disc(vals, q):
+        v = sorted(vals)
+        return v[max(0, math.ceil(q * len(v)) - 1)]
+
+    assert row.median_view_to_click_us == disc(d12, 0.5)
+    assert row.median_click_to_purchase_us == disc(d23, 0.5)
+    assert row.p90_overall_us == disc(d13, 0.9)
