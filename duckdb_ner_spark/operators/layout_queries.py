@@ -387,3 +387,83 @@ def q_zorder(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.shiftright("zv", 10).cast("bigint").alias("z_bucket"))
         .agg(F.count("*").alias("n"), F.min("zv").alias("min_z"), F.max("zv").alias("max_z"))
     )
+
+
+# --------------------------------------------------------------------------
+# Small-file compaction planning (the 100 TB table-maintenance pass)
+# --------------------------------------------------------------------------
+
+COMPACT_BUCKETS = 24  # staged small files (one per bucket)
+COMPACT_TARGET = 120  # target rows per compacted output file
+
+
+_COMPACTION_ORACLE = f"""
+    WITH files AS (
+        SELECT CAST(doc_id % {COMPACT_BUCKETS} AS BIGINT) AS bucket,
+               CAST(COUNT(*) AS BIGINT) AS n_rows
+        FROM documents GROUP BY 1
+    ), packed AS (
+        SELECT bucket, n_rows,
+               CAST((SUM(n_rows) OVER (ORDER BY bucket
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                     - n_rows) // {COMPACT_TARGET} AS BIGINT) AS bin
+        FROM files
+    )
+    SELECT bin,
+           CAST(COUNT(*) AS BIGINT) AS n_files,
+           CAST(SUM(n_rows) AS BIGINT) AS n_rows,
+           CAST(MIN(bucket) AS BIGINT) AS first_bucket,
+           CAST(MAX(bucket) AS BIGINT) AS last_bucket
+    FROM packed GROUP BY bin
+"""
+
+
+@declared("q_compaction_plan", cache_plan=False, oracle=_COMPACTION_ORACLE)
+def q_compaction_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-file compaction planning — the table-maintenance pass every
+    long-lived 100 TB dataset needs (streaming ingest and partitioned
+    writes accumulate small files; scan cost degrades with file count, not
+    bytes). The engine stages the corpus as one small parquet file per
+    bucket, inventories the REAL files through the hidden `_metadata`
+    column (file-level metadata, no listing RPC per file), and greedily
+    packs consecutive files into target-sized output bins via a prefix-sum
+    window — q_pack's math applied to files instead of token streams. A
+    production compactor would follow with one write task per bin.
+
+    Engine-exactness: the oracle replays the bucket arithmetic from the
+    source table (the staged file contents are exactly doc_id % buckets),
+    so the gate checks that the file inventory + packing agree with the
+    declarative definition; bin assignment is pure integer prefix-sum
+    division. The file inventory itself is additionally pinned by pytest
+    (one file per bucket, names matching the partition dirs)."""
+    t = load_tables(spark, sf_dir)
+    path = _scratch("compact_docs", sf_dir)
+    (
+        t.documents.select(
+            "doc_id", (F.col("doc_id") % COMPACT_BUCKETS).alias("bucket")
+        )
+        .repartition("bucket")
+        .write.mode("overwrite")
+        .partitionBy("bucket")
+        .parquet(path)
+    )
+    files = (
+        spark.read.parquet(path)
+        .select(F.col("_metadata.file_path").alias("fp"))
+        .groupBy("fp")
+        .agg(F.count("*").cast("bigint").alias("n_rows"))
+        .select(
+            F.regexp_extract("fp", r"bucket=(\d+)", 1).cast("bigint").alias("bucket"),
+            "n_rows",
+        )
+    )
+    w = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    packed = files.withColumn("cum", F.sum("n_rows").over(w)).withColumn(
+        "bin", F.expr(f"CAST((cum - n_rows) div {COMPACT_TARGET} AS BIGINT)")
+    )
+    return packed.groupBy("bin").agg(
+        F.count("*").cast("bigint").alias("n_files"),
+        F.sum("n_rows").cast("bigint").alias("n_rows"),
+        F.min("bucket").cast("bigint").alias("first_bucket"),
+        F.max("bucket").cast("bigint").alias("last_bucket"),
+    )

@@ -105,3 +105,39 @@ def test_schema_evolution_backfills_nulls(spark):
     n_even = orders.filter(F.col("o_orderkey") % 2 == 0).count()
     assert rows["<pre-schema>"] == n_even  # the old-schema batch groups whole
     assert sum(rows.values()) == orders.count()
+
+
+def test_compaction_plan_inventory_and_packing(spark):
+    """q_compaction_plan: the staged layout is really one file per bucket
+    (the small-files condition), every file lands in exactly one bin, bins
+    cover consecutive buckets, and no bin except possibly the last starts
+    without reaching the target."""
+    from duckdb_ner_spark.operators.layout_queries import (
+        COMPACT_BUCKETS,
+        COMPACT_TARGET,
+        q_compaction_plan,
+    )
+    from tests.conftest import SF_SMOKE
+
+    rows = sorted(q_compaction_plan(spark, SF_SMOKE).collect(), key=lambda r: r.bin)
+    assert sum(r.n_files for r in rows) == COMPACT_BUCKETS
+    # consecutive, non-overlapping bucket ranges
+    for a, b in zip(rows, rows[1:]):
+        assert a.last_bucket + 1 == b.first_bucket
+    assert rows[0].first_bucket == 0
+    assert rows[-1].last_bucket == COMPACT_BUCKETS - 1
+    # exact greedy recompute: bin(file) = (cum rows BEFORE file) div target
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+    per_bucket = {
+        b: 0 for b in range(COMPACT_BUCKETS)
+    }
+    for r in docs.select("doc_id").collect():
+        per_bucket[r.doc_id % COMPACT_BUCKETS] += 1
+    expect_bins = {}
+    cum = 0
+    for b in range(COMPACT_BUCKETS):
+        expect_bins.setdefault(cum // COMPACT_TARGET, []).append(b)
+        cum += per_bucket[b]
+    got_bins = {r.bin: list(range(r.first_bucket, r.last_bucket + 1)) for r in rows}
+    assert got_bins == expect_bins
+    assert sum(r.n_rows for r in rows) == docs.count()
