@@ -180,3 +180,27 @@ def test_ivf_shortlist_is_exact_within_probed_cells(spark):
         want = [r.vec_id for r in topk_cosine(shortlist, q, 5).collect()]
         got = [r.vec_id for r in ivf_topk(corpus, q, 5, n_probe=3).collect()]
         assert got == want, (qid, residue, got, want)
+
+
+def test_triangle_stats_on_planted_graphs(spark):
+    """triangle_stats (degree-oriented counting): K4 has 4 triangles and
+    clustering 1.0; a path graph has 0 triangles; K4 plus a pendant vertex
+    keeps exactly the 4 triangles."""
+    from duckdb_ner_spark.operators.components import triangle_stats
+
+    def run(edges):
+        df = spark.createDataFrame(edges, ["u", "v"])
+        return triangle_stats(df).collect()[0]
+
+    k4 = [(1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4)]
+    r = run(k4)
+    assert (r.n_nodes, r.n_edges, r.n_triangles) == (4, 6, 4)
+    assert r.clustering_coeff == 1.0
+
+    path = [(1, 2), (2, 3), (3, 4), (4, 5)]
+    r = run(path)
+    assert (r.n_nodes, r.n_edges, r.n_triangles) == (5, 4, 0)
+    assert r.clustering_coeff == 0.0
+
+    r = run(k4 + [(4, 5)])
+    assert (r.n_nodes, r.n_edges, r.n_triangles) == (5, 7, 4)
