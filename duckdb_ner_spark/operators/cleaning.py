@@ -154,7 +154,8 @@ _DSIR_ORACLE = f"""
         FROM bg_tab
     ), ratio AS (
         SELECT b.bucket,
-               t_cnt * t.tot_bg * {DSIR_SCALE} // (bg_cnt * t.tot_t) AS ratio_fx
+               COALESCE(t_cnt * t.tot_bg * {DSIR_SCALE} // NULLIF(bg_cnt * t.tot_t, 0), 0)
+                   AS ratio_fx
         FROM bg_tab b CROSS JOIN tot t
     )
     SELECT i.doc_id, i.source,
@@ -221,7 +222,12 @@ def dsir_scores(documents: DataFrame, target_source: str = DSIR_TARGET_SOURCE) -
     )
     ratio = bg_tab.crossJoin(F.broadcast(tot)).select(
         "bucket",
-        F.expr(f"t_cnt * tot_bg * {DSIR_SCALE} div (bg_cnt * tot_t)").alias("ratio_fx"),
+        # NULLIF/COALESCE: a corpus slice with NO target-domain bigrams has
+        # tot_t = 0 — importance is then 0 by definition (nothing resembles
+        # an empty target model), not a divide-by-zero
+        F.expr(
+            f"COALESCE(t_cnt * tot_bg * {DSIR_SCALE} div NULLIF(bg_cnt * tot_t, 0), 0)"
+        ).alias("ratio_fx"),
     )
     return (
         inst.join(F.broadcast(ratio), "bucket")

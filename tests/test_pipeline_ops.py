@@ -893,3 +893,42 @@ def test_len_quantile_approx_rank_error_bound(spark, docs):
             target = q * (n - 1)
             assert lo - 1 <= target <= hi + 1, (r.lang, q, got, lo, hi, target)
             assert got in vals  # GK returns actual elements
+
+
+def test_new_operators_edge_inputs(spark):
+    """Edge-input behavior of the round's reusable cores, pinned: documents
+    below the block/bigram threshold vanish from line-dedup/DSIR (not
+    crash, not NULL rows); an edgeless graph yields zero counts and a NULL
+    clustering coefficient (NULLIF guard); funnel stages on a user with no
+    views are all-NULL."""
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    from duckdb_ner_spark.operators.cleaning import dsir_scores, line_dedup_stats
+    from duckdb_ner_spark.operators.components import triangle_stats
+    from duckdb_ner_spark.operators.scalepatterns import funnel_user_stages
+
+    docs = spark.createDataFrame(
+        [(1, "", "src0"), (2, "one", "src0"), (3, "a b c d e f g h", "srcX")],
+        ["doc_id", "text", "source"],
+    )
+    # doc 1 ('' -> ['']) and doc 2 have < 8 words: excluded; doc 3 has one block
+    ld = {r.doc_id: r for r in line_dedup_stats(docs.select("doc_id", "text")).collect()}
+    assert set(ld) == {3} and ld[3].n_blocks == 1 and ld[3].n_dup == 0
+    # DSIR: docs with < 2 words excluded; the survivor's ratio is defined
+    ds = {r.doc_id: r for r in dsir_scores(docs).collect()}
+    assert set(ds) == {3} and ds[3].n_bigrams == 7
+
+    empty_edges = spark.createDataFrame(
+        [], StructType([StructField("u", LongType()), StructField("v", LongType())])
+    )
+    r = triangle_stats(empty_edges).collect()[0]
+    assert (r.n_nodes, r.n_edges, r.n_triangles) == (0, 0, 0)
+    assert r.clustering_coeff is None  # 0/0 guarded by NULLIF, not an ANSI error
+
+    import datetime as dt
+
+    ev = spark.createDataFrame(
+        [(7, dt.datetime(2024, 1, 1), "purchase")], ["user_id", "ts", "event_type"]
+    )
+    s = funnel_user_stages(ev).collect()[0]
+    assert (s.t1, s.t2, s.t3) == (None, None, None)
