@@ -789,16 +789,17 @@ _AB_ORACLE = """
                CAST(SUM(CASE WHEN arm = 1 THEN conv ELSE 0 END) AS BIGINT) AS c1
         FROM per_user
     )
-    SELECT n0, c0, c0 * 1.0 / n0 AS rate0,
-           n1, c1, c1 * 1.0 / n1 AS rate1,
-           (c0 * 1.0 / n0 - c1 * 1.0 / n1)
-             / SQRT((c0 + c1) * 1.0 / (n0 + n1)
+    SELECT n0, c0, c0 * 1.0 / NULLIF(n0, 0) AS rate0,
+           n1, c1, c1 * 1.0 / NULLIF(n1, 0) AS rate1,
+           (c0 * 1.0 / NULLIF(n0, 0) - c1 * 1.0 / NULLIF(n1, 0))
+             / NULLIF(SQRT((c0 + c1) * 1.0 / (n0 + n1)
                     * (1.0 - (c0 + c1) * 1.0 / (n0 + n1))
-                    * (1.0 / n0 + 1.0 / n1)) AS z,
-           ABS((c0 * 1.0 / n0 - c1 * 1.0 / n1)
-             / SQRT((c0 + c1) * 1.0 / (n0 + n1)
+                    * (1.0 / NULLIF(n0, 0) + 1.0 / NULLIF(n1, 0))), 0) AS z,
+           ABS((c0 * 1.0 / NULLIF(n0, 0) - c1 * 1.0 / NULLIF(n1, 0))
+             / NULLIF(SQRT((c0 + c1) * 1.0 / (n0 + n1)
                     * (1.0 - (c0 + c1) * 1.0 / (n0 + n1))
-                    * (1.0 / n0 + 1.0 / n1))) > 1.96 AS significant
+                    * (1.0 / NULLIF(n0, 0) + 1.0 / NULLIF(n1, 0))), 0)) > 1.96
+               AS significant
     FROM arms
 """
 
@@ -842,19 +843,22 @@ def q_ab_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # 1e0, not 1.0: Spark SQL parses the literal 1.0 as DECIMAL(2,1) (DuckDB
     # as DOUBLE) — the decimal division would change both dtype and rounding
+    # NULLIF guards: an empty arm or a zero-variance outcome (p = 0 or 1)
+    # yields NULL, not an ANSI divide-by-zero — undefined experiment, not a
+    # crashed job (same guard on the oracle side)
     z = F.expr(
-        "(c0 * 1e0 / n0 - c1 * 1e0 / n1)"
-        " / SQRT((c0 + c1) * 1e0 / (n0 + n1)"
+        "(c0 * 1e0 / NULLIF(n0, 0) - c1 * 1e0 / NULLIF(n1, 0))"
+        " / NULLIF(SQRT((c0 + c1) * 1e0 / (n0 + n1)"
         "        * (1e0 - (c0 + c1) * 1e0 / (n0 + n1))"
-        "        * (1e0 / n0 + 1e0 / n1))"
+        "        * (1e0 / NULLIF(n0, 0) + 1e0 / NULLIF(n1, 0))), 0)"
     )
     return arms.select(
         "n0",
         "c0",
-        F.expr("c0 * 1e0 / n0").alias("rate0"),
+        F.expr("c0 * 1e0 / NULLIF(n0, 0)").alias("rate0"),
         "n1",
         "c1",
-        F.expr("c1 * 1e0 / n1").alias("rate1"),
+        F.expr("c1 * 1e0 / NULLIF(n1, 0)").alias("rate1"),
         z.alias("z"),
         (F.abs(z) > 1.96).alias("significant"),
     )
