@@ -76,10 +76,25 @@ def q_ner_bert(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ents.select("doc_id", F.size("entities").alias("n_entities"))
 
 
-@declared("q_ner_default_empty", cache_plan=False)
+_NER_DEFAULT_ORACLE = """
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(COUNT(text) AS BIGINT) AS n_empty,
+           CAST(COUNT(*) - COUNT(text) AS BIGINT) AS n_null
+    FROM documents
+"""
+
+
+@declared("q_ner_default_empty", cache_plan=False, oracle=_NER_DEFAULT_ORACLE)
 def q_ner_default_empty(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Reference default semantics at table scale: no model ⇒ every non-null
-    row yields [] (src/ner_extension.cpp:68-76). Output is a 1-row audit."""
+    row yields [] (src/ner_extension.cpp:68-76). Output is a 1-row audit.
+
+    Oracle (upgraded from rows-only): DuckDB cannot run ner(), but it CAN
+    state the reference's pinned no-model contract declaratively — every
+    non-null text yields exactly [] and every NULL text yields NULL — so the
+    oracle asserts n_empty == COUNT(text) and n_null == COUNT(*) -
+    COUNT(text). A UDF regression that returned NULL, non-empty, or dropped
+    rows on the no-model path now fails the driver hash, not just pytest."""
     from ..functions.ner_udf import make_ner_udf
 
     t = load_tables(spark, sf_dir)
