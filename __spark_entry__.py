@@ -65,7 +65,7 @@ _DRIVER_WINDOW_PRIORITY = [
     # hash-checked queries.
     "q_rolling_7d", "q_stream_attribution", "q_source_stream", "q_bm25",
     "q_len_quantile_approx", "q_ab_test", "q_funnel_timing",
-    "q_compaction_plan", "q_triangles",
+    "q_compaction_plan", "q_triangles", "q_erasure", "q_ner_default_empty",
     # oldest-green refresh (last driver row r2): the heaviest pipeline
     # operators first — dedup/similarity/asof — so no family goes two rounds
     # unchecked.

@@ -613,3 +613,95 @@ def q_jaccard_est(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(inter * F.lit(1.0) / union, 6).alias("jaccard"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Erasure propagation through the persistent LSH index (GDPR deletion path)
+# --------------------------------------------------------------------------
+
+ERASE_STEP = 37  # every 37th doc receives an erasure request (~2.7%)
+
+_ERASURE_BANDS_SQL = """
+    WITH docs AS (
+        SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+    ), sh AS (
+        SELECT doc_id, CASE WHEN len(ws) >= 3 THEN list_distinct([ws[i+0] || ' ' || ws[i+1] || ' ' || ws[i+2] FOR i IN range(1, len(ws) - 1)]) ELSE [] END AS shingles FROM docs
+    ), e AS (
+        SELECT doc_id, unnest(shingles) AS s FROM sh
+    ), mh AS (
+        SELECT doc_id, MIN(md5('s0|' || s)) AS h0, MIN(md5('s1|' || s)) AS h1, MIN(md5('s2|' || s)) AS h2, MIN(md5('s3|' || s)) AS h3, MIN(md5('s4|' || s)) AS h4, MIN(md5('s5|' || s)) AS h5, MIN(md5('s6|' || s)) AS h6, MIN(md5('s7|' || s)) AS h7
+        FROM e GROUP BY doc_id
+    ), bands AS (
+        SELECT doc_id, 0 AS band, h0 || h1 AS sig FROM mh UNION ALL SELECT doc_id, 1 AS band, h2 || h3 AS sig FROM mh UNION ALL SELECT doc_id, 2 AS band, h4 || h5 AS sig FROM mh UNION ALL SELECT doc_id, 3 AS band, h6 || h7 AS sig FROM mh
+    )
+"""
+
+_ERASURE_ORACLE = (
+    _ERASURE_BANDS_SQL
+    + f""",
+    erased AS (
+        SELECT doc_id FROM documents WHERE doc_id % {ERASE_STEP} = 0
+    ), pruned AS (
+        SELECT * FROM bands WHERE doc_id NOT IN (SELECT doc_id FROM erased)
+    ), rebuilt AS (
+        SELECT * FROM bands WHERE doc_id IN (
+            SELECT doc_id FROM documents WHERE doc_id % {ERASE_STEP} <> 0
+        )
+    ), mismatch AS (
+        SELECT COUNT(*) AS m FROM (
+            SELECT * FROM pruned EXCEPT ALL SELECT * FROM rebuilt
+            UNION ALL
+            SELECT * FROM rebuilt EXCEPT ALL SELECT * FROM pruned
+        )
+    )
+    SELECT CAST((SELECT COUNT(*) FROM documents) AS BIGINT) AS n_docs_before,
+           CAST((SELECT COUNT(*) FROM documents WHERE doc_id % {ERASE_STEP} <> 0)
+                AS BIGINT) AS n_docs_after,
+           CAST((SELECT COUNT(*) FROM erased) AS BIGINT) AS n_erased,
+           CAST((SELECT COUNT(*) FROM bands) AS BIGINT) AS n_index_before,
+           CAST((SELECT COUNT(*) FROM pruned) AS BIGINT) AS n_index_after,
+           CAST((SELECT m FROM mismatch) AS BIGINT) AS n_mismatch
+"""
+)
+
+
+@declared("q_erasure", oracle=_ERASURE_ORACLE)
+def q_erasure(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Erasure propagation (the GDPR deletion path for incremental dedup):
+    an erase set must disappear from the corpus AND from the persistent LSH
+    band index. The operational claim this query verifies end-to-end: the
+    index can be maintained by a keyed ANTI-JOIN (prune) instead of a full
+    re-banding rebuild, because band rows are per-document independent —
+    `n_mismatch` counts the multiset symmetric difference between the
+    pruned index and a from-scratch rebuild over the surviving corpus, and
+    must be 0. The audit also accounts every row (docs and index entries
+    before/after).
+
+    Scale notes (100 TB): the prune is one anti-join against a broadcast
+    erase list (erasure batches are small); the rebuild path — recomputed
+    here only to PROVE prune==rebuild — is exactly what the anti-join
+    avoids: a full corpus re-shingle. With the index stored bucketed by
+    (band, sig) (the q_dedup_incr layout), pruning rewrites only the
+    buckets containing erased docs' rows."""
+    t = load_tables(spark, sf_dir)
+    erased = t.documents.filter(F.col("doc_id") % ERASE_STEP == 0).select("doc_id")
+    survivors = t.documents.filter(F.col("doc_id") % ERASE_STEP != 0)
+    index = minhash_bands(t.documents).persist()
+    pruned = index.join(F.broadcast(erased), "doc_id", "left_anti").persist()
+    rebuilt = minhash_bands(survivors).persist()
+    # mismatch stays IN the plan (no driver-side count): multiset symmetric
+    # difference via two exceptAlls unioned into a 1-row aggregate
+    mismatch = (
+        pruned.exceptAll(rebuilt)
+        .unionAll(rebuilt.exceptAll(pruned))
+        .agg(F.count("*").cast("bigint").alias("n_mismatch"))
+    )
+    agg = lambda df, name: df.agg(F.count("*").cast("bigint").alias(name))  # noqa: E731
+    return (
+        agg(t.documents, "n_docs_before")
+        .crossJoin(F.broadcast(agg(survivors, "n_docs_after")))
+        .crossJoin(F.broadcast(agg(erased, "n_erased")))
+        .crossJoin(F.broadcast(agg(index, "n_index_before")))
+        .crossJoin(F.broadcast(agg(pruned, "n_index_after")))
+        .crossJoin(F.broadcast(mismatch))
+    )

@@ -932,3 +932,21 @@ def test_new_operators_edge_inputs(spark):
     )
     s = funnel_user_stages(ev).collect()[0]
     assert (s.t1, s.t2, s.t3) == (None, None, None)
+
+
+def test_erasure_removes_docs_and_index_rows(spark):
+    """q_erasure: accounting invariants (erased + surviving == before, for
+    both docs and index rows scaled by band count), the prune==rebuild
+    proof holds (n_mismatch == 0), and no erased doc_id survives in the
+    pruned index (checked directly via the building blocks)."""
+    from duckdb_ner_spark.operators.dedup import ERASE_STEP, minhash_bands, q_erasure
+    from duckdb_ner_spark.sources.catalog import load_tables
+
+    r = q_erasure(spark, SF_SMOKE).collect()[0]
+    assert r.n_docs_before == r.n_docs_after + r.n_erased
+    assert r.n_mismatch == 0
+    assert r.n_index_before > r.n_index_after > 0
+    docs = load_tables(spark, SF_SMOKE).documents
+    idx = minhash_bands(docs)
+    erased_rows = idx.filter(F.col("doc_id") % ERASE_STEP == 0).count()
+    assert r.n_index_before - r.n_index_after == erased_rows
