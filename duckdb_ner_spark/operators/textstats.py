@@ -641,3 +641,152 @@ def q_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("score_fx").desc(), "doc_id")
         .limit(BM25_TOP)
     )
+
+
+# --------------------------------------------------------------------------
+# Intra-document quantized entropy (repetitiveness quality signal)
+# --------------------------------------------------------------------------
+
+_ENTROPY_ORACLE = """
+    WITH w AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents
+    ), docfreq AS (
+        SELECT doc_id, w, COUNT(*) AS n FROM w GROUP BY doc_id, w
+    ), doclen AS (
+        SELECT doc_id, CAST(SUM(n) AS BIGINT) AS len FROM docfreq GROUP BY doc_id
+    ), s AS (
+        SELECT f.doc_id, f.n,
+               CAST(LENGTH(bin(l.len // f.n)) - 1 AS BIGINT) AS q
+        FROM docfreq f JOIN doclen l ON f.doc_id = l.doc_id
+    )
+    SELECT s.doc_id,
+           CAST(l.len AS BIGINT) AS n_words,
+           CAST(COUNT(*) AS BIGINT) AS n_distinct,
+           CAST(SUM(s.n * s.q) AS BIGINT) AS sum_surprisal,
+           SUM(s.n * s.q) * 1.0 / l.len AS avg_entropy_bits
+    FROM s JOIN doclen l ON s.doc_id = l.doc_id
+    GROUP BY s.doc_id, l.len
+"""
+
+
+@declared("q_entropy", oracle=_ENTROPY_ORACLE)
+def q_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Intra-document quantized entropy: each document scored against its
+    OWN word distribution — the repetitiveness signal (a page that repeats
+    one phrase has near-zero self-entropy however rare its words are
+    corpus-wide). Complements q_surprisal, which scores against the CORPUS
+    unigram model: low intra-doc entropy flags repetition, low corpus
+    surprisal flags boilerplate.
+
+    Engine-exactness: per-word self-information -log2(n_w/len) is quantized
+    with the integer bit-length trick (floor(log2(len div n)) ==
+    bitlen(len div n) - 1 — the q_surprisal identity), so the per-doc sum
+    is pure BIGINT and the average one exact int division.
+
+    Scale: two combiner-friendly aggregates keyed by doc_id — the word rows
+    never shuffle to any other key; zero joins against corpus-wide state."""
+    t = load_tables(spark, sf_dir)
+    w = t.documents.select("doc_id", F.explode(words_col("text")).alias("w"))
+    docfreq = w.groupBy("doc_id", "w").agg(F.count("*").alias("n"))
+    doclen = docfreq.groupBy("doc_id").agg(F.sum("n").cast("bigint").alias("len"))
+    s = docfreq.join(doclen, "doc_id").select(
+        "doc_id",
+        "n",
+        "len",
+        F.expr("CAST(LENGTH(bin(len div n)) - 1 AS BIGINT)").alias("q"),
+    )
+    return s.groupBy("doc_id", "len").agg(
+        F.count("*").cast("bigint").alias("n_distinct"),
+        F.sum(F.expr("n * q")).cast("bigint").alias("sum_surprisal"),
+        F.expr("SUM(n * q) * 1e0 / len").alias("avg_entropy_bits"),
+    ).select(
+        "doc_id",
+        F.col("len").alias("n_words"),
+        "n_distinct",
+        "sum_surprisal",
+        "avg_entropy_bits",
+    )
+
+
+# --------------------------------------------------------------------------
+# Vocabulary coverage curve (tokenizer-design statistic)
+# --------------------------------------------------------------------------
+
+COVERAGE_MARKS = (50, 90, 99)  # percent-of-token-mass marks
+
+
+_COVERAGE_ORACLE = f"""
+    WITH w AS (
+        SELECT unnest(string_split(text, ' ')) AS w FROM documents
+    ), freq AS (
+        SELECT w, CAST(COUNT(*) AS BIGINT) AS n FROM w GROUP BY w
+    ), tot AS (
+        SELECT CAST(SUM(n) AS BIGINT) AS total, CAST(COUNT(*) AS BIGINT) AS vocab
+        FROM freq
+    ), ranked AS (
+        SELECT n,
+               CAST(ROW_NUMBER() OVER (ORDER BY n DESC, w) AS BIGINT) AS rnk,
+               CAST(SUM(n) OVER (ORDER BY n DESC, w
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+        FROM freq
+    )
+    SELECT CAST(m.mark AS BIGINT) AS mark,
+           CAST(MIN(r.rnk) AS BIGINT) AS k_words,
+           t.vocab,
+           MIN(r.rnk) * 1.0 / t.vocab AS vocab_frac
+    FROM (SELECT unnest([{", ".join(str(m) for m in COVERAGE_MARKS)}]) AS mark) m
+    CROSS JOIN tot t
+    JOIN ranked r ON r.cum * 100 >= m.mark * t.total
+    GROUP BY m.mark, t.vocab
+"""
+
+
+@declared("q_vocab_coverage", oracle=_COVERAGE_ORACLE)
+def q_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary coverage curve: the smallest k such that the k most
+    frequent words cover 50/90/99% of all token mass — the statistic that
+    sizes a tokenizer vocabulary or a stopword list (natural corpora are
+    Zipfian: tiny k covers half the mass; this synthetic corpus is near-
+    uniform, which the curve makes visible).
+
+    Engine-exactness: the coverage test is the integer cross-multiplication
+    cum*100 >= mark*total (no percentage doubles); ranking is pinned by the
+    (n DESC, w) total order.
+
+    Scale: word frequency is the canonical combiner aggregate; only the
+    VOCABULARY-sized table reaches the ranking window (single partition of
+    |vocab| rows — for a web-scale vocabulary, partition the window by a
+    frequency band computed from a first pass, or use the top-k heavy
+    hitters sketch for the head)."""
+    t = load_tables(spark, sf_dir)
+    w = t.documents.select(F.explode(words_col("text")).alias("w"))
+    freq = w.groupBy("w").agg(F.count("*").cast("bigint").alias("n"))
+    tot = freq.agg(
+        F.sum("n").cast("bigint").alias("total"),
+        F.count("*").cast("bigint").alias("vocab"),
+    )
+    win = Window.orderBy(F.col("n").desc(), "w")
+    ranked = freq.select(
+        "n",
+        F.row_number().over(win).cast("bigint").alias("rnk"),
+        F.sum("n").over(win.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .cast("bigint")
+        .alias("cum"),
+    )
+    # JVM-side literal relation (createDataFrame would plan a python-pickled
+    # ExistingRDD scan — a pointless Python boundary for 3 constants)
+    marks = spark.range(1).select(
+        F.explode(F.array(*[F.lit(m) for m in COVERAGE_MARKS])).alias("mark")
+    )
+    return (
+        marks.crossJoin(F.broadcast(tot))
+        .join(ranked, F.expr("cum * 100 >= mark * total"))
+        .groupBy("mark", "vocab")
+        .agg(F.min("rnk").cast("bigint").alias("k_words"))
+        .select(
+            F.col("mark").cast("bigint").alias("mark"),
+            "k_words",
+            "vocab",
+            F.expr("k_words * 1e0 / vocab").alias("vocab_frac"),
+        )
+    )
