@@ -66,7 +66,7 @@ _DRIVER_WINDOW_PRIORITY = [
     "q_rolling_7d", "q_stream_attribution", "q_source_stream", "q_bm25",
     "q_len_quantile_approx", "q_ab_test", "q_funnel_timing",
     "q_compaction_plan", "q_triangles", "q_erasure", "q_ner_default_empty",
-    "q_entropy", "q_vocab_coverage",
+    "q_entropy", "q_vocab_coverage", "q_activity_gaps",
     # oldest-green refresh (last driver row r2): the heaviest pipeline
     # operators first — dedup/similarity/asof — so no family goes two rounds
     # unchecked.

@@ -934,3 +934,69 @@ def q_funnel_timing(spark: SparkSession, sf_dir: str) -> DataFrame:
             "CAST(percentile_disc(0.9) WITHIN GROUP (ORDER BY d13_us) AS BIGINT)"
         ).alias("p90_overall_us"),
     )
+
+
+# --------------------------------------------------------------------------
+# Activity-gap profiling (gaps-and-islands over integer hour indices)
+# --------------------------------------------------------------------------
+
+_GAPS_ORACLE = """
+    WITH h AS (
+        SELECT DISTINCT user_id, epoch_us(ts) // 3600000000 AS hour_idx
+        FROM events
+    ), g AS (
+        SELECT user_id, hour_idx,
+               hour_idx - LAG(hour_idx) OVER (PARTITION BY user_id ORDER BY hour_idx) - 1
+                   AS gap
+        FROM h
+    )
+    SELECT user_id,
+           CAST(MIN(hour_idx) AS BIGINT) AS first_hour,
+           CAST(MAX(hour_idx) AS BIGINT) AS last_hour,
+           CAST(MAX(hour_idx) - MIN(hour_idx) + 1 AS BIGINT) AS span_hours,
+           CAST(COUNT(*) AS BIGINT) AS active_hours,
+           CAST(COALESCE(MAX(gap), 0) AS BIGINT) AS max_gap_hours,
+           COUNT(*) * 1.0 / (MAX(hour_idx) - MIN(hour_idx) + 1) AS coverage
+    FROM g GROUP BY user_id
+"""
+
+
+@declared("q_activity_gaps", oracle=_GAPS_ORACLE)
+def q_activity_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user activity-gap profile: distinct active hours, the covered
+    span, the longest inactivity streak, and the coverage ratio — the
+    gaps-and-islands statistic behind retention/abuse heuristics and the
+    planning input for time-series gap filling (how much zero-fill a
+    resample would create).
+
+    Engine-exactness: hours are pure integer epoch indices
+    (epoch_us div 3.6e9 — no timezone or DST arithmetic), gaps are LAG
+    diffs over that unique-per-user integer (total order, no tie hazard),
+    and coverage is one int*1.0/int division.
+
+    Plan shape (100 TB): DISTINCT collapses events to (user, hour) BEFORE
+    any window — the event stream shuffles once on user_id and everything
+    downstream is per-user-cardinality."""
+    t = load_tables(spark, sf_dir)
+    h = (
+        t.events.select(
+            "user_id",
+            F.expr(
+                "timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)"
+                " div 3600000000"
+            ).alias("hour_idx"),
+        )
+        .distinct()
+    )
+    w = Window.partitionBy("user_id").orderBy("hour_idx")
+    g = h.withColumn("gap", F.col("hour_idx") - F.lag("hour_idx").over(w) - 1)
+    return g.groupBy("user_id").agg(
+        F.min("hour_idx").cast("bigint").alias("first_hour"),
+        F.max("hour_idx").cast("bigint").alias("last_hour"),
+        (F.max("hour_idx") - F.min("hour_idx") + 1).cast("bigint").alias("span_hours"),
+        F.count("*").cast("bigint").alias("active_hours"),
+        F.coalesce(F.max("gap"), F.lit(0)).cast("bigint").alias("max_gap_hours"),
+        (F.count("*") * F.lit(1.0) / (F.max("hour_idx") - F.min("hour_idx") + 1)).alias(
+            "coverage"
+        ),
+    )

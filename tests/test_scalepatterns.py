@@ -380,3 +380,28 @@ def test_funnel_timing_deltas_are_real_gaps(spark):
     assert row.median_view_to_click_us == disc(d12, 0.5)
     assert row.median_click_to_purchase_us == disc(d23, 0.5)
     assert row.p90_overall_us == disc(d13, 0.9)
+
+
+def test_activity_gaps_match_python_recompute(spark):
+    """q_activity_gaps vs a per-user pure-Python recompute of the distinct
+    hour set, longest gap, and coverage."""
+    from duckdb_ner_spark.operators.scalepatterns import q_activity_gaps
+    from duckdb_ner_spark.sources.catalog import load_tables
+
+    import datetime as dt
+
+    epoch = dt.datetime(1970, 1, 1)
+    hours = {}
+    for r in load_tables(spark, SF_SMOKE).events.select("user_id", "ts").collect():
+        h = int((r.ts - epoch).total_seconds() * 1_000_000) // 3_600_000_000
+        hours.setdefault(r.user_id, set()).add(h)
+    got = {r.user_id: r for r in q_activity_gaps(spark, SF_SMOKE).collect()}
+    assert set(got) == set(hours)
+    for uid, hs in hours.items():
+        s = sorted(hs)
+        max_gap = max((b - a - 1 for a, b in zip(s, s[1:])), default=0)
+        r = got[uid]
+        assert (r.first_hour, r.last_hour, r.active_hours) == (s[0], s[-1], len(s))
+        assert r.span_hours == s[-1] - s[0] + 1
+        assert r.max_gap_hours == max_gap
+        assert abs(r.coverage - len(s) / (s[-1] - s[0] + 1)) < 1e-15
