@@ -34,46 +34,32 @@ def entry(spark: SparkSession) -> DataFrame:
 # relational queries follow in registration order. New queries added in a
 # round should be PREPENDED here so they land inside the window.
 _DRIVER_WINDOW_PRIORITY = [
-    # round-4 late additions: sampling family (per-domain cap, temperature
-    # mix, quantile length filter) and cleaning family (block-level line
-    # dedup, DSIR importance weights) — in-window on their first round.
-    "q_domain_cap", "q_temperature_mix", "q_len_quantile",
-    "q_line_dedup", "q_dsir", "q_funnel", "q_cohort_retention",
-    "q_attribution", "q_incr_agg", "q_pmi",
-    # round-4 additions: curation family (split/mix-budget/template-audit/
-    # CCNet buckets), benchmark decontamination, sequence packing, surprisal
-    # quality scoring — new queries land in-window on their first round.
-    "q_split", "q_token_budget", "q_template_spectrum", "q_ccnet_bucket",
-    "q_skew_audit", "q_decontam", "q_pack", "q_surprisal",
-    # round-4 fixes — the r3 hash_match:false set (HUGEINT-cast defect) plus
-    # the latent same-class instance q_boolagg; these MUST land in-window to
-    # convert the red rows green.
-    "q_boolagg", "q_pii_scrub", "q_dq_audit", "q_histogram", "q_mix_sample",
-    # never-driver-checked burn-down (VERDICT r3 Next-round #3): every oracle
-    # query that has zero driver rows across r1–r3, so that after r4 the
-    # cumulative driver coverage is 120/120.
-    "q_values", "q_cube", "q_grouping_sets", "q_recursive", "q_fuzzy",
-    "q_lateral", "q_sessionize", "q_time_bucket", "q_stats", "q_stats2",
-    "q_percentile", "q_asof_tol", "q_supplier_rev", "q_supplier_balance",
-    "q_part_margin", "q_window_dist", "q_window_range", "q_string2",
-    "q_regex", "q_date_diff", "q_higher_order", "q_nullsafe", "q_setops_all",
-    "q_bitops", "q_argmax", "q_trycast_format", "q_array_setops",
-    # just-below-window: the 50-slot window is exactly full (10 new + 13
-    # r4-fix/curation + 27 burn-down); q_rolling_7d is selfcheck-green at
-    # all three SFs and rotates in next round; q_stream_attribution is
-    # rows-only (batch parity pinned in pytest) so it cedes its slot to
-    # hash-checked queries.
-    "q_rolling_7d", "q_stream_attribution", "q_source_stream", "q_bm25",
-    "q_len_quantile_approx", "q_ab_test", "q_funnel_timing",
-    "q_compaction_plan", "q_triangles", "q_erasure", "q_ner_default_empty",
-    "q_entropy", "q_vocab_coverage", "q_activity_gaps",
-    # oldest-green refresh (last driver row r2): the heaviest pipeline
-    # operators first — dedup/similarity/asof — so no family goes two rounds
-    # unchecked.
-    "q_dedup_exact", "q_dedup_near", "q_dedup_incr", "q_dedup_ngram",
+    # round-5 rotation (VERDICT r4 Next-round #1): the 12 hash-oracled
+    # queries that were added below the window in r4 and have NO driver
+    # CORRECTNESS row in any round (selfcheck + judge green only). After r5
+    # these 12 green rows take cumulative driver coverage to 150/150 hash
+    # queries.
+    "q_rolling_7d", "q_source_stream", "q_bm25", "q_ab_test",
+    "q_funnel_timing", "q_compaction_plan", "q_triangles", "q_erasure",
+    "q_ner_default_empty", "q_entropy", "q_vocab_coverage", "q_activity_gaps",
+    # round-5 plan-shape fixes (VERDICT r4 #2-4): these queries' physical
+    # plans changed this round (top-K skew rank, bounded vocab/compaction
+    # windows, capped LSH verify) — hashes must stay identical, so they
+    # re-enter the window for a driver re-check even though all were green
+    # before.
+    "q_skew_audit", "q_dedup_near",
+    # round-5 new queries land here (prepend within this block as added).
+    # remainder: oldest-green refresh (last driver row r2) — heaviest
+    # pipeline operators first (dedup/similarity/asof), then core relational
+    # so no family goes two rounds unchecked.
+    "q_dedup_exact", "q_dedup_incr", "q_dedup_ngram",
     "q_dedup_simhash", "q_dedup_embed", "q_dedup_clusters", "q_sim_topk",
     "q_embed_join", "q_embed_quant", "q_multimodal", "q_asof", "q_join_range",
     "q_window_frame", "q_subquery", "q_cte", "q_rollup", "q_join_outer",
+    "q_agg_group", "q_agg_global", "q_join_inner", "q_join_multi",
+    "q_join_semi_anti", "q_cross", "q_distinct", "q_agg_filter", "q_having",
+    "q_window_rank", "q_window_lag", "q_sort", "q_topk", "q_setops",
+    "q_case", "q_string", "q_date", "q_math", "q_cast", "q_array",
 ]
 
 
