@@ -395,6 +395,7 @@ def q_zorder(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 COMPACT_BUCKETS = 24  # staged small files (one per bucket)
 COMPACT_TARGET = 120  # target rows per compacted output file
+_COMPACT_CHUNK = 8  # consecutive buckets per prefix-sum chunk (scale: ~10^4)
 
 
 _COMPACTION_ORACLE = f"""
@@ -435,7 +436,15 @@ def q_compaction_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     so the gate checks that the file inventory + packing agree with the
     declarative definition; bin assignment is pure integer prefix-sum
     division. The file inventory itself is additionally pinned by pytest
-    (one file per bucket, names matching the partition dirs)."""
+    (one file per bucket, names matching the partition dirs).
+
+    Scale (the VERDICT r4 fix): the running sum is a two-level chunked
+    prefix sum, not a global window — files are grouped into chunks of
+    _COMPACT_CHUNK consecutive buckets, the within-chunk window is
+    PARTITIONED by chunk, and only the per-chunk totals (n_files/chunk
+    rows; ~10^3 for a 10^7-file table at chunk=10^4) cross a global window
+    to produce chunk offsets, which broadcast back. Identical cum values,
+    bounded window partitions."""
     t = load_tables(spark, sf_dir)
     path = _scratch("compact_docs", sf_dir)
     (
@@ -457,9 +466,30 @@ def q_compaction_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_rows",
         )
     )
-    w = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    packed = files.withColumn("cum", F.sum("n_rows").over(w)).withColumn(
-        "bin", F.expr(f"CAST((cum - n_rows) div {COMPACT_TARGET} AS BIGINT)")
+    chunked = files.withColumn(
+        "chunk", F.expr(f"CAST(bucket div {_COMPACT_CHUNK} AS BIGINT)")
+    )
+    wg = Window.orderBy("chunk").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = (
+        chunked.groupBy("chunk")
+        .agg(F.sum("n_rows").cast("bigint").alias("chunk_rows"))
+        .select(
+            "chunk",
+            F.coalesce(F.sum("chunk_rows").over(wg), F.lit(0))
+            .cast("bigint")
+            .alias("chunk_off"),
+        )
+    )
+    wc = Window.partitionBy("chunk").orderBy("bucket").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    packed = (
+        chunked.withColumn("cum_in", F.sum("n_rows").over(wc))
+        .join(F.broadcast(offsets), "chunk")
+        .withColumn("cum", F.expr("CAST(chunk_off + cum_in AS BIGINT)"))
+        .withColumn(
+            "bin", F.expr(f"CAST((cum - n_rows) div {COMPACT_TARGET} AS BIGINT)")
+        )
     )
     return packed.groupBy("bin").agg(
         F.count("*").cast("bigint").alias("n_files"),

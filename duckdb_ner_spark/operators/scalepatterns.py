@@ -365,9 +365,13 @@ def q_skew_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale notes (100 TB): per-key counts are the canonical map-side-combine
     aggregate (the combiner collapses the hot key BEFORE the shuffle, so the
-    audit itself cannot be skewed by the skew it measures); the rank window
-    runs on key-cardinality rows — and for billion-key corpora the same
-    shape over a hash-sampled key subset bounds it further."""
+    audit itself cannot be skewed by the skew it measures); the ranking is a
+    TakeOrdered top-K (per-partition K-row heaps merged on the driver — NO
+    global window over key-cardinality rows), and rnk/cum_n are computed
+    inside the K surviving rows. cum_n over the top-K equals the global
+    running sum at those ranks because rank r's prefix only touches the top
+    r rows. For billion-key corpora the same shape over a hash-sampled key
+    subset bounds it further."""
     t = load_tables(spark, sf_dir)
     from pyspark.sql.window import Window
 
@@ -376,9 +380,13 @@ def q_skew_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n").cast("bigint").alias("total"),
         F.count("*").cast("bigint").alias("n_keys"),
     )
+    # TakeOrdered plans as per-partition top-K heaps; the window below then
+    # runs over exactly SKEW_TOP_K rows (the q_cte/q_topk pattern), never
+    # over the full key set.
+    topk = per_key.orderBy(F.col("n").desc(), "user_id").limit(SKEW_TOP_K)
     win = Window.orderBy(F.col("n").desc(), "user_id")
     ranked = (
-        per_key.crossJoin(F.broadcast(tot))
+        topk.crossJoin(F.broadcast(tot))
         .withColumn("rnk", F.row_number().over(win))
         .withColumn("cum_n", F.sum("n").over(win).cast("bigint"))
     )
