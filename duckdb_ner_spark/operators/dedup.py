@@ -14,8 +14,13 @@ Scale notes (100 TB):
   high-cardinality column (hash / band signature / bit-band) → AQE skew
   splitting applies; nothing collects to the driver;
 - LSH/banding bounds the candidate-pair blowup: only same-bucket pairs are
-  verified; bucket sizes are data-bounded (a crawl's exact-dup clusters are
-  the worst case — cap verification per bucket if needed);
+  verified, and each (band, sig) bucket is CAPPED at LSH_BUCKET_CAP members
+  (deterministic smallest-id survivors, replayed by the oracle) so a
+  boilerplate template shared by 10^6 docs emits C(cap,2) pairs per band,
+  not 10^12 — the r4-verdict hot-bucket fix;
+- the Jaccard verify join carries no broadcast hint: AQE sizes the
+  candidate-pair set at runtime and broadcasts it only when it actually
+  fits, falling back to a shuffle join on pathological corpora;
 - min-hashes here are md5-of-string MINs so the DuckDB oracle can replay
   them exactly; swap `seeded_md5` for xxhash64 at production scale (same
   plan shape, cheaper hash).
@@ -49,6 +54,16 @@ def dedup_exact(df: DataFrame, cols: list[str]) -> DataFrame:
 N_HASHES = 8
 N_BANDS = 4  # 2 hashes per band
 
+# Hot-bucket guard: a (band, sig) bucket contributes pairs only among its
+# LSH_BUCKET_CAP smallest doc ids. Exact-dup template clusters are the worst
+# case (identical text ⇒ identical signature in EVERY band): uncapped, a
+# 10^6-doc boilerplate cluster emits ~5·10^11 candidate pairs; capped it
+# emits C(64,2) ≈ 2k. Docs beyond the cap lose near-dup RECALL only against
+# that one bucket's tail — run exact dedup first (q_dedup_exact) and the
+# truncated members are byte-identical dups already collapsed. Deterministic
+# (smallest ids survive) so the DuckDB oracle replays it bit-for-bit.
+LSH_BUCKET_CAP = 64
+
 
 def _minhash_cols() -> list[F.Column]:
     """The N_HASHES per-row min-hash columns: array_min over a transform of
@@ -77,14 +92,29 @@ def _band_sigs_expr() -> F.Column:
     )
 
 
-def lsh_candidate_pairs(sigs: DataFrame, id_col: str) -> DataFrame:
-    """Band the signatures and self-join per (band, signature) bucket.
+def lsh_candidate_pairs(
+    sigs: DataFrame, id_col: str, bucket_cap: int = LSH_BUCKET_CAP
+) -> DataFrame:
+    """Band the signatures and self-join per (band, signature) bucket,
+    keeping only each bucket's `bucket_cap` smallest ids as pair sources
+    (the hot-bucket guard — see LSH_BUCKET_CAP). The cap rank is a window
+    PARTITIONED by (band, sig): per-bucket linear sort work, never a
+    quadratic pair blowup and never a global window.
 
     Banding uses ONE posexplode pass, not a per-band union — Spark does not
     dedupe common subtrees across union branches, so the union form would
     recompute the minhash aggregation N_BANDS times."""
+    from pyspark.sql.window import Window
+
     band_expr = cached_exprs("minhash_band_sigs", _band_sigs_expr)
     bands = sigs.select(F.col(id_col), F.posexplode(band_expr).alias("band", "sig"))
+    if bucket_cap is not None:
+        wcap = Window.partitionBy("band", "sig").orderBy(id_col)
+        bands = (
+            bands.withColumn("__rn__", F.row_number().over(wcap))
+            .filter(F.col("__rn__") <= bucket_cap)
+            .drop("__rn__")
+        )
     a = bands.select(F.col(id_col).alias("doc_a"), "band", "sig")
     b = bands.select(F.col(id_col).alias("doc_b"), "band", "sig")
     return (
@@ -98,15 +128,20 @@ def lsh_candidate_pairs(sigs: DataFrame, id_col: str) -> DataFrame:
 def jaccard_verify(
     pairs: DataFrame, docs: DataFrame, id_col: str, shingle_col: str, threshold: float
 ) -> DataFrame:
-    """Exact Jaccard on candidate pairs only (the LSH contract)."""
+    """Exact Jaccard on candidate pairs only (the LSH contract).
+
+    No broadcast hint on the pair set: candidate pairs are LSH-bounded and
+    USUALLY tiny vs |docs|, but "usually" is not a memory-safety contract —
+    AQE sizes the pair set at runtime after its producing shuffle and
+    broadcasts it only when it fits spark.sql.autoBroadcastJoinThreshold,
+    falling back to a shuffle join otherwise (the r4-verdict fix for the
+    unconditional F.broadcast driver-OOM hazard)."""
     x = docs.select(F.col(id_col).alias("doc_a"), F.col(shingle_col).alias("sh_a"))
     y = docs.select(F.col(id_col).alias("doc_b"), F.col(shingle_col).alias("sh_b"))
     inter = F.size(F.array_intersect("sh_a", "sh_b"))
     union = F.size(F.array_union("sh_a", "sh_b"))
-    # candidate pairs are LSH-bounded (tiny vs |docs|): broadcast them so the
-    # doc/shingle table never shuffles for the verify joins
     return (
-        F.broadcast(pairs).join(x, "doc_a")
+        pairs.join(x, "doc_a")
         .join(y, "doc_b")
         .select(
             "doc_a",
@@ -322,9 +357,16 @@ def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM e GROUP BY doc_id
     ), bands AS (
         {" UNION ALL ".join(f"SELECT doc_id, {b} AS band, h{2 * b} || h{2 * b + 1} AS sig FROM mh" for b in range(N_BANDS))}
+    ), capped AS (
+        SELECT doc_id, band, sig FROM (
+            SELECT doc_id, band, sig,
+                   ROW_NUMBER() OVER (PARTITION BY band, sig
+                                      ORDER BY doc_id) AS rn
+            FROM bands
+        ) WHERE rn <= {LSH_BUCKET_CAP}
     ), cand AS (
         SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-        FROM bands a JOIN bands b ON a.band = b.band AND a.sig = b.sig
+        FROM capped a JOIN capped b ON a.band = b.band AND a.sig = b.sig
         WHERE a.doc_id < b.doc_id
     )
     SELECT doc_a, doc_b,
@@ -552,9 +594,16 @@ _JACCARD_EST_ORACLE = f"""
         FROM e GROUP BY doc_id
     ), bands AS (
         {" UNION ALL ".join(f"SELECT doc_id, {b} AS band, h{2 * b} || h{2 * b + 1} AS sig FROM mh" for b in range(N_BANDS))}
+    ), capped AS (
+        SELECT doc_id, band, sig FROM (
+            SELECT doc_id, band, sig,
+                   ROW_NUMBER() OVER (PARTITION BY band, sig
+                                      ORDER BY doc_id) AS rn
+            FROM bands
+        ) WHERE rn <= {LSH_BUCKET_CAP}
     ), cand AS (
         SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-        FROM bands a JOIN bands b ON a.band = b.band AND a.sig = b.sig
+        FROM capped a JOIN capped b ON a.band = b.band AND a.sig = b.sig
         WHERE a.doc_id < b.doc_id
     )
     SELECT doc_a, doc_b,
@@ -603,7 +652,7 @@ def q_jaccard_est(spark: SparkSession, sf_dir: str) -> DataFrame:
     inter = F.size(F.array_intersect("sh_a", "sh_b"))
     union = F.size(F.array_union("sh_a", "sh_b"))
     return (
-        F.broadcast(cand)
+        cand  # no broadcast hint — AQE runtime-sizes it (cf. jaccard_verify)
         .join(a, "doc_a")
         .join(b, "doc_b")
         .select(

@@ -67,6 +67,51 @@ def test_minhash_vs_bruteforce_ground_truth(docs):
     assert truth <= got
 
 
+def test_lsh_hot_bucket_cap_bounds_template_cluster(spark):
+    """The r4-verdict hot-bucket guard: 1000 docs sharing one boilerplate
+    template land in ONE (band, sig) bucket per band. Uncapped that is
+    C(1000,2) ≈ 5·10^5 candidate pairs (and 10^12 on a real crawl); the
+    LSH_BUCKET_CAP=64 smallest-id survivors must emit exactly C(64,2), and
+    the verify join must also run as a SHUFFLE join when the pair set
+    exceeds the broadcast threshold (here forced via threshold=-1) — the
+    memory-safe fallback path."""
+    from duckdb_ner_spark.operators.dedup import (
+        LSH_BUCKET_CAP,
+        dedup_near_minhash,
+        lsh_candidate_pairs,
+        _minhash_cols,
+    )
+    from duckdb_ner_spark.operators.textprep import shingles_expr, words_col
+    from duckdb_ner_spark.plans.exprcache import cached_exprs
+
+    template = "the quick brown fox jumps over the lazy dog again and again"
+    df = spark.createDataFrame(
+        [(i, template) for i in range(1000)], ["doc_id", "text"]
+    )
+    sigs = (
+        df.select("doc_id", words_col("text").alias("ws"))
+        .select("doc_id", cached_exprs("shingles_ws3", shingles_expr).alias("shingles"))
+        .select("doc_id", "shingles", *cached_exprs("minhash_cols", _minhash_cols))
+    )
+    n_pairs = lsh_candidate_pairs(sigs, "doc_id").count()
+    cap_pairs = LSH_BUCKET_CAP * (LSH_BUCKET_CAP - 1) // 2
+    assert n_pairs == cap_pairs, n_pairs
+
+    # fallback path: with broadcast disabled the full pipeline must still
+    # verify every surviving pair through a shuffle join
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        out = dedup_near_minhash(df, threshold=0.9)
+        rows = out.collect()
+        assert len(rows) == cap_pairs
+        assert all(r.jaccard == 1.0 for r in rows)
+        executed = out._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastHashJoin" not in executed
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
 def test_simhash_deterministic_and_near_pairs(docs):
     from duckdb_ner_spark.operators.dedup import simhash64, simhash_near_pairs
 
