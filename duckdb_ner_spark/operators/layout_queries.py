@@ -40,13 +40,33 @@ from ..plans.registry import declared
 from ..sources.catalog import load_tables
 
 
+_SCRATCH_DIRS: set[str] = set()
+
+
+def _cleanup_scratch() -> None:
+    import shutil
+
+    for p in _SCRATCH_DIRS:
+        shutil.rmtree(p, ignore_errors=True)
+
+
 def _scratch(name: str, sf_dir: str) -> str:
     tag = hashlib.md5(sf_dir.encode()).hexdigest()[:12]
     # os.getpid(): staging is re-run per call (cache_plan=False), and two
     # CONCURRENT processes (pytest + selfcheck on the same sf_dir) must not
     # overwrite each other's staged files mid-read — observed as a transient
-    # q_schema_evolution failure when the full sweep ran beside the suite
-    return os.path.join(tempfile.gettempdir(), f"dns_layout_{name}_{tag}_{os.getpid()}")
+    # q_schema_evolution failure when the full sweep ran beside the suite.
+    # Per-pid paths would otherwise accumulate across runs (r4 ADVICE), so
+    # every dir this process creates is removed at interpreter exit.
+    path = os.path.join(
+        tempfile.gettempdir(), f"dns_layout_{name}_{tag}_{os.getpid()}"
+    )
+    if not _SCRATCH_DIRS:
+        import atexit
+
+        atexit.register(_cleanup_scratch)
+    _SCRATCH_DIRS.add(path)
+    return path
 
 
 # --------------------------------------------------------------------------

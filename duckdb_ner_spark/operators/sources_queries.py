@@ -55,8 +55,19 @@ def _scratch(name: str, sf_dir: str) -> str:
     # os.getpid(): staging is re-run per call (cache_plan=False), and two
     # CONCURRENT processes (pytest + selfcheck on the same sf_dir) must not
     # overwrite each other's staged files mid-read — observed as a transient
-    # q_schema_evolution failure when the full sweep ran beside the suite
-    return os.path.join(tempfile.gettempdir(), f"dns_src_{name}_{tag}_{os.getpid()}")
+    # q_schema_evolution failure when the full sweep ran beside the suite.
+    # Per-pid dirs are registered for atexit removal so repeated runs don't
+    # accumulate staging trees in /tmp (r4 ADVICE) — shared registry with
+    # layout_queries.
+    from .layout_queries import _SCRATCH_DIRS, _cleanup_scratch
+
+    path = os.path.join(tempfile.gettempdir(), f"dns_src_{name}_{tag}_{os.getpid()}")
+    if not _SCRATCH_DIRS:
+        import atexit
+
+        atexit.register(_cleanup_scratch)
+    _SCRATCH_DIRS.add(path)
+    return path
 
 
 @declared(

@@ -560,7 +560,8 @@ _BM25_ORACLE = f"""
         SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY term
     ), scored AS (
         SELECT tf.doc_id,
-               CAST(ROUND((c.n_docs - df.df + 0.5) * {BM25_SCALE}.0 / (df.df + 0.5))
+               CAST((2 * {BM25_SCALE} * (2 * c.n_docs - 2 * df.df + 1)
+                       + (2 * df.df + 1)) // (2 * (2 * df.df + 1))
                     AS BIGINT)
                    * (22 * c.t_words * tf.tf)
                    // (10 * c.t_words * tf.tf + 3 * c.t_words + 9 * tf.dl * c.n_docs)
@@ -585,10 +586,15 @@ def q_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
     length-normalized term frequency (k1=1.2, b=0.75).
 
     Engine-exactness, two deviations from textbook BM25, both documented:
-    (1) idf is the RATIONAL (N-df+0.5)/(df+0.5) in 1e6 fixed point — true
-    BM25 wraps it in ln(1+..), and ln() is not bit-identical across engines
-    (the q_tfidf lesson); the ranking effect is to weight very-rare terms
-    more steeply. (2) the tf normalization is cleared of fractions by
+    (1) idf is the RATIONAL (N-df+0.5)/(df+0.5) = (2N-2df+1)/(2df+1) in 1e6
+    fixed point, rounded half-away with PURE INTEGER arithmetic
+    ((2*SCALE*num + den) div (2*den), all terms positive) — true BM25 wraps
+    it in ln(1+..), and ln() is not bit-identical across engines (the
+    q_tfidf lesson); decimal literals are also out, because Spark divides
+    DECIMAL/DECIMAL at reduced scale (HALF_UP) while DuckDB promotes to
+    DOUBLE — two differently-rounded intermediates under the same ROUND()
+    (the r4 ADVICE finding); the ranking effect is to weight very-rare
+    terms more steeply. (2) the tf normalization is cleared of fractions by
     multiplying through by 10T (avgdl = T/N exactly), making the entire
     per-term score integer arithmetic; per-document totals are integer sums
     — order-independent, bit-equal.
@@ -623,7 +629,8 @@ def q_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
             "doc_id",
             (
                 F.expr(
-                    f"CAST(ROUND((n_docs - df + 0.5) * {BM25_SCALE}.0 / (df + 0.5)) AS BIGINT)"
+                    f"CAST((2 * {BM25_SCALE} * (2 * n_docs - 2 * df + 1)"
+                    " + (2 * df + 1)) div (2 * (2 * df + 1)) AS BIGINT)"
                 )
                 * F.expr("22 * t_words * tf")
             ).alias("num")

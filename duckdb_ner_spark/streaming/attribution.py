@@ -10,9 +10,11 @@ timestamp), which is the textbook case for arbitrary per-key state: O(1)
 state per user, purchases attributed the moment they arrive.
 
 Ordering semantics (pinned to the batch twin): within each micro-batch the
-rows are processed in (ts, purchases-after-views-at-same-ts) order, so a
-view sharing the purchase's exact timestamp attributes — matching the batch
-operator's RANGE-frame (not ROWS-frame) tie rule. Across micro-batches the
+key's rows are concatenated across Arrow chunks and sorted ONCE in (ts,
+purchases-after-views-at-same-ts) order — self-contained, no reliance on
+chunk or shuffle order — so a view sharing the purchase's exact timestamp
+attributes, matching the batch operator's RANGE-frame (not ROWS-frame) tie
+rule. Across micro-batches the
 staged source is time-ordered (streaming/events.py invariant); a production
 deployment facing out-of-order arrival would add a small sort buffer keyed
 by watermark, which changes nothing about the O(1) state design.
@@ -47,7 +49,16 @@ def _attr_update(key, pdfs, state: GroupState):
     (user_id,) = key
     (last_view_us,) = state.get if state.exists else (None,)
     out_eid, out_pus, out_vus = [], [], []
-    for pdf in pdfs:
+    # Materialize the key's whole micro-batch before the ONE sort: sorting
+    # each Arrow chunk independently would assume global time order across
+    # chunks (and across upstream source partitions post-shuffle) from the
+    # staged-source invariant rather than enforce it — a purchase in an
+    # earlier chunk could process before an older view in a later chunk
+    # (r4 ADVICE). Per-key per-batch data is small by construction, so the
+    # concat is bounded.
+    chunks = list(pdfs)
+    if chunks:
+        pdf = pd.concat(chunks, ignore_index=True) if len(chunks) > 1 else chunks[0]
         pdf = pdf.assign(
             # .values->ns->int64: robust to pandas datetime64[ns] vs [us]
             # column units (astype('int64') alone would silently change

@@ -897,7 +897,11 @@ def test_bm25_matches_python_recompute(spark, docs):
             if tf == 0:
                 continue
             n_terms += 1
-            idf_fx = round((n_docs - df[term] + 0.5) * BM25_SCALE / (df[term] + 0.5))
+            # exact integer half-away rounding of the rational idf — the
+            # same arithmetic both engines run (Python round() is
+            # half-to-even, a third rounding semantics; r4 ADVICE)
+            num, den = 2 * n_docs - 2 * df[term] + 1, 2 * df[term] + 1
+            idf_fx = (2 * BM25_SCALE * num + den) // (2 * den)
             total += idf_fx * (22 * t_words * tf) // (
                 10 * t_words * tf + 3 * t_words + 9 * dl * n_docs
             )
