@@ -1,15 +1,25 @@
 """Connected components over near-duplicate pair graphs + cluster collapse
 (SURVEY.md D2: "connected components via iterative join").
 
-Algorithm: large-star/small-star style min-label propagation — every node
-starts labeled with itself; each round joins labels across edges and takes
-the min; stops at fixpoint. Rounds are O(log(diameter)); dup clusters have
-tiny diameters (usually 1-2), so 2-3 rounds in practice.
+Algorithm: plain min-label propagation — every node starts labeled with
+itself; each round joins labels across edges and takes the min; stops at
+fixpoint. Rounds are O(DIAMETER) — labels travel one hop per round, NOT
+O(log diameter) (that bound belongs to the large-star/small-star algorithm
+of Kiveris et al., which rewires edges toward the minimum each round; this
+implementation does not rewire). Dup-cluster graphs have tiny diameters
+(usually 1-2 — a cluster is docs sharing one template), so 2-3 rounds in
+practice, and the convergence guard below turns the pathological case into
+a loud error instead of wrong labels.
 
 Scale notes (100 TB): each round is one shuffle keyed on node id over the
 |pairs|-sized edge list (LSH-bounded, ≪ |docs|); the driver only sees the
 converged/changed COUNT (a scalar), never the data. The final collapse
-(keep min-id doc per cluster) is one aggregation.
+(keep min-id doc per cluster) is one aggregation. KNOWN LIMIT (pinned by
+test_long_chain_exceeds_round_budget): a long-chain graph — diameter >
+max_iter, e.g. a citation path or a linked-list-shaped join graph — raises
+RuntimeError by design; for general graphs swap in large-star/small-star
+(alternate rounds attach every neighbor to the component minimum, shrinking
+diameter geometrically) at the cost of two shuffles per round.
 """
 
 from __future__ import annotations
@@ -34,7 +44,14 @@ def connected_components(pairs: DataFrame, a: str = "doc_a", b: str = "doc_b", m
         edges.select(F.col("u").alias("node"))
         .distinct()
         .select("node", F.col("node").alias("comp"))
-        .persist()
+        # localCheckpoint, not persist: each round's frame references the
+        # previous round's TWICE (propagation join + change check), so an
+        # un-truncated lineage doubles per round — exponential plan growth
+        # that OOMs the driver compiling round ~10's plan. Checkpointing
+        # materializes the round's labels on the executors and cuts the
+        # logical plan back to a leaf (production: checkpoint() to reliable
+        # storage so a lost executor can't kill a long run).
+        .localCheckpoint(eager=True)
     )
     converged = False
     for _ in range(max_iter):
@@ -51,14 +68,13 @@ def connected_components(pairs: DataFrame, a: str = "doc_a", b: str = "doc_b", m
                 "node",
                 F.least(F.col("comp"), F.coalesce(F.col("new_comp"), F.col("comp"))).alias("comp"),
             )
-            .persist()
+            .localCheckpoint(eager=True)
         )
         changed = (
             updated.join(labels.withColumnRenamed("comp", "old"), "node")
             .filter(F.col("comp") != F.col("old"))
             .count()
         )
-        labels.unpersist()  # superseded round's cache
         labels = updated
         if changed == 0:
             converged = True
@@ -93,7 +109,7 @@ def _clusters_oracle() -> str:
     a borderline pair missing every LSH band is absent on BOTH sides and the
     hash gate cannot sit on the banding recall cliff. Only the closure stays
     orthogonal: recursive-CTE transitive expansion vs iterative min-label."""
-    from .dedup import N_BANDS, N_HASHES
+    from .dedup import LSH_BUCKET_CAP, N_BANDS, N_HASHES
 
     mh_cols = ", ".join(f"MIN(md5('s{k}|' || s)) AS h{k}" for k in range(N_HASHES))
     band_union = " UNION ALL ".join(
@@ -111,9 +127,16 @@ def _clusters_oracle() -> str:
         SELECT doc_id, {mh_cols} FROM e GROUP BY doc_id
     ), bands AS (
         {band_union}
+    ), capped AS (
+        SELECT doc_id, band, sig FROM (
+            SELECT doc_id, band, sig,
+                   ROW_NUMBER() OVER (PARTITION BY band, sig
+                                      ORDER BY doc_id) AS rn
+            FROM bands
+        ) WHERE rn <= {LSH_BUCKET_CAP}
     ), cand AS (
         SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-        FROM bands a JOIN bands b ON a.band = b.band AND a.sig = b.sig
+        FROM capped a JOIN capped b ON a.band = b.band AND a.sig = b.sig
         WHERE a.doc_id < b.doc_id
     ), pairs AS (
         SELECT doc_a, doc_b

@@ -16,6 +16,26 @@ def test_connected_components_chain_and_triangle(spark):
     assert comps == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10, 12: 10, 20: 20, 21: 20}
 
 
+def test_long_chain_exceeds_round_budget(spark):
+    """Pin the documented limit (components.py module header): min-label
+    propagation moves labels ONE HOP per round, so a planted path graph of
+    diameter > max_iter must raise the convergence error — never silently
+    return wrong labels. The same chain within budget must converge to the
+    chain head."""
+    import pytest
+
+    from duckdb_ner_spark.operators.components import connected_components
+
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(8)], ["doc_a", "doc_b"]
+    )
+    with pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(chain, max_iter=3)
+
+    comps = {r.node: r.comp for r in connected_components(chain, max_iter=10).collect()}
+    assert comps == {i: 0 for i in range(9)}
+
+
 def test_collapse_near_dups_keeps_representatives(spark):
     from duckdb_ner_spark.operators.components import collapse_near_dups
 
