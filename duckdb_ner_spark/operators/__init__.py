@@ -8,6 +8,7 @@ from . import (  # noqa: F401
     ner_queries,
     relational,
     relational_ext,
+    retrieval,
     sampling,
     scalepatterns,
     layout_queries,

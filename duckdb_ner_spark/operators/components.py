@@ -151,15 +151,20 @@ def _clusters_oracle() -> str:
         SELECT u, v FROM edges
         UNION
         SELECT r.u, e2.v FROM reach r JOIN edges e2 ON r.v = e2.u
+    ), comps AS (
+        SELECT n.u AS node, LEAST(n.u, MIN(r.v)) AS comp
+        FROM (SELECT DISTINCT u FROM edges) n
+        LEFT JOIN reach r ON r.u = n.u
+        GROUP BY n.u
     )
-    SELECT n.u AS node, LEAST(n.u, MIN(r.v)) AS comp
-    FROM (SELECT DISTINCT u FROM edges) n
-    LEFT JOIN reach r ON r.u = n.u
-    GROUP BY n.u
     """
 
 
-@declared("q_dedup_clusters", oracle=_clusters_oracle())
+def _clusters_select() -> str:
+    return _clusters_oracle() + "SELECT node, comp FROM comps"
+
+
+@declared("q_dedup_clusters", oracle=_clusters_select())
 def q_dedup_clusters(spark, sf_dir: str) -> DataFrame:
     """Near-dup clusters: MinHash-LSH pairs → iterative min-label components.
     Edges replayed by the oracle (see _clusters_oracle); the closure itself is
@@ -170,6 +175,56 @@ def q_dedup_clusters(spark, sf_dir: str) -> DataFrame:
     pairs = dedup_near_minhash(t.documents, threshold=0.6).select("doc_a", "doc_b")
     return connected_components(pairs).select(
         F.col("node").cast("bigint").alias("node"), F.col("comp").cast("bigint").alias("comp")
+    )
+
+
+# --------------------------------------------------------------------------
+# Duplicate-cluster size histogram (dedup yield forecasting)
+# --------------------------------------------------------------------------
+
+
+def _cluster_sizes_oracle() -> str:
+    return (
+        _clusters_oracle()
+        + """
+    SELECT CAST(sz AS BIGINT) AS cluster_size,
+           CAST(COUNT(*) AS BIGINT) AS n_clusters,
+           CAST(SUM(sz - 1) AS BIGINT) AS n_removable,
+           CAST(MIN(comp) AS BIGINT) AS example_comp
+    FROM (SELECT comp, COUNT(*) AS sz FROM comps GROUP BY comp)
+    GROUP BY sz
+    """
+    )
+
+
+@declared("q_cluster_sizes", oracle=_cluster_sizes_oracle())
+def q_cluster_sizes(spark, sf_dir: str) -> DataFrame:
+    """Duplicate-cluster size histogram: how many near-dup clusters exist at
+    each size, and how many documents dedup would remove (size-1 per
+    cluster) — the yield forecast a pipeline runs BEFORE committing a
+    corpus-wide collapse (a histogram dominated by giant clusters means
+    boilerplate/template contamination; pair-heavy long tails mean true
+    near-dups). Same edges and closure as q_dedup_clusters; the histogram
+    is two combiner aggregates on top.
+
+    Scale notes (100 TB): cluster count ≤ |pairs| (LSH-bounded); both
+    groupBys are map-side-combined; output is histogram-sized (distinct
+    cluster sizes)."""
+    from .dedup import dedup_near_minhash
+
+    t = load_tables(spark, sf_dir)
+    pairs = dedup_near_minhash(t.documents, threshold=0.6).select("doc_a", "doc_b")
+    comps = connected_components(pairs)
+    sizes = comps.groupBy("comp").agg(F.count("*").alias("sz"))
+    return sizes.groupBy("sz").agg(
+        F.count("*").cast("bigint").alias("n_clusters"),
+        F.sum(F.col("sz") - 1).cast("bigint").alias("n_removable"),
+        F.min("comp").cast("bigint").alias("example_comp"),
+    ).select(
+        F.col("sz").cast("bigint").alias("cluster_size"),
+        "n_clusters",
+        "n_removable",
+        "example_comp",
     )
 
 

@@ -754,3 +754,186 @@ def q_erasure(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(F.broadcast(agg(pruned, "n_index_after")))
         .crossJoin(F.broadcast(mismatch))
     )
+
+
+# --------------------------------------------------------------------------
+# Train/val split leakage probe (LSH collision rate across the split)
+# --------------------------------------------------------------------------
+
+LEAK_TRAIN_HEX = "c"  # first md5 nibble < 'c' → train (75%), else val (25%)
+
+_LEAKAGE_ORACLE = f"""
+    WITH docs AS (
+        SELECT doc_id, string_split(text, ' ') AS ws,
+               substr(md5('leak|' || CAST(doc_id AS VARCHAR)), 1, 1) AS hv
+        FROM documents
+    ), sh AS (
+        SELECT doc_id, hv, {sql_shingles(3)} AS shingles FROM docs
+    ), e AS (
+        SELECT doc_id, hv, unnest(shingles) AS s FROM sh
+    ), mh AS (
+        SELECT doc_id, hv,
+               {", ".join(f"MIN(md5('s{k}|' || s)) AS h{k}" for k in range(N_HASHES))}
+        FROM e GROUP BY doc_id, hv
+    ), bands AS (
+        {" UNION ALL ".join(f"SELECT doc_id, hv, {b} AS band, h{2 * b} || h{2 * b + 1} AS sig FROM mh" for b in range(N_BANDS))}
+    ), train_idx AS (
+        SELECT DISTINCT band, sig FROM bands WHERE hv < '{LEAK_TRAIN_HEX}'
+    ), leaky AS (
+        SELECT DISTINCT b.doc_id
+        FROM bands b JOIN train_idx t ON b.band = t.band AND b.sig = t.sig
+        WHERE b.hv >= '{LEAK_TRAIN_HEX}'
+    )
+    SELECT CAST((SELECT COUNT(*) FROM docs WHERE hv < '{LEAK_TRAIN_HEX}') AS BIGINT) AS n_train,
+           CAST((SELECT COUNT(*) FROM docs WHERE hv >= '{LEAK_TRAIN_HEX}') AS BIGINT) AS n_val,
+           CAST((SELECT COUNT(*) FROM leaky) AS BIGINT) AS n_leaky,
+           (SELECT COUNT(*) FROM leaky) * 1e0
+             / (SELECT COUNT(*) FROM docs WHERE hv >= '{LEAK_TRAIN_HEX}') AS leak_ratio
+"""
+
+
+@declared("q_leakage", oracle=_LEAKAGE_ORACLE)
+def q_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Split-leakage audit: the fraction of VAL documents whose MinHash-LSH
+    signature collides with any TRAIN document's band — near-duplicate
+    train→val leakage, the eval-integrity failure n-gram decontamination
+    (q_decontam) misses when the overlap is paraphrase-level rather than
+    verbatim. The split is the md5-threshold assignment (q_split idiom:
+    growth-stable, shuffle-free).
+
+    Scale notes (100 TB): the probe is dedup_incremental's shape — val bands
+    equi-join the DISTINCT (band, sig) train index; no pair enumeration, no
+    quadratic term anywhere (the per-bucket cap is a pair-GENERATION guard
+    and does not apply to membership probes). 1-row audit output.
+
+    cf. reference test strategy: no analogue (beyond-reference surface)."""
+    t = load_tables(spark, sf_dir)
+    hv = F.substring(
+        F.md5(F.concat(F.lit("leak|"), F.col("doc_id").cast("string"))), 1, 1
+    )
+    docs = t.documents.withColumn("hv", hv)
+    train = docs.filter(F.col("hv") < LEAK_TRAIN_HEX)
+    val = docs.filter(F.col("hv") >= LEAK_TRAIN_HEX)
+    train_idx = minhash_bands(train).select("band", "sig").distinct()
+    leaky = (
+        minhash_bands(val)
+        .join(train_idx, ["band", "sig"], "left_semi")
+        .select("doc_id")
+        .distinct()
+    )
+    cnt = lambda df, name: df.agg(F.count("*").cast("bigint").alias(name))  # noqa: E731
+    return (
+        cnt(train, "n_train")
+        .crossJoin(F.broadcast(cnt(val, "n_val")))
+        .crossJoin(F.broadcast(cnt(leaky, "n_leaky")))
+        .select(
+            "n_train",
+            "n_val",
+            "n_leaky",
+            F.expr("n_leaky * 1e0 / n_val").alias("leak_ratio"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Asymmetric containment (quote/subset detection the Jaccard gate misses)
+# --------------------------------------------------------------------------
+
+CONTAIN_THRESHOLD = 0.8  # max-side containment flag level
+
+_CONTAINMENT_ORACLE = f"""
+    WITH docs AS (
+        SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+    ), sh AS (
+        SELECT doc_id, {sql_shingles(3)} AS shingles FROM docs
+    ), e AS (
+        SELECT doc_id, unnest(shingles) AS s FROM sh
+    ), mh AS (
+        SELECT doc_id,
+               {", ".join(f"MIN(md5('s{k}|' || s)) AS h{k}" for k in range(N_HASHES))}
+        FROM e GROUP BY doc_id
+    ), bands AS (
+        {" UNION ALL ".join(f"SELECT doc_id, {b} AS band, h{2 * b} || h{2 * b + 1} AS sig FROM mh" for b in range(N_BANDS))}
+    ), capped AS (
+        SELECT doc_id, band, sig FROM (
+            SELECT doc_id, band, sig,
+                   ROW_NUMBER() OVER (PARTITION BY band, sig
+                                      ORDER BY doc_id) AS rn
+            FROM bands
+        ) WHERE rn <= {LSH_BUCKET_CAP}
+    ), cand AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM capped a JOIN capped b ON a.band = b.band AND a.sig = b.sig
+        WHERE a.doc_id < b.doc_id
+    ), scored AS (
+        SELECT doc_a, doc_b,
+               CAST(LEN(LIST_INTERSECT(x.shingles, y.shingles)) AS BIGINT) AS inter,
+               CAST(LEN(LIST_DISTINCT(x.shingles)) AS BIGINT) AS na,
+               CAST(LEN(LIST_DISTINCT(y.shingles)) AS BIGINT) AS nb
+        FROM cand JOIN sh x ON x.doc_id = doc_a JOIN sh y ON y.doc_id = doc_b
+    )
+    SELECT doc_a, doc_b, inter, na, nb,
+           inter * 1e0 / na AS cont_a,
+           inter * 1e0 / nb AS cont_b
+    FROM scored
+    WHERE inter * 10 >= {int(CONTAIN_THRESHOLD * 10)} * LEAST(na, nb)
+"""
+
+
+@declared("q_containment", oracle=_CONTAINMENT_ORACLE)
+def q_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric containment over LSH candidate pairs: |A∩B| / |A| and
+    |A∩B| / |B| on DISTINCT shingle sets, flagging pairs where the SMALLER
+    document is ≥{int(CONTAIN_THRESHOLD * 100)}% contained in the other.
+    This is the quote/subset near-dup class symmetric Jaccard under-scores
+    (a 50-word quote inside a 5000-word page has Jaccard ≈ 0.01 but
+    containment ≈ 1.0) — the dedup signal for boilerplate extraction and
+    quote collapse.
+
+    Engine-exactness: the flag test is the integer cross-multiplication
+    inter*10 >= 8*min(na,nb) (no threshold doubles); the reported ratios
+    are single 1e0 divisions.
+
+    Scale notes (100 TB): identical candidate discipline to q_dedup_near —
+    capped buckets, AQE-sized verify joins; the containment lens adds two
+    size() expressions to the same verify pass."""
+    t = load_tables(spark, sf_dir)
+    docs = (
+        t.documents.select("doc_id", words_col("text").alias("ws"))
+        .select("doc_id", cached_exprs("shingles_ws3", shingles_expr).alias("shingles"))
+        .filter(F.size("shingles") > 0)
+    )
+    sigsh = docs.select(
+        "doc_id", "shingles", *cached_exprs("minhash_cols", _minhash_cols)
+    ).persist()
+    pairs = lsh_candidate_pairs(sigsh, "doc_id")
+    x = sigsh.select(F.col("doc_id").alias("doc_a"), F.col("shingles").alias("sh_a"))
+    y = sigsh.select(F.col("doc_id").alias("doc_b"), F.col("shingles").alias("sh_b"))
+    inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("bigint")
+    na = F.size(F.array_distinct("sh_a")).cast("bigint")
+    nb = F.size(F.array_distinct("sh_b")).cast("bigint")
+    return (
+        pairs.join(x, "doc_a")
+        .join(y, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            inter.alias("inter"),
+            na.alias("na"),
+            nb.alias("nb"),
+        )
+        .filter(
+            F.expr(
+                f"inter * 10 >= {int(CONTAIN_THRESHOLD * 10)} * LEAST(na, nb)"
+            )
+        )
+        .select(
+            "doc_a",
+            "doc_b",
+            "inter",
+            "na",
+            "nb",
+            F.expr("inter * 1e0 / na").alias("cont_a"),
+            F.expr("inter * 1e0 / nb").alias("cont_b"),
+        )
+    )

@@ -265,3 +265,72 @@ def q_len_quantile_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("p")[2].cast("bigint").alias("p95"),
         "n_docs",
     )
+
+
+# --------------------------------------------------------------------------
+# Winsorized per-language length statistics (robust mean for QC dashboards)
+# --------------------------------------------------------------------------
+
+WINSOR_LO = 0.05
+WINSOR_HI = 0.95
+
+_WINSORIZE_ORACLE = f"""
+    WITH th AS (
+        SELECT lang,
+               CAST(PERCENTILE_DISC({WINSOR_LO}) WITHIN GROUP (ORDER BY n_chars) AS BIGINT) AS lo,
+               CAST(PERCENTILE_DISC({WINSOR_HI}) WITHIN GROUP (ORDER BY n_chars) AS BIGINT) AS hi
+        FROM documents GROUP BY lang
+    )
+    SELECT d.lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           t.lo, t.hi,
+           CAST(SUM(d.n_chars) AS BIGINT) AS sum_raw,
+           CAST(SUM(LEAST(GREATEST(d.n_chars, t.lo), t.hi)) AS BIGINT) AS sum_win,
+           SUM(d.n_chars) * 1e0 / COUNT(*) AS mean_raw,
+           SUM(LEAST(GREATEST(d.n_chars, t.lo), t.hi)) * 1e0 / COUNT(*) AS mean_win
+    FROM documents d JOIN th t ON d.lang = t.lang
+    GROUP BY d.lang, t.lo, t.hi
+"""
+
+
+@declared("q_winsorize", oracle=_WINSORIZE_ORACLE)
+def q_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winsorized per-language length statistics: clamp each document's
+    n_chars into its language's [p05, p95] window (thresholds are exact
+    PERCENTILE_DISC order statistics — actual data values, both engines
+    identical), then report the clamped mean next to the raw mean. The
+    robust mean is the QC-dashboard number that a handful of truncated or
+    concatenated crawl pages cannot move — the raw mean can shift by
+    percents from one 100 MB pathological page.
+
+    Engine-exactness: integer thresholds, integer clamping, BIGINT sums;
+    the only doubles are the two final single divisions (1e0 idiom).
+
+    Scale notes (100 TB): pass 1 is the q_len_quantile rank-global
+    PERCENTILE_DISC (production swap-in: approx_percentile — module note);
+    pass 2 broadcasts the per-language threshold table back and is one
+    combiner aggregate. The corpus never carries more than (lang, n_chars)
+    through a shuffle."""
+    t = load_tables(spark, sf_dir)
+    th = t.documents.groupBy("lang").agg(
+        F.expr(
+            f"CAST(percentile_disc({WINSOR_LO}) WITHIN GROUP (ORDER BY n_chars) AS BIGINT)"
+        ).alias("lo"),
+        F.expr(
+            f"CAST(percentile_disc({WINSOR_HI}) WITHIN GROUP (ORDER BY n_chars) AS BIGINT)"
+        ).alias("hi"),
+    )
+    clamped = t.documents.join(F.broadcast(th), "lang").select(
+        "lang",
+        "lo",
+        "hi",
+        F.col("n_chars").cast("bigint").alias("raw"),
+        F.expr("LEAST(GREATEST(CAST(n_chars AS BIGINT), lo), hi)").alias("win"),
+    )
+    return clamped.groupBy("lang", "lo", "hi").agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.sum("raw").cast("bigint").alias("sum_raw"),
+        F.sum("win").cast("bigint").alias("sum_win"),
+        F.expr("SUM(raw) * 1e0 / COUNT(*)").alias("mean_raw"),
+        F.expr("SUM(win) * 1e0 / COUNT(*)").alias("mean_win"),
+    ).select("lang", "n_docs", "lo", "hi", "sum_raw", "sum_win", "mean_raw", "mean_win")
