@@ -13,6 +13,7 @@ from __future__ import annotations
 
 import os
 
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -104,4 +105,81 @@ def q_ner_default_empty(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_rows"),
         F.sum(F.when(F.size("entities") == 0, 1).otherwise(0)).cast("bigint").alias("n_empty"),
         F.sum(F.when(F.col("entities").isNull(), 1).otherwise(0)).cast("bigint").alias("n_null"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Tokenizer fertility audit (the A7 WordPiece applied as a pipeline metric)
+# --------------------------------------------------------------------------
+
+# Vocabulary for the fertility probe: frequent corpus words kept WHOLE, the
+# full lowercase alphabet as single-letter pieces (first-piece and ##subword
+# forms) so every word tokenizes without byte-skips, and a few multi-letter
+# pieces so common words the vocab lacks split into 2-3 pieces rather than
+# per-letter dust. Deterministic module constant → same fertility everywhere.
+FERTILITY_VOCAB: tuple[str, ...] = (
+    "[CLS]", "[SEP]",
+    # whole high-frequency corpus words (fertility 1)
+    "the", "table", "scan", "join", "batch", "data", "row", "key", "sort",
+    "merge", "window", "spark", "filter", "value", "order", "query", "part",
+    # multi-letter pieces
+    "cus", "##tomer", "col", "##umn", "str", "##eam", "vec", "##tor",
+    "sm", "##all", "sl", "##ow", "fa", "##st", "gr", "##oup", "ag", "##g",
+) + tuple("abcdefghijklmnopqrstuvwxyz") + tuple(
+    f"##{c}" for c in "abcdefghijklmnopqrstuvwxyz"
+)
+
+FERTILITY_MAX_TOKENS = 4096
+
+
+@declared("q_tokenizer_fertility", cache_plan=False)
+def q_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer fertility (wordpieces per whitespace word) per language —
+    the statistic that prices a tokenizer against a corpus: fertility near
+    1.0 means the vocabulary covers the text; high fertility means the
+    model pays N× the sequence length (and N× attention compute) for the
+    same words. Runs the REAL reference WordPiece (A7: byte-level greedy
+    longest-match, ner/tokenizer.py) inside an Arrow-batched pandas UDF —
+    the same per-worker vocab singleton + word-memo design as the NER UDF.
+
+    Rows-only by necessity: DuckDB cannot run the byte-level WordPiece;
+    distributed-vs-driver parity is pinned in pytest instead
+    (tests/test_retrieval.py).
+
+    Scale notes (100 TB): narrow map over documents (no shuffle before the
+    per-lang combiner aggregate); the word-level memo makes repeated words
+    dict hits, so throughput tracks DISTINCT words per batch, not words."""
+    from pyspark.sql.functions import pandas_udf
+
+    # per-worker vocab singleton: the closure dict is pickled once per
+    # worker, so the vocab (and its word-piece memo) builds once per
+    # executor process, not per batch — the ner_udf model-singleton pattern
+    holder: dict[str, object] = {}
+
+    @pandas_udf("long")
+    def n_pieces(texts: pd.Series) -> pd.Series:
+        from ..ner.tokenizer import tokenize
+        from ..ner.vocab import Vocab
+
+        vocab = holder.get("v")
+        if vocab is None:
+            vocab = Vocab.from_tokens(list(FERTILITY_VOCAB))
+            holder["v"] = vocab
+        return texts.map(
+            lambda t: 0
+            if t is None
+            else len(tokenize(vocab, t, FERTILITY_MAX_TOKENS)) - 2  # - [CLS][SEP]
+        )
+
+    t = load_tables(spark, sf_dir)
+    d = t.documents.select(
+        "lang",
+        F.size(F.split("text", " ")).cast("bigint").alias("n_words"),
+        n_pieces(F.col("text")).alias("n_pieces"),
+    )
+    return d.groupBy("lang").agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.sum("n_words").cast("bigint").alias("n_words"),
+        F.sum("n_pieces").cast("bigint").alias("n_pieces"),
+        F.expr("SUM(n_pieces) * 1e0 / SUM(n_words)").alias("fertility"),
     )

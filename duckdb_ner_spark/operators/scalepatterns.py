@@ -1008,3 +1008,127 @@ def q_activity_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
             "coverage"
         ),
     )
+
+
+# --------------------------------------------------------------------------
+# Skew-safe per-group top-k (two-phase salted rank)
+# --------------------------------------------------------------------------
+
+TOPK_SALT = 4
+TOPK_PER_GROUP = 3
+
+_TOPK_SALTED_ORACLE = f"""
+    SELECT source, doc_id, CAST(n_chars AS BIGINT) AS n_chars, rk FROM (
+        SELECT source, doc_id, n_chars,
+               CAST(ROW_NUMBER() OVER (PARTITION BY source
+                    ORDER BY n_chars DESC, doc_id) AS BIGINT) AS rk
+        FROM documents
+    ) WHERE rk <= {TOPK_PER_GROUP}
+"""
+
+
+@declared("q_topk_salted", oracle=_TOPK_SALTED_ORACLE)
+def q_topk_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group top-k with a TWO-PHASE SALTED rank — the skew-safe form of
+    q_window_rank's per-group window. A plain PARTITION BY source window
+    puts every row of a hot group through one task (the CommonCrawl-domain
+    problem); here phase 1 ranks within (source, salt = doc_id % {TOPK_SALT})
+    partitions and keeps k rows each — a hot group splits across
+    {TOPK_SALT} parallel tasks — and phase 2 re-ranks only the ≤ k·salt
+    survivors per group. Phase-1 per-salt top-k is a superset of the global
+    top-k (any global top row is also top-k within its own salt), so the
+    result is EXACTLY the unsalted rank — which is what the oracle runs.
+
+    Engine-exactness: pure integers; the total order (n_chars DESC, doc_id)
+    is salt-independent.
+
+    Scale notes (100 TB): max window-partition size drops from |hot group|
+    to |hot group| / {TOPK_SALT} in phase 1; phase 2 touches k·{TOPK_SALT}
+    rows per group. Generalizes to any per-group aggregate with a mergeable
+    partial (this is the manual form of what map-side combine does for
+    associative aggregates, applied to rank, which has none)."""
+    t = load_tables(spark, sf_dir)
+    d = t.documents.select(
+        "source",
+        "doc_id",
+        F.col("n_chars").cast("bigint").alias("n_chars"),
+        (F.col("doc_id") % TOPK_SALT).alias("salt"),
+    )
+    w1 = Window.partitionBy("source", "salt").orderBy(
+        F.col("n_chars").desc(), "doc_id"
+    )
+    phase1 = (
+        d.withColumn("r1", F.row_number().over(w1))
+        .filter(F.col("r1") <= TOPK_PER_GROUP)
+        .drop("r1", "salt")
+    )
+    w2 = Window.partitionBy("source").orderBy(F.col("n_chars").desc(), "doc_id")
+    return (
+        phase1.withColumn("rk", F.row_number().over(w2).cast("bigint"))
+        .filter(F.col("rk") <= TOPK_PER_GROUP)
+        .select("source", "doc_id", "n_chars", "rk")
+    )
+
+
+# --------------------------------------------------------------------------
+# Event-time disorder audit (late-data diagnostic for streaming ingest)
+# --------------------------------------------------------------------------
+
+_OOO_ORACLE = """
+    WITH e AS (
+        SELECT user_id, event_id,
+               epoch_us(ts) AS ts_us,
+               MAX(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS hwm_us
+        FROM events
+    )
+    SELECT user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(CASE WHEN ts_us < hwm_us THEN 1 ELSE 0 END) AS BIGINT) AS n_late,
+           CAST(COALESCE(MAX(CASE WHEN ts_us < hwm_us THEN hwm_us - ts_us END), 0)
+                AS BIGINT) AS max_lateness_us
+    FROM e GROUP BY user_id
+"""
+
+
+@declared("q_out_of_order", oracle=_OOO_ORACLE)
+def q_out_of_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-time disorder audit: per user, how many events arrived with a
+    timestamp OLDER than the user's high-water mark at that point in the
+    append order (event_id), and the worst lateness. This is the
+    measurement that SIZES a streaming watermark — withWatermark's delay
+    should cover the observed p99.9 lateness, and this audit is how you
+    know it (guessing low silently drops late rows; guessing high bloats
+    state).
+
+    Engine-exactness: the high-water mark is a MAX over integer epoch
+    microseconds in a ROWS frame ending 1 PRECEDING — first event per user
+    gets NULL (never late, matching the stream semantics that the first
+    arrival defines the watermark); lateness is integer subtraction.
+
+    Scale notes (100 TB): one events shuffle (user_id), one ordered pass
+    per partition; the aggregate collapses to per-user rows before any
+    further processing. The window is partitioned — never global."""
+    t = load_tables(spark, sf_dir)
+    e = t.events.select(
+        "user_id",
+        "event_id",
+        F.expr(
+            "timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)"
+        ).alias("ts_us"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    marked = e.withColumn("hwm_us", F.max("ts_us").over(w))
+    late = F.when(F.col("ts_us") < F.col("hwm_us"), 1).otherwise(0)
+    lateness = F.when(
+        F.col("ts_us") < F.col("hwm_us"), F.col("hwm_us") - F.col("ts_us")
+    )
+    return marked.groupBy("user_id").agg(
+        F.count("*").cast("bigint").alias("n_events"),
+        F.sum(late).cast("bigint").alias("n_late"),
+        F.coalesce(F.max(lateness), F.lit(0)).cast("bigint").alias("max_lateness_us"),
+    )

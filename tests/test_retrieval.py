@@ -212,3 +212,40 @@ def test_winsorize_matches_python_recompute(spark):
         assert (r.lo, r.hi, r.n_docs) == (lo, hi, n)
         assert r.sum_win == sum(win)
         assert r.mean_win == sum(win) / n
+
+
+def test_tokenizer_fertility_matches_driver_tokenize(spark, doc_rows):
+    """Distributed Arrow-batched fertility must equal a driver-side run of
+    the SAME reference tokenizer (A7) — pins the UDF plumbing (batching,
+    vocab singleton, NULL handling), since no SQL oracle can replay
+    byte-level WordPiece."""
+    from duckdb_ner_spark.ner.tokenizer import tokenize
+    from duckdb_ner_spark.ner.vocab import Vocab
+    from duckdb_ner_spark.operators.ner_queries import (
+        FERTILITY_MAX_TOKENS,
+        FERTILITY_VOCAB,
+        q_tokenizer_fertility,
+    )
+
+    langs = {
+        r.doc_id: r.lang
+        for r in spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+        .select("doc_id", "lang")
+        .collect()
+    }
+    vocab = Vocab.from_tokens(list(FERTILITY_VOCAB))
+    agg: dict[str, list[int]] = {}
+    for doc_id, text in doc_rows:
+        lang = langs[doc_id]
+        n_words = len(text.split(" "))
+        n_pieces = len(tokenize(vocab, text, FERTILITY_MAX_TOKENS)) - 2
+        a = agg.setdefault(lang, [0, 0, 0])
+        a[0] += 1
+        a[1] += n_words
+        a[2] += n_pieces
+    got = {r.lang: r for r in q_tokenizer_fertility(spark, SF_SMOKE).collect()}
+    assert set(got) == set(agg)
+    for lang, (n_docs, n_words, n_pieces) in agg.items():
+        r = got[lang]
+        assert (r.n_docs, r.n_words, r.n_pieces) == (n_docs, n_words, n_pieces)
+        assert r.fertility == n_pieces / n_words
