@@ -51,7 +51,8 @@ _DRIVER_WINDOW_PRIORITY = [
     # round-5 new queries land here (prepend within this block as added).
     "q_phrase_search", "q_rrf_fusion", "q_cdc_chunk",
     "q_leakage", "q_containment", "q_cluster_sizes", "q_winsorize",
-    "q_topk_salted", "q_out_of_order",
+    "q_topk_salted", "q_out_of_order", "q_kmv_merge", "q_transitions",
+    "q_stream_cdc",
     # remainder: oldest-green refresh (last driver row r2) — heaviest
     # pipeline operators first (dedup/similarity/asof), then core relational
     # so no family goes two rounds unchecked.

@@ -1132,3 +1132,74 @@ def q_out_of_order(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(late).cast("bigint").alias("n_late"),
         F.coalesce(F.max(lateness), F.lit(0)).cast("bigint").alias("max_lateness_us"),
     )
+
+
+# --------------------------------------------------------------------------
+# Event-type transition matrix (first-order behavioral Markov counts)
+# --------------------------------------------------------------------------
+
+_TRANSITIONS_ORACLE = """
+    WITH seq AS (
+        SELECT user_id, event_type,
+               LAG(event_type) OVER (PARTITION BY user_id
+                   ORDER BY epoch_us(ts), event_id) AS prev_type
+        FROM events
+    ), pair AS (
+        SELECT prev_type, event_type AS next_type FROM seq
+        WHERE prev_type IS NOT NULL
+    ), tot AS (
+        SELECT prev_type, CAST(COUNT(*) AS BIGINT) AS n_from
+        FROM pair GROUP BY prev_type
+    )
+    SELECT p.prev_type, p.next_type,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           t.n_from,
+           COUNT(*) * 1e0 / t.n_from AS p_next
+    FROM pair p JOIN tot t ON p.prev_type = t.prev_type
+    GROUP BY p.prev_type, p.next_type, t.n_from
+"""
+
+
+@declared("q_transitions", oracle=_TRANSITIONS_ORACLE)
+def q_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order event-type transition matrix: for each (prev → next)
+    pair of consecutive per-user events, the count and the conditional
+    probability P(next | prev) — the behavioral Markov model behind
+    next-action prediction, funnel-anomaly alerts, and bot detection
+    (bots have near-deterministic rows in this matrix; humans don't).
+
+    Engine-exactness: the sequence order is pinned by (epoch_us, event_id)
+    — integer keys, no timestamp tie ambiguity; probabilities are single
+    1e0 divisions of exact BIGINT counts.
+
+    Scale notes (100 TB): one events shuffle (user_id partitioning) for the
+    LAG, then combiner aggregates onto a (types × types)-sized matrix; the
+    conditional join broadcasts the types-sized row-total table."""
+    t = load_tables(spark, sf_dir)
+    e = t.events.select(
+        "user_id",
+        "event_type",
+        F.expr(
+            "timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)"
+        ).alias("ts_us"),
+        "event_id",
+    )
+    w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    pair = (
+        e.withColumn("prev_type", F.lag("event_type").over(w))
+        .filter(F.col("prev_type").isNotNull())
+        .select("prev_type", F.col("event_type").alias("next_type"))
+    )
+    tot = pair.groupBy("prev_type").agg(F.count("*").cast("bigint").alias("n_from"))
+    return (
+        pair.groupBy("prev_type", "next_type")
+        .agg(F.count("*").cast("bigint").alias("n"))
+        .join(F.broadcast(tot), "prev_type")
+        .select(
+            "prev_type",
+            "next_type",
+            "n",
+            "n_from",
+            F.expr("n * 1e0 / n_from").alias("p_next"),
+        )
+    )

@@ -403,3 +403,123 @@ def q_stream_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     name = _drain(streaming_attribution(stream_events(spark, sf_dir)), mode="append")
     return spark.table(name)
+
+
+# --------------------------------------------------------------------------
+# Streaming CDC apply: keep-latest-per-key over an append change stream
+# --------------------------------------------------------------------------
+
+_CDC_ORACLE = """
+    WITH ranked AS (
+        SELECT user_id,
+               epoch_us(ts) AS ts_us,
+               event_id,
+               CAST(ROUND(value * 100) AS BIGINT) AS value_fx,
+               ROW_NUMBER() OVER (PARTITION BY user_id
+                   ORDER BY epoch_us(ts) DESC, event_id DESC) AS rn
+        FROM events
+    )
+    SELECT user_id,
+           CAST(ts_us AS BIGINT) AS last_ts_us,
+           CAST(event_id AS BIGINT) AS last_event_id,
+           value_fx AS last_value_fx
+    FROM ranked WHERE rn = 1
+"""
+
+
+@declared("q_stream_cdc", cache_plan=False, oracle=_CDC_ORACLE)
+def q_stream_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming CDC apply — the change-data-capture consumer: events are an
+    append stream of per-user updates, and the materialized table must hold
+    each key's LATEST row (max (event-time, event_id)). State is one row per
+    key via applyInPandasWithState; an update is EMITTED only when a batch
+    improves the key's (ts, event_id) high-water mark, so the sink is a
+    monotone sequence of upserts per key and the final readout — max
+    (ts_us, event_id) struct per key over the sink — is the exact CDC table
+    REGARDLESS of how the stream was sliced into micro-batches. That
+    batch-slicing independence is what the hash gate proves against the
+    batch oracle (DuckDB row_number over the raw events).
+
+    Engine-exactness: the recency order is (integer epoch micros, event_id)
+    — no timestamp tie ambiguity; values are 1e2 fixed-point BIGINT.
+
+    Scale notes (100 TB / production): O(1) state per key, hash-partitioned
+    and checkpointed by the engine; emissions are deltas (quiet keys cost
+    nothing per batch). The memory-sink readout aggregation stands in for
+    the MERGE a table-format sink would run per micro-batch."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    from ..streaming.events import stream_events
+
+    state_schema = StructType(
+        [
+            StructField("ts_us", LongType()),
+            StructField("event_id", LongType()),
+            StructField("value_fx", LongType()),
+        ]
+    )
+    out_schema = StructType(
+        [
+            StructField("user_id", LongType()),
+            StructField("ts_us", LongType()),
+            StructField("event_id", LongType()),
+            StructField("value_fx", LongType()),
+        ]
+    )
+
+    def upsert(key, pdfs, state: GroupState):
+        (user_id,) = key
+        best = state.get if state.exists else None
+        for pdf in pdfs:
+            us = pdf["ts"].values.astype("datetime64[ns]").astype("int64") // 1000
+            # value_fx is computed JVM-side (SQL ROUND, half-away) before
+            # the stateful op — Python round() is half-to-even, a third
+            # rounding semantics (the r4 BM25 ADVICE lesson)
+            for ts_us, eid, vfx in zip(us, pdf["event_id"], pdf["value_fx"]):
+                cand = (int(ts_us), int(eid), int(vfx))
+                if best is None or (cand[0], cand[1]) > (best[0], best[1]):
+                    best = cand
+        if best is not None:
+            state.update(best)
+            yield pd.DataFrame(
+                {
+                    "user_id": [user_id],
+                    "ts_us": [best[0]],
+                    "event_id": [best[1]],
+                    "value_fx": [best[2]],
+                }
+            )
+
+    updates = (
+        stream_events(spark, sf_dir)
+        .select(
+            "user_id",
+            "ts",
+            "event_id",
+            F.expr("CAST(ROUND(value * 100) AS BIGINT)").alias("value_fx"),
+        )
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            upsert,
+            outputStructType=out_schema,
+            stateStructType=state_schema,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+    name = _drain(updates, mode="append")
+    sink = spark.table(name)
+    # final CDC table: per key, the row with max (ts_us, event_id) across
+    # all emitted upserts — batch-slicing independent by construction
+    return (
+        sink.groupBy("user_id")
+        .agg(F.max(F.struct("ts_us", "event_id", "value_fx")).alias("s"))
+        .select(
+            "user_id",
+            F.col("s.ts_us").cast("bigint").alias("last_ts_us"),
+            F.col("s.event_id").cast("bigint").alias("last_event_id"),
+            F.col("s.value_fx").cast("bigint").alias("last_value_fx"),
+        )
+    )

@@ -554,3 +554,110 @@ def q_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("cum_tokens") - F.col("n_tokens")).cast("bigint").alias("stream_offset"),
         F.expr(f"(cum_tokens - 1) div {PACK_CAP}").cast("bigint").alias("window_id"),
     ).orderBy("source", "doc_id")
+
+
+# --------------------------------------------------------------------------
+# KMV sketch MERGEABILITY (the property that makes sketches cluster-safe)
+# --------------------------------------------------------------------------
+
+
+_KMV_MERGE_ORACLE = f"""
+    WITH h AS (
+        SELECT source, md5('kmvm|' || CAST(doc_id AS VARCHAR)) AS h
+        FROM documents
+    ), per_src AS (
+        SELECT source, h FROM (
+            SELECT source, h,
+                   ROW_NUMBER() OVER (PARTITION BY source ORDER BY h) AS rn
+            FROM (SELECT DISTINCT source, h FROM h)
+        ) WHERE rn <= {KMV_K}
+    ), merged AS (
+        SELECT h FROM (
+            SELECT h, ROW_NUMBER() OVER (ORDER BY h) AS rn
+            FROM (SELECT DISTINCT h FROM per_src)
+        ) WHERE rn <= {KMV_K}
+    ), direct AS (
+        SELECT h FROM (
+            SELECT h, ROW_NUMBER() OVER (ORDER BY h) AS rn
+            FROM (SELECT DISTINCT h FROM h)
+        ) WHERE rn <= {KMV_K}
+    ), m AS (
+        SELECT MAX(h) AS kth, CAST(COUNT(*) AS BIGINT) AS k FROM merged
+    ), d AS (
+        SELECT MAX(h) AS kth, CAST(COUNT(*) AS BIGINT) AS k FROM direct
+    ), mv AS (
+        -- 15-hex-char prefix as a 60-bit integer (the q_kmv_distinct idiom)
+        SELECT m.kth, m.k,
+               (SELECT SUM(CAST(strpos('0123456789abcdef', substr(m.kth, CAST(i AS INT), 1)) - 1 AS BIGINT)
+                           << CAST((15 - i) * 4 AS INT))
+                FROM range(1, 16) t(i)) AS hv
+        FROM m
+    )
+    SELECT CAST((SELECT COUNT(*) FROM per_src) AS BIGINT) AS n_sketch_rows,
+           mv.k AS k,
+           mv.kth AS merged_kth,
+           d.kth AS direct_kth,
+           CAST(CASE WHEN mv.kth = d.kth AND mv.k = d.k THEN 1 ELSE 0 END
+                AS BIGINT) AS sketches_agree,
+           (CAST(mv.k AS DOUBLE) - 1) * 1152921504606846976
+               / CAST(mv.hv AS DOUBLE) AS est_distinct
+    FROM mv, d
+"""
+
+
+@declared("q_kmv_merge", oracle=_KMV_MERGE_ORACLE)
+def q_kmv_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV sketch MERGE proof: per-source k-minimum-values sketches, merged
+    by taking the k smallest of the union, must equal the sketch built
+    directly over the whole corpus — the mergeability property that lets a
+    1000-executor cluster (or a day-partitioned pipeline) sketch shards
+    independently and combine them without rescanning. The equality is
+    computed IN THE PLAN (kth hash + cardinality compared), not assumed.
+
+    Engine-exactness: md5 KMV is the q_kmv_distinct construction — hashes,
+    kth selection, and the (k-1)/frac estimator replay bit-for-bit.
+
+    Scale notes (100 TB): per-source sketches bound the shuffle to
+    k rows/source (the window is PARTITIONED by source); the merge touches
+    k·n_sources rows. This is exactly how a partitioned distinct-count
+    rollup ships: sketch per partition, merge at read."""
+    t = load_tables(spark, sf_dir)
+    from pyspark.sql.window import Window
+
+    h = t.documents.select(
+        "source",
+        F.md5(F.concat(F.lit("kmvm|"), F.col("doc_id").cast("string"))).alias("h"),
+    ).distinct()
+    wsrc = Window.partitionBy("source").orderBy("h")
+    per_src = (
+        h.withColumn("rn", F.row_number().over(wsrc))
+        .filter(F.col("rn") <= KMV_K)
+        .drop("rn")
+    )
+    merged = per_src.select("h").distinct().orderBy("h").limit(KMV_K)
+    direct = h.select("h").distinct().orderBy("h").limit(KMV_K)
+    m = merged.agg(F.max("h").alias("merged_kth"), F.count("*").cast("bigint").alias("k"))
+    d = direct.agg(F.max("h").alias("direct_kth"), F.count("*").cast("bigint").alias("dk"))
+    n_rows = per_src.agg(F.count("*").cast("bigint").alias("n_sketch_rows"))
+    hv = F.conv(F.substring("merged_kth", 1, 15), 16, 10).cast("bigint")
+    return (
+        n_rows.crossJoin(F.broadcast(m))
+        .crossJoin(F.broadcast(d))
+        .select(
+            "n_sketch_rows",
+            "k",
+            "merged_kth",
+            "direct_kth",
+            F.when(
+                (F.col("merged_kth") == F.col("direct_kth")) & (F.col("k") == F.col("dk")), 1
+            )
+            .otherwise(0)
+            .cast("bigint")
+            .alias("sketches_agree"),
+            (
+                (F.col("k").cast("double") - 1)
+                * F.lit(float(1 << 60))
+                / hv.cast("double")
+            ).alias("est_distinct"),
+        )
+    )
