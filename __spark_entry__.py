@@ -52,7 +52,7 @@ _DRIVER_WINDOW_PRIORITY = [
     "q_phrase_search", "q_rrf_fusion", "q_cdc_chunk",
     "q_leakage", "q_containment", "q_cluster_sizes", "q_winsorize",
     "q_topk_salted", "q_out_of_order", "q_kmv_merge", "q_transitions",
-    "q_stream_cdc",
+    "q_stream_cdc", "q_ann_recall", "q_watermark_sizing", "q_kmv_join_est",
     # remainder: oldest-green refresh (last driver row r2) — heaviest
     # pipeline operators first (dedup/similarity/asof), then core relational
     # so no family goes two rounds unchecked.

@@ -1091,6 +1091,33 @@ _OOO_ORACLE = """
 """
 
 
+def event_lateness(events: DataFrame) -> DataFrame:
+    """(user_id, event_id, ts) → + ts_us / hwm_us / lateness_us (0 when
+    on-time; first event per user has NULL hwm and lateness 0). The shared
+    core of q_out_of_order and q_watermark_sizing, factored so tests can
+    drive it with PLANTED disorder — the shipped testdata is globally
+    time-ordered (streaming/events.py invariant), so on it both queries
+    legitimately report zero lateness."""
+    e = events.select(
+        "user_id",
+        "event_id",
+        F.expr(
+            "timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)"
+        ).alias("ts_us"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    return e.withColumn("hwm_us", F.max("ts_us").over(w)).withColumn(
+        "lateness_us",
+        F.when(
+            F.col("ts_us") < F.col("hwm_us"), F.col("hwm_us") - F.col("ts_us")
+        ).otherwise(F.lit(0).cast("bigint")),
+    )
+
+
 @declared("q_out_of_order", oracle=_OOO_ORACLE)
 def q_out_of_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Event-time disorder audit: per user, how many events arrived with a
@@ -1110,27 +1137,12 @@ def q_out_of_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     per partition; the aggregate collapses to per-user rows before any
     further processing. The window is partitioned — never global."""
     t = load_tables(spark, sf_dir)
-    e = t.events.select(
-        "user_id",
-        "event_id",
-        F.expr(
-            "timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)"
-        ).alias("ts_us"),
-    )
-    w = (
-        Window.partitionBy("user_id")
-        .orderBy("event_id")
-        .rowsBetween(Window.unboundedPreceding, -1)
-    )
-    marked = e.withColumn("hwm_us", F.max("ts_us").over(w))
-    late = F.when(F.col("ts_us") < F.col("hwm_us"), 1).otherwise(0)
-    lateness = F.when(
-        F.col("ts_us") < F.col("hwm_us"), F.col("hwm_us") - F.col("ts_us")
-    )
+    marked = event_lateness(t.events)
+    late = F.when(F.col("lateness_us") > 0, 1).otherwise(0)
     return marked.groupBy("user_id").agg(
         F.count("*").cast("bigint").alias("n_events"),
         F.sum(late).cast("bigint").alias("n_late"),
-        F.coalesce(F.max(lateness), F.lit(0)).cast("bigint").alias("max_lateness_us"),
+        F.max("lateness_us").cast("bigint").alias("max_lateness_us"),
     )
 
 
@@ -1201,5 +1213,77 @@ def q_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n",
             "n_from",
             F.expr("n * 1e0 / n_from").alias("p_next"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Watermark sizing: drop-rate as a function of allowed lateness
+# --------------------------------------------------------------------------
+
+WATERMARK_MENU_S = (0, 60, 3600)  # candidate withWatermark delays (seconds)
+
+_WM_ORACLE = f"""
+    WITH e AS (
+        SELECT user_id,
+               epoch_us(ts) AS ts_us,
+               MAX(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS hwm_us
+        FROM events
+    ), late AS (
+        SELECT CASE WHEN ts_us < hwm_us THEN hwm_us - ts_us ELSE 0 END AS lateness_us
+        FROM e
+    ), menu AS (
+        SELECT unnest([{", ".join(str(w) for w in WATERMARK_MENU_S)}]) AS w_seconds
+    )
+    SELECT CAST(m.w_seconds AS BIGINT) AS w_seconds,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(CASE WHEN l.lateness_us > CAST(m.w_seconds AS BIGINT) * 1000000
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped,
+           SUM(CASE WHEN l.lateness_us > CAST(m.w_seconds AS BIGINT) * 1000000
+               THEN 1 ELSE 0 END) * 1e0 / COUNT(*) AS drop_rate
+    FROM menu m CROSS JOIN late l
+    GROUP BY m.w_seconds
+"""
+
+
+@declared("q_watermark_sizing", oracle=_WM_ORACLE)
+def q_watermark_sizing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermark sizing table: for each candidate withWatermark delay, how
+    many events would be DROPPED as too-late (lateness beyond the delay,
+    measured against the per-user append-order high-water mark — the
+    q_out_of_order statistic turned into the decision table). This is the
+    choose-your-tradeoff readout: delay 0 drops every out-of-order row;
+    the cheapest delay with acceptable drop-rate is the watermark to ship.
+
+    Engine-exactness: integer epoch-µs lateness vs integer thresholds; one
+    1e0 division per menu row.
+
+    Scale notes (100 TB): the lateness pass is q_out_of_order's single
+    user-partitioned window; the 3-row menu is a JVM-side literal relation
+    cross-joined in (no Python boundary), and the aggregate is
+    map-side-combined per menu row."""
+    t = load_tables(spark, sf_dir)
+    late = event_lateness(t.events).select("lateness_us")
+    menu = spark.range(1).select(
+        F.explode(F.array(*[F.lit(w_) for w_ in WATERMARK_MENU_S])).alias("w_seconds")
+    )
+    dropped = F.when(
+        F.col("lateness_us") > F.col("w_seconds").cast("bigint") * 1000000, 1
+    ).otherwise(0)
+    return (
+        F.broadcast(menu)
+        .crossJoin(late)
+        .groupBy("w_seconds")
+        .agg(
+            F.count("*").cast("bigint").alias("n_events"),
+            F.sum(dropped).cast("bigint").alias("n_dropped"),
+            (F.sum(dropped) * F.lit(1.0) / F.count("*")).alias("drop_rate"),
+        )
+        .select(
+            F.col("w_seconds").cast("bigint").alias("w_seconds"),
+            "n_events",
+            "n_dropped",
+            "drop_rate",
         )
     )

@@ -734,3 +734,159 @@ def q_embed_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("centroid"),
     )
+
+
+# --------------------------------------------------------------------------
+# ANN recall audit: hyperplane-LSH candidates vs exact top-k, in-plan
+# --------------------------------------------------------------------------
+
+ANN_RECALL_K = 10
+ANN_QUERY_VEC = 0
+
+
+def _ann_recall_oracle(dim: int = 64) -> str:
+    """DuckDB twin: replays the fixed-point banded bucketing (same integer
+    plane literals as fx_band_sigs) for the query's candidate set, the
+    fixed-point cosine, and both top-k lists."""
+    planes = _fx_planes(dim)
+    per_band = N_FX_PLANES // FX_BANDS
+    values = ",".join(
+        f"({p},{i + 1},{int(planes[p, i])})"
+        for p in range(N_FX_PLANES)
+        for i in range(dim)
+    )
+    sig_weight = " ".join(
+        f"WHEN {r} THEN {1 << (per_band - 1 - r)}" for r in range(per_band)
+    )
+    return f"""
+    WITH planes(p, i, h) AS (VALUES {values}),
+    ex AS (
+        SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS x,
+               generate_subscripts(embedding, 1) AS i
+        FROM embeddings
+    ), exq AS (
+        SELECT vec_id, i, CAST(ROUND(x * {FX_SCALE}) AS BIGINT) AS xi FROM ex
+    ), bits AS (
+        SELECT q.vec_id, pl.p,
+               CASE WHEN SUM(q.xi * pl.h) > 0 THEN 1 ELSE 0 END AS bit
+        FROM exq q JOIN planes pl ON q.i = pl.i
+        GROUP BY q.vec_id, pl.p
+    ), sigs AS (
+        SELECT vec_id, p // {per_band} AS band,
+               SUM(bit * CASE p % {per_band} {sig_weight} END) AS sig
+        FROM bits GROUP BY vec_id, p // {per_band}
+    ), cand AS (
+        SELECT DISTINCT s.vec_id
+        FROM sigs s JOIN sigs q ON s.band = q.band AND s.sig = q.sig
+        WHERE q.vec_id = {ANN_QUERY_VEC} AND s.vec_id <> {ANN_QUERY_VEC}
+    ), nrm AS (
+        SELECT vec_id, SQRT(CAST(SUM(xi * xi) AS DOUBLE)) AS n
+        FROM exq GROUP BY vec_id
+    ), dots AS (
+        SELECT f.vec_id, CAST(SUM(f.xi * q.xi) AS BIGINT) AS dot_fx
+        FROM exq f JOIN (SELECT i, xi FROM exq WHERE vec_id = {ANN_QUERY_VEC}) q
+          ON f.i = q.i
+        WHERE f.vec_id <> {ANN_QUERY_VEC}
+        GROUP BY f.vec_id
+    ), cos AS (
+        SELECT d.vec_id,
+               CAST(d.dot_fx AS DOUBLE) / (na.n * nq.n) AS cosine
+        FROM dots d
+        JOIN nrm na ON na.vec_id = d.vec_id
+        JOIN nrm nq ON nq.vec_id = {ANN_QUERY_VEC}
+    ), exact_top AS (
+        SELECT vec_id FROM (
+            SELECT vec_id, ROW_NUMBER() OVER (ORDER BY cosine DESC, vec_id) AS rn
+            FROM cos
+        ) WHERE rn <= {ANN_RECALL_K}
+    ), ann_top AS (
+        SELECT vec_id FROM (
+            SELECT c.vec_id,
+                   ROW_NUMBER() OVER (ORDER BY c.cosine DESC, c.vec_id) AS rn
+            FROM cos c JOIN cand ON cand.vec_id = c.vec_id
+        ) WHERE rn <= {ANN_RECALL_K}
+    )
+    SELECT CAST({ANN_RECALL_K} AS BIGINT) AS k,
+           CAST((SELECT COUNT(*) FROM cand) AS BIGINT) AS n_candidates,
+           CAST((SELECT COUNT(*) FROM ann_top a JOIN exact_top e
+                 ON a.vec_id = e.vec_id) AS BIGINT) AS n_hits,
+           (SELECT COUNT(*) FROM ann_top a JOIN exact_top e
+            ON a.vec_id = e.vec_id) * 1e0 / {ANN_RECALL_K} AS recall
+    """
+
+
+@declared("q_ann_recall", oracle=_ann_recall_oracle())
+def q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN quality audit, computed IN-PLAN and hash-verified: recall@k of
+    the banded hyperplane-LSH candidate set against the exact cosine top-k
+    for a query vector — the number that decides whether an index's
+    plane/band configuration ships, measured the way a production evaluation
+    harness would (intersection of ranked lists), but with every step
+    engine-exact (fixed-point bucketing AND fixed-point cosine), so the
+    DuckDB oracle replays the whole audit bit-for-bit. Complements
+    q_sim_ann (rows-only) by making the recall claim itself differential.
+
+    Scale notes (100 TB): the query's band signatures broadcast; candidates
+    come from the (band, sig) bucket join (index probe, no corpus scan
+    beyond the signature pass); both top-k lists are TakeOrdered; the
+    recall join touches 2k rows."""
+    t = load_tables(spark, sf_dir)
+    emb = t.embeddings
+    sigs = fx_band_sigs(emb, dim=64)
+    qsig = sigs.filter(F.col("vec_id") == ANN_QUERY_VEC).select("band", "sig")
+    cand = (
+        sigs.join(F.broadcast(qsig), ["band", "sig"])
+        .filter(F.col("vec_id") != ANN_QUERY_VEC)
+        .select("vec_id")
+        .distinct()
+    )
+    fx = emb.select(
+        "vec_id",
+        F.expr(
+            f"transform(embedding, v -> CAST(ROUND(CAST(v AS DOUBLE) * {FX_SCALE}, 0) AS BIGINT))"
+        ).alias("e"),
+    )
+    nrm = F.sqrt(
+        F.aggregate(
+            F.zip_with("e", "e", lambda x, y: x * y),
+            F.lit(0).cast("bigint"),
+            lambda a, v: a + v,
+        ).cast("double")
+    )
+    q = fx.filter(F.col("vec_id") == ANN_QUERY_VEC).select(
+        F.col("e").alias("qe"), nrm.alias("qn")
+    )
+    cos = (
+        fx.filter(F.col("vec_id") != ANN_QUERY_VEC)
+        .crossJoin(F.broadcast(q))
+        .select(
+            "vec_id",
+            (
+                F.aggregate(
+                    F.zip_with("e", "qe", lambda x, y: x * y),
+                    F.lit(0).cast("bigint"),
+                    lambda a, v: a + v,
+                ).cast("double")
+                / (nrm * F.col("qn"))
+            ).alias("cosine"),
+        )
+    )
+    exact_top = cos.orderBy(F.col("cosine").desc(), "vec_id").limit(ANN_RECALL_K)
+    ann_top = (
+        cos.join(F.broadcast(cand), "vec_id")
+        .orderBy(F.col("cosine").desc(), "vec_id")
+        .limit(ANN_RECALL_K)
+    )
+    hits = ann_top.select("vec_id").join(exact_top.select("vec_id"), "vec_id")
+    n_cand = cand.agg(F.count("*").cast("bigint").alias("n_candidates"))
+    n_hits = hits.agg(F.count("*").cast("bigint").alias("n_hits"))
+    return (
+        n_cand.crossJoin(F.broadcast(n_hits))
+        .select(
+            F.lit(ANN_RECALL_K).cast("bigint").alias("k"),
+            "n_candidates",
+            "n_hits",
+            F.expr(f"n_hits * 1e0 / {ANN_RECALL_K}").alias("recall"),
+        )
+        .select("k", "n_candidates", "n_hits", "recall")
+    )

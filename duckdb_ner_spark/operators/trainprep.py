@@ -661,3 +661,116 @@ def q_kmv_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("est_distinct"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# KMV join-size estimation (sketch algebra for the query planner)
+# --------------------------------------------------------------------------
+
+_KMV_JOIN_ORACLE = f"""
+    WITH ha AS (
+        SELECT DISTINCT md5('kmvj|' || CAST(o_custkey AS VARCHAR)) AS h FROM orders
+    ), hb AS (
+        SELECT DISTINCT md5('kmvj|' || CAST(c_custkey AS VARCHAR)) AS h FROM customer
+    ), ka AS (
+        SELECT h FROM (SELECT h, ROW_NUMBER() OVER (ORDER BY h) AS rn FROM ha)
+        WHERE rn <= {KMV_K}
+    ), kb AS (
+        SELECT h FROM (SELECT h, ROW_NUMBER() OVER (ORDER BY h) AS rn FROM hb)
+        WHERE rn <= {KMV_K}
+    ), ku AS (
+        SELECT h FROM (
+            SELECT h, ROW_NUMBER() OVER (ORDER BY h) AS rn
+            FROM (SELECT h FROM ka UNION SELECT h FROM kb)
+        ) WHERE rn <= {KMV_K}
+    ), ma AS (
+        SELECT MAX(h) AS kth, CAST(COUNT(*) AS BIGINT) AS k FROM ka
+    ), mb AS (
+        SELECT MAX(h) AS kth, CAST(COUNT(*) AS BIGINT) AS k FROM kb
+    ), mu AS (
+        SELECT MAX(h) AS kth, CAST(COUNT(*) AS BIGINT) AS k FROM ku
+    ), est AS (
+        SELECT
+          (CAST(ma.k AS DOUBLE) - 1) * 1152921504606846976
+            / CAST((SELECT SUM(CAST(strpos('0123456789abcdef', substr(ma.kth, CAST(i AS INT), 1)) - 1 AS BIGINT)
+                                << CAST((15 - i) * 4 AS INT))
+                    FROM range(1, 16) t(i)) AS DOUBLE) AS est_a,
+          (CAST(mb.k AS DOUBLE) - 1) * 1152921504606846976
+            / CAST((SELECT SUM(CAST(strpos('0123456789abcdef', substr(mb.kth, CAST(i AS INT), 1)) - 1 AS BIGINT)
+                                << CAST((15 - i) * 4 AS INT))
+                    FROM range(1, 16) t(i)) AS DOUBLE) AS est_b,
+          (CAST(mu.k AS DOUBLE) - 1) * 1152921504606846976
+            / CAST((SELECT SUM(CAST(strpos('0123456789abcdef', substr(mu.kth, CAST(i AS INT), 1)) - 1 AS BIGINT)
+                                << CAST((15 - i) * 4 AS INT))
+                    FROM range(1, 16) t(i)) AS DOUBLE) AS est_u
+        FROM ma, mb, mu
+    )
+    SELECT CAST((SELECT COUNT(*) FROM ha) AS BIGINT) AS exact_a,
+           CAST((SELECT COUNT(*) FROM hb) AS BIGINT) AS exact_b,
+           CAST((SELECT COUNT(*) FROM ha JOIN hb USING (h)) AS BIGINT) AS exact_inter,
+           ROUND(est.est_a, 2) AS est_a,
+           ROUND(est.est_b, 2) AS est_b,
+           ROUND(est.est_a + est.est_b - est.est_u, 2) AS est_inter
+    FROM est
+"""
+
+
+@declared("q_kmv_join_est", oracle=_KMV_JOIN_ORACLE)
+def q_kmv_join_est(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch-based JOIN-SIZE estimation: KMV sketches of orders.o_custkey
+    and customer.c_custkey, union-merged (k smallest of the sketch union —
+    the q_kmv_merge algebra), give |A∩B| ≈ est(A) + est(B) − est(A∪B) by
+    inclusion-exclusion — the cardinality estimate a cost-based planner
+    wants BEFORE committing a join strategy, from two k-row summaries
+    instead of a scan. Exact counts computed alongside so the estimate's
+    error is part of the verified result.
+
+    Engine-exactness: md5 KMV replays bit-for-bit (the q_kmv_distinct
+    idiom); estimators are fixed-order double expressions over exact
+    integers, rounded to 2dp.
+
+    Scale notes (100 TB): each sketch is a per-partition k-min heap
+    (TakeOrdered) over 32-byte digests; the merge and the estimate touch
+    3k rows total. The exact-side joins exist only to score the estimate —
+    a production planner runs just the sketch path."""
+    t = load_tables(spark, sf_dir)
+
+    def sketch(df, col, name):
+        h = df.select(
+            F.md5(F.concat(F.lit("kmvj|"), F.col(col).cast("string"))).alias("h")
+        ).distinct()
+        return h, h.orderBy("h").limit(KMV_K)
+
+    ha, ka = sketch(t.orders, "o_custkey", "a")
+    hb, kb = sketch(t.customer, "c_custkey", "b")
+    ku = ka.unionByName(kb).distinct().orderBy("h").limit(KMV_K)
+
+    def est(kdf, name):
+        kth = kdf.agg(F.max("h").alias("kth"), F.count("*").alias("k"))
+        hv = F.conv(F.substring("kth", 1, 15), 16, 10).cast("bigint")
+        return kth.select(
+            (
+                (F.col("k").cast("double") - 1)
+                * F.lit(float(1 << 60))
+                / hv.cast("double")
+            ).alias(name)
+        )
+
+    exact_a = ha.agg(F.count("*").cast("bigint").alias("exact_a"))
+    exact_b = hb.agg(F.count("*").cast("bigint").alias("exact_b"))
+    exact_i = ha.join(hb, "h").agg(F.count("*").cast("bigint").alias("exact_inter"))
+    return (
+        exact_a.crossJoin(F.broadcast(exact_b))
+        .crossJoin(F.broadcast(exact_i))
+        .crossJoin(F.broadcast(est(ka, "ea")))
+        .crossJoin(F.broadcast(est(kb, "eb")))
+        .crossJoin(F.broadcast(est(ku, "eu")))
+        .select(
+            "exact_a",
+            "exact_b",
+            "exact_inter",
+            F.round(F.col("ea"), 2).alias("est_a"),
+            F.round(F.col("eb"), 2).alias("est_b"),
+            F.round(F.col("ea") + F.col("eb") - F.col("eu"), 2).alias("est_inter"),
+        )
+    )

@@ -79,3 +79,58 @@ def test_stream_cdc_matches_batch_keep_latest(spark):
         if r.user_id not in best or cand[:2] > best[r.user_id][:2]:
             best[r.user_id] = cand
     assert got == best
+
+
+def test_event_lateness_detects_planted_disorder(spark):
+    """The shipped testdata is time-ordered, so the declared lateness
+    queries legitimately report zero — this plants real disorder and pins
+    the detection math (the corpus hash gate alone would pass on an
+    operator that always returned 0)."""
+    import datetime
+
+    from duckdb_ner_spark.operators.scalepatterns import event_lateness
+
+    t0 = datetime.datetime(2024, 1, 1)
+
+    def ts(seconds):
+        return t0 + datetime.timedelta(seconds=seconds)
+
+    rows = [
+        # user 1: in-order, then one row 90 s late, then recovers
+        (1, 1, ts(0)), (1, 2, ts(100)), (1, 3, ts(10)), (1, 4, ts(200)),
+        # user 2: perfectly ordered
+        (2, 5, ts(0)), (2, 6, ts(50)),
+        # user 3: duplicate timestamp is NOT late (strict <)
+        (3, 7, ts(0)), (3, 8, ts(0)),
+    ]
+    df = spark.createDataFrame(rows, ["user_id", "event_id", "ts"])
+    got = {
+        (r.user_id, r.event_id): r.lateness_us
+        for r in event_lateness(df).collect()
+    }
+    assert got[(1, 3)] == 90_000_000
+    assert sum(1 for v in got.values() if v > 0) == 1
+    assert got[(3, 8)] == 0  # ties are on-time
+    assert got[(2, 5)] == 0 and got[(2, 6)] == 0
+
+
+def test_ann_recall_bounds_and_candidates(spark):
+    from duckdb_ner_spark.operators.similarity import ANN_RECALL_K, q_ann_recall
+
+    r = q_ann_recall(spark, SF_SMOKE).collect()[0]
+    assert r.k == ANN_RECALL_K
+    assert 0 < r.n_candidates < 500  # LSH prunes: neither empty nor all-pairs
+    assert 0 <= r.n_hits <= ANN_RECALL_K
+    assert r.recall == r.n_hits / ANN_RECALL_K
+    assert r.n_hits > 0  # banded hyperplanes must find part of the true top-k
+
+
+def test_kmv_join_est_tracks_exact_overlap(spark):
+    """Inclusion-exclusion over the three KMV estimates must land near the
+    exact overlap (k=256 ⇒ per-sketch σ ≈ 6%; allow a generous 3σ-ish band
+    since the difference of estimates compounds)."""
+    from duckdb_ner_spark.operators.trainprep import q_kmv_join_est
+
+    r = q_kmv_join_est(spark, SF_SMOKE).collect()[0]
+    assert r.exact_inter > 0
+    assert abs(r.est_inter - r.exact_inter) <= max(0.25 * r.exact_inter, 10)
