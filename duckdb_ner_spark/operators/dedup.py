@@ -937,3 +937,82 @@ def q_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("inter * 1e0 / nb").alias("cont_b"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Cross-source shingle-overlap matrix (corpus provenance forensics)
+# --------------------------------------------------------------------------
+
+_SOURCE_OVERLAP_ORACLE = f"""
+    WITH docs AS (
+        SELECT source, string_split(text, ' ') AS ws FROM documents
+    ), sh AS (
+        SELECT source, {sql_shingles(3)} AS shingles FROM docs
+    ), dg AS (
+        SELECT DISTINCT source, md5(unnest(shingles)) AS d FROM sh
+    ), per_src AS (
+        SELECT source, CAST(COUNT(*) AS BIGINT) AS n FROM dg GROUP BY source
+    ), inter AS (
+        SELECT a.source AS src_a, b.source AS src_b,
+               CAST(COUNT(*) AS BIGINT) AS n_common
+        FROM dg a JOIN dg b ON a.d = b.d AND a.source < b.source
+        GROUP BY 1, 2
+    )
+    SELECT i.src_a, i.src_b, i.n_common, pa.n AS n_a, pb.n AS n_b,
+           i.n_common * 1e0 / (pa.n + pb.n - i.n_common) AS jaccard,
+           i.n_common * 1e0 / LEAST(pa.n, pb.n) AS containment
+    FROM inter i
+    JOIN per_src pa ON pa.source = i.src_a
+    JOIN per_src pb ON pb.source = i.src_b
+"""
+
+
+@declared("q_source_overlap", oracle=_SOURCE_OVERLAP_ORACLE)
+def q_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source shingle-overlap matrix: for every source pair, the
+    Jaccard and small-side containment of their DISTINCT 3-word-shingle
+    digest sets — corpus provenance forensics (two "independent" crawl
+    dumps with high overlap are the same upstream scrape; a high-containment
+    small source is a subset mirror and its tokens are already paid for).
+    The source-level twin of q_leakage's split-level probe, with exact
+    overlap instead of LSH collision.
+
+    Engine-exactness: md5 digests, BIGINT counts, two single 1e0 divisions.
+
+    Scale notes (100 TB): shingles collapse to DISTINCT (source, digest)
+    rows before any join — the overlap join is keyed on the 32-byte digest
+    and each digest meets at most n_sources rows, so the worst fan-out per
+    digest is n_sources², a constant; output is the sources² matrix."""
+    t = load_tables(spark, sf_dir)
+    dg = (
+        t.documents.select("source", words_col("text").alias("ws"))
+        .select("source", cached_exprs("shingles_ws3", shingles_expr).alias("shingles"))
+        .select("source", F.explode("shingles").alias("s"))
+        .select("source", F.md5("s").alias("d"))
+        .distinct()
+        .persist()  # feeds per-source counts AND both sides of the overlap join
+    )
+    per_src = dg.groupBy("source").agg(F.count("*").cast("bigint").alias("n"))
+    a = dg.select(F.col("source").alias("src_a"), "d")
+    b = dg.select(F.col("source").alias("src_b"), "d")
+    inter = (
+        a.join(b, "d")
+        .filter(F.col("src_a") < F.col("src_b"))
+        .groupBy("src_a", "src_b")
+        .agg(F.count("*").cast("bigint").alias("n_common"))
+    )
+    pa = per_src.select(F.col("source").alias("src_a"), F.col("n").alias("n_a"))
+    pb = per_src.select(F.col("source").alias("src_b"), F.col("n").alias("n_b"))
+    return (
+        inter.join(F.broadcast(pa), "src_a")
+        .join(F.broadcast(pb), "src_b")
+        .select(
+            "src_a",
+            "src_b",
+            "n_common",
+            "n_a",
+            "n_b",
+            F.expr("n_common * 1e0 / (n_a + n_b - n_common)").alias("jaccard"),
+            F.expr("n_common * 1e0 / LEAST(n_a, n_b)").alias("containment"),
+        )
+    )

@@ -890,3 +890,66 @@ def q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("k", "n_candidates", "n_hits", "recall")
     )
+
+
+# --------------------------------------------------------------------------
+# Per-dimension embedding QC (dead/collapsed-dimension audit)
+# --------------------------------------------------------------------------
+
+_EMBED_DIMS_ORACLE = f"""
+    WITH ex AS (
+        SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS x,
+               generate_subscripts(embedding, 1) AS i
+        FROM embeddings
+    ), fx AS (
+        SELECT i, CAST(ROUND(x * {FX_SCALE}) AS BIGINT) AS xi FROM ex
+    )
+    SELECT CAST(i AS BIGINT) AS dim,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(xi) AS BIGINT) AS sum_fx,
+           CAST(SUM(xi * xi) AS BIGINT) AS sumsq_fx,
+           CAST(SUM(CASE WHEN xi = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_zero,
+           SUM(xi) * 1e0 / COUNT(*) AS mean_fx,
+           (SUM(xi * xi) * 1e0 * COUNT(*) - SUM(xi) * 1e0 * SUM(xi))
+               / (COUNT(*) * 1e0 * COUNT(*)) AS var_fx
+    FROM fx GROUP BY i
+"""
+
+
+@declared("q_embed_dims", oracle=_EMBED_DIMS_ORACLE)
+def q_embed_dims(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-dimension embedding QC: mean, population variance, and zero
+    count for every embedding coordinate — the audit that catches DEAD
+    dimensions (variance ≈ 0: wasted index width, degenerate quantization
+    ranges) and BIASED dimensions (|mean| ≫ 0: un-centered vectors that
+    skew inner-product ANN) before an index build commits 100 TB of them.
+
+    Engine-exactness: coordinates in the similarity family's 1e6 fixed
+    point; sums and the zero counter are BIGINT; mean/variance are the
+    moment formula over exact sums (the q_stats pattern — no engine-order
+    float accumulation).
+
+    Scale notes (100 TB): one posexplode + one combiner aggregate keyed by
+    dimension — dim-sized output (64 rows), corpus read once, no joins."""
+    t = load_tables(spark, sf_dir)
+    fx = t.embeddings.select(
+        F.posexplode(
+            F.expr(
+                f"transform(embedding, v -> CAST(ROUND(CAST(v AS DOUBLE) * {FX_SCALE}, 0) AS BIGINT))"
+            )
+        ).alias("i0", "xi")
+    ).select((F.col("i0") + 1).alias("dim"), "xi")
+    n = F.count("*")
+    s1 = F.sum("xi")
+    s2 = F.sum(F.expr("xi * xi"))
+    return fx.groupBy("dim").agg(
+        n.cast("bigint").alias("n"),
+        s1.cast("bigint").alias("sum_fx"),
+        s2.cast("bigint").alias("sumsq_fx"),
+        F.sum(F.when(F.col("xi") == 0, 1).otherwise(0)).cast("bigint").alias("n_zero"),
+        (s1 * F.lit(1.0) / n).alias("mean_fx"),
+        (
+            (s2 * F.lit(1.0) * n - s1 * F.lit(1.0) * s1)
+            / (n * F.lit(1.0) * n)
+        ).alias("var_fx"),
+    ).select("dim", "n", "sum_fx", "sumsq_fx", "n_zero", "mean_fx", "var_fx")

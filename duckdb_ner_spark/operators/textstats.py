@@ -866,3 +866,86 @@ def q_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
             " * 1e0 / vocab"
         ).alias("vocab_frac"),
     )
+
+
+# --------------------------------------------------------------------------
+# Bigram-LM quantized surprisal (sequence-aware quality scoring)
+# --------------------------------------------------------------------------
+
+_BIGRAM_SURPRISAL_ORACLE = """
+    WITH d AS (
+        SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+    ), bg AS (
+        SELECT doc_id, unnest([struct_pack(w1 := ws[i], w2 := ws[i+1])
+                               FOR i IN range(1, len(ws))]) AS p
+        FROM d
+    ), pair AS (
+        SELECT p.w1 AS w1, p.w2 AS w2, CAST(COUNT(*) AS BIGINT) AS n_xy
+        FROM bg GROUP BY 1, 2
+    ), head AS (
+        SELECT w1, CAST(SUM(n_xy) AS BIGINT) AS n_x FROM pair GROUP BY w1
+    ), s AS (
+        SELECT bg.doc_id,
+               CAST(LENGTH(bin(h.n_x // pr.n_xy)) - 1 AS BIGINT) AS q
+        FROM bg
+        JOIN pair pr ON bg.p.w1 = pr.w1 AND bg.p.w2 = pr.w2
+        JOIN head h ON h.w1 = pr.w1
+    )
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+           CAST(SUM(q) AS BIGINT) AS sum_surprisal,
+           CAST(SUM(q) AS DOUBLE) / COUNT(*) AS avg_surprisal
+    FROM s GROUP BY doc_id
+"""
+
+
+@declared("q_bigram_surprisal", oracle=_BIGRAM_SURPRISAL_ORACLE)
+def q_bigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram-LM surprisal scoring: every document scored by the average
+    conditional information -log2 P(w2 | w1) under the corpus's own bigram
+    model — the SEQUENCE-aware quality signal q_surprisal's unigram model
+    cannot see (a doc of common words in impossible orders scores normal
+    under unigrams, high here; template boilerplate scores near zero
+    because its transitions are deterministic).
+
+    Engine-exactness: the q_surprisal integer bit-length trick applied to
+    the conditional — floor(log2(n_w1 / n_pair)) == bitlen(n_w1 div
+    n_pair) - 1, with n_w1 = Σ bigrams starting with w1 so n_pair <= n_w1
+    and the quotient is >= 1; BIGINT sums, one final division.
+
+    Scale notes (100 TB): bigram counts are the canonical combiner
+    aggregate; the scoring join is keyed on the bigram itself — the pair
+    table shuffles against the corpus bigrams (both already aggregated /
+    narrow); head-word totals derive from the pair table (no extra corpus
+    pass) and broadcast."""
+    t = load_tables(spark, sf_dir)
+    ws = F.col("ws")
+    m = F.size(ws) - 1
+    bigrams = F.when(
+        F.size(ws) >= 2,
+        F.zip_with(
+            F.slice(ws, 1, m), F.slice(ws, 2, m),
+            lambda x, y: F.struct(x.alias("w1"), y.alias("w2")),
+        ),
+    ).otherwise(F.expr("CAST(array() AS array<struct<w1:string,w2:string>>)"))
+    bg = (
+        t.documents.select("doc_id", F.split("text", " ").alias("ws"))
+        .select("doc_id", F.explode(bigrams).alias("p"))
+        .select("doc_id", "p.w1", "p.w2")
+        .persist()  # feeds the pair counts AND the per-doc scoring join
+    )
+    pair = bg.groupBy("w1", "w2").agg(F.count("*").cast("bigint").alias("n_xy"))
+    head = pair.groupBy("w1").agg(F.sum("n_xy").cast("bigint").alias("n_x"))
+    scored = (
+        bg.join(pair, ["w1", "w2"])
+        .join(F.broadcast(head), "w1")
+        .select(
+            "doc_id",
+            (F.length(F.bin(F.expr("n_x div n_xy"))) - 1).cast("bigint").alias("q"),
+        )
+    )
+    return scored.groupBy("doc_id").agg(
+        F.count("*").cast("bigint").alias("n_bigrams"),
+        F.sum("q").cast("bigint").alias("sum_surprisal"),
+        (F.sum("q").cast("double") / F.count("*")).alias("avg_surprisal"),
+    )

@@ -134,3 +134,91 @@ def test_kmv_join_est_tracks_exact_overlap(spark):
     r = q_kmv_join_est(spark, SF_SMOKE).collect()[0]
     assert r.exact_inter > 0
     assert abs(r.est_inter - r.exact_inter) <= max(0.25 * r.exact_inter, 10)
+
+
+def test_bigram_surprisal_matches_python_recompute(spark):
+    from duckdb_ner_spark.operators.textstats import q_bigram_surprisal
+
+    rows = (
+        spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+        .select("doc_id", "text")
+        .collect()
+    )
+    pair = Counter()
+    per_doc = {}
+    for r in rows:
+        ws = r.text.split(" ")
+        bgs = list(zip(ws, ws[1:]))
+        per_doc[r.doc_id] = bgs
+        pair.update(bgs)
+    head = Counter()
+    for (w1, _), n in pair.items():
+        head[w1] += n
+    got = {
+        r.doc_id: (r.n_bigrams, r.sum_surprisal, r.avg_surprisal)
+        for r in q_bigram_surprisal(spark, SF_SMOKE).collect()
+    }
+    for doc_id, bgs in list(per_doc.items())[:60]:
+        if not bgs:
+            assert doc_id not in got
+            continue
+        sq = sum((head[b[0]] // pair[b]).bit_length() - 1 for b in bgs)
+        assert got[doc_id] == (len(bgs), sq, sq / len(bgs))
+
+
+def test_source_overlap_matches_python_recompute(spark):
+    from duckdb_ner_spark.operators.dedup import q_source_overlap
+
+    rows = (
+        spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+        .select("source", "text")
+        .collect()
+    )
+    sets: dict[str, set] = {}
+    for r in rows:
+        ws = r.text.split(" ")
+        sets.setdefault(r.source, set()).update(
+            " ".join(ws[i : i + 3]) for i in range(len(ws) - 2)
+        )
+    got = {
+        (r.src_a, r.src_b): (r.n_common, r.n_a, r.n_b, r.jaccard, r.containment)
+        for r in q_source_overlap(spark, SF_SMOKE).collect()
+    }
+    srcs = sorted(sets)
+    expect = {}
+    for i, a in enumerate(srcs):
+        for b in srcs[i + 1 :]:
+            inter = len(sets[a] & sets[b])
+            if inter:
+                expect[(a, b)] = (
+                    inter,
+                    len(sets[a]),
+                    len(sets[b]),
+                    inter / len(sets[a] | sets[b]),
+                    inter / min(len(sets[a]), len(sets[b])),
+                )
+    assert got == expect
+
+
+def test_embed_dims_matches_numpy_recompute(spark):
+    import numpy as np
+
+    from duckdb_ner_spark.operators.similarity import q_embed_dims
+
+    emb = np.array(
+        [
+            [round(float(v) * 1_000_000) for v in r.embedding]
+            for r in spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet")
+            .select("embedding")
+            .collect()
+        ],
+        dtype=np.int64,
+    )
+    got = {r.dim: r for r in q_embed_dims(spark, SF_SMOKE).collect()}
+    n = emb.shape[0]
+    for dim in (1, 2, 32, 64):
+        col = emb[:, dim - 1]
+        r = got[dim]
+        assert (r.n, r.sum_fx, r.sumsq_fx) == (n, int(col.sum()), int((col * col).sum()))
+        assert r.n_zero == int((col == 0).sum())
+        assert r.mean_fx == col.sum() / n
