@@ -1287,3 +1287,84 @@ def q_watermark_sizing(spark: SparkSession, sf_dir: str) -> DataFrame:
             "drop_rate",
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Hourly-series autocorrelation (seasonality diagnostics)
+# --------------------------------------------------------------------------
+
+AUTOCORR_LAGS = (1, 2, 3, 6, 12, 24)  # hours
+
+_AUTOCORR_ORACLE = f"""
+    WITH hourly AS (
+        SELECT epoch_us(ts) // 3600000000 AS h, CAST(COUNT(*) AS BIGINT) AS c
+        FROM events GROUP BY 1
+    ), lags AS (
+        SELECT unnest([{", ".join(str(k) for k in AUTOCORR_LAGS)}]) AS k
+    ), pairs AS (
+        SELECT l.k, a.c AS x, b.c AS y
+        FROM lags l
+        JOIN hourly a ON TRUE
+        JOIN hourly b ON b.h = a.h + l.k
+    )
+    SELECT CAST(k AS BIGINT) AS lag_h,
+           CAST(COUNT(*) AS BIGINT) AS n_pairs,
+           (COUNT(*) * 1e0 * SUM(x * y) - SUM(x) * 1e0 * SUM(y))
+             / (SQRT(COUNT(*) * 1e0 * SUM(x * x) - SUM(x) * 1e0 * SUM(x))
+                * SQRT(COUNT(*) * 1e0 * SUM(y * y) - SUM(y) * 1e0 * SUM(y)))
+               AS autocorr
+    FROM pairs GROUP BY k
+"""
+
+
+@declared("q_autocorr", oracle=_AUTOCORR_ORACLE)
+def q_autocorr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Autocorrelation of the hourly event-count series at a menu of lags —
+    the seasonality diagnostic behind anomaly detection baselines and
+    capacity planning (a strong lag-24 peak means build a
+    same-hour-yesterday baseline; no structure means a flat threshold is
+    the best you can do).
+
+    Engine-exactness: hour ids and counts are exact integers; Pearson uses
+    the moment formula over BIGINT sums (the q_stats pattern) with sqrt —
+    the bit-exact transcendental — and fixed-order double arithmetic.
+
+    Scale notes (100 TB): the corpus collapses to the HOURLY table (one
+    combiner aggregate) before anything else; the lag self-join and the
+    correlation run on that tiny series (8.8k rows/year), so the menu of
+    lags costs nothing corpus-sized."""
+    t = load_tables(spark, sf_dir)
+    hourly = (
+        t.events.select(
+            F.expr(
+                "timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)"
+                " div 3600000000"
+            ).alias("h")
+        )
+        .groupBy("h")
+        .agg(F.count("*").cast("bigint").alias("c"))
+        .persist()  # both sides of every lag join
+    )
+    lags = spark.range(1).select(
+        F.explode(F.array(*[F.lit(k) for k in AUTOCORR_LAGS])).alias("k")
+    )
+    a = hourly.select(F.col("h").alias("ha"), F.col("c").alias("x"))
+    b = hourly.select(F.col("h").alias("hb"), F.col("c").alias("y"))
+    pairs = (
+        F.broadcast(lags)
+        .join(a, F.expr("TRUE"))
+        .join(b, F.expr("hb = ha + k"))
+        .select("k", "x", "y")
+    )
+    n = F.count("*")
+    sx, sy = F.sum("x"), F.sum("y")
+    sxx = F.sum(F.expr("x * x"))
+    syy = F.sum(F.expr("y * y"))
+    sxy = F.sum(F.expr("x * y"))
+    corr = (n * F.lit(1.0) * sxy - sx * F.lit(1.0) * sy) / (
+        F.sqrt(n * F.lit(1.0) * sxx - sx * F.lit(1.0) * sx)
+        * F.sqrt(n * F.lit(1.0) * syy - sy * F.lit(1.0) * sy)
+    )
+    return pairs.groupBy("k").agg(
+        n.cast("bigint").alias("n_pairs"), corr.alias("autocorr")
+    ).select(F.col("k").cast("bigint").alias("lag_h"), "n_pairs", "autocorr")

@@ -949,3 +949,113 @@ def q_bigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("q").cast("bigint").alias("sum_surprisal"),
         (F.sum("q").cast("double") / F.count("*")).alias("avg_surprisal"),
     )
+
+
+# --------------------------------------------------------------------------
+# Multi-signal quality gate (the composed keep/drop filter verdict)
+# --------------------------------------------------------------------------
+
+GATE_MIN_WORDS = 20  # too_short below this
+# ratios as exact integer cross-multiplications (numerator, denominator):
+GATE_DISTINCT_NUM, GATE_DISTINCT_DEN = 2, 5  # repetitive: distinct/words < 2/5
+GATE_LOW_BITS = 3  # boilerplate: avg unigram surprisal < 3 bits
+GATE_HIGH_BITS = 9  # noise: avg unigram surprisal > 9 bits
+
+_QUALITY_GATE_ORACLE = f"""
+    WITH w AS (
+        SELECT doc_id, lang, unnest(string_split(text, ' ')) AS w FROM documents
+    ), freq AS (
+        SELECT w, COUNT(*) AS n FROM w GROUP BY w
+    ), tot AS (
+        SELECT COUNT(*) AS total FROM w
+    ), per_doc AS (
+        SELECT w.doc_id, w.lang,
+               CAST(COUNT(*) AS BIGINT) AS n_words,
+               CAST(COUNT(DISTINCT w.w) AS BIGINT) AS n_distinct,
+               CAST(SUM(LENGTH(bin(t.total // f.n)) - 1) AS BIGINT) AS sum_q
+        FROM w JOIN freq f ON w.w = f.w CROSS JOIN tot t
+        GROUP BY w.doc_id, w.lang
+    ), flags AS (
+        SELECT lang,
+               CASE WHEN n_words < {GATE_MIN_WORDS} THEN 1 ELSE 0 END AS too_short,
+               CASE WHEN n_distinct * {GATE_DISTINCT_DEN}
+                         < {GATE_DISTINCT_NUM} * n_words THEN 1 ELSE 0 END AS repetitive,
+               CASE WHEN sum_q < {GATE_LOW_BITS} * n_words THEN 1 ELSE 0 END AS low_surp,
+               CASE WHEN sum_q > {GATE_HIGH_BITS} * n_words THEN 1 ELSE 0 END AS high_surp
+        FROM per_doc
+    )
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(CASE WHEN too_short + repetitive + low_surp + high_surp = 0
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_keep,
+           CAST(SUM(too_short) AS BIGINT) AS n_too_short,
+           CAST(SUM(repetitive) AS BIGINT) AS n_repetitive,
+           CAST(SUM(low_surp) AS BIGINT) AS n_low_surp,
+           CAST(SUM(high_surp) AS BIGINT) AS n_high_surp,
+           SUM(CASE WHEN too_short + repetitive + low_surp + high_surp = 0
+               THEN 1 ELSE 0 END) * 1e0 / COUNT(*) AS keep_rate
+    FROM flags GROUP BY lang
+"""
+
+
+@declared("q_quality_gate", oracle=_QUALITY_GATE_ORACLE)
+def q_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composed document-filter verdict — the gate a pretraining pipeline
+    actually ships, not a single signal: a document is KEPT only if it is
+    long enough, lexically diverse (distinct/word ratio), and its unigram
+    surprisal sits in the [boilerplate, noise] band. Reported per language
+    with per-reason drop counts, because the per-reason mix is what you
+    tune (a language whose drops are all `repetitive` needs a template
+    fix upstream, not a threshold change).
+
+    Engine-exactness: every threshold is an integer cross-multiplication
+    (no ratio doubles); the surprisal band reuses q_surprisal's bit-length
+    quantization; one 1e0 division for keep_rate.
+
+    Scale notes (100 TB): ONE corpus explode feeds word counts, distinct
+    counts, and the surprisal join (vocabulary-sized freq table broadcast);
+    per-doc flags collapse immediately to the per-language audit. A real
+    deployment materializes the per-doc flags as the filter column — same
+    plan minus the final aggregate."""
+    t = load_tables(spark, sf_dir)
+    w = t.documents.select("doc_id", "lang", F.explode(words_col("text")).alias("w"))
+    freq = w.groupBy("w").agg(F.count("*").alias("n"))
+    tot = freq.agg(F.sum("n").alias("total"))
+    q = (F.length(F.bin(F.expr("total div n"))) - 1).cast("bigint")
+    per_doc = (
+        w.join(F.broadcast(freq), "w")
+        .crossJoin(F.broadcast(tot))
+        .groupBy("doc_id", "lang")
+        .agg(
+            F.count("*").cast("bigint").alias("n_words"),
+            F.countDistinct("w").cast("bigint").alias("n_distinct"),
+            F.sum(q).cast("bigint").alias("sum_q"),
+        )
+    )
+    too_short = F.when(F.col("n_words") < GATE_MIN_WORDS, 1).otherwise(0)
+    repetitive = F.when(
+        F.col("n_distinct") * GATE_DISTINCT_DEN < GATE_DISTINCT_NUM * F.col("n_words"), 1
+    ).otherwise(0)
+    low_surp = F.when(F.col("sum_q") < GATE_LOW_BITS * F.col("n_words"), 1).otherwise(0)
+    high_surp = F.when(F.col("sum_q") > GATE_HIGH_BITS * F.col("n_words"), 1).otherwise(0)
+    flags = per_doc.select(
+        "lang",
+        too_short.alias("too_short"),
+        repetitive.alias("repetitive"),
+        low_surp.alias("low_surp"),
+        high_surp.alias("high_surp"),
+    )
+    keep = F.when(
+        F.col("too_short") + F.col("repetitive") + F.col("low_surp") + F.col("high_surp")
+        == 0,
+        1,
+    ).otherwise(0)
+    return flags.groupBy("lang").agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.sum(keep).cast("bigint").alias("n_keep"),
+        F.sum("too_short").cast("bigint").alias("n_too_short"),
+        F.sum("repetitive").cast("bigint").alias("n_repetitive"),
+        F.sum("low_surp").cast("bigint").alias("n_low_surp"),
+        F.sum("high_surp").cast("bigint").alias("n_high_surp"),
+        (F.sum(keep) * F.lit(1.0) / F.count("*")).alias("keep_rate"),
+    )

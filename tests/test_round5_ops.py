@@ -222,3 +222,85 @@ def test_embed_dims_matches_numpy_recompute(spark):
         assert (r.n, r.sum_fx, r.sumsq_fx) == (n, int(col.sum()), int((col * col).sum()))
         assert r.n_zero == int((col == 0).sum())
         assert r.mean_fx == col.sum() / n
+
+
+def test_quality_gate_matches_python_recompute(spark):
+    from duckdb_ner_spark.operators.textstats import (
+        GATE_DISTINCT_DEN,
+        GATE_DISTINCT_NUM,
+        GATE_HIGH_BITS,
+        GATE_LOW_BITS,
+        GATE_MIN_WORDS,
+        q_quality_gate,
+    )
+
+    rows = (
+        spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+        .select("doc_id", "lang", "text")
+        .collect()
+    )
+    freq = Counter()
+    for r in rows:
+        freq.update(r.text.split(" "))
+    total = sum(freq.values())
+    agg = {}
+    for r in rows:
+        ws = r.text.split(" ")
+        n_words, n_distinct = len(ws), len(set(ws))
+        sum_q = sum((total // freq[w]).bit_length() - 1 for w in ws)
+        flags = (
+            int(n_words < GATE_MIN_WORDS),
+            int(n_distinct * GATE_DISTINCT_DEN < GATE_DISTINCT_NUM * n_words),
+            int(sum_q < GATE_LOW_BITS * n_words),
+            int(sum_q > GATE_HIGH_BITS * n_words),
+        )
+        a = agg.setdefault(r.lang, [0, 0, 0, 0, 0, 0])
+        a[0] += 1
+        a[1] += int(sum(flags) == 0)
+        for i, f in enumerate(flags):
+            a[2 + i] += f
+    got = {r.lang: r for r in q_quality_gate(spark, SF_SMOKE).collect()}
+    assert set(got) == set(agg)
+    for lang, (n, keep, short, rep, low, high) in agg.items():
+        r = got[lang]
+        assert (
+            r.n_docs, r.n_keep, r.n_too_short, r.n_repetitive, r.n_low_surp, r.n_high_surp
+        ) == (n, keep, short, rep, low, high)
+        assert r.keep_rate == keep / n
+    # the gate must be non-vacuous on the corpus: something kept, something dropped
+    assert sum(a[1] for a in agg.values()) > 0
+    assert any(a[1] < a[0] for a in agg.values())
+
+
+def test_autocorr_daily_seasonality_detectable(spark):
+    """Pearson at each lag must match a NumPy recompute of the hourly
+    series, and the statistic must be finite/bounded."""
+    import numpy as np
+
+    from duckdb_ner_spark.operators.scalepatterns import AUTOCORR_LAGS, q_autocorr
+
+    rows = (
+        spark.read.parquet(f"{SF_SMOKE}/events.parquet")
+        .selectExpr(
+            "timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)"
+            " div 3600000000 AS h"
+        )
+        .collect()
+    )
+    counts = Counter(r.h for r in rows)
+    got = {r.lag_h: (r.n_pairs, r.autocorr) for r in q_autocorr(spark, SF_SMOKE).collect()}
+    for k in AUTOCORR_LAGS:
+        pairs = [(counts[h], counts[h + k]) for h in counts if h + k in counts]
+        if not pairs:
+            assert k not in got
+            continue
+        x = np.array([p[0] for p in pairs], dtype=float)
+        y = np.array([p[1] for p in pairs], dtype=float)
+        n_pairs, corr = got[k]
+        assert n_pairs == len(pairs)
+        denom = np.sqrt(len(x) * (x * x).sum() - x.sum() ** 2) * np.sqrt(
+            len(y) * (y * y).sum() - y.sum() ** 2
+        )
+        expect = (len(x) * (x * y).sum() - x.sum() * y.sum()) / denom
+        assert abs(corr - expect) < 1e-9
+        assert -1.000001 <= corr <= 1.000001
