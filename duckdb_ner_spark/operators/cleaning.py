@@ -238,3 +238,72 @@ def dsir_scores(documents: DataFrame, target_source: str = DSIR_TARGET_SOURCE) -
             F.expr("CAST(sum(ratio_fx) div count(*) AS BIGINT)").alias("avg_ratio_fx"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Dedup yield audit: token mass saved by exact dedup, per source
+# --------------------------------------------------------------------------
+
+_DEDUP_YIELD_ORACLE = """
+    WITH d AS (
+        SELECT source, md5(text) AS h,
+               CAST(LEN(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+               doc_id
+        FROM documents
+    ), canon AS (
+        SELECT source, h, n_tokens,
+               CASE WHEN doc_id = MIN(doc_id) OVER (PARTITION BY source, h)
+                    THEN 1 ELSE 0 END AS is_canonical
+        FROM d
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(is_canonical) AS BIGINT) AS n_unique,
+           CAST(SUM(n_tokens) AS BIGINT) AS tokens_total,
+           CAST(SUM(is_canonical * n_tokens) AS BIGINT) AS tokens_unique,
+           (SUM(n_tokens) - SUM(is_canonical * n_tokens)) * 1e0
+               / SUM(n_tokens) AS tokens_saved_ratio
+    FROM canon GROUP BY source
+"""
+
+
+@declared("q_dedup_yield", oracle=_DEDUP_YIELD_ORACLE)
+def q_dedup_yield(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-dedup YIELD audit per source: how many documents and — the
+    number that matters for a token budget — how much TOKEN MASS survives
+    keep-first-by-id exact dedup within each source. Run before committing
+    a dedup sweep: a source whose saved-token ratio is near zero doesn't
+    pay for its pass; one where it's large is re-crawled boilerplate and
+    its mixing weight (q_token_budget) was computed on inflated supply.
+
+    Engine-exactness: canonical = min doc_id per (source, md5(text)) —
+    pure integers and digests; one 1e0 division.
+
+    Scale notes (100 TB): the corpus shuffles as (source, 32-byte digest,
+    n_tokens, doc_id) — never text; the canonical flag is a window
+    partitioned by (source, digest) (bounded by the largest duplicate
+    cluster, the same cap-relevant shape q_line_dedup documents); the
+    audit collapses to one row per source."""
+    t = load_tables(spark, sf_dir)
+    from pyspark.sql.window import Window
+
+    d = t.documents.select(
+        "source",
+        F.md5("text").alias("h"),
+        F.size(F.split("text", " ")).cast("bigint").alias("n_tokens"),
+        "doc_id",
+    )
+    w = Window.partitionBy("source", "h")
+    canon = d.withColumn(
+        "is_canonical",
+        F.when(F.col("doc_id") == F.min("doc_id").over(w), 1).otherwise(0),
+    )
+    return canon.groupBy("source").agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.sum("is_canonical").cast("bigint").alias("n_unique"),
+        F.sum("n_tokens").cast("bigint").alias("tokens_total"),
+        F.sum(F.expr("is_canonical * n_tokens")).cast("bigint").alias("tokens_unique"),
+        F.expr(
+            "(SUM(n_tokens) - SUM(is_canonical * n_tokens)) * 1e0 / SUM(n_tokens)"
+        ).alias("tokens_saved_ratio"),
+    )

@@ -211,3 +211,98 @@ def q_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("frame_bytes").alias("total_frame_bytes"),
         F.max("frame_idx").alias("last_frame_idx"),
     )
+
+
+# --------------------------------------------------------------------------
+# Audio-path plumbing: windowed PCM energy over the binary column
+# --------------------------------------------------------------------------
+
+PCM_WINDOW = 64  # samples per energy window
+
+AUDIO_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("n_samples", LongType()),
+        StructField("n_frames", LongType()),
+        StructField("peak_energy", LongType()),
+        StructField("total_energy", LongType()),
+    ]
+)
+
+_AUDIO_ORACLE = f"""
+    WITH pos AS (
+        SELECT doc_id,
+               unnest([struct_pack(
+                           frame := CAST((i - 1) // {PCM_WINDOW} AS BIGINT),
+                           v := ord(substr(text, CAST(i AS INT), 1)))
+                       FOR i IN range(1, LENGTH(text) + 1)]) AS p
+        FROM documents
+        WHERE text IS NOT NULL
+    ), px AS (
+        SELECT doc_id, p.frame AS frame, p.v AS v FROM pos
+    ), frames AS (
+        SELECT doc_id, frame,
+               CAST(SUM(v * v) AS BIGINT) AS energy,
+               CAST(COUNT(*) AS BIGINT) AS n
+        FROM px GROUP BY doc_id, frame
+    )
+    SELECT doc_id,
+           CAST(SUM(n) AS BIGINT) AS n_samples,
+           CAST(COUNT(*) AS BIGINT) AS n_frames,
+           CAST(MAX(energy) AS BIGINT) AS peak_energy,
+           CAST(SUM(energy) AS BIGINT) AS total_energy
+    FROM frames
+    GROUP BY doc_id
+"""
+
+
+def pcm_energy(media: DataFrame) -> DataFrame:
+    """Windowed unsigned-8-bit-PCM energy via Arrow-batched mapInPandas —
+    the AUDIO analogue of featurize_media: a real numeric decode (NumPy
+    uint8 view of the payload, no codec library needed), per-window energy
+    Σv², per-item peak and total. A production deployment swaps the uint8
+    view for torchaudio/ffmpeg frame decode; batch shape, schema, and the
+    zero-shuffle scan→mapInPandas plan are identical."""
+    import numpy as np
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        out = {k.name: [] for k in AUDIO_SCHEMA.fields}
+        for pdf in batches:
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                v = np.frombuffer(payload, dtype=np.uint8).astype(np.int64)
+                n = len(v)
+                n_frames = (n + PCM_WINDOW - 1) // PCM_WINDOW
+                energies = [
+                    int((v[s : s + PCM_WINDOW] ** 2).sum())
+                    for s in range(0, n, PCM_WINDOW)
+                ]
+                out["doc_id"].append(int(doc_id))
+                out["n_samples"].append(n)
+                out["n_frames"].append(n_frames)
+                out["peak_energy"].append(max(energies) if energies else 0)
+                out["total_energy"].append(sum(energies))
+            yield pd.DataFrame(out)
+            out = {k.name: [] for k in AUDIO_SCHEMA.fields}
+
+    return media.mapInPandas(run, schema=AUDIO_SCHEMA)
+
+
+@declared("q_audio_energy", cache_plan=False, oracle=_AUDIO_ORACLE)
+def q_audio_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio-path multimodal plumbing, HASH-verified: the synthesized binary
+    payload (utf-8 text bytes — pure ASCII in this corpus, so byte ==
+    codepoint) is decoded as unsigned 8-bit PCM inside mapInPandas and
+    reduced to per-window energies — the exact shape of an audio
+    feature-extraction pass (silence trimming, VAD pre-filter, loudness
+    normalization all start from windowed energy). The DuckDB oracle
+    replays the energies characterwise via ord(substr(...)), so the entire
+    Python decode path (Arrow batching, NumPy buffer view, window split,
+    per-item reduce) is differential-tested, not just schema-checked —
+    unlike the image stub, this decode is REAL.
+
+    Scale notes (100 TB): scan → mapInPandas → narrow rows; no shuffle
+    until the (already per-item) rows aggregate downstream; payload bytes
+    never shuffle."""
+    t = load_tables(spark, sf_dir)
+    media = attach_media(t.documents.filter(F.col("text").isNotNull()))
+    return pcm_energy(media)
