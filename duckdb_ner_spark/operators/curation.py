@@ -333,3 +333,67 @@ def q_ccnet_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
         "min_surprisal",
         "max_surprisal",
     )
+
+
+# --------------------------------------------------------------------------
+# Language-mixture diversity per source (quantized Shannon bits)
+# --------------------------------------------------------------------------
+
+_DIVERSITY_ORACLE = """
+    WITH d AS (
+        SELECT source, lang, CAST(COUNT(*) AS BIGINT) AS n
+        FROM documents GROUP BY source, lang
+    ), tot AS (
+        SELECT source, CAST(SUM(n) AS BIGINT) AS total FROM d GROUP BY source
+    )
+    SELECT d.source,
+           CAST(t.total AS BIGINT) AS n_docs,
+           CAST(COUNT(*) AS BIGINT) AS n_langs,
+           CAST(SUM(d.n * (LENGTH(bin(t.total // d.n)) - 1)) AS BIGINT)
+               AS sum_diversity_q,
+           SUM(d.n * (LENGTH(bin(t.total // d.n)) - 1)) * 1e0 / t.total
+               AS avg_diversity_bits
+    FROM d JOIN tot t ON d.source = t.source
+    GROUP BY d.source, t.total
+"""
+
+
+@declared("q_mixture_diversity", oracle=_DIVERSITY_ORACLE)
+def q_mixture_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-mixture diversity per source: the quantized Shannon entropy
+    of each source's language distribution (avg over docs of
+    floor(log2(total/n_lang)) — the q_surprisal bit-length identity applied
+    to the MIXTURE rather than the text). Zero bits = a monolingual source;
+    high bits = an evenly mixed one. This is the balance statistic a
+    multilingual data mix monitors per ingest source: a "diverse" source
+    collapsing toward one language between crawls shifts the corpus mixture
+    silently unless this number is tracked.
+
+    Engine-exactness: pure integers until one final 1e0 division.
+
+    Scale notes (100 TB): two combiner aggregates on (source, lang) — the
+    corpus collapses to a sources×languages table before any join."""
+    t = load_tables(spark, sf_dir)
+    d = t.documents.groupBy("source", "lang").agg(
+        F.count("*").cast("bigint").alias("n")
+    )
+    tot = d.groupBy("source").agg(F.sum("n").cast("bigint").alias("total"))
+    q = (F.length(F.bin(F.expr("total div n"))) - 1).cast("bigint")
+    return (
+        d.join(F.broadcast(tot), "source")
+        .groupBy("source", "total")
+        .agg(
+            F.count("*").cast("bigint").alias("n_langs"),
+            F.sum(F.col("n") * q).cast("bigint").alias("sum_diversity_q"),
+            (F.sum(F.col("n") * q) * F.lit(1.0) / F.col("total")).alias(
+                "avg_diversity_bits"
+            ),
+        )
+        .select(
+            "source",
+            F.col("total").alias("n_docs"),
+            "n_langs",
+            "sum_diversity_q",
+            "avg_diversity_bits",
+        )
+    )

@@ -183,3 +183,69 @@ def q_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_pieces").cast("bigint").alias("n_pieces"),
         F.expr("SUM(n_pieces) * 1e0 / SUM(n_words)").alias("fertility"),
     )
+
+
+# --------------------------------------------------------------------------
+# Entity co-occurrence mining (NER output feeding graph analytics)
+# --------------------------------------------------------------------------
+
+NER_PAIRS_TOP = 30
+
+
+@declared("q_ner_pairs", cache_plan=False)
+def q_ner_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity co-occurrence mining over the NER dataflow's OUTPUT: every
+    unordered pair of distinct (label, entity) tuples extracted from the
+    same document, counted corpus-wide — the knowledge-graph edge-building
+    pass that runs downstream of extraction (A1-A13), demonstrating the
+    nested list<struct> result feeding relational analytics in one plan.
+
+    Rows-only (ner() has no SQL twin); determinism comes from the committed
+    stub model, and the pair math is pinned by a pure-Python recompute in
+    pytest.
+
+    Scale notes (100 TB): the per-doc pair fan-out is bounded by
+    C(entities-per-doc, 2) — entity lists are short by construction (the
+    reference caps tokens per doc); pairs aggregate with the combiner;
+    top-k is TakeOrdered."""
+    from ..functions.ner_udf import make_ner_udf
+
+    t = load_tables(spark, sf_dir)
+    udf = make_ner_udf(DOC_STUB_MODEL, default_truncate=True)
+    docs = t.documents.repartition(spark.sparkContext.defaultParallelism)
+    ents = (
+        docs.select("doc_id", udf(F.col("text")).alias("entities"))
+        .select(
+            "doc_id",
+            F.array_sort(
+                F.array_distinct(
+                    F.expr(
+                        "transform(entities,"
+                        " e -> struct(e.label AS label, e.entity AS entity))"
+                    )
+                )
+            ).alias("es"),
+        )
+    )
+    # build unordered pairs JVM-side: for i<j emit (es[i], es[j])
+    pairs = ents.select(
+        F.explode(
+            F.expr(
+                "flatten(transform(es, (a, i) ->"
+                " transform(slice(es, i + 2, size(es)), b -> struct(a AS p1, b AS p2))))"
+            )
+        ).alias("p")
+    )
+    return (
+        pairs.groupBy(
+            F.col("p.p1.label").alias("label_a"),
+            F.col("p.p1.entity").alias("entity_a"),
+            F.col("p.p2.label").alias("label_b"),
+            F.col("p.p2.entity").alias("entity_b"),
+        )
+        .agg(F.count("*").cast("bigint").alias("n_docs"))
+        .orderBy(
+            F.col("n_docs").desc(), "label_a", "entity_a", "label_b", "entity_b"
+        )
+        .limit(NER_PAIRS_TOP)
+    )

@@ -365,3 +365,56 @@ def test_dedup_yield_counts_planted_duplicates(spark):
     }
     assert agg["srcA"] == (2, 10, 6)
     assert agg["srcB"] == (1, 4, 4)
+
+
+def test_ner_pairs_matches_python_recompute(spark):
+    """q_ner_pairs vs a pure-Python recompute: run the same stub-model UDF
+    output through driver-side pair building — pins the JVM-side
+    transform/slice pair fan-out against an independent implementation."""
+    from itertools import combinations
+
+    from duckdb_ner_spark.functions.ner_udf import make_ner_udf
+    from duckdb_ner_spark.operators.ner_queries import (
+        DOC_STUB_MODEL,
+        NER_PAIRS_TOP,
+        q_ner_pairs,
+    )
+
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+    udf = make_ner_udf(DOC_STUB_MODEL, default_truncate=True)
+    ents = docs.select("doc_id", udf(F.col("text")).alias("es")).collect()
+    pair_counts = Counter()
+    for r in ents:
+        uniq = sorted({(e.label, e.entity) for e in r.es})
+        for a, b in combinations(uniq, 2):
+            pair_counts[(a, b)] += 1
+    expect = sorted(
+        pair_counts.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1])
+    )[:NER_PAIRS_TOP]
+    expect = [(a[0], a[1], b[0], b[1], n) for (a, b), n in expect]
+    got = [
+        (r.label_a, r.entity_a, r.label_b, r.entity_b, r.n_docs)
+        for r in q_ner_pairs(spark, SF_SMOKE).collect()
+    ]
+    assert got == expect
+    assert got, "stub model must extract co-occurring entities"
+
+
+def test_mixture_diversity_matches_python_recompute(spark):
+    from duckdb_ner_spark.operators.curation import q_mixture_diversity
+
+    rows = (
+        spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+        .select("source", "lang")
+        .collect()
+    )
+    mix: dict[str, Counter] = {}
+    for r in rows:
+        mix.setdefault(r.source, Counter())[r.lang] += 1
+    got = {r.source: r for r in q_mixture_diversity(spark, SF_SMOKE).collect()}
+    for src, langs in mix.items():
+        total = sum(langs.values())
+        sq = sum(n * ((total // n).bit_length() - 1) for n in langs.values())
+        r = got[src]
+        assert (r.n_docs, r.n_langs, r.sum_diversity_q) == (total, len(langs), sq)
+        assert r.avg_diversity_bits == sq / total
