@@ -96,8 +96,83 @@ def main() -> None:
         big_d = inflate(docs.select("doc_id", "text"), times, ["doc_id"])
         line_dedup_stats(big_d).agg(F.sum("n_dup")).collect()
 
+    def hot_bucket_shape(times):
+        # r5 dedup fix: a boilerplate template cluster inflated 1000→30000
+        # docs — ALL in one LSH bucket per band. The capped candidate
+        # generation must stay pair-bounded (C(64,2) pairs regardless of
+        # cluster size) and near-linear in docs (the per-bucket rank sort),
+        # where the uncapped form was quadratic (5·10^5 → 4.5·10^8 pairs).
+        from duckdb_ner_spark.operators.dedup import (
+            LSH_BUCKET_CAP,
+            _minhash_cols,
+            lsh_candidate_pairs,
+        )
+        from duckdb_ner_spark.operators.textprep import shingles_expr, words_col
+        from duckdb_ner_spark.plans.exprcache import cached_exprs
+
+        tmpl = "the quick brown fox jumps over the lazy dog again and again"
+        df = spark.range(1000 * times).select(
+            F.col("id").alias("doc_id"), F.lit(tmpl).alias("text")
+        )
+        d = df.select("doc_id", words_col("text").alias("ws")).select(
+            "doc_id", cached_exprs("shingles_ws3", shingles_expr).alias("shingles")
+        )
+        sigs = d.select(
+            "doc_id", "shingles", *cached_exprs("minhash_cols", _minhash_cols)
+        )
+        n_pairs = lsh_candidate_pairs(sigs, "doc_id").count()
+        assert n_pairs == LSH_BUCKET_CAP * (LSH_BUCKET_CAP - 1) // 2, n_pairs
+
+    def cdc_chunk_shape(times):
+        # r5 retrieval family: per-doc partitioned prefix-sum window + two
+        # combiner aggregates (q_cdc_chunk's core)
+        from pyspark.sql import Window
+
+        big_d = inflate(docs.select("doc_id", "text"), times, ["doc_id"])
+        post = big_d.select(
+            "doc_id", F.posexplode(F.split("text", " ")).alias("p0", "w")
+        ).select(
+            "doc_id",
+            (F.col("p0") + 1).alias("pos"),
+            F.when(F.substring(F.md5("w"), 1, 1) == "0", 1).otherwise(0).alias("b"),
+        )
+        wdoc = Window.partitionBy("doc_id").orderBy("pos").rowsBetween(
+            Window.unboundedPreceding, -1
+        )
+        (
+            post.select(
+                "doc_id",
+                F.coalesce(F.sum("b").over(wdoc), F.lit(0)).alias("chunk_id"),
+            )
+            .groupBy("doc_id", "chunk_id")
+            .agg(F.count("*").alias("n"))
+            .groupBy("doc_id")
+            .agg(F.count("*").alias("n_chunks"))
+            .agg(F.sum("n_chunks"))
+            .collect()
+        )
+
+    def topk_salted_shape(times):
+        # r5 skew-safe grouped top-k: two-phase salted rank (q_topk_salted)
+        from pyspark.sql import Window
+
+        big_d = inflate(docs.select("doc_id", "source", "n_chars"), times, ["doc_id"])
+        d = big_d.withColumn("salt", F.col("doc_id") % 4)
+        w1 = Window.partitionBy("source", "salt").orderBy(
+            F.col("n_chars").desc(), "doc_id"
+        )
+        p1 = d.withColumn("r1", F.row_number().over(w1)).filter(F.col("r1") <= 3)
+        w2 = Window.partitionBy("source").orderBy(F.col("n_chars").desc(), "doc_id")
+        (
+            p1.withColumn("rk", F.row_number().over(w2))
+            .filter(F.col("rk") <= 3)
+            .agg(F.count("*"))
+            .collect()
+        )
+
     # untimed warmup: whole-stage-codegen JIT is a one-off per plan shape
     agg_shape(1), join_shape(1), window_shape(1), funnel_shape(1), linededup_shape(1)
+    hot_bucket_shape(1), cdc_chunk_shape(1), topk_salted_shape(1)
 
     for times in (1, 10, 30):
         probe("tpch_q1_agg", agg_shape, times)
@@ -105,6 +180,9 @@ def main() -> None:
         probe("running_window", window_shape, times)
         probe("funnel_windows", funnel_shape, times)
         probe("line_dedup_digest", linededup_shape, times)
+        probe("capped_hot_bucket", hot_bucket_shape, times)
+        probe("cdc_chunk_windows", cdc_chunk_shape, times)
+        probe("grouped_topk_salted", topk_salted_shape, times)
 
     rows_base = li.count()
     lines = [
