@@ -307,3 +307,129 @@ def q_dedup_yield(spark: SparkSession, sf_dir: str) -> DataFrame:
             "(SUM(n_tokens) - SUM(is_canonical * n_tokens)) * 1e0 / SUM(n_tokens)"
         ).alias("tokens_saved_ratio"),
     )
+
+
+# --------------------------------------------------------------------------
+# Normalization audit + canonical-form dedup gain
+# --------------------------------------------------------------------------
+
+# lower → strip non-[a-z0-9 ] → collapse space runs → trim. DuckDB needs the
+# 'g' flag for global regexp_replace; Spark replaces all matches by default —
+# same transform, dialect-specific spelling.
+_NORM_SPARK = (
+    "trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ''),"
+    " ' +', ' '))"
+)
+_NORM_DUCK = (
+    "trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'),"
+    " ' +', ' ', 'g'))"
+)
+
+_NORMALIZE_ORACLE = f"""
+    WITH n AS (
+        SELECT source, text, {_NORM_DUCK} AS norm,
+               LENGTH(text) AS n_chars_raw,
+               OCTET_LENGTH(CAST(text AS BLOB)) AS n_bytes_raw
+        FROM documents
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(CASE WHEN norm <> text THEN 1 ELSE 0 END) AS BIGINT) AS n_changed,
+           CAST(SUM(CASE WHEN n_bytes_raw <> n_chars_raw THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_nonascii,
+           CAST(SUM(n_chars_raw) AS BIGINT) AS chars_raw,
+           CAST(SUM(LENGTH(norm)) AS BIGINT) AS chars_norm,
+           SUM(LENGTH(norm)) * 1e0 / SUM(n_chars_raw) AS keep_ratio
+    FROM n GROUP BY source
+"""
+
+
+@declared("q_normalize_audit", oracle=_NORMALIZE_ORACLE)
+def q_normalize_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Text-normalization audit per source: how many documents a canonical
+    lower/strip-punctuation/collapse-whitespace transform would change, how
+    many contain non-ASCII bytes (octet length ≠ char length — the mojibake
+    / encoding-drift detector), and the character mass the transform keeps.
+    This is the dry-run a cleaning pipeline records before rewriting 100 TB
+    — the per-source numbers say which ingest feeds need the pass at all.
+
+    Engine-exactness: identical regex classes on both engines (DuckDB
+    spelled with the 'g' flag, Spark global by default); counts BIGINT, one
+    1e0 division.
+
+    Scale notes (100 TB): pure narrow projection (codegen'd regex) into a
+    per-source combiner aggregate — zero shuffles before the sources-sized
+    result."""
+    t = load_tables(spark, sf_dir)
+    n = t.documents.select(
+        "source",
+        "text",
+        F.expr(_NORM_SPARK).alias("norm"),
+        F.length("text").alias("n_chars_raw"),
+        F.octet_length("text").alias("n_bytes_raw"),
+    )
+    return n.groupBy("source").agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.sum(F.when(F.col("norm") != F.col("text"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_changed"),
+        F.sum(F.when(F.col("n_bytes_raw") != F.col("n_chars_raw"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_nonascii"),
+        F.sum("n_chars_raw").cast("bigint").alias("chars_raw"),
+        F.sum(F.length("norm")).cast("bigint").alias("chars_norm"),
+        F.expr("SUM(LENGTH(norm)) * 1e0 / SUM(n_chars_raw)").alias("keep_ratio"),
+    )
+
+
+_CANON_GAIN_ORACLE = f"""
+    WITH n AS (
+        SELECT source, md5(text) AS h_raw, md5({_NORM_DUCK}) AS h_canon
+        FROM documents
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(COUNT(DISTINCT h_raw) AS BIGINT) AS uniq_raw,
+           CAST(COUNT(DISTINCT h_canon) AS BIGINT) AS uniq_canon,
+           CAST(COUNT(DISTINCT h_raw) - COUNT(DISTINCT h_canon) AS BIGINT)
+               AS extra_dups_found,
+           (COUNT(DISTINCT h_raw) - COUNT(DISTINCT h_canon)) * 1e0
+               / COUNT(DISTINCT h_raw) AS gain_ratio
+    FROM n GROUP BY source
+"""
+
+
+@declared("q_canon_dedup_gain", oracle=_CANON_GAIN_ORACLE)
+def q_canon_dedup_gain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical-form dedup GAIN: per source, how many additional duplicate
+    documents exact dedup finds when it keys on the NORMALIZED text instead
+    of the raw bytes — the measurement that justifies (or kills) adding the
+    normalization pass before dedup: near-zero gain means raw-hash dedup
+    already suffices; large gain means the source re-serializes the same
+    content with cosmetic differences (tracker params, whitespace,
+    capitalization).
+
+    Engine-exactness: two md5 digests per doc, distinct counts, one 1e0
+    division.
+
+    Scale notes (100 TB): the corpus shuffles as (source, digest, digest) —
+    never text; two count-distincts share one aggregation."""
+    t = load_tables(spark, sf_dir)
+    n = t.documents.select(
+        "source",
+        F.md5("text").alias("h_raw"),
+        F.md5(F.expr(_NORM_SPARK)).alias("h_canon"),
+    )
+    return n.groupBy("source").agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.countDistinct("h_raw").cast("bigint").alias("uniq_raw"),
+        F.countDistinct("h_canon").cast("bigint").alias("uniq_canon"),
+        (F.countDistinct("h_raw") - F.countDistinct("h_canon"))
+        .cast("bigint")
+        .alias("extra_dups_found"),
+        (
+            (F.countDistinct("h_raw") - F.countDistinct("h_canon"))
+            * F.lit(1.0)
+            / F.countDistinct("h_raw")
+        ).alias("gain_ratio"),
+    )

@@ -1368,3 +1368,75 @@ def q_autocorr(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pairs.groupBy("k").agg(
         n.cast("bigint").alias("n_pairs"), corr.alias("autocorr")
     ).select(F.col("k").cast("bigint").alias("lag_h"), "n_pairs", "autocorr")
+
+
+# --------------------------------------------------------------------------
+# Per-user daily-velocity anomaly scores (abuse/bot triage)
+# --------------------------------------------------------------------------
+
+VELOCITY_TOP = 25
+
+_VELOCITY_ORACLE = f"""
+    WITH daily AS (
+        SELECT user_id, epoch_us(ts) // 86400000000 AS day,
+               CAST(COUNT(*) AS BIGINT) AS c
+        FROM events GROUP BY 1, 2
+    ), stats AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(c) AS BIGINT) AS s1,
+               CAST(SUM(c * c) AS BIGINT) AS s2
+        FROM daily
+    ), scored AS (
+        SELECT d.user_id, d.day, d.c,
+               (d.c * 1e0 * t.n - t.s1)
+                 / SQRT((t.s2 * 1e0 * t.n - t.s1 * 1e0 * t.s1)) AS z
+        FROM daily d CROSS JOIN stats t
+    )
+    SELECT user_id, CAST(day AS BIGINT) AS day, c AS n_events, z
+    FROM scored
+    ORDER BY z DESC, user_id, day
+    LIMIT {VELOCITY_TOP}
+"""
+
+
+@declared("q_velocity_anomaly", oracle=_VELOCITY_ORACLE)
+def q_velocity_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily-velocity anomaly triage: each (user, day) activity count scored
+    against the corpus-wide daily-count distribution (z-like score from the
+    moment formula), top offenders first — the first-pass bot/abuse queue.
+    The z here is vs the GLOBAL (user, day) population: cheap, one pass; a
+    per-user baseline variant partitions the stats by user with the same
+    shape.
+
+    Engine-exactness: daily counts are integer aggregates; the score is the
+    moment formula over exact BIGINT sums (q_stats pattern: n·c − s1 over
+    sqrt(n·s2 − s1²), equivalent ranking to the textbook z and exactly
+    reproducible); top-k is TakeOrdered with a pinned total order.
+
+    Scale notes (100 TB): the corpus collapses to (user, day) rows in one
+    combiner aggregate; the 1-row stats broadcast back; TakeOrdered heaps
+    pick the queue."""
+    t = load_tables(spark, sf_dir)
+    daily = (
+        t.events.select(
+            "user_id",
+            F.expr(
+                "timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)"
+                " div 86400000000"
+            ).alias("day"),
+        )
+        .groupBy("user_id", "day")
+        .agg(F.count("*").cast("bigint").alias("c"))
+    )
+    stats = daily.agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("c").cast("bigint").alias("s1"),
+        F.sum(F.expr("c * c")).cast("bigint").alias("s2"),
+    )
+    scored = daily.crossJoin(F.broadcast(stats)).select(
+        "user_id",
+        F.col("day").cast("bigint").alias("day"),
+        F.col("c").alias("n_events"),
+        F.expr("(c * 1e0 * n - s1) / SQRT(s2 * 1e0 * n - s1 * 1e0 * s1)").alias("z"),
+    )
+    return scored.orderBy(F.col("z").desc(), "user_id", "day").limit(VELOCITY_TOP)

@@ -418,3 +418,64 @@ def test_mixture_diversity_matches_python_recompute(spark):
         r = got[src]
         assert (r.n_docs, r.n_langs, r.sum_diversity_q) == (total, len(langs), sq)
         assert r.avg_diversity_bits == sq / total
+
+
+def test_normalize_and_canon_gain_on_planted_variants(spark):
+    """Cosmetic variants (case, punctuation, whitespace) must normalize to
+    the same canonical hash — found by canonical dedup, missed by raw."""
+    from duckdb_ner_spark.operators.cleaning import _NORM_SPARK
+
+    df = spark.createDataFrame(
+        [
+            (1, "Hello,   World!"),
+            (2, "hello world"),
+            (3, "HELLO WORLD."),
+            (4, "different text"),
+        ],
+        ["doc_id", "text"],
+    )
+    n = df.select(
+        "doc_id",
+        F.expr(_NORM_SPARK).alias("norm"),
+        F.md5("text").alias("h_raw"),
+        F.md5(F.expr(_NORM_SPARK)).alias("h_canon"),
+    ).collect()
+    norms = {r.doc_id: r.norm for r in n}
+    assert norms[1] == norms[2] == norms[3] == "hello world"
+    assert len({r.h_raw for r in n}) == 4
+    assert len({r.h_canon for r in n}) == 2
+
+
+def test_velocity_anomaly_matches_python_recompute(spark):
+    import math
+
+    from duckdb_ner_spark.operators.scalepatterns import (
+        VELOCITY_TOP,
+        q_velocity_anomaly,
+    )
+
+    rows = (
+        spark.read.parquet(f"{SF_SMOKE}/events.parquet")
+        .selectExpr(
+            "user_id",
+            "timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)"
+            " div 86400000000 AS day",
+        )
+        .collect()
+    )
+    daily = Counter((r.user_id, r.day) for r in rows)
+    n = len(daily)
+    s1 = sum(daily.values())
+    s2 = sum(c * c for c in daily.values())
+    scored = sorted(
+        (
+            ((c * 1.0 * n - s1) / math.sqrt(s2 * 1.0 * n - s1 * 1.0 * s1), u, d, c)
+            for (u, d), c in daily.items()
+        ),
+        key=lambda t: (-t[0], t[1], t[2]),
+    )[:VELOCITY_TOP]
+    got = [
+        (r.z, r.user_id, r.day, r.n_events)
+        for r in q_velocity_anomaly(spark, SF_SMOKE).collect()
+    ]
+    assert got == scored
