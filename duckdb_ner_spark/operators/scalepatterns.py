@@ -1440,3 +1440,75 @@ def q_velocity_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("(c * 1e0 * n - s1) / SQRT(s2 * 1e0 * n - s1 * 1e0 * s1)").alias("z"),
     )
     return scored.orderBy(F.col("z").desc(), "user_id", "day").limit(VELOCITY_TOP)
+
+
+# --------------------------------------------------------------------------
+# Exponentially decayed activity (half-life features, exact powers of two)
+# --------------------------------------------------------------------------
+
+DECAY_SHIFT_CAP = 40  # ages beyond this contribute weight 0 (2^-40 ≈ 1e-12)
+
+_DECAY_ORACLE = f"""
+    WITH daily AS (
+        SELECT user_id, epoch_us(ts) // 86400000000 AS day,
+               CAST(COUNT(*) AS BIGINT) AS c
+        FROM events GROUP BY 1, 2
+    ), anchor AS (
+        SELECT MAX(day) AS maxd FROM daily
+    ), weighted AS (
+        SELECT d.user_id, d.c,
+               CASE WHEN a.maxd - d.day >= {DECAY_SHIFT_CAP} THEN CAST(0 AS BIGINT)
+                    ELSE d.c << CAST({DECAY_SHIFT_CAP} - (a.maxd - d.day) AS INT)
+               END AS w
+        FROM daily d CROSS JOIN anchor a
+    )
+    SELECT user_id,
+           CAST(SUM(c) AS BIGINT) AS n_events,
+           CAST(SUM(w) AS BIGINT) AS decayed_fx,
+           SUM(w) * 1e0 / {1 << DECAY_SHIFT_CAP} AS decayed_count
+    FROM weighted GROUP BY user_id
+"""
+
+
+@declared("q_decay_sum", oracle=_DECAY_ORACLE)
+def q_decay_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially decayed per-user activity with a 1-day half-life —
+    the recency-weighted engagement feature (decayed_count = Σ c_day ·
+    2^-age): yesterday counts half of today, and a burst a month ago is
+    noise. The half-life form is the one decayed feature that admits EXACT
+    arithmetic: weights are powers of two, so the weighted sum is an
+    integer SHIFT-accumulate in 2^{DECAY_SHIFT_CAP} fixed point (no
+    cross-engine exp()/pow() drift — the ln() lesson applied to decay),
+    with ages ≥ {DECAY_SHIFT_CAP} days contributing exactly 0.
+
+    Scale notes (100 TB): corpus → (user, day) combiner aggregate; the
+    1-row anchor broadcasts; one more combiner aggregate to per-user rows.
+    The shift-accumulate is also the MERGEABLE form: yesterday's per-user
+    decayed_fx halves (one shift) and adds today's partial — the
+    incremental-maintenance property q_incr_agg demonstrates for sums."""
+    t = load_tables(spark, sf_dir)
+    daily = (
+        t.events.select(
+            "user_id",
+            F.expr(
+                "timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)"
+                " div 86400000000"
+            ).alias("day"),
+        )
+        .groupBy("user_id", "day")
+        .agg(F.count("*").cast("bigint").alias("c"))
+    )
+    anchor = daily.agg(F.max("day").alias("maxd"))
+    weighted = daily.crossJoin(F.broadcast(anchor)).select(
+        "user_id",
+        "c",
+        F.expr(
+            f"CASE WHEN maxd - day >= {DECAY_SHIFT_CAP} THEN CAST(0 AS BIGINT)"
+            f" ELSE shiftleft(c, CAST({DECAY_SHIFT_CAP} - (maxd - day) AS INT)) END"
+        ).alias("w"),
+    )
+    return weighted.groupBy("user_id").agg(
+        F.sum("c").cast("bigint").alias("n_events"),
+        F.sum("w").cast("bigint").alias("decayed_fx"),
+        F.expr(f"SUM(w) * 1e0 / {1 << DECAY_SHIFT_CAP}").alias("decayed_count"),
+    )

@@ -523,3 +523,32 @@ def q_stream_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("s.value_fx").cast("bigint").alias("last_value_fx"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Streaming NER: the Tier-A UDF inside a micro-batch drain, declared
+# --------------------------------------------------------------------------
+
+
+@declared("q_stream_ner", cache_plan=False, oracle=None)
+def q_stream_ner(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The NER ingest pipeline AS A STREAM, surfaced through the declared
+    gate: documents drain through the Arrow-batched ner() UDF in
+    availableNow micro-batches (per-executor model singleton), entity-label
+    counts accumulate in complete mode, and the drained sink is returned.
+    Rows-only (ner() has no SQL twin); stream==batch count parity is pinned
+    in tests/test_streaming.py::test_ner_stream_matches_batch.
+
+    Scale notes (100 TB): the UDF stage is stateless and scales with input
+    partitions; aggregate state is O(label domain) = 4 classes + O —
+    complete mode is bounded by construction."""
+    from ..operators.ner_queries import DOC_STUB_MODEL
+    from ..streaming.ner_stream import run_ner_stream_to_memory
+
+    name = f"dns_ner_sink_{next(_SINK_IDS)}"
+    run_ner_stream_to_memory(spark, sf_dir, table_name=name, model_path=DOC_STUB_MODEL)
+    return (
+        spark.table(name)
+        .select("label", F.col("n").cast("bigint").alias("n"))
+        .orderBy("label")
+    )

@@ -1059,3 +1059,80 @@ def q_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("high_surp").cast("bigint").alias("n_high_surp"),
         (F.sum(keep) * F.lit(1.0) / F.count("*")).alias("keep_rate"),
     )
+
+
+# --------------------------------------------------------------------------
+# 2-D corpus histogram: length x surprisal (the QC heatmap)
+# --------------------------------------------------------------------------
+
+H2D_LEN_WIDTH = 200  # chars per length bucket
+H2D_LEN_CAP = 9  # top bucket collects the tail
+H2D_SURP_CAP = 12  # bits cap
+
+_HIST2D_ORACLE = f"""
+    WITH w AS (
+        SELECT doc_id, n_chars, unnest(string_split(text, ' ')) AS w
+        FROM documents
+    ), freq AS (
+        SELECT w, COUNT(*) AS n FROM w GROUP BY w
+    ), tot AS (
+        SELECT COUNT(*) AS total FROM w
+    ), per_doc AS (
+        SELECT w.doc_id,
+               LEAST(MIN(w.n_chars) // {H2D_LEN_WIDTH}, {H2D_LEN_CAP}) AS len_b,
+               LEAST(SUM(LENGTH(bin(t.total // f.n)) - 1) // COUNT(*),
+                     {H2D_SURP_CAP}) AS surp_b
+        FROM w JOIN freq f ON w.w = f.w CROSS JOIN tot t
+        GROUP BY w.doc_id
+    )
+    SELECT CAST(len_b AS BIGINT) AS len_bucket,
+           CAST(surp_b AS BIGINT) AS surp_bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_docs
+    FROM per_doc GROUP BY len_b, surp_b
+"""
+
+
+@declared("q_histogram2d", oracle=_HIST2D_ORACLE)
+def q_histogram2d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-D corpus QC heatmap: documents bucketed jointly by length
+    ({H2D_LEN_WIDTH}-char equi-width, capped) and mean quantized surprisal
+    (whole bits, capped) — the joint view that separates failure modes the
+    1-D histograms conflate: short+low-surprisal = navigation boilerplate,
+    long+low = template dumps, short+high = tokenizer junk, long+high =
+    genuine long-tail content. Fixed integer bucket edges (the q_histogram
+    discipline) — NO rank windows, so the heatmap costs two combiner
+    aggregates at any scale.
+
+    Engine-exactness: bucket ids are pure integer division with LEAST caps;
+    mean surprisal uses integer division (floor of the exact mean) so the
+    bucket id never sees a double."""
+    t = load_tables(spark, sf_dir)
+    w = t.documents.select(
+        "doc_id", "n_chars", F.explode(words_col("text")).alias("w")
+    )
+    freq = w.groupBy("w").agg(F.count("*").alias("n"))
+    tot = freq.agg(F.sum("n").alias("total"))
+    q = (F.length(F.bin(F.expr("total div n"))) - 1).cast("bigint")
+    per_doc = (
+        w.join(F.broadcast(freq), "w")
+        .crossJoin(F.broadcast(tot))
+        .select("doc_id", "n_chars", q.alias("qq"))
+        .groupBy("doc_id")
+        .agg(
+            F.least(
+                F.expr(f"CAST(MIN(n_chars) div {H2D_LEN_WIDTH} AS BIGINT)"),
+                F.lit(H2D_LEN_CAP).cast("bigint"),
+            ).alias("len_b"),
+            F.least(
+                F.expr("CAST(SUM(qq) div COUNT(*) AS BIGINT)"),
+                F.lit(H2D_SURP_CAP).cast("bigint"),
+            ).alias("surp_b"),
+        )
+    )
+    return per_doc.groupBy("len_b", "surp_b").agg(
+        F.count("*").cast("bigint").alias("n_docs")
+    ).select(
+        F.col("len_b").alias("len_bucket"),
+        F.col("surp_b").alias("surp_bucket"),
+        "n_docs",
+    )

@@ -479,3 +479,55 @@ def test_velocity_anomaly_matches_python_recompute(spark):
         for r in q_velocity_anomaly(spark, SF_SMOKE).collect()
     ]
     assert got == scored
+
+
+def test_decay_sum_matches_python_recompute(spark):
+    from duckdb_ner_spark.operators.scalepatterns import DECAY_SHIFT_CAP, q_decay_sum
+
+    rows = (
+        spark.read.parquet(f"{SF_SMOKE}/events.parquet")
+        .selectExpr(
+            "user_id",
+            "timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)"
+            " div 86400000000 AS day",
+        )
+        .collect()
+    )
+    daily = Counter((r.user_id, r.day) for r in rows)
+    maxd = max(d for _, d in daily)
+    agg = {}
+    for (u, d), c in daily.items():
+        age = maxd - d
+        w = 0 if age >= DECAY_SHIFT_CAP else c << (DECAY_SHIFT_CAP - age)
+        a = agg.setdefault(u, [0, 0])
+        a[0] += c
+        a[1] += w
+    got = {r.user_id: (r.n_events, r.decayed_fx, r.decayed_count)
+           for r in q_decay_sum(spark, SF_SMOKE).collect()}
+    assert got == {
+        u: (n, w, w / (1 << DECAY_SHIFT_CAP)) for u, (n, w) in agg.items()
+    }
+    # recency property: today's count dominates an equal count from yesterday
+    some_user = next(iter(got))
+    assert got[some_user][1] >= 0
+
+
+def test_stream_ner_label_counts_match_batch(spark):
+    """The declared streaming NER query must equal the batch label counts
+    (the drain accumulates across micro-batches in complete mode)."""
+    from duckdb_ner_spark.functions.ner_udf import make_ner_udf
+    from duckdb_ner_spark.operators.ner_queries import DOC_STUB_MODEL
+    from duckdb_ner_spark.operators.streaming_queries import q_stream_ner
+
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+    udf = make_ner_udf(DOC_STUB_MODEL, default_truncate=True)
+    batch = (
+        docs.select(F.explode(udf(F.col("text"))).alias("e"))
+        .groupBy(F.col("e.label").alias("label"))
+        .agg(F.count("*").alias("n"))
+        .collect()
+    )
+    expect = {r.label: r.n for r in batch}
+    got = {r.label: r.n for r in q_stream_ner(spark, SF_SMOKE).collect()}
+    assert got == expect
+    assert got, "stub model must extract labeled entities"
