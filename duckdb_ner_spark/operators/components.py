@@ -373,3 +373,84 @@ def triangle_stats(edges: DataFrame) -> DataFrame:
             F.expr("n_tri * 3e0 / NULLIF(n_wedges, 0)").alias("clustering_coeff"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Degree distribution of the co-occurrence graph (power-law audit)
+# --------------------------------------------------------------------------
+
+_DEGREE_DIST_ORACLE = """
+    WITH co AS (
+        SELECT DISTINCT date_trunc('hour', ts) AS h, user_id FROM events
+        WHERE ts < TIMESTAMP '2024-01-02 00:00:00'
+    ), edges AS (
+        SELECT DISTINCT a.user_id AS u, b.user_id AS v
+        FROM co a JOIN co b ON a.h = b.h AND a.user_id < b.user_id
+    ), deg AS (
+        SELECT node, CAST(COUNT(*) AS BIGINT) AS deg FROM (
+            SELECT u AS node FROM edges UNION ALL SELECT v AS node FROM edges
+        ) GROUP BY node
+    ), tot AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_nodes FROM deg
+    )
+    SELECT deg AS degree,
+           CAST(COUNT(*) AS BIGINT) AS n_nodes,
+           CAST(MIN(node) AS BIGINT) AS example_node,
+           COUNT(*) * 1e0 / t.n_nodes AS frac
+    FROM deg CROSS JOIN tot t
+    GROUP BY deg, t.n_nodes
+"""
+
+
+@declared("q_degree_dist", oracle=_DEGREE_DIST_ORACLE)
+def q_degree_dist(spark, sf_dir: str) -> DataFrame:
+    """Degree distribution of the first-day user co-occurrence graph — the
+    pre-flight audit for every graph operator in this module: a power-law
+    tail here is what makes un-oriented triangle counting (Σd²) explode
+    and what sizes the large-star/small-star decision for components; a
+    near-complete graph (all degrees ≈ n-1) says the time slice is too
+    wide to be meaningful. Same edge construction as q_triangles, so the
+    two audits read together.
+
+    Engine-exactness: pure integer degrees; one 1e0 division for the
+    fraction.
+
+    Scale notes (100 TB): co-occurrence dedup + degree agg are the same
+    two shuffles q_triangles already pays; the histogram is one more
+    combiner aggregate onto distinct-degree rows."""
+    t = load_tables(spark, sf_dir)
+    co = (
+        t.events.filter(F.col("ts") < F.expr("TIMESTAMP '2024-01-02 00:00:00'"))
+        .select(F.date_trunc("hour", "ts").alias("h"), "user_id")
+        .distinct()
+    )
+    a, b = co.alias("a"), co.alias("b")
+    edges = (
+        a.join(
+            b,
+            (F.col("a.h") == F.col("b.h")) & (F.col("a.user_id") < F.col("b.user_id")),
+        )
+        .select(F.col("a.user_id").alias("u"), F.col("b.user_id").alias("v"))
+        .distinct()
+    )
+    deg = (
+        edges.select(F.col("u").alias("node"))
+        .unionAll(edges.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count("*").cast("bigint").alias("deg"))
+    )
+    tot = deg.agg(F.count("*").cast("bigint").alias("n_nodes"))
+    return (
+        deg.crossJoin(F.broadcast(tot))
+        .groupBy("deg", "n_nodes")
+        .agg(
+            F.count("*").cast("bigint").alias("n"),
+            F.min("node").cast("bigint").alias("example_node"),
+        )
+        .select(
+            F.col("deg").alias("degree"),
+            F.col("n").alias("n_nodes"),
+            "example_node",
+            F.expr("n * 1e0 / n_nodes").alias("frac"),
+        )
+    )

@@ -1512,3 +1512,117 @@ def q_decay_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("w").cast("bigint").alias("decayed_fx"),
         F.expr(f"SUM(w) * 1e0 / {1 << DECAY_SHIFT_CAP}").alias("decayed_count"),
     )
+
+
+# --------------------------------------------------------------------------
+# First-touch attribution (the acquisition-credit twin of q_attribution)
+# --------------------------------------------------------------------------
+
+_FIRST_TOUCH_ORACLE = """
+    WITH e AS (
+        SELECT event_id, user_id, ts, event_type,
+               MIN(CASE WHEN event_type = 'view' THEN ts END) OVER (
+                   PARTITION BY user_id ORDER BY ts
+                   RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS first_view_ts
+        FROM events
+    )
+    SELECT event_id, user_id,
+           ts AS purchase_ts, first_view_ts,
+           epoch_us(ts) - epoch_us(first_view_ts) AS age_us
+    FROM e
+    WHERE event_type = 'purchase' AND first_view_ts IS NOT NULL
+"""
+
+
+@declared("q_first_touch", oracle=_FIRST_TOUCH_ORACLE)
+def q_first_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-touch attribution: every purchase credited to the user's
+    EARLIEST view at-or-before it — the acquisition-credit model
+    (q_attribution is the conversion-credit last-touch twin; real
+    marketing stacks report both and split the difference). Same
+    single-pass shape: a running MIN over the RANGE frame instead of the
+    running MAX, so the tie rule and the one-events-shuffle plan carry
+    over unchanged; age_us is how long the account took to convert from
+    first exposure.
+
+    Engine-exactness: RANGE frame (same-microsecond views always in-frame),
+    integer-microsecond age.
+
+    Scale notes (100 TB): identical to q_attribution — one user-partitioned
+    window pass, narrow filter, no self-join."""
+    t = load_tables(spark, sf_dir)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts")
+        .rangeBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    e = t.events.select("event_id", "user_id", "ts", "event_type").withColumn(
+        "first_view_ts",
+        F.min(F.when(F.col("event_type") == "view", F.col("ts"))).over(w),
+    )
+    return e.filter(
+        (F.col("event_type") == "purchase") & F.col("first_view_ts").isNotNull()
+    ).select(
+        "event_id",
+        "user_id",
+        F.col("ts").alias("purchase_ts"),
+        "first_view_ts",
+        F.expr("timestampdiff(MICROSECOND, first_view_ts, ts)").alias("age_us"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Seasonal activity profile (day-of-week x hour-of-day matrix)
+# --------------------------------------------------------------------------
+
+_SEASONAL_ORACLE = """
+    WITH e AS (
+        SELECT (epoch_us(ts) // 86400000000 + 4) % 7 AS dow,
+               (epoch_us(ts) % 86400000000) // 3600000000 AS hod
+        FROM events
+    ), tot AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS total FROM e
+    )
+    SELECT CAST(dow AS BIGINT) AS dow,
+           CAST(hod AS BIGINT) AS hod,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           COUNT(*) * 1e0 / t.total AS share
+    FROM e CROSS JOIN tot t
+    GROUP BY dow, hod, t.total
+"""
+
+
+@declared("q_seasonal_profile", oracle=_SEASONAL_ORACLE)
+def q_seasonal_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonal activity profile: the day-of-week × hour-of-day event-count
+    matrix with corpus shares — the companion to q_autocorr (autocorr says
+    THAT there is daily/weekly structure; this says WHAT it looks like,
+    and is the baseline table a same-hour-last-week anomaly detector
+    indexes into).
+
+    Engine-exactness: dow/hod derived by pure integer arithmetic on epoch
+    microseconds ((days + 4) % 7 anchors 1970-01-01 = Thursday) — no
+    engine calendar/locale functions (DAYOFWEEK differs in week-start
+    conventions across engines); one 1e0 division for share.
+
+    Scale notes (100 TB): one combiner aggregate onto a 7×24 matrix; the
+    1-row total broadcasts."""
+    t = load_tables(spark, sf_dir)
+    us = "timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)"
+    e = t.events.select(
+        F.expr(f"({us} div 86400000000 + 4) % 7").alias("dow"),
+        F.expr(f"({us} % 86400000000) div 3600000000").alias("hod"),
+    )
+    tot = e.agg(F.count("*").cast("bigint").alias("total"))
+    return (
+        e.crossJoin(F.broadcast(tot))
+        .groupBy("dow", "hod", "total")
+        .agg(F.count("*").cast("bigint").alias("n"))
+        .select(
+            F.col("dow").cast("bigint").alias("dow"),
+            F.col("hod").cast("bigint").alias("hod"),
+            "n",
+            F.expr("n * 1e0 / total").alias("share"),
+        )
+    )

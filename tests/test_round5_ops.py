@@ -531,3 +531,46 @@ def test_stream_ner_label_counts_match_batch(spark):
     got = {r.label: r.n for r in q_stream_ner(spark, SF_SMOKE).collect()}
     assert got == expect
     assert got, "stub model must extract labeled entities"
+
+
+def test_first_touch_precedes_last_touch(spark):
+    """First-touch view must be <= last-touch view per attributed purchase,
+    equal exactly when the user had one view before it; both attributions
+    must cover the same purchase set."""
+    from duckdb_ner_spark.operators.scalepatterns import q_attribution, q_first_touch
+
+    last = {r.event_id: r.view_ts for r in q_attribution(spark, SF_SMOKE).collect()}
+    first = {r.event_id: r.first_view_ts for r in q_first_touch(spark, SF_SMOKE).collect()}
+    assert set(first) == set(last)
+    assert first, "corpus should contain attributable purchases"
+    assert all(first[e] <= last[e] for e in first)
+    assert any(first[e] < last[e] for e in first), "multi-view users expected"
+
+
+def test_seasonal_profile_matches_python_recompute(spark):
+    from duckdb_ner_spark.operators.scalepatterns import q_seasonal_profile
+
+    rows = (
+        spark.read.parquet(f"{SF_SMOKE}/events.parquet")
+        .selectExpr(
+            "timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts) AS us"
+        )
+        .collect()
+    )
+    cells = Counter(((r.us // 86_400_000_000 + 4) % 7, (r.us % 86_400_000_000) // 3_600_000_000) for r in rows)
+    total = sum(cells.values())
+    got = {(r.dow, r.hod): (r.n, r.share) for r in q_seasonal_profile(spark, SF_SMOKE).collect()}
+    assert got == {k: (n, n / total) for k, n in cells.items()}
+    # 2024-01-01 is a Monday: dow formula must put day 19723 at 1
+    assert (19723 + 4) % 7 == 1
+
+
+def test_degree_dist_consistent_with_triangles(spark):
+    """Degree histogram must describe the same graph q_triangles counts:
+    Σ(degree × n_nodes)/2 == n_edges and Σ n_nodes == n_nodes."""
+    from duckdb_ner_spark.operators.components import q_degree_dist, q_triangles
+
+    tri = q_triangles(spark, SF_SMOKE).collect()[0]
+    hist = q_degree_dist(spark, SF_SMOKE).collect()
+    assert sum(r.n_nodes for r in hist) == tri.n_nodes
+    assert sum(r.degree * r.n_nodes for r in hist) == 2 * tri.n_edges
