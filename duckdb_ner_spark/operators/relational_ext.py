@@ -1065,3 +1065,74 @@ def q_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id",
         F.col("click_ts").cast("string").alias("next_click_ts"),
     )
+
+
+# --------------------------------------------------------------------------
+# ANALYZE-style column profile (catalog statistics collection)
+# --------------------------------------------------------------------------
+
+_COLUMN_PROFILE_ORACLE = """
+    SELECT 'o_custkey' AS col,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(COUNT(o_custkey) AS BIGINT) AS n_nonnull,
+           CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS n_distinct,
+           CAST(MIN(o_custkey) AS DOUBLE) AS min_v,
+           CAST(MAX(o_custkey) AS DOUBLE) AS max_v
+    FROM orders
+    UNION ALL
+    SELECT 'o_totalprice',
+           CAST(COUNT(*) AS BIGINT),
+           CAST(COUNT(o_totalprice) AS BIGINT),
+           CAST(COUNT(DISTINCT o_totalprice) AS BIGINT),
+           CAST(MIN(o_totalprice) AS DOUBLE),
+           CAST(MAX(o_totalprice) AS DOUBLE)
+    FROM orders
+    UNION ALL
+    SELECT 'o_orderkey',
+           CAST(COUNT(*) AS BIGINT),
+           CAST(COUNT(o_orderkey) AS BIGINT),
+           CAST(COUNT(DISTINCT o_orderkey) AS BIGINT),
+           CAST(MIN(o_orderkey) AS DOUBLE),
+           CAST(MAX(o_orderkey) AS DOUBLE)
+    FROM orders
+"""
+
+
+@declared("q_column_profile", oracle=_COLUMN_PROFILE_ORACLE)
+def q_column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANALYZE-style column statistics (null count, NDV, min/max) for a set
+    of orders columns in ONE scan — the statistics a cost-based optimizer
+    feeds on (Spark: ANALYZE TABLE ... COMPUTE STATISTICS FOR COLUMNS; this
+    is its declarative, oracle-checkable equivalent). One wide aggregate
+    computes every column's profile simultaneously, then unpivots to the
+    (col, stats) long form — the single-pass trick that makes profiling a
+    100 TB table one scan instead of one per column.
+
+    Engine-exactness: counts BIGINT; min/max cast to DOUBLE so the three
+    profiles union into one typed column.
+
+    Scale notes (100 TB): one scan, one combiner aggregate (count-distinct
+    is the only expensive term — production swaps approx_count_distinct per
+    the documented sketch family); the unpivot is driver-free on a 1-row
+    aggregate."""
+    t = load_tables(spark, sf_dir)
+    cols = ["o_custkey", "o_totalprice", "o_orderkey"]
+    aggs = [F.count("*").cast("bigint").alias("n_rows")]
+    for c in cols:
+        aggs += [
+            F.count(c).cast("bigint").alias(f"{c}__nn"),
+            F.countDistinct(c).cast("bigint").alias(f"{c}__nd"),
+            F.min(c).cast("double").alias(f"{c}__mn"),
+            F.max(c).cast("double").alias(f"{c}__mx"),
+        ]
+    wide = t.orders.agg(*aggs)
+    stack = ", ".join(
+        f"'{c}', {c}__nn, {c}__nd, {c}__mn, {c}__mx" for c in cols
+    )
+    return wide.select(
+        F.expr(
+            f"stack({len(cols)}, {stack})"
+            " AS (col, n_nonnull, n_distinct, min_v, max_v)"
+        ),
+        "n_rows",
+    ).select("col", "n_rows", "n_nonnull", "n_distinct", "min_v", "max_v")

@@ -1136,3 +1136,82 @@ def q_histogram2d(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("surp_b").alias("surp_bucket"),
         "n_docs",
     )
+
+
+# --------------------------------------------------------------------------
+# Heaps'-law vocabulary growth curve (corpus-size planning)
+# --------------------------------------------------------------------------
+
+HEAPS_MARKS = (10, 50, 100)  # corpus prefixes, percent of max doc_id
+
+_HEAPS_ORACLE = f"""
+    WITH w AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents
+    ), mx AS (
+        SELECT MAX(doc_id) AS maxid FROM documents
+    ), firsts AS (
+        SELECT w, MIN(doc_id) AS first_doc, COUNT(*) AS n FROM w GROUP BY w
+    ), marks AS (
+        SELECT unnest([{", ".join(str(m) for m in HEAPS_MARKS)}]) AS pct
+    )
+    SELECT CAST(m.pct AS BIGINT) AS pct,
+           CAST(SUM(CASE WHEN f.first_doc * 100 <= m.pct * x.maxid
+                    THEN 1 ELSE 0 END) AS BIGINT) AS vocab,
+           CAST((SELECT SUM(CASE WHEN w.doc_id * 100 <= m.pct * x.maxid
+                            THEN 1 ELSE 0 END) FROM w) AS BIGINT) AS tokens
+    FROM marks m CROSS JOIN mx x CROSS JOIN firsts f
+    GROUP BY m.pct, x.maxid
+"""
+
+
+@declared("q_heaps_law", oracle=_HEAPS_ORACLE)
+def q_heaps_law(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heaps'-law vocabulary growth curve: distinct-word count vs token
+    count at growing corpus prefixes (by doc_id) — the curve that predicts
+    how much NEW vocabulary the next 10× of crawl will bring, which sizes
+    tokenizer vocabularies and OOV budgets before the data exists.
+
+    The distributed trick: no prefix is ever re-scanned — each word's
+    FIRST-APPEARANCE doc_id is one aggregate, and "vocabulary at prefix P"
+    is then a conditional count over the vocabulary-sized firsts table
+    (first_doc·100 <= pct·max_id, integer cross-multiplication). Token
+    counts per prefix are conditional sums over the same single explode.
+
+    Scale notes (100 TB): one corpus explode; the firsts table is
+    vocabulary-sized; every prefix evaluates as a conditional aggregate —
+    adding marks costs nothing corpus-sized."""
+    t = load_tables(spark, sf_dir)
+    w = t.documents.select("doc_id", F.explode(words_col("text")).alias("w")).persist()
+    mx = t.documents.agg(F.max("doc_id").alias("maxid"))
+    firsts = w.groupBy("w").agg(F.min("doc_id").alias("first_doc"))
+    marks = spark.range(1).select(
+        F.explode(F.array(*[F.lit(m) for m in HEAPS_MARKS])).alias("pct")
+    )
+    vocab = (
+        F.broadcast(marks)
+        .crossJoin(F.broadcast(mx))
+        .crossJoin(firsts)
+        .groupBy("pct", "maxid")
+        .agg(
+            F.sum(
+                F.when(F.expr("first_doc * 100 <= pct * maxid"), 1).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("vocab")
+        )
+    )
+    tokens = (
+        F.broadcast(marks)
+        .crossJoin(F.broadcast(mx))
+        .crossJoin(w)
+        .groupBy("pct")
+        .agg(
+            F.sum(F.when(F.expr("doc_id * 100 <= pct * maxid"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("tokens")
+        )
+    )
+    return (
+        vocab.join(tokens, "pct")
+        .select(F.col("pct").cast("bigint").alias("pct"), "vocab", "tokens")
+    )

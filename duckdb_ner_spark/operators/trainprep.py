@@ -774,3 +774,80 @@ def q_kmv_join_est(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("ea") + F.col("eb") - F.col("eu"), 2).alias("est_inter"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Packing-efficiency table: padding waste per candidate context length
+# --------------------------------------------------------------------------
+
+PACK_EFF_LENGTHS = (128, 512, 2048)
+
+_PACK_EFF_ORACLE = f"""
+    WITH d AS (
+        SELECT CAST(LEN(string_split(text, ' ')) AS BIGINT) AS n FROM documents
+    ), menu AS (
+        SELECT unnest([{", ".join(str(x) for x in PACK_EFF_LENGTHS)}]) AS ctx
+    )
+    SELECT CAST(m.ctx AS BIGINT) AS ctx,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(d.n) AS BIGINT) AS tokens,
+           CAST(SUM(((d.n + m.ctx - 1) // m.ctx) * m.ctx - d.n) AS BIGINT)
+               AS pad_unpacked,
+           CAST(((SUM(d.n) + m.ctx - 1) // m.ctx) * m.ctx - SUM(d.n) AS BIGINT)
+               AS pad_packed,
+           SUM(((d.n + m.ctx - 1) // m.ctx) * m.ctx - d.n) * 1e0
+               / (SUM(d.n) + SUM(((d.n + m.ctx - 1) // m.ctx) * m.ctx - d.n))
+               AS waste_unpacked_ratio
+    FROM menu m CROSS JOIN d
+    GROUP BY m.ctx
+"""
+
+
+@declared("q_pack_efficiency", oracle=_PACK_EFF_ORACLE)
+def q_pack_efficiency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Packing-efficiency decision table: for each candidate context length,
+    the padding the corpus pays WITHOUT sequence packing (each doc rounded
+    up to whole contexts — the naive loader) vs WITH stream packing (q_pack's
+    concatenated-stream model: only the final context is padded). The
+    waste ratio is the compute fraction burned on pad tokens — the number
+    that justifies the packing pipeline and picks the context length.
+
+    Engine-exactness: pure integer ceil-division arithmetic
+    ((n + ctx − 1) div ctx), BIGINT sums, one 1e0 division.
+
+    Scale notes (100 TB): one corpus pass to per-doc token counts; the
+    3-row menu cross-join is a broadcast; everything downstream is a
+    combiner aggregate per menu row."""
+    t = load_tables(spark, sf_dir)
+    d = t.documents.select(
+        F.size(F.split("text", " ")).cast("bigint").alias("n")
+    )
+    menu = spark.range(1).select(
+        F.explode(F.array(*[F.lit(x) for x in PACK_EFF_LENGTHS])).alias("ctx")
+    )
+    pad_doc = F.expr("((n + ctx - 1) div ctx) * ctx - n")
+    return (
+        F.broadcast(menu)
+        .crossJoin(d)
+        .groupBy("ctx")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.sum("n").cast("bigint").alias("tokens"),
+            F.sum(pad_doc).cast("bigint").alias("pad_unpacked"),
+            F.expr(
+                "CAST(((SUM(n) + ctx - 1) div ctx) * ctx - SUM(n) AS BIGINT)"
+            ).alias("pad_packed"),
+            F.expr(
+                "SUM(((n + ctx - 1) div ctx) * ctx - n) * 1e0"
+                " / (SUM(n) + SUM(((n + ctx - 1) div ctx) * ctx - n))"
+            ).alias("waste_unpacked_ratio"),
+        )
+        .select(
+            F.col("ctx").cast("bigint").alias("ctx"),
+            "n_docs",
+            "tokens",
+            "pad_unpacked",
+            "pad_packed",
+            "waste_unpacked_ratio",
+        )
+    )

@@ -574,3 +574,70 @@ def test_degree_dist_consistent_with_triangles(spark):
     hist = q_degree_dist(spark, SF_SMOKE).collect()
     assert sum(r.n_nodes for r in hist) == tri.n_nodes
     assert sum(r.degree * r.n_nodes for r in hist) == 2 * tri.n_edges
+
+
+def test_column_profile_matches_python_recompute(spark):
+    from duckdb_ner_spark.operators.relational_ext import q_column_profile
+
+    orders = spark.read.parquet(f"{SF_SMOKE}/orders.parquet").collect()
+    got = {r.col: r for r in q_column_profile(spark, SF_SMOKE).collect()}
+    for col in ("o_custkey", "o_totalprice", "o_orderkey"):
+        vals = [getattr(r, col) for r in orders]
+        nn = [v for v in vals if v is not None]
+        r = got[col]
+        assert (r.n_rows, r.n_nonnull, r.n_distinct) == (
+            len(vals), len(nn), len(set(nn))
+        )
+        assert (r.min_v, r.max_v) == (float(min(nn)), float(max(nn)))
+
+
+def test_heaps_law_matches_python_recompute(spark):
+    from duckdb_ner_spark.operators.textstats import HEAPS_MARKS, q_heaps_law
+
+    rows = (
+        spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+        .select("doc_id", "text")
+        .collect()
+    )
+    maxid = max(r.doc_id for r in rows)
+    got = {r.pct: (r.vocab, r.tokens) for r in q_heaps_law(spark, SF_SMOKE).collect()}
+    for pct in HEAPS_MARKS:
+        vocab, tokens = set(), 0
+        for r in rows:
+            if r.doc_id * 100 <= pct * maxid:
+                ws = r.text.split(" ")
+                vocab.update(ws)
+                tokens += len(ws)
+        assert got[pct] == (len(vocab), tokens)
+    # tokens grow strictly with the prefix; vocab is non-decreasing (the
+    # synthetic corpus has a ~31-word closed vocabulary that saturates in
+    # the first prefix — real corpora show the Heaps power-law here)
+    assert got[10][1] < got[50][1] < got[100][1]
+    assert got[10][0] <= got[50][0] <= got[100][0]
+
+
+def test_pack_efficiency_matches_python_recompute(spark):
+    from duckdb_ner_spark.operators.trainprep import (
+        PACK_EFF_LENGTHS,
+        q_pack_efficiency,
+    )
+
+    lens = [
+        len(r.text.split(" "))
+        for r in spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+        .select("text")
+        .collect()
+    ]
+    got = {r.ctx: r for r in q_pack_efficiency(spark, SF_SMOKE).collect()}
+    for ctx in PACK_EFF_LENGTHS:
+        pad_unpacked = sum(((n + ctx - 1) // ctx) * ctx - n for n in lens)
+        total = sum(lens)
+        pad_packed = ((total + ctx - 1) // ctx) * ctx - total
+        r = got[ctx]
+        assert (r.n_docs, r.tokens, r.pad_unpacked, r.pad_packed) == (
+            len(lens), total, pad_unpacked, pad_packed
+        )
+        assert r.waste_unpacked_ratio == pad_unpacked / (total + pad_unpacked)
+    # packing must dominate: stream padding is bounded by one context
+    assert all(got[c].pad_packed < c for c in PACK_EFF_LENGTHS)
+    assert all(got[c].pad_packed <= got[c].pad_unpacked for c in PACK_EFF_LENGTHS)
