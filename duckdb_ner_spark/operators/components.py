@@ -32,6 +32,23 @@ from ..sources.catalog import load_tables
 from .textprep import sql_shingles
 
 
+def _release_checkpoint(df: DataFrame) -> None:
+    """Best-effort eager release of a localCheckpoint'ed frame's blocks.
+
+    A checkpointed DataFrame's plan is a LogicalRDD over the materialized
+    internal RDD, so queryExecution().toRdd() hands back exactly that RDD
+    and unpersist drops its storage now instead of waiting for the
+    ContextCleaner to notice the Python reference died — without this,
+    every superseded propagation round's full label snapshot lingers in
+    executor storage for the rest of the loop (r5 code-review finding).
+    Best-effort: if the plan shape ever changes, GC-driven cleanup still
+    applies."""
+    try:
+        df._jdf.queryExecution().toRdd().unpersist(False)
+    except Exception:
+        pass
+
+
 def connected_components(pairs: DataFrame, a: str = "doc_a", b: str = "doc_b", max_iter: int = 20) -> DataFrame:
     """(a,b) edges → (node, component) with component = min node id reachable."""
     edges = (
@@ -75,6 +92,7 @@ def connected_components(pairs: DataFrame, a: str = "doc_a", b: str = "doc_b", m
             .filter(F.col("comp") != F.col("old"))
             .count()
         )
+        _release_checkpoint(labels)  # superseded round's materialized blocks
         labels = updated
         if changed == 0:
             converged = True
@@ -109,13 +127,8 @@ def _clusters_oracle() -> str:
     a borderline pair missing every LSH band is absent on BOTH sides and the
     hash gate cannot sit on the banding recall cliff. Only the closure stays
     orthogonal: recursive-CTE transitive expansion vs iterative min-label."""
-    from .dedup import LSH_BUCKET_CAP, N_BANDS, N_HASHES
+    from .dedup import sql_minhash_capped_cand
 
-    mh_cols = ", ".join(f"MIN(md5('s{k}|' || s)) AS h{k}" for k in range(N_HASHES))
-    band_union = " UNION ALL ".join(
-        f"SELECT doc_id, {b} AS band, h{2 * b} || h{2 * b + 1} AS sig FROM mh"
-        for b in range(N_BANDS)
-    )
     return f"""
     WITH RECURSIVE docs AS (
         SELECT doc_id, string_split(text, ' ') AS ws FROM documents
@@ -123,22 +136,7 @@ def _clusters_oracle() -> str:
         SELECT doc_id, {sql_shingles(3)} AS shingles FROM docs
     ), e AS (
         SELECT doc_id, unnest(shingles) AS s FROM sh
-    ), mh AS (
-        SELECT doc_id, {mh_cols} FROM e GROUP BY doc_id
-    ), bands AS (
-        {band_union}
-    ), capped AS (
-        SELECT doc_id, band, sig FROM (
-            SELECT doc_id, band, sig,
-                   ROW_NUMBER() OVER (PARTITION BY band, sig
-                                      ORDER BY doc_id) AS rn
-            FROM bands
-        ) WHERE rn <= {LSH_BUCKET_CAP}
-    ), cand AS (
-        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-        FROM capped a JOIN capped b ON a.band = b.band AND a.sig = b.sig
-        WHERE a.doc_id < b.doc_id
-    ), pairs AS (
+    ), {sql_minhash_capped_cand()}, pairs AS (
         SELECT doc_a, doc_b
         FROM cand JOIN sh x ON x.doc_id = doc_a JOIN sh y ON y.doc_id = doc_b
         WHERE LEN(LIST_INTERSECT(x.shingles, y.shingles)) * 1.0

@@ -92,6 +92,35 @@ def _band_sigs_expr() -> F.Column:
     )
 
 
+def sql_minhash_capped_cand() -> str:
+    """The oracle-side MinHash→bands→capped→cand CTE chain, as ONE shared
+    fragment (r5 review: it was copy-pasted into four oracles — a cap or
+    banding change must land in every replay or the oracles silently
+    diverge). Expects a preceding CTE ``e(doc_id, s)`` of exploded
+    shingles; defines mh / bands / capped / cand."""
+    mh_cols = ", ".join(f"MIN(md5('s{k}|' || s)) AS h{k}" for k in range(N_HASHES))
+    band_union = " UNION ALL ".join(
+        f"SELECT doc_id, {b} AS band, h{2 * b} || h{2 * b + 1} AS sig FROM mh"
+        for b in range(N_BANDS)
+    )
+    return f"""mh AS (
+        SELECT doc_id, {mh_cols} FROM e GROUP BY doc_id
+    ), bands AS (
+        {band_union}
+    ), capped AS (
+        SELECT doc_id, band, sig FROM (
+            SELECT doc_id, band, sig,
+                   ROW_NUMBER() OVER (PARTITION BY band, sig
+                                      ORDER BY doc_id) AS rn
+            FROM bands
+        ) WHERE rn <= {LSH_BUCKET_CAP}
+    ), cand AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM capped a JOIN capped b ON a.band = b.band AND a.sig = b.sig
+        WHERE a.doc_id < b.doc_id
+    )"""
+
+
 def lsh_candidate_pairs(
     sigs: DataFrame, id_col: str, bucket_cap: int = LSH_BUCKET_CAP
 ) -> DataFrame:
@@ -351,24 +380,7 @@ def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT doc_id, {sql_shingles(3)} AS shingles FROM docs
     ), e AS (
         SELECT doc_id, unnest(shingles) AS s FROM sh
-    ), mh AS (
-        SELECT doc_id,
-               {", ".join(f"MIN(md5('s{k}|' || s)) AS h{k}" for k in range(N_HASHES))}
-        FROM e GROUP BY doc_id
-    ), bands AS (
-        {" UNION ALL ".join(f"SELECT doc_id, {b} AS band, h{2 * b} || h{2 * b + 1} AS sig FROM mh" for b in range(N_BANDS))}
-    ), capped AS (
-        SELECT doc_id, band, sig FROM (
-            SELECT doc_id, band, sig,
-                   ROW_NUMBER() OVER (PARTITION BY band, sig
-                                      ORDER BY doc_id) AS rn
-            FROM bands
-        ) WHERE rn <= {LSH_BUCKET_CAP}
-    ), cand AS (
-        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-        FROM capped a JOIN capped b ON a.band = b.band AND a.sig = b.sig
-        WHERE a.doc_id < b.doc_id
-    )
+    ), {sql_minhash_capped_cand()}
     SELECT doc_a, doc_b,
            LEN(LIST_INTERSECT(x.shingles, y.shingles)) * 1.0
              / LEN(LIST_DISTINCT(x.shingles || y.shingles)) AS jaccard
@@ -588,24 +600,7 @@ _JACCARD_EST_ORACLE = f"""
         SELECT doc_id, {sql_shingles(3)} AS shingles FROM docs
     ), e AS (
         SELECT doc_id, unnest(shingles) AS s FROM sh
-    ), mh AS (
-        SELECT doc_id,
-               {", ".join(f"MIN(md5('s{k}|' || s)) AS h{k}" for k in range(N_HASHES))}
-        FROM e GROUP BY doc_id
-    ), bands AS (
-        {" UNION ALL ".join(f"SELECT doc_id, {b} AS band, h{2 * b} || h{2 * b + 1} AS sig FROM mh" for b in range(N_BANDS))}
-    ), capped AS (
-        SELECT doc_id, band, sig FROM (
-            SELECT doc_id, band, sig,
-                   ROW_NUMBER() OVER (PARTITION BY band, sig
-                                      ORDER BY doc_id) AS rn
-            FROM bands
-        ) WHERE rn <= {LSH_BUCKET_CAP}
-    ), cand AS (
-        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-        FROM capped a JOIN capped b ON a.band = b.band AND a.sig = b.sig
-        WHERE a.doc_id < b.doc_id
-    )
+    ), {sql_minhash_capped_cand()}
     SELECT doc_a, doc_b,
            ({" + ".join(f"CASE WHEN ma.h{k} = mb.h{k} THEN 1 ELSE 0 END" for k in range(N_HASHES))}) * 1.0
              / {N_HASHES} AS est_jaccard,
@@ -848,24 +843,7 @@ _CONTAINMENT_ORACLE = f"""
         SELECT doc_id, {sql_shingles(3)} AS shingles FROM docs
     ), e AS (
         SELECT doc_id, unnest(shingles) AS s FROM sh
-    ), mh AS (
-        SELECT doc_id,
-               {", ".join(f"MIN(md5('s{k}|' || s)) AS h{k}" for k in range(N_HASHES))}
-        FROM e GROUP BY doc_id
-    ), bands AS (
-        {" UNION ALL ".join(f"SELECT doc_id, {b} AS band, h{2 * b} || h{2 * b + 1} AS sig FROM mh" for b in range(N_BANDS))}
-    ), capped AS (
-        SELECT doc_id, band, sig FROM (
-            SELECT doc_id, band, sig,
-                   ROW_NUMBER() OVER (PARTITION BY band, sig
-                                      ORDER BY doc_id) AS rn
-            FROM bands
-        ) WHERE rn <= {LSH_BUCKET_CAP}
-    ), cand AS (
-        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-        FROM capped a JOIN capped b ON a.band = b.band AND a.sig = b.sig
-        WHERE a.doc_id < b.doc_id
-    ), scored AS (
+    ), {sql_minhash_capped_cand()}, scored AS (
         SELECT doc_a, doc_b,
                CAST(LEN(LIST_INTERSECT(x.shingles, y.shingles)) AS BIGINT) AS inter,
                CAST(LEN(LIST_DISTINCT(x.shingles)) AS BIGINT) AS na,

@@ -237,7 +237,7 @@ _AUDIO_ORACLE = f"""
                            v := ord(substr(text, CAST(i AS INT), 1)))
                        FOR i IN range(1, LENGTH(text) + 1)]) AS p
         FROM documents
-        WHERE text IS NOT NULL
+        WHERE text IS NOT NULL AND LENGTH(text) > 0
     ), px AS (
         SELECT doc_id, p.frame AS frame, p.v AS v FROM pos
     ), frames AS (
@@ -304,5 +304,11 @@ def q_audio_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
     until the (already per-item) rows aggregate downstream; payload bytes
     never shuffle."""
     t = load_tables(spark, sf_dir)
-    media = attach_media(t.documents.filter(F.col("text").isNotNull()))
+    # empty-text docs are excluded on BOTH sides: the oracle's unnest over an
+    # empty position list yields no row, so Spark must not emit a zero row
+    # for them either (code-review r5 finding — latent until a regenerated
+    # corpus ships an empty document)
+    media = attach_media(
+        t.documents.filter(F.col("text").isNotNull() & (F.length("text") > 0))
+    )
     return pcm_energy(media)

@@ -206,82 +206,21 @@ def q_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     the corpus — the q_skew_audit pattern); the fusion join is {RRF_LIST}×2
     rows. The corpus-side work is q_bm25's posting probe and one broadcast-
     query-vector cosine pass."""
-    from .textstats import BM25_QUERY, BM25_SCALE
+    from .similarity import fx_cosine_to_query
+    from .textstats import bm25_scores
 
     t = load_tables(spark, sf_dir)
 
-    # --- BM25 arm (q_bm25 construction, kept as (doc_id, score_fx)) ---
-    d = t.documents.select("doc_id", F.split("text", " ").alias("ws"))
-    corpus = d.agg(
-        F.sum(F.size("ws")).cast("bigint").alias("t_words"),
-        F.count("*").cast("bigint").alias("n_docs"),
-    )
-    tf = (
-        d.select("doc_id", F.size("ws").alias("dl"), F.explode("ws").alias("term"))
-        .filter(F.col("term").isin(*BM25_QUERY))
-        .groupBy("doc_id", "term")
-        .agg(
-            F.count("*").cast("bigint").alias("tf"),
-            F.min("dl").cast("bigint").alias("dl"),
-        )
-    )
-    df = tf.groupBy("term").agg(F.count("*").cast("bigint").alias("df"))
-    bm25 = (
-        tf.join(F.broadcast(df), "term")
-        .crossJoin(F.broadcast(corpus))
-        .select(
-            "doc_id",
-            (
-                F.expr(
-                    f"CAST((2 * {BM25_SCALE} * (2 * n_docs - 2 * df + 1)"
-                    " + (2 * df + 1)) div (2 * (2 * df + 1)) AS BIGINT)"
-                )
-                * F.expr("22 * t_words * tf")
-            ).cast("bigint").alias("num"),
-            F.expr("10 * t_words * tf + 3 * t_words + 9 * dl * n_docs").alias("den"),
-        )
-        .select("doc_id", F.expr("num div den").alias("s"))
-        .groupBy("doc_id")
-        .agg(F.sum("s").cast("bigint").alias("score_fx"))
-    )
+    # --- BM25 arm: THE q_bm25 scoring chain (single shared definition) ---
+    bm25 = bm25_scores(t.documents).select("doc_id", "score_fx")
     bm_top = bm25.orderBy(F.col("score_fx").desc(), "doc_id").limit(RRF_LIST)
     wb = Window.orderBy(F.col("score_fx").desc(), "doc_id")  # over RRF_LIST rows
     bm_rank = bm_top.select(
         "doc_id", F.row_number().over(wb).cast("bigint").alias("rb")
     )
 
-    # --- cosine arm (1e6 fixed-point dot against the query vector) ---
-    fx = t.embeddings.select(
-        "vec_id",
-        F.expr(
-            "transform(embedding, v -> CAST(ROUND(CAST(v AS DOUBLE) * 1000000, 0) AS BIGINT))"
-        ).alias("e"),
-    )
-    nrm_expr = F.sqrt(
-        F.aggregate(
-            F.zip_with("e", "e", lambda x, y: x * y),
-            F.lit(0).cast("bigint"),
-            lambda acc, v: acc + v,
-        ).cast("double")
-    )
-    q = fx.filter(F.col("vec_id") == RRF_QUERY_VEC).select(
-        F.col("e").alias("qe"), nrm_expr.alias("qn")
-    )
-    cos = (
-        fx.filter(F.col("vec_id") != RRF_QUERY_VEC)
-        .crossJoin(F.broadcast(q))
-        .select(
-            "vec_id",
-            (
-                F.aggregate(
-                    F.zip_with("e", "qe", lambda x, y: x * y),
-                    F.lit(0).cast("bigint"),
-                    lambda acc, v: acc + v,
-                ).cast("double")
-                / (nrm_expr * F.col("qn"))
-            ).alias("cosine"),
-        )
-    )
+    # --- cosine arm: the similarity family's shared fixed-point scorer ---
+    cos = fx_cosine_to_query(t.embeddings, RRF_QUERY_VEC)
     cos_top = cos.orderBy(F.col("cosine").desc(), "vec_id").limit(RRF_LIST)
     wc = Window.orderBy(F.col("cosine").desc(), "vec_id")  # over RRF_LIST rows
     cos_rank = cos_top.select(

@@ -744,6 +744,45 @@ ANN_RECALL_K = 10
 ANN_QUERY_VEC = 0
 
 
+def fx_cosine_to_query(emb: DataFrame, query_vec_id: int) -> DataFrame:
+    """(vec_id, cosine) against one query vector in the family's 1e6 fixed
+    point: integer dot (order-independent), sqrt norms, one double
+    division. The SINGLE definition shared by q_ann_recall and
+    retrieval.q_rrf_fusion (r5 review: the expression chain was duplicated
+    verbatim — an FX_SCALE or rounding change must land everywhere)."""
+    fx = emb.select(
+        "vec_id",
+        F.expr(
+            f"transform(embedding, v -> CAST(ROUND(CAST(v AS DOUBLE) * {FX_SCALE}, 0) AS BIGINT))"
+        ).alias("e"),
+    )
+    nrm = F.sqrt(
+        F.aggregate(
+            F.zip_with("e", "e", lambda x, y: x * y),
+            F.lit(0).cast("bigint"),
+            lambda a, v: a + v,
+        ).cast("double")
+    )
+    q = fx.filter(F.col("vec_id") == query_vec_id).select(
+        F.col("e").alias("qe"), nrm.alias("qn")
+    )
+    return (
+        fx.filter(F.col("vec_id") != query_vec_id)
+        .crossJoin(F.broadcast(q))
+        .select(
+            "vec_id",
+            (
+                F.aggregate(
+                    F.zip_with("e", "qe", lambda x, y: x * y),
+                    F.lit(0).cast("bigint"),
+                    lambda a, v: a + v,
+                ).cast("double")
+                / (nrm * F.col("qn"))
+            ).alias("cosine"),
+        )
+    )
+
+
 def _ann_recall_oracle(dim: int = 64) -> str:
     """DuckDB twin: replays the fixed-point banded bucketing (same integer
     plane literals as fx_band_sigs) for the query's candidate set, the
@@ -840,37 +879,7 @@ def q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("vec_id")
         .distinct()
     )
-    fx = emb.select(
-        "vec_id",
-        F.expr(
-            f"transform(embedding, v -> CAST(ROUND(CAST(v AS DOUBLE) * {FX_SCALE}, 0) AS BIGINT))"
-        ).alias("e"),
-    )
-    nrm = F.sqrt(
-        F.aggregate(
-            F.zip_with("e", "e", lambda x, y: x * y),
-            F.lit(0).cast("bigint"),
-            lambda a, v: a + v,
-        ).cast("double")
-    )
-    q = fx.filter(F.col("vec_id") == ANN_QUERY_VEC).select(
-        F.col("e").alias("qe"), nrm.alias("qn")
-    )
-    cos = (
-        fx.filter(F.col("vec_id") != ANN_QUERY_VEC)
-        .crossJoin(F.broadcast(q))
-        .select(
-            "vec_id",
-            (
-                F.aggregate(
-                    F.zip_with("e", "qe", lambda x, y: x * y),
-                    F.lit(0).cast("bigint"),
-                    lambda a, v: a + v,
-                ).cast("double")
-                / (nrm * F.col("qn"))
-            ).alias("cosine"),
-        )
-    )
+    cos = fx_cosine_to_query(emb, ANN_QUERY_VEC)
     exact_top = cos.orderBy(F.col("cosine").desc(), "vec_id").limit(ANN_RECALL_K)
     ann_top = (
         cos.join(F.broadcast(cand), "vec_id")

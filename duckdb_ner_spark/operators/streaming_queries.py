@@ -472,6 +472,7 @@ def q_stream_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
     def upsert(key, pdfs, state: GroupState):
         (user_id,) = key
         best = state.get if state.exists else None
+        improved = False
         for pdf in pdfs:
             us = pdf["ts"].values.astype("datetime64[ns]").astype("int64") // 1000
             # value_fx is computed JVM-side (SQL ROUND, half-away) before
@@ -481,7 +482,12 @@ def q_stream_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
                 cand = (int(ts_us), int(eid), int(vfx))
                 if best is None or (cand[0], cand[1]) > (best[0], best[1]):
                     best = cand
-        if best is not None:
+                    improved = True
+        # emit ONLY when this batch advanced the high-water mark — a batch
+        # of stale (out-of-order) rows must not re-emit unchanged state, or
+        # the sink stops being a delta stream (r5 code-review finding; the
+        # max-struct readout masked it, so only the contract drifted)
+        if improved:
             state.update(best)
             yield pd.DataFrame(
                 {

@@ -607,7 +607,20 @@ def q_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
     relationally — a production system would pre-materialize the tf table
     as the index."""
     t = load_tables(spark, sf_dir)
-    d = t.documents.select("doc_id", F.split("text", " ").alias("ws"))
+    return (
+        bm25_scores(t.documents)
+        .orderBy(F.col("score_fx").desc(), "doc_id")
+        .limit(BM25_TOP)
+    )
+
+
+def bm25_scores(documents: DataFrame) -> DataFrame:
+    """(doc_id, n_terms, score_fx): the integer-exact BM25 scoring chain
+    for the BM25_QUERY terms — the SINGLE Spark-side definition, shared by
+    q_bm25 and retrieval.q_rrf_fusion (the r5 review flagged the formula
+    living in multiple copies; a formula change now lands everywhere or
+    nowhere)."""
+    d = documents.select("doc_id", F.split("text", " ").alias("ws"))
     corpus = d.agg(
         F.sum(F.size("ws")).cast("bigint").alias("t_words"),
         F.count("*").cast("bigint").alias("n_docs"),
@@ -639,14 +652,9 @@ def q_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("doc_id", F.expr("num div den").alias("term_score_fx"))
     )
-    return (
-        scored.groupBy("doc_id")
-        .agg(
-            F.count("*").cast("bigint").alias("n_terms"),
-            F.sum("term_score_fx").cast("bigint").alias("score_fx"),
-        )
-        .orderBy(F.col("score_fx").desc(), "doc_id")
-        .limit(BM25_TOP)
+    return scored.groupBy("doc_id").agg(
+        F.count("*").cast("bigint").alias("n_terms"),
+        F.sum("term_score_fx").cast("bigint").alias("score_fx"),
     )
 
 

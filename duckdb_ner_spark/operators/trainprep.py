@@ -708,9 +708,10 @@ _KMV_JOIN_ORACLE = f"""
     SELECT CAST((SELECT COUNT(*) FROM ha) AS BIGINT) AS exact_a,
            CAST((SELECT COUNT(*) FROM hb) AS BIGINT) AS exact_b,
            CAST((SELECT COUNT(*) FROM ha JOIN hb USING (h)) AS BIGINT) AS exact_inter,
-           ROUND(est.est_a, 2) AS est_a,
-           ROUND(est.est_b, 2) AS est_b,
-           ROUND(est.est_a + est.est_b - est.est_u, 2) AS est_inter
+           CAST(ROUND(est.est_a * 100) AS BIGINT) AS est_a_fx,
+           CAST(ROUND(est.est_b * 100) AS BIGINT) AS est_b_fx,
+           CAST(ROUND((est.est_a + est.est_b - est.est_u) * 100) AS BIGINT)
+               AS est_inter_fx
     FROM est
 """
 
@@ -727,7 +728,12 @@ def q_kmv_join_est(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Engine-exactness: md5 KMV replays bit-for-bit (the q_kmv_distinct
     idiom); estimators are fixed-order double expressions over exact
-    integers, rounded to 2dp.
+    integers, reported in 1e2 FIXED POINT (scale-then-round-to-integer).
+    ROUND(double, 2) is banned here: Spark rounds the double's shortest
+    decimal repr (BigDecimal HALF_UP — round(0.145, 2) = 0.15) while
+    DuckDB rounds the binary value (0.14499… → 0.14); integer rounding
+    after scaling cannot hit that class because a double whose shortest
+    repr ends in .5 IS exactly .5 (r5 code-review finding).
 
     Scale notes (100 TB): each sketch is a per-partition k-min heap
     (TakeOrdered) over 32-byte digests; the merge and the estimate touch
@@ -769,9 +775,11 @@ def q_kmv_join_est(spark: SparkSession, sf_dir: str) -> DataFrame:
             "exact_a",
             "exact_b",
             "exact_inter",
-            F.round(F.col("ea"), 2).alias("est_a"),
-            F.round(F.col("eb"), 2).alias("est_b"),
-            F.round(F.col("ea") + F.col("eb") - F.col("eu"), 2).alias("est_inter"),
+            F.expr("CAST(ROUND(ea * 100) AS BIGINT)").alias("est_a_fx"),
+            F.expr("CAST(ROUND(eb * 100) AS BIGINT)").alias("est_b_fx"),
+            F.expr("CAST(ROUND((ea + eb - eu) * 100) AS BIGINT)").alias(
+                "est_inter_fx"
+            ),
         )
     )
 

@@ -133,7 +133,8 @@ def test_kmv_join_est_tracks_exact_overlap(spark):
 
     r = q_kmv_join_est(spark, SF_SMOKE).collect()[0]
     assert r.exact_inter > 0
-    assert abs(r.est_inter - r.exact_inter) <= max(0.25 * r.exact_inter, 10)
+    est_inter = r.est_inter_fx / 100
+    assert abs(est_inter - r.exact_inter) <= max(0.25 * r.exact_inter, 10)
 
 
 def test_bigram_surprisal_matches_python_recompute(spark):

@@ -122,7 +122,14 @@ def convert_checkpoint(ckpt_dir: str, out: str, ftype: int) -> None:
         ftype=ftype, n_labels=n_labels,
     )
     with open(os.path.join(ckpt_dir, "vocab.txt"), encoding="utf-8") as f:
-        vocab = [line.rstrip("\n") for line in f if line.rstrip("\n")]
+        # rstrip CR too (a CRLF vocab.txt would otherwise leave '\r' on
+        # every token and silently break all WordPiece lookups), and keep
+        # blank lines POSITIONAL — token id i must stay row i of the
+        # embedding matrix; dropping a blank line would shift every
+        # subsequent id (r5 code-review finding)
+        vocab = [line.rstrip("\r\n") for line in f]
+    if vocab and vocab[-1] == "":
+        vocab.pop()  # artifact of a trailing newline, not a token
     st = os.path.join(ckpt_dir, "model.safetensors")
     npz = os.path.join(ckpt_dir, "weights.npz")
     if os.path.exists(st):
