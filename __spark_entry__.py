@@ -58,7 +58,7 @@ _DRIVER_WINDOW_PRIORITY = [
     "q_mixture_diversity", "q_normalize_audit", "q_canon_dedup_gain",
     "q_velocity_anomaly", "q_decay_sum", "q_histogram2d", "q_first_touch",
     "q_seasonal_profile", "q_degree_dist", "q_column_profile", "q_heaps_law",
-    "q_pack_efficiency",
+    "q_pack_efficiency", "q_lang_confusion",
     # remainder: oldest-green refresh (last driver row r2) — heaviest
     # pipeline operators first (dedup/similarity/asof), then core relational
     # so no family goes two rounds unchecked.

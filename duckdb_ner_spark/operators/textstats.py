@@ -1223,3 +1223,81 @@ def q_heaps_law(spark: SparkSession, sf_dir: str) -> DataFrame:
         vocab.join(tokens, "pct")
         .select(F.col("pct").cast("bigint").alias("pct"), "vocab", "tokens")
     )
+
+
+# --------------------------------------------------------------------------
+# Language-ID confusion matrix (the eval harness for q_lang_id)
+# --------------------------------------------------------------------------
+
+_LANG_CONFUSION_ORACLE = f"""
+    WITH scored AS (
+        SELECT lang,
+               LEN(LIST_FILTER(string_split(text, ' '),
+                   w -> w IN ({", ".join(repr(m) for m in MARKERS_EN)}))) AS score_en,
+               LEN(LIST_FILTER(string_split(text, ' '),
+                   w -> w IN ({", ".join(repr(m) for m in MARKERS_QUERY)}))) AS score_q
+        FROM documents
+    ), pred AS (
+        SELECT lang,
+               CASE WHEN score_en >= 3 THEN 'en'
+                    WHEN score_q > score_en THEN 'qlang'
+                    ELSE 'unknown' END AS pred_lang
+        FROM scored
+    ), tot AS (
+        SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_lang FROM pred GROUP BY lang
+    )
+    SELECT p.lang, p.pred_lang,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           t.n_lang,
+           COUNT(*) * 1e0 / t.n_lang AS frac_of_lang,
+           CAST(CASE WHEN p.lang = p.pred_lang THEN 1 ELSE 0 END AS BIGINT) AS is_hit
+    FROM pred p JOIN tot t ON p.lang = t.lang
+    GROUP BY p.lang, p.pred_lang, t.n_lang
+"""
+
+
+@declared("q_lang_confusion", oracle=_LANG_CONFUSION_ORACLE)
+def q_lang_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Confusion matrix for the language-ID heuristic: declared lang ×
+    predicted lang with per-cell counts and row-normalized fractions — the
+    eval readout that turns q_lang_id from a classifier into a MEASURED
+    classifier (which languages it confuses, and at what rate, is what
+    decides whether its routing is safe to act on). The same matrix shape
+    serves any cheap-model-vs-label audit in the pipeline.
+
+    Engine-exactness: the prediction rule is q_lang_id's exact CASE chain
+    over integer marker counts; one 1e0 division per cell.
+
+    Scale notes (100 TB): narrow scoring projection (codegen'd list
+    filters) → one combiner aggregate to the languages² matrix; the
+    per-language totals broadcast back."""
+    t = load_tables(spark, sf_dir)
+    en_list = ", ".join(repr(m) for m in MARKERS_EN)
+    q_list = ", ".join(repr(m) for m in MARKERS_QUERY)
+    score_en = F.expr(f"size(filter(split(text, ' '), w -> w IN ({en_list})))")
+    score_q = F.expr(f"size(filter(split(text, ' '), w -> w IN ({q_list})))")
+    pred = t.documents.select(
+        "lang",
+        (
+            F.when(score_en >= 3, "en")
+            .when(score_q > score_en, "qlang")
+            .otherwise("unknown")
+        ).alias("pred_lang"),
+    )
+    tot = pred.groupBy("lang").agg(F.count("*").cast("bigint").alias("n_lang"))
+    return (
+        pred.groupBy("lang", "pred_lang")
+        .agg(F.count("*").cast("bigint").alias("n"))
+        .join(F.broadcast(tot), "lang")
+        .select(
+            "lang",
+            "pred_lang",
+            "n",
+            "n_lang",
+            F.expr("n * 1e0 / n_lang").alias("frac_of_lang"),
+            F.when(F.col("lang") == F.col("pred_lang"), 1)
+            .otherwise(0)
+            .cast("bigint")
+            .alias("is_hit"),
+        )
+    )

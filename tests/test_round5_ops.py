@@ -642,3 +642,35 @@ def test_pack_efficiency_matches_python_recompute(spark):
     # packing must dominate: stream padding is bounded by one context
     assert all(got[c].pad_packed < c for c in PACK_EFF_LENGTHS)
     assert all(got[c].pad_packed <= got[c].pad_unpacked for c in PACK_EFF_LENGTHS)
+
+
+def test_lang_confusion_matches_python_recompute(spark):
+    from duckdb_ner_spark.operators.textstats import (
+        MARKERS_EN,
+        MARKERS_QUERY,
+        q_lang_confusion,
+    )
+
+    rows = (
+        spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+        .select("lang", "text")
+        .collect()
+    )
+    cells = Counter()
+    for r in rows:
+        ws = r.text.split(" ")
+        s_en = sum(1 for w in ws if w in MARKERS_EN)
+        s_q = sum(1 for w in ws if w in MARKERS_QUERY)
+        pred = "en" if s_en >= 3 else ("qlang" if s_q > s_en else "unknown")
+        cells[(r.lang, pred)] += 1
+    row_tot = Counter()
+    for (lang, _), n in cells.items():
+        row_tot[lang] += n
+    got = {
+        (r.lang, r.pred_lang): (r.n, r.n_lang, r.frac_of_lang, r.is_hit)
+        for r in q_lang_confusion(spark, SF_SMOKE).collect()
+    }
+    assert got == {
+        (lang, pred): (n, row_tot[lang], n / row_tot[lang], int(lang == pred))
+        for (lang, pred), n in cells.items()
+    }
