@@ -34,34 +34,25 @@ def entry(spark: SparkSession) -> DataFrame:
 # relational queries follow in registration order. New queries added in a
 # round should be PREPENDED here so they land inside the window.
 _DRIVER_WINDOW_PRIORITY = [
-    # round-5 rotation (VERDICT r4 Next-round #1): the 12 hash-oracled
-    # queries that were added below the window in r4 and have NO driver
-    # CORRECTNESS row in any round (selfcheck + judge green only). After r5
-    # these 12 green rows take cumulative driver coverage to 150/150 hash
-    # queries.
-    "q_rolling_7d", "q_source_stream", "q_bm25", "q_ab_test",
-    "q_funnel_timing", "q_compaction_plan", "q_triangles", "q_erasure",
-    "q_ner_default_empty", "q_entropy", "q_vocab_coverage", "q_activity_gaps",
-    # round-5 plan-shape fixes (VERDICT r4 #2-4): these queries' physical
-    # plans changed this round (top-K skew rank, bounded vocab/compaction
-    # windows, capped LSH verify) — hashes must stay identical, so they
-    # re-enter the window for a driver re-check even though all were green
-    # before.
-    "q_skew_audit", "q_dedup_near",
-    # round-5 new queries land here (prepend within this block as added).
-    "q_phrase_search", "q_rrf_fusion", "q_cdc_chunk",
-    "q_leakage", "q_containment", "q_cluster_sizes", "q_winsorize",
-    "q_topk_salted", "q_out_of_order", "q_kmv_merge", "q_transitions",
-    "q_stream_cdc", "q_ann_recall", "q_watermark_sizing", "q_kmv_join_est",
-    "q_bigram_surprisal", "q_source_overlap", "q_embed_dims",
-    "q_quality_gate", "q_autocorr", "q_audio_energy", "q_dedup_yield",
-    "q_mixture_diversity", "q_normalize_audit", "q_canon_dedup_gain",
-    "q_velocity_anomaly", "q_decay_sum", "q_histogram2d", "q_first_touch",
-    "q_seasonal_profile", "q_degree_dist", "q_column_profile", "q_heaps_law",
-    "q_pack_efficiency", "q_lang_confusion",
-    # remainder: oldest-green refresh (last driver row r2) — heaviest
-    # pipeline operators first (dedup/similarity/asof), then core relational
-    # so no family goes two rounds unchecked.
+    # ---- round-6 window (VERDICT r5 Next-round #1-2) ----
+    # hash-CHANGED this round (ROUND(double,n) → fixed-point BIGINT, the
+    # last members of the r5 cross-engine rounding class) — must get fresh
+    # driver rows:
+    "q_kmv_distinct", "q_jaccard_est",
+    # the 5 rows-only queries that have NEVER had a driver row (pytest-
+    # pinned only): one rows_match row each closes the last coverage
+    # asterisk (VERDICT r5 Missing #3).
+    "q_len_quantile_approx", "q_ner_pairs", "q_stream_attribution",
+    "q_stream_ner", "q_tokenizer_fertility",
+    # plan-changed re-checks (hash must stay identical): q_dedup_near cap
+    # rewritten as combiner min-64 aggregate (VERDICT #3); q_triangles /
+    # q_degree_dist share one persisted degree table (VERDICT #6).
+    "q_dedup_near", "q_triangles", "q_degree_dist",
+    # round-6 new queries land here (prepend within this block as added).
+    # remainder: oldest-green refresh — last driver row r2 for the dedup/
+    # similarity block, r3-r4 for the relational tail; every r5-window query
+    # earned a green row in CORRECTNESS_r05 so they cede slots safely (the
+    # ledger test enforces the invariant).
     "q_dedup_exact", "q_dedup_incr", "q_dedup_ngram",
     "q_dedup_simhash", "q_dedup_embed", "q_dedup_clusters", "q_sim_topk",
     "q_embed_join", "q_embed_quant", "q_multimodal", "q_asof", "q_join_range",
@@ -70,6 +61,7 @@ _DRIVER_WINDOW_PRIORITY = [
     "q_join_semi_anti", "q_cross", "q_distinct", "q_agg_filter", "q_having",
     "q_window_rank", "q_window_lag", "q_sort", "q_topk", "q_setops",
     "q_case", "q_string", "q_date", "q_math", "q_cast", "q_array",
+    "q_chunk", "q_repetition", "q_pii_scrub", "q_udtf_chunk",
 ]
 
 

@@ -604,8 +604,10 @@ _JACCARD_EST_ORACLE = f"""
     SELECT doc_a, doc_b,
            ({" + ".join(f"CASE WHEN ma.h{k} = mb.h{k} THEN 1 ELSE 0 END" for k in range(N_HASHES))}) * 1.0
              / {N_HASHES} AS est_jaccard,
-           ROUND(LEN(LIST_INTERSECT(x.shingles, y.shingles)) * 1.0
-             / LEN(LIST_DISTINCT(x.shingles || y.shingles)), 6) AS jaccard
+           CAST((CAST(LEN(LIST_INTERSECT(x.shingles, y.shingles)) AS BIGINT) * 2000000
+                 + LEN(LIST_DISTINCT(x.shingles || y.shingles)))
+                // (2 * LEN(LIST_DISTINCT(x.shingles || y.shingles))) AS BIGINT)
+               AS jaccard_fx
     FROM cand
     JOIN mh ma ON ma.doc_id = doc_a
     JOIN mh mb ON mb.doc_id = doc_b
@@ -621,8 +623,11 @@ def q_jaccard_est(spark: SparkSession, sf_dir: str) -> DataFrame:
     statistic LSH thresholds actually act on) next to the exact Jaccard.
     The production use: calibrate band/row counts from a sample before
     committing a 100 TB dedup sweep. est is a k/N_HASHES rational (exactly
-    representable), exact Jaccard rounds at 6dp; identical md5 min-hash
-    construction replayed by the oracle."""
+    representable); exact Jaccard is 1e6 fixed point computed entirely in
+    integer arithmetic — (2·inter·10^6 + union) div (2·union) is round-half-
+    up with zero doubles, immune to the ROUND(double, n) cross-engine class
+    (DuckDB `//` floors, Spark `div` truncates; they agree on non-negatives).
+    Identical md5 min-hash construction replayed by the oracle."""
     t = load_tables(spark, sf_dir)
     docs = (
         t.documents.select("doc_id", words_col("text").alias("ws"))
@@ -644,8 +649,6 @@ def q_jaccard_est(spark: SparkSession, sf_dir: str) -> DataFrame:
     matches = sum(
         F.when(F.col(f"a{k}") == F.col(f"b{k}"), 1).otherwise(0) for k in range(N_HASHES)
     )
-    inter = F.size(F.array_intersect("sh_a", "sh_b"))
-    union = F.size(F.array_union("sh_a", "sh_b"))
     return (
         cand  # no broadcast hint — AQE runtime-sizes it (cf. jaccard_verify)
         .join(a, "doc_a")
@@ -654,7 +657,11 @@ def q_jaccard_est(spark: SparkSession, sf_dir: str) -> DataFrame:
             "doc_a",
             "doc_b",
             (matches * F.lit(1.0) / N_HASHES).alias("est_jaccard"),
-            F.round(inter * F.lit(1.0) / union, 6).alias("jaccard"),
+            F.expr(
+                "CAST((CAST(size(array_intersect(sh_a, sh_b)) AS BIGINT) * 2000000"
+                " + size(array_union(sh_a, sh_b)))"
+                " div (2 * size(array_union(sh_a, sh_b))) AS BIGINT)"
+            ).alias("jaccard_fx"),
         )
     )
 

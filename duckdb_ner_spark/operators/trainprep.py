@@ -62,11 +62,12 @@ _KMV_ORACLE = f"""
     )
     SELECT CAST(v.k AS BIGINT) AS k,
            v.kth_hash,
-           ROUND((CAST(v.k AS DOUBLE) - 1) * 1152921504606846976 / CAST(v.hv AS DOUBLE), 2)
-               AS est_distinct,
+           CAST(ROUND((CAST(v.k AS DOUBLE) - 1) * 1152921504606846976 / CAST(v.hv AS DOUBLE)
+                      * 100) AS BIGINT) AS est_fx,
            ex.exact_distinct,
-           ROUND(ABS((CAST(v.k AS DOUBLE) - 1) * 1152921504606846976 / CAST(v.hv AS DOUBLE)
-                     - ex.exact_distinct) / ex.exact_distinct, 4) AS rel_err
+           CAST(ROUND(ABS((CAST(v.k AS DOUBLE) - 1) * 1152921504606846976 / CAST(v.hv AS DOUBLE)
+                          - ex.exact_distinct) / ex.exact_distinct * 10000) AS BIGINT)
+               AS rel_err_fx
     FROM v, ex
 """
 
@@ -80,7 +81,14 @@ def q_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     the sketch bit-for-bit — kth hash, estimate, and relative error all
     hash-match. Estimator: (k-1) / frac(kth min hash), frac over the 60-bit
     hex prefix (2^60 = 1152921504606846976). Both TakeOrdered stages are
-    per-partition heaps — raw rows never shuffle."""
+    per-partition heaps — raw rows never shuffle.
+
+    Engine-exactness: estimate and rel-error are reported in 1e2/1e4 FIXED
+    POINT (scale-then-round-to-integer), never ROUND(double, n>0): Spark
+    rounds the double's shortest decimal repr (BigDecimal HALF_UP) while
+    DuckDB rounds the binary value — integer rounding after scaling can't
+    diverge because a double whose shortest repr ends in .5 IS exactly .5
+    (same conversion as q_kmv_join_est's est_*_fx, r5 code-review class)."""
     t = load_tables(spark, sf_dir)
     h = t.lineitem.select(
         F.md5(F.concat(F.lit("kmv|"), F.col("l_orderkey").cast("string"))).alias("h")
@@ -104,11 +112,13 @@ def q_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             F.col("k").cast("bigint").alias("k"),
             "kth_hash",
-            F.round(est, 2).alias("est_distinct"),
+            F.round(est * 100).cast("bigint").alias("est_fx"),
             "exact_distinct",
-            F.round(F.abs(est - F.col("exact_distinct")) / F.col("exact_distinct"), 4).alias(
-                "rel_err"
-            ),
+            F.round(
+                F.abs(est - F.col("exact_distinct")) / F.col("exact_distinct") * 10000
+            )
+            .cast("bigint")
+            .alias("rel_err_fx"),
         )
     )
 

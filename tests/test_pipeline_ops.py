@@ -407,11 +407,11 @@ def test_kmv_estimate_within_tolerance(spark):
 
     row = e.queries()["q_kmv_distinct"](spark, "/root/testdata/sf0.001").collect()[0]
     assert row.k == 256
-    assert row.rel_err < 0.25
-    # rel_err is computed from the UNROUNDED estimate; recomputing from the
-    # 2dp-rounded est_distinct must agree to the rounding granularity
-    recomputed = abs(row.est_distinct - row.exact_distinct) / row.exact_distinct
-    assert abs(recomputed - row.rel_err) < 1e-4
+    assert row.rel_err_fx < 2500  # 1e4 fixed point: 0.25
+    # rel_err_fx is computed from the UNROUNDED estimate; recomputing from
+    # the 1e2-fixed-point est_fx must agree to the rounding granularity
+    recomputed = abs(row.est_fx / 100.0 - row.exact_distinct) / row.exact_distinct
+    assert abs(recomputed - row.rel_err_fx / 10000.0) < 1e-4
 
 
 def test_embed_quant_int8_range_and_saturation(spark):
