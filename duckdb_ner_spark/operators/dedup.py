@@ -108,12 +108,10 @@ def sql_minhash_capped_cand() -> str:
     ), bands AS (
         {band_union}
     ), capped AS (
-        SELECT doc_id, band, sig FROM (
-            SELECT doc_id, band, sig,
-                   ROW_NUMBER() OVER (PARTITION BY band, sig
-                                      ORDER BY doc_id) AS rn
-            FROM bands
-        ) WHERE rn <= {LSH_BUCKET_CAP}
+        SELECT band, sig,
+               unnest(list_slice(list_sort(list(doc_id)), 1, {LSH_BUCKET_CAP}))
+                   AS doc_id
+        FROM bands GROUP BY band, sig
     ), cand AS (
         SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
         FROM capped a JOIN capped b ON a.band = b.band AND a.sig = b.sig
@@ -126,23 +124,29 @@ def lsh_candidate_pairs(
 ) -> DataFrame:
     """Band the signatures and self-join per (band, signature) bucket,
     keeping only each bucket's `bucket_cap` smallest ids as pair sources
-    (the hot-bucket guard — see LSH_BUCKET_CAP). The cap rank is a window
-    PARTITIONED by (band, sig): per-bucket linear sort work, never a
-    quadratic pair blowup and never a global window.
+    (the hot-bucket guard — see LSH_BUCKET_CAP). The cap is a min-64
+    AGGREGATE — slice(array_sort(collect_list(id)), 1, cap) — not a
+    row_number window: the aggregate gets map-side partial (combiner)
+    aggregation, so the cap costs one normal hash-aggregate exchange keyed
+    by (band, sig) instead of the window form's full sort-shuffle of every
+    band row (the r5 q_dedup_near +45% steady regression). Selected ids are
+    identical by construction (the `cap` smallest per bucket), so hashes —
+    and the oracle replay in sql_minhash_capped_cand — are unchanged.
 
     Banding uses ONE posexplode pass, not a per-band union — Spark does not
     dedupe common subtrees across union branches, so the union form would
     recompute the minhash aggregation N_BANDS times."""
-    from pyspark.sql.window import Window
-
     band_expr = cached_exprs("minhash_band_sigs", _band_sigs_expr)
     bands = sigs.select(F.col(id_col), F.posexplode(band_expr).alias("band", "sig"))
     if bucket_cap is not None:
-        wcap = Window.partitionBy("band", "sig").orderBy(id_col)
         bands = (
-            bands.withColumn("__rn__", F.row_number().over(wcap))
-            .filter(F.col("__rn__") <= bucket_cap)
-            .drop("__rn__")
+            bands.groupBy("band", "sig")
+            .agg(
+                F.slice(
+                    F.array_sort(F.collect_list(id_col)), 1, bucket_cap
+                ).alias("__ids__")
+            )
+            .select("band", "sig", F.explode("__ids__").alias(id_col))
         )
     a = bands.select(F.col(id_col).alias("doc_a"), "band", "sig")
     b = bands.select(F.col(id_col).alias("doc_b"), "band", "sig")

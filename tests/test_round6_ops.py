@@ -1,0 +1,130 @@
+"""Round-6 operator tests: real PPM image decode (D5 completion) and the
+fixed-point conversions of q_kmv_distinct / q_jaccard_est."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+SF_SMOKE = "/root/testdata/sf0.001"
+
+
+# ---------------------------------------------------------------------------
+# decode_image: a real PPM (P6) parser, not a trusting slicer
+# ---------------------------------------------------------------------------
+
+
+def test_ppm_roundtrip_golden():
+    from duckdb_ner_spark.operators.multimodal import decode_image, encode_ppm
+
+    data = bytes(range(96))  # exactly two 16px RGB rows
+    payload = encode_ppm(data)
+    assert payload.startswith(b"P6\n16 2\n255\n")
+    img = decode_image(payload)
+    assert img.shape == (2, 16, 3)
+    assert img.dtype == np.uint8
+    assert img.flatten().tolist() == list(range(96))
+
+
+def test_ppm_header_comments_and_whitespace():
+    from duckdb_ner_spark.operators.multimodal import decode_image
+
+    # netpbm allows '#' comments anywhere in the header
+    payload = b"P6\n# width then height\n2 2\n# maxval next\n255\n" + bytes(12)
+    assert decode_image(payload).shape == (2, 2, 3)
+    payload = b"P6  3\t1 255 " + bytes(9)  # arbitrary whitespace separators
+    assert decode_image(payload).shape == (1, 3, 3)
+
+
+@pytest.mark.parametrize(
+    "payload",
+    [
+        b"P5\n1 1\n255\n" + bytes(3),  # grayscale magic
+        b"PNG\r\n",  # not netpbm at all
+        b"P6\n1 1\n65535\n" + bytes(6),  # 16-bit samples unsupported
+        b"P6\n2 2\n255\n" + bytes(5),  # truncated pixel data
+        b"P6\nx 1\n255\n" + bytes(3),  # non-numeric dimension
+    ],
+)
+def test_ppm_decoder_rejects_malformed(payload):
+    from duckdb_ner_spark.operators.multimodal import decode_image
+
+    with pytest.raises(ValueError):
+        decode_image(payload)
+
+
+def test_ppm_zero_padding_and_height():
+    from duckdb_ner_spark.operators.multimodal import decode_image, encode_ppm
+
+    # 50 payload bytes -> ceil(50/48) = 2 rows, 46 zero pad bytes
+    img = decode_image(encode_ppm(bytes([7]) * 50))
+    assert img.shape == (2, 16, 3)
+    assert int(img.sum()) == 7 * 50
+    # empty payload still encodes a valid 1-row image
+    img0 = decode_image(encode_ppm(b""))
+    assert img0.shape == (1, 16, 3) and int(img0.sum()) == 0
+
+
+def test_image_thumbnail_nearest_neighbor_indexing():
+    from duckdb_ner_spark.operators.multimodal import image_thumbnail
+
+    # 8x16 image whose value encodes (row, col): thumbnail must sample
+    # source rows floor(ty*8/4) = [0,2,4,6] and cols [0,4,8,12]
+    img = np.zeros((8, 16, 3), dtype=np.int64)
+    for y in range(8):
+        for x in range(16):
+            img[y, x] = 100 * y + x
+    t = image_thumbnail(img)
+    assert t.shape == (4, 4, 3)
+    assert t[:, :, 0].tolist() == [
+        [100 * y + x for x in (0, 4, 8, 12)] for y in (0, 2, 4, 6)
+    ]
+
+
+def test_q_image_stats_features_match_numpy(spark):
+    """Distributed image features == single-process NumPy recompute over the
+    same decode path (implementation parity, complementing the SQL oracle)."""
+    from duckdb_ner_spark.operators.multimodal import (
+        decode_image,
+        encode_ppm,
+        image_thumbnail,
+        q_image_stats,
+    )
+
+    rows = {r.doc_id: r for r in q_image_stats(spark, SF_SMOKE).collect()}
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet").collect()
+    checked = 0
+    for d in docs[:25]:
+        if not d.text:
+            continue
+        img = decode_image(encode_ppm(d.text.encode("utf-8"))).astype(np.int64)
+        r = rows[d.doc_id]
+        assert r.width == img.shape[1] and r.height == img.shape[0]
+        assert r.n_px == img.shape[0] * img.shape[1]
+        assert (r.sum_r, r.sum_g, r.sum_b) == tuple(
+            int(img[:, :, c].sum()) for c in range(3)
+        )
+        luma = 2126 * img[:, :, 0] + 7152 * img[:, :, 1] + 722 * img[:, :, 2]
+        assert r.peak_luma_fx == int(luma.max())
+        assert r.thumb_sum == int(image_thumbnail(img).sum())
+        checked += 1
+    assert checked >= 20
+
+
+# ---------------------------------------------------------------------------
+# fixed-point conversions (the last ROUND(double, n) class members)
+# ---------------------------------------------------------------------------
+
+
+def test_jaccard_fx_is_round_half_up(spark):
+    """jaccard_fx must equal round-half-up(1e6 * inter/union) exactly —
+    the integer-arithmetic identity (2*i*1e6 + u) div (2*u)."""
+    from duckdb_ner_spark.plans.registry import QUERIES
+
+    rows = QUERIES["q_jaccard_est"](spark, SF_SMOKE).collect()
+    assert rows
+    for r in rows:
+        assert 0 <= r.jaccard_fx <= 1_000_000
+        assert 0.0 <= r.est_jaccard <= 1.0
+    # planted near-dup pairs must still surface as high-jaccard
+    assert any(r.jaccard_fx >= 900_000 for r in rows)
