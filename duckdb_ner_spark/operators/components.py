@@ -269,6 +269,53 @@ _TRIANGLES_ORACLE = """
 """
 
 
+# (sf_dir, scanRepartition) -> (session, edges, deg): q_triangles and
+# q_degree_dist audit the SAME first-day co-occurrence graph; building it
+# twice doubled q_degree_dist's exchange count (16 in the r5 plan audit —
+# the heaviest plan in docs/PLANS.md). Both now read one persisted copy.
+# Session compared by identity (the _PLAN_CACHE convention) so a restarted
+# session never serves stale handles; correctness never depends on the
+# persistence — an unpersisted hit just recomputes lineage.
+_GRAPH_CACHE: dict[tuple[str, str], tuple[object, DataFrame, DataFrame]] = {}
+
+
+def day1_cooccurrence_graph(spark, sf_dir: str) -> tuple[DataFrame, DataFrame]:
+    """(edges, deg) of the first-day user co-occurrence graph (users active
+    in the same hour are connected; u < v, deduped), persisted and memoized
+    per (session, sf_dir). One co-occurrence dedup shuffle + one self-join +
+    one degree aggregate, paid ONCE for the whole graph-audit family."""
+    scan = spark.conf.get("spark.duckdb_ner.scanRepartition", "0")
+    key = (sf_dir, scan)
+    hit = _GRAPH_CACHE.get(key)
+    if hit is not None and hit[0] is spark:
+        return hit[1], hit[2]
+    t = load_tables(spark, sf_dir)
+    co = (
+        t.events.filter(F.col("ts") < F.expr("TIMESTAMP '2024-01-02 00:00:00'"))
+        .select(F.date_trunc("hour", "ts").alias("h"), "user_id")
+        .distinct()
+    )
+    a, b = co.alias("a"), co.alias("b")
+    edges = (
+        a.join(
+            b,
+            (F.col("a.h") == F.col("b.h")) & (F.col("a.user_id") < F.col("b.user_id")),
+        )
+        .select(F.col("a.user_id").alias("u"), F.col("b.user_id").alias("v"))
+        .distinct()
+        .persist()
+    )
+    deg = (
+        edges.select(F.col("u").alias("node"))
+        .unionAll(edges.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count("*").cast("bigint").alias("deg"))
+        .persist()
+    )
+    _GRAPH_CACHE[key] = (spark, edges, deg)
+    return edges, deg
+
+
 @declared("q_triangles", oracle=_TRIANGLES_ORACLE)
 def q_triangles(spark, sf_dir: str) -> DataFrame:
     """Triangle counting with DEGREE ORIENTATION over the user
@@ -290,36 +337,28 @@ def q_triangles(spark, sf_dir: str) -> DataFrame:
     wedge self-join and closure join shuffle the ORIENTED edge list —
     bounded as above; the closure membership probe is the relational form
     of an adjacency-set intersection."""
-    t = load_tables(spark, sf_dir)
     # first-day slice: the full month's co-occurrence graph is near-complete
     # at the testdata's user counts (every pair eventually shares an hour),
     # which is a degenerate input for ANY triangle algorithm — the realistic
     # production shape is a time-sliced graph per maintenance window
-    co = (
-        t.events.filter(F.col("ts") < F.expr("TIMESTAMP '2024-01-02 00:00:00'"))
-        .select(F.date_trunc("hour", "ts").alias("h"), "user_id")
-        .distinct()
-    )
-    a, b = co.alias("a"), co.alias("b")
-    edges = (
-        a.join(b, (F.col("a.h") == F.col("b.h")) & (F.col("a.user_id") < F.col("b.user_id")))
-        .select(F.col("a.user_id").alias("u"), F.col("b.user_id").alias("v"))
-        .distinct()
-    )
-    return triangle_stats(edges)
+    edges, deg = day1_cooccurrence_graph(spark, sf_dir)
+    return triangle_stats(edges, deg)
 
 
-def triangle_stats(edges: DataFrame) -> DataFrame:
+def triangle_stats(edges: DataFrame, deg: DataFrame | None = None) -> DataFrame:
     """q_triangles' degree-oriented core on an arbitrary (u, v) edge list
-    (u < v, no duplicates) — factored out for planted-graph tests."""
-    edges = edges.persist()
-    deg = (
-        edges.select(F.col("u").alias("node"))
-        .unionAll(edges.select(F.col("v").alias("node")))
-        .groupBy("node")
-        .agg(F.count("*").cast("bigint").alias("deg"))
-        .persist()
-    )
+    (u < v, no duplicates) — factored out for planted-graph tests. Pass a
+    precomputed ``deg(node, deg)`` table to reuse a shared one (q_triangles
+    shares q_degree_dist's via day1_cooccurrence_graph)."""
+    if deg is None:
+        edges = edges.persist()
+        deg = (
+            edges.select(F.col("u").alias("node"))
+            .unionAll(edges.select(F.col("v").alias("node")))
+            .groupBy("node")
+            .agg(F.count("*").cast("bigint").alias("deg"))
+            .persist()
+        )
     du = deg.select(F.col("node").alias("u"), F.col("deg").alias("du"))
     dv = deg.select(F.col("node").alias("v"), F.col("deg").alias("dv"))
     lt = (F.col("du") < F.col("dv")) | (
@@ -413,30 +452,12 @@ def q_degree_dist(spark, sf_dir: str) -> DataFrame:
     Engine-exactness: pure integer degrees; one 1e0 division for the
     fraction.
 
-    Scale notes (100 TB): co-occurrence dedup + degree agg are the same
-    two shuffles q_triangles already pays; the histogram is one more
+    Scale notes (100 TB): the co-occurrence dedup + self-join + degree agg
+    are SHARED with q_triangles (day1_cooccurrence_graph — one persisted
+    copy per session/sf_dir; the r5 plan audit showed rebuilding it here
+    doubled this query's exchanges to 16); the histogram is one more
     combiner aggregate onto distinct-degree rows."""
-    t = load_tables(spark, sf_dir)
-    co = (
-        t.events.filter(F.col("ts") < F.expr("TIMESTAMP '2024-01-02 00:00:00'"))
-        .select(F.date_trunc("hour", "ts").alias("h"), "user_id")
-        .distinct()
-    )
-    a, b = co.alias("a"), co.alias("b")
-    edges = (
-        a.join(
-            b,
-            (F.col("a.h") == F.col("b.h")) & (F.col("a.user_id") < F.col("b.user_id")),
-        )
-        .select(F.col("a.user_id").alias("u"), F.col("b.user_id").alias("v"))
-        .distinct()
-    )
-    deg = (
-        edges.select(F.col("u").alias("node"))
-        .unionAll(edges.select(F.col("v").alias("node")))
-        .groupBy("node")
-        .agg(F.count("*").cast("bigint").alias("deg"))
-    )
+    _, deg = day1_cooccurrence_graph(spark, sf_dir)
     tot = deg.agg(F.count("*").cast("bigint").alias("n_nodes"))
     return (
         deg.crossJoin(F.broadcast(tot))
