@@ -2,7 +2,8 @@
 
 - brute-force cosine top-k (baseline, exact)   → q_sim_topk
 - all-pairs cosine above threshold (exploded)  → used by q_dedup_embed
-- LSH-bucketed ANN (random hyperplanes)        → q_sim_ann (rows-only)
+- LSH-bucketed ANN (random hyperplanes)        → q_sim_ann (hash, fx-banded)
+- IVF probe (stride seeds, fx routing)         → q_sim_ivf (hash, as of r6)
 
 Scale notes (100 TB):
 - top-k against a QUERY vector is a broadcast: the query rides into every
@@ -511,22 +512,327 @@ def q_embed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@declared("q_sim_ivf")
+IVF_TOPK = 5
+IVF_NPROBE = 2
+ANN_RECALL_K = 10
+ANN_QUERY_VEC = 0
+
+
+def _unit_fx_expr() -> "F.Column":
+    """Per-row L2-normalized embedding quantized to 1e6 fixed point
+    (BIGINT): normalization is a per-row deterministic fold + one division
+    per element, then scale-then-round-to-integer — bit-identical in any
+    engine. Norm materialized via array_repeat (the CollapseProject trap —
+    see _unit_expr)."""
+    da = F.expr("transform(embedding, v -> CAST(v AS DOUBLE))")
+    nrm = F.sqrt(
+        F.aggregate(F.zip_with(da, da, lambda x, y: x * y), F.lit(0.0), lambda a, v: a + v)
+    )
+    return F.zip_with(
+        da,
+        F.array_repeat(nrm, F.size("embedding")),
+        lambda x, n: F.round(x / n * FX_SCALE).cast("bigint"),
+    )
+
+
+def _sim_ivf_oracle() -> str:
+    """DuckDB twin of q_sim_ivf: replays stride seeding, fixed-point
+    spherical cell assignment (2·dot − ‖c‖², pure integers), 2-cell probe
+    routing, and the fixed-point cosine top-k — the whole IVF index probe,
+    bit-for-bit."""
+    return f"""
+    WITH ex AS (
+        SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS x,
+               generate_subscripts(embedding, 1) AS i
+        FROM embeddings
+    ), norms0 AS (
+        SELECT vec_id, SQRT(SUM(x * x)) AS nrm FROM ex GROUP BY vec_id
+    ), u AS (
+        SELECT ex.vec_id, ex.i,
+               CAST(ROUND(ex.x / n.nrm * {FX_SCALE}) AS BIGINT) AS xi
+        FROM ex JOIN norms0 n ON ex.vec_id = n.vec_id
+    ), st AS (
+        SELECT GREATEST(1, COUNT(DISTINCT vec_id) // {N_IVF_CELLS}) AS stride
+        FROM u
+    ), cents AS (
+        SELECT vec_id AS cent_vid,
+               CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS INT) AS cent_id
+        FROM (SELECT DISTINCT vec_id FROM u
+              WHERE vec_id % (SELECT stride FROM st) = 0
+              ORDER BY vec_id LIMIT {N_IVF_CELLS})
+    ), cu AS (
+        SELECT c.cent_id, u.i, u.xi FROM u JOIN cents c ON u.vec_id = c.cent_vid
+    ), csq AS (
+        SELECT cent_id, SUM(xi * xi) AS sq FROM cu GROUP BY cent_id
+    ), scores AS (
+        SELECT v.vec_id, c.cent_id,
+               2 * SUM(v.xi * c.xi) - MAX(q.sq) AS score2
+        FROM u v JOIN cu c ON v.i = c.i JOIN csq q ON q.cent_id = c.cent_id
+        GROUP BY v.vec_id, c.cent_id
+    ), assign AS (
+        SELECT vec_id, cent_id FROM (
+            SELECT vec_id, cent_id,
+                   ROW_NUMBER() OVER (PARTITION BY vec_id
+                                      ORDER BY score2 DESC, cent_id) AS rn
+            FROM scores
+        ) WHERE rn = 1
+    ), probe AS (
+        SELECT cent_id FROM (
+            SELECT cent_id,
+                   ROW_NUMBER() OVER (ORDER BY score2 DESC, cent_id) AS rn
+            FROM scores WHERE vec_id = {ANN_QUERY_VEC}
+        ) WHERE rn <= {IVF_NPROBE}
+    ), shortlist AS (
+        SELECT a.vec_id FROM assign a JOIN probe p ON a.cent_id = p.cent_id
+        WHERE a.vec_id <> {ANN_QUERY_VEC}
+    ), dots AS (
+        SELECT f.vec_id, SUM(f.xi * q.xi) AS dot
+        FROM u f
+        JOIN (SELECT i, xi FROM u WHERE vec_id = {ANN_QUERY_VEC}) q ON f.i = q.i
+        JOIN shortlist s ON s.vec_id = f.vec_id
+        GROUP BY f.vec_id
+    ), nfx AS (
+        SELECT vec_id, SQRT(CAST(SUM(xi * xi) AS DOUBLE)) AS n
+        FROM u GROUP BY vec_id
+    )
+    SELECT CAST(rank AS INT) AS rank,
+           CAST(vec_id AS BIGINT) AS neighbor_id,
+           cosine_fx
+    FROM (
+        SELECT d.vec_id,
+               CAST(ROUND(CAST(d.dot AS DOUBLE) / (na.n * nq.n) * {FX_SCALE})
+                    AS BIGINT) AS cosine_fx,
+               ROW_NUMBER() OVER (
+                   ORDER BY CAST(ROUND(CAST(d.dot AS DOUBLE) / (na.n * nq.n)
+                                       * {FX_SCALE}) AS BIGINT) DESC,
+                            d.vec_id) AS rank
+        FROM dots d
+        JOIN nfx na ON na.vec_id = d.vec_id
+        JOIN nfx nq ON nq.vec_id = {ANN_QUERY_VEC}
+    ) WHERE rank <= {IVF_TOPK}
+    """
+
+
+@declared("q_sim_ivf", oracle=_sim_ivf_oracle())
 def q_sim_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF ANN top-5 for vec_id 0 (rows-only; recall vs exact top-k is
-    pinned in pytest)."""
+    """IVF ANN top-{k} for one query vector, HASH-VERIFIED end to end
+    (upgraded from rows-only, VERDICT r5 #7): the declared index variant is
+    the ENGINE-EXACT IVF — stride-seeded unit-sphere centroids (no Lloyd
+    refinement), fixed-point spherical assignment (argmax of the pure-
+    integer 2·dot(x̂,c) − ‖c‖² — the same min-L2-on-the-sphere routing
+    ivf_assign uses, doubled to stay integral), top-2 cell probe for the
+    query, exact fixed-point cosine over the probed shortlist. Every step —
+    seeding, assignment, routing, ranking — is integer or
+    identical-expression double, so the DuckDB oracle replays the ENTIRE
+    index probe bit-for-bit. The Lloyd-trained production path
+    (train_ivf_centroids/ivf_topk: same structure, refined centroids) keeps
+    its recall pytests (tests/test_components.py) — refinement changes
+    which cells exist, not the probe mechanics verified here.
+
+    Scale notes (100 TB): centroids are a k-row broadcast; assignment is a
+    narrow map over vectors (max_by combiner aggregate, no window); the
+    probe reads only 2 cells (partition pruning on a cent_id-partitioned
+    layout); top-k is TakeOrdered."""
     t = load_tables(spark, sf_dir)
     emb = t.embeddings
-    qvec = emb.filter(F.col("vec_id") == 0).select("embedding").head()[0]
-    return ivf_topk(emb.filter(F.col("vec_id") != 0), list(qvec), k=5)
+    u = emb.select("vec_id", _unit_fx_expr().alias("u"))
+    n = emb.count()
+    stride = max(1, n // N_IVF_CELLS)
+    from pyspark.sql.window import Window
+
+    cents = (
+        u.filter(F.col("vec_id") % stride == 0)
+        .orderBy("vec_id")
+        .limit(N_IVF_CELLS)
+        .select(
+            (F.row_number().over(Window.orderBy("vec_id")) - 1)
+            .cast("int")
+            .alias("cent_id"),
+            F.col("u").alias("c"),
+        )
+    )
+    sq = F.aggregate(
+        F.zip_with("c", "c", lambda x, y: x * y),
+        F.lit(0).cast("bigint"),
+        lambda a, v: a + v,
+    )
+    cents = cents.select("cent_id", "c", sq.alias("csq"))
+    dot_uc = F.aggregate(
+        F.zip_with("u", "c", lambda x, y: x * y),
+        F.lit(0).cast("bigint"),
+        lambda a, v: a + v,
+    )
+    scored = u.crossJoin(F.broadcast(cents)).select(
+        "vec_id", "u", "cent_id", (2 * dot_uc - F.col("csq")).alias("score2")
+    )
+    assign = scored.groupBy("vec_id").agg(
+        F.first("u").alias("u"),
+        F.max_by(
+            "cent_id", F.struct(F.col("score2"), (-F.col("cent_id")).alias("tb"))
+        ).alias("cent_id"),
+    )
+    probe = (
+        scored.filter(F.col("vec_id") == ANN_QUERY_VEC)
+        .orderBy(F.col("score2").desc(), "cent_id")
+        .limit(IVF_NPROBE)
+        .select("cent_id")
+    )
+    shortlist = assign.join(F.broadcast(probe), "cent_id").filter(
+        F.col("vec_id") != ANN_QUERY_VEC
+    )
+    q = u.filter(F.col("vec_id") == ANN_QUERY_VEC).select(
+        F.col("u").alias("qu"),
+        F.sqrt(
+            F.aggregate(
+                F.zip_with("u", "u", lambda x, y: x * y),
+                F.lit(0).cast("bigint"),
+                lambda a, v: a + v,
+            ).cast("double")
+        ).alias("qn"),
+    )
+    na = F.sqrt(
+        F.aggregate(
+            F.zip_with("u", "u", lambda x, y: x * y),
+            F.lit(0).cast("bigint"),
+            lambda a, v: a + v,
+        ).cast("double")
+    )
+    dot_q = F.aggregate(
+        F.zip_with("u", "qu", lambda x, y: x * y),
+        F.lit(0).cast("bigint"),
+        lambda a, v: a + v,
+    )
+    cos_fx = F.round(dot_q.cast("double") / (na * F.col("qn")) * FX_SCALE).cast(
+        "bigint"
+    )
+    ranked = (
+        shortlist.crossJoin(F.broadcast(q))
+        .select("vec_id", cos_fx.alias("cosine_fx"))
+        .orderBy(F.col("cosine_fx").desc(), "vec_id")
+        .limit(IVF_TOPK)
+    )
+    return ranked.select(
+        F.row_number()
+        .over(Window.orderBy(F.col("cosine_fx").desc(), "vec_id"))
+        .cast("int")
+        .alias("rank"),
+        F.col("vec_id").cast("bigint").alias("neighbor_id"),
+        "cosine_fx",
+    )
 
 
-@declared("q_sim_ann")
+def _sim_ann_oracle(dim: int = 64, threshold_fx: int = 300_000) -> str:
+    """DuckDB twin of q_sim_ann: the fx_lsh_oracle_sql banding replay with
+    a fixed-point cosine output (ROUND to integer — the safe class) and an
+    integer threshold."""
+    planes = _fx_planes(dim)
+    per_band = N_FX_PLANES // FX_BANDS
+    values = ",".join(
+        f"({p},{i + 1},{int(planes[p, i])})"
+        for p in range(N_FX_PLANES)
+        for i in range(dim)
+    )
+    sig_weight = " ".join(
+        f"WHEN {r} THEN {1 << (per_band - 1 - r)}" for r in range(per_band)
+    )
+    return f"""
+    WITH planes(p, i, h) AS (VALUES {values}),
+    ex AS (
+        SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS x,
+               generate_subscripts(embedding, 1) AS i
+        FROM embeddings
+    ), exq AS (
+        SELECT vec_id, i, CAST(ROUND(x * {FX_SCALE}) AS BIGINT) AS xi FROM ex
+    ), bits AS (
+        SELECT q.vec_id, pl.p,
+               CASE WHEN SUM(q.xi * pl.h) > 0 THEN 1 ELSE 0 END AS bit
+        FROM exq q JOIN planes pl ON q.i = pl.i
+        GROUP BY q.vec_id, pl.p
+    ), sigs AS (
+        SELECT vec_id, p // {per_band} AS band,
+               SUM(bit * CASE p % {per_band} {sig_weight} END) AS sig
+        FROM bits GROUP BY vec_id, p // {per_band}
+    ), cands AS (
+        SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+        FROM sigs a JOIN sigs b
+          ON a.band = b.band AND a.sig = b.sig AND a.vec_id < b.vec_id
+    ), dots AS (
+        SELECT c.vec_a, c.vec_b, SUM(ea.xi * eb.xi) AS dot
+        FROM cands c
+        JOIN exq ea ON ea.vec_id = c.vec_a
+        JOIN exq eb ON eb.vec_id = c.vec_b AND eb.i = ea.i
+        GROUP BY 1, 2
+    ), nfx AS (
+        SELECT vec_id, SQRT(CAST(SUM(xi * xi) AS DOUBLE)) AS n
+        FROM exq GROUP BY vec_id
+    )
+    SELECT vec_a, vec_b, cosine_fx FROM (
+        SELECT d.vec_a, d.vec_b,
+               CAST(ROUND(CAST(d.dot AS DOUBLE) / (na.n * nb.n) * {FX_SCALE})
+                    AS BIGINT) AS cosine_fx
+        FROM dots d
+        JOIN nfx na ON na.vec_id = d.vec_a
+        JOIN nfx nb ON nb.vec_id = d.vec_b
+    ) WHERE cosine_fx >= {threshold_fx}
+    """
+
+
+@declared("q_sim_ann", oracle=_sim_ann_oracle())
 def q_sim_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """LSH-bucketed ANN pairs (rows-only: bucket assignment is engine-local;
-    deterministic across runs via the fixed seed)."""
+    """LSH-bucketed ANN pairs, HASH-VERIFIED (upgraded from rows-only,
+    VERDICT r5 #7): banded fixed-point hyperplane signatures (fx_band_sigs
+    — integer dots, so bucket bits are evaluation-order-independent and
+    engine-exact), candidates only within a (band, sig) bucket, exact
+    fixed-point cosine on candidates reported as 1e6-integer cosine_fx with
+    an INTEGER threshold (≥ 0.3 ⇒ ≥ 300000) — no ROUND(double, n>0)
+    anywhere. The float-plane variant stays as the ann_pairs library op
+    (subset-of-bruteforce pytest). Plan: one narrow projection pass per
+    vector, one (band, sig) bucket join, AQE-sized verify joins — no
+    all-pairs join anywhere.
+
+    Scale notes (100 TB): same banded-bucket shape as MinHash-LSH dedup;
+    candidate volume is LSH-bounded; vectors never reshuffle for verify
+    (candidate list joins back to the vector table on id)."""
     t = load_tables(spark, sf_dir)
-    return ann_pairs(t.embeddings, dim=64, threshold=0.3)
+    emb = t.embeddings
+    fx = emb.select(
+        "vec_id",
+        F.expr(
+            f"transform(embedding, v -> CAST(ROUND(CAST(v AS DOUBLE) * {FX_SCALE}, 0) AS BIGINT))"
+        ).alias("e"),
+    )
+    sigs = fx_band_sigs(emb, dim=64)
+    a = sigs.select(F.col("vec_id").alias("vec_a"), "band", "sig")
+    b = sigs.select(F.col("vec_id").alias("vec_b"), "band", "sig")
+    cands = (
+        a.join(b, ["band", "sig"])
+        .filter(F.col("vec_a") < F.col("vec_b"))
+        .select("vec_a", "vec_b")
+        .distinct()
+    )
+    ea = fx.select(F.col("vec_id").alias("vec_a"), F.col("e").alias("ea"))
+    eb = fx.select(F.col("vec_id").alias("vec_b"), F.col("e").alias("eb"))
+    dot = F.aggregate(
+        F.zip_with("ea", "eb", lambda x, y: x * y),
+        F.lit(0).cast("bigint"),
+        lambda a_, v: a_ + v,
+    )
+    nrm = lambda c: F.sqrt(  # noqa: E731
+        F.aggregate(
+            F.zip_with(c, c, lambda x, y: x * y),
+            F.lit(0).cast("bigint"),
+            lambda a_, v: a_ + v,
+        ).cast("double")
+    )
+    cos_fx = F.round(dot.cast("double") / (nrm("ea") * nrm("eb")) * FX_SCALE).cast(
+        "bigint"
+    )
+    return (
+        cands.join(ea, "vec_a")
+        .join(eb, "vec_b")
+        .select("vec_a", "vec_b", cos_fx.alias("cosine_fx"))
+        .filter(F.col("cosine_fx") >= 300_000)
+    )
 
 
 # --- int8 scalar quantization (embedding storage compression) --------------
@@ -738,10 +1044,8 @@ def q_embed_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --------------------------------------------------------------------------
 # ANN recall audit: hyperplane-LSH candidates vs exact top-k, in-plan
+# (ANN_RECALL_K / ANN_QUERY_VEC defined with the IVF constants above)
 # --------------------------------------------------------------------------
-
-ANN_RECALL_K = 10
-ANN_QUERY_VEC = 0
 
 
 def fx_cosine_to_query(emb: DataFrame, query_vec_id: int) -> DataFrame:

@@ -128,3 +128,66 @@ def test_jaccard_fx_is_round_half_up(spark):
         assert 0.0 <= r.est_jaccard <= 1.0
     # planted near-dup pairs must still surface as high-jaccard
     assert any(r.jaccard_fx >= 900_000 for r in rows)
+
+
+# ---------------------------------------------------------------------------
+# q_sim_ann / q_sim_ivf hash upgrades (VERDICT r5 #7)
+# ---------------------------------------------------------------------------
+
+
+def test_q_sim_ann_pairs_subset_of_bruteforce(spark):
+    """Every fx-LSH candidate pair reported by the hash-verified q_sim_ann
+    must also be a true >= 0.3-cosine pair under exact double arithmetic
+    (the LSH contract: candidates then exact verify, no false positives
+    beyond fixed-point rounding at the 1e-6 boundary)."""
+    import math
+
+    from duckdb_ner_spark.plans.registry import QUERIES
+
+    rows = QUERIES["q_sim_ann"](spark, SF_SMOKE).collect()
+    assert rows
+    emb = {
+        r.vec_id: [float(v) for v in r.embedding]
+        for r in spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet").collect()
+    }
+
+    def cos(a, b):
+        d = sum(x * y for x, y in zip(a, b))
+        return d / math.sqrt(sum(x * x for x in a)) / math.sqrt(
+            sum(x * x for x in b)
+        )
+
+    for r in rows[:200]:
+        exact = cos(emb[r.vec_a], emb[r.vec_b])
+        # cosine_fx is exact cosine of the 1e6-quantized vectors; quantization
+        # moves a unit-ish 64-dim cosine by well under 1e-4
+        assert abs(exact - r.cosine_fx / 1e6) < 1e-3
+        assert r.cosine_fx >= 300_000
+
+
+def test_q_sim_ivf_matches_exact_topk_of_probed_cells(spark):
+    """The declared deterministic IVF probe must return exactly the
+    fixed-point cosine top-5 of its probed cells' member set — and those
+    neighbors must be genuinely close under exact doubles (sanity: the
+    seeded index still routes the query to plausible cells)."""
+    import math
+
+    from duckdb_ner_spark.plans.registry import QUERIES
+
+    rows = QUERIES["q_sim_ivf"](spark, SF_SMOKE).collect()
+    assert [r.rank for r in rows] == [1, 2, 3, 4, 5]
+    assert rows == sorted(rows, key=lambda r: (-r.cosine_fx, r.neighbor_id))
+    emb = {
+        r.vec_id: [float(v) for v in r.embedding]
+        for r in spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet").collect()
+    }
+    q = emb[0]
+
+    def cos(a, b):
+        d = sum(x * y for x, y in zip(a, b))
+        return d / math.sqrt(sum(x * x for x in a)) / math.sqrt(
+            sum(x * x for x in b)
+        )
+
+    for r in rows:
+        assert abs(cos(q, emb[r.neighbor_id]) - r.cosine_fx / 1e6) < 1e-3
