@@ -153,9 +153,11 @@ STUB_VOCAB = [
 
 
 def random_model(vocab: list[str], n_embd: int, n_head: int, n_layer: int,
-                 n_labels: int, n_max_tokens: int, seed: int = 7):
+                 n_labels: int, n_max_tokens: int, seed: int = 7,
+                 n_intermediate: int | None = None):
     rng = np.random.RandomState(seed)
-    n_intermediate = n_embd * 4
+    if n_intermediate is None:
+        n_intermediate = n_embd * 4
 
     def w(*shape):
         return (rng.randn(*shape) * 0.05).astype(np.float32)
