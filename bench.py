@@ -207,6 +207,25 @@ def main() -> None:
         timings[name] = round(best, 3)
 
     total = round(sum(timings.values()), 3)
+
+    # same-run DuckDB pair (VERDICT r5 #5): time the headline oracles in the
+    # same process right after the Spark passes, so the artifact carries
+    # per-query PAIRS — ratios are the host-load-stable signal, and they
+    # become trackable round-over-round without a separate artifact.
+    from tools.bench_duckdb import duckdb_pair
+
+    ddb = duckdb_pair(sf_dir, HEADLINE, entrymod.oracle_sql())
+    o16_spark = round(
+        sum(t for n, t in timings.items() if ddb["queries"].get(n) is not None), 3
+    )
+    o16_cold_spark = round(
+        sum(t for n, t in cold_timings.items() if ddb["cold_queries"].get(n) is not None),
+        3,
+    )
+    ratio = round(o16_spark / ddb["value"], 3) if ddb["value"] else None
+    ratio_cold = (
+        round(o16_cold_spark / ddb["cold_value"], 3) if ddb["cold_value"] else None
+    )
     print(
         json.dumps(
             {
@@ -216,6 +235,14 @@ def main() -> None:
                 "queries": timings,
                 "cold_value": cold_total,
                 "cold_queries": cold_timings,
+                "duckdb_value": ddb["value"],
+                "duckdb_queries": ddb["queries"],
+                "duckdb_cold_value": ddb["cold_value"],
+                "duckdb_cold_queries": ddb["cold_queries"],
+                "spark_o16": o16_spark,
+                "spark_cold_o16": o16_cold_spark,
+                "ratio_steady_o16": ratio,
+                "ratio_cold_o16": ratio_cold,
                 "sf": sf,
             }
         )

@@ -16,16 +16,11 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
-def main() -> None:
+def duckdb_pair(sf_dir: str, headline: list[str], oracles: dict[str, str]) -> dict:
+    """Cold + steady DuckDB timings of the headline oracles — importable so
+    bench.py can embed the same-run pair in its own artifact (per-query
+    ratios trackable round-over-round, VERDICT r5 #5)."""
     import duckdb
-
-    import __spark_entry__ as entrymod
-    from bench import HEADLINE
-
-    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or "0.1")
-
-    oracles = entrymod.oracle_sql()
 
     def fresh_con():
         c = duckdb.connect()
@@ -36,7 +31,7 @@ def main() -> None:
     # cold pass first (mirrors bench.py cold_*): fresh connection per query,
     # single run, no warm buffer pool — first-run latency
     cold_timings: dict[str, float | None] = {}
-    for name in HEADLINE:
+    for name in headline:
         sql = oracles.get(name)
         if sql is None:
             cold_timings[name] = None
@@ -50,7 +45,7 @@ def main() -> None:
 
     con = fresh_con()
     timings: dict[str, float | None] = {}
-    for name in HEADLINE:
+    for name in headline:
         sql = oracles.get(name)
         if sql is None:
             timings[name] = None
@@ -62,20 +57,27 @@ def main() -> None:
             con.execute(sql).fetchall()
             best = min(best, time.time() - t0)
         timings[name] = round(best, 3)
+    con.close()
 
     total = round(sum(v for v in timings.values() if v is not None), 3)
+    return {
+        "value": total,
+        "queries": timings,
+        "cold_value": cold_total,
+        "cold_queries": cold_timings,
+    }
+
+
+def main() -> None:
+    import __spark_entry__ as entrymod
+    from bench import HEADLINE
+
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or "0.1")
+
+    pair = duckdb_pair(sf_dir, HEADLINE, entrymod.oracle_sql())
     print(
-        json.dumps(
-            {
-                "metric": "duckdb_oracle_total",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "cold_value": cold_total,
-                "cold_queries": cold_timings,
-                "sf": sf,
-            }
-        )
+        json.dumps({"metric": "duckdb_oracle_total", "unit": "sec", "sf": sf, **pair})
     )
 
 
