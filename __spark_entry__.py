@@ -49,7 +49,8 @@ _DRIVER_WINDOW_PRIORITY = [
     # q_degree_dist share one persisted degree table (VERDICT #6).
     "q_dedup_near", "q_triangles", "q_degree_dist",
     # round-6 new queries land here (prepend within this block as added).
-    "q_image_stats", "q_sim_ann", "q_sim_ivf",
+    "q_image_stats", "q_sim_ann", "q_sim_ivf", "q_image_dedup",
+    "q_bloom_prune",
     # remainder: oldest-green refresh — last driver row r2 for the dedup/
     # similarity block, r3-r4 for the relational tail; every r5-window query
     # earned a green row in CORRECTNESS_r05 so they cede slots safely (the

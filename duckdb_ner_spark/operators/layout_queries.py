@@ -517,3 +517,160 @@ def q_compaction_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("bucket").cast("bigint").alias("first_bucket"),
         F.max("bucket").cast("bigint").alias("last_bucket"),
     )
+
+
+# --------------------------------------------------------------------------
+# Bloom-filter join pruning (runtime-filter audit)
+# --------------------------------------------------------------------------
+
+BLOOM_BITS = 4096  # 16^3: the filter position is the md5 prefix's 3 hex chars
+BLOOM_WORD = 32  # 32-bit words keep 1 << bit positive in a signed BIGINT
+BLOOM_K = 4  # hash functions
+BLOOM_BAL = 9000  # build side: customers with c_acctbal > 9000 (~10%)
+
+_BLOOM_ORACLE = f"""
+    WITH build AS (
+        SELECT DISTINCT c_custkey AS k FROM customer WHERE c_acctbal > {BLOOM_BAL}
+    ), probe AS (
+        SELECT DISTINCT o_custkey AS k FROM orders
+    ), hex3 AS (
+        -- md5-prefix bit position per (hash fn, key): 3 hex chars = 12 bits
+        SELECT 'build' AS side, k, i,
+               (strpos('0123456789abcdef', substr(md5('bf' || i || '|' || k), 1, 1)) - 1) * 256
+             + (strpos('0123456789abcdef', substr(md5('bf' || i || '|' || k), 2, 1)) - 1) * 16
+             + (strpos('0123456789abcdef', substr(md5('bf' || i || '|' || k), 3, 1)) - 1)
+                   AS pos
+        FROM build, range(0, {BLOOM_K}) t(i)
+        UNION ALL
+        SELECT 'probe', k, i,
+               (strpos('0123456789abcdef', substr(md5('bf' || i || '|' || k), 1, 1)) - 1) * 256
+             + (strpos('0123456789abcdef', substr(md5('bf' || i || '|' || k), 2, 1)) - 1) * 16
+             + (strpos('0123456789abcdef', substr(md5('bf' || i || '|' || k), 3, 1)) - 1)
+        FROM probe, range(0, {BLOOM_K}) t(i)
+    ), filt AS (
+        SELECT CAST(pos // {BLOOM_WORD} AS BIGINT) AS word,
+               bit_or(CAST(1 AS BIGINT) << CAST(pos % {BLOOM_WORD} AS INT)) AS mask
+        FROM hex3 WHERE side = 'build' GROUP BY 1
+    ), hits AS (
+        SELECT h.k,
+               SUM(CASE WHEN (f.mask >> CAST(h.pos % {BLOOM_WORD} AS INT)) & 1 = 1
+                        THEN 1 ELSE 0 END) AS n_set
+        FROM hex3 h
+        LEFT JOIN filt f ON f.word = h.pos // {BLOOM_WORD}
+        WHERE h.side = 'probe'
+        GROUP BY h.k
+    ), passed AS (
+        SELECT k FROM hits WHERE n_set = {BLOOM_K}
+    )
+    SELECT CAST((SELECT COUNT(*) FROM build) AS BIGINT) AS n_build,
+           CAST((SELECT COUNT(*) FROM probe) AS BIGINT) AS n_probe,
+           CAST((SELECT COUNT(*) FROM passed) AS BIGINT) AS n_pass,
+           CAST((SELECT COUNT(*) FROM probe JOIN build USING (k)) AS BIGINT)
+               AS n_members,
+           CAST((SELECT COUNT(*) FROM passed) -
+                (SELECT COUNT(*) FROM probe JOIN build USING (k)) AS BIGINT)
+               AS n_false_pos,
+           ((SELECT COUNT(*) FROM passed) -
+            (SELECT COUNT(*) FROM probe JOIN build USING (k))) * 1e0
+               / NULLIF((SELECT COUNT(*) FROM probe) -
+                        (SELECT COUNT(*) FROM probe JOIN build USING (k)), 0)
+               AS fp_rate
+"""
+
+
+def _bloom_pos(i: int) -> F.Column:
+    """Bit position for hash fn i: integer value of md5's first 3 hex chars
+    (12 bits — exactly BLOOM_BITS), engine-portable."""
+    return F.conv(
+        F.substring(F.md5(F.concat(F.lit(f"bf{i}|"), F.col("k").cast("string"))), 1, 3),
+        16,
+        10,
+    ).cast("bigint")
+
+
+@declared("q_bloom_prune", oracle=_BLOOM_ORACLE)
+def q_bloom_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter JOIN PRUNING audit, hash-verified end to end: build a
+    4096-bit / 4-hash Bloom filter over a selective build side (customers
+    with c_acctbal > 9000), probe every distinct orders.o_custkey through
+    it, and report pass count, true-member count, false positives, and the
+    false-positive rate — the decision table for Spark's runtime bloom
+    filter (InjectRuntimeFilter) and for manual semi-join pruning at
+    100 TB: prune the big fact scan with 2 KB of bits instead of a shuffle.
+
+    Engine-exactness: positions are the first 3 hex chars of md5 (12 bits =
+    the filter size — no modulo bias), the filter is 128 32-bit words
+    (1 << bit stays positive in signed BIGINT), membership is pure integer
+    mask tests; DuckDB replays build and probe bit-for-bit. The fp_rate
+    observed is checked against theory ((1-e^{{-kn/m}})^k ≈ its expectation)
+    in pytest, not here — e^x has no engine-exact form.
+
+    Scale notes (100 TB): the filter is a 128-row aggregate (broadcast to
+    probes); probe-side work is a narrow per-key expression + a broadcast
+    join — the fact table never shuffles; the exact semi-join here exists
+    only to SCORE the filter (a production prune skips it)."""
+    t = load_tables(spark, sf_dir)
+    build = (
+        t.customer.filter(F.col("c_acctbal") > BLOOM_BAL)
+        .select(F.col("c_custkey").alias("k"))
+        .distinct()
+    )
+    probe = t.orders.select(F.col("o_custkey").alias("k")).distinct()
+
+    def positions(df: DataFrame) -> DataFrame:
+        return df.select(
+            "k", F.posexplode(F.array(*[_bloom_pos(i) for i in range(BLOOM_K)])).alias("i", "pos")
+        )
+
+    filt = (
+        positions(build)
+        .groupBy((F.col("pos") / BLOOM_WORD).cast("bigint").alias("word"))
+        .agg(
+            F.expr(
+                f"bit_or(shiftleft(CAST(1 AS BIGINT), CAST(pos % {BLOOM_WORD} AS INT)))"
+            ).alias("mask")
+        )
+    )
+    hits = (
+        positions(probe)
+        .join(
+            F.broadcast(filt),
+            (F.col("pos") / BLOOM_WORD).cast("bigint") == F.col("word"),
+            "left",
+        )
+        .groupBy("k")
+        .agg(
+            F.sum(
+                F.when(
+                    F.expr(
+                        f"(mask >> CAST(pos % {BLOOM_WORD} AS INT)) & 1 = 1"
+                    ),
+                    1,
+                ).otherwise(0)
+            ).alias("n_set")
+        )
+    )
+    n_pass = hits.filter(F.col("n_set") == BLOOM_K).agg(
+        F.count("*").cast("bigint").alias("n_pass")
+    )
+    n_build = build.agg(F.count("*").cast("bigint").alias("n_build"))
+    n_probe = probe.agg(F.count("*").cast("bigint").alias("n_probe"))
+    n_members = probe.join(build, "k").agg(
+        F.count("*").cast("bigint").alias("n_members")
+    )
+    return (
+        n_build.crossJoin(F.broadcast(n_probe))
+        .crossJoin(F.broadcast(n_pass))
+        .crossJoin(F.broadcast(n_members))
+        .select(
+            "n_build",
+            "n_probe",
+            "n_pass",
+            "n_members",
+            (F.col("n_pass") - F.col("n_members")).alias("n_false_pos"),
+            F.expr(
+                "(n_pass - n_members) * 1e0"
+                " / NULLIF(n_probe - n_members, 0)"
+            ).alias("fp_rate"),
+        )
+    )

@@ -26,6 +26,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
+    ArrayType,
     BinaryType,
     IntegerType,
     LongType,
@@ -504,3 +505,158 @@ def q_audio_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
         t.documents.filter(F.col("text").isNotNull() & (F.length("text") > 0))
     )
     return pcm_energy(media)
+
+
+# --------------------------------------------------------------------------
+# Perceptual image dedup: aHash over decoded thumbnails + banded hamming join
+# --------------------------------------------------------------------------
+
+AHASH_BITS = THUMB * THUMB  # 16 cells -> 16-bit hash
+AHASH_BANDS = 4  # 4 bands x 4 bits: EXACT recall for hamming distance <= 3
+HAMMING_MAX = 2
+
+LUMA_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("lumas", ArrayType(LongType())),
+    ]
+)
+
+
+def image_thumb_lumas(media: DataFrame) -> DataFrame:
+    """REAL-decode feature pass for perceptual hashing: payload → PPM decode
+    → nearest-neighbor THUMB×THUMB thumbnail → per-cell integer Rec.709 luma
+    (row-major). Everything downstream of this mapInPandas is JVM-side."""
+    import numpy as np
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, lumas = [], []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                img = decode_image(encode_ppm(bytes(payload))).astype(np.int64)
+                t = image_thumbnail(img)
+                luma = 2126 * t[:, :, 0] + 7152 * t[:, :, 1] + 722 * t[:, :, 2]
+                ids.append(int(doc_id))
+                lumas.append([int(v) for v in luma.flatten()])
+            yield pd.DataFrame({"doc_id": ids, "lumas": lumas})
+
+    return media.mapInPandas(run, schema=LUMA_SCHEMA)
+
+
+_IMAGE_DEDUP_ORACLE = f"""
+    WITH d AS (
+        SELECT doc_id, text, LENGTH(text) AS n,
+               (LENGTH(text) + {IMG_ROW_BYTES - 1}) // {IMG_ROW_BYTES} AS h
+        FROM documents WHERE text IS NOT NULL AND LENGTH(text) > 0
+    ), base AS (
+        SELECT d.doc_id, d.text, d.n, CAST(t.cell AS BIGINT) AS cell,
+               ((CAST(t.cell AS BIGINT) // {THUMB} * d.h) // {THUMB} * {IMG_W}
+                + CAST(t.cell AS BIGINT) % {THUMB} * {IMG_W // THUMB}) * 3 AS b0
+        FROM d, range(0, {AHASH_BITS}) t(cell)
+    ), cells AS (
+        SELECT doc_id, cell,
+               2126 * (CASE WHEN b0 + 1 <= n
+                            THEN ord(substr(text, CAST(b0 + 1 AS INT), 1)) ELSE 0 END)
+             + 7152 * (CASE WHEN b0 + 2 <= n
+                            THEN ord(substr(text, CAST(b0 + 2 AS INT), 1)) ELSE 0 END)
+             +  722 * (CASE WHEN b0 + 3 <= n
+                            THEN ord(substr(text, CAST(b0 + 3 AS INT), 1)) ELSE 0 END)
+                   AS luma
+        FROM base
+    ), hs AS (
+        SELECT doc_id,
+               CAST(SUM(CASE WHEN luma * {AHASH_BITS} > tot
+                             THEN 1 << CAST(cell AS INT) ELSE 0 END) AS BIGINT)
+                   AS ahash
+        FROM (SELECT doc_id, cell, luma,
+                     SUM(luma) OVER (PARTITION BY doc_id) AS tot
+              FROM cells)
+        GROUP BY doc_id
+    ), bands AS (
+        SELECT doc_id, CAST(b AS INT) AS band,
+               CAST((ahash >> CAST(b * 4 AS INT)) & 15 AS BIGINT) AS sig
+        FROM hs, range(0, {AHASH_BANDS}) r(b)
+    ), cand AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM bands a JOIN bands b
+          ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
+    )
+    SELECT c.doc_a, c.doc_b,
+           CAST(bit_count(xor(ha.ahash, hb.ahash)) AS INT) AS hamming
+    FROM cand c
+    JOIN hs ha ON ha.doc_id = c.doc_a
+    JOIN hs hb ON hb.doc_id = c.doc_b
+    WHERE bit_count(xor(ha.ahash, hb.ahash)) <= {HAMMING_MAX}
+"""
+
+
+@declared("q_image_dedup", cache_plan=False, oracle=_IMAGE_DEDUP_ORACLE)
+def q_image_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PERCEPTUAL image dedup, hash-verified end to end: every payload is
+    decoded through the real PPM path, reduced to a {THUMB}×{THUMB} luma
+    thumbnail, and fingerprinted with the classic aHash (bit j = cell j's
+    luma above the thumbnail mean — in integers: 16·luma > Σluma, no
+    division). Near-duplicate pairs come from a BANDED hamming join — 4
+    bands of 4 bits, so any pair within hamming distance 3 shares at least
+    one band by pigeonhole: the banding is EXACT (recall 1.0) for the
+    distance-{HAMMING_MAX} threshold, not probabilistic — then an integer
+    bit_count(xor) verify. The DuckDB oracle replays pixel sampling, luma,
+    hash bits, banding, and hamming bit-for-bit from the source text.
+
+    This is the image-modality twin of MinHash-LSH text dedup (dedup.py):
+    same candidates-by-bucket-join shape, integer-exact throughout.
+
+    Scale notes (100 TB): payloads reduce to 16 BIGINTs inside mapInPandas
+    (no binary ever shuffles); the hash table shuffles 8-byte fingerprints
+    keyed by (band, sig); verify joins fingerprints, not pixels. Hot
+    buckets (e.g. uniform-color images) would take the LSH_BUCKET_CAP
+    min-64 aggregate exactly as dedup.py does — omitted here because the
+    16-bit space keeps buckets small at these SFs."""
+    t = load_tables(spark, sf_dir)
+    media = attach_media(
+        t.documents.filter(F.col("text").isNotNull() & (F.length("text") > 0))
+    )
+    lum = image_thumb_lumas(media)
+    tot = F.expr("aggregate(lumas, CAST(0 AS BIGINT), (a, v) -> a + v)")
+    ahash = sum(
+        F.when(
+            F.col("lumas")[j] * AHASH_BITS > F.col("tot"), F.lit(1 << j).cast("bigint")
+        ).otherwise(F.lit(0).cast("bigint"))
+        for j in range(AHASH_BITS)
+    )
+    hs = (
+        lum.select("doc_id", "lumas", tot.alias("tot"))
+        .select("doc_id", ahash.alias("ahash"))
+        .persist()
+    )
+    bands = hs.select(
+        "doc_id",
+        F.posexplode(
+            F.array(
+                *[
+                    F.shiftright("ahash", b * 4).bitwiseAND(F.lit(15)).cast("bigint")
+                    for b in range(AHASH_BANDS)
+                ]
+            )
+        ).alias("band", "sig"),
+    )
+    a = bands.select(F.col("doc_id").alias("doc_a"), "band", "sig")
+    b = bands.select(F.col("doc_id").alias("doc_b"), "band", "sig")
+    cand = (
+        a.join(b, ["band", "sig"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    ha = hs.select(F.col("doc_id").alias("doc_a"), F.col("ahash").alias("ha"))
+    hb = hs.select(F.col("doc_id").alias("doc_b"), F.col("ahash").alias("hb"))
+    return (
+        cand.join(ha, "doc_a")
+        .join(hb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.bit_count(F.expr("ha ^ hb")).cast("int").alias("hamming"),
+        )
+        .filter(F.col("hamming") <= HAMMING_MAX)
+    )

@@ -6,6 +6,8 @@ from __future__ import annotations
 import numpy as np
 import pytest
 
+import duckdb_ner_spark.operators  # noqa: F401  (populates the registry)
+
 SF_SMOKE = "/root/testdata/sf0.001"
 
 
@@ -191,3 +193,99 @@ def test_q_sim_ivf_matches_exact_topk_of_probed_cells(spark):
 
     for r in rows:
         assert abs(cos(q, emb[r.neighbor_id]) - r.cosine_fx / 1e6) < 1e-3
+
+
+# ---------------------------------------------------------------------------
+# round-6 breadth: perceptual image dedup + bloom join pruning
+# ---------------------------------------------------------------------------
+
+
+def test_image_dedup_banding_recall_is_exact(spark):
+    """Pigeonhole guarantee: with 4 bands of 4 bits, ANY pair within
+    hamming distance 3 shares at least one band — so the banded join's
+    recall at the distance-2 threshold must be EXACTLY 1.0. Verified by
+    brute-force: every hamming<=2 pair of recomputed aHashes must appear
+    in the query result."""
+    from duckdb_ner_spark.operators.multimodal import (
+        AHASH_BITS,
+        decode_image,
+        encode_ppm,
+        image_thumbnail,
+    )
+    from duckdb_ner_spark.plans.registry import QUERIES
+
+    def ahash(text: str) -> int:
+        img = decode_image(encode_ppm(text.encode("utf-8"))).astype(np.int64)
+        t = image_thumbnail(img)
+        luma = (2126 * t[:, :, 0] + 7152 * t[:, :, 1] + 722 * t[:, :, 2]).flatten()
+        tot = int(luma.sum())
+        return sum(1 << j for j in range(AHASH_BITS) if int(luma[j]) * AHASH_BITS > tot)
+
+    hashes = {
+        d.doc_id: ahash(d.text)
+        for d in spark.read.parquet(f"{SF_SMOKE}/documents.parquet").collect()
+        if d.text
+    }
+    ids = sorted(hashes)
+    expect = {
+        (a, b)
+        for ai, a in enumerate(ids)
+        for b in ids[ai + 1 :]
+        if bin(hashes[a] ^ hashes[b]).count("1") <= 2
+    }
+    assert expect, "corpus has near-identical thumbnails"
+    got = {
+        (r.doc_a, r.doc_b)
+        for r in QUERIES["q_image_dedup"](spark, SF_SMOKE).collect()
+    }
+    missing = expect - got
+    assert not missing, f"banding missed {len(missing)} pairs: {list(missing)[:5]}"
+    assert got == expect  # and no pair beyond the threshold leaks through
+
+
+def test_image_dedup_hamming_recompute(spark):
+    """Reported hamming distances must equal a NumPy recompute of the aHash
+    from the decoded thumbnails (implementation parity with the SQL oracle)."""
+    from duckdb_ner_spark.operators.multimodal import (
+        AHASH_BITS,
+        decode_image,
+        encode_ppm,
+        image_thumbnail,
+    )
+    from duckdb_ner_spark.plans.registry import QUERIES
+
+    def ahash(text: str) -> int:
+        img = decode_image(encode_ppm(text.encode("utf-8"))).astype(np.int64)
+        t = image_thumbnail(img)
+        luma = (2126 * t[:, :, 0] + 7152 * t[:, :, 1] + 722 * t[:, :, 2]).flatten()
+        tot = int(luma.sum())
+        return sum(1 << j for j in range(AHASH_BITS) if int(luma[j]) * AHASH_BITS > tot)
+
+    docs = {
+        d.doc_id: d.text
+        for d in spark.read.parquet(f"{SF_SMOKE}/documents.parquet").collect()
+        if d.text
+    }
+    rows = QUERIES["q_image_dedup"](spark, SF_SMOKE).collect()
+    for r in rows[:100]:
+        expect = bin(ahash(docs[r.doc_a]) ^ ahash(docs[r.doc_b])).count("1")
+        assert r.hamming == expect <= 2
+
+
+def test_bloom_prune_rates(spark):
+    """Bloom semantics: no false negatives by construction (every member
+    passes), and the observed false-positive rate must sit near the
+    (1 - e^(-kn/m))^k expectation for the built filter."""
+    import math
+
+    from duckdb_ner_spark.operators.layout_queries import (
+        BLOOM_BITS,
+        BLOOM_K,
+    )
+    from duckdb_ner_spark.plans.registry import QUERIES
+
+    r = QUERIES["q_bloom_prune"](spark, SF_SMOKE).collect()[0]
+    assert r.n_pass >= r.n_members  # zero false negatives
+    assert r.n_false_pos == r.n_pass - r.n_members
+    expect = (1 - math.exp(-BLOOM_K * r.n_build / BLOOM_BITS)) ** BLOOM_K
+    assert abs(r.fp_rate - expect) < max(0.1, 3 * expect), (r.fp_rate, expect)
