@@ -334,3 +334,85 @@ def q_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("SUM(raw) * 1e0 / COUNT(*)").alias("mean_raw"),
         F.expr("SUM(win) * 1e0 / COUNT(*)").alias("mean_win"),
     ).select("lang", "n_docs", "lo", "hi", "sum_raw", "sum_win", "mean_raw", "mean_win")
+
+
+# --------------------------------------------------------------------------
+# Histogram-sketch quantiles: the ENGINE-EXACT mergeable-quantile path
+# --------------------------------------------------------------------------
+
+HISTQ_BIN = 64  # chars per bin
+
+
+@declared(
+    "q_hist_quantile",
+    oracle=f"""
+    WITH h AS (
+        SELECT lang, CAST(n_chars // {HISTQ_BIN} AS BIGINT) AS bin,
+               CAST(COUNT(*) AS BIGINT) AS cnt
+        FROM documents GROUP BY 1, 2
+    ), c AS (
+        SELECT lang, bin, cnt,
+               SUM(cnt) OVER (PARTITION BY lang ORDER BY bin) AS cum,
+               SUM(cnt) OVER (PARTITION BY lang) AS total
+        FROM h
+    )
+    SELECT lang,
+           CAST(MAX(total) AS BIGINT) AS n_docs,
+           CAST(MIN(CASE WHEN cum * 100 >= 5 * total THEN bin END)
+                * {HISTQ_BIN} AS BIGINT) AS p05_lo,
+           CAST(MIN(CASE WHEN cum * 100 >= 50 * total THEN bin END)
+                * {HISTQ_BIN} AS BIGINT) AS p50_lo,
+           CAST(MIN(CASE WHEN cum * 100 >= 95 * total THEN bin END)
+                * {HISTQ_BIN} AS BIGINT) AS p95_lo
+    FROM c GROUP BY lang
+    """,
+)
+def q_hist_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic histogram-sketch quantiles — the ENGINE-EXACT twin of
+    q_len_quantile_approx (which stays rows-only because Greenwald-Khanna /
+    t-digest internals differ per engine): per-language p05/p50/p95 of
+    n_chars read off a fixed-width integer histogram. The histogram IS a
+    mergeable sketch — per-partition (lang, bin) partial counts combine
+    map-side, per-day/per-shard histograms roll up by addition — so this is
+    the quantile path that scales when the exact rank-global sort cannot,
+    with a bounded, known error (one bin width) instead of a probabilistic
+    one. Quantile pick: smallest bin with cum ≥ ⌈q·total⌉, as pure integer
+    arithmetic (cum·100 ≥ q%·total — no ceil, no doubles anywhere).
+
+    Scale notes (100 TB): one combiner aggregate to (lang, bin) — rows
+    after it are #langs × #bins; the cumulative window runs on THAT tiny
+    table, never the corpus."""
+    from pyspark.sql.window import Window
+
+    t = load_tables(spark, sf_dir)
+    h = (
+        t.documents.groupBy(
+            "lang", F.expr(f"n_chars div {HISTQ_BIN}").cast("bigint").alias("bin")
+        )
+        .agg(F.count("*").cast("bigint").alias("cnt"))
+    )
+    wc = Window.partitionBy("lang").orderBy("bin").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    wt = Window.partitionBy("lang")
+    c = h.select(
+        "lang",
+        "bin",
+        F.sum("cnt").over(wc).alias("cum"),
+        F.sum("cnt").over(wt).alias("total"),
+    )
+
+    def pick(pct: int, name: str) -> F.Column:
+        return (
+            F.min(
+                F.when(F.col("cum") * 100 >= pct * F.col("total"), F.col("bin"))
+            )
+            * HISTQ_BIN
+        ).cast("bigint").alias(name)
+
+    return c.groupBy("lang").agg(
+        F.max("total").cast("bigint").alias("n_docs"),
+        pick(5, "p05_lo"),
+        pick(50, "p50_lo"),
+        pick(95, "p95_lo"),
+    )

@@ -1301,3 +1301,104 @@ def q_lang_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("is_hit"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Zipf-slope fit over the word-frequency distribution (planner statistics)
+# --------------------------------------------------------------------------
+
+ZIPF_TOP = 64  # fit over the top-64 words (deterministic (freq desc, word) rank)
+
+_ZIPF_ORACLE = f"""
+    WITH w AS (
+        SELECT unnest(string_split(text, ' ')) AS w FROM documents
+    ), freq AS (
+        SELECT w, CAST(COUNT(*) AS BIGINT) AS n FROM w GROUP BY w
+    ), top AS (
+        SELECT w, n, ROW_NUMBER() OVER (ORDER BY n DESC, w) AS rank
+        FROM freq QUALIFY rank <= {ZIPF_TOP}
+    ), pts AS (
+        SELECT CAST(LENGTH(bin(CAST(rank AS BIGINT))) - 1 AS BIGINT) AS x,
+               CAST(LENGTH(bin(n)) - 1 AS BIGINT) AS y
+        FROM top
+    ), s AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_pts,
+               CAST(SUM(x) AS BIGINT) AS sum_x,
+               CAST(SUM(y) AS BIGINT) AS sum_y,
+               CAST(SUM(x * y) AS BIGINT) AS sum_xy,
+               CAST(SUM(x * x) AS BIGINT) AS sum_xx
+        FROM pts
+    )
+    SELECT n_pts, sum_x, sum_y,
+           CAST(n_pts * sum_xy - sum_x * sum_y AS BIGINT) AS slope_num,
+           CAST(n_pts * sum_xx - sum_x * sum_x AS BIGINT) AS slope_den,
+           (n_pts * sum_xy - sum_x * sum_y) * 1e0
+               / NULLIF(n_pts * sum_xx - sum_x * sum_x, 0) AS slope
+    FROM s
+"""
+
+
+@declared("q_zipf_slope", oracle=_ZIPF_ORACLE)
+def q_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf's-law slope of the corpus word-frequency distribution — the
+    third planner statistic next to q_heaps_law (vocabulary growth) and
+    q_column_profile: a healthy natural-language corpus fits
+    freq ∝ rank^s with s ≈ −1; |s| ≪ 1 flags templated/synthetic text,
+    |s| ≫ 1 flags a boilerplate-dominated head. Fit is OLS over
+    (floor(log2 rank), floor(log2 freq)) for the top-{64} words.
+
+    Engine-exact trick: ln() is banned cross-engine, so both logs are the
+    integer bit-length identity (floor(log2 n) == LENGTH(bin(n)) − 1, the
+    q_surprisal idiom); the OLS slope is then a ratio of two exact BIGINTs
+    (n·Σxy − ΣxΣy) / (n·Σx² − (Σx)²), emitted as both integers and their
+    one-division double. Rank ties break on the word itself — a total
+    order, so both engines rank identically.
+
+    Scale notes (100 TB): word counting is the canonical map-side-combine
+    aggregate; the rank window runs on a {64}-row TakeOrdered result, never
+    the full vocabulary; the fit is a single-row combiner aggregate."""
+    from pyspark.sql.window import Window
+
+    t = load_tables(spark, sf_dir)
+    freq = (
+        t.documents.select(F.explode(words_col("text")).alias("w"))
+        .groupBy("w")
+        .agg(F.count("*").cast("bigint").alias("n"))
+    )
+    top = (
+        freq.orderBy(F.col("n").desc(), "w")
+        .limit(ZIPF_TOP)
+        .select(
+            "n",
+            F.row_number()
+            .over(Window.orderBy(F.col("n").desc(), "w"))
+            .cast("bigint")
+            .alias("rank"),
+        )
+    )
+    pts = top.select(
+        (F.length(F.bin("rank")) - 1).cast("bigint").alias("x"),
+        (F.length(F.bin("n")) - 1).cast("bigint").alias("y"),
+    )
+    s = pts.agg(
+        F.count("*").cast("bigint").alias("n_pts"),
+        F.sum("x").cast("bigint").alias("sum_x"),
+        F.sum("y").cast("bigint").alias("sum_y"),
+        F.sum(F.col("x") * F.col("y")).cast("bigint").alias("sum_xy"),
+        F.sum(F.col("x") * F.col("x")).cast("bigint").alias("sum_xx"),
+    )
+    return s.select(
+        "n_pts",
+        "sum_x",
+        "sum_y",
+        (F.col("n_pts") * F.col("sum_xy") - F.col("sum_x") * F.col("sum_y"))
+        .cast("bigint")
+        .alias("slope_num"),
+        (F.col("n_pts") * F.col("sum_xx") - F.col("sum_x") * F.col("sum_x"))
+        .cast("bigint")
+        .alias("slope_den"),
+        F.expr(
+            "(n_pts * sum_xy - sum_x * sum_y) * 1e0"
+            " / NULLIF(n_pts * sum_xx - sum_x * sum_x, 0)"
+        ).alias("slope"),
+    )

@@ -289,3 +289,39 @@ def test_bloom_prune_rates(spark):
     assert r.n_false_pos == r.n_pass - r.n_members
     expect = (1 - math.exp(-BLOOM_K * r.n_build / BLOOM_BITS)) ** BLOOM_K
     assert abs(r.fp_rate - expect) < max(0.1, 3 * expect), (r.fp_rate, expect)
+
+
+def test_zipf_slope_is_negative_and_consistent(spark):
+    """Natural-language corpus: the quantized Zipf slope must be negative
+    (frequency falls with rank) and equal slope_num/slope_den exactly."""
+    from duckdb_ner_spark.plans.registry import QUERIES
+
+    r = QUERIES["q_zipf_slope"](spark, SF_SMOKE).collect()[0]
+    # sf0.001's synthetic vocabulary is smaller than ZIPF_TOP — the fit
+    # takes what exists (31 words); larger SFs fill all 64 slots
+    assert 10 <= r.n_pts <= 64
+    assert r.slope < 0
+    assert abs(r.slope - r.slope_num / r.slope_den) < 1e-12
+
+
+def test_hist_quantile_within_one_bin_of_exact(spark):
+    """The histogram sketch's quantile picks must bracket the exact
+    percentile: p_lo <= exact_p < p_lo + bin_width (the sketch's whole
+    error contract)."""
+    from duckdb_ner_spark.operators.sampling import HISTQ_BIN
+    from duckdb_ner_spark.plans.registry import QUERIES
+
+    rows = {r.lang: r for r in QUERIES["q_hist_quantile"](spark, SF_SMOKE).collect()}
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet").collect()
+    by_lang: dict[str, list[int]] = {}
+    for d in docs:
+        by_lang.setdefault(d.lang, []).append(d.n_chars)
+    for lang, vals in by_lang.items():
+        vals.sort()
+        r = rows[lang]
+        assert r.n_docs == len(vals)
+        for pct, lo in ((5, r.p05_lo), (50, r.p50_lo), (95, r.p95_lo)):
+            # exact inverse-CDF pick: smallest value with rank >= ceil(q*n)
+            k = -(-pct * len(vals) // 100)  # ceil
+            exact = vals[k - 1]
+            assert lo <= exact < lo + HISTQ_BIN, (lang, pct, lo, exact)
