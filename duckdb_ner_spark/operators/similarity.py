@@ -1266,3 +1266,112 @@ def q_embed_dims(spark: SparkSession, sf_dir: str) -> DataFrame:
             / (n * F.lit(1.0) * n)
         ).alias("var_fx"),
     ).select("dim", "n", "sum_fx", "sumsq_fx", "n_zero", "mean_fx", "var_fx")
+
+
+# --------------------------------------------------------------------------
+# Embedding covariance audit (anisotropy / dimensional-collapse detection)
+# --------------------------------------------------------------------------
+
+_EMBED_COV_ORACLE = f"""
+    WITH ex AS (
+        SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS x,
+               generate_subscripts(embedding, 1) AS i
+        FROM embeddings
+    ), exq AS (
+        SELECT vec_id, CAST(i AS INT) AS i,
+               CAST(ROUND(x * {FX_SCALE}) AS BIGINT) AS xi
+        FROM ex
+    ), g AS (
+        SELECT a.i AS i, b.i AS j, CAST(SUM(a.xi * b.xi) AS BIGINT) AS gram_fx2
+        FROM exq a JOIN exq b ON a.vec_id = b.vec_id AND a.i <= b.i
+        GROUP BY 1, 2
+    ), s AS (
+        SELECT i, CAST(SUM(xi) AS BIGINT) AS si FROM exq GROUP BY i
+    ), nv AS (
+        SELECT CAST(COUNT(DISTINCT vec_id) AS BIGINT) AS n FROM exq
+    )
+    SELECT g.i, g.j, nv.n, g.gram_fx2,
+           CAST(nv.n * g.gram_fx2 - sa.si * sb.si AS BIGINT) AS cov_num_fx2
+    FROM g, nv
+    JOIN s sa ON sa.i = g.i
+    JOIN s sb ON sb.i = g.j
+"""
+
+
+@declared("q_embed_cov", oracle=_EMBED_COV_ORACLE)
+def q_embed_cov(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding COVARIANCE audit — the cross-dimension completion of
+    q_embed_dims (per-dim mean/variance): the upper-triangular Gram and
+    covariance numerators over 1e6-fixed-point vectors, the input to
+    anisotropy checks (is the embedding space collapsing onto a few
+    directions? do dims carry redundant signal?) and to PCA-whitening
+    decisions before an ANN index is built.
+
+    Compute shape is the BLOCK-MATRIX pattern: each Arrow batch becomes a
+    NumPy int64 matrix and contributes one dim×dim partial Gram via a
+    single X^T·X — vectorized per-batch compute inside mapInPandas, then a
+    map-side-combined SUM keyed by (i, j). Integer matmul is exact, so the
+    DuckDB replay (position self-join, SUM of products) matches
+    bit-for-bit. cov numerator = n·Σxy − Σx·Σy stays in exact BIGINT
+    (|xi| ≤ ~3e6, n ≤ 1e5 at these SFs — headroom 1e18; at 100 TB shard
+    the sums hierarchically before combining, same algebra).
+
+    Scale notes (100 TB): vectors never shuffle — each task emits at most
+    dim(dim+1)/2 = 2080 combiner rows regardless of row count; the final
+    aggregate touches #partitions × 2080 rows. The per-dim sums table is
+    64 rows, broadcast twice."""
+    import numpy as np
+
+    t = load_tables(spark, sf_dir)
+    fx = t.embeddings.select(
+        F.expr(
+            f"transform(embedding, v -> CAST(ROUND(CAST(v AS DOUBLE) * {FX_SCALE}, 0) AS BIGINT))"
+        ).alias("e")
+    )
+
+    def gram(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            X = np.array([list(e) for e in pdf["e"]], dtype=np.int64)
+            G = X.T @ X  # exact integer matmul
+            iu = np.triu_indices(G.shape[0])
+            yield pd.DataFrame(
+                {
+                    "i": (iu[0] + 1).astype("int32"),
+                    "j": (iu[1] + 1).astype("int32"),
+                    "s": G[iu],
+                    "cnt": np.full(len(iu[0]), len(pdf), dtype="int64"),
+                }
+            )
+
+    parts = fx.mapInPandas(gram, "i INT, j INT, s LONG, cnt LONG")
+    g = parts.groupBy("i", "j").agg(
+        F.sum("s").cast("bigint").alias("gram_fx2"),
+        F.sum("cnt").cast("bigint").alias("n"),
+    )
+    exq = t.embeddings.select(
+        F.posexplode(
+            F.expr(
+                f"transform(embedding, v -> CAST(ROUND(CAST(v AS DOUBLE) * {FX_SCALE}, 0) AS BIGINT))"
+            )
+        ).alias("p", "xi")
+    ).select((F.col("p") + 1).cast("int").alias("i"), "xi")
+    sums = exq.groupBy("i").agg(F.sum("xi").cast("bigint").alias("si"))
+    sa = sums.select(F.col("i"), F.col("si").alias("sa"))
+    sb = sums.select(F.col("i").alias("j"), F.col("si").alias("sb"))
+    return (
+        g.join(F.broadcast(sa), "i")
+        .join(F.broadcast(sb), "j")
+        .select(
+            "i",
+            "j",
+            "n",
+            "gram_fx2",
+            (F.col("n") * F.col("gram_fx2") - F.col("sa") * F.col("sb"))
+            .cast("bigint")
+            .alias("cov_num_fx2"),
+        )
+    )

@@ -325,3 +325,29 @@ def test_hist_quantile_within_one_bin_of_exact(spark):
             k = -(-pct * len(vals) // 100)  # ceil
             exact = vals[k - 1]
             assert lo <= exact < lo + HISTQ_BIN, (lang, pct, lo, exact)
+
+
+def test_embed_cov_matches_numpy(spark):
+    """The distributed blocked Gram must equal a single-process NumPy
+    recompute exactly (integer matmul both sides), and diagonal covariance
+    numerators must be non-negative (they are n^2 * variance scaled)."""
+    from duckdb_ner_spark.plans.registry import QUERIES
+
+    rows = QUERIES["q_embed_cov"](spark, SF_SMOKE).collect()
+    emb = [
+        [float(v) for v in r.embedding]
+        for r in spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet").collect()
+    ]
+    X = np.array([[round(v * 1_000_000) for v in e] for e in emb], dtype=np.int64)
+    G = X.T @ X
+    S = X.sum(axis=0)
+    n = len(emb)
+    assert len(rows) == 64 * 65 // 2
+    for r in rows:
+        assert r.n == n
+        assert r.gram_fx2 == int(G[r.i - 1, r.j - 1])
+        assert r.cov_num_fx2 == n * int(G[r.i - 1, r.j - 1]) - int(S[r.i - 1]) * int(
+            S[r.j - 1]
+        )
+        if r.i == r.j:
+            assert r.cov_num_fx2 >= 0
