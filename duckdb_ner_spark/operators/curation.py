@@ -397,3 +397,67 @@ def q_mixture_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
             "avg_diversity_bits",
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Deterministic global shuffle + sharding (training-order materialization)
+# --------------------------------------------------------------------------
+
+N_SHARDS = 16  # one md5 hex digit: exactly uniform, no modulo bias
+
+_SHARD_ORACLE = """
+    WITH k AS (
+        SELECT doc_id, source, n_chars,
+               md5('shard|' || CAST(doc_id AS VARCHAR)) AS h
+        FROM documents
+    ), s AS (
+        SELECT CAST(strpos('0123456789abcdef', substr(h, 1, 1)) - 1 AS INT)
+                   AS shard,
+               doc_id, source, n_chars, h
+        FROM k
+    )
+    SELECT shard,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+           CAST(COUNT(DISTINCT source) AS BIGINT) AS n_sources,
+           min_by(doc_id, h) AS first_doc,
+           MIN(h) AS first_key
+    FROM s GROUP BY shard
+"""
+
+
+@declared("q_shard_shuffle", oracle=_SHARD_ORACLE)
+def q_shard_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic GLOBAL SHUFFLE + sharding — the last step before
+    training: every document gets a pseudorandom but reproducible position
+    (md5 of its id), the first hex digit routes it to one of 16 shards
+    (exactly uniform — no modulo bias), and WITHIN a shard the md5 key IS
+    the training order. The audit reports per-shard doc count, token mass,
+    source diversity, and the first document in shuffle order — the
+    balance/determinism checks run before committing a multi-day training
+    job to the order. Properties that matter at 100 TB: reproducible across
+    reruns and executors (no RNG, no seed coordination), stable under
+    re-partitioning, and shard assignment is a NARROW projection — the only
+    shuffle is the 16-group aggregate; materializing the shards is a
+    write with partitionBy(shard) + sortWithinPartitions(h), zero extra
+    passes.
+
+    Engine-exactness: md5-hex routing and min/min_by over unique keys
+    (doc_id is unique ⇒ h is collision-free at these sizes) replay
+    bit-for-bit in DuckDB."""
+    t = load_tables(spark, sf_dir)
+    h = F.md5(F.concat(F.lit("shard|"), F.col("doc_id").cast("string")))
+    s = t.documents.select(
+        F.conv(F.substring(h, 1, 1), 16, 10).cast("int").alias("shard"),
+        "doc_id",
+        "source",
+        "n_chars",
+        h.alias("h"),
+    )
+    return s.groupBy("shard").agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.sum("n_chars").cast("bigint").alias("sum_chars"),
+        F.countDistinct("source").cast("bigint").alias("n_sources"),
+        F.min_by("doc_id", "h").alias("first_doc"),
+        F.min("h").alias("first_key"),
+    )

@@ -173,3 +173,102 @@ def q_source_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("id").cast("bigint").alias("last_id"),
         )
     )
+
+
+BINFILE_STEP = 7  # stage every 7th document as a real .ppm file
+
+
+@declared(
+    "q_source_binary",
+    cache_plan=False,
+    oracle=f"""
+    WITH d AS (
+        SELECT doc_id, LENGTH(text) AS n,
+               (LENGTH(text) + 47) // 48 AS h
+        FROM documents
+        WHERE doc_id % {BINFILE_STEP} = 0 AND text IS NOT NULL AND LENGTH(text) > 0
+    ), pos AS (
+        SELECT doc_id,
+               unnest([CAST(ord(substr(text, CAST(i AS INT), 1)) AS BIGINT)
+                       FOR i IN range(1, LENGTH(text) + 1)]) AS v
+        FROM documents
+        WHERE doc_id % 7 = 0 AND text IS NOT NULL AND LENGTH(text) > 0
+    )
+    SELECT CAST((SELECT COUNT(*) FROM d) AS BIGINT) AS n_files,
+           -- payload bytes on disk: header 'P6\\n16 {{h}}\\n255\\n' + 48*h raster
+           CAST((SELECT SUM(11 + LENGTH(CAST(h AS VARCHAR)) + 48 * h) FROM d)
+                AS BIGINT) AS total_bytes,
+           CAST((SELECT SUM(16 * h) FROM d) AS BIGINT) AS total_px,
+           CAST((SELECT SUM(v) FROM pos) AS BIGINT) AS total_sample_sum
+    """,
+)
+def q_source_binary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """binaryFile SOURCE round-trip — the multimodal INGESTION path: every
+    7th document is materialized as a REAL .ppm image file on disk
+    (encode_ppm), the directory is read back through Spark's `binaryFile`
+    format (path/length/content rows — the format a 100 TB image corpus
+    actually arrives in), each file's content is decoded by the
+    dependency-free PPM parser, and the corpus-level audit (file count,
+    on-disk bytes, pixels, raster sample sum) must equal DuckDB's
+    arithmetic replay from the source text: header bytes are
+    11 + len(str(h)) ('P6\\n16 ' + h + '\\n255\\n'), raster is 48·h with
+    zero padding contributing nothing to the sample sum.
+
+    Scale notes (100 TB): binaryFile is splittable per FILE and prunes
+    with pathGlobFilter/modifiedAfter predicates; decode runs inside
+    mapInPandas (one parser per worker), payloads reduce to scalars before
+    any shuffle. The staging write here is per-task too (foreachPartition
+    writes its own files — no driver fan-out)."""
+    import numpy as np
+    import pandas as pd
+
+    from .multimodal import decode_image, encode_ppm
+
+    t = load_tables(spark, sf_dir)
+    path = _scratch("binfile_ppm", sf_dir)
+    os.makedirs(path, exist_ok=True)
+    sample = t.documents.filter(
+        (F.col("doc_id") % BINFILE_STEP == 0)
+        & F.col("text").isNotNull()
+        & (F.length("text") > 0)
+    ).select("doc_id", "text")
+
+    def stage(rows) -> None:
+        from .multimodal import encode_ppm as enc
+
+        for r in rows:
+            with open(os.path.join(path, f"doc_{r.doc_id}.ppm"), "wb") as f:
+                f.write(enc(r.text.encode("utf-8")))
+
+    sample.foreachPartition(stage)
+
+    files = spark.read.format("binaryFile").load(path)
+
+    def audit(batches):
+        for pdf in batches:
+            n, tb, tp, ts = 0, 0, 0, 0
+            for content in pdf["content"]:
+                img = decode_image(bytes(content))
+                n += 1
+                tb += len(content)
+                tp += img.shape[0] * img.shape[1]
+                ts += int(img.astype(np.int64).sum())
+            yield pd.DataFrame(
+                {
+                    "n_files": [n],
+                    "total_bytes": [tb],
+                    "total_px": [tp],
+                    "total_sample_sum": [ts],
+                }
+            )
+
+    parts = files.select("content").mapInPandas(
+        audit,
+        "n_files LONG, total_bytes LONG, total_px LONG, total_sample_sum LONG",
+    )
+    return parts.agg(
+        F.sum("n_files").cast("bigint").alias("n_files"),
+        F.sum("total_bytes").cast("bigint").alias("total_bytes"),
+        F.sum("total_px").cast("bigint").alias("total_px"),
+        F.sum("total_sample_sum").cast("bigint").alias("total_sample_sum"),
+    )
