@@ -351,3 +351,36 @@ def test_embed_cov_matches_numpy(spark):
         )
         if r.i == r.j:
             assert r.cov_num_fx2 >= 0
+
+
+def test_join_interval_matches_bruteforce(spark):
+    """The bucket-decomposed interval join must equal the O(n^2)
+    brute-force overlap enumeration exactly (no pair lost at bucket
+    boundaries, no double counting from shared buckets)."""
+    from duckdb_ner_spark.plans.registry import QUERIES
+
+    got = {
+        r.l_suppkey: (r.n_pairs, r.sum_overlap_days, r.max_overlap_days)
+        for r in QUERIES["q_join_interval"](spark, SF_SMOKE).collect()
+    }
+    li = spark.read.parquet(f"{SF_SMOKE}/lineitem.parquet").collect()
+    anchor = __import__("datetime").date(1990, 1, 1)
+    by_supp: dict[int, list[tuple[int, int, int]]] = {}
+    for r in li:
+        if r.l_shipdate >= __import__("datetime").datetime(1996, 1, 1):
+            continue
+        k = r.l_orderkey * 8 + r.l_linenumber
+        s = (r.l_shipdate.date() - anchor).days
+        e = s + 1 + (k * 3) % 30
+        by_supp.setdefault(r.l_suppkey, []).append((k, s, e))
+    expect = {}
+    for supp, ivs in by_supp.items():
+        pairs = []
+        for i, (ka, sa, ea) in enumerate(ivs):
+            for kb, sb, eb in ivs[i + 1 :]:
+                gs, le = max(sa, sb), min(ea, eb)
+                if le >= gs:
+                    pairs.append(le - gs + 1)
+        if pairs:
+            expect[supp] = (len(pairs), sum(pairs), max(pairs))
+    assert got == expect
