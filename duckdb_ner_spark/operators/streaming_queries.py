@@ -558,3 +558,109 @@ def q_stream_ner(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("label", F.col("n").cast("bigint").alias("n"))
         .orderBy("label")
     )
+
+
+# --------------------------------------------------------------------------
+# Streaming multimodal ingestion: binaryFile file-stream -> decode -> agg
+# --------------------------------------------------------------------------
+
+_STREAM_IMAGE_ORACLE = """
+    WITH d AS (
+        SELECT doc_id, LENGTH(text) AS n,
+               CAST((LENGTH(text) + 47) // 48 AS BIGINT) AS h
+        FROM documents
+        WHERE doc_id % 7 = 0 AND text IS NOT NULL AND LENGTH(text) > 0
+    ), pos AS (
+        SELECT doc_id,
+               unnest([CAST(ord(substr(text, CAST(i AS INT), 1)) AS BIGINT)
+                       FOR i IN range(1, LENGTH(text) + 1)]) AS v
+        FROM documents
+        WHERE doc_id % 7 = 0 AND text IS NOT NULL AND LENGTH(text) > 0
+    ), ps AS (
+        SELECT doc_id, CAST(SUM(v) AS BIGINT) AS ssum FROM pos GROUP BY doc_id
+    )
+    SELECT d.h AS height,
+           CAST(COUNT(*) AS BIGINT) AS n_images,
+           CAST(SUM(16 * d.h) AS BIGINT) AS total_px,
+           CAST(SUM(ps.ssum) AS BIGINT) AS total_sample_sum
+    FROM d JOIN ps ON d.doc_id = ps.doc_id
+    GROUP BY d.h
+"""
+
+
+@declared("q_stream_image", cache_plan=False, oracle=_STREAM_IMAGE_ORACLE)
+def q_stream_image(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING multimodal ingestion, hash-verified: real .ppm files are
+    staged to a directory by executor tasks, then consumed as a FILE STREAM
+    (readStream.format('binaryFile') — the production shape for an image
+    corpus landing in object storage), decoded by the dependency-free PPM
+    parser inside a streaming mapInPandas, aggregated per image height in a
+    micro-batch drain (availableNow), and compared against DuckDB's
+    characterwise replay from the source text. Batch/stream parity with
+    REAL streaming execution — the multimodal twin of q_stream_window's
+    contract, and unlike q_stream_ner this one has a full SQL oracle
+    because the decode is arithmetic, not a model.
+
+    Scale notes (100 TB): binaryFile streams split per file and checkpoint
+    file offsets (maxFilesPerTrigger paces a backfill); decode emits 3
+    scalars per image before the (height) shuffle; payloads never shuffle."""
+    import os
+
+    import numpy as np
+    import pandas as pd
+
+    from ..sources.catalog import load_tables
+    from .multimodal import decode_image
+    from .sources_queries import BINFILE_STEP, _scratch
+
+    t_docs = load_tables(spark, sf_dir).documents
+    path = _scratch("stream_ppm", sf_dir)
+    os.makedirs(path, exist_ok=True)
+    sample = t_docs.filter(
+        (F.col("doc_id") % BINFILE_STEP == 0)
+        & F.col("text").isNotNull()
+        & (F.length("text") > 0)
+    ).select("doc_id", "text")
+
+    def stage(rows) -> None:
+        from .multimodal import encode_ppm as enc
+
+        for r in rows:
+            with open(os.path.join(path, f"doc_{r.doc_id}.ppm"), "wb") as f:
+                f.write(enc(r.text.encode("utf-8")))
+
+    sample.foreachPartition(stage)
+
+    stream = (
+        spark.readStream.format("binaryFile")
+        .schema(
+            "path STRING, modificationTime TIMESTAMP, length LONG, content BINARY"
+        )
+        .load(path)
+    )
+
+    def decode(batches):
+        for pdf in batches:
+            hs, px, ss = [], [], []
+            for content in pdf["content"]:
+                img = decode_image(bytes(content))
+                hs.append(int(img.shape[0]))
+                px.append(int(img.shape[0] * img.shape[1]))
+                ss.append(int(img.astype(np.int64).sum()))
+            yield pd.DataFrame({"height": hs, "px": px, "ssum": ss})
+
+    feats = stream.select("content").mapInPandas(
+        decode, "height LONG, px LONG, ssum LONG"
+    )
+    agg = feats.groupBy("height").agg(
+        F.count("*").cast("bigint").alias("n_images"),
+        F.sum("px").cast("bigint").alias("total_px"),
+        F.sum("ssum").cast("bigint").alias("total_sample_sum"),
+    )
+    sink = _drain(agg, "complete")
+    return spark.table(sink).select(
+        F.col("height").cast("bigint").alias("height"),
+        "n_images",
+        "total_px",
+        "total_sample_sum",
+    )
