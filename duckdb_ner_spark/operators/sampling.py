@@ -416,3 +416,89 @@ def q_hist_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
         pick(50, "p50_lo"),
         pick(95, "p95_lo"),
     )
+
+
+# --------------------------------------------------------------------------
+# MAD robust outlier gate (median absolute deviation — heavy-tail safe)
+# --------------------------------------------------------------------------
+
+MAD_K = 5  # flag |x - median| > K * MAD
+
+_MAD_ORACLE = f"""
+    WITH med AS (
+        SELECT lang,
+               CAST(PERCENTILE_DISC(0.5) WITHIN GROUP (ORDER BY n_chars)
+                    AS BIGINT) AS med
+        FROM documents GROUP BY lang
+    ), dev AS (
+        SELECT d.lang, d.n_chars, m.med,
+               ABS(d.n_chars - m.med) AS adev
+        FROM documents d JOIN med m ON d.lang = m.lang
+    ), mad AS (
+        SELECT lang,
+               CAST(PERCENTILE_DISC(0.5) WITHIN GROUP (ORDER BY adev)
+                    AS BIGINT) AS mad
+        FROM dev GROUP BY lang
+    )
+    SELECT dev.lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           MAX(dev.med) AS median_chars,
+           MAX(mad.mad) AS mad_chars,
+           CAST(SUM(CASE WHEN dev.adev > {MAD_K} * mad.mad THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_outliers,
+           CAST(MAX(CASE WHEN dev.adev > {MAD_K} * mad.mad THEN dev.n_chars END)
+                AS BIGINT) AS worst_len
+    FROM dev JOIN mad ON dev.lang = mad.lang
+    GROUP BY dev.lang
+"""
+
+
+@declared("q_outlier_mad", oracle=_MAD_ORACLE)
+def q_outlier_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MAD (median-absolute-deviation) outlier gate per language — the
+    robust-statistics complement to q_winsorize's percentile clamp and
+    q_velocity_anomaly's z-scores: mean/σ are themselves corrupted by the
+    heavy tails they're meant to flag, while median ± K·MAD is immune to
+    up to 50% contamination — the correct length-outlier gate for a corpus
+    where a handful of concatenation-bug megadocuments would inflate σ and
+    mask themselves. All arithmetic integer (PERCENTILE_DISC picks an
+    actual value; deviations and the K·MAD threshold stay in BIGINT), so
+    the DuckDB replay is bit-exact.
+
+    Scale notes (100 TB): two exact medians per group at these SFs;
+    production swap-in is approx_percentile for both (the module-header
+    trade). The deviations join is keyed by lang against a tiny broadcast
+    median table; everything else is map-side-combined aggregation."""
+    t = load_tables(spark, sf_dir)
+    med = t.documents.groupBy("lang").agg(
+        F.expr(
+            "CAST(percentile_disc(0.5) WITHIN GROUP (ORDER BY n_chars) AS BIGINT)"
+        ).alias("med")
+    )
+    dev = t.documents.join(F.broadcast(med), "lang").select(
+        "lang", "n_chars", "med", F.abs(F.col("n_chars") - F.col("med")).alias("adev")
+    )
+    mad = dev.groupBy("lang").agg(
+        F.expr(
+            "CAST(percentile_disc(0.5) WITHIN GROUP (ORDER BY adev) AS BIGINT)"
+        ).alias("mad")
+    )
+    return (
+        dev.join(F.broadcast(mad), "lang")
+        .groupBy("lang")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.max("med").alias("median_chars"),
+            F.max("mad").alias("mad_chars"),
+            F.sum(
+                F.when(F.col("adev") > MAD_K * F.col("mad"), 1).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("n_outliers"),
+            F.max(
+                F.when(F.col("adev") > MAD_K * F.col("mad"), F.col("n_chars"))
+            )
+            .cast("bigint")
+            .alias("worst_len"),
+        )
+    )
