@@ -52,7 +52,7 @@ _DRIVER_WINDOW_PRIORITY = [
     "q_image_stats", "q_sim_ann", "q_sim_ivf", "q_image_dedup",
     "q_bloom_prune", "q_zipf_slope", "q_hist_quantile", "q_embed_cov",
     "q_shard_shuffle", "q_source_binary", "q_join_interval",
-    "q_stream_image", "q_outlier_mad",
+    "q_stream_image", "q_outlier_mad", "q_join_cardinality",
     # remainder: oldest-green refresh — last driver row r2 for the dedup/
     # similarity block, r3-r4 for the relational tail; every r5-window query
     # earned a green row in CORRECTNESS_r05 so they cede slots safely (the

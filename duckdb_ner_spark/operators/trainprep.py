@@ -869,3 +869,83 @@ def q_pack_efficiency(spark: SparkSession, sf_dir: str) -> DataFrame:
             "waste_unpacked_ratio",
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Join-cardinality estimation audit (Selinger NDV formula vs actual)
+# --------------------------------------------------------------------------
+
+_CARD_ORACLE = """
+    WITH s AS (
+        SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM orders) AS n_orders,
+               (SELECT CAST(COUNT(*) AS BIGINT) FROM lineitem) AS n_lineitem,
+               (SELECT CAST(COUNT(DISTINCT o_orderkey) AS BIGINT) FROM orders)
+                   AS ndv_orders,
+               (SELECT CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) FROM lineitem)
+                   AS ndv_lineitem,
+               (SELECT CAST(COUNT(*) AS BIGINT)
+                FROM orders JOIN lineitem ON o_orderkey = l_orderkey) AS actual
+    )
+    SELECT n_orders, n_lineitem, ndv_orders, ndv_lineitem, actual,
+           CAST(n_orders * n_lineitem / GREATEST(ndv_orders, ndv_lineitem)
+                AS BIGINT) AS est_selinger,
+           CAST(n_orders * n_lineitem / GREATEST(ndv_orders, ndv_lineitem)
+                AS BIGINT) * 1e0 / actual AS est_over_actual
+    FROM s
+"""
+
+
+@declared("q_join_cardinality", oracle=_CARD_ORACLE)
+def q_join_cardinality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-CARDINALITY estimation audit: the classic Selinger formula
+    |A ⋈ B| ≈ |A|·|B| / max(ndv_A(k), ndv_B(k)) scored against the actual
+    orders⋈lineitem join size — the NDV-statistics twin of q_kmv_join_est
+    (which estimates from mergeable sketches instead of exact NDVs). This
+    is the number a cost-based planner uses to pick join order and
+    broadcast-vs-shuffle; auditing its error against ground truth is how a
+    100 TB deployment decides whether its ANALYZE stats are stale.
+
+    Engine-exactness: counts and NDVs are exact integers; the estimate is
+    integer division (DuckDB `/` on BIGINTs yields DOUBLE, so the CAST
+    truncates identically to Spark's div-after-multiply ordering — both
+    sides compute n_a*n_b first, divide, then CAST); the ratio is one 1e0
+    division.
+
+    Scale notes (100 TB): NDVs come from map-side-combined distinct
+    aggregates (production: approx_count_distinct or KMV partials —
+    q_kmv_join_est); the exact join here exists only to score the
+    estimate."""
+    t = load_tables(spark, sf_dir)
+    n_o = t.orders.agg(F.count("*").cast("bigint").alias("n_orders"))
+    n_l = t.lineitem.agg(F.count("*").cast("bigint").alias("n_lineitem"))
+    ndv_o = t.orders.agg(
+        F.countDistinct("o_orderkey").cast("bigint").alias("ndv_orders")
+    )
+    ndv_l = t.lineitem.agg(
+        F.countDistinct("l_orderkey").cast("bigint").alias("ndv_lineitem")
+    )
+    actual = (
+        t.orders.join(t.lineitem, F.col("o_orderkey") == F.col("l_orderkey"))
+        .agg(F.count("*").cast("bigint").alias("actual"))
+    )
+    return (
+        n_o.crossJoin(F.broadcast(n_l))
+        .crossJoin(F.broadcast(ndv_o))
+        .crossJoin(F.broadcast(ndv_l))
+        .crossJoin(F.broadcast(actual))
+        .select(
+            "n_orders",
+            "n_lineitem",
+            "ndv_orders",
+            "ndv_lineitem",
+            "actual",
+            F.expr(
+                "CAST(n_orders * n_lineitem / GREATEST(ndv_orders, ndv_lineitem)"
+                " AS BIGINT)"
+            ).alias("est_selinger"),
+            F.expr(
+                "CAST(n_orders * n_lineitem / GREATEST(ndv_orders, ndv_lineitem)"
+                " AS BIGINT) * 1e0 / actual"
+            ).alias("est_over_actual"),
+        )
+    )
