@@ -384,3 +384,25 @@ def test_join_interval_matches_bruteforce(spark):
         if pairs:
             expect[supp] = (len(pairs), sum(pairs), max(pairs))
     assert got == expect
+
+
+def test_round6_plans_have_no_allpairs_join(spark):
+    """Scale-killer guard for the round-6 bucket-join family: no cartesian
+    product or broadcast-nested-loop join anywhere in the optimized plans
+    (the declared tiny crossJoins of 1-row aggregates fold into broadcast
+    hash joins / BroadcastExchange of single rows, never a nested loop over
+    unbounded sides)."""
+    import __spark_entry__ as e
+    from duckdb_ner_spark.plans.inspect import formatted_plan
+    from duckdb_ner_spark.plans.registry import clear_plan_cache
+
+    clear_plan_cache()
+    q = e.queries()
+    for name in ("q_image_dedup", "q_sim_ann", "q_join_interval"):
+        fp = formatted_plan(q[name](spark, SF_SMOKE))
+        assert "CartesianProduct" not in fp, name
+        # pair generation must be an equi-join on bucket keys, not a
+        # nested-loop theta join over the full sides
+        assert "SortMergeJoin" in fp or "ShuffledHashJoin" in fp or (
+            "BroadcastHashJoin" in fp
+        ), name
