@@ -170,9 +170,71 @@ def main() -> None:
             .collect()
         )
 
+    def interval_join_shape(times):
+        # r6 join family: explode-to-buckets + equi-join + distinct + verify
+        # (q_join_interval's core); supplier keys remapped so per-bucket
+        # density stays constant while total rows scale
+        big = inflate(
+            li.select("l_suppkey", "l_orderkey", "l_linenumber", "l_shipdate"),
+            times,
+            ["l_suppkey", "l_orderkey"],
+        )
+        iv = big.select(
+            F.col("l_suppkey").alias("supp"),
+            (F.col("l_orderkey") * 8 + F.col("l_linenumber")).cast("bigint").alias("k"),
+            F.datediff(F.to_date("l_shipdate"), F.lit("1990-01-01").cast("date"))
+            .cast("bigint")
+            .alias("s"),
+        ).withColumn("e", F.col("s") + 1 + (F.col("k") * 3) % 30)
+        bk = iv.select(
+            "supp", "k", "s", "e",
+            F.explode(F.sequence(F.expr("s div 32"), F.expr("e div 32"))).alias("b"),
+        )
+        a = bk.select("supp", F.col("k").alias("ka"), F.col("s").alias("sa"), F.col("e").alias("ea"), "b")
+        c = bk.select(F.col("supp").alias("s2"), F.col("k").alias("kb"), F.col("s").alias("sb"), F.col("e").alias("eb"), F.col("b").alias("b2"))
+        (
+            a.join(c, (F.col("supp") == F.col("s2")) & (F.col("b") == F.col("b2")) & (F.col("ka") < F.col("kb")))
+            .select("supp", "ka", "kb", F.greatest("sa", "sb").alias("gs"), F.least("ea", "eb").alias("le"))
+            .distinct()
+            .filter(F.col("le") >= F.col("gs"))
+            .agg(F.count("*"))
+            .collect()
+        )
+
+    def blocked_gram_shape(times):
+        # r6 embedding family: per-batch int64 X^T.X inside mapInPandas —
+        # output rows are CONSTANT (2080 per task) no matter how many
+        # vectors flow through, the defining scale property
+        from duckdb_ner_spark.operators.similarity import FX_SCALE
+
+        emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        big = inflate(emb.select("vec_id", "embedding"), times, ["vec_id"])
+        fx = big.select(
+            F.expr(
+                f"transform(embedding, v -> CAST(ROUND(CAST(v AS DOUBLE) * {FX_SCALE}, 0) AS BIGINT))"
+            ).alias("e")
+        )
+
+        def gram(batches):
+            import numpy as np
+            import pandas as pd
+
+            for pdf in batches:
+                if not len(pdf):
+                    continue
+                X = np.array([list(x) for x in pdf["e"]], dtype=np.int64)
+                G = X.T @ X
+                iu = np.triu_indices(G.shape[0])
+                yield pd.DataFrame({"i": (iu[0] + 1).astype("int32"), "j": (iu[1] + 1).astype("int32"), "s": G[iu]})
+
+        fx.mapInPandas(gram, "i INT, j INT, s LONG").groupBy("i", "j").agg(
+            F.sum("s")
+        ).agg(F.count("*")).collect()
+
     # untimed warmup: whole-stage-codegen JIT is a one-off per plan shape
     agg_shape(1), join_shape(1), window_shape(1), funnel_shape(1), linededup_shape(1)
     hot_bucket_shape(1), cdc_chunk_shape(1), topk_salted_shape(1)
+    interval_join_shape(1), blocked_gram_shape(1)
 
     for times in (1, 10, 30):
         probe("tpch_q1_agg", agg_shape, times)
@@ -183,6 +245,8 @@ def main() -> None:
         probe("capped_hot_bucket", hot_bucket_shape, times)
         probe("cdc_chunk_windows", cdc_chunk_shape, times)
         probe("grouped_topk_salted", topk_salted_shape, times)
+        probe("interval_bucket_join", interval_join_shape, times)
+        probe("blocked_int_gram", blocked_gram_shape, times)
 
     rows_base = li.count()
     lines = [
