@@ -126,12 +126,21 @@ def lsh_candidate_pairs(
     keeping only each bucket's `bucket_cap` smallest ids as pair sources
     (the hot-bucket guard — see LSH_BUCKET_CAP). The cap is a min-64
     AGGREGATE — slice(array_sort(collect_list(id)), 1, cap) — not a
-    row_number window: the aggregate gets map-side partial (combiner)
-    aggregation, so the cap costs one normal hash-aggregate exchange keyed
-    by (band, sig) instead of the window form's full sort-shuffle of every
-    band row (the r5 q_dedup_near +45% steady regression). Selected ids are
-    identical by construction (the `cap` smallest per bucket), so hashes —
-    and the oracle replay in sql_minhash_capped_cand — are unchanged.
+    row_number window: the win over the window form is dropping its full
+    sort-shuffle of every band row (the r5 q_dedup_near +45% steady
+    regression) for one hash-aggregate exchange keyed by (band, sig).
+    Honesty note (r6 self-review): collect_list's partial aggregation
+    ships every element — the combiner reduces exchanges, not bytes — and
+    the final buffer holds the whole bucket as one in-memory array before
+    the sort+slice (~8 MB at a 10⁶-member bucket; fine, since exact dedup
+    runs FIRST and collapses the byte-identical clusters that create
+    degenerate buckets — the documented prerequisite, cf. LSH_BUCKET_CAP).
+    A truly bounded-state min-k needs a truncating UDAF Spark's built-ins
+    don't offer; the two-level salted variant (min-k per (band,sig,salt),
+    then min-k of the ≤64·cap merged ids) is the escalation if a corpus
+    can't pre-dedup. Selected ids are identical by construction (the `cap`
+    smallest per bucket), so hashes — and the oracle replay in
+    sql_minhash_capped_cand — are unchanged.
 
     Banding uses ONE posexplode pass, not a per-band union — Spark does not
     dedupe common subtrees across union branches, so the union form would

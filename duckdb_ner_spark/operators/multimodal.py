@@ -116,6 +116,35 @@ def encode_ppm(data: bytes) -> bytes:
     return b"P6\n%d %d\n255\n" % (IMG_W, h) + px
 
 
+PPM_STAGE_STEP = 7  # stage every 7th document as a real .ppm file
+
+
+def ppm_sample(documents: DataFrame, step: int = PPM_STAGE_STEP) -> DataFrame:
+    """The deterministic staging sample shared by q_source_binary and
+    q_stream_image: every step-th non-empty document as (doc_id, text)."""
+    return documents.filter(
+        (F.col("doc_id") % step == 0)
+        & F.col("text").isNotNull()
+        & (F.length("text") > 0)
+    ).select("doc_id", "text")
+
+
+def stage_ppm_files(docs: DataFrame, path: str) -> None:
+    """Materialize (doc_id, text) rows as REAL .ppm files named
+    doc_{id}.ppm under ``path`` — written by executor tasks
+    (foreachPartition), no driver fan-out. One definition so the filename
+    pattern / encoding can never drift between the batch (q_source_binary)
+    and streaming (q_stream_image) consumers (r6 self-review)."""
+    import os
+
+    def stage(rows) -> None:
+        for r in rows:
+            with open(os.path.join(path, f"doc_{r.doc_id}.ppm"), "wb") as f:
+                f.write(encode_ppm(r.text.encode("utf-8")))
+
+    docs.foreachPartition(stage)
+
+
 def decode_image(payload: bytes):
     """REAL image decode: dependency-free binary-PPM (P6) parser — magic
     check, whitespace- and comment-tolerant ASCII header (the netpbm spec
@@ -154,15 +183,15 @@ def decode_image(payload: bytes):
     )
 
 
-def image_thumbnail(img) -> "object":
-    """Nearest-neighbor resize to THUMB×THUMB — real spatial resampling
+def image_thumbnail(img, target: int = THUMB) -> "object":
+    """Nearest-neighbor resize to target×target — real spatial resampling
     (source row floor(ty·h/T), source col floor(tx·w/T)), the index
     arithmetic PIL's Image.NEAREST uses."""
     import numpy as np
 
     h, w = img.shape[0], img.shape[1]
-    rows = (np.arange(THUMB) * h) // THUMB
-    cols = (np.arange(THUMB) * w) // THUMB
+    rows = (np.arange(target) * h) // target
+    cols = (np.arange(target) * w) // target
     return img[rows][:, cols]
 
 
@@ -511,8 +540,11 @@ def q_audio_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Perceptual image dedup: aHash over decoded thumbnails + banded hamming join
 # --------------------------------------------------------------------------
 
-AHASH_BITS = THUMB * THUMB  # 16 cells -> 16-bit hash
-AHASH_BANDS = 4  # 4 bands x 4 bits: EXACT recall for hamming distance <= 3
+AHASH_GRID = 8  # the classic aHash raster: 8x8 luma cells -> 64-bit hash
+AHASH_BITS = AHASH_GRID * AHASH_GRID
+AHASH_BANDS = 4  # 4 bands x 16 bits: EXACT recall for hamming distance <= 3
+AHASH_BAND_BITS = AHASH_BITS // AHASH_BANDS
+AHASH_BUCKET_CAP = 256  # hot-bucket guard (uniform-color images): min-k ids
 HAMMING_MAX = 2
 
 LUMA_SCHEMA = StructType(
@@ -523,9 +555,9 @@ LUMA_SCHEMA = StructType(
 )
 
 
-def image_thumb_lumas(media: DataFrame) -> DataFrame:
+def image_thumb_lumas(media: DataFrame, grid: int = AHASH_GRID) -> DataFrame:
     """REAL-decode feature pass for perceptual hashing: payload → PPM decode
-    → nearest-neighbor THUMB×THUMB thumbnail → per-cell integer Rec.709 luma
+    → nearest-neighbor grid×grid thumbnail → per-cell integer Rec.709 luma
     (row-major). Everything downstream of this mapInPandas is JVM-side."""
     import numpy as np
 
@@ -534,7 +566,7 @@ def image_thumb_lumas(media: DataFrame) -> DataFrame:
             ids, lumas = [], []
             for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
                 img = decode_image(encode_ppm(bytes(payload))).astype(np.int64)
-                t = image_thumbnail(img)
+                t = image_thumbnail(img, target=grid)
                 luma = 2126 * t[:, :, 0] + 7152 * t[:, :, 1] + 722 * t[:, :, 2]
                 ids.append(int(doc_id))
                 lumas.append([int(v) for v in luma.flatten()])
@@ -543,15 +575,20 @@ def image_thumb_lumas(media: DataFrame) -> DataFrame:
     return media.mapInPandas(run, schema=LUMA_SCHEMA)
 
 
-_IMAGE_DEDUP_ORACLE = f"""
-    WITH d AS (
+def _sql_ahash_sigs() -> str:
+    """Shared oracle CTE chain: documents → 8×8 thumbnail cell lumas →
+    per-band 16-bit aHash signatures (sig0..sig3 per doc). Mirrors
+    image_thumb_lumas + the banding arithmetic in q_image_dedup."""
+    return f"""d AS (
         SELECT doc_id, text, LENGTH(text) AS n,
                (LENGTH(text) + {IMG_ROW_BYTES - 1}) // {IMG_ROW_BYTES} AS h
         FROM documents WHERE text IS NOT NULL AND LENGTH(text) > 0
     ), base AS (
         SELECT d.doc_id, d.text, d.n, CAST(t.cell AS BIGINT) AS cell,
-               ((CAST(t.cell AS BIGINT) // {THUMB} * d.h) // {THUMB} * {IMG_W}
-                + CAST(t.cell AS BIGINT) % {THUMB} * {IMG_W // THUMB}) * 3 AS b0
+               ((CAST(t.cell AS BIGINT) // {AHASH_GRID} * d.h) // {AHASH_GRID}
+                * {IMG_W}
+                + CAST(t.cell AS BIGINT) % {AHASH_GRID}
+                  * {IMG_W // AHASH_GRID}) * 3 AS b0
         FROM d, range(0, {AHASH_BITS}) t(cell)
     ), cells AS (
         SELECT doc_id, cell,
@@ -563,100 +600,132 @@ _IMAGE_DEDUP_ORACLE = f"""
                             THEN ord(substr(text, CAST(b0 + 3 AS INT), 1)) ELSE 0 END)
                    AS luma
         FROM base
-    ), hs AS (
-        SELECT doc_id,
-               CAST(SUM(CASE WHEN luma * {AHASH_BITS} > tot
-                             THEN 1 << CAST(cell AS INT) ELSE 0 END) AS BIGINT)
-                   AS ahash
+    ), bits AS (
+        SELECT doc_id, cell,
+               CASE WHEN luma * {AHASH_BITS} > tot THEN 1 ELSE 0 END AS bit
         FROM (SELECT doc_id, cell, luma,
                      SUM(luma) OVER (PARTITION BY doc_id) AS tot
               FROM cells)
-        GROUP BY doc_id
-    ), bands AS (
+    ), hs AS (
+        SELECT doc_id,
+               {", ".join(
+                   f"CAST(SUM(CASE WHEN cell // {AHASH_BAND_BITS} = {b} THEN bit"
+                   f" << CAST(cell % {AHASH_BAND_BITS} AS INT) ELSE 0 END)"
+                   f" AS BIGINT) AS sig{b}"
+                   for b in range(AHASH_BANDS)
+               )}
+        FROM bits GROUP BY doc_id
+    )"""
+
+
+_IMAGE_DEDUP_ORACLE = f"""
+    WITH {_sql_ahash_sigs()}, bands AS (
         SELECT doc_id, CAST(b AS INT) AS band,
-               CAST((ahash >> CAST(b * 4 AS INT)) & 15 AS BIGINT) AS sig
+               CASE b {" ".join(f"WHEN {b} THEN sig{b}" for b in range(AHASH_BANDS))}
+               END AS sig
         FROM hs, range(0, {AHASH_BANDS}) r(b)
+    ), capped AS (
+        SELECT band, sig,
+               unnest(list_slice(list_sort(list(doc_id)), 1, {AHASH_BUCKET_CAP}))
+                   AS doc_id
+        FROM bands GROUP BY band, sig
     ), cand AS (
         SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-        FROM bands a JOIN bands b
+        FROM capped a JOIN capped b
           ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
     )
     SELECT c.doc_a, c.doc_b,
-           CAST(bit_count(xor(ha.ahash, hb.ahash)) AS INT) AS hamming
+           CAST({" + ".join(f"bit_count(xor(ha.sig{b}, hb.sig{b}))" for b in range(AHASH_BANDS))}
+                AS INT) AS hamming
     FROM cand c
     JOIN hs ha ON ha.doc_id = c.doc_a
     JOIN hs hb ON hb.doc_id = c.doc_b
-    WHERE bit_count(xor(ha.ahash, hb.ahash)) <= {HAMMING_MAX}
+    WHERE {" + ".join(f"bit_count(xor(ha.sig{b}, hb.sig{b}))" for b in range(AHASH_BANDS))}
+          <= {HAMMING_MAX}
 """
 
 
 @declared("q_image_dedup", cache_plan=False, oracle=_IMAGE_DEDUP_ORACLE)
 def q_image_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PERCEPTUAL image dedup, hash-verified end to end: every payload is
-    decoded through the real PPM path, reduced to a {THUMB}×{THUMB} luma
-    thumbnail, and fingerprinted with the classic aHash (bit j = cell j's
-    luma above the thumbnail mean — in integers: 16·luma > Σluma, no
-    division). Near-duplicate pairs come from a BANDED hamming join — 4
-    bands of 4 bits, so any pair within hamming distance 3 shares at least
-    one band by pigeonhole: the banding is EXACT (recall 1.0) for the
-    distance-{HAMMING_MAX} threshold, not probabilistic — then an integer
-    bit_count(xor) verify. The DuckDB oracle replays pixel sampling, luma,
-    hash bits, banding, and hamming bit-for-bit from the source text.
+    decoded through the real PPM path, reduced to the classic 8×8 luma
+    thumbnail, and fingerprinted with aHash (bit j = cell j's luma above
+    the thumbnail mean — in integers: 64·luma > Σluma, no division). The
+    64-bit hash lives as FOUR 16-bit band signatures (never a single
+    1 << 63 integer — sign-bit shifts are a cross-engine hazard), so the
+    banded join doubles as the hash representation: near-duplicate pairs
+    come from the (band, sig) bucket join — 4 bands × 16 bits, so any pair
+    within hamming distance 3 shares a band by pigeonhole (EXACT recall at
+    the distance-{HAMMING_MAX} threshold) — then an integer
+    Σ bit_count(xor) verify. 16-bit band space keeps buckets tiny on
+    natural images, and the min-{AHASH_BUCKET_CAP} hot-bucket cap
+    (dedup.py's aggregate idiom, replayed by the oracle) guards the
+    pathological uniform-color case where every image lands in one bucket
+    (r6 self-review: the earlier 4-bit bands made EVERY corpus pathological
+    — Θ(N²/2¹⁶) candidates; 16-bit bands + the cap make candidate volume
+    density-bounded). Exact-dup images collapse in exact dedup first, the
+    same prerequisite as text LSH.
 
-    This is the image-modality twin of MinHash-LSH text dedup (dedup.py):
-    same candidates-by-bucket-join shape, integer-exact throughout.
-
-    Scale notes (100 TB): payloads reduce to 16 BIGINTs inside mapInPandas
-    (no binary ever shuffles); the hash table shuffles 8-byte fingerprints
-    keyed by (band, sig); verify joins fingerprints, not pixels. Hot
-    buckets (e.g. uniform-color images) would take the LSH_BUCKET_CAP
-    min-64 aggregate exactly as dedup.py does — omitted here because the
-    16-bit space keeps buckets small at these SFs."""
+    Scale notes (100 TB): payloads reduce to 64 BIGINTs inside mapInPandas
+    (no binary ever shuffles); the signature table shuffles four 2-byte
+    sigs per image keyed by (band, sig); verify joins fingerprints, not
+    pixels."""
     t = load_tables(spark, sf_dir)
     media = attach_media(
         t.documents.filter(F.col("text").isNotNull() & (F.length("text") > 0))
     )
     lum = image_thumb_lumas(media)
     tot = F.expr("aggregate(lumas, CAST(0 AS BIGINT), (a, v) -> a + v)")
-    ahash = sum(
-        F.when(
-            F.col("lumas")[j] * AHASH_BITS > F.col("tot"), F.lit(1 << j).cast("bigint")
-        ).otherwise(F.lit(0).cast("bigint"))
-        for j in range(AHASH_BITS)
-    )
-    hs = (
-        lum.select("doc_id", "lumas", tot.alias("tot"))
-        .select("doc_id", ahash.alias("ahash"))
-        .persist()
-    )
+    sig_cols = [
+        sum(
+            F.when(
+                F.col("lumas")[b * AHASH_BAND_BITS + r] * AHASH_BITS > F.col("tot"),
+                F.lit(1 << r).cast("bigint"),
+            ).otherwise(F.lit(0).cast("bigint"))
+            for r in range(AHASH_BAND_BITS)
+        ).alias(f"sig{b}")
+        for b in range(AHASH_BANDS)
+    ]
+    hs = lum.select("doc_id", tot.alias("tot"), "lumas").select(
+        "doc_id", *sig_cols
+    ).persist()
     bands = hs.select(
         "doc_id",
-        F.posexplode(
-            F.array(
-                *[
-                    F.shiftright("ahash", b * 4).bitwiseAND(F.lit(15)).cast("bigint")
-                    for b in range(AHASH_BANDS)
-                ]
-            )
-        ).alias("band", "sig"),
+        F.posexplode(F.array(*[F.col(f"sig{b}") for b in range(AHASH_BANDS)])).alias(
+            "band", "sig"
+        ),
     )
-    a = bands.select(F.col("doc_id").alias("doc_a"), "band", "sig")
-    b = bands.select(F.col("doc_id").alias("doc_b"), "band", "sig")
+    capped = (
+        bands.groupBy("band", "sig")
+        .agg(
+            F.slice(
+                F.array_sort(F.collect_list("doc_id")), 1, AHASH_BUCKET_CAP
+            ).alias("__ids__")
+        )
+        .select("band", "sig", F.explode("__ids__").alias("doc_id"))
+    )
+    a = capped.select(F.col("doc_id").alias("doc_a"), "band", "sig")
+    b = capped.select(F.col("doc_id").alias("doc_b"), "band", "sig")
     cand = (
         a.join(b, ["band", "sig"])
         .filter(F.col("doc_a") < F.col("doc_b"))
         .select("doc_a", "doc_b")
         .distinct()
     )
-    ha = hs.select(F.col("doc_id").alias("doc_a"), F.col("ahash").alias("ha"))
-    hb = hs.select(F.col("doc_id").alias("doc_b"), F.col("ahash").alias("hb"))
+    ha = hs.select(
+        F.col("doc_id").alias("doc_a"),
+        *[F.col(f"sig{b}").alias(f"a{b}") for b in range(AHASH_BANDS)],
+    )
+    hb = hs.select(
+        F.col("doc_id").alias("doc_b"),
+        *[F.col(f"sig{b}").alias(f"b{b}") for b in range(AHASH_BANDS)],
+    )
+    hamming = sum(
+        F.bit_count(F.expr(f"a{b} ^ b{b}")) for b in range(AHASH_BANDS)
+    )
     return (
         cand.join(ha, "doc_a")
         .join(hb, "doc_b")
-        .select(
-            "doc_a",
-            "doc_b",
-            F.bit_count(F.expr("ha ^ hb")).cast("int").alias("hamming"),
-        )
+        .select("doc_a", "doc_b", hamming.cast("int").alias("hamming"))
         .filter(F.col("hamming") <= HAMMING_MAX)
     )

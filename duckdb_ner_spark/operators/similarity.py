@@ -214,10 +214,12 @@ def lsh_cosine_pairs(
     )
 
 
-def fx_lsh_oracle_sql(dim: int, threshold: float) -> str:
-    """DuckDB twin of lsh_cosine_pairs: replays the identical fixed-point
-    banded bucketing (same integer plane literals, same quantization), then
-    the same double-precision cosine verify rounded to 6dp."""
+def _fx_banding_cte(dim: int) -> str:
+    """The shared oracle prefix replaying fx_band_sigs + the candidate
+    bucket join: planes VALUES table, quantized ex/exq, per-plane bits,
+    banded sigs, and the (band, sig) candidate pairs — ONE definition so a
+    plane/band/quantization change lands in every oracle that replays the
+    banding (fx_lsh_oracle_sql and _sim_ann_oracle; r6 self-review)."""
     planes = _fx_planes(dim)
     per_band = N_FX_PLANES // FX_BANDS
     values = ",".join(
@@ -228,8 +230,7 @@ def fx_lsh_oracle_sql(dim: int, threshold: float) -> str:
     sig_weight = " ".join(
         f"WHEN {r} THEN {1 << (per_band - 1 - r)}" for r in range(per_band)
     )
-    return f"""
-    WITH planes(p, i, h) AS (VALUES {values}),
+    return f"""planes(p, i, h) AS (VALUES {values}),
     ex AS (
         SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS x,
                generate_subscripts(embedding, 1) AS i
@@ -249,7 +250,15 @@ def fx_lsh_oracle_sql(dim: int, threshold: float) -> str:
         SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
         FROM sigs a JOIN sigs b
           ON a.band = b.band AND a.sig = b.sig AND a.vec_id < b.vec_id
-    ), dots AS (
+    )"""
+
+
+def fx_lsh_oracle_sql(dim: int, threshold: float) -> str:
+    """DuckDB twin of lsh_cosine_pairs: the shared banding replay
+    (_fx_banding_cte), then the same double-precision cosine verify
+    rounded to 6dp."""
+    return f"""
+    WITH {_fx_banding_cte(dim)}, dots AS (
         SELECT c.vec_a, c.vec_b, SUM(ea.x * eb.x) AS dot
         FROM cands c
         JOIN ex ea ON ea.vec_id = c.vec_a
@@ -635,7 +644,10 @@ def q_sim_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     layout); top-k is TakeOrdered."""
     t = load_tables(spark, sf_dir)
     emb = t.embeddings
-    u = emb.select("vec_id", _unit_fx_expr().alias("u"))
+    # persisted: u feeds centroids, assignment, query routing, AND the
+    # cosine verify — unpersisted it recomputed the scan + normalize fold
+    # 4-5x per invocation (r6 self-review)
+    u = emb.select("vec_id", _unit_fx_expr().alias("u")).persist()
     n = emb.count()
     stride = max(1, n // N_IVF_CELLS)
     from pyspark.sql.window import Window
@@ -722,41 +734,11 @@ def q_sim_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _sim_ann_oracle(dim: int = 64, threshold_fx: int = 300_000) -> str:
-    """DuckDB twin of q_sim_ann: the fx_lsh_oracle_sql banding replay with
-    a fixed-point cosine output (ROUND to integer — the safe class) and an
-    integer threshold."""
-    planes = _fx_planes(dim)
-    per_band = N_FX_PLANES // FX_BANDS
-    values = ",".join(
-        f"({p},{i + 1},{int(planes[p, i])})"
-        for p in range(N_FX_PLANES)
-        for i in range(dim)
-    )
-    sig_weight = " ".join(
-        f"WHEN {r} THEN {1 << (per_band - 1 - r)}" for r in range(per_band)
-    )
+    """DuckDB twin of q_sim_ann: the shared banding replay
+    (_fx_banding_cte) with a fixed-point cosine output (ROUND to integer —
+    the safe class) and an integer threshold."""
     return f"""
-    WITH planes(p, i, h) AS (VALUES {values}),
-    ex AS (
-        SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS x,
-               generate_subscripts(embedding, 1) AS i
-        FROM embeddings
-    ), exq AS (
-        SELECT vec_id, i, CAST(ROUND(x * {FX_SCALE}) AS BIGINT) AS xi FROM ex
-    ), bits AS (
-        SELECT q.vec_id, pl.p,
-               CASE WHEN SUM(q.xi * pl.h) > 0 THEN 1 ELSE 0 END AS bit
-        FROM exq q JOIN planes pl ON q.i = pl.i
-        GROUP BY q.vec_id, pl.p
-    ), sigs AS (
-        SELECT vec_id, p // {per_band} AS band,
-               SUM(bit * CASE p % {per_band} {sig_weight} END) AS sig
-        FROM bits GROUP BY vec_id, p // {per_band}
-    ), cands AS (
-        SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
-        FROM sigs a JOIN sigs b
-          ON a.band = b.band AND a.sig = b.sig AND a.vec_id < b.vec_id
-    ), dots AS (
+    WITH {_fx_banding_cte(dim)}, dots AS (
         SELECT c.vec_a, c.vec_b, SUM(ea.xi * eb.xi) AS dot
         FROM cands c
         JOIN exq ea ON ea.vec_id = c.vec_a
@@ -1312,9 +1294,15 @@ def q_embed_cov(spark: SparkSession, sf_dir: str) -> DataFrame:
     single X^T·X — vectorized per-batch compute inside mapInPandas, then a
     map-side-combined SUM keyed by (i, j). Integer matmul is exact, so the
     DuckDB replay (position self-join, SUM of products) matches
-    bit-for-bit. cov numerator = n·Σxy − Σx·Σy stays in exact BIGINT
-    (|xi| ≤ ~3e6, n ≤ 1e5 at these SFs — headroom 1e18; at 100 TB shard
-    the sums hierarchically before combining, same algebra).
+    bit-for-bit. Overflow bound (r6 self-review corrected the original
+    claim): for unit-ish vectors |xi| ≈ 1e6/√dim ≈ 1.25e5, so gram ≈
+    n·1.6e10 and n·gram ≈ n²·1.6e10 — int64-safe to n ≈ 7.5e5 vectors,
+    far above these SFs but NOT unbounded: beyond that, lower FX_SCALE
+    (1e4 buys 1e4× headroom at 4 fewer digits) or keep per-shard
+    (n, Σx, Σxy) partials and combine the covariance hierarchically in
+    decimal — the numerator algebra is the same. Spark would wrap silently
+    where DuckDB raises, so the bound is enforced by corpus size here and
+    must be re-checked before pointing this at a larger vector table.
 
     Scale notes (100 TB): vectors never shuffle — each task emits at most
     dim(dim+1)/2 = 2080 combiner rows regardless of row count; the final

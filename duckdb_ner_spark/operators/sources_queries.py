@@ -175,7 +175,7 @@ def q_source_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-BINFILE_STEP = 7  # stage every 7th document as a real .ppm file
+from .multimodal import PPM_STAGE_STEP as BINFILE_STEP  # single definition
 
 
 @declared(
@@ -192,7 +192,7 @@ BINFILE_STEP = 7  # stage every 7th document as a real .ppm file
                unnest([CAST(ord(substr(text, CAST(i AS INT), 1)) AS BIGINT)
                        FOR i IN range(1, LENGTH(text) + 1)]) AS v
         FROM documents
-        WHERE doc_id % 7 = 0 AND text IS NOT NULL AND LENGTH(text) > 0
+        WHERE doc_id % {BINFILE_STEP} = 0 AND text IS NOT NULL AND LENGTH(text) > 0
     )
     SELECT CAST((SELECT COUNT(*) FROM d) AS BIGINT) AS n_files,
            -- payload bytes on disk: header 'P6\\n16 {{h}}\\n255\\n' + 48*h raster
@@ -222,25 +222,12 @@ def q_source_binary(spark: SparkSession, sf_dir: str) -> DataFrame:
     import numpy as np
     import pandas as pd
 
-    from .multimodal import decode_image, encode_ppm
+    from .multimodal import decode_image, ppm_sample, stage_ppm_files
 
     t = load_tables(spark, sf_dir)
     path = _scratch("binfile_ppm", sf_dir)
     os.makedirs(path, exist_ok=True)
-    sample = t.documents.filter(
-        (F.col("doc_id") % BINFILE_STEP == 0)
-        & F.col("text").isNotNull()
-        & (F.length("text") > 0)
-    ).select("doc_id", "text")
-
-    def stage(rows) -> None:
-        from .multimodal import encode_ppm as enc
-
-        for r in rows:
-            with open(os.path.join(path, f"doc_{r.doc_id}.ppm"), "wb") as f:
-                f.write(enc(r.text.encode("utf-8")))
-
-    sample.foreachPartition(stage)
+    stage_ppm_files(ppm_sample(t.documents, BINFILE_STEP), path)
 
     files = spark.read.format("binaryFile").load(path)
 

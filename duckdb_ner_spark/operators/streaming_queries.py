@@ -564,24 +564,30 @@ def q_stream_ner(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Streaming multimodal ingestion: binaryFile file-stream -> decode -> agg
 # --------------------------------------------------------------------------
 
-_STREAM_IMAGE_ORACLE = """
+from .multimodal import IMG_ROW_BYTES, IMG_W
+from .sources_queries import BINFILE_STEP
+
+_STREAM_IMAGE_ORACLE = f"""
     WITH d AS (
         SELECT doc_id, LENGTH(text) AS n,
-               CAST((LENGTH(text) + 47) // 48 AS BIGINT) AS h
+               CAST((LENGTH(text) + {IMG_ROW_BYTES - 1}) // {IMG_ROW_BYTES}
+                    AS BIGINT) AS h
         FROM documents
-        WHERE doc_id % 7 = 0 AND text IS NOT NULL AND LENGTH(text) > 0
+        WHERE doc_id % {BINFILE_STEP} = 0
+          AND text IS NOT NULL AND LENGTH(text) > 0
     ), pos AS (
         SELECT doc_id,
                unnest([CAST(ord(substr(text, CAST(i AS INT), 1)) AS BIGINT)
                        FOR i IN range(1, LENGTH(text) + 1)]) AS v
         FROM documents
-        WHERE doc_id % 7 = 0 AND text IS NOT NULL AND LENGTH(text) > 0
+        WHERE doc_id % {BINFILE_STEP} = 0
+          AND text IS NOT NULL AND LENGTH(text) > 0
     ), ps AS (
         SELECT doc_id, CAST(SUM(v) AS BIGINT) AS ssum FROM pos GROUP BY doc_id
     )
     SELECT d.h AS height,
            CAST(COUNT(*) AS BIGINT) AS n_images,
-           CAST(SUM(16 * d.h) AS BIGINT) AS total_px,
+           CAST(SUM({IMG_W} * d.h) AS BIGINT) AS total_px,
            CAST(SUM(ps.ssum) AS BIGINT) AS total_sample_sum
     FROM d JOIN ps ON d.doc_id = ps.doc_id
     GROUP BY d.h
@@ -610,26 +616,13 @@ def q_stream_image(spark: SparkSession, sf_dir: str) -> DataFrame:
     import pandas as pd
 
     from ..sources.catalog import load_tables
-    from .multimodal import decode_image
+    from .multimodal import decode_image, ppm_sample, stage_ppm_files
     from .sources_queries import BINFILE_STEP, _scratch
 
     t_docs = load_tables(spark, sf_dir).documents
     path = _scratch("stream_ppm", sf_dir)
     os.makedirs(path, exist_ok=True)
-    sample = t_docs.filter(
-        (F.col("doc_id") % BINFILE_STEP == 0)
-        & F.col("text").isNotNull()
-        & (F.length("text") > 0)
-    ).select("doc_id", "text")
-
-    def stage(rows) -> None:
-        from .multimodal import encode_ppm as enc
-
-        for r in rows:
-            with open(os.path.join(path, f"doc_{r.doc_id}.ppm"), "wb") as f:
-                f.write(enc(r.text.encode("utf-8")))
-
-    sample.foreachPartition(stage)
+    stage_ppm_files(ppm_sample(t_docs, BINFILE_STEP), path)
 
     stream = (
         spark.readStream.format("binaryFile")

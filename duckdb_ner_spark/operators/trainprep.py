@@ -887,9 +887,9 @@ _CARD_ORACLE = """
                 FROM orders JOIN lineitem ON o_orderkey = l_orderkey) AS actual
     )
     SELECT n_orders, n_lineitem, ndv_orders, ndv_lineitem, actual,
-           CAST(n_orders * n_lineitem / GREATEST(ndv_orders, ndv_lineitem)
+           CAST(n_orders * n_lineitem // GREATEST(ndv_orders, ndv_lineitem)
                 AS BIGINT) AS est_selinger,
-           CAST(n_orders * n_lineitem / GREATEST(ndv_orders, ndv_lineitem)
+           CAST(n_orders * n_lineitem // GREATEST(ndv_orders, ndv_lineitem)
                 AS BIGINT) * 1e0 / actual AS est_over_actual
     FROM s
 """
@@ -906,10 +906,12 @@ def q_join_cardinality(spark: SparkSession, sf_dir: str) -> DataFrame:
     100 TB deployment decides whether its ANALYZE stats are stale.
 
     Engine-exactness: counts and NDVs are exact integers; the estimate is
-    integer division (DuckDB `/` on BIGINTs yields DOUBLE, so the CAST
-    truncates identically to Spark's div-after-multiply ordering — both
-    sides compute n_a*n_b first, divide, then CAST); the ratio is one 1e0
-    division.
+    pure INTEGER floor division (DuckDB `//`, Spark `div` — they agree on
+    non-negatives). CAST(double-division AS BIGINT) is banned here: DuckDB
+    rounds that cast while Spark truncates, so it diverges whenever the
+    quotient's fraction is >= 0.5 (r6 self-review finding — it passed only
+    because TPC-H's orderkey NDV makes the division exact). The ratio is
+    one 1e0 division of already-exact integers.
 
     Scale notes (100 TB): NDVs come from map-side-combined distinct
     aggregates (production: approx_count_distinct or KMV partials —
@@ -940,11 +942,11 @@ def q_join_cardinality(spark: SparkSession, sf_dir: str) -> DataFrame:
             "ndv_lineitem",
             "actual",
             F.expr(
-                "CAST(n_orders * n_lineitem / GREATEST(ndv_orders, ndv_lineitem)"
+                "CAST(n_orders * n_lineitem div GREATEST(ndv_orders, ndv_lineitem)"
                 " AS BIGINT)"
             ).alias("est_selinger"),
             F.expr(
-                "CAST(n_orders * n_lineitem / GREATEST(ndv_orders, ndv_lineitem)"
+                "CAST(n_orders * n_lineitem div GREATEST(ndv_orders, ndv_lineitem)"
                 " AS BIGINT) * 1e0 / actual"
             ).alias("est_over_actual"),
         )

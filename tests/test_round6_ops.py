@@ -200,26 +200,33 @@ def test_q_sim_ivf_matches_exact_topk_of_probed_cells(spark):
 # ---------------------------------------------------------------------------
 
 
-def test_image_dedup_banding_recall_is_exact(spark):
-    """Pigeonhole guarantee: with 4 bands of 4 bits, ANY pair within
-    hamming distance 3 shares at least one band — so the banded join's
-    recall at the distance-2 threshold must be EXACTLY 1.0. Verified by
-    brute-force: every hamming<=2 pair of recomputed aHashes must appear
-    in the query result."""
+def _ref_ahash(text: str) -> int:
+    """Single-process reference aHash: 8x8 thumbnail lumas, bit = 64*luma >
+    total (mirrors image_thumb_lumas + the band arithmetic)."""
     from duckdb_ner_spark.operators.multimodal import (
         AHASH_BITS,
+        AHASH_GRID,
         decode_image,
         encode_ppm,
         image_thumbnail,
     )
+
+    img = decode_image(encode_ppm(text.encode("utf-8"))).astype(np.int64)
+    t = image_thumbnail(img, target=AHASH_GRID)
+    luma = (2126 * t[:, :, 0] + 7152 * t[:, :, 1] + 722 * t[:, :, 2]).flatten()
+    tot = int(luma.sum())
+    return sum(1 << j for j in range(AHASH_BITS) if int(luma[j]) * AHASH_BITS > tot)
+
+
+def test_image_dedup_banding_recall_is_exact(spark):
+    """Pigeonhole guarantee: with 4 bands of 16 bits, ANY pair within
+    hamming distance 3 shares at least one band — so the banded join's
+    recall at the distance-2 threshold must be EXACTLY 1.0 (the 256-id
+    bucket cap never binds at this SF). Verified by brute-force: every
+    hamming<=2 pair of recomputed aHashes must appear in the query result."""
     from duckdb_ner_spark.plans.registry import QUERIES
 
-    def ahash(text: str) -> int:
-        img = decode_image(encode_ppm(text.encode("utf-8"))).astype(np.int64)
-        t = image_thumbnail(img)
-        luma = (2126 * t[:, :, 0] + 7152 * t[:, :, 1] + 722 * t[:, :, 2]).flatten()
-        tot = int(luma.sum())
-        return sum(1 << j for j in range(AHASH_BITS) if int(luma[j]) * AHASH_BITS > tot)
+    ahash = _ref_ahash
 
     hashes = {
         d.doc_id: ahash(d.text)
@@ -246,21 +253,9 @@ def test_image_dedup_banding_recall_is_exact(spark):
 def test_image_dedup_hamming_recompute(spark):
     """Reported hamming distances must equal a NumPy recompute of the aHash
     from the decoded thumbnails (implementation parity with the SQL oracle)."""
-    from duckdb_ner_spark.operators.multimodal import (
-        AHASH_BITS,
-        decode_image,
-        encode_ppm,
-        image_thumbnail,
-    )
     from duckdb_ner_spark.plans.registry import QUERIES
 
-    def ahash(text: str) -> int:
-        img = decode_image(encode_ppm(text.encode("utf-8"))).astype(np.int64)
-        t = image_thumbnail(img)
-        luma = (2126 * t[:, :, 0] + 7152 * t[:, :, 1] + 722 * t[:, :, 2]).flatten()
-        tot = int(luma.sum())
-        return sum(1 << j for j in range(AHASH_BITS) if int(luma[j]) * AHASH_BITS > tot)
-
+    ahash = _ref_ahash
     docs = {
         d.doc_id: d.text
         for d in spark.read.parquet(f"{SF_SMOKE}/documents.parquet").collect()
