@@ -34,38 +34,31 @@ def entry(spark: SparkSession) -> DataFrame:
 # relational queries follow in registration order. New queries added in a
 # round should be PREPENDED here so they land inside the window.
 _DRIVER_WINDOW_PRIORITY = [
-    # ---- round-6 window (VERDICT r5 Next-round #1-2) ----
-    # hash-CHANGED this round (ROUND(double,n) → fixed-point BIGINT, the
-    # last members of the r5 cross-engine rounding class) — must get fresh
-    # driver rows:
-    "q_kmv_distinct", "q_jaccard_est",
-    # the 5 rows-only queries that have NEVER had a driver row (pytest-
-    # pinned only): one rows_match row each closes the last coverage
-    # asterisk (VERDICT r5 Missing #3).
-    "q_len_quantile_approx", "q_ner_pairs", "q_stream_attribution",
-    "q_stream_ner", "q_tokenizer_fertility",
-    # plan-changed re-checks (hash must stay identical): q_dedup_near cap
-    # rewritten as combiner min-64 aggregate (VERDICT #3); q_triangles /
-    # q_degree_dist share one persisted degree table (VERDICT #6).
-    "q_dedup_near", "q_triangles", "q_degree_dist",
-    # round-6 new queries land here (prepend within this block as added).
-    "q_image_stats", "q_sim_ann", "q_sim_ivf", "q_image_dedup",
-    "q_bloom_prune", "q_zipf_slope", "q_hist_quantile", "q_embed_cov",
-    "q_shard_shuffle", "q_source_binary", "q_join_interval",
-    "q_stream_image", "q_outlier_mad", "q_join_cardinality",
-    # remainder: oldest-green refresh — last driver row r2 for the dedup/
-    # similarity block, r3-r4 for the relational tail; every r5-window query
-    # earned a green row in CORRECTNESS_r05 so they cede slots safely (the
-    # ledger test enforces the invariant).
-    "q_dedup_exact", "q_dedup_incr", "q_dedup_ngram",
-    "q_dedup_simhash", "q_dedup_embed", "q_dedup_clusters", "q_sim_topk",
-    "q_embed_join", "q_embed_quant", "q_multimodal", "q_asof", "q_join_range",
-    "q_window_frame", "q_subquery", "q_cte", "q_rollup", "q_join_outer",
-    "q_agg_group", "q_agg_global", "q_join_inner", "q_join_multi",
-    "q_join_semi_anti", "q_cross", "q_distinct", "q_agg_filter", "q_having",
-    "q_window_rank", "q_window_lag", "q_sort", "q_topk", "q_setops",
-    "q_case", "q_string", "q_date", "q_math", "q_cast", "q_array",
-    "q_chunk", "q_repetition", "q_pii_scrub", "q_udtf_chunk",
+    # ---- round-7 window (VERDICT r6 Next-round #1-2, ADVICE r6) ----
+    # NO rows-only queries this round: the driver emits err="no_oracle" for
+    # them (CORRECTNESS_r06 burned 5 slots proving it) — all 50 slots below
+    # are hash-checkable.
+    # Block 1 — r7-new queries (prepend within this block as added).
+    # Block 2 — hash-CHANGED or plan-changed this round, need fresh driver
+    # rows: q_sim_ann/q_sim_ivf (integer fixed-point norms replace the
+    # double-quotient quantization, ADVICE #2; sim_ann gains a hot-bucket
+    # cap, ADVICE #1); q_dedup_near/q_dedup_embed/q_image_dedup (two-level
+    # salted min-k bucket cap, VERDICT #2 — hash must stay identical).
+    "q_sim_ann", "q_sim_ivf", "q_dedup_near", "q_dedup_embed",
+    "q_image_dedup",
+    # Block 3 — the 17 r2-era rows (latest driver row = round 2).
+    "q_array", "q_case", "q_cast", "q_date", "q_explode", "q_filter",
+    "q_map", "q_math", "q_project", "q_scan", "q_setops", "q_sort",
+    "q_string", "q_struct", "q_topk", "q_window_lag", "q_window_rank",
+    # Block 4 — oldest r3-era rows, alphabetical; the ~14 r3 rows that do
+    # not fit (streaming block + q_text_stats..q_zorder tail) rotate in r8.
+    "q_asof_forward", "q_bucket_join", "q_chunk", "q_embed_centroid",
+    "q_fingerprint", "q_grouped_agg_udaf", "q_grouped_map",
+    "q_heavy_hitters", "q_hop_window", "q_json", "q_knn_join", "q_lang_id",
+    "q_multimodal_frames", "q_partition_prune", "q_pivot", "q_qualify",
+    "q_quality", "q_quality_cut", "q_range_bucket", "q_repetition",
+    "q_sample_det", "q_scd2", "q_schema_evolution", "q_skew_salted",
+    "q_source_csv", "q_source_custom", "q_source_json", "q_source_orc",
 ]
 
 
