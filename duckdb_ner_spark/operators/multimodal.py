@@ -37,6 +37,7 @@ from pyspark.sql.types import (
 
 from ..plans.registry import declared
 from ..sources.catalog import load_tables
+from .dedup import capped_bucket_ids, sql_capped_bucket_ctes
 
 MEDIA_SCHEMA = StructType(
     [
@@ -624,12 +625,7 @@ _IMAGE_DEDUP_ORACLE = f"""
                CASE b {" ".join(f"WHEN {b} THEN sig{b}" for b in range(AHASH_BANDS))}
                END AS sig
         FROM hs, range(0, {AHASH_BANDS}) r(b)
-    ), capped AS (
-        SELECT band, sig,
-               unnest(list_slice(list_sort(list(doc_id)), 1, {AHASH_BUCKET_CAP}))
-                   AS doc_id
-        FROM bands GROUP BY band, sig
-    ), cand AS (
+    ), {sql_capped_bucket_ctes("bands", "doc_id", AHASH_BUCKET_CAP)}, cand AS (
         SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
         FROM capped a JOIN capped b
           ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
@@ -695,15 +691,7 @@ def q_image_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             "band", "sig"
         ),
     )
-    capped = (
-        bands.groupBy("band", "sig")
-        .agg(
-            F.slice(
-                F.array_sort(F.collect_list("doc_id")), 1, AHASH_BUCKET_CAP
-            ).alias("__ids__")
-        )
-        .select("band", "sig", F.explode("__ids__").alias("doc_id"))
-    )
+    capped = capped_bucket_ids(bands, "doc_id", AHASH_BUCKET_CAP)
     a = capped.select(F.col("doc_id").alias("doc_a"), "band", "sig")
     b = capped.select(F.col("doc_id").alias("doc_b"), "band", "sig")
     cand = (

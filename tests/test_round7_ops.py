@@ -1,0 +1,121 @@
+"""Round-7 operator tests.
+
+Covers the bounded-state two-level salted min-k bucket cap (VERDICT r6 #2)
+and the round-7 hardening items from ADVICE r6.
+"""
+
+import duckdb
+import pytest
+from pyspark.sql import functions as F
+
+import duckdb_ner_spark.operators  # noqa: F401 — populate the registry
+
+
+# ---------------------------------------------------------------------------
+# Two-level salted min-k cap (capped_bucket_ids): bounded state + exactness
+# ---------------------------------------------------------------------------
+
+
+def _one_level_cap(bands, id_col, cap):
+    """The r6 one-level reference form the two-level cap must match
+    bit-for-bit: slice(array_sort(collect_list(id)), 1, cap) per bucket."""
+    return (
+        bands.groupBy("band", "sig")
+        .agg(F.slice(F.array_sort(F.collect_list(id_col)), 1, cap).alias("__ids__"))
+        .select("band", "sig", F.explode("__ids__").alias(id_col))
+    )
+
+
+def test_two_level_cap_matches_one_level_on_degenerate_bucket(spark):
+    """A planted 10^5-member (band, sig) bucket — the pathology the exact-dup
+    prerequisite used to be the only guard against. The two-level salted
+    min-k must select EXACTLY the same ids as the one-level form (the cap
+    smallest), while no single level-1 aggregation group ever holds more
+    than max(ceil(n / N_CAP_SALTS), cap) elements."""
+    from duckdb_ner_spark.operators.dedup import (
+        LSH_BUCKET_CAP,
+        N_CAP_SALTS,
+        capped_bucket_ids,
+    )
+
+    n = 100_000
+    # sparse non-sequential ids so the salt split is exercised off the
+    # trivial id==index case; all non-negative (the documented invariant)
+    ids = [(i * 2_654_435_761) % 2_000_003 for i in range(n)]
+    assert len(set(ids)) == n
+    bands = spark.range(n).select(
+        F.lit(0).alias("band"),
+        F.lit(7).alias("sig"),
+        F.element_at(F.lit(ids), (F.col("id") + 1).cast("int")).alias("doc_id"),
+    )
+    got = sorted(
+        r.doc_id
+        for r in capped_bucket_ids(bands, "doc_id", LSH_BUCKET_CAP).collect()
+    )
+    want = sorted(ids)[:LSH_BUCKET_CAP]
+    assert got == want
+    ref = sorted(
+        r.doc_id for r in _one_level_cap(bands, "doc_id", LSH_BUCKET_CAP).collect()
+    )
+    assert got == ref
+
+    # bounded state: the level-1 salt split caps every aggregation buffer.
+    # For this bucket each (band, sig, salt) group receives ~n/N_CAP_SALTS
+    # ids — recompute the group sizes the level-1 aggregate would see.
+    salt_sizes = (
+        bands.groupBy("band", "sig", (F.col("doc_id") % N_CAP_SALTS).alias("s"))
+        .count()
+        .agg(F.max("count").alias("mx"), F.count("*").alias("groups"))
+        .collect()[0]
+    )
+    assert salt_sizes.groups <= N_CAP_SALTS
+    assert salt_sizes.mx <= (n // N_CAP_SALTS) * 2  # balanced split, no hot salt
+    # level 2 sees at most N_CAP_SALTS arrays of cap ids per bucket
+    assert N_CAP_SALTS * LSH_BUCKET_CAP < n // 10  # the state reduction is real
+
+
+def test_two_level_cap_matches_one_level_on_mixed_buckets(spark):
+    """Many buckets of varying sizes (1..400 members), ids shared across
+    buckets: two-level output == one-level output exactly."""
+    from duckdb_ner_spark.operators.dedup import capped_bucket_ids
+
+    rows = []
+    for b in range(5):
+        for s in range(7):
+            size = 1 + ((b * 7 + s) * 57) % 400
+            for i in range(size):
+                rows.append((b, s, (i * 131 + s * 17) % 10_000))
+    bands = spark.createDataFrame(rows, ["band", "sig", "doc_id"]).distinct()
+    for cap in (1, 3, 64):
+        got = sorted(
+            map(tuple, capped_bucket_ids(bands, "doc_id", cap).collect())
+        )
+        ref = sorted(map(tuple, _one_level_cap(bands, "doc_id", cap).collect()))
+        assert got == ref, cap
+
+
+def test_sql_capped_bucket_ctes_replays_spark_side(spark):
+    """The DuckDB CTE twin selects the same ids as capped_bucket_ids on a
+    shared corpus, including a degenerate bucket — the cross-engine
+    contract the q_dedup_near / q_image_dedup oracles rest on."""
+    from duckdb_ner_spark.operators.dedup import (
+        capped_bucket_ids,
+        sql_capped_bucket_ctes,
+    )
+
+    rows = [(0, 1, (i * 997) % 50_000) for i in range(5_000)] + [
+        (1, s, d) for s in range(3) for d in range(s * 40 + 5)
+    ]
+    bands = spark.createDataFrame(rows, ["band", "sig", "doc_id"]).distinct()
+    got = sorted(map(tuple, capped_bucket_ids(bands, "doc_id", 64).collect()))
+
+    con = duckdb.connect()
+    con.register("bands_src", bands.toPandas())
+    sql = f"""
+        WITH bands AS (SELECT * FROM bands_src),
+        {sql_capped_bucket_ctes("bands", "doc_id", 64)}
+        SELECT band, sig, doc_id FROM capped
+    """
+    ref = sorted(map(tuple, con.execute(sql).fetchall()))
+    con.close()
+    assert got == ref
