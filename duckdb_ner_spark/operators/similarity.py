@@ -23,6 +23,7 @@ from pyspark.sql import functions as F
 
 from ..plans.registry import declared
 from ..sources.catalog import load_tables
+from .caps import capped_bucket_ids, sql_capped_bucket_ctes
 
 
 def _explode_embeddings(df: DataFrame, id_col: str = "vec_id") -> DataFrame:
@@ -143,6 +144,17 @@ FX_SCALE = 1_000_000
 N_FX_PLANES = 12
 FX_BANDS = 4  # 3 planes per band: P[cand | cos=.45] ≈ 1-(1-.6487³)⁴ ≈ .72
 
+# Hot-bucket guard for the (band, sig) candidate self-joins (ADVICE r6 #1):
+# with 3-bit band signatures a degenerate corpus of near-identical
+# embeddings lands in ONE bucket per band and the self-join goes quadratic,
+# exactly like the dedup.py template-cluster pathology. Same remedy — each
+# bucket keeps its SIM_BUCKET_CAP smallest ids via the bounded-state
+# two-level salted min-k (caps.py), replayed bit-for-bit by the oracles.
+# 256 (vs dedup's 64): embedding buckets are legitimately denser (8 sigs
+# per band), and pairs are verified with one integer dot, not a shingle
+# Jaccard — a bigger cap costs O(cap²) cheap verifies, not memory.
+SIM_BUCKET_CAP = 256
+
 
 def _fx_planes(dim: int) -> np.ndarray:
     """Gaussian hyperplanes quantized to int64 (×FX_SCALE), fixed seed."""
@@ -185,10 +197,13 @@ def lsh_cosine_pairs(
     df: DataFrame, dim: int, threshold: float, id_col: str = "vec_id"
 ) -> DataFrame:
     """Near-dup pairs via banded hyperplane LSH: candidates only within a
-    (band, sig) bucket, exact cosine verify on the candidates. No all-pairs
-    join anywhere — candidate volume is LSH-bounded, verify joins broadcast
-    the (tiny) candidate list so the vector table never reshuffles."""
-    sigs = fx_band_sigs(df, dim, id_col)
+    (band, sig) bucket, each bucket capped at its SIM_BUCKET_CAP smallest
+    ids (bounded-state two-level min-k, caps.py — ADVICE r6 #1), exact
+    cosine verify on the candidates. No all-pairs join anywhere — candidate
+    volume is cap-bounded even on a degenerate corpus, verify joins
+    broadcast the (tiny) candidate list so the vector table never
+    reshuffles."""
+    sigs = capped_bucket_ids(fx_band_sigs(df, dim, id_col), id_col, SIM_BUCKET_CAP)
     a = sigs.select(F.col(id_col).alias("vec_a"), "band", "sig")
     b = sigs.select(F.col(id_col).alias("vec_b"), "band", "sig")
     cands = (
@@ -214,12 +229,14 @@ def lsh_cosine_pairs(
     )
 
 
-def _fx_banding_cte(dim: int) -> str:
+def _fx_banding_cte(dim: int, cap: int = SIM_BUCKET_CAP) -> str:
     """The shared oracle prefix replaying fx_band_sigs + the candidate
     bucket join: planes VALUES table, quantized ex/exq, per-plane bits,
-    banded sigs, and the (band, sig) candidate pairs — ONE definition so a
-    plane/band/quantization change lands in every oracle that replays the
-    banding (fx_lsh_oracle_sql and _sim_ann_oracle; r6 self-review)."""
+    banded sigs, the SIM_BUCKET_CAP hot-bucket min-k (two-level salted,
+    caps.py — ADVICE r6 #1), and the (band, sig) candidate pairs — ONE
+    definition so a plane/band/quantization/cap change lands in every
+    oracle that replays the banding (fx_lsh_oracle_sql and
+    _sim_ann_oracle; r6 self-review)."""
     planes = _fx_planes(dim)
     per_band = N_FX_PLANES // FX_BANDS
     values = ",".join(
@@ -246,9 +263,9 @@ def _fx_banding_cte(dim: int) -> str:
         SELECT vec_id, p // {per_band} AS band,
                SUM(bit * CASE p % {per_band} {sig_weight} END) AS sig
         FROM bits GROUP BY vec_id, p // {per_band}
-    ), cands AS (
+    ), {sql_capped_bucket_ctes("sigs", "vec_id", cap)}, cands AS (
         SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
-        FROM sigs a JOIN sigs b
+        FROM capped a JOIN capped b
           ON a.band = b.band AND a.sig = b.sig AND a.vec_id < b.vec_id
     )"""
 
@@ -529,18 +546,31 @@ ANN_QUERY_VEC = 0
 
 def _unit_fx_expr() -> "F.Column":
     """Per-row L2-normalized embedding quantized to 1e6 fixed point
-    (BIGINT): normalization is a per-row deterministic fold + one division
-    per element, then scale-then-round-to-integer — bit-identical in any
-    engine. Norm materialized via array_repeat (the CollapseProject trap —
-    see _unit_expr)."""
-    da = F.expr("transform(embedding, v -> CAST(v AS DOUBLE))")
+    (BIGINT), GENUINELY order-independent (ADVICE r6 #2): each element is
+    quantized to an integer FIRST (round(x·1e6) — per-element, no
+    aggregation), the squared norm is a SUM of integer squares (associative
+    in any combine order, any engine), and the only double arithmetic is
+    sqrt of that one integer plus the final per-element division — so the
+    oracle's grouped SUM over unnested rows can combine per-thread partials
+    in any order without an ulp ever reaching the rounded output. The r6
+    form summed double squares before sqrt, leaving a theoretical
+    order-dependence at an exact .5 quantization boundary. Norm
+    materialized via array_repeat (the CollapseProject trap — see
+    _unit_expr)."""
+    qa = F.expr(
+        f"transform(embedding, v -> CAST(ROUND(CAST(v AS DOUBLE) * {FX_SCALE}, 0) AS BIGINT))"
+    )
     nrm = F.sqrt(
-        F.aggregate(F.zip_with(da, da, lambda x, y: x * y), F.lit(0.0), lambda a, v: a + v)
+        F.aggregate(
+            F.zip_with(qa, qa, lambda x, y: x * y),
+            F.lit(0).cast("bigint"),
+            lambda a, v: a + v,
+        ).cast("double")
     )
     return F.zip_with(
-        da,
+        qa,
         F.array_repeat(nrm, F.size("embedding")),
-        lambda x, n: F.round(x / n * FX_SCALE).cast("bigint"),
+        lambda x, n: F.round(x.cast("double") / n * FX_SCALE).cast("bigint"),
     )
 
 
@@ -554,12 +584,15 @@ def _sim_ivf_oracle() -> str:
         SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS x,
                generate_subscripts(embedding, 1) AS i
         FROM embeddings
+    ), exq0 AS (
+        SELECT vec_id, i, CAST(ROUND(x * {FX_SCALE}) AS BIGINT) AS xi0 FROM ex
     ), norms0 AS (
-        SELECT vec_id, SQRT(SUM(x * x)) AS nrm FROM ex GROUP BY vec_id
+        SELECT vec_id, SQRT(CAST(SUM(xi0 * xi0) AS DOUBLE)) AS nrm
+        FROM exq0 GROUP BY vec_id
     ), u AS (
-        SELECT ex.vec_id, ex.i,
-               CAST(ROUND(ex.x / n.nrm * {FX_SCALE}) AS BIGINT) AS xi
-        FROM ex JOIN norms0 n ON ex.vec_id = n.vec_id
+        SELECT e.vec_id, e.i,
+               CAST(ROUND(CAST(e.xi0 AS DOUBLE) / n.nrm * {FX_SCALE}) AS BIGINT) AS xi
+        FROM exq0 e JOIN norms0 n ON e.vec_id = n.vec_id
     ), st AS (
         SELECT GREATEST(1, COUNT(DISTINCT vec_id) // {N_IVF_CELLS}) AS stride
         FROM u
@@ -769,12 +802,15 @@ def q_sim_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     an INTEGER threshold (≥ 0.3 ⇒ ≥ 300000) — no ROUND(double, n>0)
     anywhere. The float-plane variant stays as the ann_pairs library op
     (subset-of-bruteforce pytest). Plan: one narrow projection pass per
-    vector, one (band, sig) bucket join, AQE-sized verify joins — no
-    all-pairs join anywhere.
+    vector, one (band, sig) bucket join with the SIM_BUCKET_CAP min-k
+    hot-bucket guard (ADVICE r6 #1 — same bounded-state cap as dedup),
+    AQE-sized verify joins — no all-pairs join anywhere.
 
     Scale notes (100 TB): same banded-bucket shape as MinHash-LSH dedup;
-    candidate volume is LSH-bounded; vectors never reshuffle for verify
-    (candidate list joins back to the vector table on id)."""
+    candidate volume is cap-bounded per bucket, so even a degenerate
+    corpus of near-identical embeddings sharing a 3-bit band signature
+    emits C(cap,2) pairs per band, not quadratic; vectors never reshuffle
+    for verify (candidate list joins back to the vector table on id)."""
     t = load_tables(spark, sf_dir)
     emb = t.embeddings
     fx = emb.select(
@@ -783,7 +819,7 @@ def q_sim_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
             f"transform(embedding, v -> CAST(ROUND(CAST(v AS DOUBLE) * {FX_SCALE}, 0) AS BIGINT))"
         ).alias("e"),
     )
-    sigs = fx_band_sigs(emb, dim=64)
+    sigs = capped_bucket_ids(fx_band_sigs(emb, dim=64), "vec_id", SIM_BUCKET_CAP)
     a = sigs.select(F.col("vec_id").alias("vec_a"), "band", "sig")
     b = sigs.select(F.col("vec_id").alias("vec_b"), "band", "sig")
     cands = (
@@ -1254,6 +1290,12 @@ def q_embed_dims(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Embedding covariance audit (anisotropy / dimensional-collapse detection)
 # --------------------------------------------------------------------------
 
+# int64-safety bound for the n·gram covariance numerator (ADVICE r6 #4):
+# |xi| ≈ 1e6/√dim ⇒ n·gram ≈ n²·1.6e10 overflows int64 past n ≈ 7.5e5
+# vectors. Both engines now FAIL FAST at the bound (Spark assert_true,
+# DuckDB error()) instead of Spark wrapping silently where DuckDB raises.
+COV_N_MAX = 750_000
+
 _EMBED_COV_ORACLE = f"""
     WITH ex AS (
         SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS x,
@@ -1270,7 +1312,11 @@ _EMBED_COV_ORACLE = f"""
     ), s AS (
         SELECT i, CAST(SUM(xi) AS BIGINT) AS si FROM exq GROUP BY i
     ), nv AS (
-        SELECT CAST(COUNT(DISTINCT vec_id) AS BIGINT) AS n FROM exq
+        SELECT CAST(COUNT(DISTINCT vec_id) AS BIGINT)
+               + COALESCE(CASE WHEN COUNT(DISTINCT vec_id) > {COV_N_MAX}
+                   THEN CAST(error('q_embed_cov: vector count exceeds the int64-safe bound') AS BIGINT)
+                 END, 0) AS n
+        FROM exq
     )
     SELECT g.i, g.j, nv.n, g.gram_fx2,
            CAST(nv.n * g.gram_fx2 - sa.si * sb.si AS BIGINT) AS cov_num_fx2
@@ -1300,9 +1346,10 @@ def q_embed_cov(spark: SparkSession, sf_dir: str) -> DataFrame:
     far above these SFs but NOT unbounded: beyond that, lower FX_SCALE
     (1e4 buys 1e4× headroom at 4 fewer digits) or keep per-shard
     (n, Σx, Σxy) partials and combine the covariance hierarchically in
-    decimal — the numerator algebra is the same. Spark would wrap silently
-    where DuckDB raises, so the bound is enforced by corpus size here and
-    must be re-checked before pointing this at a larger vector table.
+    decimal — the numerator algebra is the same. The bound is ENFORCED
+    in-plan on both engines (COV_N_MAX, ADVICE r6 #4): Spark raises via
+    assert_true and DuckDB via error() past 7.5e5 vectors, so a larger
+    corpus fails loudly instead of Spark wrapping silently.
 
     Scale notes (100 TB): vectors never shuffle — each task emits at most
     dim(dim+1)/2 = 2080 combiner rows regardless of row count; the final
@@ -1336,9 +1383,23 @@ def q_embed_cov(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
 
     parts = fx.mapInPandas(gram, "i INT, j INT, s LONG, cnt LONG")
+    # fail fast at COV_N_MAX (ADVICE r6 #4): assert_true raises past the
+    # int64-safe bound; below it the coalesced null adds 0, so the hash is
+    # untouched — and the guard feeds the output column, so Catalyst
+    # cannot prune it away.
+    n_guarded = (
+        F.sum("cnt").cast("bigint")
+        + F.coalesce(
+            F.assert_true(
+                F.sum("cnt") <= COV_N_MAX,
+                "q_embed_cov: vector count exceeds the int64-safe bound",
+            ).cast("bigint"),
+            F.lit(0),
+        )
+    ).alias("n")
     g = parts.groupBy("i", "j").agg(
         F.sum("s").cast("bigint").alias("gram_fx2"),
-        F.sum("cnt").cast("bigint").alias("n"),
+        n_guarded,
     )
     exq = t.embeddings.select(
         F.posexplode(

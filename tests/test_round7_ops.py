@@ -119,3 +119,59 @@ def test_sql_capped_bucket_ctes_replays_spark_side(spark):
     ref = sorted(map(tuple, con.execute(sql).fetchall()))
     con.close()
     assert got == ref
+
+
+# ---------------------------------------------------------------------------
+# Corpus invariants the multimodal oracles rest on (ADVICE r6 #3)
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize("sf", ["sf0.001", "sf0.01", "sf0.1"])
+def test_documents_corpus_is_ascii(sf):
+    """The q_image_stats / q_image_dedup / q_source_binary / q_stream_image
+    oracles replay payload bytes as ord(substr(text, ...)) CODEPOINTS with
+    LENGTH(text) char counts, while the Spark side encodes
+    text.encode('utf-8') BYTES — the two agree iff the corpus is pure
+    ASCII (octet_length == char_length). This pins the invariant so a
+    non-ASCII testdata regeneration fails HERE with a named cause instead
+    of as four opaque hash mismatches in the driver gate."""
+    import os
+
+    path = f"/root/testdata/{sf}/documents.parquet"
+    if not os.path.exists(path):
+        pytest.skip(f"{path} absent")
+    bad = duckdb.sql(
+        f"SELECT COUNT(*) FROM '{path}' "
+        "WHERE octet_length(CAST(text AS BLOB)) <> length(text)"
+    ).fetchone()[0]
+    assert bad == 0, (
+        f"{bad} non-ASCII documents in {sf}: the byte-vs-codepoint replay "
+        "in the image/binary oracles (multimodal.py) no longer matches — "
+        "regenerate the corpus or rewrite those oracles byte-wise"
+    )
+
+
+def test_embed_cov_bound_guard_fires(spark):
+    """The COV_N_MAX fail-fast (ADVICE r6 #4): the exact guarded-aggregate
+    expression q_embed_cov uses must raise once the vector count exceeds
+    the bound, and must be value-neutral (adds 0) below it."""
+    from pyspark.sql.utils import PythonException  # noqa: F401
+
+    df = spark.createDataFrame([(1, 5)] * 4, ["k", "cnt"])
+
+    def guarded(bound):
+        return df.groupBy("k").agg(
+            (
+                F.sum("cnt").cast("bigint")
+                + F.coalesce(
+                    F.assert_true(F.sum("cnt") <= bound, "over bound").cast(
+                        "bigint"
+                    ),
+                    F.lit(0),
+                )
+            ).alias("n")
+        )
+
+    assert guarded(100).collect()[0].n == 20  # value-neutral below bound
+    with pytest.raises(Exception, match="over bound"):
+        guarded(10).collect()
