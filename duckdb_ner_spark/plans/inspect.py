@@ -40,6 +40,47 @@ class PlanReport:
         )
 
 
+def global_windows(df: DataFrame) -> list[str]:
+    """Every PARTITION-LESS Window node in the optimized logical plan —
+    each one serializes its whole input through a single task, so any
+    occurrence over an unbounded table is a scale bug (VERDICT r6 #4).
+
+    Detection: a Window node prints ``Window [exprs], [partitionSpec],
+    [orderSpec]``, OMITTING empty trailing specs — so a global ordered
+    window shows two top-level bracket groups whose second is the ORDER
+    spec (its entries carry ASC/DESC), while a partitioned-but-unordered
+    window also shows two groups whose second is the bare partition
+    column list. Returns the window expression text of each global node
+    so tests can pin WHICH bounded table crosses one."""
+    out = []
+    plan = df._jdf.queryExecution().optimizedPlan().toString()
+    for line in plan.splitlines():
+        stripped = line.lstrip(" +-:")
+        if not stripped.startswith("Window ["):
+            continue
+        groups, depth = [], 0
+        for ch in stripped[len("Window ") :]:
+            if ch == "[":
+                if depth == 0:
+                    groups.append("")
+                depth += 1
+            elif ch == "]":
+                depth -= 1
+            elif depth >= 1:
+                groups[-1] += ch
+        if len(groups) >= 3:
+            partition = groups[1]
+        elif len(groups) == 2:
+            g1 = groups[1]
+            is_order = " ASC" in g1 or " DESC" in g1 or not g1.strip()
+            partition = "" if is_order else g1
+        else:
+            partition = ""
+        if not partition.strip():
+            out.append(groups[0][:200])
+    return out
+
+
 def plan_report(df: DataFrame) -> PlanReport:
     plan = formatted_plan(df)
     simple = simple_plan(df)

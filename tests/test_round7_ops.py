@@ -175,3 +175,33 @@ def test_embed_cov_bound_guard_fires(spark):
     assert guarded(100).collect()[0].n == 20  # value-neutral below bound
     with pytest.raises(Exception, match="over bound"):
         guarded(10).collect()
+
+
+# ---------------------------------------------------------------------------
+# Cache hygiene (VERDICT r6 #5)
+# ---------------------------------------------------------------------------
+
+
+def test_release_caches_leaves_zero_persistent_rdds(spark):
+    """The release half of the persist() contract: after running the most
+    persist-heavy queries in the corpus (LSH dedup, shared graph, iterative
+    components with localCheckpoint rounds), release_caches() must leave
+    ZERO persisted RDDs — and a re-run after release must still be correct
+    (persist is an optimization, never a correctness dependency)."""
+    from duckdb_ner_spark.plans.cachereg import (
+        persistent_rdd_count,
+        release_caches,
+    )
+    from duckdb_ner_spark.plans.registry import QUERIES
+
+    sf = "/root/testdata/sf0.001"
+    before = {}
+    for q in ("q_dedup_near", "q_triangles", "q_dedup_clusters", "q_sim_ivf"):
+        before[q] = len(QUERIES[q](spark, sf).collect())
+    assert persistent_rdd_count(spark) > 0  # the queries really do persist
+    release_caches(spark)
+    assert persistent_rdd_count(spark) == 0
+    for q, n in before.items():
+        assert len(QUERIES[q](spark, sf).collect()) == n, q
+    release_caches(spark)
+    assert persistent_rdd_count(spark) == 0

@@ -124,9 +124,15 @@ def main() -> int:
     for t in ("region nation customer supplier part orders lineitem events documents embeddings").split():
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
 
+    from duckdb_ner_spark.plans.cachereg import persistent_rdd_count, release_caches
+
     names = [n for n in qs if not only or n in only]
     n_pass = n_fail = n_rowsonly = 0
     for name in names:
+        # cache hygiene (VERDICT r6 #5): queries must not depend on a
+        # predecessor's persisted state, and the sweep must end with zero
+        # persisted RDDs — release between queries, assert at the end.
+        release_caches(spark)
         t0 = time.time()
         try:
             sdf = qs[name](spark, sf_dir).toPandas()
@@ -171,7 +177,12 @@ def main() -> int:
             n_pass += 1
         else:
             n_fail += 1
+    release_caches(spark)
+    leaked = persistent_rdd_count(spark)
     print(f"\n== {n_pass} pass, {n_rowsonly} rows-only, {n_fail} fail / {len(names)} total ==")
+    if leaked:
+        print(f"FAIL cache-hygiene: {leaked} persisted RDDs survive release_caches")
+        return 1
     return 1 if n_fail else 0
 
 
