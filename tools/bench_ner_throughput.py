@@ -76,6 +76,14 @@ def build_checkpoint(ckpt_dir: str) -> None:
 
 
 def main() -> None:
+    import argparse
+
+    ap = argparse.ArgumentParser()
+    # 0=f32, 1=f16, 2=q4_0 — the reference's three container dtypes
+    # (ner_model.cpp:194; converter convert_ner_to_ggml.py:77-82)
+    ap.add_argument("--ftype", type=int, default=0, choices=(0, 1, 2))
+    args = ap.parse_args()
+    dtype_name = {0: "f32", 1: "f16", 2: "q4_0"}[args.ftype]
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
     with tempfile.TemporaryDirectory(prefix="ner_ckpt_") as tmp:
@@ -83,9 +91,10 @@ def main() -> None:
         os.makedirs(ckpt)
         t0 = time.time()
         build_checkpoint(ckpt)
-        model_bin = os.path.join(tmp, "model_f32.bin")
-        convert_checkpoint(ckpt, model_bin, ftype=0)
+        model_bin = os.path.join(tmp, f"model_{dtype_name}.bin")
+        convert_checkpoint(ckpt, model_bin, ftype=args.ftype)
         convert_s = round(time.time() - t0, 2)
+        model_mb = round(os.path.getsize(model_bin) / 1e6, 1)
 
         from duckdb_ner_spark.session import get_spark
         from duckdb_ner_spark.functions.ner_udf import ner
@@ -121,7 +130,8 @@ def main() -> None:
                     "n_docs": n_docs,
                     "elapsed_sec": round(best, 3),
                     "total_entities": int(total_ents or 0),
-                    "model": "converted-checkpoint f32 6L/256/1536 8H 30522v",
+                    "model": f"converted-checkpoint {dtype_name} 6L/256/1536 8H 30522v",
+                    "model_mb": model_mb,
                     "convert_sec": convert_s,
                     "sf_dir": sf_dir,
                 }
