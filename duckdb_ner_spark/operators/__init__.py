@@ -9,6 +9,7 @@ from . import (  # noqa: F401
     relational,
     relational_ext,
     retrieval,
+    round7,
     sampling,
     scalepatterns,
     layout_queries,

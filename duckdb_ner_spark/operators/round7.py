@@ -1,0 +1,332 @@
+"""Round-7 operator family: graph centrality, privacy auditing, quality-
+aware dedup collapse, and corpus novelty — LLM-pipeline operators beyond
+SURVEY.md §2's letter (no reference counterpart; the reference is a 755-LoC
+NER extension, src/ner_extension.cpp).
+
+Engine-exactness follows the house rules (operators/relational.py header):
+every comparison column is either an integer (fixed-point, floor division —
+Spark ``div`` and DuckDB ``//`` agree on non-negatives) or a deterministic
+total order; no ROUND(double, n>0), no order-dependent float folds.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..plans.registry import declared
+from ..sources.catalog import load_tables
+from .components import _clusters_oracle, connected_components, day1_cooccurrence_graph
+
+# --------------------------------------------------------------------------
+# Fixed-point PageRank (graph centrality for dedup/source weighting)
+# --------------------------------------------------------------------------
+
+PR_SCALE = 10**12  # total initial mass; per-node values stay < 1e12 << 2^63
+PR_ITERS = 3
+PR_TOP = 20
+
+_PR_GRAPH_CTE = """
+    co AS (
+        SELECT DISTINCT date_trunc('hour', ts) AS h, user_id FROM events
+        WHERE ts < TIMESTAMP '2024-01-02 00:00:00'
+    ), uedges AS (
+        SELECT DISTINCT a.user_id AS u, b.user_id AS v
+        FROM co a JOIN co b ON a.h = b.h AND a.user_id < b.user_id
+    ), dirn AS (
+        SELECT u AS src, v AS dst FROM uedges
+        UNION ALL SELECT v, u FROM uedges
+    ), deg AS (
+        SELECT src AS node, CAST(COUNT(*) AS BIGINT) AS deg
+        FROM dirn GROUP BY src
+    ), nn AS (SELECT COUNT(*) AS n FROM deg)
+"""
+
+
+def _pr_iter_ctes() -> str:
+    """r0..r{PR_ITERS}: one inflow+update CTE pair per iteration, all
+    integer arithmetic (floor division at every step, so the update is
+    bit-identical in any engine and any evaluation order)."""
+    tele = f"(15 * ({PR_SCALE} // (SELECT n FROM nn))) // 100"
+    ctes = [
+        f"""r0 AS (
+        SELECT node, CAST({PR_SCALE} // (SELECT n FROM nn) AS BIGINT) AS pr
+        FROM deg
+    )"""
+    ]
+    for i in range(PR_ITERS):
+        ctes.append(f"""f{i + 1} AS (
+        SELECT e.dst AS node, CAST(SUM(r.pr // dg.deg) AS BIGINT) AS infl
+        FROM dirn e
+        JOIN r{i} r ON r.node = e.src
+        JOIN deg dg ON dg.node = e.src
+        GROUP BY e.dst
+    ), r{i + 1} AS (
+        SELECT d.node,
+               CAST({tele} + (85 * COALESCE(f.infl, 0)) // 100 AS BIGINT) AS pr
+        FROM deg d LEFT JOIN f{i + 1} f ON f.node = d.node
+    )""")
+    return ", ".join(ctes)
+
+
+_PAGERANK_ORACLE = f"""
+    WITH {_PR_GRAPH_CTE}, {_pr_iter_ctes()}
+    SELECT CAST(node AS BIGINT) AS user_id, pr AS pr_fx
+    FROM r{PR_ITERS}
+    ORDER BY pr DESC, node
+    LIMIT {PR_TOP}
+"""
+
+
+@declared("q_pagerank", oracle=_PAGERANK_ORACLE)
+def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-point integer PageRank over the first-day user co-occurrence
+    graph, {PR_ITERS} unrolled iterations, damping 85/100 — the centrality
+    signal a curation pipeline uses to weight sources/users by influence
+    (and the classic iterative-dataflow stress test for an engine).
+
+    Engine-exactness: mass starts as PR_SCALE // N per node and every
+    update is r' = (15·(S//N))//100 + (85·Σ(r_u // deg_u))//100 — floor
+    division at each step, so both engines compute the identical integer
+    mass regardless of summation order; the oracle replays the iterations
+    as unrolled CTEs. Mass is deliberately NOT conserved (each floor leaks
+    <1 unit) — determinism is the contract, not stochasticity.
+
+    Scale notes (100 TB): each iteration is one join of the edge list with
+    the (node, pr) table — shuffle keyed on node ids, AQE-skew-splittable;
+    the contribution sum is a map-side-combined integer aggregate; ranks
+    never collect to the driver (the only driver action is the node COUNT
+    for the teleport constant). {PR_ITERS} iterations = {PR_ITERS}
+    chained shuffles, the Pregel shape without per-round checkpoints
+    (lineage stays linear in iteration count; past ~10 iterations use the
+    connected_components localCheckpoint pattern, components.py:64-71)."""
+    edges, deg = day1_cooccurrence_graph(spark, sf_dir)
+    dirn = edges.select(F.col("u").alias("src"), F.col("v").alias("dst")).unionAll(
+        edges.select(F.col("v").alias("src"), F.col("u").alias("dst"))
+    )
+    n = deg.count()
+    base = PR_SCALE // n
+    tele = (15 * base) // 100
+    r = deg.select("node", F.lit(base).cast("bigint").alias("pr"))
+    # USING-joins on renamed key columns throughout: r/deg/dirn all descend
+    # from the same memoized edge list, so expression-id joins would be
+    # ambiguous self-joins
+    for _ in range(PR_ITERS):
+        shares = (
+            r.join(deg.select("node", "deg"), "node")
+            .select(F.col("node").alias("src"), F.expr("pr div deg").alias("share"))
+        )
+        infl = (
+            dirn.join(shares, "src")
+            .groupBy(F.col("dst").alias("node"))
+            .agg(F.sum("share").cast("bigint").alias("infl"))
+        )
+        r = deg.select("node").join(infl, "node", "left").select(
+            "node",
+            (F.lit(tele) + F.expr("(85 * COALESCE(infl, 0)) div 100"))
+            .cast("bigint")
+            .alias("pr"),
+        )
+    return (
+        r.orderBy(F.col("pr").desc(), "node")
+        .limit(PR_TOP)
+        .select(F.col("node").cast("bigint").alias("user_id"), F.col("pr").alias("pr_fx"))
+    )
+
+
+# --------------------------------------------------------------------------
+# k-anonymity audit (privacy QC before publishing a training corpus)
+# --------------------------------------------------------------------------
+
+KANON_K = 5
+KANON_LEN_BUCKET = 32
+
+_KANON_ORACLE = f"""
+    WITH qi AS (
+        SELECT lang, source, n_chars // {KANON_LEN_BUCKET} AS len_bucket,
+               COUNT(*) AS grp_sz
+        FROM documents GROUP BY 1, 2, 3
+    )
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS n_groups,
+           CAST(SUM(CASE WHEN grp_sz < {KANON_K} THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_risky_groups,
+           CAST(SUM(CASE WHEN grp_sz < {KANON_K} THEN grp_sz ELSE 0 END) AS BIGINT)
+               AS n_docs_at_risk,
+           CAST(MIN(grp_sz) AS BIGINT) AS min_group_size
+    FROM qi GROUP BY lang
+"""
+
+
+@declared("q_k_anonymity", oracle=_KANON_ORACLE)
+def q_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity audit over the quasi-identifier tuple (lang, source,
+    length bucket): how many QI groups fall below k={KANON_K} members —
+    each such group's documents are re-identifiable by their metadata
+    alone, the standard pre-publication privacy gate for a shared corpus
+    (complements q_pii_scrub, which handles in-text identifiers).
+
+    All counting is integer and the length bucket is floor division, so
+    the oracle matches bit-for-bit. Scale: two hash aggregations (QI
+    tuple, then lang) — the first keyed on a high-cardinality composite,
+    map-side combined; nothing else touches the corpus."""
+    t = load_tables(spark, sf_dir)
+    qi = t.documents.groupBy(
+        "lang",
+        "source",
+        F.expr(f"n_chars div {KANON_LEN_BUCKET}").alias("len_bucket"),
+    ).agg(F.count("*").alias("grp_sz"))
+    risky = F.col("grp_sz") < KANON_K
+    return qi.groupBy("lang").agg(
+        F.count("*").cast("bigint").alias("n_groups"),
+        F.sum(F.when(risky, 1).otherwise(0)).cast("bigint").alias("n_risky_groups"),
+        F.sum(F.when(risky, F.col("grp_sz")).otherwise(0))
+        .cast("bigint")
+        .alias("n_docs_at_risk"),
+        F.min("grp_sz").cast("bigint").alias("min_group_size"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Quality-aware near-dup collapse (keep the BEST of each cluster, not min-id)
+# --------------------------------------------------------------------------
+
+_KEEP_BEST_ORACLE = (
+    _clusters_oracle()
+    + """, best AS (
+        SELECT comp, doc_id, n_chars,
+               ROW_NUMBER() OVER (PARTITION BY comp
+                                  ORDER BY n_chars DESC, doc_id) AS rn
+        FROM comps JOIN documents ON doc_id = node
+    )
+    SELECT CAST(comp AS BIGINT) AS cluster_id,
+           CAST(doc_id AS BIGINT) AS keeper_id,
+           CAST(n_chars AS BIGINT) AS keeper_chars,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM comps c WHERE c.comp = best.comp)
+               AS n_members
+    FROM best WHERE rn = 1
+"""
+)
+
+
+@declared("q_dedup_keep_best", oracle=_KEEP_BEST_ORACLE)
+def q_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-aware cluster collapse: for every near-dup cluster
+    (q_dedup_clusters' MinHash-LSH + connected components), keep the
+    HIGHEST-QUALITY member — here argmax (n_chars, lowest doc_id as the
+    tiebreak) — instead of collapse_near_dups' min-id convention. This is
+    what production dedup actually ships: when a boilerplate cluster holds
+    one full article and thirty truncated scrapes, min-id keeps an
+    arbitrary member; keep-best keeps the article.
+
+    Engine-exactness: the representative is an integer argmax under a
+    total order — Spark max_by over a (n_chars, -doc_id) struct, DuckDB a
+    partitioned ROW_NUMBER — both resolve ties identically. Scale: the
+    cluster table is pairs-sized (tiny relative to the corpus); the
+    quality join touches only clustered docs (semi-join pushdown)."""
+    from .dedup import dedup_near_minhash
+
+    t = load_tables(spark, sf_dir)
+    pairs = dedup_near_minhash(t.documents, threshold=0.6).select("doc_a", "doc_b")
+    comps = connected_components(pairs)
+    members = comps.join(
+        t.documents.select(F.col("doc_id").alias("node"), "n_chars"), "node"
+    )
+    return (
+        members.groupBy("comp")
+        .agg(
+            F.max_by(
+                F.struct(F.col("node").alias("doc_id"), F.col("n_chars")),
+                F.struct(F.col("n_chars"), (-F.col("node")).alias("tb")),
+            ).alias("best"),
+            F.count("*").cast("bigint").alias("n_members"),
+        )
+        .select(
+            F.col("comp").cast("bigint").alias("cluster_id"),
+            F.col("best.doc_id").cast("bigint").alias("keeper_id"),
+            F.col("best.n_chars").cast("bigint").alias("keeper_chars"),
+            "n_members",
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# N-gram novelty (marginal-content scoring per source)
+# --------------------------------------------------------------------------
+
+def _novelty_oracle() -> str:
+    from .textprep import sql_shingles
+
+    return f"""
+    WITH docs AS (
+        SELECT doc_id, source, string_split(text, ' ') AS ws FROM documents
+    ), sh AS (
+        SELECT doc_id, source, {sql_shingles(3)} AS grams
+        FROM docs WHERE LEN(ws) >= 3
+    ), e AS (
+        SELECT doc_id, source, unnest(grams) AS g FROM sh
+    ), firsts AS (
+        SELECT g, MIN(doc_id) AS first_doc FROM e GROUP BY g
+    ), per_doc AS (
+        SELECT e.doc_id, e.source,
+               COUNT(*) AS n_grams,
+               SUM(CASE WHEN f.first_doc = e.doc_id THEN 1 ELSE 0 END) AS n_novel
+        FROM e JOIN firsts f ON f.g = e.g
+        GROUP BY e.doc_id, e.source
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_grams) AS BIGINT) AS total_grams,
+           CAST(SUM(n_novel) AS BIGINT) AS novel_grams,
+           CAST((SUM(n_novel) * 1000000) // SUM(n_grams) AS BIGINT) AS novelty_fx
+    FROM per_doc GROUP BY source
+"""
+
+
+@declared("q_ngram_novelty", oracle=_novelty_oracle())
+def q_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Marginal-content scoring: per source, what fraction of its distinct
+    3-gram shingles appear for the FIRST time (by doc_id order) in that
+    source's documents — the curve a curation pipeline reads to decide
+    which crawl still adds new content and which is re-serving what the
+    corpus already has (the incremental complement of q_dedup_yield's
+    removal accounting).
+
+    First-occurrence attribution is MIN(doc_id) per shingle — a total
+    order, no timestamps needed, deterministic in both engines; the ratio
+    is integer fixed-point (·1e6, floor). Scale notes (100 TB): one
+    explode-distinct per doc, one shuffle keyed on the shingle (the
+    inverted-index shape shared with q_dedup_ngram), a map-side-combined
+    min, and a join back on the shingle key; per-source rollup is a
+    broadcast-sized aggregate. Shingle strings can be swapped for xxhash64
+    digests at production scale — same plan, 8-byte keys."""
+    from .textprep import shingles_expr, words_col
+
+    t = load_tables(spark, sf_dir)
+    sh = (
+        t.documents.select(
+            "doc_id", "source", words_col("text").alias("ws")
+        )
+        .filter(F.size("ws") >= 3)
+        .select("doc_id", "source", shingles_expr().alias("grams"))
+    )
+    e = sh.select("doc_id", "source", F.explode("grams").alias("g"))
+    firsts = e.groupBy("g").agg(F.min("doc_id").alias("first_doc"))
+    per_doc = (
+        e.join(firsts, "g")
+        .groupBy("doc_id", "source")
+        .agg(
+            F.count("*").alias("n_grams"),
+            F.sum(F.when(F.col("first_doc") == F.col("doc_id"), 1).otherwise(0)).alias(
+                "n_novel"
+            ),
+        )
+    )
+    return per_doc.groupBy("source").agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.sum("n_grams").cast("bigint").alias("total_grams"),
+        F.sum("n_novel").cast("bigint").alias("novel_grams"),
+        F.expr("(SUM(n_novel) * 1000000) div SUM(n_grams)")
+        .cast("bigint")
+        .alias("novelty_fx"),
+    )

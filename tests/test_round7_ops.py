@@ -302,3 +302,134 @@ def test_q4_0_spark_udf_matches_local_backend(tmp_path, engine):
         )
         assert [(g.entity, g.label) for g in got] == want, path
     engine.set_model_path(None)
+
+
+# ---------------------------------------------------------------------------
+# Round-7 query family: independent Python recomputes
+# ---------------------------------------------------------------------------
+
+SF_SMOKE = "/root/testdata/sf0.001"
+
+
+def test_pagerank_matches_python_recompute(spark):
+    """Integer PageRank recomputed in pure Python from the same collected
+    edge list must reproduce the query's top-20 exactly (floors and all)."""
+    from collections import defaultdict
+
+    from duckdb_ner_spark.operators.components import day1_cooccurrence_graph
+    from duckdb_ner_spark.operators.round7 import PR_ITERS, PR_SCALE, PR_TOP
+    from duckdb_ner_spark.plans.registry import QUERIES
+
+    edges, _deg = day1_cooccurrence_graph(spark, SF_SMOKE)
+    und = [(r.u, r.v) for r in edges.collect()]
+    adj = defaultdict(list)
+    for u, v in und:
+        adj[u].append(v)
+        adj[v].append(u)
+    n = len(adj)
+    base = PR_SCALE // n
+    tele = (15 * base) // 100
+    pr = {node: base for node in adj}
+    for _ in range(PR_ITERS):
+        infl = defaultdict(int)
+        for u, nbrs in adj.items():
+            share = pr[u] // len(nbrs)
+            for v in nbrs:
+                infl[v] += share
+        pr = {node: tele + (85 * infl[node]) // 100 for node in adj}
+    want = sorted(pr.items(), key=lambda kv: (-kv[1], kv[0]))[:PR_TOP]
+    got = [
+        (r.user_id, r.pr_fx)
+        for r in QUERIES["q_pagerank"](spark, SF_SMOKE)
+        .orderBy("pr_fx", ascending=False)
+        .collect()
+    ]
+    got = sorted(got, key=lambda kv: (-kv[1], kv[0]))
+    assert got == want
+
+
+def test_k_anonymity_matches_pandas_recompute(spark):
+    import pandas as pd  # noqa: F401
+
+    from duckdb_ner_spark.operators.round7 import KANON_K, KANON_LEN_BUCKET
+    from duckdb_ner_spark.plans.registry import QUERIES
+
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet").toPandas()
+    docs["len_bucket"] = docs["n_chars"] // KANON_LEN_BUCKET
+    grp = docs.groupby(["lang", "source", "len_bucket"]).size()
+    want = {}
+    for lang, g in grp.groupby(level=0):
+        risky = g[g < KANON_K]
+        want[lang] = (len(g), len(risky), int(risky.sum()), int(g.min()))
+    got = {
+        r.lang: (r.n_groups, r.n_risky_groups, r.n_docs_at_risk, r.min_group_size)
+        for r in QUERIES["q_k_anonymity"](spark, SF_SMOKE).collect()
+    }
+    assert got == want
+
+
+def test_keep_best_picks_argmax_of_verified_clusters(spark):
+    """keeper == argmax (n_chars DESC, doc_id ASC) within each cluster of
+    the independently hash-verified q_dedup_clusters assignment."""
+    from duckdb_ner_spark.plans.registry import QUERIES
+
+    comps = {
+        r.node: r.comp for r in QUERIES["q_dedup_clusters"](spark, SF_SMOKE).collect()
+    }
+    chars = {
+        r.doc_id: r.n_chars
+        for r in spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+        .select("doc_id", "n_chars")
+        .collect()
+    }
+    want = {}
+    sizes = {}
+    for node, comp in comps.items():
+        sizes[comp] = sizes.get(comp, 0) + 1
+        cand = (chars[node], -node)
+        if comp not in want or cand > want[comp][0]:
+            want[comp] = (cand, node)
+    got = {
+        r.cluster_id: (r.keeper_id, r.keeper_chars, r.n_members)
+        for r in QUERIES["q_dedup_keep_best"](spark, SF_SMOKE).collect()
+    }
+    assert got == {
+        comp: (node, chars[node], sizes[comp]) for comp, (_, node) in want.items()
+    }
+
+
+def test_ngram_novelty_matches_python_recompute(spark):
+    from collections import defaultdict
+
+    from duckdb_ner_spark.plans.registry import QUERIES
+
+    rows = (
+        spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+        .select("doc_id", "source", "text")
+        .collect()
+    )
+    per_doc = {}
+    for r in rows:
+        ws = r.text.split(" ")
+        if len(ws) < 3:
+            continue
+        grams = {" ".join(ws[i : i + 3]) for i in range(len(ws) - 2)}
+        per_doc[r.doc_id] = (r.source, grams)
+    first = {}
+    for doc_id in sorted(per_doc):
+        for g in per_doc[doc_id][1]:
+            if g not in first:
+                first[g] = doc_id
+    agg = defaultdict(lambda: [0, 0, 0])  # docs, grams, novel
+    for doc_id, (src, grams) in per_doc.items():
+        agg[src][0] += 1
+        agg[src][1] += len(grams)
+        agg[src][2] += sum(1 for g in grams if first[g] == doc_id)
+    want = {
+        s: (d, g, nv, (nv * 1_000_000) // g) for s, (d, g, nv) in agg.items()
+    }
+    got = {
+        r.source: (r.n_docs, r.total_grams, r.novel_grams, r.novelty_fx)
+        for r in QUERIES["q_ngram_novelty"](spark, SF_SMOKE).collect()
+    }
+    assert got == want
