@@ -104,14 +104,26 @@ def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     dirn = edges.select(F.col("u").alias("src"), F.col("v").alias("dst")).unionAll(
         edges.select(F.col("v").alias("src"), F.col("u").alias("dst"))
     )
-    n = deg.count()
+    r = pagerank_ranks(dirn, deg, deg.count())
+    return (
+        r.orderBy(F.col("pr").desc(), "node")
+        .limit(PR_TOP)
+        .select(F.col("node").cast("bigint").alias("user_id"), F.col("pr").alias("pr_fx"))
+    )
+
+
+def pagerank_ranks(
+    dirn: DataFrame, deg: DataFrame, n: int, iters: int = PR_ITERS
+) -> DataFrame:
+    """The q_pagerank iteration core on an arbitrary directed edge list
+    ``dirn(src, dst)`` + degree table ``deg(node, deg)`` — factored out for
+    the scaling probe and planted-graph tests. USING-joins on renamed key
+    columns throughout: dirn/deg usually descend from one edge list, so
+    expression-id joins would be ambiguous self-joins."""
     base = PR_SCALE // n
     tele = (15 * base) // 100
     r = deg.select("node", F.lit(base).cast("bigint").alias("pr"))
-    # USING-joins on renamed key columns throughout: r/deg/dirn all descend
-    # from the same memoized edge list, so expression-id joins would be
-    # ambiguous self-joins
-    for _ in range(PR_ITERS):
+    for _ in range(iters):
         shares = (
             r.join(deg.select("node", "deg"), "node")
             .select(F.col("node").alias("src"), F.expr("pr div deg").alias("share"))
@@ -127,11 +139,7 @@ def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("bigint")
             .alias("pr"),
         )
-    return (
-        r.orderBy(F.col("pr").desc(), "node")
-        .limit(PR_TOP)
-        .select(F.col("node").cast("bigint").alias("user_id"), F.col("pr").alias("pr_fx"))
-    )
+    return r
 
 
 # --------------------------------------------------------------------------

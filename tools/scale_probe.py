@@ -231,10 +231,59 @@ def main() -> None:
             F.sum("s")
         ).agg(F.count("*")).collect()
 
+    def pagerank_shape(times):
+        # r7 iterative-dataflow family: 3 chained edge-list joins + integer
+        # aggregates (q_pagerank's core) on a synthetic constant-degree ring
+        # graph — nodes scale with `times`, per-node degree stays 6, so the
+        # per-iteration shuffle volume scales linearly in nodes
+        from duckdb_ner_spark.operators.round7 import pagerank_ranks
+
+        n = 20_000 * times
+        nodes = spark.range(n).select(F.col("id").alias("src"))
+        dirn = None
+        for off in (1, 2, 3):
+            hop = nodes.select(
+                "src", ((F.col("src") + off) % n).alias("dst")
+            )
+            both = hop.unionAll(
+                hop.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+            )
+            dirn = both if dirn is None else dirn.unionAll(both)
+        deg = dirn.groupBy(F.col("src").alias("node")).agg(
+            F.count("*").cast("bigint").alias("deg")
+        )
+        pagerank_ranks(dirn, deg, n).agg(F.sum("pr")).collect()
+
+    def novelty_index_shape(times):
+        # r7 novelty family: explode-distinct shingles -> min-per-shingle
+        # inverted index -> join back (q_ngram_novelty's core)
+        from duckdb_ner_spark.operators.textprep import shingles_expr, words_col
+
+        big_d = inflate(docs.select("doc_id", "source", "text"), times, ["doc_id"])
+        sh = (
+            big_d.select("doc_id", "source", words_col("text").alias("ws"))
+            .filter(F.size("ws") >= 3)
+            .select("doc_id", "source", shingles_expr().alias("grams"))
+        )
+        e = sh.select("doc_id", "source", F.explode("grams").alias("g"))
+        firsts = e.groupBy("g").agg(F.min("doc_id").alias("first_doc"))
+        (
+            e.join(firsts, "g")
+            .groupBy("source")
+            .agg(
+                F.sum(
+                    F.when(F.col("first_doc") == F.col("doc_id"), 1).otherwise(0)
+                ).alias("novel")
+            )
+            .agg(F.sum("novel"))
+            .collect()
+        )
+
     # untimed warmup: whole-stage-codegen JIT is a one-off per plan shape
     agg_shape(1), join_shape(1), window_shape(1), funnel_shape(1), linededup_shape(1)
     hot_bucket_shape(1), cdc_chunk_shape(1), topk_salted_shape(1)
     interval_join_shape(1), blocked_gram_shape(1)
+    pagerank_shape(1), novelty_index_shape(1)
 
     for times in (1, 10, 30):
         probe("tpch_q1_agg", agg_shape, times)
@@ -247,6 +296,8 @@ def main() -> None:
         probe("grouped_topk_salted", topk_salted_shape, times)
         probe("interval_bucket_join", interval_join_shape, times)
         probe("blocked_int_gram", blocked_gram_shape, times)
+        probe("pagerank_3iter", pagerank_shape, times)
+        probe("novelty_inverted_index", novelty_index_shape, times)
 
     rows_base = li.count()
     lines = [
