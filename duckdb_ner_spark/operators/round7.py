@@ -338,3 +338,105 @@ def q_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("novelty_fx"),
     )
+
+
+# --------------------------------------------------------------------------
+# Semi-supervised label propagation (the third graph-algebra primitive)
+# --------------------------------------------------------------------------
+
+LP_ITERS = 2
+LP_SEED_MOD = 5  # nodes with node % 5 == 0 are seeded
+LP_N_LABELS = 3  # seed label = node % 3
+
+
+def _lp_iter_ctes() -> str:
+    """lab0..lab{LP_ITERS}: majority-vote propagation unrolled. Each round,
+    an unlabeled node adopts the most common label among its labeled
+    neighbors (ties -> smallest label); seeds never change. Counting is
+    integer and the argmax is a (count DESC, label ASC) total order, so
+    both engines pick identical labels."""
+    ctes = [
+        f"""lab0 AS (
+        SELECT node,
+               CASE WHEN node % {LP_SEED_MOD} = 0 THEN node % {LP_N_LABELS} END AS lbl
+        FROM deg
+    )"""
+    ]
+    for i in range(LP_ITERS):
+        ctes.append(f"""cnt{i + 1} AS (
+        SELECT e.dst AS node, l.lbl, COUNT(*) AS c
+        FROM dirn e JOIN lab{i} l ON l.node = e.src
+        WHERE l.lbl IS NOT NULL
+        GROUP BY e.dst, l.lbl
+    ), pick{i + 1} AS (
+        SELECT node, lbl FROM (
+            SELECT node, lbl,
+                   ROW_NUMBER() OVER (PARTITION BY node ORDER BY c DESC, lbl) AS rn
+            FROM cnt{i + 1}
+        ) WHERE rn = 1
+    ), lab{i + 1} AS (
+        SELECT d.node,
+               CASE WHEN d.node % {LP_SEED_MOD} = 0 THEN d.node % {LP_N_LABELS}
+                    ELSE p.lbl END AS lbl
+        FROM deg d LEFT JOIN pick{i + 1} p ON p.node = d.node
+    )""")
+    return ", ".join(ctes)
+
+
+_LABEL_PROP_ORACLE = f"""
+    WITH {_PR_GRAPH_CTE}, {_lp_iter_ctes()}
+    SELECT CAST(COALESCE(lbl, -1) AS BIGINT) AS label,
+           CAST(COUNT(*) AS BIGINT) AS n_nodes,
+           CAST(MIN(node) AS BIGINT) AS min_node
+    FROM lab{LP_ITERS} GROUP BY 1
+"""
+
+
+@declared("q_label_prop", oracle=_LABEL_PROP_ORACLE)
+def q_label_prop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-supervised label propagation over the co-occurrence graph:
+    every {LP_SEED_MOD}th node is seeded with a class (node % {LP_N_LABELS});
+    {LP_ITERS} rounds of majority vote spread the classes to unlabeled
+    neighbors (ties -> smallest label; seeds immutable). Output: class
+    census after propagation, unlabeled = -1. With components (min-label),
+    PageRank (weighted sum), and this (argmax majority), the engine covers
+    the three aggregation primitives every Pregel-style graph algorithm
+    composes from.
+
+    Engine-exactness: integer vote counts, total-order argmax — Spark
+    max_by over a (c, -lbl) struct vs the oracle's partitioned ROW_NUMBER,
+    identical tiebreak. Scale notes (100 TB): per round, one edge-list
+    join shuffled on node ids + one map-side-combined count + one argmax
+    aggregate — the PageRank shuffle shape with an extra (node, label)
+    key; the census is a {LP_N_LABELS + 1}-row aggregate."""
+    edges, deg = day1_cooccurrence_graph(spark, sf_dir)
+    dirn = edges.select(F.col("u").alias("src"), F.col("v").alias("dst")).unionAll(
+        edges.select(F.col("v").alias("src"), F.col("u").alias("dst"))
+    )
+    seed = F.when(
+        F.col("node") % LP_SEED_MOD == 0, F.col("node") % LP_N_LABELS
+    ).cast("bigint")
+    lab = deg.select("node", seed.alias("lbl"))
+    for _ in range(LP_ITERS):
+        votes = (
+            dirn.join(
+                lab.filter(F.col("lbl").isNotNull()).select(
+                    F.col("node").alias("src"), "lbl"
+                ),
+                "src",
+            )
+            .groupBy(F.col("dst").alias("node"), "lbl")
+            .agg(F.count("*").alias("c"))
+        )
+        pick = votes.groupBy("node").agg(
+            F.max_by("lbl", F.struct(F.col("c"), (-F.col("lbl")).alias("tb"))).alias(
+                "picked"
+            )
+        )
+        lab = deg.select("node").join(pick, "node", "left").select(
+            "node", F.coalesce(seed, F.col("picked")).cast("bigint").alias("lbl")
+        )
+    return lab.groupBy(F.coalesce("lbl", F.lit(-1)).cast("bigint").alias("label")).agg(
+        F.count("*").cast("bigint").alias("n_nodes"),
+        F.min("node").cast("bigint").alias("min_node"),
+    )

@@ -433,3 +433,49 @@ def test_ngram_novelty_matches_python_recompute(spark):
         for r in QUERIES["q_ngram_novelty"](spark, SF_SMOKE).collect()
     }
     assert got == want
+
+
+def test_label_prop_matches_python_recompute(spark):
+    """Majority-vote propagation recomputed in pure Python from the same
+    edge list: seeds immutable, ties to the smallest label, 2 rounds."""
+    from collections import Counter, defaultdict
+
+    from duckdb_ner_spark.operators.components import day1_cooccurrence_graph
+    from duckdb_ner_spark.operators.round7 import (
+        LP_ITERS,
+        LP_N_LABELS,
+        LP_SEED_MOD,
+    )
+    from duckdb_ner_spark.plans.registry import QUERIES
+
+    edges, _ = day1_cooccurrence_graph(spark, SF_SMOKE)
+    adj = defaultdict(list)
+    for r in edges.collect():
+        adj[r.u].append(r.v)
+        adj[r.v].append(r.u)
+    lab = {
+        n: (n % LP_N_LABELS if n % LP_SEED_MOD == 0 else None) for n in adj
+    }
+    for _ in range(LP_ITERS):
+        nxt = {}
+        for n in adj:
+            if n % LP_SEED_MOD == 0:
+                nxt[n] = n % LP_N_LABELS
+                continue
+            votes = Counter(
+                lab[m] for m in adj[n] if lab[m] is not None
+            )
+            nxt[n] = (
+                min(votes, key=lambda l: (-votes[l], l)) if votes else None
+            )
+        lab = nxt
+    want = defaultdict(lambda: [0, None])
+    for n, l in lab.items():
+        k = -1 if l is None else l
+        want[k][0] += 1
+        want[k][1] = n if want[k][1] is None else min(want[k][1], n)
+    got = {
+        r.label: (r.n_nodes, r.min_node)
+        for r in QUERIES["q_label_prop"](spark, SF_SMOKE).collect()
+    }
+    assert got == {k: tuple(v) for k, v in want.items()}
