@@ -657,3 +657,77 @@ def q_stream_image(spark: SparkSession, sf_dir: str) -> DataFrame:
         "total_px",
         "total_sample_sum",
     )
+
+
+_STREAM_DEDUP_INCR_ORACLE = """
+    WITH docs AS (
+        SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+    ), sh AS (
+        SELECT doc_id, CASE WHEN len(ws) >= 3 THEN list_distinct([ws[i+0] || ' ' || ws[i+1] || ' ' || ws[i+2] FOR i IN range(1, len(ws) - 1)]) ELSE [] END AS shingles FROM docs
+    ), e AS (
+        SELECT doc_id, unnest(shingles) AS s FROM sh
+    ), mh AS (
+        SELECT doc_id, MIN(md5('s0|' || s)) AS h0, MIN(md5('s1|' || s)) AS h1, MIN(md5('s2|' || s)) AS h2, MIN(md5('s3|' || s)) AS h3, MIN(md5('s4|' || s)) AS h4, MIN(md5('s5|' || s)) AS h5, MIN(md5('s6|' || s)) AS h6, MIN(md5('s7|' || s)) AS h7
+        FROM e GROUP BY doc_id
+    ), bands AS (
+        SELECT doc_id, 0 AS band, h0 || h1 AS sig FROM mh UNION ALL SELECT doc_id, 1 AS band, h2 || h3 AS sig FROM mh UNION ALL SELECT doc_id, 2 AS band, h4 || h5 AS sig FROM mh UNION ALL SELECT doc_id, 3 AS band, h6 || h7 AS sig FROM mh
+    ), corpus AS (
+        SELECT DISTINCT band, sig FROM bands WHERE doc_id % 2 = 0
+    ), probe AS (
+        SELECT b.doc_id,
+               MAX(CASE WHEN c.band IS NOT NULL THEN 1 ELSE 0 END) AS hit
+        FROM bands b
+        LEFT JOIN corpus c ON b.band = c.band AND b.sig = c.sig
+        WHERE b.doc_id % 2 = 1
+        GROUP BY b.doc_id
+    )
+    SELECT doc_id FROM probe WHERE hit = 0
+"""
+
+
+@declared("q_stream_dedup_incr", cache_plan=False, oracle=_STREAM_DEDUP_INCR_ORACLE)
+def q_stream_dedup_incr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DEDUP-AT-INGEST: the incremental-LSH admission gate (q_dedup_incr)
+    run as a STREAM — new documents (odd doc_ids) arrive as micro-batches,
+    each batch is min-hash banded in-flight (stateless narrow transform),
+    probed against the STATIC persistent (band, sig) corpus index via a
+    broadcast stream-static join, and a per-doc max-hit aggregate admits
+    the docs with zero collisions. This is the shape a production crawl
+    runs at the front door: the corpus index is a slowly-growing static
+    table, the crawl is unbounded, and admission must not rescan the
+    corpus. Oracle = the same banding + probe replayed in batch SQL (the
+    stream/batch parity contract); result identical to q_dedup_incr's
+    admitted set by construction — what's verified END TO END is the
+    streaming path: per-micro-batch banding, stream-static broadcast
+    join, cross-batch aggregate state, complete-mode emission.
+
+    Scale notes (100 TB): banding is per-row; the index join broadcasts
+    only (band, sig) keys (or co-locates via (band, sig) bucketing when
+    the index outgrows broadcast); per-doc state is one max-bit; admitted
+    ids stream out. Production would emit per-batch via foreachBatch and
+    append admitted docs' bands back to the index (q_dedup_incr's
+    dedup_incremental returns survivor_bands for exactly that)."""
+    from ..streaming.ner_stream import stream_documents
+    from .dedup import minhash_bands
+
+    t_corpus = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .filter(F.col("doc_id") % 2 == 0)
+    )
+    idx = (
+        minhash_bands(t_corpus)
+        .select("band", "sig")
+        .distinct()
+        .withColumn("hit", F.lit(1))
+    )
+    new_docs = stream_documents(spark, sf_dir).filter(F.col("doc_id") % 2 == 1)
+    sbands = minhash_bands(new_docs)
+    probe = sbands.join(F.broadcast(idx), ["band", "sig"], "left")
+    admit = (
+        probe.groupBy("doc_id")
+        .agg(F.max(F.coalesce(F.col("hit"), F.lit(0))).alias("h"))
+        .filter(F.col("h") == 0)
+        .select("doc_id")
+    )
+    sink = _drain(admit, "complete")
+    return spark.table(sink).select("doc_id")

@@ -479,3 +479,16 @@ def test_label_prop_matches_python_recompute(spark):
         for r in QUERIES["q_label_prop"](spark, SF_SMOKE).collect()
     }
     assert got == {k: tuple(v) for k, v in want.items()}
+
+
+def test_stream_dedup_incr_equals_batch_admission(spark):
+    """Stream/batch parity: the streaming LSH admission gate must admit
+    EXACTLY the set the batch q_dedup_incr admits — the dedup-at-ingest
+    contract (same index, same banding, different execution path)."""
+    from duckdb_ner_spark.plans.registry import QUERIES
+
+    batch = {r.doc_id for r in QUERIES["q_dedup_incr"](spark, SF_SMOKE).collect()}
+    stream = {
+        r.doc_id for r in QUERIES["q_stream_dedup_incr"](spark, SF_SMOKE).collect()
+    }
+    assert stream == batch and batch
