@@ -39,7 +39,8 @@ _DRIVER_WINDOW_PRIORITY = [
     # them (CORRECTNESS_r06 burned 5 slots proving it) — all 50 slots below
     # are hash-checkable.
     # Block 1 — r7-new queries (prepend within this block as added).
-    "q_stream_dedup_incr", "q_label_prop", "q_pagerank", "q_k_anonymity",
+    "q_hard_negatives", "q_stream_dedup_incr", "q_label_prop", "q_pagerank",
+    "q_k_anonymity",
     "q_dedup_keep_best",
     "q_ngram_novelty",
     # Block 2 — hash-CHANGED or plan-changed this round, need fresh driver

@@ -440,3 +440,147 @@ def q_label_prop(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").cast("bigint").alias("n_nodes"),
         F.min("node").cast("bigint").alias("min_node"),
     )
+
+
+# --------------------------------------------------------------------------
+# Hard-negative mining (contrastive-training data prep)
+# --------------------------------------------------------------------------
+
+HN_N_ANCHORS = 8
+
+
+def _hard_neg_oracle() -> str:
+    from .similarity import FX_SCALE
+
+    return f"""
+    WITH ex AS (
+        SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS x,
+               generate_subscripts(embedding, 1) AS i
+        FROM embeddings
+    ), exq AS (
+        SELECT vec_id, i, CAST(ROUND(x * {FX_SCALE}) AS BIGINT) AS xi FROM ex
+    ), nrm AS (
+        SELECT vec_id, SQRT(CAST(SUM(xi * xi) AS DOUBLE)) AS n
+        FROM exq GROUP BY vec_id
+    ), lng AS (
+        SELECT doc_id AS vec_id, lang FROM documents
+    ), anchors AS (
+        SELECT vec_id FROM embeddings WHERE vec_id < {HN_N_ANCHORS}
+    ), dots AS (
+        SELECT a.vec_id AS anchor_id, c.vec_id AS cand_id,
+               CAST(SUM(ea.xi * ec.xi) AS BIGINT) AS dot
+        FROM anchors a
+        JOIN exq ea ON ea.vec_id = a.vec_id
+        JOIN exq ec ON ec.i = ea.i
+        JOIN embeddings c ON c.vec_id = ec.vec_id AND c.vec_id <> a.vec_id
+        GROUP BY 1, 2
+    ), scored AS (
+        SELECT d.anchor_id, d.cand_id,
+               CAST(ROUND(CAST(d.dot AS DOUBLE) / (na.n * nc.n) * {FX_SCALE})
+                    AS BIGINT) AS cos_fx,
+               CASE WHEN la.lang = lc.lang THEN 1 ELSE 0 END AS same_lang
+        FROM dots d
+        JOIN nrm na ON na.vec_id = d.anchor_id
+        JOIN nrm nc ON nc.vec_id = d.cand_id
+        JOIN lng la ON la.vec_id = d.anchor_id
+        JOIN lng lc ON lc.vec_id = d.cand_id
+    ), best AS (
+        SELECT anchor_id, same_lang, cand_id, cos_fx,
+               ROW_NUMBER() OVER (PARTITION BY anchor_id, same_lang
+                                  ORDER BY cos_fx DESC, cand_id) AS rn
+        FROM scored
+    )
+    SELECT p.anchor_id,
+           p.cand_id AS pos_id, p.cos_fx AS pos_fx,
+           n.cand_id AS neg_id, n.cos_fx AS neg_fx,
+           p.cos_fx - n.cos_fx AS margin_fx
+    FROM best p JOIN best n
+      ON p.anchor_id = n.anchor_id AND p.rn = 1 AND n.rn = 1
+     AND p.same_lang = 1 AND n.same_lang = 0
+"""
+
+
+@declared("q_hard_negatives", oracle=_hard_neg_oracle())
+def q_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining for contrastive embedding training: for each of
+    {HN_N_ANCHORS} anchor vectors, the most-similar SAME-language candidate
+    (positive proxy) and the most-similar OTHER-language candidate (the
+    hard negative — high cosine, wrong class: exactly the pair a
+    contrastive loss learns most from), plus the positive-negative margin.
+    Documents and embeddings share an id space (doc_id ≡ vec_id — the
+    q_rrf_fusion convention), so language labels come from one dimension
+    join.
+
+    Engine-exactness: the similarity family's integer-dot fixed-point
+    cosine; per (anchor, class) argmax under the (cos_fx DESC, cand_id)
+    total order — Spark max_by vs the oracle's partitioned ROW_NUMBER,
+    identical tiebreak; the margin is an integer difference.
+
+    Scale notes (100 TB): anchors broadcast (a K-row table); candidates
+    stream through ONE narrow pass — per task the work is K integer dots
+    per vector — and reduce via a map-side-combined max_by keyed on
+    (anchor, class): 2·K output rows total, no shuffle of embeddings, no
+    candidate materialization. At larger K, route candidates through the
+    ANN index first (q_sim_ann's banding) and mine within buckets."""
+    from .similarity import FX_SCALE
+
+    t = load_tables(spark, sf_dir)
+    lang = t.documents.select(F.col("doc_id").alias("vec_id"), "lang")
+    fx = t.embeddings.select(
+        "vec_id",
+        F.expr(
+            f"transform(embedding, v -> CAST(ROUND(CAST(v AS DOUBLE) * {FX_SCALE}, 0) AS BIGINT))"
+        ).alias("e"),
+    ).join(lang, "vec_id")
+    nrm = F.sqrt(
+        F.aggregate(
+            F.zip_with("e", "e", lambda x, y: x * y),
+            F.lit(0).cast("bigint"),
+            lambda a, v: a + v,
+        ).cast("double")
+    )
+    anchors = fx.filter(F.col("vec_id") < HN_N_ANCHORS).select(
+        F.col("vec_id").alias("anchor_id"),
+        F.col("e").alias("ae"),
+        nrm.alias("an"),
+        F.col("lang").alias("alang"),
+    )
+    cands = fx.select(
+        F.col("vec_id").alias("cand_id"),
+        F.col("e").alias("ce"),
+        nrm.alias("cn"),
+        F.col("lang").alias("clang"),
+    )
+    dot = F.aggregate(
+        F.zip_with("ae", "ce", lambda x, y: x * y),
+        F.lit(0).cast("bigint"),
+        lambda a, v: a + v,
+    )
+    cos_fx = F.round(dot.cast("double") / (F.col("an") * F.col("cn")) * FX_SCALE).cast(
+        "bigint"
+    )
+    scored = (
+        cands.join(F.broadcast(anchors), F.col("cand_id") != F.col("anchor_id"))
+        .select(
+            "anchor_id",
+            "cand_id",
+            cos_fx.alias("cos_fx"),
+            (F.col("alang") == F.col("clang")).cast("int").alias("same_lang"),
+        )
+    )
+    best = scored.groupBy("anchor_id", "same_lang").agg(
+        F.max_by(
+            F.struct(F.col("cand_id"), F.col("cos_fx")),
+            F.struct(F.col("cos_fx"), (-F.col("cand_id")).alias("tb")),
+        ).alias("b")
+    )
+    pos = best.filter(F.col("same_lang") == 1).select(
+        "anchor_id", F.col("b.cand_id").alias("pos_id"), F.col("b.cos_fx").alias("pos_fx")
+    )
+    neg = best.filter(F.col("same_lang") == 0).select(
+        "anchor_id", F.col("b.cand_id").alias("neg_id"), F.col("b.cos_fx").alias("neg_fx")
+    )
+    return pos.join(neg, "anchor_id").select(
+        "anchor_id", "pos_id", "pos_fx", "neg_id", "neg_fx",
+        (F.col("pos_fx") - F.col("neg_fx")).alias("margin_fx"),
+    )

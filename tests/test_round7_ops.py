@@ -492,3 +492,43 @@ def test_stream_dedup_incr_equals_batch_admission(spark):
         r.doc_id for r in QUERIES["q_stream_dedup_incr"](spark, SF_SMOKE).collect()
     }
     assert stream == batch and batch
+
+
+def test_hard_negatives_matches_numpy_recompute(spark):
+    """Per-anchor argmax recomputed with NumPy from the raw vectors (same
+    fixed-point quantization and tiebreak)."""
+    import numpy as np
+
+    from duckdb_ner_spark.operators.round7 import HN_N_ANCHORS
+    from duckdb_ner_spark.operators.similarity import FX_SCALE
+    from duckdb_ner_spark.plans.registry import QUERIES
+
+    emb = {
+        r.vec_id: np.round(np.array(r.embedding, dtype=np.float64) * FX_SCALE)
+        for r in spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet").collect()
+    }
+    lang = {
+        r.doc_id: r.lang
+        for r in spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+        .select("doc_id", "lang")
+        .collect()
+    }
+    nrm = {k: float(np.sqrt((v * v).sum())) for k, v in emb.items()}
+    want = {}
+    for a in range(HN_N_ANCHORS):
+        best = {0: None, 1: None}
+        for c, v in emb.items():
+            if c == a:
+                continue
+            cos = int(round(float(emb[a] @ v) / (nrm[a] * nrm[c]) * FX_SCALE))
+            cls = 1 if lang[c] == lang[a] else 0
+            key = (cos, -c)
+            if best[cls] is None or key > best[cls][0]:
+                best[cls] = (key, c, cos)
+        want[a] = (best[1][1], best[1][2], best[0][1], best[0][2],
+                   best[1][2] - best[0][2])
+    got = {
+        r.anchor_id: (r.pos_id, r.pos_fx, r.neg_id, r.neg_fx, r.margin_fx)
+        for r in QUERIES["q_hard_negatives"](spark, SF_SMOKE).collect()
+    }
+    assert got == want
