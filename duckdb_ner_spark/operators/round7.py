@@ -584,3 +584,179 @@ def q_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
         "anchor_id", "pos_id", "pos_fx", "neg_id", "neg_fx",
         (F.col("pos_fx") - F.col("neg_fx")).alias("margin_fx"),
     )
+
+# --------------------------------------------------------------------------
+# Multi-source BFS hop distance (the min-plus graph primitive)
+# --------------------------------------------------------------------------
+
+BFS_ROUNDS = 3
+BFS_SEED_MOD = 10  # nodes with node % 10 == 0 are sources
+
+
+def _bfs_iter_ctes() -> str:
+    """d0..d{BFS_ROUNDS}: min-plus relaxation unrolled. d_i holds every
+    node reached within i hops with its exact hop distance; each round
+    extends the table by one edge hop and re-MINs. MIN over integers is
+    order-independent, so both engines agree bit-for-bit."""
+    ctes = [
+        f"""d0 AS (
+        SELECT node, 0 AS dist FROM deg WHERE node % {BFS_SEED_MOD} = 0
+    )"""
+    ]
+    for i in range(BFS_ROUNDS):
+        ctes.append(f"""d{i + 1} AS (
+        SELECT node, MIN(dist) AS dist FROM (
+            SELECT node, dist FROM d{i}
+            UNION ALL
+            SELECT e.dst AS node, d.dist + 1 AS dist
+            FROM dirn e JOIN d{i} d ON d.node = e.src
+        ) GROUP BY node
+    )""")
+    return ", ".join(ctes)
+
+
+_BFS_ORACLE = f"""
+    WITH {_PR_GRAPH_CTE}, {_bfs_iter_ctes()}
+    SELECT CAST(COALESCE(d.dist, -1) AS INTEGER) AS dist,
+           CAST(COUNT(*) AS BIGINT) AS n_nodes,
+           CAST(MIN(dg.node) AS BIGINT) AS min_node,
+           CAST(SUM(dg.node) AS BIGINT) AS sum_node
+    FROM deg dg LEFT JOIN d{BFS_ROUNDS} d ON d.node = dg.node
+    GROUP BY 1
+"""
+
+
+@declared("q_bfs_dist", oracle=_BFS_ORACLE)
+def q_bfs_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-source BFS hop distance over the co-occurrence graph: every
+    {BFS_SEED_MOD}th node is a source; {BFS_ROUNDS} unrolled min-plus
+    rounds give each node its exact distance to the nearest source (the
+    reachability radius a crawl-frontier or influence-propagation audit
+    needs). Output: distance census, unreached = -1. With components
+    (min-label), PageRank (weighted sum), label propagation (argmax
+    majority), and this (min-plus), the engine covers all four Pregel
+    aggregation primitives.
+
+    Engine-exactness: distances are small integers combined only by MIN
+    (+1 per hop) — commutative, associative, idempotent; identical in any
+    evaluation order on both engines. The census adds SUM(node) as a
+    content check beyond counts.
+
+    Scale notes (100 TB): per round, one join of the edge list with the
+    reached-set shuffled on node ids + one map-side-combined MIN — the
+    PageRank shuffle shape; the reached set only grows by frontier
+    expansion and carries 2 integers per node. The UNION ALL keeps
+    already-settled nodes without a second scan of the corpus. Unrolled
+    {BFS_ROUNDS} rounds = linear lineage; for deep diameters switch to
+    the connected_components localCheckpoint pattern and a
+    frontier-delta (only nodes whose dist changed) to cut join volume."""
+    edges, deg = day1_cooccurrence_graph(spark, sf_dir)
+    dirn = edges.select(F.col("u").alias("src"), F.col("v").alias("dst")).unionAll(
+        edges.select(F.col("v").alias("src"), F.col("u").alias("dst"))
+    )
+    d = deg.filter(F.col("node") % BFS_SEED_MOD == 0).select(
+        "node", F.lit(0).alias("dist")
+    )
+    for _ in range(BFS_ROUNDS):
+        hop = dirn.join(d.withColumnRenamed("node", "src"), "src").select(
+            F.col("dst").alias("node"), (F.col("dist") + 1).alias("dist")
+        )
+        d = d.unionAll(hop).groupBy("node").agg(F.min("dist").alias("dist"))
+    return (
+        deg.select(F.col("node"))
+        .join(d, "node", "left")
+        .groupBy(F.coalesce("dist", F.lit(-1)).cast("int").alias("dist"))
+        .agg(
+            F.count("*").cast("bigint").alias("n_nodes"),
+            F.min("node").cast("bigint").alias("min_node"),
+            F.sum("node").cast("bigint").alias("sum_node"),
+        )
+    )
+
+# --------------------------------------------------------------------------
+# Ingest-drift audit: total-variation distance between corpus halves
+# --------------------------------------------------------------------------
+
+TVD_SCALE = 10**6
+
+
+def _drift_oracle() -> str:
+    s = TVD_SCALE
+    return f"""
+    WITH tot AS (SELECT COUNT(*) AS n FROM documents),
+    halves AS (
+        SELECT source,
+               CAST(SUM(CASE WHEN doc_id * 2 < (SELECT n FROM tot)
+                             THEN 1 ELSE 0 END) AS BIGINT) AS o1,
+               CAST(SUM(CASE WHEN doc_id * 2 >= (SELECT n FROM tot)
+                             THEN 1 ELSE 0 END) AS BIGINT) AS o2
+        FROM documents GROUP BY source
+    ), ns AS (
+        SELECT CAST(SUM(o1) AS BIGINT) AS n1, CAST(SUM(o2) AS BIGINT) AS n2
+        FROM halves
+    ), cells AS (
+        SELECT source, o1, o2,
+               ABS(o1 * (SELECT n2 FROM ns) - o2 * (SELECT n1 FROM ns)) AS dev
+        FROM halves
+    )
+    SELECT source, o1 AS n_first, o2 AS n_second,
+           CAST(({s} * dev) // ((SELECT n1 FROM ns) * (SELECT n2 FROM ns))
+                AS BIGINT) AS dev_fx
+    FROM cells
+    UNION ALL
+    SELECT '__TOTAL__', (SELECT n1 FROM ns), (SELECT n2 FROM ns),
+           CAST(({s} * CAST(SUM(dev) AS BIGINT))
+                // (2 * (SELECT n1 FROM ns) * (SELECT n2 FROM ns)) AS BIGINT)
+    FROM cells
+"""
+
+
+@declared("q_drift_tvd", oracle=_drift_oracle())
+def q_drift_tvd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ingest-drift audit: total-variation distance between the source
+    mixture of the FIRST half of the corpus (by doc_id, the ingest-order
+    proxy) and the SECOND half — the monitoring statistic a production
+    pipeline alarms on when a crawl's composition shifts mid-run. Output:
+    one row per source with its half-counts and per-source deviation, plus
+    a '__TOTAL__' row whose dev_fx IS the TVD (in 1e-6 units).
+
+    Engine-exactness: TVD = (S · Σ|o1·N2 − o2·N1|) // (2·N1·N2) — exact
+    integer cross-multiplication (no per-source probability rounding), ONE
+    floor division at the very end; per-source dev_fx floors independently
+    (the total is computed from the raw |..| sums, not the floored rows).
+
+    Scale notes (100 TB): one map-side-combined conditional aggregate over
+    the corpus keyed on source, then arithmetic over a 20-row table; N1/N2
+    are two driver scalars (the pagerank n precedent). Overflow: o·N ≤ N²
+    needs N ≤ 3e9 for the int64 product — past that, pre-aggregate counts
+    per (shard, source) and divide both sides by a common 10^k, or move
+    the 40-row final arithmetic to DECIMAL(38,0); the corpus-scan stage is
+    unaffected."""
+    t = load_tables(spark, sf_dir)
+    docs = t.documents
+    n = docs.count()
+    first = F.col("doc_id") * 2 < n
+    halves = docs.groupBy("source").agg(
+        F.sum(F.when(first, 1).otherwise(0)).cast("bigint").alias("o1"),
+        F.sum(F.when(~first, 1).otherwise(0)).cast("bigint").alias("o2"),
+    )
+    n1, n2 = (r := halves.agg(F.sum("o1"), F.sum("o2")).first())[0], r[1]
+    cells = halves.select(
+        "source", "o1", "o2",
+        F.abs(F.col("o1") * F.lit(n2) - F.col("o2") * F.lit(n1)).alias("dev"),
+    )
+    per_source = cells.select(
+        "source",
+        F.col("o1").alias("n_first"),
+        F.col("o2").alias("n_second"),
+        F.expr(f"({TVD_SCALE} * dev) div ({n1} * {n2})").cast("bigint").alias("dev_fx"),
+    )
+    total = cells.agg(
+        F.lit("__TOTAL__").alias("source"),
+        F.lit(n1).cast("bigint").alias("n_first"),
+        F.lit(n2).cast("bigint").alias("n_second"),
+        F.expr(f"({TVD_SCALE} * CAST(SUM(dev) AS BIGINT)) div (2 * {n1} * {n2})")
+        .cast("bigint")
+        .alias("dev_fx"),
+    )
+    return per_source.unionAll(total)

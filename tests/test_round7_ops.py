@@ -532,3 +532,74 @@ def test_hard_negatives_matches_numpy_recompute(spark):
         for r in QUERIES["q_hard_negatives"](spark, SF_SMOKE).collect()
     }
     assert got == want
+
+
+def test_bfs_dist_matches_python_recompute(spark):
+    """Multi-source BFS recomputed in pure Python from the same edge list:
+    seed census, per-distance counts/min/sum, unreached = -1."""
+    from collections import defaultdict
+
+    from duckdb_ner_spark.operators.components import day1_cooccurrence_graph
+    from duckdb_ner_spark.operators.round7 import BFS_ROUNDS, BFS_SEED_MOD
+    from duckdb_ner_spark.plans.registry import QUERIES
+
+    edges, _deg = day1_cooccurrence_graph(spark, SF_SMOKE)
+    adj = defaultdict(set)
+    for r in edges.collect():
+        adj[r.u].add(r.v)
+        adj[r.v].add(r.u)
+    dist = {n: 0 for n in adj if n % BFS_SEED_MOD == 0}
+    for _ in range(BFS_ROUNDS):
+        nd = dict(dist)
+        for u, d in dist.items():
+            for v in adj[u]:
+                if v not in nd or nd[v] > d + 1:
+                    nd[v] = d + 1
+        dist = nd
+    census = defaultdict(lambda: [0, None, 0])
+    for n in adj:
+        d = dist.get(n, -1)
+        c = census[d]
+        c[0] += 1
+        c[1] = n if c[1] is None or n < c[1] else c[1]
+        c[2] += n
+    want = {d: tuple(c) for d, c in census.items()}
+    got = {
+        r.dist: (r.n_nodes, r.min_node, r.sum_node)
+        for r in QUERIES["q_bfs_dist"](spark, SF_SMOKE).collect()
+    }
+    assert got == want
+    assert 0 in got and -1 in got  # non-degenerate: sources present, some unreached
+
+
+def test_drift_tvd_matches_python_recompute(spark):
+    """TVD recomputed in pure Python from the raw documents table: per-source
+    half-counts, cross-multiplied deviations, single final floor."""
+    from collections import defaultdict
+
+    from duckdb_ner_spark.operators.round7 import TVD_SCALE
+    from duckdb_ner_spark.plans.registry import QUERIES
+
+    rows = (
+        spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+        .select("doc_id", "source")
+        .collect()
+    )
+    n = len(rows)
+    o1, o2 = defaultdict(int), defaultdict(int)
+    for r in rows:
+        (o1 if r.doc_id * 2 < n else o2)[r.source] += 1
+    n1, n2 = sum(o1.values()), sum(o2.values())
+    want = {}
+    tot_dev = 0
+    for s in set(o1) | set(o2):
+        dev = abs(o1[s] * n2 - o2[s] * n1)
+        tot_dev += dev
+        want[s] = (o1[s], o2[s], (TVD_SCALE * dev) // (n1 * n2))
+    want["__TOTAL__"] = (n1, n2, (TVD_SCALE * tot_dev) // (2 * n1 * n2))
+    got = {
+        r.source: (r.n_first, r.n_second, r.dev_fx)
+        for r in QUERIES["q_drift_tvd"](spark, SF_SMOKE).collect()
+    }
+    assert got == want
+    assert got["__TOTAL__"][2] > 0  # the corpus halves genuinely differ
