@@ -760,3 +760,95 @@ def q_drift_tvd(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("dev_fx"),
     )
     return per_source.unionAll(total)
+
+# --------------------------------------------------------------------------
+# Source-concentration audit (mixture diversity of the training corpus)
+# --------------------------------------------------------------------------
+
+CONC_SCALE = 10**6
+
+
+def _conc_oracle() -> str:
+    s = CONC_SCALE
+    return f"""
+    WITH w AS (
+        SELECT source, CAST(SUM(n_chars) AS BIGINT) AS cnt
+        FROM documents GROUP BY source
+    ), tot AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_sources,
+               CAST(SUM(cnt) AS BIGINT) AS total_chars,
+               CAST(SUM(cnt * cnt) AS BIGINT) AS sum_sq,
+               CAST(MAX(cnt) AS BIGINT) AS max_cnt
+        FROM w
+    ), pairs AS (
+        SELECT CAST(SUM(ABS(a.cnt - b.cnt)) AS BIGINT) AS sum_absdiff
+        FROM w a, w b
+    )
+    SELECT t.n_sources, t.total_chars,
+           CAST(({s} * t.sum_sq) // (t.total_chars * t.total_chars) AS BIGINT)
+               AS hhi_fx,
+           CAST(({s} * t.total_chars * t.total_chars) // t.sum_sq AS BIGINT)
+               AS eff_sources_fx,
+           CAST(({s} * t.max_cnt) // t.total_chars AS BIGINT) AS max_share_fx,
+           CAST(({s} * p.sum_absdiff) // (2 * t.n_sources * t.total_chars) AS BIGINT)
+               AS gini_fx
+    FROM tot t, pairs p
+"""
+
+
+@declared("q_source_concentration", oracle=_conc_oracle())
+def q_source_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mixture-concentration audit of the corpus source distribution,
+    weighted by CHARACTER MASS (the token-budget view — doc counts are
+    uniform by construction in this corpus; training cost is not) — the
+    one-row scorecard a curation pipeline alarms on before a training run:
+    Herfindahl-Hirschman index (Σ share²), effective source count (inverse
+    Simpson, 1/Σ share² — "this 20-source corpus behaves like k.x equally
+    sized sources"), max single-source share, and the Gini coefficient of
+    source char masses. Complements q_mixture_diversity (per-source language
+    entropy) with the corpus-level weight-balance view.
+
+    Engine-exactness: every statistic is a ratio of exact BIGINT sums with
+    ONE floor at the end — HHI_fx = (S·Σc²)//C², eff = (S·C²)//Σc² (C = total chars),
+    Gini via the mean-absolute-difference identity G = ΣΣ|cᵢ−cⱼ| / (2nN)
+    over the n×n source-pair cross join (no sort, no rank window — the
+    rank-based form would need a global window; the MAD identity is
+    order-free and exact).
+
+    Scale notes (100 TB): one map-side-combined sum per source, then all
+    arithmetic on an n_sources-row table (n² pairs of a tiny aggregate —
+    the cross join is of a 20-row table with itself, broadcast both
+    sides). Σc² ≤ C² caps C at 3e9 chars for int64 — a 100 TB corpus
+    exceeds that, so compute the three quadratics in DECIMAL(38,0) over
+    the same tiny per-source table (the corpus-scan stage is unchanged)."""
+    t = load_tables(spark, sf_dir)
+    w = t.documents.groupBy("source").agg(
+        F.sum("n_chars").cast("bigint").alias("cnt")
+    )
+    tot = w.agg(
+        F.count("*").cast("bigint").alias("n_sources"),
+        F.sum("cnt").cast("bigint").alias("total_chars"),
+        F.sum(F.col("cnt") * F.col("cnt")).cast("bigint").alias("sum_sq"),
+        F.max("cnt").cast("bigint").alias("max_cnt"),
+    )
+    a = w.select(F.col("cnt").alias("ca"))
+    b = w.select(F.col("cnt").alias("cb"))
+    pairs = (
+        a.crossJoin(b)
+        .agg(F.sum(F.abs(F.col("ca") - F.col("cb"))).cast("bigint").alias("sum_absdiff"))
+    )
+    s = CONC_SCALE
+    return tot.crossJoin(pairs).select(
+        "n_sources",
+        "total_chars",
+        F.expr(f"({s} * sum_sq) div (total_chars * total_chars)")
+        .cast("bigint")
+        .alias("hhi_fx"),
+        F.expr(f"({s} * total_chars * total_chars) div sum_sq")
+        .cast("bigint")
+        .alias("eff_sources_fx"),
+        F.expr(f"({s} * max_cnt) div total_chars").cast("bigint").alias("max_share_fx"),
+        F.expr(f"({s} * sum_absdiff) div (2 * n_sources * total_chars)")
+        .cast("bigint")
+        .alias("gini_fx"),
+    )

@@ -603,3 +603,37 @@ def test_drift_tvd_matches_python_recompute(spark):
     }
     assert got == want
     assert got["__TOTAL__"][2] > 0  # the corpus halves genuinely differ
+
+
+def test_source_concentration_matches_python_recompute(spark):
+    """HHI / effective-sources / max-share / Gini recomputed in pure Python
+    from the raw source counts, including the MAD-identity Gini."""
+    from collections import Counter
+
+    from duckdb_ner_spark.operators.round7 import CONC_SCALE
+    from duckdb_ner_spark.plans.registry import QUERIES
+
+    cnt = Counter()
+    for r in (
+        spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+        .select("source", "n_chars")
+        .collect()
+    ):
+        cnt[r.source] += r.n_chars
+    c = list(cnt.values())
+    n_src, total, sum_sq = len(c), sum(c), sum(x * x for x in c)
+    mad = sum(abs(x - y) for x in c for y in c)
+    s = CONC_SCALE
+    want = (
+        n_src,
+        total,
+        (s * sum_sq) // (total * total),
+        (s * total * total) // sum_sq,
+        (s * max(c)) // total,
+        (s * mad) // (2 * n_src * total),
+    )
+    row = QUERIES["q_source_concentration"](spark, SF_SMOKE).collect()[0]
+    got = (row.n_sources, row.total_chars, row.hhi_fx, row.eff_sources_fx,
+           row.max_share_fx, row.gini_fx)
+    assert got == want
+    assert 0 < row.gini_fx < CONC_SCALE and row.eff_sources_fx > CONC_SCALE
