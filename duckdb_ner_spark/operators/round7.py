@@ -852,3 +852,89 @@ def q_source_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("gini_fx"),
     )
+
+# --------------------------------------------------------------------------
+# TextRank keyword extraction (the PageRank primitive reused on text)
+# --------------------------------------------------------------------------
+
+TR_MIN_LEN = 4  # stopword proxy: keyword candidates are words of >= 4 chars
+TR_TOP = 20
+
+_TEXTRANK_GRAPH_CTE = f"""
+    wds AS (
+        SELECT doc_id, lower(unnest(string_split(text, ' '))) AS w,
+               generate_subscripts(string_split(text, ' '), 1) AS i
+        FROM documents
+    ), uedges AS (
+        SELECT DISTINCT LEAST(a.w, b.w) AS u, GREATEST(a.w, b.w) AS v
+        FROM wds a JOIN wds b ON a.doc_id = b.doc_id AND b.i = a.i + 1
+        WHERE LEN(a.w) >= {TR_MIN_LEN} AND LEN(b.w) >= {TR_MIN_LEN}
+          AND a.w <> b.w
+    ), dirn AS (
+        SELECT u AS src, v AS dst FROM uedges
+        UNION ALL SELECT v, u FROM uedges
+    ), deg AS (
+        SELECT src AS node, CAST(COUNT(*) AS BIGINT) AS deg
+        FROM dirn GROUP BY src
+    ), nn AS (SELECT COUNT(*) AS n FROM deg)
+"""
+
+_TEXTRANK_ORACLE = f"""
+    WITH {_TEXTRANK_GRAPH_CTE}, {_pr_iter_ctes()}
+    SELECT node AS word, pr AS pr_fx
+    FROM r{PR_ITERS}
+    ORDER BY pr DESC, node
+    LIMIT {TR_TOP}
+"""
+
+
+@declared("q_textrank", oracle=_TEXTRANK_ORACLE)
+def q_textrank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TextRank keyword extraction: PageRank over the word-adjacency graph
+    (consecutive words within a document are connected; words shorter than
+    {TR_MIN_LEN} chars are dropped as stopword proxies — an integer rule
+    both engines state identically). The corpus-level keyword list a
+    tagging/topic pipeline derives before training. Reuses the exact
+    integer pagerank_ranks core on a STRING-keyed graph — the iteration
+    primitive is key-type-agnostic, which is the point of factoring it.
+
+    Engine-exactness: identical to q_pagerank (floor division everywhere,
+    oracle replays the same unrolled CTEs over the word graph); edge
+    canonicalization via LEAST/GREATEST on ASCII-binary string order
+    (both engines compare bytewise on this all-ASCII corpus — the
+    invariant tests/test_round6_ops.py pins for the multimodal oracles).
+
+    Scale notes (100 TB): the adjacency self-join is per-document
+    (co-partitioned on doc_id) and emits word pairs, which dedup into a
+    vocabulary-bounded edge list — corpus size drives only the DISTINCT's
+    map-side combine; the PR iterations then run on the vocab graph
+    (edges ≤ vocab², shuffle keyed on words, skew from hub words handled
+    by AQE as in q_skew_salted)."""
+    t = load_tables(spark, sf_dir)
+    wds = t.documents.select(
+        "doc_id", F.posexplode(F.split(F.lower("text"), " ")).alias("i", "w")
+    ).filter(F.length("w") >= TR_MIN_LEN)
+    a = wds.select("doc_id", F.col("i").alias("ia"), F.col("w").alias("wa"))
+    b = wds.select("doc_id", F.col("i").alias("ib"), F.col("w").alias("wb"))
+    edges = (
+        a.join(b, ["doc_id"])
+        .filter((F.col("ib") == F.col("ia") + 1) & (F.col("wa") != F.col("wb")))
+        .select(
+            F.least("wa", "wb").alias("u"), F.greatest("wa", "wb").alias("v")
+        )
+        .distinct()
+        .persist()  # referenced 2x/iteration by the PR loop; released by
+        # plans/cachereg.release_caches between queries (the day1 graph idiom)
+    )
+    dirn = edges.select(F.col("u").alias("src"), F.col("v").alias("dst")).unionAll(
+        edges.select(F.col("v").alias("src"), F.col("u").alias("dst"))
+    )
+    deg = dirn.groupBy(F.col("src").alias("node")).agg(
+        F.count("*").cast("bigint").alias("deg")
+    ).persist()
+    r = pagerank_ranks(dirn, deg, deg.count())
+    return (
+        r.orderBy(F.col("pr").desc(), "node")
+        .limit(TR_TOP)
+        .select(F.col("node").alias("word"), F.col("pr").alias("pr_fx"))
+    )

@@ -637,3 +637,46 @@ def test_source_concentration_matches_python_recompute(spark):
            row.max_share_fx, row.gini_fx)
     assert got == want
     assert 0 < row.gini_fx < CONC_SCALE and row.eff_sources_fx > CONC_SCALE
+
+
+def test_textrank_matches_python_recompute(spark):
+    """Word-graph PageRank recomputed in pure Python from the raw text:
+    same tokenization, adjacency, length filter, integer iteration."""
+    from collections import defaultdict
+
+    from duckdb_ner_spark.operators.round7 import (
+        PR_ITERS,
+        PR_SCALE,
+        TR_MIN_LEN,
+        TR_TOP,
+    )
+    from duckdb_ner_spark.plans.registry import QUERIES
+
+    edges = set()
+    for r in (
+        spark.read.parquet(f"{SF_SMOKE}/documents.parquet").select("text").collect()
+    ):
+        ws = r.text.lower().split(" ")
+        for x, y in zip(ws, ws[1:]):
+            if len(x) >= TR_MIN_LEN and len(y) >= TR_MIN_LEN and x != y:
+                edges.add((min(x, y), max(x, y)))
+    adj = defaultdict(list)
+    for u, v in edges:
+        adj[u].append(v)
+        adj[v].append(u)
+    n = len(adj)
+    base = PR_SCALE // n
+    tele = (15 * base) // 100
+    pr = {w: base for w in adj}
+    for _ in range(PR_ITERS):
+        infl = defaultdict(int)
+        for u, nbrs in adj.items():
+            share = pr[u] // len(nbrs)
+            for v in nbrs:
+                infl[v] += share
+        pr = {w: tele + (85 * infl[w]) // 100 for w in adj}
+    want = sorted(pr.items(), key=lambda kv: (-kv[1], kv[0]))[:TR_TOP]
+    got = [
+        (r.word, r.pr_fx) for r in QUERIES["q_textrank"](spark, SF_SMOKE).collect()
+    ]
+    assert got == want and len(got) == TR_TOP
