@@ -938,3 +938,102 @@ def q_textrank(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(TR_TOP)
         .select(F.col("node").alias("word"), F.col("pr").alias("pr_fx"))
     )
+
+# --------------------------------------------------------------------------
+# Differential-privacy prep: contribution bounding / sensitivity audit
+# --------------------------------------------------------------------------
+
+DP_CLIP_Q = 0.9
+DP_SCALE = 10**6
+
+
+def _dp_oracle() -> str:
+    s = DP_SCALE
+    return f"""
+    WITH cells AS (
+        SELECT user_id, event_type, CAST(COUNT(*) AS BIGINT) AS c
+        FROM events GROUP BY 1, 2
+    ), per_user AS (
+        SELECT user_id, CAST(SUM(c) AS BIGINT) AS tot,
+               CAST(COUNT(*) AS BIGINT) AS ntypes,
+               CAST(MAX(c) AS BIGINT) AS cellmax
+        FROM cells GROUP BY user_id
+    ), thr AS (
+        SELECT CAST(PERCENTILE_DISC({DP_CLIP_Q}) WITHIN GROUP (ORDER BY tot)
+                    AS BIGINT) AS clip_c
+        FROM per_user
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_users,
+           CAST(MAX(ntypes) AS BIGINT) AS l0_max,
+           CAST(MAX(cellmax) AS BIGINT) AS linf_max,
+           CAST(MAX(tot) AS BIGINT) AS l1_max,
+           t.clip_c,
+           CAST(SUM(CASE WHEN tot > t.clip_c THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_clipped_users,
+           CAST(SUM(tot) AS BIGINT) AS raw_total,
+           CAST(SUM(LEAST(tot, t.clip_c)) AS BIGINT) AS clipped_total,
+           CAST(({s} * (SUM(tot) - SUM(LEAST(tot, t.clip_c)))) // SUM(tot)
+                AS BIGINT) AS clip_loss_fx
+    FROM per_user, thr t
+    GROUP BY t.clip_c
+"""
+
+
+@declared("q_dp_sensitivity", oracle=_dp_oracle())
+def q_dp_sensitivity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Differential-privacy release prep for the per-event-type count
+    histogram: the contribution-bounding audit that fixes the noise scale.
+    L0 (max event types any user touches), L∞ (max single-cell count),
+    L1 (max total events per user) are the sensitivities of the unclipped
+    release; the clip threshold C = p90 of per-user totals (exact
+    PERCENTILE_DISC — a data element, no interpolation) and the clipped
+    mass quantify the bias a C-clamp buys. The noise draw itself is a
+    trivial downstream step; bounding contributions over 100 TB of events
+    is the engine's job (the metadata complement: q_k_anonymity).
+
+    Engine-exactness: integer counts, MIN/MAX/LEAST, one fixed-point floor
+    for the loss ratio. GROUP BY t.clip_c keeps the oracle a plain
+    aggregate (1 row both engines).
+
+    Scale notes (100 TB): two map-side-combined aggregates (cells keyed
+    (user, type), then per-user), one rank-global percentile over the
+    per-user table (1 bigint/user crosses the exchange; swap in
+    approx_percentile at extreme user counts — the q_len_quantile_approx
+    precedent), then a broadcast of the 1-row threshold into a single
+    global aggregate."""
+    t = load_tables(spark, sf_dir)
+    cells = t.events.groupBy("user_id", "event_type").agg(
+        F.count("*").cast("bigint").alias("c")
+    )
+    per_user = cells.groupBy("user_id").agg(
+        F.sum("c").cast("bigint").alias("tot"),
+        F.count("*").cast("bigint").alias("ntypes"),
+        F.max("c").cast("bigint").alias("cellmax"),
+    )
+    thr = per_user.agg(
+        F.expr(
+            f"CAST(percentile_disc({DP_CLIP_Q}) WITHIN GROUP (ORDER BY tot) AS BIGINT)"
+        ).alias("clip_c")
+    )
+    return (
+        per_user.crossJoin(F.broadcast(thr))
+        .groupBy("clip_c")
+        .agg(
+            F.count("*").cast("bigint").alias("n_users"),
+            F.max("ntypes").cast("bigint").alias("l0_max"),
+            F.max("cellmax").cast("bigint").alias("linf_max"),
+            F.max("tot").cast("bigint").alias("l1_max"),
+            F.sum(F.when(F.col("tot") > F.col("clip_c"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_clipped_users"),
+            F.sum("tot").cast("bigint").alias("raw_total"),
+            F.sum(F.least("tot", "clip_c")).cast("bigint").alias("clipped_total"),
+            F.expr(
+                f"CAST(({DP_SCALE} * (SUM(tot) - SUM(LEAST(tot, clip_c)))) div SUM(tot) AS BIGINT)"
+            ).alias("clip_loss_fx"),
+        )
+        .select(
+            "n_users", "l0_max", "linf_max", "l1_max", "clip_c",
+            "n_clipped_users", "raw_total", "clipped_total", "clip_loss_fx",
+        )
+    )

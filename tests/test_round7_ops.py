@@ -680,3 +680,45 @@ def test_textrank_matches_python_recompute(spark):
         (r.word, r.pr_fx) for r in QUERIES["q_textrank"](spark, SF_SMOKE).collect()
     ]
     assert got == want and len(got) == TR_TOP
+
+
+def test_dp_sensitivity_matches_python_recompute(spark):
+    """Sensitivities and clip accounting recomputed in pure Python,
+    including the PERCENTILE_DISC pick (ceil-rank data element)."""
+    import math
+    from collections import Counter
+
+    from duckdb_ner_spark.operators.round7 import DP_CLIP_Q, DP_SCALE
+    from duckdb_ner_spark.plans.registry import QUERIES
+
+    cells = Counter(
+        (r.user_id, r.event_type)
+        for r in spark.read.parquet(f"{SF_SMOKE}/events.parquet")
+        .select("user_id", "event_type")
+        .collect()
+    )
+    tot, ntypes, cellmax = Counter(), Counter(), {}
+    for (u, _ty), c in cells.items():
+        tot[u] += c
+        ntypes[u] += 1
+        cellmax[u] = max(cellmax.get(u, 0), c)
+    tots = sorted(tot.values())
+    clip_c = tots[math.ceil(DP_CLIP_Q * len(tots)) - 1]
+    raw = sum(tots)
+    clipped = sum(min(x, clip_c) for x in tots)
+    want = (
+        len(tots),
+        max(ntypes.values()),
+        max(cellmax.values()),
+        max(tots),
+        clip_c,
+        sum(1 for x in tots if x > clip_c),
+        raw,
+        clipped,
+        (DP_SCALE * (raw - clipped)) // raw,
+    )
+    r = QUERIES["q_dp_sensitivity"](spark, SF_SMOKE).collect()[0]
+    got = (r.n_users, r.l0_max, r.linf_max, r.l1_max, r.clip_c,
+           r.n_clipped_users, r.raw_total, r.clipped_total, r.clip_loss_fx)
+    assert got == want
+    assert r.n_clipped_users > 0 and r.clip_loss_fx > 0  # the clamp binds
