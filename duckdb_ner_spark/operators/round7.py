@@ -1037,3 +1037,142 @@ def q_dp_sensitivity(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_clipped_users", "raw_total", "clipped_total", "clip_loss_fx",
         )
     )
+
+# --------------------------------------------------------------------------
+# BPE vocabulary induction (3 unrolled merge rounds)
+# --------------------------------------------------------------------------
+
+BPE_MERGES = 3
+
+
+def _bpe_oracle() -> str:
+    ctes = ["""wf AS (
+        SELECT w AS word, CAST(COUNT(*) AS BIGINT) AS freq
+        FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+        GROUP BY w
+    ), s0 AS (
+        SELECT word, freq, array_to_string(string_split(word, ''), ' ') AS seq
+        FROM wf
+    )"""]
+    stats = []
+    for i in range(1, BPE_MERGES + 1):
+        ctes.append(f"""e{i} AS (
+        SELECT string_split(seq, ' ') AS ss, freq,
+               generate_subscripts(string_split(seq, ' '), 1) AS i
+        FROM s{i - 1}
+    ), p{i} AS (
+        SELECT ss[i] AS a, ss[i + 1] AS b, CAST(SUM(freq) AS BIGINT) AS cnt
+        FROM e{i} WHERE i < len(ss) GROUP BY 1, 2
+    ), best{i} AS (
+        SELECT a, b, cnt FROM p{i} ORDER BY cnt DESC, a, b LIMIT 1
+    ), s{i} AS (
+        SELECT word, freq,
+               trim(replace(replace(' ' || s.seq || ' ',
+                                    ' ' || b.a || ' ' || b.b || ' ',
+                                    ' ' || b.a || b.b || ' '),
+                            ' ' || b.a || ' ' || b.b || ' ',
+                            ' ' || b.a || b.b || ' ')) AS seq
+        FROM s{i - 1} s, best{i} b
+    )""")
+        stats.append(f"""
+    SELECT {i} AS merge_rank, b.a AS sym_a, b.b AS sym_b, b.cnt AS pair_count,
+           CAST(SUM(freq * LEN(string_split(seq, ' '))) AS BIGINT)
+               AS n_tokens_after,
+           (SELECT CAST(COUNT(DISTINCT sym) AS BIGINT)
+            FROM (SELECT unnest(string_split(seq, ' ')) AS sym FROM s{i}) u)
+               AS vocab_after
+    FROM s{i}, best{i} b GROUP BY 1, 2, 3, 4""")
+    return "WITH " + ", ".join(ctes) + " UNION ALL ".join(stats)
+
+
+@declared("q_bpe_merges", oracle=_bpe_oracle())
+def q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE vocabulary induction, the tokenizer-training op run over the
+    whole corpus before any model sees a token: {BPE_MERGES} unrolled
+    merge rounds over the word-frequency table. Each round counts adjacent
+    symbol pairs weighted by word frequency, picks the argmax pair under
+    the (count DESC, sym_a, sym_b) total order, and applies the merge to
+    every word's symbol sequence. Output: one row per learned merge with
+    its pair count, the post-merge corpus token count (the compression the
+    merge buys), and the symbol-vocabulary size.
+
+    Engine-exactness: integer pair counts; the merge application is
+    replace() on the space-delimited symbol string, applied TWICE — both
+    engines' replace (and Python's str.replace, which the pytest recompute
+    uses) share the non-overlapping left-to-right scan contract, and the
+    second pass catches the occurrences whose shared delimiter the first
+    pass consumed (' a a a a ' -> ' aa a a ' -> ' aa aa '), making the
+    result the standard greedy pairwise merge for runs up to length 5 —
+    beyond that a longer fixpoint would be needed; the pytest pins
+    equality with true greedy BPE on this corpus's actual words.
+
+    Scale notes (100 TB): everything after wf runs on the DISTINCT-word
+    table (vocabulary-sized, corpus size only drives wf's map-side
+    combine) — exactly why production BPE trainers stream counts into a
+    word-frequency table first. Per round: one pair-count aggregate, one
+    1-row TakeOrdered argmax broadcast back, one narrow map. The
+    per-round seq table is persisted (released via
+    plans/cachereg.release_caches) so round i+1 does not replay round i's
+    replace chain."""
+    t = load_tables(spark, sf_dir)
+    wf = (
+        t.documents.select(F.explode(F.split("text", " ")).alias("word"))
+        .groupBy("word")
+        .agg(F.count("*").cast("bigint").alias("freq"))
+    )
+    s = wf.select(
+        "word", "freq", F.array_join(F.split("word", ""), " ").alias("seq")
+    ).persist()
+    outs = []
+    for i in range(1, BPE_MERGES + 1):
+        pairs = (
+            s.select("freq", F.split("seq", " ").alias("ss"))
+            .filter(F.size("ss") >= 2)  # sequence(1, 0) would be DESCENDING
+            .select(
+                "freq",
+                F.explode(
+                    F.expr(
+                        "transform(sequence(1, size(ss) - 1),"
+                        " j -> struct(ss[j - 1] AS a, ss[j] AS b))"
+                    )
+                ).alias("p"),
+            )
+            .groupBy(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
+            .agg(F.sum("freq").cast("bigint").alias("cnt"))
+        )
+        best = pairs.orderBy(F.col("cnt").desc(), "a", "b").limit(1)
+        s = (
+            s.crossJoin(F.broadcast(best))
+            .select(
+                "word",
+                "freq",
+                "a",
+                "b",
+                "cnt",
+                F.expr(
+                    "trim(replace(replace(concat(' ', seq, ' '),"
+                    " concat(' ', a, ' ', b, ' '), concat(' ', a, b, ' ')),"
+                    " concat(' ', a, ' ', b, ' '), concat(' ', a, b, ' ')))"
+                ).alias("seq"),
+            )
+            .persist()
+        )
+        toks = s.agg(
+            F.lit(i).alias("merge_rank"),
+            F.first("a").alias("sym_a"),
+            F.first("b").alias("sym_b"),
+            F.first("cnt").alias("pair_count"),
+            F.sum(F.col("freq") * F.size(F.split("seq", " ")))
+            .cast("bigint")
+            .alias("n_tokens_after"),
+        )
+        vocab = (
+            s.select(F.explode(F.split("seq", " ")).alias("sym"))
+            .agg(F.countDistinct("sym").cast("bigint").alias("vocab_after"))
+        )
+        outs.append(toks.crossJoin(vocab))
+        s = s.drop("a", "b", "cnt")
+    res = outs[0]
+    for o in outs[1:]:
+        res = res.unionAll(o)
+    return res

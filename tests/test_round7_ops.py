@@ -722,3 +722,46 @@ def test_dp_sensitivity_matches_python_recompute(spark):
            r.n_clipped_users, r.raw_total, r.clipped_total, r.clip_loss_fx)
     assert got == want
     assert r.n_clipped_users > 0 and r.clip_loss_fx > 0  # the clamp binds
+
+
+def test_bpe_merges_matches_true_greedy_recompute(spark):
+    """True greedy BPE (list-scan merge, skip-2 on match) recomputed in
+    pure Python must match the query — this also proves the two-pass
+    replace() application equals real BPE on this corpus's words."""
+    from collections import Counter
+
+    from duckdb_ner_spark.operators.round7 import BPE_MERGES
+    from duckdb_ner_spark.plans.registry import QUERIES
+
+    wf = Counter()
+    for r in (
+        spark.read.parquet(f"{SF_SMOKE}/documents.parquet").select("text").collect()
+    ):
+        wf.update(r.text.split(" "))
+    seqs = {w: list(w) for w in wf}
+    want = []
+    for rank in range(1, BPE_MERGES + 1):
+        pc = Counter()
+        for w, syms in seqs.items():
+            for x, y in zip(syms, syms[1:]):
+                pc[(x, y)] += wf[w]
+        (a, b), cnt = min(pc.items(), key=lambda kv: (-kv[1], kv[0]))
+        for w, syms in seqs.items():
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            seqs[w] = out
+        n_tokens = sum(wf[w] * len(s) for w, s in seqs.items())
+        vocab = len({sym for s in seqs.values() for sym in s})
+        want.append((rank, a, b, cnt, n_tokens, vocab))
+    got = sorted(
+        (r.merge_rank, r.sym_a, r.sym_b, r.pair_count, r.n_tokens_after,
+         r.vocab_after)
+        for r in QUERIES["q_bpe_merges"](spark, SF_SMOKE).collect()
+    )
+    assert got == want
