@@ -1176,3 +1176,60 @@ def q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     for o in outs[1:]:
         res = res.unionAll(o)
     return res
+
+# --------------------------------------------------------------------------
+# Dialog assembly (ordered string aggregation — the SFT-data flattening op)
+# --------------------------------------------------------------------------
+
+_DIALOG_ORACLE = """
+    SELECT user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_turns,
+           string_agg(event_type || ':' || CAST(ROUND(value * 100) AS BIGINT),
+                      '|' ORDER BY ts, event_id) AS dialog
+    FROM events WHERE ts < TIMESTAMP '2024-01-02 00:00:00'
+    GROUP BY user_id
+"""
+
+
+@declared("q_dialog_assembly", oracle=_DIALOG_ORACLE)
+def q_dialog_assembly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dialog/trajectory assembly: flatten each user's day-1 event stream
+    into ONE ordered turn string — the conversation-construction step an
+    SFT/agent-trace pipeline runs to turn interaction logs into training
+    sequences. This is ordered string aggregation (ANSI LISTAGG ... WITHIN
+    GROUP): DuckDB states it as string_agg(expr, sep ORDER BY ...); Spark
+    has no ordered agg, so the engine states it as the composition
+    array_join(transform(array_sort(collect_list(struct(ord..., payload)))))
+    — array_sort on structs orders by fields left-to-right, giving the
+    identical (ts, event_id) total order.
+
+    Engine-exactness: the order key is (ts, event_id) with event_id unique,
+    so the sort is a total order; the turn payload quantizes value to
+    cents via ROUND(value*100) to BIGINT — one IEEE multiply+round on the
+    same double in both engines (the fx-quantization house pattern);
+    timestamps never appear in the payload.
+
+    Scale notes (100 TB): one shuffle keyed on user_id with map-side
+    collect_list partials; per-group state is the user's own turn list —
+    bounded by per-user activity, the same contract as
+    q_stream_attribution's state. Whole-day dialogs for heavy users are
+    capped naturally by the day-1 filter (pushed to the parquet scan);
+    production would add a per-user turn cap (slice after array_sort) to
+    bound pathological actors."""
+    t = load_tables(spark, sf_dir)
+    tok = F.concat(
+        F.col("event_type"),
+        F.lit(":"),
+        F.round(F.col("value") * 100).cast("bigint").cast("string"),
+    )
+    return (
+        t.events.filter(F.col("ts") < F.expr("TIMESTAMP '2024-01-02 00:00:00'"))
+        .select("user_id", F.struct("ts", "event_id", tok.alias("tok")).alias("turn"))
+        .groupBy("user_id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_turns"),
+            F.array_join(
+                F.expr("transform(array_sort(collect_list(turn)), x -> x.tok)"), "|"
+            ).alias("dialog"),
+        )
+    )

@@ -765,3 +765,30 @@ def test_bpe_merges_matches_true_greedy_recompute(spark):
         for r in QUERIES["q_bpe_merges"](spark, SF_SMOKE).collect()
     )
     assert got == want
+
+
+def test_dialog_assembly_matches_python_recompute(spark):
+    """Ordered flattening recomputed in pure Python with the same
+    (ts, event_id) total order and cent quantization."""
+    from collections import defaultdict
+
+    from duckdb_ner_spark.plans.registry import QUERIES
+
+    import datetime
+
+    cutoff = datetime.datetime(2024, 1, 2)
+    per_user = defaultdict(list)
+    for r in spark.read.parquet(f"{SF_SMOKE}/events.parquet").collect():
+        if r.ts < cutoff:
+            per_user[r.user_id].append(
+                (r.ts, r.event_id, f"{r.event_type}:{int(round(r.value * 100))}")
+            )
+    want = {
+        u: (len(ts), "|".join(t[2] for t in sorted(ts)))
+        for u, ts in per_user.items()
+    }
+    got = {
+        r.user_id: (r.n_turns, r.dialog)
+        for r in QUERIES["q_dialog_assembly"](spark, SF_SMOKE).collect()
+    }
+    assert got == want and any(n > 1 for n, _ in got.values())
