@@ -1233,3 +1233,110 @@ def q_dialog_assembly(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("dialog"),
         )
     )
+
+# --------------------------------------------------------------------------
+# Span-corruption target construction (T5-style pretraining objective prep)
+# --------------------------------------------------------------------------
+
+SPAN_PERIOD = 20  # one masked span every 20 words...
+SPAN_LEN = 3  # ...of 3 words, phase-shifted per doc by doc_id % 20
+
+_SPAN_ORACLE = f"""
+    WITH w AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS word,
+               generate_subscripts(string_split(text, ' '), 1) - 1 AS i,
+               doc_id % {SPAN_PERIOD} AS r
+        FROM documents
+    ), m AS (
+        SELECT doc_id, word, i,
+               (i - r + {2 * SPAN_PERIOD}) % {SPAN_PERIOD} AS md,
+               (i - r + {2 * SPAN_PERIOD}) // {SPAN_PERIOD} - 2 AS j
+        FROM w
+    )
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_words,
+           CAST(SUM(CASE WHEN md < {SPAN_LEN} THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_masked,
+           COALESCE(string_agg(
+               CASE WHEN md = 0 THEN '<X_' || j || '>'
+                    WHEN md < {SPAN_LEN} THEN NULL ELSE word END,
+               ' ' ORDER BY i), '') AS input,
+           COALESCE(string_agg(
+               CASE WHEN md = 0 THEN '<X_' || j || '> ' || word
+                    WHEN md < {SPAN_LEN} THEN word END,
+               ' ' ORDER BY i), '') AS target
+    FROM m GROUP BY doc_id
+"""
+
+
+@declared("q_span_corruption", oracle=_SPAN_ORACLE)
+def q_span_corruption(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Span-corruption objective construction (the T5/UL2 pretraining data
+    transform): every document gets one {SPAN_LEN}-word span masked per
+    {SPAN_PERIOD} words, phase-shifted by doc_id so the corpus-level mask
+    position distribution is uniform; the input swaps each span for a
+    <X_j> sentinel and the target lists sentinels with their recovered
+    words. This is the map a 100 TB pretraining pipeline runs LAST, after
+    dedup/filter/pack — and it has to be deterministic to be resumable,
+    which is why the span choice is arithmetic on (doc_id, word index),
+    not an RNG draw.
+
+    Engine-exactness: span membership md = (i - r + {2 * SPAN_PERIOD}) %
+    {SPAN_PERIOD} on non-negative operands (Spark % == DuckDB % there);
+    sentinel ordinal via floor division of the same shifted index; the
+    two output strings are ordered aggregations under the total order i —
+    DuckDB string_agg(.. ORDER BY i) vs Spark's
+    array_join(transform(filter(array_sort(collect_list(struct(i, tok))))))
+    (the q_dialog_assembly composition), with COALESCE('') covering docs
+    shorter than their phase (string_agg of all-NULL is NULL, an empty
+    array_join is '').
+
+    Scale notes (100 TB): one narrow explode + one shuffle keyed on
+    doc_id whose per-group state is the document's own token list (the
+    same bound as the text itself); at production scale fuse the
+    per-doc transform into ONE pass with transform() over the split array
+    (no explode/regroup at all) — the explode+ordered-agg form is used
+    here because it is the shape the SQL oracle can state; both plans are
+    a single map over the corpus."""
+    t = load_tables(spark, sf_dir)
+    w = t.documents.select(
+        "doc_id",
+        (F.col("doc_id") % SPAN_PERIOD).alias("r"),
+        F.posexplode(F.split("text", " ")).alias("i", "word"),
+    )
+    md = (F.col("i") - F.col("r") + 2 * SPAN_PERIOD) % SPAN_PERIOD
+    j = F.expr(f"(i - r + {2 * SPAN_PERIOD}) div {SPAN_PERIOD} - 2")
+    sent = F.concat(F.lit("<X_"), j.cast("string"), F.lit(">"))
+    tok_in = (
+        F.when(md == 0, sent)
+        .when(md < SPAN_LEN, F.lit(None))
+        .otherwise(F.col("word"))
+    )
+    tok_tg = (
+        F.when(md == 0, F.concat(sent, F.lit(" "), F.col("word")))
+        .when(md < SPAN_LEN, F.col("word"))
+    )
+
+    def ordered_join(tok_col, name):
+        return F.array_join(
+            F.expr(
+                f"transform(filter(array_sort(collect_list(struct(i, {name}))),"
+                f" x -> x.{name} IS NOT NULL), x -> x.{name})"
+            ),
+            " ",
+        )
+
+    return (
+        w.select(
+            "doc_id", "i",
+            tok_in.alias("tin"), tok_tg.alias("ttg"),
+            (md < SPAN_LEN).cast("int").alias("is_masked"),
+        )
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_words"),
+            F.sum("is_masked").cast("bigint").alias("n_masked"),
+            ordered_join(tok_in, "tin").alias("input"),
+            ordered_join(tok_tg, "ttg").alias("target"),
+        )
+    )

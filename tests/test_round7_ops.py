@@ -792,3 +792,46 @@ def test_dialog_assembly_matches_python_recompute(spark):
         for r in QUERIES["q_dialog_assembly"](spark, SF_SMOKE).collect()
     }
     assert got == want and any(n > 1 for n, _ in got.values())
+
+
+def test_span_corruption_matches_python_recompute(spark):
+    """Input/target construction recomputed in pure Python with the same
+    phase arithmetic; also pins the objective's invariants (masked words
+    all appear in target; input+target word multiset == original)."""
+    from duckdb_ner_spark.operators.round7 import SPAN_LEN, SPAN_PERIOD
+    from duckdb_ner_spark.plans.registry import QUERIES
+
+    docs = {
+        r.doc_id: r.text.split(" ")
+        for r in spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+        .select("doc_id", "text")
+        .collect()
+    }
+    want = {}
+    for d, ws in docs.items():
+        rph = d % SPAN_PERIOD
+        inp, tgt, n_masked = [], [], 0
+        for i, word in enumerate(ws):
+            md = (i - rph + 2 * SPAN_PERIOD) % SPAN_PERIOD
+            jj = (i - rph + 2 * SPAN_PERIOD) // SPAN_PERIOD - 2
+            if md == 0:
+                inp.append(f"<X_{jj}>")
+                tgt.append(f"<X_{jj}> {word}")
+                n_masked += 1
+            elif md < SPAN_LEN:
+                tgt.append(word)
+                n_masked += 1
+            else:
+                inp.append(word)
+        want[d] = (len(ws), n_masked, " ".join(inp), " ".join(tgt))
+    got = {
+        r.doc_id: (r.n_words, r.n_masked, r.input, r.target)
+        for r in QUERIES["q_span_corruption"](spark, SF_SMOKE).collect()
+    }
+    assert got == want
+    import re
+    for d, (_n, _m, inp, tgt) in got.items():
+        orig = sorted(docs[d])
+        keep = [w for w in inp.split(" ") if not re.fullmatch(r"<X_\d+>", w)]
+        rec = [w for w in tgt.split(" ") if w and not re.fullmatch(r"<X_\d+>", w)]
+        assert sorted(keep + rec) == orig  # lossless round-trip
