@@ -1340,3 +1340,76 @@ def q_span_corruption(spark: SparkSession, sf_dir: str) -> DataFrame:
             ordered_join(tok_tg, "ttg").alias("target"),
         )
     )
+
+# --------------------------------------------------------------------------
+# Preference-pair mining (RLHF/DPO training-pair construction)
+# --------------------------------------------------------------------------
+
+_PREF_ORACLE = """
+    WITH ev AS (
+        SELECT user_id, event_id, event_type,
+               CAST(ROUND(value * 100) AS BIGINT) AS cents
+        FROM events WHERE ts < TIMESTAMP '2024-01-02 00:00:00'
+    ), ranked AS (
+        SELECT user_id, event_id, event_type, cents,
+               ROW_NUMBER() OVER (PARTITION BY user_id
+                                  ORDER BY cents DESC, event_id DESC) AS rn_hi,
+               ROW_NUMBER() OVER (PARTITION BY user_id
+                                  ORDER BY cents ASC, event_id ASC) AS rn_lo,
+               COUNT(*) OVER (PARTITION BY user_id) AS n_candidates
+        FROM ev
+    )
+    SELECT h.user_id,
+           h.event_id AS chosen_id, h.event_type AS chosen_type,
+           h.cents AS chosen_cents,
+           l.event_id AS rejected_id, l.event_type AS rejected_type,
+           l.cents AS rejected_cents,
+           h.cents - l.cents AS margin_cents,
+           CAST(h.n_candidates AS BIGINT) AS n_candidates
+    FROM ranked h JOIN ranked l
+      ON h.user_id = l.user_id AND h.rn_hi = 1 AND l.rn_lo = 1
+     AND h.event_id <> l.event_id
+"""
+
+
+@declared("q_preference_pairs", oracle=_PREF_ORACLE)
+def q_preference_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Preference-pair mining for RLHF/DPO: per user, the highest-valued
+    day-1 interaction (chosen) against the lowest-valued (rejected) with
+    the value margin — the (prompt, chosen, rejected) construction step of
+    a preference-training pipeline, run over interaction logs. Users with
+    a single event produce no pair (a pair needs two distinct responses).
+
+    Engine-exactness: values quantize to integer cents once (the
+    q_dialog_assembly ROUND(value*100) pattern); chosen/rejected are
+    argmax/argmin under the (cents, event_id) total order — Spark
+    max_by/min_by over structs vs the oracle's twin ROW_NUMBERs, identical
+    tiebreaks (DESC DESC / ASC ASC); the margin is an integer difference.
+
+    Scale notes (100 TB): ONE map-side-combined aggregate per user (max_by
+    and min_by partials merge associatively) — no window, no sort, 2
+    struct accumulators per user in flight; the oracle's ROW_NUMBER form
+    is stated for SQL clarity, the Spark plan never ranks. Day-1 filter
+    pushes to the scan."""
+    t = load_tables(spark, sf_dir)
+    ev = t.events.filter(F.col("ts") < F.expr("TIMESTAMP '2024-01-02 00:00:00'")).select(
+        "user_id", "event_id", "event_type",
+        F.round(F.col("value") * 100).cast("bigint").alias("cents"),
+    )
+    payload = F.struct("event_id", "event_type", "cents")
+    agg = ev.groupBy("user_id").agg(
+        F.max_by(payload, F.struct("cents", "event_id")).alias("hi"),
+        F.min_by(payload, F.struct("cents", "event_id")).alias("lo"),
+        F.count("*").cast("bigint").alias("n_candidates"),
+    )
+    return agg.filter(F.col("hi.event_id") != F.col("lo.event_id")).select(
+        "user_id",
+        F.col("hi.event_id").alias("chosen_id"),
+        F.col("hi.event_type").alias("chosen_type"),
+        F.col("hi.cents").alias("chosen_cents"),
+        F.col("lo.event_id").alias("rejected_id"),
+        F.col("lo.event_type").alias("rejected_type"),
+        F.col("lo.cents").alias("rejected_cents"),
+        (F.col("hi.cents") - F.col("lo.cents")).alias("margin_cents"),
+        "n_candidates",
+    )

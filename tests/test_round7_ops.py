@@ -835,3 +835,35 @@ def test_span_corruption_matches_python_recompute(spark):
         keep = [w for w in inp.split(" ") if not re.fullmatch(r"<X_\d+>", w)]
         rec = [w for w in tgt.split(" ") if w and not re.fullmatch(r"<X_\d+>", w)]
         assert sorted(keep + rec) == orig  # lossless round-trip
+
+
+def test_preference_pairs_matches_python_recompute(spark):
+    """Argmax/argmin pair mining recomputed in pure Python with the same
+    (cents, event_id) total order; singles produce no pair."""
+    from collections import defaultdict
+    import datetime
+
+    from duckdb_ner_spark.plans.registry import QUERIES
+
+    cutoff = datetime.datetime(2024, 1, 2)
+    per_user = defaultdict(list)
+    for r in spark.read.parquet(f"{SF_SMOKE}/events.parquet").collect():
+        if r.ts < cutoff:
+            # Spark ROUND is half-away-from-zero; Python round() banker's
+            import decimal
+            cents = int(decimal.Decimal(r.value * 100).quantize(
+                0, rounding=decimal.ROUND_HALF_UP))
+            per_user[r.user_id].append((cents, r.event_id, r.event_type))
+    want = {}
+    for u, evs in per_user.items():
+        hi, lo = max(evs), min(evs)
+        if hi[1] != lo[1]:
+            want[u] = (hi[1], hi[2], hi[0], lo[1], lo[2], lo[0],
+                       hi[0] - lo[0], len(evs))
+    got = {
+        r.user_id: (r.chosen_id, r.chosen_type, r.chosen_cents, r.rejected_id,
+                    r.rejected_type, r.rejected_cents, r.margin_cents,
+                    r.n_candidates)
+        for r in QUERIES["q_preference_pairs"](spark, SF_SMOKE).collect()
+    }
+    assert got == want and want
