@@ -279,11 +279,86 @@ def main() -> None:
             .collect()
         )
 
+    def ordered_reassembly_shape(times):
+        # r7 objective-construction family: explode -> per-doc ordered
+        # collect_list(struct) regroup (q_span_corruption / q_dialog_assembly
+        # core). Per-group state is the doc's own token list, so wall-clock
+        # tracks corpus rows, not group count ^ 2.
+        big_d = inflate(docs.select("doc_id", "text"), times, ["doc_id"])
+        w = big_d.select(
+            "doc_id", F.posexplode(F.split("text", " ")).alias("i", "word")
+        )
+        (
+            w.groupBy("doc_id")
+            .agg(
+                F.array_join(
+                    F.expr(
+                        "transform(array_sort(collect_list(struct(i, word))),"
+                        " x -> x.word)"
+                    ),
+                    " ",
+                ).alias("seq")
+            )
+            .agg(F.sum(F.length("seq")))
+            .collect()
+        )
+
+    def bpe_round_shape(times):
+        # r7 tokenizer-induction family: one BPE merge round on a
+        # word-frequency table whose VOCABULARY scales with `times` (words
+        # remapped per copy) — pair count aggregate + 1-row argmax broadcast
+        # + replace map (q_bpe_merges core)
+        wf = (
+            docs.select(F.explode(F.split("text", " ")).alias("word"))
+            .groupBy("word")
+            .agg(F.count("*").cast("bigint").alias("freq"))
+        )
+        big = None
+        for i in range(times):
+            part = wf.select(
+                F.concat(F.lit(chr(97 + i % 26) * (i // 26 + 1)), F.col("word")).alias(
+                    "word"
+                ),
+                "freq",
+            )
+            big = part if big is None else big.unionAll(part)
+        seqs = big.select(
+            "word", "freq", F.array_join(F.split("word", ""), " ").alias("seq")
+        )
+        pairs = (
+            seqs.select("freq", F.split("seq", " ").alias("ss"))
+            .filter(F.size("ss") >= 2)
+            .select(
+                "freq",
+                F.explode(
+                    F.expr(
+                        "transform(sequence(1, size(ss) - 1),"
+                        " j -> struct(ss[j - 1] AS a, ss[j] AS b))"
+                    )
+                ).alias("p"),
+            )
+            .groupBy(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
+            .agg(F.sum("freq").cast("bigint").alias("cnt"))
+        )
+        best = pairs.orderBy(F.col("cnt").desc(), "a", "b").limit(1)
+        (
+            seqs.crossJoin(F.broadcast(best))
+            .select(
+                F.expr(
+                    "trim(replace(concat(' ', seq, ' '),"
+                    " concat(' ', a, ' ', b, ' '), concat(' ', a, b, ' ')))"
+                ).alias("seq")
+            )
+            .agg(F.sum(F.length("seq")))
+            .collect()
+        )
+
     # untimed warmup: whole-stage-codegen JIT is a one-off per plan shape
     agg_shape(1), join_shape(1), window_shape(1), funnel_shape(1), linededup_shape(1)
     hot_bucket_shape(1), cdc_chunk_shape(1), topk_salted_shape(1)
     interval_join_shape(1), blocked_gram_shape(1)
     pagerank_shape(1), novelty_index_shape(1)
+    ordered_reassembly_shape(1), bpe_round_shape(1)
 
     for times in (1, 10, 30):
         probe("tpch_q1_agg", agg_shape, times)
@@ -298,6 +373,8 @@ def main() -> None:
         probe("blocked_int_gram", blocked_gram_shape, times)
         probe("pagerank_3iter", pagerank_shape, times)
         probe("novelty_inverted_index", novelty_index_shape, times)
+        probe("ordered_reassembly", ordered_reassembly_shape, times)
+        probe("bpe_merge_round", bpe_round_shape, times)
 
     rows_base = li.count()
     lines = [
