@@ -1413,3 +1413,113 @@ def q_preference_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("hi.cents") - F.col("lo.cents")).alias("margin_cents"),
         "n_candidates",
     )
+
+# --------------------------------------------------------------------------
+# Largest-remainder apportionment (exact-budget mixture quotas)
+# --------------------------------------------------------------------------
+
+APPORTION_BUDGET = 1000
+
+
+def _apportion_oracle() -> str:
+    b = APPORTION_BUDGET
+    return f"""
+    WITH w AS (
+        SELECT source, CAST(SUM(n_chars) AS BIGINT) AS mass
+        FROM documents GROUP BY source
+    ), tot AS (SELECT CAST(SUM(mass) AS BIGINT) AS c FROM w),
+    q AS (
+        SELECT source, mass,
+               ({b} * mass) // t.c AS floor_q,
+               ({b} * mass) % t.c AS rem
+        FROM w, tot t
+    ), d AS (
+        SELECT CAST({b} - SUM(floor_q) AS BIGINT) AS deficit FROM q
+    ), r AS (
+        SELECT a.source, a.mass, a.floor_q, a.rem,
+               CAST(1 + COUNT(CASE WHEN b.rem > a.rem
+                                     OR (b.rem = a.rem AND b.source < a.source)
+                                   THEN 1 END) AS BIGINT) AS rnk
+        FROM q a LEFT JOIN q b ON b.source <> a.source
+        GROUP BY a.source, a.mass, a.floor_q, a.rem
+    )
+    SELECT source, mass, CAST(floor_q AS BIGINT) AS floor_q,
+           CAST(rem AS BIGINT) AS rem, rnk,
+           CAST(floor_q + CASE WHEN rnk <= d.deficit THEN 1 ELSE 0 END
+                AS BIGINT) AS final_q
+    FROM r, d
+"""
+
+
+@declared("q_apportion", oracle=_apportion_oracle())
+def q_apportion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Largest-remainder (Hamilton) apportionment of an EXACT training
+    budget of {APPORTION_BUDGET} slots across sources by character mass —
+    the quota step a mixture sampler runs after weights are chosen:
+    floor quotas under-fill the budget by up to n_sources-1 slots (the
+    q_temperature_mix targets have exactly that gap), so the deficit is
+    handed to the largest fractional remainders; Σ final_q == budget
+    EXACTLY (pinned by pytest).
+
+    Engine-exactness: quotas and remainders are integer floor-div/mod of
+    BIGINT products; the remainder rank is computed WITHOUT a window — a
+    pair-count theta-join over the n_sources-row table under the
+    (rem DESC, source ASC) total order — so the Spark plan adds no
+    partition-less WindowExec (the global-window ledger stays exact); the
+    oracle replays the identical pair count.
+
+    Scale notes (100 TB): everything below the per-source aggregate runs
+    on the 20-row weight table (the n² pair join is 400 rows, broadcast);
+    {APPORTION_BUDGET}·mass needs mass ≤ 9e15 for int64 — a char budget
+    at 100 TB exceeds that, so divide masses by a common 10^k first (the
+    apportionment is invariant) or lift the 40-row arithmetic to
+    DECIMAL(38,0)."""
+    t = load_tables(spark, sf_dir)
+    b = APPORTION_BUDGET
+    w = t.documents.groupBy("source").agg(
+        F.sum("n_chars").cast("bigint").alias("mass")
+    ).persist()
+    tot = w.agg(F.sum("mass").cast("bigint").alias("c"))
+    q = w.crossJoin(F.broadcast(tot)).select(
+        "source", "mass",
+        F.expr(f"({b} * mass) div c").alias("floor_q"),
+        F.expr(f"({b} * mass) % c").alias("rem"),
+    ).persist()
+    deficit = q.agg((F.lit(b) - F.sum("floor_q")).cast("bigint").alias("deficit"))
+    other = q.select(
+        F.col("source").alias("o_source"), F.col("rem").alias("o_rem")
+    )
+    r = (
+        q.join(F.broadcast(other), F.col("o_source") != F.col("source"), "left")
+        .groupBy("source", "mass", "floor_q", "rem")
+        .agg(
+            (
+                F.lit(1)
+                + F.count(
+                    F.when(
+                        (F.col("o_rem") > F.col("rem"))
+                        | (
+                            (F.col("o_rem") == F.col("rem"))
+                            & (F.col("o_source") < F.col("source"))
+                        ),
+                        1,
+                    )
+                )
+            )
+            .cast("bigint")
+            .alias("rnk")
+        )
+    )
+    return r.crossJoin(F.broadcast(deficit)).select(
+        "source",
+        "mass",
+        F.col("floor_q").cast("bigint").alias("floor_q"),
+        F.col("rem").cast("bigint").alias("rem"),
+        "rnk",
+        (
+            F.col("floor_q")
+            + F.when(F.col("rnk") <= F.col("deficit"), 1).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("final_q"),
+    )

@@ -867,3 +867,38 @@ def test_preference_pairs_matches_python_recompute(spark):
         for r in QUERIES["q_preference_pairs"](spark, SF_SMOKE).collect()
     }
     assert got == want and want
+
+
+def test_apportion_exact_budget_and_python_recompute(spark):
+    """Hamilton apportionment recomputed in pure Python; the final quotas
+    must sum to the budget EXACTLY and floors must under-fill it."""
+    from collections import Counter
+
+    from duckdb_ner_spark.operators.round7 import APPORTION_BUDGET
+    from duckdb_ner_spark.plans.registry import QUERIES
+
+    mass = Counter()
+    for r in (
+        spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+        .select("source", "n_chars")
+        .collect()
+    ):
+        mass[r.source] += r.n_chars
+    c = sum(mass.values())
+    b = APPORTION_BUDGET
+    rows = {
+        s: ((b * m) // c, (b * m) % c, m) for s, m in mass.items()
+    }
+    deficit = b - sum(f for f, _, _ in rows.values())
+    order = sorted(rows, key=lambda s: (-rows[s][1], s))
+    want = {}
+    for i, s in enumerate(order, start=1):
+        f, rem, m = rows[s]
+        want[s] = (m, f, rem, i, f + (1 if i <= deficit else 0))
+    got = {
+        r.source: (r.mass, r.floor_q, r.rem, r.rnk, r.final_q)
+        for r in QUERIES["q_apportion"](spark, SF_SMOKE).collect()
+    }
+    assert got == want
+    assert sum(v[4] for v in got.values()) == b
+    assert 0 < deficit  # floors genuinely under-fill; remainders matter
