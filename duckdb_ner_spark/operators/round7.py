@@ -1523,3 +1523,81 @@ def q_apportion(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("final_q"),
     )
+
+# --------------------------------------------------------------------------
+# Fill-in-middle transform (code-model pretraining objective prep)
+# --------------------------------------------------------------------------
+
+FIM_PHASES = 7  # cut-point phase = doc_id % 7, de-correlates cuts from length
+
+_FIM_ORACLE = f"""
+    WITH w AS (
+        SELECT doc_id, string_split(text, ' ') AS ws,
+               CAST(LEN(string_split(text, ' ')) AS BIGINT) AS n,
+               doc_id % {FIM_PHASES} AS r
+        FROM documents
+    ), cuts AS (
+        SELECT doc_id, ws, n,
+               LEAST((n + r) // 3, n) AS c1,
+               LEAST(GREATEST((2 * n + r) // 3, LEAST((n + r) // 3, n)), n) AS c2
+        FROM w
+    )
+    SELECT doc_id, n AS n_words, CAST(c1 AS BIGINT) AS c1, CAST(c2 AS BIGINT) AS c2,
+           CAST(c2 - c1 AS BIGINT) AS middle_len,
+           '<PRE> ' || array_to_string(list_slice(ws, 1, c1), ' ') ||
+           ' <SUF> ' || array_to_string(list_slice(ws, c2 + 1, n), ' ') ||
+           ' <MID> ' || array_to_string(list_slice(ws, c1 + 1, c2), ' ') AS psm
+    FROM cuts
+"""
+
+
+@declared("q_fim_transform", oracle=_FIM_ORACLE)
+def q_fim_transform(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fill-in-middle transform (the code-model pretraining objective,
+    PSM order): each document splits at two deterministic word cuts into
+    prefix/middle/suffix and re-serializes as
+    '<PRE> prefix <SUF> suffix <MID> middle' — the model learns to infill
+    the middle given both sides. Cut points are arithmetic on
+    (doc_id, n_words) with a doc_id % {FIM_PHASES} phase (resumable and
+    shardable, the q_span_corruption determinism contract), clamped so
+    0 <= c1 <= c2 <= n holds for any length.
+
+    Engine-exactness: cuts are integer floor division + LEAST/GREATEST;
+    the three segments are array slices — Spark slice(arr, start, len) ==
+    DuckDB list_slice(arr, start, end) under the verified edge contract
+    (empty for zero-length and past-end starts, both engines); no explode,
+    no regroup, no window.
+
+    Scale notes (100 TB): a single narrow map over the corpus (ONE
+    projection; the split array never leaves the row) — the cheapest
+    possible shape; composes with q_pack downstream. Compare
+    q_span_corruption, which pays an explode+regroup only because its
+    oracle needs the per-token form."""
+    t = load_tables(spark, sf_dir)
+    w = t.documents.select(
+        "doc_id",
+        F.split("text", " ").alias("ws"),
+        F.size(F.split("text", " ")).cast("bigint").alias("n"),
+        (F.col("doc_id") % FIM_PHASES).alias("r"),
+    )
+    c1 = F.least(F.expr("(n + r) div 3"), F.col("n"))
+    cuts = w.select(
+        "doc_id", "ws", "n",
+        c1.alias("c1"),
+        F.least(F.greatest(F.expr("(2 * n + r) div 3"), c1), F.col("n")).alias("c2"),
+    )
+    return cuts.select(
+        "doc_id",
+        F.col("n").alias("n_words"),
+        F.col("c1").cast("bigint").alias("c1"),
+        F.col("c2").cast("bigint").alias("c2"),
+        (F.col("c2") - F.col("c1")).cast("bigint").alias("middle_len"),
+        F.concat(
+            F.lit("<PRE> "),
+            F.array_join(F.expr("slice(ws, 1, CAST(c1 AS INT))"), " "),
+            F.lit(" <SUF> "),
+            F.array_join(F.expr("slice(ws, CAST(c2 + 1 AS INT), CAST(n - c2 AS INT))"), " "),
+            F.lit(" <MID> "),
+            F.array_join(F.expr("slice(ws, CAST(c1 + 1 AS INT), CAST(c2 - c1 AS INT))"), " "),
+        ).alias("psm"),
+    )

@@ -902,3 +902,33 @@ def test_apportion_exact_budget_and_python_recompute(spark):
     assert got == want
     assert sum(v[4] for v in got.values()) == b
     assert 0 < deficit  # floors genuinely under-fill; remainders matter
+
+
+def test_fim_transform_matches_python_recompute(spark):
+    """PSM reassembly recomputed in pure Python; segments must partition
+    the word list exactly (lossless)."""
+    from duckdb_ner_spark.operators.round7 import FIM_PHASES
+    from duckdb_ner_spark.plans.registry import QUERIES
+
+    docs = {
+        r.doc_id: r.text.split(" ")
+        for r in spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+        .select("doc_id", "text")
+        .collect()
+    }
+    want = {}
+    for d, ws in docs.items():
+        n, rph = len(ws), d % FIM_PHASES
+        c1 = min((n + rph) // 3, n)
+        c2 = min(max((2 * n + rph) // 3, c1), n)
+        psm = (
+            "<PRE> " + " ".join(ws[:c1]) + " <SUF> " + " ".join(ws[c2:])
+            + " <MID> " + " ".join(ws[c1:c2])
+        )
+        want[d] = (n, c1, c2, c2 - c1, psm)
+    got = {
+        r.doc_id: (r.n_words, r.c1, r.c2, r.middle_len, r.psm)
+        for r in QUERIES["q_fim_transform"](spark, SF_SMOKE).collect()
+    }
+    assert got == want
+    assert any(v[3] > 0 for v in got.values())
