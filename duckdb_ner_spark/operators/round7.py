@@ -1421,33 +1421,102 @@ def q_preference_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 APPORTION_BUDGET = 1000
 
 
-def _apportion_oracle() -> str:
-    b = APPORTION_BUDGET
-    return f"""
-    WITH w AS (
-        SELECT source, CAST(SUM(n_chars) AS BIGINT) AS mass
-        FROM documents GROUP BY source
-    ), tot AS (SELECT CAST(SUM(mass) AS BIGINT) AS c FROM w),
+def _lr_alloc_sql(key: str, carry: str, budget: int) -> str:
+    """Oracle suffix for largest-remainder allocation: expects a CTE named
+    ``w`` with columns (key, carry..., weight) where ``weight`` is a BIGINT;
+    emits tot/q/d/r CTE bodies + the final SELECT. Shared by q_apportion
+    and q_neyman_alloc so both replay the identical pair-count rank."""
+    cl = f"{key}, {carry}" if carry else key
+    return f"""tot AS (SELECT CAST(SUM(weight) AS BIGINT) AS c FROM w),
     q AS (
-        SELECT source, mass,
-               ({b} * mass) // t.c AS floor_q,
-               ({b} * mass) % t.c AS rem
+        SELECT {cl}, weight,
+               ({budget} * weight) // t.c AS floor_q,
+               ({budget} * weight) % t.c AS rem
         FROM w, tot t
     ), d AS (
-        SELECT CAST({b} - SUM(floor_q) AS BIGINT) AS deficit FROM q
+        SELECT CAST({budget} - SUM(floor_q) AS BIGINT) AS deficit FROM q
     ), r AS (
-        SELECT a.source, a.mass, a.floor_q, a.rem,
+        SELECT {", ".join("a." + c for c in cl.split(", "))}, a.weight,
+               a.floor_q, a.rem,
                CAST(1 + COUNT(CASE WHEN b.rem > a.rem
-                                     OR (b.rem = a.rem AND b.source < a.source)
+                                     OR (b.rem = a.rem AND b.{key} < a.{key})
                                    THEN 1 END) AS BIGINT) AS rnk
-        FROM q a LEFT JOIN q b ON b.source <> a.source
-        GROUP BY a.source, a.mass, a.floor_q, a.rem
+        FROM q a LEFT JOIN q b ON b.{key} <> a.{key}
+        GROUP BY {", ".join("a." + c for c in cl.split(", "))}, a.weight,
+                 a.floor_q, a.rem
     )
-    SELECT source, mass, CAST(floor_q AS BIGINT) AS floor_q,
+    SELECT {cl}, weight, CAST(floor_q AS BIGINT) AS floor_q,
            CAST(rem AS BIGINT) AS rem, rnk,
            CAST(floor_q + CASE WHEN rnk <= d.deficit THEN 1 ELSE 0 END
                 AS BIGINT) AS final_q
     FROM r, d
+"""
+
+
+def largest_remainder_alloc(w: DataFrame, key: str, budget: int) -> DataFrame:
+    """Hamilton largest-remainder allocation of ``budget`` integer slots
+    over the rows of ``w`` (columns: key, carry..., ``weight`` BIGINT).
+    Floor quotas + the deficit handed to the largest remainders under the
+    (rem DESC, key ASC) total order, ranked WITHOUT a window (pair-count
+    theta-join over the tiny weight table — the global-window ledger stays
+    exact). Returns w's columns + floor_q/rem/rnk/final_q; Σ final_q ==
+    budget exactly."""
+    carry = list(w.columns)
+    tot = w.agg(F.sum("weight").cast("bigint").alias("c"))
+    q = (
+        w.crossJoin(F.broadcast(tot))
+        .select(
+            *carry,
+            F.expr(f"({budget} * weight) div c").alias("floor_q"),
+            F.expr(f"({budget} * weight) % c").alias("rem"),
+        )
+        .persist()
+    )
+    deficit = q.agg(
+        (F.lit(budget) - F.sum("floor_q")).cast("bigint").alias("deficit")
+    )
+    other = q.select(F.col(key).alias("o_key"), F.col("rem").alias("o_rem"))
+    r = (
+        q.join(F.broadcast(other), F.col("o_key") != F.col(key), "left")
+        .groupBy(*carry, "floor_q", "rem")
+        .agg(
+            (
+                F.lit(1)
+                + F.count(
+                    F.when(
+                        (F.col("o_rem") > F.col("rem"))
+                        | (
+                            (F.col("o_rem") == F.col("rem"))
+                            & (F.col("o_key") < F.col(key))
+                        ),
+                        1,
+                    )
+                )
+            )
+            .cast("bigint")
+            .alias("rnk")
+        )
+    )
+    return r.crossJoin(F.broadcast(deficit)).select(
+        *carry,
+        F.col("floor_q").cast("bigint").alias("floor_q"),
+        F.col("rem").cast("bigint").alias("rem"),
+        "rnk",
+        (
+            F.col("floor_q")
+            + F.when(F.col("rnk") <= F.col("deficit"), 1).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("final_q"),
+    )
+
+
+def _apportion_oracle() -> str:
+    return f"""
+    WITH w AS (
+        SELECT source, CAST(SUM(n_chars) AS BIGINT) AS weight
+        FROM documents GROUP BY source
+    ), {_lr_alloc_sql("source", "", APPORTION_BUDGET)}
 """
 
 
@@ -1470,59 +1539,16 @@ def q_apportion(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale notes (100 TB): everything below the per-source aggregate runs
     on the 20-row weight table (the n² pair join is 400 rows, broadcast);
-    {APPORTION_BUDGET}·mass needs mass ≤ 9e15 for int64 — a char budget
+    {APPORTION_BUDGET}·weight needs weight ≤ 9e15 for int64 — a char budget
     at 100 TB exceeds that, so divide masses by a common 10^k first (the
     apportionment is invariant) or lift the 40-row arithmetic to
     DECIMAL(38,0)."""
     t = load_tables(spark, sf_dir)
-    b = APPORTION_BUDGET
     w = t.documents.groupBy("source").agg(
-        F.sum("n_chars").cast("bigint").alias("mass")
+        F.sum("n_chars").cast("bigint").alias("weight")
     ).persist()
-    tot = w.agg(F.sum("mass").cast("bigint").alias("c"))
-    q = w.crossJoin(F.broadcast(tot)).select(
-        "source", "mass",
-        F.expr(f"({b} * mass) div c").alias("floor_q"),
-        F.expr(f"({b} * mass) % c").alias("rem"),
-    ).persist()
-    deficit = q.agg((F.lit(b) - F.sum("floor_q")).cast("bigint").alias("deficit"))
-    other = q.select(
-        F.col("source").alias("o_source"), F.col("rem").alias("o_rem")
-    )
-    r = (
-        q.join(F.broadcast(other), F.col("o_source") != F.col("source"), "left")
-        .groupBy("source", "mass", "floor_q", "rem")
-        .agg(
-            (
-                F.lit(1)
-                + F.count(
-                    F.when(
-                        (F.col("o_rem") > F.col("rem"))
-                        | (
-                            (F.col("o_rem") == F.col("rem"))
-                            & (F.col("o_source") < F.col("source"))
-                        ),
-                        1,
-                    )
-                )
-            )
-            .cast("bigint")
-            .alias("rnk")
-        )
-    )
-    return r.crossJoin(F.broadcast(deficit)).select(
-        "source",
-        "mass",
-        F.col("floor_q").cast("bigint").alias("floor_q"),
-        F.col("rem").cast("bigint").alias("rem"),
-        "rnk",
-        (
-            F.col("floor_q")
-            + F.when(F.col("rnk") <= F.col("deficit"), 1).otherwise(0)
-        )
-        .cast("bigint")
-        .alias("final_q"),
-    )
+    return largest_remainder_alloc(w, "source", APPORTION_BUDGET)
+
 
 # --------------------------------------------------------------------------
 # Fill-in-middle transform (code-model pretraining objective prep)
@@ -1601,3 +1627,68 @@ def q_fim_transform(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.array_join(F.expr("slice(ws, CAST(c1 + 1 AS INT), CAST(c2 - c1 AS INT))"), " "),
         ).alias("psm"),
     )
+
+# --------------------------------------------------------------------------
+# Neyman stratified-sample allocation (variance-proportional quotas)
+# --------------------------------------------------------------------------
+
+NEYMAN_BUDGET = 500
+NEYMAN_W_SCALE = 1000
+
+
+def _neyman_oracle() -> str:
+    return f"""
+    WITH m AS (
+        SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(n_chars) AS BIGINT) AS sx,
+               CAST(SUM(n_chars * n_chars) AS BIGINT) AS sxx
+        FROM documents GROUP BY lang
+    ), w AS (
+        SELECT lang, n_docs,
+               n_docs * sxx - sx * sx AS v_num,
+               CAST(ROUND(SQRT(CAST(n_docs * sxx - sx * sx AS DOUBLE))
+                          * {NEYMAN_W_SCALE}) AS BIGINT) AS weight
+        FROM m
+    ), {_lr_alloc_sql("lang", "n_docs, v_num", NEYMAN_BUDGET)}
+"""
+
+
+@declared("q_neyman_alloc", oracle=_neyman_oracle())
+def q_neyman_alloc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Neyman allocation of a {NEYMAN_BUDGET}-sample audit budget across
+    language strata: optimal stratified sampling draws n_h ∝ N_h·σ_h, and
+    N_h·σ_h == sqrt(N_h·Σx² − (Σx)²) exactly — so the weight is the sqrt
+    of an exact integer variance numerator, no mean subtraction, no
+    per-row float. The quota step reuses largest_remainder_alloc, so the
+    final integer quotas fill the budget EXACTLY (the q_apportion
+    contract) — this is the sample-size plan a QC pipeline computes before
+    drawing its audit sample with q_mix_sample/q_split.
+
+    Engine-exactness: the variance numerator is pure BIGINT moments
+    (exact-sum formula, the q_velocity_anomaly precedent); sqrt is the one
+    IEEE-exact transcendental (q_temperature_mix precedent), applied to an
+    identical integer in both engines, scaled and rounded once to a BIGINT
+    weight; allocation is then the shared integer pair-count-rank path.
+
+    Scale notes (100 TB): one map-side-combined moments aggregate over the
+    corpus; allocation on the languages-sized table. Σx² needs
+    n_chars²·N ≤ 9e18 — at 1e12 docs of 1e4 chars it overflows int64, so
+    compute the three moments in DECIMAL(38,0) there (scan unchanged)."""
+    t = load_tables(spark, sf_dir)
+    m = t.documents.groupBy("lang").agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.sum("n_chars").cast("bigint").alias("sx"),
+        F.sum(F.col("n_chars") * F.col("n_chars")).cast("bigint").alias("sxx"),
+    )
+    w = m.select(
+        "lang",
+        "n_docs",
+        F.expr("n_docs * sxx - sx * sx").alias("v_num"),
+        F.round(
+            F.sqrt(F.expr("CAST(n_docs * sxx - sx * sx AS DOUBLE)"))
+            * NEYMAN_W_SCALE
+        )
+        .cast("bigint")
+        .alias("weight"),
+    ).persist()
+    return largest_remainder_alloc(w, "lang", NEYMAN_BUDGET)

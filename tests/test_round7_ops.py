@@ -896,7 +896,7 @@ def test_apportion_exact_budget_and_python_recompute(spark):
         f, rem, m = rows[s]
         want[s] = (m, f, rem, i, f + (1 if i <= deficit else 0))
     got = {
-        r.source: (r.mass, r.floor_q, r.rem, r.rnk, r.final_q)
+        r.source: (r.weight, r.floor_q, r.rem, r.rnk, r.final_q)
         for r in QUERIES["q_apportion"](spark, SF_SMOKE).collect()
     }
     assert got == want
@@ -932,3 +932,47 @@ def test_fim_transform_matches_python_recompute(spark):
     }
     assert got == want
     assert any(v[3] > 0 for v in got.values())
+
+
+def test_neyman_alloc_matches_python_recompute(spark):
+    """Variance-weighted allocation recomputed in pure Python: exact
+    integer moments, sqrt weight, Hamilton quotas summing to the budget."""
+    import math
+    from collections import defaultdict
+
+    from duckdb_ner_spark.operators.round7 import NEYMAN_BUDGET, NEYMAN_W_SCALE
+    from duckdb_ner_spark.plans.registry import QUERIES
+
+    strata = defaultdict(list)
+    for r in (
+        spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+        .select("lang", "n_chars")
+        .collect()
+    ):
+        strata[r.lang].append(r.n_chars)
+    w = {}
+    for lang, xs in strata.items():
+        n, sx, sxx = len(xs), sum(xs), sum(x * x for x in xs)
+        v = n * sxx - sx * sx
+        w[lang] = (n, v, int(round(math.sqrt(v) * NEYMAN_W_SCALE)))
+    b, c = NEYMAN_BUDGET, sum(x[2] for x in w.values())
+    rows = {k: ((b * x[2]) // c, (b * x[2]) % c) for k, x in w.items()}
+    deficit = b - sum(f for f, _ in rows.values())
+    order = sorted(rows, key=lambda k: (-rows[k][1], k))
+    want = {}
+    for i, k in enumerate(order, start=1):
+        f, rem = rows[k]
+        want[k] = (w[k][0], w[k][1], w[k][2], f, rem, i,
+                   f + (1 if i <= deficit else 0))
+    got = {
+        r.lang: (r.n_docs, r.v_num, r.weight, r.floor_q, r.rem, r.rnk, r.final_q)
+        for r in QUERIES["q_neyman_alloc"](spark, SF_SMOKE).collect()
+    }
+    assert got == want
+    assert sum(v[6] for v in got.values()) == b
+    # allocation is variance-driven, not plain proportional: some stratum's
+    # final quota must differ from its count-proportional share rounding
+    n_tot = sum(v[0] for v in got.values())
+    assert any(
+        v[6] != round(b * v[0] / n_tot) for v in got.values()
+    )
