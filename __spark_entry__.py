@@ -39,7 +39,7 @@ _DRIVER_WINDOW_PRIORITY = [
     # them (CORRECTNESS_r06 burned 5 slots proving it) — all 50 slots below
     # are hash-checkable.
     # Block 1 — r7-new queries (prepend within this block as added).
-    "q_neyman_alloc", "q_fim_transform", "q_apportion", "q_preference_pairs", "q_span_corruption", "q_dialog_assembly",
+    "q_grpo_advantage", "q_neyman_alloc", "q_fim_transform", "q_apportion", "q_preference_pairs", "q_span_corruption", "q_dialog_assembly",
     "q_bpe_merges", "q_dp_sensitivity", "q_textrank",
     "q_source_concentration", "q_drift_tvd", "q_bfs_dist",
     "q_hard_negatives", "q_stream_dedup_incr", "q_label_prop", "q_pagerank",

@@ -1692,3 +1692,91 @@ def q_neyman_alloc(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("weight"),
     ).persist()
     return largest_remainder_alloc(w, "lang", NEYMAN_BUDGET)
+
+# --------------------------------------------------------------------------
+# Group-relative advantage (GRPO/RLOO reward normalization)
+# --------------------------------------------------------------------------
+
+ADV_SCALE = 10**6
+
+
+def _grpo_oracle() -> str:
+    s = ADV_SCALE
+    return f"""
+    WITH ev AS (
+        SELECT event_id, event_type,
+               CAST(ROUND(value * 100) AS BIGINT) AS cents
+        FROM events WHERE ts < TIMESTAMP '2024-01-02 00:00:00'
+    ), g AS (
+        SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(cents) AS BIGINT) AS sr,
+               CAST(SUM(cents * cents) AS BIGINT) AS srr
+        FROM ev GROUP BY event_type
+    )
+    SELECT e.event_id, e.event_type, e.cents, g.n,
+           CAST(({s} * e.cents * g.n - {s} * g.sr) // g.n AS BIGINT)
+               AS centered_fx,
+           CASE WHEN g.n * g.srr - g.sr * g.sr > 0 THEN
+               CAST(ROUND(CAST({s} * (g.n * e.cents - g.sr) AS DOUBLE)
+                          / SQRT(CAST(g.n * g.srr - g.sr * g.sr AS DOUBLE)))
+                    AS BIGINT)
+           ELSE 0 END AS adv_fx
+    FROM ev e JOIN g ON g.event_type = e.event_type
+"""
+
+
+@declared("q_grpo_advantage", oracle=_grpo_oracle())
+def q_grpo_advantage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Group-relative advantage computation (the GRPO/RLOO post-training
+    step): each day-1 interaction's reward is normalized against its
+    prompt group's (event_type's) mean and std — adv = (r − mean)/std,
+    computed as (n·r − Σr)/sqrt(n·Σr² − (Σr)²), which needs only the three
+    integer group moments and never materializes a float mean. Degenerate
+    groups (zero variance) get advantage 0, the GRPO convention.
+
+    Engine-exactness: rewards quantize once to cents; the centered value
+    is pure integer fixed point (its numerator goes NEGATIVE below the
+    group mean — safe because Spark's `div` and DuckDB's integer `//`
+    BOTH truncate toward zero, pinned by the recompute pytest; the
+    "non-negative operands only" house rule is the conservative contract
+    for engines where `//` floors); the advantage is the
+    single-op chain int-exact-numerator → CAST double → ÷ sqrt(int-exact
+    variance numerator) → ROUND, every step correctly rounded on identical
+    operands in both engines (the q_neyman_alloc sqrt + q_quality
+    division precedents).
+
+    Scale notes (100 TB): one map-side-combined moments aggregate, then a
+    broadcast join of the tiny group table back onto the event stream —
+    per-row arithmetic only, no window, no second shuffle of the facts
+    (the classic two-pass normalization; a prompt group in real RLHF is
+    the per-prompt rollout set, thousands of groups — still a broadcast)."""
+    t = load_tables(spark, sf_dir)
+    s = ADV_SCALE
+    ev = t.events.filter(
+        F.col("ts") < F.expr("TIMESTAMP '2024-01-02 00:00:00'")
+    ).select(
+        "event_id", "event_type",
+        F.round(F.col("value") * 100).cast("bigint").alias("cents"),
+    )
+    g = ev.groupBy("event_type").agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("cents").cast("bigint").alias("sr"),
+        F.sum(F.col("cents") * F.col("cents")).cast("bigint").alias("srr"),
+    )
+    j = ev.join(F.broadcast(g), "event_type")
+    v_num = F.expr("n * srr - sr * sr")
+    return j.select(
+        "event_id", "event_type", "cents", "n",
+        F.expr(f"({s} * cents * n - {s} * sr) div n").cast("bigint").alias(
+            "centered_fx"
+        ),
+        F.when(
+            v_num > 0,
+            F.round(
+                F.expr(f"CAST({s} * (n * cents - sr) AS DOUBLE)")
+                / F.sqrt(v_num.cast("double"))
+            ).cast("bigint"),
+        )
+        .otherwise(F.lit(0))
+        .alias("adv_fx"),
+    )

@@ -976,3 +976,45 @@ def test_neyman_alloc_matches_python_recompute(spark):
     assert any(
         v[6] != round(b * v[0] / n_tot) for v in got.values()
     )
+
+
+def test_grpo_advantage_matches_python_recompute(spark):
+    """(n·r − Σr)/sqrt(n·Σr² − (Σr)²) recomputed in pure Python with the
+    same quantization; per-group advantages must be zero-mean-ish (the
+    exact integer centered values sum to |group| · 0 ± floor residue)."""
+    import math
+    from collections import defaultdict
+    import datetime
+    import decimal
+
+    from duckdb_ner_spark.operators.round7 import ADV_SCALE
+    from duckdb_ner_spark.plans.registry import QUERIES
+
+    cutoff = datetime.datetime(2024, 1, 2)
+    groups = defaultdict(list)
+    for r in spark.read.parquet(f"{SF_SMOKE}/events.parquet").collect():
+        if r.ts < cutoff:
+            cents = int(decimal.Decimal(r.value * 100).quantize(
+                0, rounding=decimal.ROUND_HALF_UP))
+            groups[r.event_type].append((r.event_id, cents))
+    want = {}
+    for ty, evs in groups.items():
+        n = len(evs)
+        sr = sum(c for _, c in evs)
+        srr = sum(c * c for _, c in evs)
+        v = n * srr - sr * sr
+        for eid, c in evs:
+            adv = (
+                int(decimal.Decimal(ADV_SCALE * (n * c - sr) / math.sqrt(v))
+                    .quantize(0, rounding=decimal.ROUND_HALF_UP))
+                if v > 0 else 0
+            )
+            num = ADV_SCALE * c * n - ADV_SCALE * sr
+            centered = -((-num) // n) if num < 0 else num // n  # trunc div:
+            # Spark div AND DuckDB integer // both truncate toward zero
+            want[eid] = (ty, c, n, centered, adv)
+    got = {
+        r.event_id: (r.event_type, r.cents, r.n, r.centered_fx, r.adv_fx)
+        for r in QUERIES["q_grpo_advantage"](spark, SF_SMOKE).collect()
+    }
+    assert got == want and want
