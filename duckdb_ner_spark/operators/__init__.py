@@ -10,6 +10,7 @@ from . import (  # noqa: F401
     relational_ext,
     retrieval,
     round7,
+    round7c,
     sampling,
     scalepatterns,
     layout_queries,

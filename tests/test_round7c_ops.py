@@ -1,0 +1,107 @@
+"""Round-7 continuation operator tests: pure-Python recomputes for the
+round7c family (rejection sampling, Kneser-Ney, and successors), so each
+query's semantics are pinned by a third implementation independent of both
+Spark and the DuckDB oracle.
+"""
+
+from collections import Counter, defaultdict
+from decimal import ROUND_HALF_UP, Decimal
+
+import duckdb_ner_spark.operators  # noqa: F401 — populate the registry
+from duckdb_ner_spark.plans.registry import QUERIES
+
+SF_SMOKE = "/root/testdata/sf0.001"
+
+
+def _cents(value: float) -> int:
+    # events.value quantizes to cents; Python recomputes must round
+    # half-up like ROUND(value*100), not banker's-round (house rule).
+    return int(
+        (Decimal(repr(value)) * 100).quantize(Decimal("1"), rounding=ROUND_HALF_UP)
+    )
+
+
+def test_rejection_sampling_matches_python_recompute(spark):
+    """First-accept semantics recomputed imperatively (the order-dependent
+    stopping rule the query expresses order-free): walk each prompt's
+    candidates in event_id order, stop at the first reward >= tau."""
+    from duckdb_ner_spark.operators.round7c import RS_TAU_CENTS
+
+    rows = (
+        spark.read.parquet(f"{SF_SMOKE}/events.parquet")
+        .select("event_id", "user_id", "value")
+        .collect()
+    )
+    by_user = defaultdict(list)
+    for r in rows:
+        by_user[r.user_id].append((r.event_id, _cents(r.value)))
+    want = {}
+    for uid, cands in by_user.items():
+        cands.sort()
+        first, attempts, reward = None, 0, None
+        for eid, cents in cands:
+            attempts += 1
+            if cents >= RS_TAU_CENTS:
+                first, reward = eid, cents
+                break
+        if first is None:
+            attempts = len(cands)
+        want[uid] = (len(cands), 1 if first is not None else 0, first, attempts, reward)
+    got = {
+        r.user_id: (
+            r.n_candidates, r.accepted, r.first_accept_id, r.n_attempts,
+            r.reward_cents,
+        )
+        for r in QUERIES["q_rejection_sampling"](spark, SF_SMOKE).collect()
+    }
+    assert got == want
+    assert any(v[1] == 0 for v in want.values())  # some prompts never accept
+    assert any(v[1] == 1 for v in want.values())  # and some do
+
+
+def test_kneser_ney_matches_python_recompute(spark):
+    """Interpolated KN with D=3/4 recomputed in exact Fraction arithmetic:
+    the fixed-point integer the query emits must equal
+    floor(SCALE * p_KN) for every returned bigram, and the returned set
+    must be the true global top-K under (p_fx DESC, v, w)."""
+    from fractions import Fraction
+
+    from duckdb_ner_spark.operators.round7c import KN_SCALE, KN_TOP
+
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet").select("text").collect()
+    pair = Counter()
+    for r in docs:
+        ws = r.text.split(" ")
+        for a, b in zip(ws, ws[1:]):
+            pair[(a, b)] += 1
+    c_v = Counter()
+    n_follow = Counter()
+    n_precede = Counter()
+    for (v, w), c in pair.items():
+        c_v[v] += c
+        n_follow[v] += 1
+        n_precede[w] += 1
+    t = len(pair)
+    d = Fraction(3, 4)
+    want_all = []
+    for (v, w), c in pair.items():
+        p = max(Fraction(c) - d, 0) / c_v[v] + (d * n_follow[v] / c_v[v]) * Fraction(
+            n_precede[w], t
+        )
+        fx = (KN_SCALE * p.numerator) // p.denominator
+        # the query's single-floor form must equal floor of the exact value
+        one_floor = (KN_SCALE * (max(4 * c - 3, 0) * t + 3 * n_follow[v] * n_precede[w])) // (
+            4 * c_v[v] * t
+        )
+        assert one_floor == fx
+        want_all.append((-fx, v, w, c, c_v[v], n_follow[v], n_precede[w]))
+    want_all.sort()
+    want = [(v, w, c, cv, nf, np_, -neg) for neg, v, w, c, cv, nf, np_ in want_all[:KN_TOP]]
+    got = [
+        (r.v, r.w, r.c_vw, r.c_v, r.n_follow, r.n_precede, r.p_kn_fx)
+        for r in QUERIES["q_kneser_ney"](spark, SF_SMOKE).collect()
+    ]
+    assert got == want
+    # KN's signature: continuation prob uses TYPE counts — a word that
+    # appears often after only one context must differ from plain MLE.
+    assert t > 0 and any(n_precede[w] > 1 for (_, w) in pair)
