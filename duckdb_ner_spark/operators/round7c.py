@@ -210,3 +210,237 @@ def q_kneser_ney(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return out.orderBy(F.desc("p_kn_fx"), "v", "w").limit(KN_TOP)
+
+
+# --------------------------------------------------------------------------
+# Curriculum staging (difficulty quartiles + cumulative token-budget epochs)
+# --------------------------------------------------------------------------
+
+CUR_SCALE = 10**6  # fixed-point scale for the lexical-density factor
+CUR_EPOCHS = 3  # the schedule walks the stages across this many epochs
+
+_CURRICULUM_ORACLE = f"""
+    WITH d AS (
+        SELECT doc_id, n_chars, string_split(text, ' ') AS ws FROM documents
+    ), diff AS (
+        SELECT doc_id, n_chars,
+               CAST(n_chars * (({CUR_SCALE} * len(list_distinct(ws)))
+                               // len(ws)) AS BIGINT) AS difficulty_fx
+        FROM d
+    ), q AS (
+        SELECT CAST(percentile_disc(0.25) WITHIN GROUP (ORDER BY difficulty_fx)
+                    AS BIGINT) AS q1,
+               CAST(percentile_disc(0.50) WITHIN GROUP (ORDER BY difficulty_fx)
+                    AS BIGINT) AS q2,
+               CAST(percentile_disc(0.75) WITHIN GROUP (ORDER BY difficulty_fx)
+                    AS BIGINT) AS q3
+        FROM diff
+    ), staged AS (
+        SELECT doc_id, n_chars, difficulty_fx,
+               1 + CASE WHEN difficulty_fx > q.q1 THEN 1 ELSE 0 END
+                 + CASE WHEN difficulty_fx > q.q2 THEN 1 ELSE 0 END
+                 + CASE WHEN difficulty_fx > q.q3 THEN 1 ELSE 0 END AS stage
+        FROM diff CROSS JOIN q
+    ), st AS (
+        SELECT CAST(stage AS BIGINT) AS stage,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(n_chars) AS BIGINT) AS stage_chars,
+               CAST(MIN(difficulty_fx) AS BIGINT) AS min_difficulty_fx,
+               CAST(MAX(difficulty_fx) AS BIGINT) AS max_difficulty_fx
+        FROM staged GROUP BY stage
+    ), tot AS (
+        SELECT CAST(SUM(stage_chars) AS BIGINT) AS total_chars FROM st
+    )
+    SELECT a.stage, a.n_docs, a.stage_chars,
+           CAST(SUM(b.stage_chars) AS BIGINT) AS cum_chars,
+           CAST(({CUR_EPOCHS} * (SUM(b.stage_chars) - a.stage_chars))
+                // MIN(tot.total_chars) AS BIGINT) AS epoch_start,
+           a.min_difficulty_fx, a.max_difficulty_fx
+    FROM st a JOIN st b ON b.stage <= a.stage CROSS JOIN tot
+    GROUP BY a.stage, a.n_docs, a.stage_chars, a.min_difficulty_fx,
+             a.max_difficulty_fx
+"""
+
+
+@declared("q_curriculum", oracle=_CURRICULUM_ORACLE)
+def q_curriculum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curriculum staging for pretraining: every document gets an integer
+    difficulty score (length x lexical density — longer documents with a
+    higher type/token ratio are "harder"), the corpus is cut into four
+    difficulty quartile stages at exact percentile_disc boundaries, and the
+    stage table carries the cumulative-char schedule: cum_chars after each
+    stage and epoch_start = which of CUR_EPOCHS equal-budget epochs the
+    stage enters when training walks stages easiest-first (the
+    curriculum-schedule handoff a data loader consumes).
+
+    Not a q_len_quantile rehash: the score composes two signals (n_chars *
+    fixed-point TTR), the boundaries come back as a broadcast one-row
+    table (no global NTILE window — the quantile-then-bucket pattern), and
+    the output is the staged SCHEDULE, not a quantile report.
+
+    Engine-exactness: percentile_disc returns an actual data value
+    (engine-exact, the q_len_quantile precedent); stage assignment is
+    integer comparisons against those values; the cumulative sum is a
+    4x4 theta self-join, not a window, so the global-window ledger is
+    untouched; epoch_start is one floor division of non-negatives.
+
+    Scale notes (100 TB): pass 1 is a map-side-combined one-row quantile
+    aggregate broadcast back (classic two-pass bucketing — no sort, no
+    window over the corpus); pass 2 is a 4-group aggregate; the theta join
+    runs on the 4-row stage table. percentile_disc over 10^10 rows is the
+    one genuinely heavy step — production swaps in the mergeable-histogram
+    variant (q_hist_quantile) at a documented exactness tradeoff."""
+    t = load_tables(spark, sf_dir)
+    diff = t.documents.select(
+        "doc_id", "n_chars",
+        (
+            F.col("n_chars")
+            * F.expr(f"({CUR_SCALE} * size(array_distinct(split(text, ' '))))"
+                     f" div size(split(text, ' '))")
+        ).cast("bigint").alias("difficulty_fx"),
+    )
+    q = diff.agg(
+        *[
+            F.expr(
+                f"CAST(percentile_disc({p}) WITHIN GROUP"
+                f" (ORDER BY difficulty_fx) AS BIGINT)"
+            ).alias(n)
+            for p, n in ((0.25, "q1"), (0.50, "q2"), (0.75, "q3"))
+        ]
+    )
+    staged = diff.crossJoin(F.broadcast(q)).select(
+        "n_chars", "difficulty_fx",
+        (
+            F.lit(1)
+            + (F.col("difficulty_fx") > F.col("q1")).cast("int")
+            + (F.col("difficulty_fx") > F.col("q2")).cast("int")
+            + (F.col("difficulty_fx") > F.col("q3")).cast("int")
+        ).cast("bigint").alias("stage"),
+    )
+    st = staged.groupBy("stage").agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.sum("n_chars").cast("bigint").alias("stage_chars"),
+        F.min("difficulty_fx").cast("bigint").alias("min_difficulty_fx"),
+        F.max("difficulty_fx").cast("bigint").alias("max_difficulty_fx"),
+    ).persist()  # 4 rows; feeds the theta join twice plus the total
+    tot = st.agg(F.sum("stage_chars").cast("bigint").alias("total_chars"))
+    b = st.select(F.col("stage").alias("b_stage"), F.col("stage_chars").alias("b_chars"))
+    return (
+        st.join(F.broadcast(b), F.col("b_stage") <= F.col("stage"))
+        .crossJoin(F.broadcast(tot))
+        .groupBy("stage", "n_docs", "stage_chars", "min_difficulty_fx", "max_difficulty_fx")
+        .agg(
+            F.sum("b_chars").cast("bigint").alias("cum_chars"),
+            F.expr(
+                f"CAST(({CUR_EPOCHS} * (SUM(b_chars) - stage_chars))"
+                f" div MIN(total_chars) AS BIGINT)"
+            ).alias("epoch_start"),
+        )
+        .select(
+            "stage", "n_docs", "stage_chars", "cum_chars", "epoch_start",
+            "min_difficulty_fx", "max_difficulty_fx",
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Memorization audit (repeated long-substring mass, suffix-array proxy)
+# --------------------------------------------------------------------------
+
+MEM_SHINGLE_LEN = 40  # "long" verbatim span: 40 chars (~8 words here)
+MEM_SCALE = 10**6
+
+_MEMORIZATION_ORACLE = f"""
+    WITH pos AS (
+        SELECT doc_id, source, text,
+               unnest(range(1, (n_chars - {MEM_SHINGLE_LEN} + 2)::BIGINT)) AS i
+        FROM documents WHERE n_chars >= {MEM_SHINGLE_LEN}
+    ), sh AS (
+        SELECT doc_id, source,
+               substr(md5(substr(text, i::INT, {MEM_SHINGLE_LEN})), 1, 16) AS h
+        FROM pos
+    ), g AS (
+        SELECT h, CAST(COUNT(*) AS BIGINT) AS n_occ,
+               CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+               CAST(COUNT(DISTINCT source) AS BIGINT) AS n_sources
+        FROM sh GROUP BY h
+    )
+    SELECT s.source,
+           CAST(COUNT(*) AS BIGINT) AS n_shingles,
+           CAST(SUM(CASE WHEN g.n_occ > 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS dup_occurrences,
+           CAST(SUM(CASE WHEN g.n_docs > 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS cross_doc_occurrences,
+           CAST(SUM(CASE WHEN g.n_sources > 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS cross_source_occurrences,
+           CAST(({MEM_SCALE} * SUM(CASE WHEN g.n_occ > 1 THEN 1 ELSE 0 END))
+                // COUNT(*) AS BIGINT) AS dup_rate_fx
+    FROM sh s JOIN g ON g.h = s.h
+    GROUP BY s.source
+"""
+
+
+@declared("q_memorization", oracle=_MEMORIZATION_ORACLE)
+def q_memorization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Memorization-risk audit (the suffix-array substring-dedup proxy from
+    "Deduplicating Training Data Makes Language Models Better", Lee et al.
+    2022): every MEM_SHINGLE_LEN-char window of every document is hashed,
+    and each source is scored by how much of its character mass is verbatim
+    repeated elsewhere — same-corpus duplicate occurrences, cross-document
+    occurrences, and cross-SOURCE occurrences (the strongest leakage
+    signal: the same 40-char span arriving from two ingest feeds), plus a
+    fixed-point duplicate rate.
+
+    Unlike q_dedup_ngram (word shingles -> per-pair Jaccard), this is the
+    position-dense CHARACTER-shingle audit: overlapping windows at every
+    offset, so a duplicated span of length L >= K is detected regardless of
+    word alignment — the property the suffix-array method guarantees.
+
+    Engine-exactness: shingles group on substr(md5(span),1,16) — identical
+    hex in both engines (house md5 trick); all outputs are counts and one
+    floor division of non-negatives.
+
+    Scale notes (100 TB): the corpus never shuffles as text — each doc
+    explodes to 16-char hashes executor-side (map-only), the count table is
+    the canonical combiner aggregate on h, and the enrich join is
+    co-partitioned on the same key as the aggregate that produced it. The
+    two COUNT(DISTINCT) run as one expand over the already-aggregated
+    per-h groups, not the raw shingle stream. Position density costs ~K
+    bytes of hash per input byte — production runs sample offsets (every
+    j-th position still catches spans >= K + j - 1) or switch to the true
+    suffix-array job; the per-source scorecard shape is unchanged."""
+    t = load_tables(spark, sf_dir)
+    k = MEM_SHINGLE_LEN
+    sh = (
+        t.documents.filter(F.col("n_chars") >= k)
+        .select(
+            "doc_id", "source",
+            F.explode(F.sequence(F.lit(1), F.col("n_chars") - k + 1)).alias("i"),
+            "text",
+        )
+        .select(
+            "doc_id", "source",
+            F.substring(F.md5(F.expr(f"substr(text, i, {k})")), 1, 16).alias("h"),
+        )
+        .persist()  # feeds the count table AND the enrich join
+    )
+    g = sh.groupBy("h").agg(
+        F.count("*").cast("bigint").alias("n_occ"),
+        F.countDistinct("doc_id").cast("bigint").alias("n_docs"),
+        F.countDistinct("source").cast("bigint").alias("n_sources"),
+    )
+    dup = F.sum((F.col("n_occ") > 1).cast("bigint"))
+    return (
+        sh.join(g, "h")
+        .groupBy("source")
+        .agg(
+            F.count("*").cast("bigint").alias("n_shingles"),
+            dup.alias("dup_occurrences"),
+            F.sum((F.col("n_docs") > 1).cast("bigint")).alias("cross_doc_occurrences"),
+            F.sum((F.col("n_sources") > 1).cast("bigint")).alias(
+                "cross_source_occurrences"
+            ),
+            F.expr(f"CAST(({MEM_SCALE} * SUM(CASE WHEN n_occ > 1 THEN 1 ELSE 0 END))"
+                   f" div COUNT(*) AS BIGINT)").alias("dup_rate_fx"),
+        )
+    )

@@ -105,3 +105,97 @@ def test_kneser_ney_matches_python_recompute(spark):
     # KN's signature: continuation prob uses TYPE counts — a word that
     # appears often after only one context must differ from plain MLE.
     assert t > 0 and any(n_precede[w] > 1 for (_, w) in pair)
+
+
+def test_curriculum_matches_python_recompute(spark):
+    """Quartile staging + cumulative epoch schedule recomputed imperatively
+    with a by-the-book percentile_disc (smallest value at cumulative
+    distribution >= p) and a running-total walk."""
+    import math
+
+    from duckdb_ner_spark.operators.round7c import CUR_EPOCHS, CUR_SCALE
+
+    docs = (
+        spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+        .select("doc_id", "n_chars", "text")
+        .collect()
+    )
+    diffs = []
+    for r in docs:
+        ws = r.text.split(" ")
+        diffs.append((r.n_chars * ((CUR_SCALE * len(set(ws))) // len(ws)), r.n_chars))
+    vals = sorted(d for d, _ in diffs)
+    n = len(vals)
+    q = [vals[math.ceil(p * n) - 1] for p in (0.25, 0.50, 0.75)]
+    st = {}
+    for d, chars in diffs:
+        stage = 1 + sum(1 for b in q if d > b)
+        nd, sc, mn, mx = st.get(stage, (0, 0, None, None))
+        st[stage] = (
+            nd + 1, sc + chars,
+            d if mn is None else min(mn, d),
+            d if mx is None else max(mx, d),
+        )
+    total = sum(v[1] for v in st.values())
+    want, cum = {}, 0
+    for stage in sorted(st):
+        nd, sc, mn, mx = st[stage]
+        want[stage] = (nd, sc, cum + sc, (CUR_EPOCHS * cum) // total, mn, mx)
+        cum += sc
+    got = {
+        r.stage: (
+            r.n_docs, r.stage_chars, r.cum_chars, r.epoch_start,
+            r.min_difficulty_fx, r.max_difficulty_fx,
+        )
+        for r in QUERIES["q_curriculum"](spark, SF_SMOKE).collect()
+    }
+    assert got == want
+    assert set(got) == {1, 2, 3, 4}
+    # the schedule is monotone and spans the epochs
+    starts = [got[s][3] for s in sorted(got)]
+    assert starts == sorted(starts) and starts[0] == 0
+
+
+def test_memorization_matches_python_recompute(spark):
+    """Character-shingle duplicate mass recomputed from raw text (no md5 —
+    the recompute groups on the actual spans, proving the hash grouping
+    is collision-free here)."""
+    from duckdb_ner_spark.operators.round7c import MEM_SCALE, MEM_SHINGLE_LEN
+
+    docs = (
+        spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+        .select("doc_id", "source", "text")
+        .collect()
+    )
+    k = MEM_SHINGLE_LEN
+    occ = []  # (span, doc_id, source)
+    for r in docs:
+        for i in range(len(r.text) - k + 1):
+            occ.append((r.text[i : i + k], r.doc_id, r.source))
+    n_occ = Counter(s for s, _, _ in occ)
+    docs_of = defaultdict(set)
+    srcs_of = defaultdict(set)
+    for s, d, src in occ:
+        docs_of[s].add(d)
+        srcs_of[s].add(src)
+    per_src = defaultdict(lambda: [0, 0, 0, 0])  # n, dup, xdoc, xsrc
+    for s, _, src in occ:
+        a = per_src[src]
+        a[0] += 1
+        a[1] += n_occ[s] > 1
+        a[2] += len(docs_of[s]) > 1
+        a[3] += len(srcs_of[s]) > 1
+    want = {
+        src: (n, dup, xd, xs, (MEM_SCALE * dup) // n)
+        for src, (n, dup, xd, xs) in per_src.items()
+    }
+    got = {
+        r.source: (
+            r.n_shingles, r.dup_occurrences, r.cross_doc_occurrences,
+            r.cross_source_occurrences, r.dup_rate_fx,
+        )
+        for r in QUERIES["q_memorization"](spark, SF_SMOKE).collect()
+    }
+    assert got == want
+    assert any(v[1] > 0 for v in want.values())  # duplicate spans exist
+    assert any(v[3] > 0 for v in want.values())  # and cross-source ones
