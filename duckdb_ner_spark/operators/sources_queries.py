@@ -259,3 +259,51 @@ def q_source_binary(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("total_px").cast("bigint").alias("total_px"),
         F.sum("total_sample_sum").cast("bigint").alias("total_sample_sum"),
     )
+
+
+@declared(
+    "q_source_text",
+    cache_plan=False,
+    oracle="""
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(LENGTH(text)) AS BIGINT) AS total_chars,
+           CAST(SUM(doc_id) AS BIGINT) AS id_checksum
+    FROM documents GROUP BY lang
+    """,
+)
+def q_source_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Text-lines sink+source round-trip (the remaining built-in file
+    format after csv/json/orc/parquet/binaryFile): documents are flattened
+    to one `doc_id|lang|text` line each via the text SINK, read back
+    through `spark.read.text` (one `value` row per line), re-parsed with
+    two delimiter splits, and aggregated — the lang totals (including the
+    payload's character count, proving the text body itself survived) must
+    equal the parquet-truth aggregate. The corpus is ASCII words+spaces
+    with no '|' or newlines (pinned by test_documents_corpus_is_ascii), so
+    the framing is unambiguous.
+
+    Scale notes (100 TB): text is the rawest ingest format a corpus
+    arrives in; the source splits by file and by line within a file
+    (newline-delimited, splittable like csv). Parsing is substring_index —
+    JVM codegen, no Python."""
+    from ..sources.catalog import load_tables as _lt
+
+    t = _lt(spark, sf_dir)
+    path = _scratch("text_documents", sf_dir)
+    lines = t.documents.select(
+        F.concat_ws("|", F.col("doc_id"), F.col("lang"), F.col("text")).alias("value")
+    )
+    lines.write.mode("overwrite").text(path)
+    back = spark.read.text(path).select(
+        F.substring_index("value", "|", 1).cast("bigint").alias("doc_id"),
+        F.substring_index(F.substring_index("value", "|", 2), "|", -1).alias("lang"),
+        F.expr("substr(value, length(substring_index(value, '|', 2)) + 2)").alias(
+            "text"
+        ),
+    )
+    return back.groupBy("lang").agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum(F.length("text")).cast("bigint").alias("total_chars"),
+        F.sum("doc_id").cast("bigint").alias("id_checksum"),
+    )

@@ -731,3 +731,76 @@ def q_stream_dedup_incr(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     sink = _drain(admit, "complete")
     return spark.table(sink).select("doc_id")
+
+
+def _stream_gate_oracle() -> str:
+    from .textstats import GATE_DISTINCT_DEN, GATE_DISTINCT_NUM, GATE_MIN_WORDS
+
+    return f"""
+    WITH per_doc AS (
+        SELECT lang, n_chars,
+               len(string_split(text, ' ')) AS n_words,
+               len(list_distinct(string_split(text, ' '))) AS n_distinct
+        FROM documents
+    )
+    SELECT lang,
+           CASE WHEN n_words < {GATE_MIN_WORDS} THEN 'too_short'
+                WHEN n_distinct * {GATE_DISTINCT_DEN}
+                     < {GATE_DISTINCT_NUM} * n_words THEN 'repetitive'
+                ELSE 'keep' END AS verdict,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars
+    FROM per_doc
+    GROUP BY 1, 2
+"""
+
+
+@declared("q_stream_quality_gate", cache_plan=False, oracle=_stream_gate_oracle())
+def q_stream_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality gate AT INGEST, as a stream: documents arrive through the
+    file source and each micro-batch is scored map-only (word count and
+    type/token ratio via split/array_distinct — no corpus statistics, so
+    the gate needs no state beyond the final counter) and routed to a
+    verdict (''too_short'' / ''repetitive'' / ''keep'', first matching rule
+    wins — the same thresholds as the batch q_quality_gate family); the
+    per-(lang, verdict) admission scorecard accumulates in complete mode.
+    The oracle is the batch replay over the same corpus — stream/batch
+    parity for the admission decision itself.
+
+    Unlike q_quality_gate (corpus-frequency surprisal bands, batch-only by
+    nature), every signal here is computable per-row at arrival, which is
+    exactly what a front-door filter must be: the stream path costs one
+    map and one bounded aggregate, and admitted docs could stream onward
+    (append-mode routing) without waiting for any corpus pass.
+
+    Scale notes (100 TB): scoring is JVM map-only (split + array_distinct
+    + integer cross-multiplication — the ratio test is n_distinct*DEN <
+    NUM*n_words, no division); complete-mode state is O(langs x 3 verdicts)
+    regardless of corpus size; the file source stands in for Kafka as in
+    every other q_stream_* query."""
+    from ..streaming.ner_stream import stream_documents
+    from .textstats import GATE_DISTINCT_DEN, GATE_DISTINCT_NUM, GATE_MIN_WORDS
+
+    docs = stream_documents(spark, sf_dir)
+    ws = F.split("text", " ")
+    scored = docs.select(
+        "lang", "n_chars",
+        F.size(ws).alias("n_words"),
+        F.size(F.array_distinct(ws)).alias("n_distinct"),
+    ).select(
+        "lang", "n_chars",
+        F.when(F.col("n_words") < GATE_MIN_WORDS, "too_short")
+        .when(
+            F.col("n_distinct") * GATE_DISTINCT_DEN
+            < GATE_DISTINCT_NUM * F.col("n_words"),
+            "repetitive",
+        )
+        .otherwise("keep")
+        .alias("verdict"),
+    )
+    agg = scored.groupBy("lang", "verdict").agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.sum("n_chars").cast("bigint").alias("total_chars"),
+    )
+    name = _drain(agg, mode="complete")
+    return spark.table(name)

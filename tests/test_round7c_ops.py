@@ -199,3 +199,57 @@ def test_memorization_matches_python_recompute(spark):
     assert got == want
     assert any(v[1] > 0 for v in want.values())  # duplicate spans exist
     assert any(v[3] > 0 for v in want.values())  # and cross-source ones
+
+
+def test_stream_quality_gate_matches_python_recompute(spark):
+    """The streaming admission scorecard equals an imperative per-doc
+    verdict walk (first-matching-rule precedence pinned here)."""
+    from duckdb_ner_spark.operators.textstats import (
+        GATE_DISTINCT_DEN,
+        GATE_DISTINCT_NUM,
+        GATE_MIN_WORDS,
+    )
+
+    docs = (
+        spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+        .select("lang", "n_chars", "text")
+        .collect()
+    )
+    want = defaultdict(lambda: [0, 0])
+    for r in docs:
+        ws = r.text.split(" ")
+        if len(ws) < GATE_MIN_WORDS:
+            v = "too_short"
+        elif len(set(ws)) * GATE_DISTINCT_DEN < GATE_DISTINCT_NUM * len(ws):
+            v = "repetitive"
+        else:
+            v = "keep"
+        want[(r.lang, v)][0] += 1
+        want[(r.lang, v)][1] += r.n_chars
+    got = {
+        (r.lang, r.verdict): [r.n_docs, r.total_chars]
+        for r in QUERIES["q_stream_quality_gate"](spark, SF_SMOKE).collect()
+    }
+    assert got == dict(want)
+    assert {v for _, v in got} == {"too_short", "repetitive", "keep"}
+
+
+def test_source_text_round_trip_preserves_payload(spark):
+    """The text-lines round trip must preserve the full text payload, not
+    just row counts: per-lang char totals equal the parquet truth."""
+    rows = (
+        spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+        .select("doc_id", "lang", "text")
+        .collect()
+    )
+    want = defaultdict(lambda: [0, 0, 0])
+    for r in rows:
+        a = want[r.lang]
+        a[0] += 1
+        a[1] += len(r.text)
+        a[2] += r.doc_id
+    got = {
+        r.lang: [r.n, r.total_chars, r.id_checksum]
+        for r in QUERIES["q_source_text"](spark, SF_SMOKE).collect()
+    }
+    assert got == dict(want)
