@@ -39,6 +39,7 @@ _DRIVER_WINDOW_PRIORITY = [
     # them (CORRECTNESS_r06 burned 5 slots proving it) — all 50 slots below
     # are hash-checkable.
     # Block 1 — r7-new queries (prepend within this block as added).
+    "q_count_min", "q_hll_registers",
     "q_stream_quality_gate", "q_source_text",
     "q_curriculum", "q_memorization", "q_kneser_ney", "q_rejection_sampling",
     "q_grpo_advantage", "q_neyman_alloc", "q_fim_transform", "q_apportion", "q_preference_pairs", "q_span_corruption", "q_dialog_assembly",
@@ -57,11 +58,10 @@ _DRIVER_WINDOW_PRIORITY = [
     "q_array", "q_case", "q_cast", "q_date", "q_explode", "q_filter",
     "q_map", "q_math", "q_project", "q_scan", "q_setops", "q_sort",
     "q_string", "q_struct", "q_topk", "q_window_lag", "q_window_rank",
-    # Block 4 — oldest r3-era rows, alphabetical. With 26 r7-new queries in
-    # Block 1 (48 slots above), only the first 2 rows here make the 50-slot
-    # window; the tail below plus the r3 streaming block and the
-    # q_text_stats..q_zorder tail rotate in r8 (r8 should ALSO re-list any
-    # of these 2 that miss a green row in CORRECTNESS_r07).
+    # Block 4 — oldest r3-era rows, alphabetical. With 28 r7-new queries in
+    # Block 1 (50 slots above), NO rows here make the 50-slot window; this
+    # whole block plus the r3 streaming block and the q_text_stats..q_zorder
+    # tail rotate in r8.
     "q_asof_forward", "q_bucket_join", "q_chunk", "q_embed_centroid",
     "q_fingerprint", "q_grouped_agg_udaf", "q_grouped_map",
     "q_heavy_hitters", "q_hop_window", "q_json", "q_knn_join", "q_lang_id",

@@ -444,3 +444,224 @@ def q_memorization(spark: SparkSession, sf_dir: str) -> DataFrame:
                    f" div COUNT(*) AS BIGINT)").alias("dup_rate_fx"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Count-Min sketch (engine-exact mergeable frequency sketch over shingles)
+# --------------------------------------------------------------------------
+
+CMS_D = 4  # hash rows
+CMS_W = 4096  # buckets per row (~4 keys/bucket at sf0.01's 16k shingle types)
+CMS_TOP = 30
+
+# engine-portable 60-bit hash: Spark conv(hex,16,10) == DuckDB '0x'||hex cast
+_SPARK_H60 = "CAST(conv(substr(md5({arg}), 1, 15), 16, 10) AS BIGINT)"
+_DUCK_H60 = "CAST(('0x' || substr(md5({arg}), 1, 15)) AS BIGINT)"
+
+# raw (non-distinct) word trigram stream: every position, both engines
+_DUCK_TRIGRAMS = """
+    WITH d AS (
+        SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+    ), sh AS (
+        SELECT doc_id,
+               unnest(CASE WHEN len(ws) >= 3 THEN
+                   [ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]
+                    FOR i IN range(1, len(ws) - 1)]
+               ELSE [] END) AS s
+        FROM d
+    )
+"""
+
+_CMS_ORACLE = f"""
+    {_DUCK_TRIGRAMS}, wf AS (
+        SELECT s, CAST(COUNT(*) AS BIGINT) AS c FROM sh GROUP BY s
+    ), rws AS (
+        SELECT s, c, j,
+               {_DUCK_H60.format(arg="'cms' || j || '|' || s")} % {CMS_W} AS bucket
+        FROM wf, (SELECT unnest(range({CMS_D})) AS j)
+    ), sk AS (
+        SELECT j, bucket, CAST(SUM(c) AS BIGINT) AS cell FROM rws GROUP BY j, bucket
+    )
+    SELECT r.s AS shingle, r.c AS true_count,
+           CAST(MIN(sk.cell) AS BIGINT) AS cms_est,
+           CAST(MIN(sk.cell) - r.c AS BIGINT) AS overcount
+    FROM rws r JOIN sk ON sk.j = r.j AND sk.bucket = r.bucket
+    GROUP BY r.s, r.c
+    ORDER BY true_count DESC, shingle
+    LIMIT {CMS_TOP}
+"""
+
+
+def _spark_trigrams(docs: DataFrame) -> DataFrame:
+    """Raw trigram occurrence stream (0-based Spark array indexing; guarded
+    so sequence() never runs descending on short docs — the size<3 gotcha)."""
+    return (
+        docs.select(F.split("text", " ").alias("ws"))
+        .select(
+            F.explode(
+                F.expr(
+                    "CASE WHEN size(ws) >= 3 THEN"
+                    " transform(sequence(0, size(ws) - 3),"
+                    "           i -> concat(ws[i], ' ', ws[i+1], ' ', ws[i+2]))"
+                    " ELSE array() END"
+                )
+            ).alias("s")
+        )
+    )
+
+
+@declared("q_count_min", oracle=_CMS_ORACLE)
+def q_count_min(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min sketch (Cormode & Muthukrishnan 2005) over the corpus's
+    word-trigram stream: CMS_D independent hash rows x CMS_W buckets, cell =
+    sum of colliding keys' counts, point estimate = min over rows — the
+    mergeable frequency sketch a 1000-executor pipeline uses when the exact
+    shingle table is too wide to keep. The query returns the CMS_TOP most
+    frequent shingles with true count, sketch estimate, and the overcount
+    (always >= 0: CMS never underestimates), so the sketch's error behavior
+    is itself differential-tested against both engines.
+
+    Engine-exactness: bucket = 60-bit md5 hash (Spark conv(hex,16,10) ==
+    DuckDB '0x'||hex cast, value-identical) mod CMS_W on non-negatives;
+    cells and estimates are BIGINT sums and MINs; (true_count DESC,
+    shingle) is a total order.
+
+    Scale notes (100 TB): the sketch IS the scale story — construction is
+    one map-side-combined SUM into d*w = 1024 cells regardless of corpus
+    size (each partition builds its local sketch, cells merge by +), and
+    the probe joins the 1024-row sketch back broadcast. The exact wf table
+    here exists only because the query also reports truth; a production
+    run keeps the sketch and a heavy-hitter candidate set only."""
+    t = load_tables(spark, sf_dir)
+    wf = (
+        _spark_trigrams(t.documents)
+        .groupBy("s")
+        .agg(F.count("*").cast("bigint").alias("c"))
+    )
+    rws = wf.select(
+        "s", "c", F.explode(F.sequence(F.lit(0), F.lit(CMS_D - 1))).alias("j")
+    ).withColumn(
+        "bucket",
+        F.expr(_SPARK_H60.format(arg="concat('cms', j, '|', s)")) % CMS_W,
+    ).persist()  # feeds sketch construction AND the probe join
+    sk = rws.groupBy("j", "bucket").agg(F.sum("c").cast("bigint").alias("cell"))
+    est = (
+        rws.join(F.broadcast(sk), ["j", "bucket"])
+        .groupBy("s", "c")
+        .agg(F.min("cell").cast("bigint").alias("cms_est"))
+    )
+    return (
+        est.select(
+            F.col("s").alias("shingle"),
+            F.col("c").alias("true_count"),
+            "cms_est",
+            (F.col("cms_est") - F.col("c")).cast("bigint").alias("overcount"),
+        )
+        .orderBy(F.desc("true_count"), "shingle")
+        .limit(CMS_TOP)
+    )
+
+
+# --------------------------------------------------------------------------
+# HyperLogLog register construction (engine-exact mergeable cardinality)
+# --------------------------------------------------------------------------
+
+HLL_P = 6  # 2^6 = 64 registers
+HLL_M = 1 << HLL_P
+HLL_REST_BITS = 60 - HLL_P  # 54 low bits feed the rank
+HLL_RHO_CAP = 30  # 2^-rho terms below 2^-30 truncate (documented spec)
+HLL_ALPHA_NUM, HLL_ALPHA_DEN = 709, 1000  # alpha_64 = 0.709
+
+_HLL_ORACLE = f"""
+    {_DUCK_TRIGRAMS}, d2 AS (
+        SELECT DISTINCT s FROM sh
+    ), h AS (
+        SELECT {_DUCK_H60.format(arg="'hll|' || s")} AS hv FROM d2
+    ), split AS (
+        SELECT hv >> {HLL_REST_BITS} AS j,
+               hv & ((CAST(1 AS BIGINT) << {HLL_REST_BITS}) - 1) AS rest
+        FROM h
+    ), reg AS (
+        SELECT j,
+               CAST(MAX(CASE WHEN rest = 0 THEN {HLL_REST_BITS + 1}
+                        ELSE {HLL_REST_BITS + 1} - LENGTH(bin(rest)) END)
+                    AS BIGINT) AS rho,
+               CAST(COUNT(*) AS BIGINT) AS nd
+        FROM split GROUP BY j
+    )
+    SELECT CAST({HLL_M} AS BIGINT) AS m,
+           CAST(COUNT(*) AS BIGINT) AS n_registers_hit,
+           CAST(SUM(rho) AS BIGINT) AS sum_rho,
+           CAST(SUM((j + 1) * rho) AS BIGINT) AS reg_checksum,
+           CAST(({HLL_ALPHA_NUM} * {HLL_M} * {HLL_M}
+                 * (CAST(1 AS BIGINT) << {HLL_RHO_CAP}))
+                // ({HLL_ALPHA_DEN} * GREATEST(
+                    SUM(CASE WHEN rho <= {HLL_RHO_CAP}
+                        THEN CAST(1 AS BIGINT) << ({HLL_RHO_CAP} - rho)
+                        ELSE 0 END)
+                    + ({HLL_M} - COUNT(*))
+                      * (CAST(1 AS BIGINT) << {HLL_RHO_CAP}), 1))
+                AS BIGINT) AS raw_est,
+           CAST(SUM(nd) AS BIGINT) AS true_distinct
+    FROM reg
+"""
+
+
+@declared("q_hll_registers", oracle=_HLL_ORACLE)
+def q_hll_registers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog cardinality sketch (Flajolet et al. 2007) built
+    engine-exactly over distinct word trigrams: a 60-bit md5 hash splits
+    into a HLL_P-bit register index and a rank rho = leading zeros of the
+    remaining bits + 1; registers hold MAX(rho) — the mergeable state a
+    1000-executor distinct-count maintains (max merges by max, the same
+    combiner algebra as Spark's own approx_count_distinct, which q_approx_
+    distinct can only rows-only check because ITS sketch is
+    engine-internal; this one is portable). The single audit row carries
+    the register checksum, the alpha_m-corrected raw estimate in integer
+    fixed point, and the true distinct count for an in-plan accuracy read.
+
+    Engine-exactness: rho via the integer bit-length trick (55 -
+    LENGTH(bin(rest))); the harmonic sum multiplies through by 2^HLL_RHO_
+    CAP with terms below 2^-30 truncated to 0 (deterministic in both
+    engines, error < 64*2^-30 of a sum >= 1) and alpha_64 = 709/1000
+    exactly, leaving one floor division of non-negatives. Numerator bound
+    709 * 64^2 * 2^30 ~ 3.1e15 < 2^63.
+
+    Scale notes (100 TB): map-side MAX per register then a 64-row final
+    merge — constant state per executor, no shuffle of keys at all after
+    the per-partition combine; the distinct() feeding it is the one real
+    shuffle and exists here only so true_distinct can be reported (a
+    production sketch hashes the RAW stream — duplicates cannot move a
+    MAX, so dedup is unnecessary)."""
+    t = load_tables(spark, sf_dir)
+    d2 = _spark_trigrams(t.documents).distinct()
+    split = d2.select(
+        F.expr(_SPARK_H60.format(arg="concat('hll|', s)")).alias("hv")
+    ).select(
+        F.expr(f"hv >> {HLL_REST_BITS}").alias("j"),
+        F.expr(f"hv & ((CAST(1 AS BIGINT) << {HLL_REST_BITS}) - 1)").alias("rest"),
+    )
+    reg = split.groupBy("j").agg(
+        F.expr(
+            f"CAST(MAX(CASE WHEN rest = 0 THEN {HLL_REST_BITS + 1}"
+            f" ELSE {HLL_REST_BITS + 1} - LENGTH(bin(rest)) END) AS BIGINT)"
+        ).alias("rho"),
+        F.count("*").cast("bigint").alias("nd"),
+    )
+    s_term = (
+        f"SUM(CASE WHEN rho <= {HLL_RHO_CAP}"
+        f" THEN CAST(1 AS BIGINT) << ({HLL_RHO_CAP} - rho) ELSE 0 END)"
+        f" + ({HLL_M} - COUNT(*)) * (CAST(1 AS BIGINT) << {HLL_RHO_CAP})"
+    )
+    return reg.agg(
+        F.lit(HLL_M).cast("bigint").alias("m"),
+        F.count("*").cast("bigint").alias("n_registers_hit"),
+        F.sum("rho").cast("bigint").alias("sum_rho"),
+        F.sum((F.col("j") + 1) * F.col("rho")).cast("bigint").alias("reg_checksum"),
+        F.expr(
+            f"CAST(({HLL_ALPHA_NUM} * {HLL_M} * {HLL_M}"
+            f" * (CAST(1 AS BIGINT) << {HLL_RHO_CAP}))"
+            f" div ({HLL_ALPHA_DEN} * GREATEST({s_term}, 1)) AS BIGINT)"
+        ).alias("raw_est"),
+        F.sum("nd").cast("bigint").alias("true_distinct"),
+    )
