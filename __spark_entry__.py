@@ -39,6 +39,8 @@ _DRIVER_WINDOW_PRIORITY = [
     # them (CORRECTNESS_r06 burned 5 slots proving it) — all 50 slots below
     # are hash-checkable.
     # Block 1 — r7-new queries (prepend within this block as added).
+    "q_feature_hashing", "q_postings_compression", "q_skipgram",
+    "q_random_projection",
     "q_count_min", "q_hll_registers",
     "q_stream_quality_gate", "q_source_text",
     "q_curriculum", "q_memorization", "q_kneser_ney", "q_rejection_sampling",
@@ -54,14 +56,16 @@ _DRIVER_WINDOW_PRIORITY = [
     # salted min-k bucket cap, VERDICT #2 — hash must stay identical).
     "q_sim_ann", "q_sim_ivf", "q_dedup_near", "q_dedup_embed",
     "q_image_dedup",
-    # Block 3 — the 17 r2-era rows (latest driver row = round 2).
+    # Block 3 — the 17 r2-era rows (latest driver row = round 2). With 32
+    # r7-new queries in Block 1 and 5 in Block 2, only the first 13 rows
+    # here make the 50-slot window; the last 4 (q_struct..q_window_rank)
+    # rotate to r8.
     "q_array", "q_case", "q_cast", "q_date", "q_explode", "q_filter",
     "q_map", "q_math", "q_project", "q_scan", "q_setops", "q_sort",
     "q_string", "q_struct", "q_topk", "q_window_lag", "q_window_rank",
-    # Block 4 — oldest r3-era rows, alphabetical. With 28 r7-new queries in
-    # Block 1 (50 slots above), NO rows here make the 50-slot window; this
-    # whole block plus the r3 streaming block and the q_text_stats..q_zorder
-    # tail rotate in r8.
+    # Block 4 — oldest r3-era rows, alphabetical. NONE fit in r7's window;
+    # this whole block plus the r3 streaming block, the Block-3 tail above,
+    # and the q_text_stats..q_zorder tail rotate in r8.
     "q_asof_forward", "q_bucket_join", "q_chunk", "q_embed_centroid",
     "q_fingerprint", "q_grouped_agg_udaf", "q_grouped_map",
     "q_heavy_hitters", "q_hop_window", "q_json", "q_knn_join", "q_lang_id",

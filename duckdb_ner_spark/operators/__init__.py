@@ -11,6 +11,7 @@ from . import (  # noqa: F401
     retrieval,
     round7,
     round7c,
+    round7d,
     sampling,
     scalepatterns,
     layout_queries,

@@ -1,0 +1,165 @@
+"""Round-7 batch-d operator tests: pure-Python recomputes for feature
+hashing, posting-list compression, skip-gram extraction, and JL random
+projection, pinning each query's semantics with a third implementation
+independent of both Spark and the DuckDB oracle.
+"""
+
+from collections import Counter, defaultdict
+from hashlib import md5
+
+import duckdb_ner_spark.operators  # noqa: F401 — populate the registry
+from duckdb_ner_spark.plans.registry import QUERIES
+
+SF_SMOKE = "/root/testdata/sf0.001"
+
+
+def _h60(arg: str) -> int:
+    return int(md5(arg.encode()).hexdigest()[:15], 16)
+
+
+def test_feature_hashing_matches_python_recompute(spark):
+    """Hashing-trick vectors rebuilt cell by cell: signed sums per bucket,
+    collision count = distinct words minus occupied cells."""
+    from duckdb_ner_spark.operators.round7d import FH_D
+
+    docs = (
+        spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+        .select("doc_id", "text")
+        .collect()
+    )
+    want = {}
+    for r in docs:
+        cells = defaultdict(int)
+        cell_words = defaultdict(set)
+        for w in r.text.split(" "):
+            hv = _h60(f"fh|{w}")
+            idx = hv % FH_D
+            cells[idx] += 1 if (hv >> 59) & 1 == 0 else -1
+            cell_words[idx].add(w)
+        nnz = len(cells)
+        want[r.doc_id] = (
+            nnz,
+            sum(abs(v) for v in cells.values()),
+            max(abs(v) for v in cells.values()),
+            sum(len(s) for s in cell_words.values()) - nnz,
+            sum((i + 1) * v for i, v in cells.items()),
+        )
+    got = {
+        r.doc_id: (r.nnz, r.l1, r.linf, r.collisions, r.vec_checksum)
+        for r in QUERIES["q_feature_hashing"](spark, SF_SMOKE).collect()
+    }
+    assert got == want
+    # the smoke corpus has a 31-word vocab vs FH_D=256 buckets, so no two
+    # words collide: collisions must be identically 0 and nnz bounded by D
+    assert all(v[3] == 0 for v in want.values())
+    assert all(v[0] <= FH_D for v in want.values())
+
+
+def test_postings_compression_matches_python_recompute(spark):
+    """Delta/vbyte costs recomputed from sorted distinct postings with
+    Python int.bit_length (== LENGTH(bin(x)) on positives)."""
+    from duckdb_ner_spark.operators.round7d import PL_TOP
+
+    docs = (
+        spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+        .select("doc_id", "text")
+        .collect()
+    )
+    postings = defaultdict(set)
+    for r in docs:
+        for w in set(r.text.split(" ")):
+            postings[w].add(r.doc_id)
+    want = {}
+    for term, ids in postings.items():
+        ps = sorted(ids)
+        gaps = [ps[0] + 1] + [b - a for a, b in zip(ps, ps[1:])]
+        bits = [g.bit_length() for g in gaps]
+        df = len(ps)
+        delta = sum(bits)
+        want[term] = (
+            df,
+            64 * df,
+            delta,
+            sum((b + 6) // 7 for b in bits),
+            (64 * df - delta) * 10000 // (64 * df),
+        )
+    order = sorted(want, key=lambda t: (-want[t][0], t))[:PL_TOP]
+    got = QUERIES["q_postings_compression"](spark, SF_SMOKE).collect()
+    assert [r.term for r in got] == order
+    for r in got:
+        assert (r.df, r.raw_bits, r.delta_bits, r.vbyte_bytes, r.savings_bp) == want[
+            r.term
+        ]
+        assert r.delta_bits < r.raw_bits  # compression always wins here
+
+
+def test_skipgram_matches_python_recompute(spark):
+    """Skip-gram pairs regenerated positionally (the imperative double
+    loop the query expresses array-side)."""
+    from duckdb_ner_spark.operators.round7d import SG_TOP, SG_WINDOW
+
+    docs = (
+        spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+        .select("doc_id", "text")
+        .collect()
+    )
+    n_pairs = Counter()
+    doc_support = defaultdict(set)
+    for r in docs:
+        ws = r.text.split(" ")
+        for i, c in enumerate(ws):
+            for j in range(max(0, i - SG_WINDOW), min(len(ws), i + SG_WINDOW + 1)):
+                if j != i:
+                    n_pairs[(c, ws[j])] += 1
+                    doc_support[(c, ws[j])].add(r.doc_id)
+    order = sorted(n_pairs, key=lambda p: (-n_pairs[p], p))[:SG_TOP]
+    got = QUERIES["q_skipgram"](spark, SF_SMOKE).collect()
+    assert [(r.center, r.context) for r in got] == order
+    for r in got:
+        assert r.n_pairs == n_pairs[(r.center, r.context)]
+        assert r.n_docs == len(doc_support[(r.center, r.context)])
+
+
+def test_random_projection_matches_python_recompute(spark):
+    """JL projection recomputed with the same hash-derived sign matrix in
+    exact integer arithmetic; ratios must concentrate near the JL
+    expectation (scale factor RP_RATIO_SCALE)."""
+    from duckdb_ner_spark.operators.round7d import RP_FX, RP_K, RP_RATIO_SCALE
+
+    from decimal import ROUND_HALF_EVEN, Decimal
+
+    vecs = (
+        spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet")
+        .select("vec_id", "embedding")
+        .collect()
+    )
+    signs = {}
+
+    def sgn(i: int, j: int) -> int:
+        if (i, j) not in signs:
+            signs[(i, j)] = 1 if _h60(f"rp|{i}|{j}") & 1 == 0 else -1
+        return signs[(i, j)]
+
+    want = {}
+    for r in vecs:
+        q = [
+            int(
+                (Decimal(repr(float(e))) * RP_FX).quantize(
+                    Decimal("1"), rounding=ROUND_HALF_EVEN
+                )
+            )
+            for e in r.embedding
+        ]
+        orig = sum(x * x for x in q)
+        proj = sum(
+            sum(sgn(i, j) * q[j] for j in range(len(q))) ** 2 for i in range(RP_K)
+        )
+        want[r.vec_id] = (orig, proj, proj * RP_RATIO_SCALE // (RP_K * orig))
+    got = {
+        r.vec_id: (r.orig_sq, r.proj_sq, r.ratio_fx)
+        for r in QUERIES["q_random_projection"](spark, SF_SMOKE).collect()
+    }
+    assert got == want
+    ratios = [v[2] for v in want.values()]
+    mean = sum(ratios) / len(ratios)
+    assert 0.7 * RP_RATIO_SCALE < mean < 1.3 * RP_RATIO_SCALE
