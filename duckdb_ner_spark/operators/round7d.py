@@ -374,3 +374,257 @@ def q_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("vec_id")
     )
+
+
+# --------------------------------------------------------------------------
+# Kolmogorov-Smirnov drift statistic (each source vs the rest of the corpus)
+# --------------------------------------------------------------------------
+
+_KS_ORACLE = """
+    WITH lc AS (
+        SELECT source, n_chars AS v, CAST(COUNT(*) AS BIGINT) AS c
+        FROM documents GROUP BY source, n_chars
+    ), tot AS (
+        SELECT v, CAST(SUM(c) AS BIGINT) AS c FROM lc GROUP BY v
+    ), ns AS (
+        SELECT source, CAST(SUM(c) AS BIGINT) AS n_s FROM lc GROUP BY source
+    ), n AS (
+        SELECT CAST(SUM(c) AS BIGINT) AS n_all FROM tot
+    ), thr AS (
+        SELECT DISTINCT v FROM tot
+    ), cum_s AS (
+        SELECT s.source, t.v,
+               CAST(COALESCE(SUM(lc.c), 0) AS BIGINT) AS cs
+        FROM (SELECT DISTINCT source FROM lc) s
+        CROSS JOIN thr t
+        LEFT JOIN lc ON lc.source = s.source AND lc.v <= t.v
+        GROUP BY s.source, t.v
+    ), cum_all AS (
+        SELECT t.v, CAST(SUM(tot.c) AS BIGINT) AS ca
+        FROM thr t JOIN tot ON tot.v <= t.v GROUP BY t.v
+    )
+    SELECT cs.source, ns.n_s,
+           CAST(n.n_all - ns.n_s AS BIGINT) AS n_rest,
+           CAST(MAX(ABS(cs.cs * (n.n_all - ns.n_s)
+                        - (cum_all.ca - cs.cs) * ns.n_s)) AS BIGINT) AS ks_num,
+           CAST(MAX(ABS(cs.cs * (n.n_all - ns.n_s)
+                        - (cum_all.ca - cs.cs) * ns.n_s)) * 10000
+                // (ns.n_s * (n.n_all - ns.n_s)) AS BIGINT) AS ks_bp
+    FROM cum_s cs
+    JOIN cum_all ON cum_all.v = cs.v
+    JOIN ns ON ns.source = cs.source
+    CROSS JOIN n
+    GROUP BY cs.source, ns.n_s, n.n_all
+    ORDER BY ks_bp DESC, cs.source
+"""
+
+
+@declared("q_ks_drift", oracle=_KS_ORACLE)
+def q_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Kolmogorov-Smirnov drift statistic, each source vs the
+    rest of the corpus, over the document length (n_chars) distribution:
+    D = max_v |F_s(v) - F_rest(v)|, computed EXACTLY as the integer
+    numerator max_v |cum_s(v)·N_rest - cum_rest(v)·N_s| over the common
+    denominator N_s·N_rest, reported in basis points. The
+    distribution-shape complement to q_drift_tvd's bucketed total
+    variation — KS catches a shifted length distribution TVD's coarse
+    buckets can miss, the ingest-monitoring alarm for a drifting source.
+
+    Engine-exactness: cumulative counts are built by a bounded non-equi
+    join (thresholds = DISTINCT observed lengths), never a float ECDF;
+    one floor division of non-negatives; (ks_bp DESC, source) is a total
+    order.
+
+    Scale notes (100 TB): everything after the first groupBy runs on the
+    (source x distinct-length) table, whose size is bounded by the length
+    domain (= max doc bytes), NOT corpus rows; the threshold join is
+    |lengths|^2 worst case on that pre-aggregated table — at a larger
+    length domain, bucket first (q_drift_tvd) or sort-merge the CDF with
+    one partitioned window per source."""
+    t = load_tables(spark, sf_dir)
+    lc = t.documents.groupBy("source", F.col("n_chars").alias("v")).agg(
+        F.count("*").cast("bigint").alias("c")
+    )
+    lc.persist()  # three aggregates below share it
+    tot = lc.groupBy("v").agg(F.sum("c").cast("bigint").alias("c"))
+    ns = lc.groupBy("source").agg(F.sum("c").cast("bigint").alias("n_s"))
+    thr = tot.select("v").distinct()
+    srcs = lc.select("source").distinct()
+    cum_s = (
+        srcs.crossJoin(thr)
+        .alias("g")
+        .join(
+            lc.select(
+                F.col("source").alias("ls"), F.col("v").alias("lv"), "c"
+            ).alias("l"),
+            (F.col("l.ls") == F.col("g.source")) & (F.col("l.lv") <= F.col("g.v")),
+            "left",
+        )
+        .groupBy("g.source", "g.v")
+        .agg(F.coalesce(F.sum("c"), F.lit(0)).cast("bigint").alias("cs"))
+    )
+    cum_all = (
+        thr.alias("t")
+        .join(tot.select(F.col("v").alias("tv"), "c").alias("o"),
+              F.col("o.tv") <= F.col("t.v"))
+        .groupBy("t.v")
+        .agg(F.sum("c").cast("bigint").alias("ca"))
+    )
+    n_all = tot.agg(F.sum("c").cast("bigint").alias("n_all"))
+    d = (
+        cum_s.join(cum_all, "v")
+        .join(F.broadcast(ns), "source")
+        .crossJoin(F.broadcast(n_all))
+        .select(
+            "source",
+            "n_s",
+            (F.col("n_all") - F.col("n_s")).cast("bigint").alias("n_rest"),
+            F.abs(
+                F.col("cs") * (F.col("n_all") - F.col("n_s"))
+                - (F.col("ca") - F.col("cs")) * F.col("n_s")
+            ).alias("dev"),
+        )
+    )
+    return (
+        d.groupBy("source", "n_s", "n_rest")
+        .agg(F.max("dev").cast("bigint").alias("ks_num"))
+        .withColumn(
+            "ks_bp",
+            F.expr("CAST(ks_num * 10000 div (n_s * n_rest) AS BIGINT)"),
+        )
+        .orderBy(F.desc("ks_bp"), "source")
+    )
+
+
+# --------------------------------------------------------------------------
+# One-vs-rest AUC via exact Mann-Whitney rank statistics (windowless)
+# --------------------------------------------------------------------------
+
+AUC_FX = 1_000_000  # score quantization (house FX_SCALE)
+
+_AUC_ORACLE = f"""
+    WITH sc AS (
+        SELECT label,
+               CAST(ROUND(CAST(embedding[1] AS DOUBLE) * {AUC_FX}) AS BIGINT)
+                   AS v
+        FROM embeddings
+    ), p AS (
+        SELECT label, v, CAST(COUNT(*) AS BIGINT) AS pos
+        FROM sc GROUP BY label, v
+    ), tot AS (
+        SELECT v, CAST(COUNT(*) AS BIGINT) AS c FROM sc GROUP BY v
+    ), nl AS (
+        SELECT label, CAST(COUNT(*) AS BIGINT) AS n_pos FROM sc GROUP BY label
+    ), n AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_all FROM sc
+    ), gt_all AS (
+        SELECT p.label, CAST(SUM(p.pos * t.c) AS BIGINT) AS s
+        FROM p JOIN tot t ON t.v < p.v GROUP BY p.label
+    ), gt_same AS (
+        SELECT a.label, CAST(SUM(a.pos * b.pos) AS BIGINT) AS s
+        FROM p a JOIN p b ON b.label = a.label AND b.v < a.v
+        GROUP BY a.label
+    ), tie AS (
+        SELECT p.label,
+               CAST(SUM(p.pos * (t.c - p.pos)) AS BIGINT) AS s
+        FROM p JOIN tot t ON t.v = p.v GROUP BY p.label
+    )
+    SELECT nl.label, nl.n_pos,
+           CAST(n.n_all - nl.n_pos AS BIGINT) AS n_neg,
+           CAST(2 * (COALESCE(ga.s, 0) - COALESCE(gs.s, 0))
+                + COALESCE(ti.s, 0) AS BIGINT) AS u2,
+           CAST((2 * (COALESCE(ga.s, 0) - COALESCE(gs.s, 0))
+                 + COALESCE(ti.s, 0)) * 10000
+                // (2 * nl.n_pos * (n.n_all - nl.n_pos)) AS BIGINT) AS auc_bp
+    FROM nl CROSS JOIN n
+    LEFT JOIN gt_all ga ON ga.label = nl.label
+    LEFT JOIN gt_same gs ON gs.label = nl.label
+    LEFT JOIN tie ti ON ti.label = nl.label
+    ORDER BY nl.label
+"""
+
+
+@declared("q_auc", oracle=_AUC_ORACLE)
+def q_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-vs-rest AUC for every class label, with the first embedding
+    dimension as the scoring function — the classifier-eval primitive a
+    training pipeline runs on every eval dump. Computed EXACTLY as the
+    Mann-Whitney U statistic in integers: u2 = 2·#{score_pos > score_neg}
+    + #{ties} (the 2x carries tie half-credit without fractions), and
+    AUC = u2 / (2·n_pos·n_neg) reported in basis points.
+
+    Engine-exactness: scores are AUC_FX-quantized integers; the
+    pos-beats-neg pair count is assembled from grouped per-value counts
+    via bounded theta-joins (the windowless-rank house trick, keeping the
+    global-window ledger untouched); one floor division of non-negatives;
+    label is a total order.
+
+    Scale notes (100 TB): all joins run on the per-(label, distinct
+    score) table — bounded by the quantization grid (2·AUC_FX values),
+    not by corpus rows; at a finer grid, the same counts fall out of one
+    partitioned-by-label window over the sorted score table (the
+    sort-merge ECDF), which is the plan to switch to when |distinct
+    scores| approaches row count."""
+    t = load_tables(spark, sf_dir)
+    sc = t.embeddings.select(
+        "label",
+        F.expr(
+            f"CAST(ROUND(CAST(embedding[0] AS DOUBLE) * {AUC_FX}, 0) AS BIGINT)"
+        ).alias("v"),
+    )
+    sc.persist()  # four aggregates below share it
+    p = sc.groupBy("label", "v").agg(F.count("*").cast("bigint").alias("pos"))
+    p.persist()  # self-join + two theta-joins below
+    tot = sc.groupBy("v").agg(F.count("*").cast("bigint").alias("c"))
+    nl = sc.groupBy("label").agg(F.count("*").cast("bigint").alias("n_pos"))
+    n = sc.agg(F.count("*").cast("bigint").alias("n_all"))
+    gt_all = (
+        p.alias("p")
+        .join(F.broadcast(tot.alias("t")), F.col("t.v") < F.col("p.v"))
+        .groupBy("p.label")
+        .agg(F.sum(F.col("p.pos") * F.col("t.c")).cast("bigint").alias("ga"))
+    )
+    gt_same = (
+        p.alias("a")
+        .join(
+            F.broadcast(p.select(
+                F.col("label").alias("bl"), F.col("v").alias("bv"),
+                F.col("pos").alias("bpos"),
+            )),
+            (F.col("bl") == F.col("a.label")) & (F.col("bv") < F.col("a.v")),
+        )
+        .groupBy("a.label")
+        .agg(F.sum(F.col("a.pos") * F.col("bpos")).cast("bigint").alias("gs"))
+    )
+    tie = (
+        p.alias("p")
+        .join(F.broadcast(tot.alias("t")), F.col("t.v") == F.col("p.v"))
+        .groupBy("p.label")
+        .agg(
+            F.sum(F.col("p.pos") * (F.col("t.c") - F.col("p.pos")))
+            .cast("bigint")
+            .alias("ti")
+        )
+    )
+    return (
+        nl.crossJoin(F.broadcast(n))
+        .join(gt_all, "label", "left")
+        .join(gt_same, "label", "left")
+        .join(tie, "label", "left")
+        .select(
+            "label",
+            "n_pos",
+            (F.col("n_all") - F.col("n_pos")).cast("bigint").alias("n_neg"),
+            (
+                2 * (F.coalesce("ga", F.lit(0)) - F.coalesce("gs", F.lit(0)))
+                + F.coalesce("ti", F.lit(0))
+            )
+            .cast("bigint")
+            .alias("u2"),
+        )
+        .withColumn(
+            "auc_bp",
+            F.expr("CAST(u2 * 10000 div (2 * n_pos * n_neg) AS BIGINT)"),
+        )
+        .orderBy("label")
+    )

@@ -163,3 +163,75 @@ def test_random_projection_matches_python_recompute(spark):
     ratios = [v[2] for v in want.values()]
     mean = sum(ratios) / len(ratios)
     assert 0.7 * RP_RATIO_SCALE < mean < 1.3 * RP_RATIO_SCALE
+
+
+def test_ks_drift_matches_python_recompute(spark):
+    """KS numerators rebuilt from explicit ECDF step functions per source."""
+    docs = (
+        spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+        .select("source", "n_chars")
+        .collect()
+    )
+    by_src = defaultdict(list)
+    for r in docs:
+        by_src[r.source].append(r.n_chars)
+    all_lens = sorted({r.n_chars for r in docs})
+    n_all = len(docs)
+    want = {}
+    for s, lens in by_src.items():
+        n_s = len(lens)
+        n_rest = n_all - n_s
+        rest = [r.n_chars for r in docs if r.source != s]
+        num = max(
+            abs(
+                sum(1 for x in lens if x <= v) * n_rest
+                - sum(1 for x in rest if x <= v) * n_s
+            )
+            for v in all_lens
+        )
+        want[s] = (n_s, n_rest, num, num * 10000 // (n_s * n_rest))
+    got = {
+        r.source: (r.n_s, r.n_rest, r.ks_num, r.ks_bp)
+        for r in QUERIES["q_ks_drift"](spark, SF_SMOKE).collect()
+    }
+    assert got == want
+
+
+def test_auc_matches_python_recompute(spark):
+    """Mann-Whitney 2U rebuilt by brute-force pair comparison per label;
+    AUC over a label-independent score must hover near 5000 bp."""
+    from decimal import ROUND_HALF_EVEN, Decimal
+
+    from duckdb_ner_spark.operators.round7d import AUC_FX
+
+    vecs = (
+        spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet")
+        .select("label", "embedding")
+        .collect()
+    )
+    scored = [
+        (
+            r.label,
+            int(
+                (Decimal(repr(float(r.embedding[0]))) * AUC_FX).quantize(
+                    Decimal("1"), rounding=ROUND_HALF_EVEN
+                )
+            ),
+        )
+        for r in vecs
+    ]
+    want = {}
+    for lab in sorted({l for l, _ in scored}):
+        pos = [v for l, v in scored if l == lab]
+        neg = [v for l, v in scored if l != lab]
+        u2 = sum(
+            2 if p > n else (1 if p == n else 0) for p in pos for n in neg
+        )
+        want[lab] = (len(pos), len(neg), u2, u2 * 10000 // (2 * len(pos) * len(neg)))
+    got = {
+        r.label: (r.n_pos, r.n_neg, r.u2, r.auc_bp)
+        for r in QUERIES["q_auc"](spark, SF_SMOKE).collect()
+    }
+    assert got == want
+    aucs = [v[3] for v in want.values()]
+    assert all(2000 < a < 8000 for a in aucs)
