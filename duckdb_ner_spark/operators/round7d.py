@@ -628,3 +628,175 @@ def q_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("label")
     )
+
+
+# --------------------------------------------------------------------------
+# Integer power iteration (dominant Gram eigenvector, 2 unrolled steps)
+# --------------------------------------------------------------------------
+
+PI_FX = 1_000_000  # element quantization AND iterate normalization scale
+PI_N_MAX = 1_000_000  # int64 safety: n * (PI_FX)^2 <= 1e18 < 2^63
+# signed floor-vs-trunc guard: both engines split sign so the division
+# runs on non-negatives, where Spark `div` and DuckDB `//` agree
+_SPARK_SDIV = "CASE WHEN {x} < 0 THEN -((-({x})) div {y}) ELSE ({x}) div {y} END"
+_DUCK_SDIV = "CASE WHEN {x} < 0 THEN -((-({x})) // {y}) ELSE ({x}) // {y} END"
+
+_PI_ORACLE = f"""
+    WITH ex AS (
+        SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS i,
+               CAST(ROUND(CAST(unnest(embedding) AS DOUBLE) * {PI_FX})
+                    AS BIGINT) AS q
+        FROM embeddings
+    ), nv AS (
+        SELECT CAST(COUNT(DISTINCT vec_id) AS BIGINT)
+               + COALESCE(CASE WHEN COUNT(DISTINCT vec_id) > {PI_N_MAX}
+                   THEN CAST(error('q_power_iteration: vector count exceeds the int64-safe bound') AS BIGINT)
+                 END, 0) AS n
+        FROM ex
+    ), gram AS (
+        SELECT a.i AS i, b.i AS j, CAST(SUM(a.q * b.q) AS BIGINT) AS g
+        FROM ex a JOIN ex b ON a.vec_id = b.vec_id GROUP BY a.i, b.i
+    ), cs AS (
+        SELECT i, j,
+               CAST({_DUCK_SDIV.format(x="g", y=PI_FX)} AS BIGINT) AS g
+        FROM gram
+    ), w1 AS (
+        SELECT i, CAST(SUM(g) * {PI_FX} AS BIGINT) AS w FROM cs GROUP BY i
+    ), m1 AS (
+        SELECT GREATEST(MAX(ABS(w)) // {PI_FX}, 1) AS m FROM w1
+    ), v1 AS (
+        SELECT i, CAST({_DUCK_SDIV.format(x="w1.w", y="m1.m")} AS BIGINT) AS v
+        FROM w1, m1
+    ), w2 AS (
+        SELECT cs.i, CAST(SUM(cs.g * v1.v) AS BIGINT) AS w
+        FROM cs JOIN v1 ON v1.i = cs.j GROUP BY cs.i
+    ), m2 AS (
+        SELECT GREATEST(MAX(ABS(w)) // {PI_FX}, 1) AS m FROM w2
+    ), v2 AS (
+        SELECT i, CAST({_DUCK_SDIV.format(x="w2.w", y="m2.m")} AS BIGINT) AS v
+        FROM w2, m2
+    )
+    SELECT v1.i AS dim, nv.n AS n_vec,
+           v1.v AS v1_fx, v2.v AS v2_fx,
+           CAST(ABS(v2.v - v1.v) AS BIGINT) AS delta_fx
+    FROM v1 JOIN v2 ON v2.i = v1.i CROSS JOIN nv
+    ORDER BY dim
+"""
+
+
+@declared("q_power_iteration", oracle=_PI_ORACLE)
+def q_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Power iteration for the dominant eigenvector of the embedding Gram
+    matrix, run for two UNROLLED steps entirely in integer fixed point —
+    the iterative-algorithm pattern (PCA direction, spectral dedup
+    centroid, PageRank's linear-algebra core) expressed relationally and
+    engine-exactly. Start from the all-ones vector (x PI_FX); each step is
+    a relational mat-vec (join Gram on j, SUM by i) followed by an
+    exactly-specified normalization: divide by max(|w|) div PI_FX with
+    sign-split floor division, keeping the iterate's magnitude near PI_FX.
+    Per dimension: both iterates and their movement |v2 - v1| (the
+    convergence readout; the dominant eigengap sets its decay).
+
+    Engine-exactness: the Gram matrix is an integer outer-product sum of
+    PI_FX-quantized elements; every division is sign-split onto
+    non-negatives (Spark div truncates, DuckDB // floors — they agree
+    there); the int64 bound n_vec <= PI_N_MAX (n·FX^2 <= 1e18) is ENFORCED
+    in-plan on both engines (Spark assert_true / DuckDB error(), the
+    q_embed_cov pattern, similarity.py:1386) via the n_vec output column
+    so Catalyst cannot prune the guard.
+
+    Scale notes (100 TB): the only corpus-sized stage is the Gram
+    outer-product aggregate — map-side combinable into at most d^2 = 4096
+    cells per partition (the classic treeAggregate Gram pattern; cf.
+    q_embed_cov's mapInPandas variant which does the same with vectorized
+    batches); both iterations run on the 4096-row Gram x 64-row iterate —
+    broadcast joins, zero additional passes over the data. More steps =
+    more 4096-row joins, each a few milliseconds, which is why production
+    power iteration on a 1000-executor cluster aggregates once and
+    iterates driver-adjacent."""
+    t = load_tables(spark, sf_dir)
+    ex = t.embeddings.select(
+        "vec_id",
+        F.posexplode("embedding").alias("i", "e"),
+    ).select(
+        "vec_id",
+        "i",
+        F.expr(f"CAST(ROUND(CAST(e AS DOUBLE) * {PI_FX}, 0) AS BIGINT)").alias("q"),
+    )
+    ex.persist()  # Gram self-join probes it twice; nv re-reads it
+    nv = ex.agg(
+        (
+            F.countDistinct("vec_id").cast("bigint")
+            + F.coalesce(
+                F.assert_true(
+                    F.countDistinct("vec_id") <= PI_N_MAX,
+                    "q_power_iteration: vector count exceeds the int64-safe bound",
+                ).cast("bigint"),
+                F.lit(0),
+            )
+        ).alias("n_vec")
+    )
+    gram = (
+        ex.alias("a")
+        .join(
+            ex.select(
+                F.col("vec_id").alias("bv"),
+                F.col("i").alias("j"),
+                F.col("q").alias("bq"),
+            ).alias("b"),
+            F.col("a.vec_id") == F.col("bv"),
+        )
+        .groupBy("a.i", "j")
+        .agg(F.sum(F.col("a.q") * F.col("bq")).cast("bigint").alias("g"))
+    )
+    cs = gram.select(
+        "i", "j",
+        F.expr(
+            "CAST(" + _SPARK_SDIV.format(x="g", y=PI_FX) + " AS BIGINT)"
+        ).alias("g"),
+    )
+    cs.persist()  # feeds both mat-vec steps
+    w1 = cs.groupBy("i").agg(
+        (F.sum("g") * PI_FX).cast("bigint").alias("w")
+    )
+    m1 = w1.agg(
+        F.expr(f"GREATEST(MAX(ABS(w)) div {PI_FX}, 1)").alias("m")
+    )
+    v1 = w1.crossJoin(F.broadcast(m1)).select(
+        "i",
+        F.expr(
+            "CAST(" + _SPARK_SDIV.format(x="w", y="m") + " AS BIGINT)"
+        ).alias("v"),
+    )
+    w2 = (
+        cs.join(
+            F.broadcast(v1.select(F.col("i").alias("j"), "v")), "j"
+        )
+        .groupBy("i")
+        .agg(F.sum(F.col("g") * F.col("v")).cast("bigint").alias("w"))
+    )
+    m2 = w2.agg(
+        F.expr(f"GREATEST(MAX(ABS(w)) div {PI_FX}, 1)").alias("m")
+    )
+    v2 = w2.crossJoin(F.broadcast(m2)).select(
+        "i",
+        F.expr(
+            "CAST(" + _SPARK_SDIV.format(x="w", y="m") + " AS BIGINT)"
+        ).alias("v"),
+    )
+    return (
+        v1.select(F.col("i").alias("dim"), F.col("v").alias("v1_fx"))
+        .join(
+            v2.select(F.col("i").alias("dim"), F.col("v").alias("v2_fx")),
+            "dim",
+        )
+        .crossJoin(F.broadcast(nv))
+        .select(
+            "dim",
+            "n_vec",
+            "v1_fx",
+            "v2_fx",
+            F.abs(F.col("v2_fx") - F.col("v1_fx")).cast("bigint").alias("delta_fx"),
+        )
+        .orderBy("dim")
+    )

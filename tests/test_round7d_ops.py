@@ -235,3 +235,50 @@ def test_auc_matches_python_recompute(spark):
     assert got == want
     aucs = [v[3] for v in want.values()]
     assert all(2000 < a < 8000 for a in aucs)
+
+
+def test_power_iteration_matches_python_recompute(spark):
+    """Both unrolled iterates recomputed in exact Python int arithmetic
+    (sign-split truncating division replicated with abs // y)."""
+    from decimal import ROUND_HALF_EVEN, Decimal
+
+    from duckdb_ner_spark.operators.round7d import PI_FX
+
+    vecs = (
+        spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet")
+        .select("vec_id", "embedding")
+        .collect()
+    )
+    qs = [
+        [
+            int(
+                (Decimal(repr(float(e))) * PI_FX).quantize(
+                    Decimal("1"), rounding=ROUND_HALF_EVEN
+                )
+            )
+            for e in r.embedding
+        ]
+        for r in vecs
+    ]
+    d = len(qs[0])
+
+    def sdiv(x: int, y: int) -> int:
+        return -((-x) // y) if x < 0 else x // y
+
+    gram = [[sum(q[i] * q[j] for q in qs) for j in range(d)] for i in range(d)]
+    cs = [[sdiv(gram[i][j], PI_FX) for j in range(d)] for i in range(d)]
+    w1 = [sum(cs[i]) * PI_FX for i in range(d)]
+    m1 = max(max(abs(w) for w in w1) // PI_FX, 1)
+    v1 = [sdiv(w, m1) for w in w1]
+    w2 = [sum(cs[i][j] * v1[j] for j in range(d)) for i in range(d)]
+    m2 = max(max(abs(w) for w in w2) // PI_FX, 1)
+    v2 = [sdiv(w, m2) for w in w2]
+    got = QUERIES["q_power_iteration"](spark, SF_SMOKE).collect()
+    assert len(got) == d
+    for r in got:
+        assert r.n_vec == len(qs)
+        assert r.v1_fx == v1[r.dim]
+        assert r.v2_fx == v2[r.dim]
+        assert r.delta_fx == abs(v2[r.dim] - v1[r.dim])
+    # normalization invariant: iterate magnitudes stay near PI_FX
+    assert max(abs(r.v2_fx) for r in got) <= 2 * PI_FX
