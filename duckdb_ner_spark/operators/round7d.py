@@ -800,3 +800,238 @@ def q_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("dim")
     )
+
+
+# --------------------------------------------------------------------------
+# Consistent-hash ring rebalance audit (add one shard, measure movement)
+# --------------------------------------------------------------------------
+
+CH_SHARDS = 8  # shards before the expansion
+CH_VNODES = 16  # virtual nodes per shard on the ring
+
+_CH_RING = f"""
+        SELECT s.s AS shard, {_DUCK_H60.format(arg="'ring|' || s.s || '|' || v.v")} AS pt
+        FROM (SELECT unnest(range({{n}})) AS s) s,
+             (SELECT unnest(range({CH_VNODES})) AS v) v
+"""
+
+_CH_ASSIGN = f"""
+        SELECT d.doc_id,
+               COALESCE(MIN(r.pt) FILTER (WHERE r.pt >= d.pos),
+                        (SELECT MIN(pt) FROM ring{{tag}})) AS pt
+        FROM pos d CROSS JOIN ring{{tag}} r
+        GROUP BY d.doc_id
+"""
+
+_CH_ORACLE = f"""
+    WITH pos AS (
+        SELECT doc_id, {_DUCK_H60.format(arg="'doc|' || doc_id")} AS pos
+        FROM documents
+    ), ring_b AS ({_CH_RING.format(n=CH_SHARDS)}
+    ), ring_a AS ({_CH_RING.format(n=CH_SHARDS + 1)}
+    ), succ_b AS ({_CH_ASSIGN.format(tag='_b')}
+    ), succ_a AS ({_CH_ASSIGN.format(tag='_a')}
+    ), assign AS (
+        SELECT sb.doc_id, rb.shard AS before, ra.shard AS after
+        FROM succ_b sb
+        JOIN ring_b rb ON rb.pt = sb.pt
+        JOIN succ_a sa ON sa.doc_id = sb.doc_id
+        JOIN ring_a ra ON ra.pt = sa.pt
+    ), shards AS (
+        SELECT unnest(range({CH_SHARDS + 1})) AS shard
+    )
+    SELECT s.shard,
+           CAST(COUNT(*) FILTER (WHERE a.before = s.shard) AS BIGINT)
+               AS n_before,
+           CAST(COUNT(*) FILTER (WHERE a.after = s.shard) AS BIGINT)
+               AS n_after,
+           CAST(COUNT(*) FILTER (WHERE a.before = s.shard
+                                   AND a.after <> s.shard) AS BIGINT) AS lost,
+           CAST(COUNT(*) FILTER (WHERE a.after = s.shard
+                                   AND a.before <> s.shard) AS BIGINT)
+               AS gained
+    FROM shards s CROSS JOIN assign a
+    GROUP BY s.shard ORDER BY s.shard
+"""
+
+
+@declared("q_consistent_hash", oracle=_CH_ORACLE)
+def q_consistent_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Consistent-hash ring rebalance audit (Karger et al. 1997): CH_SHARDS
+    shards x CH_VNODES virtual nodes on a 60-bit hash ring, each document
+    owned by the successor virtual node of its hash (wrapping to the ring
+    minimum); then shard CH_SHARDS joins the ring and the assignment is
+    recomputed. Per shard: population before/after, documents lost and
+    gained — the output PROVES the minimal-disruption property (every old
+    shard has gained = 0: documents only move TO the new shard, ~1/(n+1)
+    of them), which is exactly the audit a 100 TB storage layer runs
+    before a live resharding.
+
+    Engine-exactness: ring points and document positions are md5-60
+    integers (collision-free at these cardinalities and deterministic
+    regardless); successor = MIN(point >= pos) with the wrap as a
+    COALESCE to the global minimum; point is a unique join-back key to its
+    shard, so no arg-min tie ambiguity; shard is a total order.
+
+    Scale notes (100 TB): the ring ((n+1)·CH_VNODES rows) is BROADCAST to
+    a non-equi join — per doc at most ring-size candidates reduced
+    map-side by the MIN partial, so assignment is a single map-only pass
+    over documents (no shuffle at all until the final 9-group count);
+    production rings with 1e4+ vnodes would pre-sort the ring and
+    binary-search per row (a bounded higher-order expr), same plan
+    shape."""
+    t = load_tables(spark, sf_dir)
+    pos = t.documents.select(
+        "doc_id",
+        F.expr(_SPARK_H60.format(arg="concat('doc|', doc_id)")).alias("pos"),
+    )
+    pos.persist()  # both ring assignments scan it
+
+    def ring(n: int) -> DataFrame:
+        return (
+            spark.range(n)
+            .select(F.col("id").alias("shard"))
+            .select(
+                "shard",
+                F.explode(F.sequence(F.lit(0), F.lit(CH_VNODES - 1))).alias("v"),
+            )
+            .select(
+                "shard",
+                F.expr(
+                    _SPARK_H60.format(arg="concat('ring|', shard, '|', v)")
+                ).alias("pt"),
+            )
+        )
+
+    def assign(r: DataFrame, col: str) -> DataFrame:
+        r.persist()  # successor join + wrap minimum + shard join-back
+        wrap = r.agg(F.min("pt").alias("wrap_pt"))
+        succ = (
+            pos.join(F.broadcast(r), F.col("pt") >= F.col("pos"), "left")
+            .groupBy("doc_id")
+            .agg(F.min("pt").alias("succ_pt"))
+            .crossJoin(F.broadcast(wrap))
+            .select(
+                "doc_id",
+                F.coalesce("succ_pt", "wrap_pt").alias("succ_pt"),
+            )
+        )
+        return succ.join(
+            F.broadcast(r), F.col("succ_pt") == F.col("pt")
+        ).select("doc_id", F.col("shard").alias(col))
+
+    a = assign(ring(CH_SHARDS), "before").join(
+        assign(ring(CH_SHARDS + 1), "after"), "doc_id"
+    )
+    shards = spark.range(CH_SHARDS + 1).select(F.col("id").alias("shard"))
+    return (
+        F.broadcast(shards)
+        .crossJoin(a)
+        .groupBy("shard")
+        .agg(
+            F.sum(F.when(F.col("before") == F.col("shard"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_before"),
+            F.sum(F.when(F.col("after") == F.col("shard"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_after"),
+            F.sum(
+                F.when(
+                    (F.col("before") == F.col("shard"))
+                    & (F.col("after") != F.col("shard")),
+                    1,
+                ).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("lost"),
+            F.sum(
+                F.when(
+                    (F.col("after") == F.col("shard"))
+                    & (F.col("before") != F.col("shard")),
+                    1,
+                ).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("gained"),
+        )
+        .orderBy("shard")
+    )
+
+
+# --------------------------------------------------------------------------
+# Merkle integrity tree per source (content-addressed transfer audit)
+# --------------------------------------------------------------------------
+
+MK_LEAVES = 32  # leaf buckets per source (doc_id mod MK_LEAVES)
+
+_MK_ORACLE = f"""
+    WITH leafdoc AS (
+        SELECT source, doc_id % {MK_LEAVES} AS b, doc_id, md5(text) AS h
+        FROM documents
+    ), leaf AS (
+        SELECT source, b,
+               md5(string_agg(h, '' ORDER BY doc_id)) AS lh,
+               CAST(COUNT(*) AS BIGINT) AS n
+        FROM leafdoc GROUP BY source, b
+    )
+    SELECT source,
+           CAST(SUM(n) AS BIGINT) AS n_docs,
+           CAST(COUNT(*) AS BIGINT) AS n_leaves,
+           md5(string_agg(lh, '' ORDER BY b)) AS root
+    FROM leaf GROUP BY source ORDER BY source
+"""
+
+
+@declared("q_merkle", oracle=_MK_ORACLE)
+def q_merkle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source Merkle integrity tree: documents hash to md5 leaves,
+    bucket into MK_LEAVES leaf nodes by doc_id mod MK_LEAVES (leaf hash =
+    md5 of the doc hashes concatenated in doc_id order), and the source
+    root is md5 of the leaf hashes in bucket order — the
+    content-addressed fingerprint two sides of a 100 TB data transfer
+    exchange to find WHICH bucket diverged (walk down only the mismatched
+    subtree) instead of re-checksumming the world. One row per source
+    with its document count, populated-leaf count, and root digest.
+
+    Engine-exactness: md5 over hex strings is byte-identical (corpus is
+    ASCII-guarded, multimodal.py oracle note); ordered in-group
+    concatenation uses the LISTAGG-parity construction (Spark array_join
+    of the struct-sorted collect_list == DuckDB string_agg ORDER BY);
+    source is a total order.
+
+    Scale notes (100 TB): both levels are partial-aggregable groupBys
+    keyed (source, bucket) then source; per-leaf state is the doc-hash
+    list (32 hex chars per doc — the reason real trees go deeper: add
+    doc_id div MK_LEAVES levels to bound any single aggregation, same
+    two-operator pattern stacked log-fold); the final level is one row
+    per source x MK_LEAVES fixed-width digests."""
+    t = load_tables(spark, sf_dir)
+    leafdoc = t.documents.select(
+        "source",
+        (F.col("doc_id") % MK_LEAVES).alias("b"),
+        "doc_id",
+        F.md5(F.col("text").cast("binary")).alias("h"),
+    )
+    leaf = leafdoc.groupBy("source", "b").agg(
+        F.md5(
+            F.expr(
+                "CAST(array_join(transform(array_sort("
+                "collect_list(struct(doc_id, h))), s -> s.h), '') AS BINARY)"
+            )
+        ).alias("lh"),
+        F.count("*").cast("bigint").alias("n"),
+    )
+    return (
+        leaf.groupBy("source")
+        .agg(
+            F.sum("n").cast("bigint").alias("n_docs"),
+            F.count("*").cast("bigint").alias("n_leaves"),
+            F.md5(
+                F.expr(
+                    "CAST(array_join(transform(array_sort("
+                    "collect_list(struct(b, lh))), s -> s.lh), '') AS BINARY)"
+                )
+            ).alias("root"),
+        )
+        .orderBy("source")
+    )

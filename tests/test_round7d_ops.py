@@ -282,3 +282,93 @@ def test_power_iteration_matches_python_recompute(spark):
         assert r.delta_fx == abs(v2[r.dim] - v1[r.dim])
     # normalization invariant: iterate magnitudes stay near PI_FX
     assert max(abs(r.v2_fx) for r in got) <= 2 * PI_FX
+
+
+def test_consistent_hash_matches_python_recompute(spark):
+    """Ring successor assignment recomputed imperatively; the
+    minimal-disruption property (old shards gain nothing) must hold."""
+    from duckdb_ner_spark.operators.round7d import CH_SHARDS, CH_VNODES
+
+    doc_ids = [
+        r.doc_id
+        for r in spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+        .select("doc_id")
+        .collect()
+    ]
+
+    def ring(n):
+        return sorted(
+            (_h60(f"ring|{s}|{v}"), s)
+            for s in range(n)
+            for v in range(CH_VNODES)
+        )
+
+    def owner(r, pos):
+        for pt, s in r:
+            if pt >= pos:
+                return s
+        return r[0][1]
+
+    rb, ra = ring(CH_SHARDS), ring(CH_SHARDS + 1)
+    before = {d: owner(rb, _h60(f"doc|{d}")) for d in doc_ids}
+    after = {d: owner(ra, _h60(f"doc|{d}")) for d in doc_ids}
+    want = {}
+    for s in range(CH_SHARDS + 1):
+        want[s] = (
+            sum(1 for d in doc_ids if before[d] == s),
+            sum(1 for d in doc_ids if after[d] == s),
+            sum(1 for d in doc_ids if before[d] == s and after[d] != s),
+            sum(1 for d in doc_ids if after[d] == s and before[d] != s),
+        )
+    got = {
+        r.shard: (r.n_before, r.n_after, r.lost, r.gained)
+        for r in QUERIES["q_consistent_hash"](spark, SF_SMOKE).collect()
+    }
+    assert got == want
+    assert all(want[s][3] == 0 for s in range(CH_SHARDS))  # no old shard gains
+    assert want[CH_SHARDS][1] > 0  # the new shard takes real load
+
+
+def test_merkle_matches_python_recompute(spark):
+    """Roots recomputed bottom-up; a one-byte change in any doc must flip
+    its source's root and only that root."""
+    from duckdb_ner_spark.operators.round7d import MK_LEAVES
+
+    docs = (
+        spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+        .select("source", "doc_id", "text")
+        .collect()
+    )
+
+    def roots(rows):
+        leaves = defaultdict(dict)
+        counts = Counter()
+        for src, did, text in rows:
+            leaves[src].setdefault(did % MK_LEAVES, []).append(
+                (did, md5(text.encode()).hexdigest())
+            )
+            counts[src] += 1
+        out = {}
+        for src, bks in leaves.items():
+            lhs = {
+                b: md5("".join(h for _, h in sorted(pairs)).encode()).hexdigest()
+                for b, pairs in bks.items()
+            }
+            root = md5(
+                "".join(lhs[b] for b in sorted(lhs)).encode()
+            ).hexdigest()
+            out[src] = (counts[src], len(lhs), root)
+        return out
+
+    rows = [(r.source, r.doc_id, r.text) for r in docs]
+    want = roots(rows)
+    got = {
+        r.source: (r.n_docs, r.n_leaves, r.root)
+        for r in QUERIES["q_merkle"](spark, SF_SMOKE).collect()
+    }
+    assert got == want
+    # sensitivity: flip one document's text -> exactly one root changes
+    mutated = [(s, d, t + "x") if d == rows[0][1] else (s, d, t) for s, d, t in rows]
+    mroots = roots(mutated)
+    changed = [s for s in want if mroots[s][2] != want[s][2]]
+    assert changed == [rows[0][0]]
