@@ -1035,3 +1035,136 @@ def q_merkle(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# --------------------------------------------------------------------------
+# MoE top-2 router load audit (expert balance over hash-derived prototypes)
+# --------------------------------------------------------------------------
+
+MOE_E = 8  # experts
+MOE_FX = 1_000_000
+
+_MOE_ORACLE = f"""
+    WITH ex AS (
+        SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS j,
+               CAST(ROUND(CAST(unnest(embedding) AS DOUBLE) * {MOE_FX})
+                    AS BIGINT) AS q
+        FROM embeddings
+    ), sc AS (
+        SELECT ex.vec_id, e.e,
+               CAST(SUM(CASE WHEN
+                   ({_DUCK_H60.format(arg="'moe|' || e.e || '|' || ex.j")}) & 1 = 0
+                   THEN ex.q ELSE -ex.q END) AS BIGINT) AS score
+        FROM ex, (SELECT unnest(range({MOE_E})) AS e) e
+        GROUP BY ex.vec_id, e.e
+    ), ranked AS (
+        SELECT vec_id, e, score,
+               ROW_NUMBER() OVER (PARTITION BY vec_id
+                                  ORDER BY score DESC, e) AS r
+        FROM sc
+    ), nv AS (
+        SELECT CAST(COUNT(DISTINCT vec_id) AS BIGINT) AS n FROM sc
+    )
+    SELECT r.e AS expert,
+           CAST(COUNT(*) FILTER (WHERE r.r = 1) AS BIGINT) AS n_top1,
+           CAST(COUNT(*) FILTER (WHERE r.r = 2) AS BIGINT) AS n_top2,
+           CAST(SUM(CASE WHEN r.r = 1 THEN r.score ELSE 0 END) AS BIGINT)
+               AS top1_mass,
+           CAST(COUNT(*) FILTER (WHERE r.r <= 2) * 10000
+                // (2 * nv.n) AS BIGINT) AS load_bp
+    FROM ranked r CROSS JOIN nv
+    WHERE r.r <= 2
+    GROUP BY r.e, nv.n ORDER BY r.e
+"""
+
+
+@declared("q_moe_router", oracle=_MOE_ORACLE)
+def q_moe_router(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mixture-of-experts top-2 router load audit (Shazeer et al. 2017 /
+    Switch routing): each embedding routes to its two highest-scoring of
+    MOE_E experts, where expert prototypes are the stateless hash-derived
+    ±1 vectors (the q_random_projection trick — no weights shipped) and
+    scores are exact integer dot products. Per expert: top-1 and top-2
+    populations, routed top-1 score mass, and the load in basis points of
+    total routed slots — the balance readout that decides whether a
+    capacity factor or an auxiliary load-balance loss is needed before a
+    training run wastes a cluster on overflow drops.
+
+    Engine-exactness: scores are BIGINT sums of signed MOE_FX-quantized
+    elements; the top-2 selection is the (score DESC, expert ASC) total
+    order materialized Spark-side as a sorted 8-element per-vector array
+    (no window at all) and oracle-side as a partitioned ROW_NUMBER —
+    identical tiebreak; one floor division of non-negatives.
+
+    Scale notes (100 TB): scoring is a map-side explode x MOE_E with a
+    (vec_id, e) partial-aggregable SUM; the per-vector top-2 runs on an
+    8-element collected array (bounded by MOE_E, not data); the final
+    aggregate is MOE_E rows. One shuffle on vec_id end to end."""
+    t = load_tables(spark, sf_dir)
+    ex = t.embeddings.select(
+        "vec_id", F.posexplode("embedding").alias("j", "e0")
+    ).select(
+        "vec_id",
+        "j",
+        F.expr(f"CAST(ROUND(CAST(e0 AS DOUBLE) * {MOE_FX}, 0) AS BIGINT)").alias(
+            "q"
+        ),
+    )
+    sc = (
+        ex.select(
+            "vec_id", "j", "q",
+            F.explode(F.sequence(F.lit(0), F.lit(MOE_E - 1))).alias("e"),
+        )
+        .groupBy("vec_id", "e")
+        .agg(
+            F.expr(
+                "CAST(SUM(CASE WHEN "
+                + _SPARK_H60.format(arg="concat('moe|', e, '|', j)")
+                + " & 1 = 0 THEN q ELSE -q END) AS BIGINT)"
+            ).alias("score")
+        )
+    )
+    top2 = (
+        sc.groupBy("vec_id")
+        .agg(
+            F.expr(
+                # (score DESC, e ASC): sort struct(-score, e) ascending
+                "slice(array_sort(collect_list(struct(-score AS ns, e, score))),"
+                " 1, 2)"
+            ).alias("t2")
+        )
+        .select(
+            F.posexplode("t2").alias("r0", "t")
+        )
+        .select(
+            (F.col("r0") + 1).alias("r"),
+            F.col("t.e").alias("e"),
+            F.col("t.score").alias("score"),
+        )
+    )
+    top2.persist()  # expert aggregate + the n_vec count below share it
+    nv = top2.filter("r = 1").agg(F.count("*").cast("bigint").alias("n"))
+    return (
+        top2.groupBy("e")
+        .agg(
+            F.sum(F.when(F.col("r") == 1, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_top1"),
+            F.sum(F.when(F.col("r") == 2, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_top2"),
+            F.sum(F.when(F.col("r") == 1, F.col("score")).otherwise(0))
+            .cast("bigint")
+            .alias("top1_mass"),
+            F.count("*").alias("routed"),
+        )
+        .crossJoin(F.broadcast(nv))
+        .select(
+            F.col("e").alias("expert"),
+            "n_top1",
+            "n_top2",
+            "top1_mass",
+            F.expr("CAST(routed * 10000 div (2 * n) AS BIGINT)").alias("load_bp"),
+        )
+        .orderBy("expert")
+    )

@@ -372,3 +372,57 @@ def test_merkle_matches_python_recompute(spark):
     mroots = roots(mutated)
     changed = [s for s in want if mroots[s][2] != want[s][2]]
     assert changed == [rows[0][0]]
+
+
+def test_moe_router_matches_python_recompute(spark):
+    """Top-2 routing recomputed with exact integer dot products against the
+    hash-derived expert prototypes; loads must sum to the full slot count."""
+    from decimal import ROUND_HALF_EVEN, Decimal
+
+    from duckdb_ner_spark.operators.round7d import MOE_E, MOE_FX
+
+    vecs = (
+        spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet")
+        .select("vec_id", "embedding")
+        .collect()
+    )
+    stats = {
+        e: [0, 0, 0] for e in range(MOE_E)
+    }  # n_top1, n_top2, top1_mass
+    for r in vecs:
+        q = [
+            int(
+                (Decimal(repr(float(x))) * MOE_FX).quantize(
+                    Decimal("1"), rounding=ROUND_HALF_EVEN
+                )
+            )
+            for x in r.embedding
+        ]
+        scores = [
+            (
+                sum(
+                    (1 if _h60(f"moe|{e}|{j}") & 1 == 0 else -1) * q[j]
+                    for j in range(len(q))
+                ),
+                e,
+            )
+            for e in range(MOE_E)
+        ]
+        ordered = sorted(scores, key=lambda t: (-t[0], t[1]))
+        (s1, e1), (_s2, e2) = ordered[0], ordered[1]
+        stats[e1][0] += 1
+        stats[e1][2] += s1
+        stats[e2][1] += 1
+    n = len(vecs)
+    got = {
+        r.expert: (r.n_top1, r.n_top2, r.top1_mass, r.load_bp)
+        for r in QUERIES["q_moe_router"](spark, SF_SMOKE).collect()
+    }
+    want = {
+        e: (v[0], v[1], v[2], (v[0] + v[1]) * 10000 // (2 * n))
+        for e, v in stats.items()
+        if v[0] + v[1] > 0
+    }
+    assert got == want
+    assert sum(v[0] for v in want.values()) == n
+    assert sum(v[1] for v in want.values()) == n

@@ -353,12 +353,82 @@ def main() -> None:
             .collect()
         )
 
+    def sketch_build_shape(times):
+        # r7 mergeable-sketch family (q_count_min / q_hll_registers core):
+        # raw trigram stream -> hashed cells -> bounded aggregate. The
+        # defining scale property: reduce state is d*w = 1024 cells no
+        # matter how many rows flow through (all combining is map-side).
+        from duckdb_ner_spark.operators.round7c import (
+            CMS_D,
+            CMS_W,
+            _SPARK_H60,
+            _spark_trigrams,
+        )
+
+        big_d = inflate(docs.select("doc_id", "text"), times, ["doc_id"])
+        cells = (
+            _spark_trigrams(big_d)
+            .select(
+                "s",
+                F.explode(F.sequence(F.lit(0), F.lit(CMS_D - 1))).alias("j"),
+            )
+            .select(
+                "j",
+                (F.expr(_SPARK_H60.format(arg="concat('cms', j, '|', s)")) % CMS_W)
+                .alias("bucket"),
+            )
+            .groupBy("j", "bucket")
+            .agg(F.count("*").cast("bigint").alias("cell"))
+        )
+        n = cells.count()
+        assert n <= CMS_D * CMS_W, n
+
+    def ring_assign_shape(times):
+        # r7 distributed-systems family (q_consistent_hash core): broadcast
+        # 128-point ring non-equi join + per-doc MIN successor — a map-only
+        # pass over documents, zero shuffle until the final 8-group count.
+        from duckdb_ner_spark.operators.round7d import (
+            CH_SHARDS,
+            CH_VNODES,
+            _SPARK_H60,
+        )
+
+        big_d = inflate(docs.select("doc_id"), times, ["doc_id"])
+        ring = (
+            spark.range(CH_SHARDS)
+            .select(F.col("id").alias("shard"))
+            .select(
+                "shard",
+                F.explode(F.sequence(F.lit(0), F.lit(CH_VNODES - 1))).alias("v"),
+            )
+            .select(
+                "shard",
+                F.expr(_SPARK_H60.format(arg="concat('ring|', shard, '|', v)")).alias(
+                    "pt"
+                ),
+            )
+        )
+        pos = big_d.select(
+            "doc_id",
+            F.expr(_SPARK_H60.format(arg="concat('doc|', doc_id)")).alias("pos"),
+        )
+        (
+            pos.join(F.broadcast(ring), F.col("pt") >= F.col("pos"), "left")
+            .groupBy("doc_id")
+            .agg(F.min("pt").alias("succ_pt"))
+            .join(F.broadcast(ring), F.col("succ_pt") == F.col("pt"), "left")
+            .groupBy("shard")
+            .agg(F.count("*").alias("n"))
+            .collect()
+        )
+
     # untimed warmup: whole-stage-codegen JIT is a one-off per plan shape
     agg_shape(1), join_shape(1), window_shape(1), funnel_shape(1), linededup_shape(1)
     hot_bucket_shape(1), cdc_chunk_shape(1), topk_salted_shape(1)
     interval_join_shape(1), blocked_gram_shape(1)
     pagerank_shape(1), novelty_index_shape(1)
     ordered_reassembly_shape(1), bpe_round_shape(1)
+    sketch_build_shape(1), ring_assign_shape(1)
 
     for times in (1, 10, 30):
         probe("tpch_q1_agg", agg_shape, times)
@@ -375,6 +445,8 @@ def main() -> None:
         probe("novelty_inverted_index", novelty_index_shape, times)
         probe("ordered_reassembly", ordered_reassembly_shape, times)
         probe("bpe_merge_round", bpe_round_shape, times)
+        probe("sketch_build_cells", sketch_build_shape, times)
+        probe("ring_assign_broadcast", ring_assign_shape, times)
 
     rows_base = li.count()
     lines = [
