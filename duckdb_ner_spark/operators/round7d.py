@@ -1168,3 +1168,157 @@ def q_moe_router(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("expert")
     )
+
+
+# --------------------------------------------------------------------------
+# Wasserstein-1 (earth mover) drift, each source vs the rest of the corpus
+# --------------------------------------------------------------------------
+
+_EMD_ORACLE = """
+    WITH lc AS (
+        SELECT source, n_chars AS v, CAST(COUNT(*) AS BIGINT) AS c
+        FROM documents GROUP BY source, n_chars
+    ), tot AS (
+        SELECT v, CAST(SUM(c) AS BIGINT) AS c FROM lc GROUP BY v
+    ), ns AS (
+        SELECT source, CAST(SUM(c) AS BIGINT) AS n_s FROM lc GROUP BY source
+    ), n AS (
+        SELECT CAST(SUM(c) AS BIGINT) AS n_all,
+               CAST(MAX(v) - MIN(v) AS BIGINT) AS vrange
+        FROM tot
+    ), thr AS (
+        SELECT t.v, COALESCE(MIN(u.v), t.v) - t.v AS gap
+        FROM tot t LEFT JOIN tot u ON u.v > t.v
+        GROUP BY t.v
+    ), cum_s AS (
+        SELECT s.source, t.v, t.gap,
+               CAST(COALESCE(SUM(lc.c), 0) AS BIGINT) AS cs
+        FROM (SELECT DISTINCT source FROM lc) s
+        CROSS JOIN thr t
+        LEFT JOIN lc ON lc.source = s.source AND lc.v <= t.v
+        GROUP BY s.source, t.v, t.gap
+    ), cum_all AS (
+        SELECT t.v, CAST(SUM(tot.c) AS BIGINT) AS ca
+        FROM thr t JOIN tot ON tot.v <= t.v GROUP BY t.v
+    )
+    SELECT cs.source, ns.n_s,
+           CAST(n.n_all - ns.n_s AS BIGINT) AS n_rest,
+           CAST(SUM(ABS(cs.cs * (n.n_all - ns.n_s)
+                        - (cum_all.ca - cs.cs) * ns.n_s) * cs.gap)
+                AS BIGINT) AS w1_num,
+           CAST(SUM(ABS(cs.cs * (n.n_all - ns.n_s)
+                        - (cum_all.ca - cs.cs) * ns.n_s) * cs.gap) * 10000
+                // (ns.n_s * (n.n_all - ns.n_s) * n.vrange) AS BIGINT)
+               AS emd_bp
+    FROM cum_s cs
+    JOIN cum_all ON cum_all.v = cs.v
+    JOIN ns ON ns.source = cs.source
+    CROSS JOIN n
+    GROUP BY cs.source, ns.n_s, n.n_all, n.vrange
+    ORDER BY emd_bp DESC, cs.source
+"""
+
+
+@declared("q_emd_drift", oracle=_EMD_ORACLE)
+def q_emd_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wasserstein-1 (earth mover) drift, each source vs the rest of the
+    corpus, over the document-length distribution: W1 = integral of
+    |F_s - F_rest| over the support, computed EXACTLY as
+    sum_i |cum_s(v_i)·N_rest - cum_rest(v_i)·N_s| · (v_{i+1} - v_i) over
+    the common denominator, normalized by the support range into basis
+    points. The magnitude-aware complement to q_ks_drift's max deviation
+    and q_drift_tvd's bucket mass: KS says the CDFs diverge, W1 says by
+    how many characters of transport — the metric a mixture rebalancer
+    thresholds on.
+
+    Engine-exactness: the successor gap is a windowless MIN(v' > v) on
+    the bounded distinct-length table (no LEAD, the global-window ledger
+    stays untouched); numerators are exact integer cross-multiplications;
+    one floor division of non-negatives; (emd_bp DESC, source) totals the
+    order.
+
+    Scale notes (100 TB): identical shape to q_ks_drift — everything
+    after the first groupBy lives on the (source x distinct-length)
+    domain bounded by max doc bytes, not corpus rows; the per-threshold
+    work is one extra multiply by the gap."""
+    t = load_tables(spark, sf_dir)
+    lc = t.documents.groupBy("source", F.col("n_chars").alias("v")).agg(
+        F.count("*").cast("bigint").alias("c")
+    )
+    lc.persist()  # four aggregates below share it
+    tot = lc.groupBy("v").agg(F.sum("c").cast("bigint").alias("c"))
+    tot.persist()  # gap self-join probes it twice + cum_all + the n row
+    ns = lc.groupBy("source").agg(F.sum("c").cast("bigint").alias("n_s"))
+    thr = (
+        tot.alias("t")
+        .join(
+            tot.select(F.col("v").alias("uv")).alias("u"),
+            F.col("uv") > F.col("t.v"),
+            "left",
+        )
+        .groupBy("t.v")
+        .agg(
+            (F.coalesce(F.min("uv"), F.first("t.v")) - F.first("t.v")).alias(
+                "gap"
+            )
+        )
+    )
+    srcs = lc.select("source").distinct()
+    cum_s = (
+        srcs.crossJoin(thr)
+        .alias("g")
+        .join(
+            lc.select(
+                F.col("source").alias("ls"), F.col("v").alias("lv"), "c"
+            ).alias("l"),
+            (F.col("l.ls") == F.col("g.source")) & (F.col("l.lv") <= F.col("g.v")),
+            "left",
+        )
+        .groupBy("g.source", "g.v", "g.gap")
+        .agg(F.coalesce(F.sum("c"), F.lit(0)).cast("bigint").alias("cs"))
+    )
+    cum_all = (
+        thr.select("v").alias("t")
+        .join(
+            tot.select(F.col("v").alias("tv"), "c").alias("o"),
+            F.col("tv") <= F.col("t.v"),
+        )
+        .groupBy("t.v")
+        .agg(F.sum("c").cast("bigint").alias("ca"))
+    )
+    n_row = tot.agg(
+        F.sum("c").cast("bigint").alias("n_all"),
+        (F.max("v") - F.min("v")).cast("bigint").alias("vrange"),
+    )
+    d = (
+        cum_s.join(cum_all, "v")
+        .join(F.broadcast(ns), "source")
+        .crossJoin(F.broadcast(n_row))
+        .select(
+            "source",
+            "n_s",
+            (F.col("n_all") - F.col("n_s")).cast("bigint").alias("n_rest"),
+            "vrange",
+            (
+                F.abs(
+                    F.col("cs") * (F.col("n_all") - F.col("n_s"))
+                    - (F.col("ca") - F.col("cs")) * F.col("n_s")
+                )
+                * F.col("gap")
+            ).alias("dev"),
+        )
+    )
+    return (
+        d.groupBy("source", "n_s", "n_rest", "vrange")
+        .agg(F.sum("dev").cast("bigint").alias("w1_num"))
+        .select(
+            "source",
+            "n_s",
+            "n_rest",
+            "w1_num",
+            F.expr(
+                "CAST(w1_num * 10000 div (n_s * n_rest * vrange) AS BIGINT)"
+            ).alias("emd_bp"),
+        )
+        .orderBy(F.desc("emd_bp"), "source")
+    )

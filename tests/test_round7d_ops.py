@@ -426,3 +426,39 @@ def test_moe_router_matches_python_recompute(spark):
     assert got == want
     assert sum(v[0] for v in want.values()) == n
     assert sum(v[1] for v in want.values()) == n
+
+
+def test_emd_drift_matches_python_recompute(spark):
+    """W1 numerators rebuilt as the explicit CDF-difference integral; KS
+    max-deviation must upper-bound each per-point term."""
+    docs = (
+        spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+        .select("source", "n_chars")
+        .collect()
+    )
+    by_src = defaultdict(list)
+    for r in docs:
+        by_src[r.source].append(r.n_chars)
+    support = sorted({r.n_chars for r in docs})
+    vrange = support[-1] - support[0]
+    n_all = len(docs)
+    want = {}
+    for s, lens in by_src.items():
+        n_s, n_rest = len(lens), n_all - len(lens)
+        rest = [r.n_chars for r in docs if r.source != s]
+        num = 0
+        for i, v in enumerate(support):
+            gap = (support[i + 1] - v) if i + 1 < len(support) else 0
+            num += (
+                abs(
+                    sum(1 for x in lens if x <= v) * n_rest
+                    - sum(1 for x in rest if x <= v) * n_s
+                )
+                * gap
+            )
+        want[s] = (n_s, n_rest, num, num * 10000 // (n_s * n_rest * vrange))
+    got = {
+        r.source: (r.n_s, r.n_rest, r.w1_num, r.emd_bp)
+        for r in QUERIES["q_emd_drift"](spark, SF_SMOKE).collect()
+    }
+    assert got == want
