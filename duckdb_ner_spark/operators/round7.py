@@ -383,6 +383,39 @@ def _lp_iter_ctes() -> str:
     return ", ".join(ctes)
 
 
+def label_prop_labels(edges: DataFrame, deg: DataFrame) -> DataFrame:
+    """The LP_ITERS-round majority-vote propagation core shared by
+    q_label_prop (class census) and q_modularity (community quality):
+    returns (node, lbl) with lbl NULL where propagation never reached."""
+    dirn = edges.select(F.col("u").alias("src"), F.col("v").alias("dst")).unionAll(
+        edges.select(F.col("v").alias("src"), F.col("u").alias("dst"))
+    )
+    seed = F.when(
+        F.col("node") % LP_SEED_MOD == 0, F.col("node") % LP_N_LABELS
+    ).cast("bigint")
+    lab = deg.select("node", seed.alias("lbl"))
+    for _ in range(LP_ITERS):
+        votes = (
+            dirn.join(
+                lab.filter(F.col("lbl").isNotNull()).select(
+                    F.col("node").alias("src"), "lbl"
+                ),
+                "src",
+            )
+            .groupBy(F.col("dst").alias("node"), "lbl")
+            .agg(F.count("*").alias("c"))
+        )
+        pick = votes.groupBy("node").agg(
+            F.max_by("lbl", F.struct(F.col("c"), (-F.col("lbl")).alias("tb"))).alias(
+                "picked"
+            )
+        )
+        lab = deg.select("node").join(pick, "node", "left").select(
+            "node", F.coalesce(seed, F.col("picked")).cast("bigint").alias("lbl")
+        )
+    return lab
+
+
 _LABEL_PROP_ORACLE = f"""
     WITH {_PR_GRAPH_CTE}, {_lp_iter_ctes()}
     SELECT CAST(COALESCE(lbl, -1) AS BIGINT) AS label,
@@ -410,32 +443,7 @@ def q_label_prop(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregate — the PageRank shuffle shape with an extra (node, label)
     key; the census is a {LP_N_LABELS + 1}-row aggregate."""
     edges, deg = day1_cooccurrence_graph(spark, sf_dir)
-    dirn = edges.select(F.col("u").alias("src"), F.col("v").alias("dst")).unionAll(
-        edges.select(F.col("v").alias("src"), F.col("u").alias("dst"))
-    )
-    seed = F.when(
-        F.col("node") % LP_SEED_MOD == 0, F.col("node") % LP_N_LABELS
-    ).cast("bigint")
-    lab = deg.select("node", seed.alias("lbl"))
-    for _ in range(LP_ITERS):
-        votes = (
-            dirn.join(
-                lab.filter(F.col("lbl").isNotNull()).select(
-                    F.col("node").alias("src"), "lbl"
-                ),
-                "src",
-            )
-            .groupBy(F.col("dst").alias("node"), "lbl")
-            .agg(F.count("*").alias("c"))
-        )
-        pick = votes.groupBy("node").agg(
-            F.max_by("lbl", F.struct(F.col("c"), (-F.col("lbl")).alias("tb"))).alias(
-                "picked"
-            )
-        )
-        lab = deg.select("node").join(pick, "node", "left").select(
-            "node", F.coalesce(seed, F.col("picked")).cast("bigint").alias("lbl")
-        )
+    lab = label_prop_labels(edges, deg)
     return lab.groupBy(F.coalesce("lbl", F.lit(-1)).cast("bigint").alias("label")).agg(
         F.count("*").cast("bigint").alias("n_nodes"),
         F.min("node").cast("bigint").alias("min_node"),

@@ -1322,3 +1322,117 @@ def q_emd_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.desc("emd_bp"), "source")
     )
+
+
+# --------------------------------------------------------------------------
+# Modularity of the label-propagation communities (graph-quality readout)
+# --------------------------------------------------------------------------
+
+MOD_SCALE = 10_000  # basis points
+
+
+def _mod_oracle() -> str:
+    from .round7 import _PR_GRAPH_CTE, _lp_iter_ctes, LP_ITERS
+
+    sdiv = _DUCK_SDIV.format(
+        x=f"(4 * mm.m * agg.m_c - agg.d_c * agg.d_c) * {MOD_SCALE}",
+        y="(4 * mm.m * mm.m)",
+    )
+    return f"""
+    WITH {_PR_GRAPH_CTE}, {_lp_iter_ctes()}, comm AS (
+        SELECT node, CAST(COALESCE(lbl, -1) AS BIGINT) AS c
+        FROM lab{LP_ITERS}
+    ), mm AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS m FROM uedges
+    ), intra AS (
+        SELECT cu.c, CAST(COUNT(*) AS BIGINT) AS m_c
+        FROM uedges e
+        JOIN comm cu ON cu.node = e.u
+        JOIN comm cv ON cv.node = e.v AND cv.c = cu.c
+        GROUP BY cu.c
+    ), agg AS (
+        SELECT comm.c,
+               CAST(COUNT(*) AS BIGINT) AS n_nodes,
+               CAST(SUM(deg.deg) AS BIGINT) AS d_c,
+               CAST(COALESCE(MIN(intra.m_c), 0) AS BIGINT) AS m_c
+        FROM comm
+        JOIN deg ON deg.node = comm.node
+        LEFT JOIN intra ON intra.c = comm.c
+        GROUP BY comm.c
+    )
+    SELECT agg.c AS community, agg.n_nodes, agg.m_c AS intra_edges,
+           agg.d_c AS deg_sum,
+           CAST({sdiv} AS BIGINT) AS q_contrib_bp
+    FROM agg CROSS JOIN mm
+    ORDER BY community
+"""
+
+
+@declared("q_modularity", oracle=_mod_oracle())
+def q_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Newman modularity of the label-propagation communities over the
+    day-1 co-occurrence graph: Q = sum_c [m_c/m - (d_c/2m)^2], computed
+    per community in exact basis points via the cleared-denominator form
+    (4·m·m_c - d_c^2)·SCALE / (4·m^2) — the community-quality readout
+    that tells a curation pipeline whether the clusters its dedup or
+    topic-bucketing stage found are real structure or noise (Q near 0).
+    Per community: size, intra-edge count, degree mass, and its signed
+    modularity contribution; unreached nodes form community -1.
+
+    Engine-exactness: reuses q_label_prop's propagation core verbatim
+    (round7.py label_prop_labels — same total-order argmax), so the
+    community assignment is already differentially verified; m_c / d_c /
+    m are exact integer counts; the one division is sign-split onto
+    non-negatives (contributions CAN be negative when a community's
+    degree mass exceeds its internal density).
+
+    Scale notes (100 TB): two node-keyed joins of the edge list against
+    the (node, community) table (the PageRank shuffle shape), then
+    everything collapses to per-community rows; no new pass over events
+    beyond what label propagation already does."""
+    from .components import day1_cooccurrence_graph
+    from .round7 import label_prop_labels
+
+    edges, deg = day1_cooccurrence_graph(spark, sf_dir)
+    edges.persist()  # LP rounds + m + the intra join all scan it
+    comm = label_prop_labels(edges, deg).select(
+        "node", F.coalesce("lbl", F.lit(-1)).cast("bigint").alias("c")
+    )
+    comm.persist()  # two edge-endpoint joins + the degree join
+    mm = edges.agg(F.count("*").cast("bigint").alias("m"))
+    intra = (
+        edges.join(comm.select(F.col("node").alias("u"), F.col("c").alias("cu")), "u")
+        .join(
+            comm.select(F.col("node").alias("v"), F.col("c").alias("cv")), "v"
+        )
+        .filter(F.col("cu") == F.col("cv"))
+        .groupBy(F.col("cu").alias("c"))
+        .agg(F.count("*").cast("bigint").alias("m_c"))
+    )
+    agg = (
+        comm.join(deg, "node")
+        .groupBy("c")
+        .agg(
+            F.count("*").cast("bigint").alias("n_nodes"),
+            F.sum("deg").cast("bigint").alias("d_c"),
+        )
+        .join(intra, "c", "left")
+        .select(
+            "c", "n_nodes", "d_c",
+            F.coalesce("m_c", F.lit(0)).cast("bigint").alias("m_c"),
+        )
+    )
+    sdiv = _SPARK_SDIV.format(
+        x=f"(4 * m * m_c - d_c * d_c) * {MOD_SCALE}", y="(4 * m * m)"
+    )
+    return (
+        agg.crossJoin(F.broadcast(mm))
+        .select(
+            F.col("c").alias("community"),
+            "n_nodes",
+            F.col("m_c").alias("intra_edges"),
+            F.col("d_c").alias("deg_sum"),
+            F.expr(f"CAST({sdiv} AS BIGINT)").alias("q_contrib_bp"),
+        )
+        .orderBy("community")
+    )

@@ -462,3 +462,56 @@ def test_emd_drift_matches_python_recompute(spark):
         for r in QUERIES["q_emd_drift"](spark, SF_SMOKE).collect()
     }
     assert got == want
+
+
+def test_modularity_matches_python_recompute(spark):
+    """Per-community modularity contributions recomputed from the raw
+    graph with an imperative label-propagation replay; contributions must
+    sum to a Q consistent with the cleared-denominator identity."""
+    from duckdb_ner_spark.operators.round7 import (
+        LP_ITERS,
+        LP_N_LABELS,
+        LP_SEED_MOD,
+    )
+    from duckdb_ner_spark.operators.round7d import MOD_SCALE
+    from duckdb_ner_spark.operators.components import day1_cooccurrence_graph
+
+    edges_df, _ = day1_cooccurrence_graph(spark, SF_SMOKE)
+    edges = [(r.u, r.v) for r in edges_df.collect()]
+    nodes = sorted({n for e in edges for n in e})
+    neigh = defaultdict(list)
+    for u, v in edges:
+        neigh[u].append(v)
+        neigh[v].append(u)
+    lbl = {n: (n % LP_N_LABELS if n % LP_SEED_MOD == 0 else None) for n in nodes}
+    for _ in range(LP_ITERS):
+        nxt = {}
+        for n in nodes:
+            if n % LP_SEED_MOD == 0:
+                nxt[n] = n % LP_N_LABELS
+                continue
+            votes = Counter(
+                lbl[m] for m in neigh[n] if lbl[m] is not None
+            )
+            nxt[n] = (
+                sorted(votes, key=lambda l: (-votes[l], l))[0] if votes else lbl[n]
+            )
+        lbl = nxt
+    comm = {n: (lbl[n] if lbl[n] is not None else -1) for n in nodes}
+    m = len(edges)
+    want = {}
+    for c in sorted(set(comm.values())):
+        members = [n for n in nodes if comm[n] == c]
+        m_c = sum(1 for u, v in edges if comm[u] == c and comm[v] == c)
+        d_c = sum(len(neigh[n]) for n in members)
+        num = (4 * m * m_c - d_c * d_c) * MOD_SCALE
+        den = 4 * m * m
+        contrib = -((-num) // den) if num < 0 else num // den
+        want[c] = (len(members), m_c, d_c, contrib)
+    got = {
+        r.community: (r.n_nodes, r.intra_edges, r.deg_sum, r.q_contrib_bp)
+        for r in QUERIES["q_modularity"](spark, SF_SMOKE).collect()
+    }
+    assert got == want
+    # degree-mass identity: sum of community degree masses = 2m
+    assert sum(v[2] for v in want.values()) == 2 * m
