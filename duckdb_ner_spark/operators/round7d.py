@@ -1436,3 +1436,90 @@ def q_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("community")
     )
+
+
+# --------------------------------------------------------------------------
+# Degree assortativity (integer Pearson over the symmetrized edge list)
+# --------------------------------------------------------------------------
+
+def _assort_oracle() -> str:
+    from .round7 import _PR_GRAPH_CTE
+
+    sdiv = _DUCK_SDIV.format(
+        x=f"(mm.m2 * st.sxy - st.sx * st.sx) * {MOD_SCALE}",
+        y="GREATEST(mm.m2 * st.sxx - st.sx * st.sx, 1)",
+    )
+    return f"""
+    WITH {_PR_GRAPH_CTE}, pairs AS (
+        SELECT du.deg AS x, dv.deg AS y
+        FROM dirn e
+        JOIN deg du ON du.node = e.src
+        JOIN deg dv ON dv.node = e.dst
+    ), mm AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS m2 FROM pairs
+    ), st AS (
+        SELECT CAST(SUM(x) AS BIGINT) AS sx,
+               CAST(SUM(x * x) AS BIGINT) AS sxx,
+               CAST(SUM(x * y) AS BIGINT) AS sxy
+        FROM pairs
+    )
+    SELECT mm.m2 AS n_edge_ends, st.sx AS sum_deg, st.sxx AS sum_deg_sq,
+           st.sxy AS sum_xy,
+           CAST({sdiv} AS BIGINT) AS assortativity_bp
+    FROM mm CROSS JOIN st
+"""
+
+
+@declared("q_assortativity", oracle=_assort_oracle())
+def q_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree assortativity (Newman 2002) of the day-1 co-occurrence
+    graph: the Pearson correlation of endpoint degrees over the
+    SYMMETRIZED edge list, where symmetry collapses the usual four-moment
+    formula to r = (M·Σxy - (Σx)²) / (M·Σx² - (Σx)²) — entirely integer
+    moments, one sign-split division into signed basis points. Positive r
+    = hubs attach to hubs (social-graph shape), negative = hub-and-spoke
+    (crawl frontier shape); the structure readout that tells a sampling
+    stage whether degree-stratified sampling is needed before graph-based
+    curation.
+
+    Engine-exactness: degrees and moments are exact BIGINTs over the
+    deterministic edge list; the single division is sign-split (r can be
+    negative) with a GREATEST(.,1) guard for the degenerate
+    constant-degree graph; one output row, no ordering concerns.
+
+    Scale notes (100 TB): two node-keyed joins decorate edge ends with
+    degrees (the PageRank shuffle shape), then ONE map-side-combinable
+    global moment aggregate — no per-key state at all after the joins;
+    moments bound: deg <= n, Σx·x <= M·n² (documented headroom far above
+    these SFs; past it, downscale degrees first as q_power_iteration
+    does)."""
+    from .components import day1_cooccurrence_graph
+
+    edges, deg = day1_cooccurrence_graph(spark, sf_dir)
+    dirn = edges.select(F.col("u").alias("src"), F.col("v").alias("dst")).unionAll(
+        edges.select(F.col("v").alias("src"), F.col("u").alias("dst"))
+    )
+    pairs = dirn.join(
+        deg.select(F.col("node").alias("src"), F.col("deg").alias("x")), "src"
+    ).join(
+        deg.select(F.col("node").alias("dst"), F.col("deg").alias("y")), "dst"
+    )
+    sdiv = _SPARK_SDIV.format(
+        x=f"(m2 * sxy - sx * sx) * {MOD_SCALE}",
+        y="GREATEST(m2 * sxx - sx * sx, 1)",
+    )
+    return (
+        pairs.agg(
+            F.count("*").cast("bigint").alias("m2"),
+            F.sum("x").cast("bigint").alias("sx"),
+            F.sum(F.col("x") * F.col("x")).cast("bigint").alias("sxx"),
+            F.sum(F.col("x") * F.col("y")).cast("bigint").alias("sxy"),
+        )
+        .select(
+            F.col("m2").alias("n_edge_ends"),
+            F.col("sx").alias("sum_deg"),
+            F.col("sxx").alias("sum_deg_sq"),
+            F.col("sxy").alias("sum_xy"),
+            F.expr(f"CAST({sdiv} AS BIGINT)").alias("assortativity_bp"),
+        )
+    )

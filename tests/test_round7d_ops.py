@@ -515,3 +515,33 @@ def test_modularity_matches_python_recompute(spark):
     assert got == want
     # degree-mass identity: sum of community degree masses = 2m
     assert sum(v[2] for v in want.values()) == 2 * m
+
+
+def test_assortativity_matches_python_recompute(spark):
+    """Degree-Pearson moments recomputed from the raw edge list; the
+    symmetrized-formula result must equal scipy-free brute force."""
+    from duckdb_ner_spark.operators.round7d import MOD_SCALE
+    from duckdb_ner_spark.operators.components import day1_cooccurrence_graph
+
+    edges_df, _ = day1_cooccurrence_graph(spark, SF_SMOKE)
+    edges = [(r.u, r.v) for r in edges_df.collect()]
+    deg = Counter()
+    for u, v in edges:
+        deg[u] += 1
+        deg[v] += 1
+    ends = [(deg[u], deg[v]) for u, v in edges] + [
+        (deg[v], deg[u]) for u, v in edges
+    ]
+    m2 = len(ends)
+    sx = sum(x for x, _ in ends)
+    sxx = sum(x * x for x, _ in ends)
+    sxy = sum(x * y for x, y in ends)
+    num = (m2 * sxy - sx * sx) * MOD_SCALE
+    den = max(m2 * sxx - sx * sx, 1)
+    r_bp = -((-num) // den) if num < 0 else num // den
+    [row] = QUERIES["q_assortativity"](spark, SF_SMOKE).collect()
+    assert (row.n_edge_ends, row.sum_deg, row.sum_deg_sq, row.sum_xy) == (
+        m2, sx, sxx, sxy,
+    )
+    assert row.assortativity_bp == r_bp
+    assert -MOD_SCALE <= r_bp <= MOD_SCALE
