@@ -1523,3 +1523,102 @@ def q_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr(f"CAST({sdiv} AS BIGINT)").alias("assortativity_bp"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Welch's t-test on per-user spend (continuous-outcome A/B readout)
+# --------------------------------------------------------------------------
+
+# the t chain is ONE shared SQL string, valid verbatim in both dialects, so
+# the correctly-rounded double expression TREES are identical (q_ab_test
+# precedent). Every operand is CAST to DOUBLE explicitly: DuckDB's bare
+# `1.0` literal is DECIMAL(2,1) and decimal division rounds differently
+# than IEEE double division (last-ulp divergence observed without casts).
+_WELCH_T_EXPR = (
+    "(CAST(s1 AS DOUBLE) / CAST(n1 AS DOUBLE)"
+    " - CAST(s0 AS DOUBLE) / CAST(n0 AS DOUBLE))"
+    " / SQRT(CAST(n1 * q1 - s1 * s1 AS DOUBLE)"
+    "        / CAST(n1 * (n1 - 1) AS DOUBLE) / CAST(n1 AS DOUBLE)"
+    "      + CAST(n0 * q0 - s0 * s0 AS DOUBLE)"
+    "        / CAST(n0 * (n0 - 1) AS DOUBLE) / CAST(n0 AS DOUBLE))"
+)
+
+_WELCH_ORACLE = f"""
+    WITH per_user AS (
+        SELECT user_id, CAST(user_id % 2 AS BIGINT) AS arm,
+               CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS cents
+        FROM events GROUP BY user_id
+    ), arms AS (
+        SELECT CAST(SUM(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n0,
+               CAST(SUM(CASE WHEN arm = 0 THEN cents ELSE 0 END) AS BIGINT) AS s0,
+               CAST(SUM(CASE WHEN arm = 0 THEN cents * cents ELSE 0 END)
+                    AS BIGINT) AS q0,
+               CAST(SUM(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+               CAST(SUM(CASE WHEN arm = 1 THEN cents ELSE 0 END) AS BIGINT) AS s1,
+               CAST(SUM(CASE WHEN arm = 1 THEN cents * cents ELSE 0 END)
+                    AS BIGINT) AS q1
+        FROM per_user
+    )
+    SELECT n0, s0, q0, n1, s1, q1,
+           {_WELCH_T_EXPR} AS t_stat,
+           CAST(CASE WHEN ABS({_WELCH_T_EXPR}) > 1.96 THEN 1 ELSE 0 END
+                AS BIGINT) AS significant
+    FROM arms
+"""
+
+
+@declared("q_welch_ttest", oracle=_WELCH_ORACLE)
+def q_welch_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Welch's unequal-variance t-test on per-user total spend (cents),
+    arms split by user_id parity — the continuous-outcome counterpart of
+    q_ab_test's two-proportion z: the experiment readout for revenue-like
+    metrics where a conversion flag throws information away. One row:
+    both arms' exact integer moments (n, sum, sum-of-squares), the t
+    statistic, and the |t| > 1.96 call.
+
+    Engine-exactness: the moments are exact BIGINTs (cents via the house
+    ROUND(value*100) quantization); the t chain is ONE shared SQL string
+    evaluated verbatim by both engines — chained correctly-rounded double
+    divisions over identical integers plus the IEEE-exact sqrt — so the
+    double is bit-equal without rounding (q_ab_test precedent,
+    scalepatterns.py). Sample variance uses the cleared form
+    (n·Σx² − (Σx)²)/(n·(n−1)), no float mean ever materialized.
+
+    Scale notes (100 TB): one map-side-combined per-user aggregate, one
+    6-number global aggregate, zero joins — the cheapest possible
+    experiment rollup; the same two-level shape q_grpo_advantage uses per
+    group, here collapsed to a single experiment row."""
+    t = load_tables(spark, sf_dir)
+    per_user = t.events.groupBy("user_id").agg(
+        F.expr("CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT)").alias(
+            "cents"
+        )
+    ).select((F.col("user_id") % 2).cast("bigint").alias("arm"), "cents")
+    arms = per_user.agg(
+        F.sum(F.when(F.col("arm") == 0, 1).otherwise(0)).cast("bigint").alias("n0"),
+        F.sum(F.when(F.col("arm") == 0, F.col("cents")).otherwise(0))
+        .cast("bigint")
+        .alias("s0"),
+        F.sum(
+            F.when(F.col("arm") == 0, F.col("cents") * F.col("cents")).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("q0"),
+        F.sum(F.when(F.col("arm") == 1, 1).otherwise(0)).cast("bigint").alias("n1"),
+        F.sum(F.when(F.col("arm") == 1, F.col("cents")).otherwise(0))
+        .cast("bigint")
+        .alias("s1"),
+        F.sum(
+            F.when(F.col("arm") == 1, F.col("cents") * F.col("cents")).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("q1"),
+    )
+    return arms.select(
+        "n0", "s0", "q0", "n1", "s1", "q1",
+        F.expr(_WELCH_T_EXPR).alias("t_stat"),
+        F.expr(
+            f"CAST(CASE WHEN ABS({_WELCH_T_EXPR}) > 1.96 THEN 1 ELSE 0 END"
+            " AS BIGINT)"
+        ).alias("significant"),
+    )

@@ -545,3 +545,38 @@ def test_assortativity_matches_python_recompute(spark):
     )
     assert row.assortativity_bp == r_bp
     assert -MOD_SCALE <= r_bp <= MOD_SCALE
+
+
+def test_welch_ttest_matches_python_recompute(spark):
+    """Integer moments recomputed exactly; the t statistic re-derived in
+    Python doubles with the same evaluation order must agree to the ulp."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    rows = (
+        spark.read.parquet(f"{SF_SMOKE}/events.parquet")
+        .select("user_id", "value")
+        .collect()
+    )
+    spend = defaultdict(int)
+    for r in rows:
+        spend[r.user_id] += int(
+            (Decimal(repr(r.value)) * 100).quantize(
+                Decimal("1"), rounding=ROUND_HALF_UP
+            )
+        )
+    arms = {0: [], 1: []}
+    for uid, cents in spend.items():
+        arms[uid % 2].append(cents)
+    n0, n1 = len(arms[0]), len(arms[1])
+    s0, s1 = sum(arms[0]), sum(arms[1])
+    q0, q1 = sum(c * c for c in arms[0]), sum(c * c for c in arms[1])
+    t = (s1 / n1 - s0 / n0) / (
+        ((n1 * q1 - s1 * s1) / (n1 * (n1 - 1)) / n1
+         + (n0 * q0 - s0 * s0) / (n0 * (n0 - 1)) / n0) ** 0.5
+    )
+    [row] = QUERIES["q_welch_ttest"](spark, SF_SMOKE).collect()
+    assert (row.n0, row.s0, row.q0, row.n1, row.s1, row.q1) == (
+        n0, s0, q0, n1, s1, q1,
+    )
+    assert row.t_stat == t
+    assert row.significant == (1 if abs(t) > 1.96 else 0)
