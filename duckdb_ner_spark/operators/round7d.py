@@ -1622,3 +1622,111 @@ def q_welch_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
             " AS BIGINT)"
         ).alias("significant"),
     )
+
+
+# --------------------------------------------------------------------------
+# CUSUM change detection (prefix-min closed form, per event type)
+# --------------------------------------------------------------------------
+
+CUSUM_K_CENTS = 6_000  # drift allowance per observation (just above mean)
+CUSUM_H_CENTS = 50_000  # alarm threshold on the CUSUM statistic
+
+_CUSUM_ORACLE = f"""
+    WITH ev AS (
+        SELECT event_type, ts, event_id,
+               CAST(ROUND(value * 100) AS BIGINT) - {CUSUM_K_CENTS} AS x
+        FROM events
+    ), pre1 AS (
+        SELECT event_type, ts, event_id,
+               SUM(x) OVER (PARTITION BY event_type ORDER BY ts, event_id
+                            ROWS UNBOUNDED PRECEDING) AS p
+        FROM ev
+    ), pre AS (
+        SELECT event_type, event_id, p,
+               MIN(p) OVER (PARTITION BY event_type ORDER BY ts, event_id
+                            ROWS UNBOUNDED PRECEDING) AS floor_p
+        FROM pre1
+    ), s AS (
+        SELECT event_type, event_id,
+               CAST(p - LEAST(floor_p, 0) AS BIGINT) AS cusum
+        FROM pre
+    )
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(MAX(cusum) AS BIGINT) AS max_cusum,
+           CAST(MIN(event_id) FILTER (WHERE cusum = (
+               SELECT MAX(s2.cusum) FROM s s2
+               WHERE s2.event_type = s.event_type)) AS BIGINT) AS at_event_id,
+           CAST(CASE WHEN MAX(cusum) > {CUSUM_H_CENTS} THEN 1 ELSE 0 END
+                AS BIGINT) AS alarm
+    FROM s GROUP BY event_type ORDER BY event_type
+"""
+
+
+@declared("q_cusum", oracle=_CUSUM_ORACLE)
+def q_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM change detection (Page 1954) per event type over the
+    (ts, event_id)-ordered value stream: the classic sequential drift
+    alarm S_i = max(0, S_{{i-1}} + x_i - k), computed NOT as a recursion
+    but via its prefix-min closed form S_i = P_i - min(0, min_{{j<=i}}
+    P_j) with P = running sum of (x - k) — which turns an inherently
+    sequential statistic into two stacked partitioned window passes, the
+    form that actually distributes. Per type: the maximum CUSUM
+    excursion, the event where it peaked (ties -> smallest event_id), and
+    the alarm against CUSUM_H_CENTS — the monitoring readout an ingest
+    pipeline keeps per source/type to catch value-scale regressions.
+
+    Engine-exactness: all arithmetic is BIGINT cents (the house
+    ROUND(value*100) quantization); both windows run over the
+    (ts, event_id) total order; the argmax is MIN(event_id) at the
+    maximum, a total order.
+
+    Scale notes (100 TB): two windows share ONE partitioning (event_type)
+    and one sort key — Spark plans a single sort + window stage per
+    partition-group (cf. q_funnel's stacked-window shape); no global
+    window, no join; the final rollup is |event types| rows. Per-key
+    streams at 100 TB would partition by (type, day) and stitch boundary
+    state, the standard sessionization split."""
+    from pyspark.sql import Window
+
+    t = load_tables(spark, sf_dir)
+    ev = t.events.select(
+        "event_type",
+        "ts",
+        "event_id",
+        (
+            F.expr("CAST(ROUND(value * 100) AS BIGINT)") - CUSUM_K_CENTS
+        ).alias("x"),
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    pre = ev.select(
+        "event_type", "ts", "event_id", F.sum("x").over(w).alias("p")
+    ).withColumn("floor_p", F.min("p").over(w))
+    s = pre.select(
+        "event_type",
+        "event_id",
+        (F.col("p") - F.least(F.col("floor_p"), F.lit(0)))
+        .cast("bigint")
+        .alias("cusum"),
+    )
+    return (
+        s.groupBy("event_type")
+        .agg(
+            F.count("*").cast("bigint").alias("n_events"),
+            F.max("cusum").cast("bigint").alias("max_cusum"),
+            F.min_by(
+                "event_id", F.struct((-F.col("cusum")).alias("nc"), "event_id")
+            )
+            .cast("bigint")
+            .alias("at_event_id"),
+            F.expr(
+                f"CAST(CASE WHEN MAX(cusum) > {CUSUM_H_CENTS} THEN 1 ELSE 0 END"
+                " AS BIGINT)"
+            ).alias("alarm"),
+        )
+        .orderBy("event_type")
+    )

@@ -580,3 +580,43 @@ def test_welch_ttest_matches_python_recompute(spark):
     )
     assert row.t_stat == t
     assert row.significant == (1 if abs(t) > 1.96 else 0)
+
+
+def test_cusum_matches_python_recompute(spark):
+    """The recursive CUSUM S_i = max(0, S_{i-1} + x_i - k) recomputed
+    imperatively must equal the query's prefix-min closed form."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    from duckdb_ner_spark.operators.round7d import CUSUM_H_CENTS, CUSUM_K_CENTS
+
+    def _cents(value: float) -> int:
+        return int(
+            (Decimal(repr(value)) * 100).quantize(
+                Decimal("1"), rounding=ROUND_HALF_UP
+            )
+        )
+
+    rows = (
+        spark.read.parquet(f"{SF_SMOKE}/events.parquet")
+        .select("event_type", "ts", "event_id", "value")
+        .collect()
+    )
+    by_type = defaultdict(list)
+    for r in rows:
+        by_type[r.event_type].append((r.ts, r.event_id, _cents(r.value)))
+    want = {}
+    for et, evs in by_type.items():
+        evs.sort(key=lambda t: (t[0], t[1]))
+        s, best, at = 0, 0, None
+        for _, eid, cents in evs:
+            s = max(0, s + cents - CUSUM_K_CENTS)
+            if s > best:
+                best, at = s, eid
+        if at is None:  # all-zero path: peak at the first event
+            at = evs[0][1]
+        want[et] = (len(evs), best, at, 1 if best > CUSUM_H_CENTS else 0)
+    got = {
+        r.event_type: (r.n_events, r.max_cusum, r.at_event_id, r.alarm)
+        for r in QUERIES["q_cusum"](spark, SF_SMOKE).collect()
+    }
+    assert got == want
