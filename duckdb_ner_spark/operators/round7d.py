@@ -1730,3 +1730,94 @@ def q_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+# --------------------------------------------------------------------------
+# Benford first-digit forensics over event values (data-quality audit)
+# --------------------------------------------------------------------------
+
+# log10(1 + 1/d) in basis points — the integer Benford table; the nine
+# entries sum to EXACTLY 10000, so the bp-space comparison is closed
+BENFORD_BP = [3010, 1761, 1249, 969, 792, 669, 580, 512, 458]
+
+_BENFORD_CASE = " ".join(
+    f"WHEN {d} THEN {bp}" for d, bp in enumerate(BENFORD_BP, start=1)
+)
+
+_BENFORD_ORACLE = f"""
+    WITH cents AS (
+        SELECT CAST(ROUND(value * 100) AS BIGINT) AS c FROM events
+        WHERE CAST(ROUND(value * 100) AS BIGINT) > 0
+    ), dig AS (
+        SELECT CAST(substr(CAST(c AS VARCHAR), 1, 1) AS BIGINT) AS digit
+        FROM cents
+    ), n AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_all FROM dig
+    )
+    SELECT d.digit,
+           CAST(COUNT(dig.digit) AS BIGINT) AS n,
+           CAST(COUNT(dig.digit) * 10000 // n.n_all AS BIGINT) AS obs_bp,
+           CAST(CASE d.digit {_BENFORD_CASE} END AS BIGINT) AS benford_bp,
+           CAST(ABS(COUNT(dig.digit) * 10000 // n.n_all
+                    - CASE d.digit {_BENFORD_CASE} END) AS BIGINT) AS dev_bp
+    FROM (SELECT unnest(range(1, 10)) AS digit) d
+    LEFT JOIN dig ON dig.digit = d.digit
+    CROSS JOIN n
+    GROUP BY d.digit, n.n_all ORDER BY d.digit
+"""
+
+
+@declared("q_benford", oracle=_BENFORD_ORACLE)
+def q_benford(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford first-digit audit of event values (cents): the forensic
+    data-quality check that flags fabricated or unit-mangled numeric
+    columns — organic multi-scale amounts follow log10(1 + 1/d); uniform
+    or clipped generators do not. Per digit 1-9: observed count, observed
+    share in basis points, the Benford expectation (an INTEGER table —
+    the nine bp entries sum to exactly 10000, so the comparison lives
+    entirely in integer bp space), and the absolute deviation. The
+    testdata's value generator turns out to be near-Benford (multi-scale
+    amounts), so the audit reads quiet — a clipped or uniform regression
+    would light up digits 1-2.
+
+    Engine-exactness: first digit via string head of the positive BIGINT
+    cents (identical in both engines); shares are one floor division of
+    non-negatives; the expectation is a CASE literal; digit is a total
+    order. The left join against the 9-digit spine keeps absent digits
+    present with n = 0.
+
+    Scale notes (100 TB): one map (quantize + first digit) feeding a
+    9-group map-side-combined count — the cheapest possible full-column
+    audit; the 9-row spine join is a broadcast of a constant."""
+    t = load_tables(spark, sf_dir)
+    dig = (
+        t.events.select(F.expr("CAST(ROUND(value * 100) AS BIGINT)").alias("c"))
+        .filter(F.col("c") > 0)
+        .select(
+            F.expr("CAST(substr(CAST(c AS STRING), 1, 1) AS BIGINT)").alias("digit")
+        )
+    )
+    dig.persist()  # the count-by-digit and the total share it
+    n = dig.agg(F.count("*").cast("bigint").alias("n_all"))
+    counts = dig.groupBy("digit").agg(F.count("*").cast("bigint").alias("n"))
+    spine = spark.range(1, 10).select(F.col("id").alias("digit"))
+    return (
+        spine
+        .join(counts, "digit", "left")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "digit",
+            F.coalesce("n", F.lit(0)).cast("bigint").alias("n"),
+            F.expr(
+                "CAST(COALESCE(n, 0) * 10000 div n_all AS BIGINT)"
+            ).alias("obs_bp"),
+            F.expr(f"CAST(CASE digit {_BENFORD_CASE} END AS BIGINT)").alias(
+                "benford_bp"
+            ),
+            F.expr(
+                f"CAST(ABS(COALESCE(n, 0) * 10000 div n_all"
+                f" - CASE digit {_BENFORD_CASE} END) AS BIGINT)"
+            ).alias("dev_bp"),
+        )
+        .orderBy("digit")
+    )

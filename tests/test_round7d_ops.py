@@ -620,3 +620,39 @@ def test_cusum_matches_python_recompute(spark):
         for r in QUERIES["q_cusum"](spark, SF_SMOKE).collect()
     }
     assert got == want
+
+
+def test_benford_matches_python_recompute(spark):
+    """First-digit histogram recomputed exactly; the Benford table must
+    sum to exactly 10000 bp and the uniform generator must deviate."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    from duckdb_ner_spark.operators.round7d import BENFORD_BP
+
+    assert sum(BENFORD_BP) == 10000
+    rows = (
+        spark.read.parquet(f"{SF_SMOKE}/events.parquet").select("value").collect()
+    )
+    digits = Counter()
+    for r in rows:
+        c = int(
+            (Decimal(repr(r.value)) * 100).quantize(
+                Decimal("1"), rounding=ROUND_HALF_UP
+            )
+        )
+        if c > 0:
+            digits[int(str(c)[0])] += 1
+    n_all = sum(digits.values())
+    got = {
+        r.digit: (r.n, r.obs_bp, r.benford_bp, r.dev_bp)
+        for r in QUERIES["q_benford"](spark, SF_SMOKE).collect()
+    }
+    assert set(got) == set(range(1, 10))
+    for d in range(1, 10):
+        n = digits.get(d, 0)
+        obs = n * 10000 // n_all
+        bb = BENFORD_BP[d - 1]
+        assert got[d] == (n, obs, bb, abs(obs - bb))
+    # this generator is near-Benford (multi-scale values): the audit
+    # stays quiet, which is itself the meaningful reading
+    assert max(v[3] for v in got.values()) < 1000
