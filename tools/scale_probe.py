@@ -422,13 +422,44 @@ def main() -> None:
             .collect()
         )
 
+    def ecdf_domain_shape(times):
+        # r7 drift family (q_ks_drift / q_emd_drift core): per-(source,
+        # length) count, then the bounded non-equi threshold join building
+        # every source's integer ECDF. Rows scale with `times` but doc_id
+        # is the only remapped key — the LENGTH DOMAIN and source count
+        # stay constant, so everything after the first map-side-combined
+        # groupBy runs on a fixed (source x distinct-length) table and
+        # wall-clock should go near-FLAT, the defining scale property.
+        big_d = inflate(docs.select("doc_id", "source", "n_chars"), times, ["doc_id"])
+        lc = big_d.groupBy("source", F.col("n_chars").alias("v")).agg(
+            F.count("*").cast("bigint").alias("c")
+        )
+        thr = lc.select("v").distinct()
+        srcs = lc.select("source").distinct()
+        (
+            srcs.crossJoin(thr)
+            .alias("g")
+            .join(
+                lc.select(
+                    F.col("source").alias("ls"), F.col("v").alias("lv"), "c"
+                ).alias("l"),
+                (F.col("l.ls") == F.col("g.source"))
+                & (F.col("l.lv") <= F.col("g.v")),
+                "left",
+            )
+            .groupBy("g.source", "g.v")
+            .agg(F.coalesce(F.sum("c"), F.lit(0)).cast("bigint").alias("cs"))
+            .agg(F.sum("cs"))
+            .collect()
+        )
+
     # untimed warmup: whole-stage-codegen JIT is a one-off per plan shape
     agg_shape(1), join_shape(1), window_shape(1), funnel_shape(1), linededup_shape(1)
     hot_bucket_shape(1), cdc_chunk_shape(1), topk_salted_shape(1)
     interval_join_shape(1), blocked_gram_shape(1)
     pagerank_shape(1), novelty_index_shape(1)
     ordered_reassembly_shape(1), bpe_round_shape(1)
-    sketch_build_shape(1), ring_assign_shape(1)
+    sketch_build_shape(1), ring_assign_shape(1), ecdf_domain_shape(1)
 
     for times in (1, 10, 30):
         probe("tpch_q1_agg", agg_shape, times)
@@ -447,6 +478,7 @@ def main() -> None:
         probe("bpe_merge_round", bpe_round_shape, times)
         probe("sketch_build_cells", sketch_build_shape, times)
         probe("ring_assign_broadcast", ring_assign_shape, times)
+        probe("ecdf_bounded_domain", ecdf_domain_shape, times)
 
     rows_base = li.count()
     lines = [
