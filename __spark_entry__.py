@@ -39,6 +39,7 @@ _DRIVER_WINDOW_PRIORITY = [
     # them (CORRECTNESS_r06 burned 5 slots proving it) — all 50 slots below
     # are hash-checkable.
     # Block 1 — r7-new queries (prepend within this block as added).
+    "q_chi2_independence",
     "q_benford", "q_cusum", "q_welch_ttest",
     "q_assortativity", "q_modularity",
     "q_emd_drift", "q_moe_router",
@@ -62,11 +63,11 @@ _DRIVER_WINDOW_PRIORITY = [
     # salted min-k bucket cap, VERDICT #2 — hash must stay identical).
     "q_sim_ann", "q_sim_ivf", "q_dedup_near", "q_dedup_embed",
     "q_image_dedup",
-    # Block 3 — the 17 r2-era rows (latest driver row = round 2). With 44
-    # r7-new queries in Block 1 and 5 in Block 2, only the first row here
-    # makes the 50-slot window; the last 16 (q_case..q_window_rank) rotate
-    # to r8. HARD BUDGET NOTE for this round: at most 1 more never-green
-    # query fits before a Block-1 row would fall outside the window and
+    # Block 3 — the 17 r2-era rows (latest driver row = round 2). With 45
+    # r7-new queries in Block 1 and 5 in Block 2, the window is EXACTLY
+    # full of never-green queries; ALL 17 rows here rotate to r8. HARD
+    # BUDGET NOTE: the round-7 window budget is EXHAUSTED — any further
+    # never-green query would push a Block-1 row outside the window and
     # fail tests/test_window_ledger.py.
     "q_array", "q_case", "q_cast", "q_date", "q_explode", "q_filter",
     "q_map", "q_math", "q_project", "q_scan", "q_setops", "q_sort",

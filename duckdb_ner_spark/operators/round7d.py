@@ -1821,3 +1821,107 @@ def q_benford(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("digit")
     )
+
+
+# --------------------------------------------------------------------------
+# Chi-square independence audit (lang x source contingency, integer-exact)
+# --------------------------------------------------------------------------
+
+CHI2_N_MAX = 40_000  # int64 safety: (N^2)^2 <= 2.56e18 < 2^63
+
+
+def _chi2_guarded_n(duck: bool) -> str:
+    if duck:
+        return f"""
+        SELECT CAST(COUNT(*) AS BIGINT)
+               + COALESCE(CASE WHEN COUNT(*) > {CHI2_N_MAX}
+                   THEN CAST(error('q_chi2_independence: row count exceeds the int64-safe bound') AS BIGINT)
+                 END, 0) AS n
+        FROM documents
+    """
+    return ""
+
+
+_CHI2_ORACLE = f"""
+    WITH o AS (
+        SELECT lang, source, CAST(COUNT(*) AS BIGINT) AS obs
+        FROM documents GROUP BY lang, source
+    ), r AS (
+        SELECT lang, CAST(SUM(obs) AS BIGINT) AS rt FROM o GROUP BY lang
+    ), c AS (
+        SELECT source, CAST(SUM(obs) AS BIGINT) AS ct FROM o GROUP BY source
+    ), n AS ({_chi2_guarded_n(True)}
+    ), grid AS (
+        SELECT r.lang, c.source, r.rt, c.ct FROM r CROSS JOIN c
+    )
+    SELECT g.lang, g.source,
+           CAST(COALESCE(o.obs, 0) AS BIGINT) AS obs,
+           CAST(g.rt * g.ct AS BIGINT) AS exp_num,
+           CAST((COALESCE(o.obs, 0) * n.n - g.rt * g.ct)
+                * (COALESCE(o.obs, 0) * n.n - g.rt * g.ct)
+                // (g.rt * g.ct) AS BIGINT) AS chi2_n_contrib
+    FROM grid g
+    LEFT JOIN o ON o.lang = g.lang AND o.source = g.source
+    CROSS JOIN n
+    ORDER BY g.lang, g.source
+"""
+
+
+@declared("q_chi2_independence", oracle=_CHI2_ORACLE)
+def q_chi2_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-square independence audit of the lang x source contingency
+    table — the curation check for whether sources are language-skewed
+    (a skewed mixture silently shifts the per-language data budget). Per
+    cell: observed count, expected numerator R·C (expected x N), and the
+    integer contribution (O·N − R·C)² // (R·C) — which is chi-square_cell
+    x N, so the full statistic is sum(contrib)/N with per-cell floors as
+    the spec. Absent (lang, source) combinations appear with obs = 0 via
+    the row x column spine.
+
+    Engine-exactness: pure integer cross-multiplication (no float
+    expected counts ever materialized); one floor division of
+    non-negatives per cell (the numerator is a square); the int64 bound
+    N <= CHI2_N_MAX ((N²)² < 2^63) is ENFORCED in-plan on both engines
+    (assert_true / error(), the q_embed_cov pattern) through the output
+    column; (lang, source) is a total order.
+
+    Scale notes (100 TB): one map-side-combined groupBy over the corpus,
+    then everything runs on the |langs| x |sources| grid (broadcast
+    joins); at a larger N, divide O·N − R·C by N first (losing the exact
+    square) or widen to DECIMAL — the bound fails fast either way."""
+    t = load_tables(spark, sf_dir)
+    o = t.documents.groupBy("lang", "source").agg(
+        F.count("*").cast("bigint").alias("obs")
+    )
+    o.persist()  # row totals, column totals, N, and the spine join share it
+    r = o.groupBy("lang").agg(F.sum("obs").cast("bigint").alias("rt"))
+    c = o.groupBy("source").agg(F.sum("obs").cast("bigint").alias("ct"))
+    n = o.agg(
+        (
+            F.sum("obs").cast("bigint")
+            + F.coalesce(
+                F.assert_true(
+                    F.sum("obs") <= CHI2_N_MAX,
+                    "q_chi2_independence: row count exceeds the int64-safe bound",
+                ).cast("bigint"),
+                F.lit(0),
+            )
+        ).alias("n")
+    )
+    grid = r.crossJoin(F.broadcast(c))
+    return (
+        grid.join(o, ["lang", "source"], "left")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "lang",
+            "source",
+            F.coalesce("obs", F.lit(0)).cast("bigint").alias("obs"),
+            (F.col("rt") * F.col("ct")).cast("bigint").alias("exp_num"),
+            F.expr(
+                "CAST((COALESCE(obs, 0) * n - rt * ct)"
+                " * (COALESCE(obs, 0) * n - rt * ct)"
+                " div (rt * ct) AS BIGINT)"
+            ).alias("chi2_n_contrib"),
+        )
+        .orderBy("lang", "source")
+    )

@@ -656,3 +656,30 @@ def test_benford_matches_python_recompute(spark):
     # this generator is near-Benford (multi-scale values): the audit
     # stays quiet, which is itself the meaningful reading
     assert max(v[3] for v in got.values()) < 1000
+
+
+def test_chi2_independence_matches_python_recompute(spark):
+    """Contingency contributions recomputed cell by cell; marginal
+    identities must hold (sum of obs over the grid = N)."""
+    docs = (
+        spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+        .select("lang", "source")
+        .collect()
+    )
+    obs = Counter((r.lang, r.source) for r in docs)
+    rt = Counter(r.lang for r in docs)
+    ct = Counter(r.source for r in docs)
+    n = len(docs)
+    want = {}
+    for lang in rt:
+        for src in ct:
+            o = obs.get((lang, src), 0)
+            en = rt[lang] * ct[src]
+            want[(lang, src)] = (o, en, (o * n - en) ** 2 // en)
+    got = {
+        (r.lang, r.source): (r.obs, r.exp_num, r.chi2_n_contrib)
+        for r in QUERIES["q_chi2_independence"](spark, SF_SMOKE).collect()
+    }
+    assert got == want
+    assert sum(v[0] for v in got.values()) == n
+    assert len(got) == len(rt) * len(ct)
