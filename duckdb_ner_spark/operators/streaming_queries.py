@@ -804,3 +804,44 @@ def q_stream_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     name = _drain(agg, mode="complete")
     return spark.table(name)
+
+
+@declared("q_stream_cusum", cache_plan=False, oracle=None)
+def q_stream_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM change detection AT INGEST (applyInPandasWithState): the
+    batch q_cusum recursion s = max(0, s + cents - k) carried as four
+    BIGINTs of per-event-type state across micro-batches, emitting the
+    running (max excursion, peak event, alarm) scorecard every batch in
+    update mode. Rows-only by design — arbitrary-state streaming is the
+    prompt's named non-SQL-expressible case (same contract as
+    q_stream_user_stats / q_stream_attribution); VALUE parity with the
+    batch q_cusum's prefix-min closed form is pinned by
+    tests/test_round7d_ops.py::test_stream_cusum_matches_batch.
+
+    Scale notes (100 TB/day): per-key state is O(1); the ordered fold
+    relies on the source's event-time order (the staged slices here; a
+    Kafka deployment keys partitions by event_type so per-key order
+    holds); alarms would route append-mode the first time the threshold
+    is crossed."""
+    from ..operators.round7d import CUSUM_H_CENTS, CUSUM_K_CENTS
+    from ..streaming.events import stream_events
+    from ..streaming.stateful import running_cusum
+
+    ev = stream_events(spark, sf_dir).select(
+        "event_type", "ts", "event_id", "value"
+    )
+    name = _drain(
+        running_cusum(ev, CUSUM_K_CENTS, CUSUM_H_CENTS), mode="update"
+    )
+    sink = spark.table(name)
+    # update-mode sinks append one row per (key, micro-batch) emission —
+    # keep each type's LAST emission (max n_events) as the final state
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("event_type").orderBy(F.desc("n_events"))
+    return (
+        sink.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+        .orderBy("event_type")
+    )

@@ -20,6 +20,7 @@ from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 from pyspark.sql.types import (
     DoubleType,
     LongType,
+    StringType,
     StructField,
     StructType,
     TimestampType,
@@ -90,3 +91,83 @@ def run_stateful_to_memory(spark, sf_dir: str, table_name: str = "stateful_out")
     from .events import _await_drain
 
     _await_drain(q)
+
+
+# --------------------------------------------------------------------------
+# Streaming CUSUM (q_cusum's recursion as cross-batch per-key state)
+# --------------------------------------------------------------------------
+
+CUSUM_STATE_SCHEMA = StructType(
+    [
+        StructField("s", LongType()),  # current CUSUM value (cents)
+        StructField("best", LongType()),  # max excursion so far
+        StructField("at_event_id", LongType()),  # min event_id at the max
+        StructField("n", LongType()),
+    ]
+)
+
+CUSUM_OUTPUT_SCHEMA = StructType(
+    [
+        StructField("event_type", StringType()),
+        StructField("n_events", LongType()),
+        StructField("max_cusum", LongType()),
+        StructField("at_event_id", LongType()),
+        StructField("alarm", LongType()),
+    ]
+)
+
+
+def running_cusum(events: DataFrame, k_cents: int, h_cents: int) -> DataFrame:
+    """Per-event-type streaming CUSUM: the recursion
+    s = max(0, s + cents - k) folded row by row in (ts, event_id) order
+    within each micro-batch, with (s, best, argmin-id-at-best, n) carried
+    as cross-batch state — the ingest-time twin of the batch q_cusum
+    (operators/round7d.py), whose prefix-min closed form this recursion
+    must equal exactly (pinned by tests; the staged file source replays
+    in event-time order, so cross-batch order matches the batch sort).
+
+    Scale notes: state is four BIGINTs per key regardless of stream
+    length; the alarm could route to an append-mode side output the
+    moment best first crosses h_cents."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    def _update(key, pdfs, state: GroupState):
+        (event_type,) = key
+        s, best, at, n = state.get if state.exists else (0, 0, None, 0)
+        pdf = pd.concat(list(pdfs), ignore_index=True)
+        if len(pdf):
+            pdf = pdf.sort_values(["ts", "event_id"], kind="mergesort")
+            for _, row in pdf.iterrows():
+                # house cents quantization: ROUND(value*100) half-up exact
+                cents = int(
+                    (Decimal(repr(float(row["value"]))) * 100).quantize(
+                        Decimal("1"), rounding=ROUND_HALF_UP
+                    )
+                )
+                s = max(0, s + cents - k_cents)
+                eid = int(row["event_id"])
+                if s > best:
+                    best, at = s, eid
+                elif s == best and at is not None:
+                    at = min(at, eid)
+                if at is None:  # all-zero path: peak at the first event
+                    at = eid
+                n += 1
+        state.update((s, best, at, n))
+        yield pd.DataFrame(
+            {
+                "event_type": [event_type],
+                "n_events": [n],
+                "max_cusum": [best],
+                "at_event_id": [at],
+                "alarm": [1 if best > h_cents else 0],
+            }
+        )
+
+    return events.groupBy("event_type").applyInPandasWithState(
+        _update,
+        outputStructType=CUSUM_OUTPUT_SCHEMA,
+        stateStructType=CUSUM_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -683,3 +683,21 @@ def test_chi2_independence_matches_python_recompute(spark):
     assert got == want
     assert sum(v[0] for v in got.values()) == n
     assert len(got) == len(rt) * len(ct)
+
+
+def test_stream_cusum_matches_batch(spark):
+    """The streaming CUSUM (applyInPandasWithState, cross-batch state over
+    the ordered file-source replay) must equal the batch q_cusum's
+    prefix-min closed form EXACTLY — the stream/batch parity contract for
+    an order-dependent statistic."""
+    for sf_dir in (SF_SMOKE, "/root/testdata/sf0.01"):
+        stream = {
+            r.event_type: (r.n_events, r.max_cusum, r.at_event_id, r.alarm)
+            for r in QUERIES["q_stream_cusum"](spark, sf_dir).collect()
+        }
+        batch = {
+            r.event_type: (r.n_events, r.max_cusum, r.at_event_id, r.alarm)
+            for r in QUERIES["q_cusum"](spark, sf_dir).collect()
+        }
+        assert stream == batch
+        assert len(batch) >= 3  # the census actually covers the types
