@@ -127,6 +127,30 @@ def main() -> None:
     attr = q_attribution(spark, sf_dir)
     print(f"last-touch attribution: {attr.count()} purchases credited to a view")
 
+    print("== corpus monitoring & sketches (round-7 families) ==")
+    from duckdb_ner_spark.operators.round7c import q_hll_registers
+    from duckdb_ner_spark.operators.round7d import (
+        q_consistent_hash,
+        q_cusum,
+        q_ks_drift,
+    )
+
+    hll = q_hll_registers(spark, sf_dir).collect()[0]
+    print(
+        f"HLL trigram cardinality: est {hll.raw_est} vs true "
+        f"{hll.true_distinct} ({hll.n_registers_hit}/{hll.m} registers hit)"
+    )
+    print("KS length-drift per source (worst 3):")
+    q_ks_drift(spark, sf_dir).show(3)
+    print("CUSUM value-drift alarms per event type:")
+    q_cusum(spark, sf_dir).show()
+    moved = q_consistent_hash(spark, sf_dir)
+    gained = moved.filter(F.col("shard") < 8).agg(F.sum("gained")).collect()[0][0]
+    print(
+        f"consistent-hash resharding: old shards gained {gained} docs "
+        "(minimal disruption — only the new shard takes load)"
+    )
+
 
 if __name__ == "__main__":
     main()
