@@ -430,17 +430,23 @@ def q_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     variation — KS catches a shifted length distribution TVD's coarse
     buckets can miss, the ingest-monitoring alarm for a drifting source.
 
-    Engine-exactness: cumulative counts are built by a bounded non-equi
-    join (thresholds = DISTINCT observed lengths), never a float ECDF;
-    one floor division of non-negatives; (ks_bp DESC, source) is a total
-    order.
+    Engine-exactness: cumulative counts are exact integer ECDFs (the
+    oracle states them as a bounded non-equi threshold join; the Spark
+    plan computes the SAME values as a per-source partitioned prefix-sum
+    window over the dense source x threshold grid — hash-identical, and
+    the corpus ECDF is the per-source ECDFs summed); one floor division
+    of non-negatives; (ks_bp DESC, source) is a total order.
 
     Scale notes (100 TB): everything after the first groupBy runs on the
-    (source x distinct-length) table, whose size is bounded by the length
-    domain (= max doc bytes), NOT corpus rows; the threshold join is
-    |lengths|^2 worst case on that pre-aggregated table — at a larger
-    length domain, bucket first (q_drift_tvd) or sort-merge the CDF with
-    one partitioned window per source."""
+    (source x distinct-length) grid, whose size is bounded by the length
+    domain (= max doc bytes), NOT corpus rows; the grid is built by one
+    EQUI join (the r7 plan rewrite — the literal non-equi join the oracle
+    uses was a |grid|^2 nested loop, 6.2 s -> sub-second at sf0.1) and
+    the prefix sums are windows PARTITIONED by source (the global-window
+    ledger stays untouched); at a larger length domain, bucket first
+    (q_drift_tvd)."""
+    from pyspark.sql import Window
+
     t = load_tables(spark, sf_dir)
     lc = t.documents.groupBy("source", F.col("n_chars").alias("v")).agg(
         F.count("*").cast("bigint").alias("c")
@@ -450,26 +456,23 @@ def q_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     ns = lc.groupBy("source").agg(F.sum("c").cast("bigint").alias("n_s"))
     thr = tot.select("v").distinct()
     srcs = lc.select("source").distinct()
+    wcum = (
+        Window.partitionBy("source")
+        .orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
     cum_s = (
         srcs.crossJoin(thr)
-        .alias("g")
-        .join(
-            lc.select(
-                F.col("source").alias("ls"), F.col("v").alias("lv"), "c"
-            ).alias("l"),
-            (F.col("l.ls") == F.col("g.source")) & (F.col("l.lv") <= F.col("g.v")),
-            "left",
+        .join(lc, ["source", "v"], "left")
+        .select(
+            "source", "v", F.coalesce("c", F.lit(0)).cast("bigint").alias("cnt")
         )
-        .groupBy("g.source", "g.v")
-        .agg(F.coalesce(F.sum("c"), F.lit(0)).cast("bigint").alias("cs"))
+        .select(
+            "source", "v", F.sum("cnt").over(wcum).cast("bigint").alias("cs")
+        )
     )
-    cum_all = (
-        thr.alias("t")
-        .join(tot.select(F.col("v").alias("tv"), "c").alias("o"),
-              F.col("o.tv") <= F.col("t.v"))
-        .groupBy("t.v")
-        .agg(F.sum("c").cast("bigint").alias("ca"))
-    )
+    cum_s.persist()  # feeds the deviation join AND the summed corpus ECDF
+    cum_all = cum_s.groupBy("v").agg(F.sum("cs").cast("bigint").alias("ca"))
     n_all = tot.agg(F.sum("c").cast("bigint").alias("n_all"))
     d = (
         cum_s.join(cum_all, "v")
@@ -1234,13 +1237,18 @@ def q_emd_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     Engine-exactness: the successor gap is a windowless MIN(v' > v) on
     the bounded distinct-length table (no LEAD, the global-window ledger
     stays untouched); numerators are exact integer cross-multiplications;
-    one floor division of non-negatives; (emd_bp DESC, source) totals the
-    order.
+    cum_s is the per-source partitioned prefix-sum window over the dense
+    grid and cum_rest its cross-source sum (the oracle states the same
+    values as a non-equi threshold join — hash-identical, q_ks_drift's r7
+    plan rewrite); one floor division of non-negatives; (emd_bp DESC,
+    source) totals the order.
 
     Scale notes (100 TB): identical shape to q_ks_drift — everything
     after the first groupBy lives on the (source x distinct-length)
     domain bounded by max doc bytes, not corpus rows; the per-threshold
     work is one extra multiply by the gap."""
+    from pyspark.sql import Window
+
     t = load_tables(spark, sf_dir)
     lc = t.documents.groupBy("source", F.col("n_chars").alias("v")).agg(
         F.count("*").cast("bigint").alias("c")
@@ -1264,28 +1272,25 @@ def q_emd_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     srcs = lc.select("source").distinct()
+    wcum = (
+        Window.partitionBy("source")
+        .orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
     cum_s = (
         srcs.crossJoin(thr)
-        .alias("g")
-        .join(
-            lc.select(
-                F.col("source").alias("ls"), F.col("v").alias("lv"), "c"
-            ).alias("l"),
-            (F.col("l.ls") == F.col("g.source")) & (F.col("l.lv") <= F.col("g.v")),
-            "left",
+        .join(lc, ["source", "v"], "left")
+        .select(
+            "source", "v", "gap",
+            F.coalesce("c", F.lit(0)).cast("bigint").alias("cnt"),
         )
-        .groupBy("g.source", "g.v", "g.gap")
-        .agg(F.coalesce(F.sum("c"), F.lit(0)).cast("bigint").alias("cs"))
-    )
-    cum_all = (
-        thr.select("v").alias("t")
-        .join(
-            tot.select(F.col("v").alias("tv"), "c").alias("o"),
-            F.col("tv") <= F.col("t.v"),
+        .select(
+            "source", "v", "gap",
+            F.sum("cnt").over(wcum).cast("bigint").alias("cs"),
         )
-        .groupBy("t.v")
-        .agg(F.sum("c").cast("bigint").alias("ca"))
     )
+    cum_s.persist()  # feeds the deviation join AND the summed corpus ECDF
+    cum_all = cum_s.groupBy("v").agg(F.sum("cs").cast("bigint").alias("ca"))
     n_row = tot.agg(
         F.sum("c").cast("bigint").alias("n_all"),
         (F.max("v") - F.min("v")).cast("bigint").alias("vrange"),
