@@ -47,17 +47,21 @@ def capped_bucket_ids(
     )
 
 
-def sql_capped_bucket_ctes(src: str, id_col: str, cap: int) -> str:
-    """DuckDB twin of capped_bucket_ids: a capped1/capped CTE pair over a
-    preceding CTE ``src(band, sig, id_col)`` — same salt (id % N_CAP_SALTS),
-    same per-salt min-k, same merged min-k."""
-    return f"""capped1 AS (
+def sql_capped_bucket_ctes(
+    src: str, id_col: str, cap: int, prefix: str = "capped"
+) -> str:
+    """DuckDB twin of capped_bucket_ids: a {prefix}1/{prefix} CTE pair over
+    a preceding CTE ``src(band, sig, id_col)`` — same salt
+    (id % N_CAP_SALTS), same per-salt min-k, same merged min-k. `prefix`
+    keeps the CTE names distinct when one query embeds the helper twice
+    (ADVICE r7 #3); the default preserves every existing oracle string."""
+    return f"""{prefix}1 AS (
         SELECT band, sig,
                list_slice(list_sort(list({id_col})), 1, {cap}) AS ids
         FROM {src} GROUP BY band, sig, {id_col} % {N_CAP_SALTS}
-    ), capped AS (
+    ), {prefix} AS (
         SELECT band, sig,
                unnest(list_slice(list_sort(flatten(list(ids))), 1, {cap}))
                    AS {id_col}
-        FROM capped1 GROUP BY band, sig
+        FROM {prefix}1 GROUP BY band, sig
     )"""

@@ -16,6 +16,7 @@ from __future__ import annotations
 
 import pandas as pd
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 from pyspark.sql.types import (
     DoubleType,
@@ -128,8 +129,13 @@ def running_cusum(events: DataFrame, k_cents: int, h_cents: int) -> DataFrame:
 
     Scale notes: state is four BIGINTs per key regardless of stream
     length; the alarm could route to an append-mode side output the
-    moment best first crosses h_cents."""
-    from decimal import ROUND_HALF_UP, Decimal
+    moment best first crosses h_cents.
+
+    Cents are quantized IN THE STREAM PLAN (JVM-side
+    ROUND(value*100)::BIGINT below) so the stream and the batch
+    q_cusum evaluate the IDENTICAL rounding op on the double product —
+    a Python-side Decimal HALF_UP re-round can disagree with SQL ROUND
+    for non-cent inputs like 0.145 (ADVICE r7 #1)."""
 
     def _update(key, pdfs, state: GroupState):
         (event_type,) = key
@@ -138,12 +144,7 @@ def running_cusum(events: DataFrame, k_cents: int, h_cents: int) -> DataFrame:
         if len(pdf):
             pdf = pdf.sort_values(["ts", "event_id"], kind="mergesort")
             for _, row in pdf.iterrows():
-                # house cents quantization: ROUND(value*100) half-up exact
-                cents = int(
-                    (Decimal(repr(float(row["value"]))) * 100).quantize(
-                        Decimal("1"), rounding=ROUND_HALF_UP
-                    )
-                )
+                cents = int(row["cents"])
                 s = max(0, s + cents - k_cents)
                 eid = int(row["event_id"])
                 if s > best:
@@ -164,7 +165,10 @@ def running_cusum(events: DataFrame, k_cents: int, h_cents: int) -> DataFrame:
             }
         )
 
-    return events.groupBy("event_type").applyInPandasWithState(
+    quantized = events.withColumn(
+        "cents", F.round(F.col("value") * 100).cast("bigint")
+    ).drop("value")
+    return quantized.groupBy("event_type").applyInPandasWithState(
         _update,
         outputStructType=CUSUM_OUTPUT_SCHEMA,
         stateStructType=CUSUM_STATE_SCHEMA,

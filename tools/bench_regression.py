@@ -24,6 +24,7 @@ from __future__ import annotations
 import glob
 import json
 import os
+import re
 import sys
 
 RATIO_DRIFT_X = 1.5  # same-run ratio move that demands adjudication
@@ -83,7 +84,19 @@ def main(argv: list[str]) -> int:
     if len(argv) == 3:
         old_path, new_path = argv[1], argv[2]
     else:
-        paths = sorted(glob.glob(os.path.join(os.path.dirname(__file__), "..", "BENCH_r*.json")))
+        # sort by the PARSED round number, not lexically — lexical order
+        # breaks once rounds exceed the zero-padded width (r100 < r99)
+        # or padding is inconsistent (ADVICE r7 #2)
+        def _round_no(p: str) -> int:
+            m = re.search(r"BENCH_r(\d+)\.json$", os.path.basename(p))
+            return int(m.group(1)) if m else -1
+
+        paths = sorted(
+            glob.glob(
+                os.path.join(os.path.dirname(__file__), "..", "BENCH_r*.json")
+            ),
+            key=_round_no,
+        )
         if len(paths) < 2:
             print("need two BENCH_r*.json files")
             return 0
