@@ -59,6 +59,61 @@ def stream_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.readStream.schema(DOCS_SCHEMA).parquet(stage)
 
 
+N_DOC_SLICES = 4  # staged micro-batch count for the sliced documents stream
+
+
+def stream_documents_sliced(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Documents staged as N_DOC_SLICES doc_id-ordered row-range slices with
+    ascending mtimes and ``maxFilesPerTrigger=1`` — an availableNow drain
+    runs N REAL micro-batches, so cross-batch aggregate state (and any
+    stream-static join re-executed per batch) is exercised for real instead
+    of collapsing into one batch (the streaming/events.py staging pattern
+    applied to the documents corpus). Marker-refreshed when the source
+    parquet changes; deterministic staging dir per SF."""
+    import hashlib
+    import json
+    import math
+    import os
+    import tempfile
+
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:12]
+    stage = os.path.join(
+        tempfile.gettempdir(), f"docs_stream_sliced_{tag}"
+    )
+    os.makedirs(stage, exist_ok=True)
+    source = f"{sf_dir}/documents.parquet"
+    marker = os.path.join(stage, "_staged.json")
+    s = os.stat(source)
+    want = {"mtime": s.st_mtime, "size": s.st_size, "parts": N_DOC_SLICES}
+    have = None
+    if os.path.exists(marker):
+        with open(marker) as fh:
+            have = json.load(fh)
+    if have != want:
+        import pyarrow.parquet as pq
+
+        tbl = pq.read_table(source)
+        per = max(1, math.ceil(tbl.num_rows / N_DOC_SLICES))
+        for f in os.listdir(stage):
+            if f.endswith(".parquet"):
+                os.remove(os.path.join(stage, f))
+        base = s.st_mtime
+        for i in range(N_DOC_SLICES):
+            sl = tbl.slice(i * per, per)
+            if sl.num_rows == 0:
+                break
+            p = os.path.join(stage, f"part-{i}.parquet")
+            pq.write_table(sl, p, version="2.6")
+            os.utime(p, (base + i, base + i))
+        with open(marker, "w") as fh:
+            json.dump(want, fh)
+    return (
+        spark.readStream.schema(DOCS_SCHEMA)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(stage)
+    )
+
+
 def entity_label_counts(
     spark: SparkSession, docs: DataFrame, model_path: str | None = None
 ) -> DataFrame:
