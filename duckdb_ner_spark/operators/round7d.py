@@ -1396,11 +1396,13 @@ def q_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
     everything collapses to per-community rows; no new pass over events
     beyond what label propagation already does."""
     from .components import day1_cooccurrence_graph
-    from .round7 import label_prop_labels
+    from .round7 import day1_propagated_labels
 
     edges, deg = day1_cooccurrence_graph(spark, sf_dir)
-    edges.persist()  # LP rounds + m + the intra join all scan it
-    comm = label_prop_labels(edges, deg).select(
+    edges.persist()  # m + the intra join both scan it
+    # propagation runs ONCE per session (shared with q_label_prop via the
+    # persisted day1_propagated_labels memo — VERDICT r7 #6)
+    comm = day1_propagated_labels(spark, sf_dir).select(
         "node", F.coalesce("lbl", F.lit(-1)).cast("bigint").alias("c")
     )
     comm.persist()  # two edge-endpoint joins + the degree join
