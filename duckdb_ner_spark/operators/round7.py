@@ -1088,7 +1088,9 @@ def q_dp_sensitivity(spark: SparkSession, sf_dir: str) -> DataFrame:
 BPE_MERGES = 3
 
 
-def _bpe_oracle() -> str:
+def _bpe_seq_ctes() -> list[str]:
+    """The wf/s0/e{i}/p{i}/best{i}/s{i} CTE chain shared by the q_bpe_merges
+    oracle and the q_bpe_apply oracle (round8.py)."""
     ctes = ["""wf AS (
         SELECT w AS word, CAST(COUNT(*) AS BIGINT) AS freq
         FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
@@ -1097,7 +1099,6 @@ def _bpe_oracle() -> str:
         SELECT word, freq, array_to_string(string_split(word, ''), ' ') AS seq
         FROM wf
     )"""]
-    stats = []
     for i in range(1, BPE_MERGES + 1):
         ctes.append(f"""e{i} AS (
         SELECT string_split(seq, ' ') AS ss, freq,
@@ -1117,6 +1118,12 @@ def _bpe_oracle() -> str:
                             ' ' || b.a || b.b || ' ')) AS seq
         FROM s{i - 1} s, best{i} b
     )""")
+    return ctes
+
+
+def _bpe_oracle() -> str:
+    stats = []
+    for i in range(1, BPE_MERGES + 1):
         stats.append(f"""
     SELECT {i} AS merge_rank, b.a AS sym_a, b.b AS sym_b, b.cnt AS pair_count,
            CAST(SUM(freq * LEN(string_split(seq, ' '))) AS BIGINT)
@@ -1125,7 +1132,7 @@ def _bpe_oracle() -> str:
             FROM (SELECT unnest(string_split(seq, ' ')) AS sym FROM s{i}) u)
                AS vocab_after
     FROM s{i}, best{i} b GROUP BY 1, 2, 3, 4""")
-    return "WITH " + ", ".join(ctes) + " UNION ALL ".join(stats)
+    return "WITH " + ", ".join(_bpe_seq_ctes()) + " UNION ALL ".join(stats)
 
 
 @declared("q_bpe_merges", oracle=_bpe_oracle())
@@ -1157,9 +1164,20 @@ def q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-round seq table is persisted (released via
     plans/cachereg.release_caches) so round i+1 does not replay round i's
     replace chain."""
-    t = load_tables(spark, sf_dir)
+    _, outs = bpe_learned_seqs(load_tables(spark, sf_dir).documents)
+    res = outs[0]
+    for o in outs[1:]:
+        res = res.unionAll(o)
+    return res
+
+
+def bpe_learned_seqs(documents: DataFrame) -> tuple[DataFrame, list[DataFrame]]:
+    """The q_bpe_merges training loop, factored so q_bpe_apply can reuse
+    the LEARNED segmentation: returns (final word->seq table after
+    BPE_MERGES rounds, per-round stat frames). Plan identical to the
+    previous inline form — the factoring moves code, not operators."""
     wf = (
-        t.documents.select(F.explode(F.split("text", " ")).alias("word"))
+        documents.select(F.explode(F.split("text", " ")).alias("word"))
         .groupBy("word")
         .agg(F.count("*").cast("bigint").alias("freq"))
     )
@@ -1215,10 +1233,7 @@ def q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         outs.append(toks.crossJoin(vocab))
         s = s.drop("a", "b", "cnt")
-    res = outs[0]
-    for o in outs[1:]:
-        res = res.unionAll(o)
-    return res
+    return s, outs
 
 # --------------------------------------------------------------------------
 # Dialog assembly (ordered string aggregation — the SFT-data flattening op)

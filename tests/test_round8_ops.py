@@ -107,3 +107,126 @@ def test_stream_pipeline_matches_batch_recompute(spark):
     stages = {s for _, s in got}
     assert "keep" in stages and ("dup" in stages or "too_short" in stages)
     assert N_BANDS == 4  # the probe shape the docstring documents
+
+
+def test_lift_curve_matches_python_recompute(spark):
+    """q_lift_curve vs a driver-side recompute of buckets, rates, and the
+    integer cross-multiplied lift."""
+    from duckdb_ner_spark.operators.round8 import LIFT_MAX_BUCKET, LIFT_SCALE
+
+    ev = (
+        spark.read.parquet(f"{SF_SMOKE}/events.parquet")
+        .select(
+            "user_id",
+            "event_type",
+            F.col("ts").cast("timestamp").alias("ts"),
+        )
+        .collect()
+    )
+    import datetime
+
+    day2 = datetime.datetime(2024, 1, 2)
+    users: dict[int, list] = {}
+    for r in ev:
+        u = users.setdefault(r.user_id, [0, 0])
+        if r.ts < day2:
+            u[0] += 1
+        if r.event_type == "purchase" and r.ts >= day2:
+            u[1] = 1
+    buckets: dict[int, list] = {}
+    tot_n, tot_pos = len(users), sum(v[1] for v in users.values())
+    for cnt, conv in users.values():
+        b = buckets.setdefault(min(cnt, LIFT_MAX_BUCKET), [0, 0])
+        b[0] += 1
+        b[1] += conv
+    expect = {
+        bk: (
+            n,
+            pos,
+            (LIFT_SCALE * pos) // n,
+            (LIFT_SCALE * pos * tot_n) // (n * tot_pos),
+        )
+        for bk, (n, pos) in buckets.items()
+    }
+    got = {
+        r.bucket: (r.n_users, r.n_converted, r.rate_bp, r.lift_bp)
+        for r in QUERIES["q_lift_curve"](spark, SF_SMOKE).collect()
+    }
+    assert got == expect
+    assert tot_pos > 0 and len(got) >= 3
+
+
+def test_record_linkage_matches_python_recompute(spark):
+    """q_record_linkage vs a pure-Python blocked linkage (classic DP edit
+    distance) over the same capped blocks."""
+    from duckdb_ner_spark.operators.round8 import RL_BLOCK_CAP, RL_CLOSE_DIST
+
+    def lev(a: str, b: str) -> int:
+        prev = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            cur = [i]
+            for j, cb in enumerate(b, 1):
+                cur.append(
+                    min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + (ca != cb))
+                )
+            prev = cur
+        return prev[-1]
+
+    parts = (
+        spark.read.parquet(f"{SF_SMOKE}/part.parquet")
+        .select("p_partkey", "p_name")
+        .collect()
+    )
+    blocks: dict[str, list] = {}
+    for r in parts:
+        blocks.setdefault(r.p_name.split(" ")[0], []).append(
+            (r.p_partkey, r.p_name)
+        )
+    expect = {}
+    for bk, recs in blocks.items():
+        kept = sorted(recs)[:RL_BLOCK_CAP]
+        ds = [
+            lev(na, nb)
+            for i, (ka, na) in enumerate(kept)
+            for kb, nb in kept[i + 1 :]
+        ]
+        expect[bk] = (
+            len(kept),
+            len(ds),
+            sum(1 for d in ds if d <= RL_CLOSE_DIST),
+            min(ds) if ds else None,
+        )
+    got = {
+        r.block_key: (r.n_records, r.n_pairs, r.n_close, r.min_dist)
+        for r in QUERIES["q_record_linkage"](spark, SF_SMOKE).collect()
+    }
+    assert got == expect
+    assert any(v[1] > 0 for v in got.values()), "need multi-record blocks"
+
+
+def test_bpe_apply_consistent_with_bpe_merges(spark):
+    """Internal cross-check: the corpus-wide BPE token total after the
+    final learned merge must equal q_bpe_merges' own n_tokens_after for
+    that merge rank (same corpus, same segmentation), and the character
+    baseline must equal sum(freq * len(word)) over the vocabulary."""
+    from duckdb_ner_spark.operators.round7 import BPE_MERGES
+
+    apply_rows = QUERIES["q_bpe_apply"](spark, SF_SMOKE).collect()
+    merges = {
+        r.merge_rank: r.n_tokens_after
+        for r in QUERIES["q_bpe_merges"](spark, SF_SMOKE).collect()
+    }
+    assert sum(r.bpe_tokens for r in apply_rows) == merges[BPE_MERGES]
+    wf = (
+        spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+        .select(F.explode(F.split("text", " ")).alias("w"))
+        .groupBy("w")
+        .agg(F.count("*").alias("freq"))
+        .collect()
+    )
+    assert sum(r.char_tokens for r in apply_rows) == sum(
+        r.freq * len(r.w) for r in wf
+    )
+    for r in apply_rows:
+        assert r.compression_bp == (10000 * r.bpe_tokens) // r.char_tokens
+        assert r.bpe_tokens <= r.char_tokens
