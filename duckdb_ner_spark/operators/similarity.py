@@ -212,14 +212,24 @@ def lsh_cosine_pairs(
         .select("vec_a", "vec_b")
         .distinct()
     )
-    ea = df.select(F.col(id_col).alias("vec_a"), F.col("embedding").alias("ea"))
-    eb = df.select(F.col(id_col).alias("vec_b"), F.col("embedding").alias("eb"))
-    da = F.expr("transform(ea, v -> CAST(v AS DOUBLE))")
-    db = F.expr("transform(eb, v -> CAST(v AS DOUBLE))")
-    dot = F.aggregate(F.zip_with(da, db, lambda x, y: x * y), F.lit(0.0), lambda a_, v: a_ + v)
-    na = F.sqrt(F.aggregate(F.zip_with(da, da, lambda x, y: x * y), F.lit(0.0), lambda a_, v: a_ + v))
-    nb = F.sqrt(F.aggregate(F.zip_with(db, db, lambda x, y: x * y), F.lit(0.0), lambda a_, v: a_ + v))
-    cos = dot / (na * nb)
+    dd = F.expr("transform(embedding, v -> CAST(v AS DOUBLE))")
+    # per-vector norms computed ONCE on the vector side of the verify joins
+    # (not per candidate pair): same left-to-right double accumulation over
+    # the same array ⇒ bit-identical values, ~3x less per-pair lambda work
+    # (the q_sim_ann prenorm measurement)
+    n1 = F.sqrt(
+        F.aggregate(F.zip_with(dd, dd, lambda x, y: x * y), F.lit(0.0), lambda a_, v: a_ + v)
+    )
+    ea = df.select(
+        F.col(id_col).alias("vec_a"), dd.alias("da"), n1.alias("na")
+    )
+    eb = df.select(
+        F.col(id_col).alias("vec_b"), dd.alias("db"), n1.alias("nb")
+    )
+    dot = F.aggregate(
+        F.zip_with("da", "db", lambda x, y: x * y), F.lit(0.0), lambda a_, v: a_ + v
+    )
+    cos = dot / (F.col("na") * F.col("nb"))
     return (
         F.broadcast(cands)
         .join(ea, "vec_a")
@@ -828,13 +838,6 @@ def q_sim_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("vec_a", "vec_b")
         .distinct()
     )
-    ea = fx.select(F.col("vec_id").alias("vec_a"), F.col("e").alias("ea"))
-    eb = fx.select(F.col("vec_id").alias("vec_b"), F.col("e").alias("eb"))
-    dot = F.aggregate(
-        F.zip_with("ea", "eb", lambda x, y: x * y),
-        F.lit(0).cast("bigint"),
-        lambda a_, v: a_ + v,
-    )
     nrm = lambda c: F.sqrt(  # noqa: E731
         F.aggregate(
             F.zip_with(c, c, lambda x, y: x * y),
@@ -842,9 +845,25 @@ def q_sim_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
             lambda a_, v: a_ + v,
         ).cast("double")
     )
-    cos_fx = F.round(dot.cast("double") / (nrm("ea") * nrm("eb")) * FX_SCALE).cast(
-        "bigint"
+    # norms are PER-VECTOR: compute them once on the 1-row-per-vector side
+    # of the verify joins, not per candidate pair — the pair side then
+    # evaluates one zip_with dot instead of three 64-lambda aggregates
+    # (measured at sf0.1: 15.7 -> 7.0 s warm, values bit-identical since
+    # the per-vector double is the same either way)
+    ea = fx.select(
+        F.col("vec_id").alias("vec_a"), F.col("e").alias("ea"), nrm("e").alias("na")
     )
+    eb = fx.select(
+        F.col("vec_id").alias("vec_b"), F.col("e").alias("eb"), nrm("e").alias("nb")
+    )
+    dot = F.aggregate(
+        F.zip_with("ea", "eb", lambda x, y: x * y),
+        F.lit(0).cast("bigint"),
+        lambda a_, v: a_ + v,
+    )
+    cos_fx = F.round(
+        dot.cast("double") / (F.col("na") * F.col("nb")) * FX_SCALE
+    ).cast("bigint")
     return (
         cands.join(ea, "vec_a")
         .join(eb, "vec_b")
