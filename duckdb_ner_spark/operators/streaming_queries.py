@@ -1004,3 +1004,161 @@ def q_stream_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table(sink).select(
         "lang", "stage", "n_docs", "total_chars", "id_checksum"
     )
+
+
+def _stream_index_growth_oracle() -> str:
+    from .dedup import N_BANDS, N_HASHES
+    from .textprep import sql_shingles
+
+    mh_cols = ", ".join(
+        f"MIN(md5('s{k}|' || s)) AS h{k}" for k in range(N_HASHES)
+    )
+    band_union = " UNION ALL ".join(
+        f"SELECT doc_id, {b} AS band, h{2 * b} || h{2 * b + 1} AS sig FROM mh"
+        for b in range(N_BANDS)
+    )
+    ctes = [f"""docs AS (
+        SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+    ), sh AS (
+        SELECT doc_id, {sql_shingles()} AS shingles FROM docs
+    ), e AS (
+        SELECT doc_id, unnest(shingles) AS s FROM sh
+    ), mh AS (
+        SELECT doc_id, {mh_cols} FROM e GROUP BY doc_id
+    ), bands AS (
+        {band_union}
+    ), per AS (
+        SELECT ((SELECT COUNT(*) FROM documents) + 3) // 4 AS p
+    ), sl AS (
+        SELECT b.doc_id, b.band, b.sig,
+               b.doc_id // (SELECT p FROM per) AS slice
+        FROM bands b WHERE b.doc_id % 2 = 1
+    ), dslice AS (
+        SELECT doc_id, doc_id // (SELECT p FROM per) AS slice
+        FROM documents WHERE doc_id % 2 = 1
+    ), idx0 AS (
+        SELECT DISTINCT band, sig FROM bands WHERE doc_id % 2 = 0
+    )"""]
+    stats = []
+    for i in range(4):
+        j = i + 1
+        ctes.append(f"""hit{j} AS (
+        SELECT DISTINCT s.doc_id FROM sl s
+        JOIN idx{i} x ON s.band = x.band AND s.sig = x.sig
+        WHERE s.slice = {i}
+    ), adm{j} AS (
+        SELECT doc_id FROM (SELECT DISTINCT doc_id FROM sl WHERE slice = {i})
+        EXCEPT SELECT doc_id FROM hit{j}
+    ), idx{j} AS (
+        SELECT band, sig FROM idx{i}
+        UNION
+        SELECT s.band, s.sig FROM sl s JOIN adm{j} a USING (doc_id)
+    )""")
+        stats.append(f"""
+    SELECT CAST({i} AS BIGINT) AS batch_id,
+           CAST((SELECT COUNT(*) FROM dslice WHERE slice = {i}) AS BIGINT)
+               AS n_docs,
+           CAST((SELECT COUNT(DISTINCT doc_id) FROM sl WHERE slice = {i})
+                AS BIGINT) AS n_banded,
+           CAST((SELECT COUNT(*) FROM adm{j}) AS BIGINT) AS n_admitted,
+           CAST((SELECT COALESCE(SUM(doc_id), 0) FROM adm{j}) AS BIGINT)
+               AS admitted_id_sum,
+           CAST((SELECT COUNT(*) FROM idx{j}) AS BIGINT) AS index_size""")
+    return "WITH " + ", ".join(ctes) + " UNION ALL ".join(stats)
+
+
+@declared(
+    "q_stream_index_growth", cache_plan=False, oracle=_stream_index_growth_oracle()
+)
+def q_stream_index_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup-at-ingest with a GROWING index — the missing half of
+    q_stream_dedup_incr, which probes a STATIC corpus index: here each
+    micro-batch's admitted documents have their LSH bands APPENDED to the
+    index before the next batch probes it (foreachBatch), so a later
+    stream document colliding with an EARLIER stream admission is
+    rejected — within-stream dup detection, the actual front-door
+    contract of a production crawl (dedup_incremental's survivor_bands
+    union, executed live across 4 real doc_id-ordered micro-batches).
+    Emits the per-batch admission ledger (docs seen / banded / admitted,
+    admitted id checksum, index size after append). The DuckDB oracle
+    replays the sequential rounds as 4 unrolled CTEs over the exact slice
+    rule the staged stream uses (doc_id // ceil(n/4) — file order IS
+    doc_id order, asserted by the hash itself) — order-DEPENDENT
+    streaming state, hash-verified end to end.
+
+    Scale notes (100 TB/day): the per-batch probe is one equi-join of the
+    batch's bands against the (band, sig)-keyed index (broadcast here;
+    bucketed co-location once the index outgrows broadcast); the append
+    is an idempotent distinct union — on Delta/Iceberg, a MERGE keyed on
+    (band, sig); index lineage is truncated per batch (localCheckpoint —
+    the connected-components idiom) so a long-running stream's plan does
+    not grow; per-batch driver traffic is ONE summary row (the stats
+    below), never data."""
+    from ..streaming.ner_stream import stream_documents_sliced
+    from .dedup import minhash_bands
+
+    corpus_bands = (
+        minhash_bands(
+            spark.read.parquet(f"{sf_dir}/documents.parquet").filter(
+                F.col("doc_id") % 2 == 0
+            )
+        )
+        .select("band", "sig")
+        .distinct()
+    )
+    state = {"index": corpus_bands.persist()}
+    rows: list[tuple] = []
+
+    def per_batch(batch_df: DataFrame, epoch_id: int) -> None:
+        odd = batch_df.filter(F.col("doc_id") % 2 == 1)
+        n_docs = odd.count()
+        nb = minhash_bands(odd).persist()
+        banded = nb.select("doc_id").distinct()
+        hits = (
+            nb.join(F.broadcast(state["index"]), ["band", "sig"], "left_semi")
+            .select("doc_id")
+            .distinct()
+        )
+        admitted = banded.exceptAll(hits).persist()
+        stats = admitted.agg(
+            F.count("*").cast("bigint").alias("n_admitted"),
+            F.coalesce(F.sum("doc_id"), F.lit(0)).cast("bigint").alias("id_sum"),
+        ).collect()[0]
+        new_index = (
+            state["index"]
+            .unionAll(
+                nb.join(admitted, "doc_id", "left_semi").select("band", "sig")
+            )
+            .distinct()
+            .localCheckpoint(eager=True)  # truncate per-batch lineage
+        )
+        state["index"] = new_index
+        rows.append(
+            (
+                int(epoch_id),
+                n_docs,
+                banded.count(),
+                int(stats.n_admitted),
+                int(stats.id_sum),
+                new_index.count(),
+            )
+        )
+        nb.unpersist()
+        admitted.unpersist()
+
+    q = (
+        stream_documents_sliced(spark, sf_dir)
+        .writeStream.foreachBatch(per_batch)
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        if not q.awaitTermination(300):
+            raise TimeoutError("index-growth drain did not finish within 300s")
+    finally:
+        q.stop()
+    return spark.createDataFrame(
+        sorted(rows),
+        "batch_id long, n_docs long, n_banded long, n_admitted long, "
+        "admitted_id_sum long, index_size long",
+    )

@@ -230,3 +230,57 @@ def test_bpe_apply_consistent_with_bpe_merges(spark):
     for r in apply_rows:
         assert r.compression_bp == (10000 * r.bpe_tokens) // r.char_tokens
         assert r.bpe_tokens <= r.char_tokens
+
+
+def test_stream_index_growth_matches_sequential_recompute(spark):
+    """q_stream_index_growth vs an exact driver-side sequential replay:
+    same bands (Spark-computed, md5-identical), same slice rule, same
+    probe-then-append rounds — pins the foreachBatch state threading
+    (a batch must probe the index AS APPENDED by every earlier batch)."""
+    from duckdb_ner_spark.operators.dedup import minhash_bands
+
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+    n = docs.count()
+    per = (n + 3) // 4
+    band_rows = minhash_bands(docs).collect()
+    bands: dict[int, set] = {}
+    for r in band_rows:
+        bands.setdefault(r.doc_id, set()).add((r.band, r.sig))
+    idx = set()
+    for d, bs in bands.items():
+        if d % 2 == 0:
+            idx |= bs
+    expect = []
+    within_stream_rejects = 0
+    for i in range(4):
+        slice_ids = [
+            d for d in range(i * per, min((i + 1) * per, n)) if d % 2 == 1
+        ]
+        banded = [d for d in slice_ids if d in bands]
+        static_adm = {d for d in banded if not (bands[d] & idx)} if i == 0 else None
+        hits = {d for d in banded if bands[d] & idx}
+        adm = sorted(set(banded) - hits)
+        if i > 0:
+            # how many rejections are due to EARLIER STREAM admissions
+            # (not the static corpus index) — the behavior this query adds
+            base_idx = set()
+            for d, bs in bands.items():
+                if d % 2 == 0:
+                    base_idx |= bs
+            within_stream_rejects += sum(
+                1 for d in hits if not (bands[d] & base_idx)
+            )
+        for d in adm:
+            idx |= bands[d]
+        expect.append(
+            (i, len(slice_ids), len(banded), len(adm), sum(adm), len(idx))
+        )
+    got = [
+        (r.batch_id, r.n_docs, r.n_banded, r.n_admitted, r.admitted_id_sum, r.index_size)
+        for r in QUERIES["q_stream_index_growth"](spark, SF_SMOKE).collect()
+    ]
+    assert got == expect
+    assert sum(e[2] - e[3] for e in expect) > 0, "no rejection ever fired"
+    # the index must actually grow across batches (state really threads)
+    sizes = [e[5] for e in expect]
+    assert sizes == sorted(sizes) and sizes[-1] > sizes[0]
