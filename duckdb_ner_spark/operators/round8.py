@@ -288,3 +288,144 @@ def q_record_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("min_dist").cast("bigint").alias("min_dist"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Poisson bootstrap: one-pass uncertainty quantification at corpus scale
+# --------------------------------------------------------------------------
+
+BOOT_B = 32  # bootstrap replicates
+BOOT_FX = 10**6
+# Deterministic Poisson(1) draw from the first 13 md5 hex digits (52 bits):
+# k = #thresholds the uniform integer exceeds, capped at 5. The constants
+# are floor(16^13 * CDF_Poisson(1)(k)) — their provenance is irrelevant to
+# engine-exactness (both engines compare the SAME integer literals); what
+# matters is the draw is a pure integer comparison, identical everywhere.
+BOOT_THRESHOLDS = (
+    1656781714176974,
+    3313563428353948,
+    4141954285442435,
+    4418084571138597,
+    4487117142562638,
+)
+
+
+def _boot_weight_sql(uexpr: str) -> str:
+    cases = " + ".join(
+        f"CASE WHEN {uexpr} >= {t} THEN 1 ELSE 0 END" for t in BOOT_THRESHOLDS
+    )
+    return f"({cases})"
+
+
+_BOOT_ORACLE = f"""
+    WITH reps AS (
+        SELECT UNNEST(RANGE(0, {BOOT_B})) AS r
+    ), wdocs AS (
+        SELECT d.lang, d.n_chars, reps.r,
+               {_boot_weight_sql(
+                   "CAST(('0x' || substr(md5('boot|' || CAST(reps.r AS VARCHAR)"
+                   " || '|' || CAST(d.doc_id AS VARCHAR)), 1, 13)) AS BIGINT)"
+               )} AS w
+        FROM documents d CROSS JOIN reps
+    ), rmeans AS (
+        SELECT lang, r,
+               CAST(({BOOT_FX} * SUM(w * n_chars)) // SUM(w) AS BIGINT)
+                   AS mean_fx
+        FROM wdocs GROUP BY lang, r HAVING SUM(w) > 0
+    ), point AS (
+        SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(({BOOT_FX} * SUM(n_chars)) // COUNT(*) AS BIGINT)
+                   AS point_mean_fx
+        FROM documents GROUP BY lang
+    )
+    SELECT p.lang, p.n_docs, p.point_mean_fx,
+           CAST(COUNT(m.r) AS BIGINT) AS n_reps,
+           CAST(percentile_disc(0.05) WITHIN GROUP (ORDER BY m.mean_fx)
+                AS BIGINT) AS boot_p05_fx,
+           CAST(percentile_disc(0.5) WITHIN GROUP (ORDER BY m.mean_fx)
+                AS BIGINT) AS boot_p50_fx,
+           CAST(percentile_disc(0.95) WITHIN GROUP (ORDER BY m.mean_fx)
+                AS BIGINT) AS boot_p95_fx
+    FROM point p JOIN rmeans m USING (lang)
+    GROUP BY p.lang, p.n_docs, p.point_mean_fx
+"""
+
+
+@declared("q_bootstrap_ci", oracle=_BOOT_ORACLE)
+def q_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Poisson bootstrap — THE web-scale resampling scheme: classic
+    bootstrap resampling needs n draws per replicate over a shared index
+    (undistributable at 100 TB); the Poisson approximation gives each row
+    an INDEPENDENT Poisson(1) weight per replicate, so all B replicates
+    compute in ONE pass as weighted map-side-combined sums. Here: a 90%
+    CI on the per-language mean document length from B={BOOT_B}
+    replicates. No RNG anywhere — the weight is a deterministic integer
+    comparison of the first 13 md5 hex digits (52 bits) against fixed
+    Poisson-CDF thresholds, so the draw is resumable, shard-stable, and
+    replayed bit-for-bit by the oracle (the md5-threshold idiom of
+    q_split/q_sample_det applied to resampling).
+
+    Engine-exactness: weights are small ints; replicate means are one
+    floor division of exact BIGINT sums in 1e6 fixed point; the CI
+    bounds are PERCENTILE_DISC over the B-row replicate table (actual
+    data elements, no interpolation) — the only window runs over ≤B rows
+    per language. HAVING SUM(w)>0 guards the (astronomically unlikely)
+    all-zero replicate identically on both engines.
+
+    Scale notes (100 TB): the replicate fan-out is a projection (each
+    corpus row emits B weight terms — map work, no shuffle blowup: the
+    aggregate is keyed (lang, r) with {BOOT_B}x the combiner cells of a
+    plain mean, still tiny); the corpus is scanned ONCE; driver sees only
+    (langs x B) means. This is the uncertainty readout every corpus-stat
+    dashboard needs next to the point estimate."""
+    t = load_tables(spark, sf_dir)
+    reps = F.explode(F.sequence(F.lit(0), F.lit(BOOT_B - 1))).alias("r")
+    u = F.expr(
+        "CAST(conv(substr(md5(concat('boot|', CAST(r AS STRING), '|',"
+        " CAST(doc_id AS STRING))), 1, 13), 16, 10) AS BIGINT)"
+    )
+    w = sum(
+        [F.when(u >= F.lit(thr), 1).otherwise(0) for thr in BOOT_THRESHOLDS],
+        F.lit(0),
+    )
+    wdocs = t.documents.select("doc_id", "lang", "n_chars", reps).select(
+        "lang", "n_chars", "r", w.alias("w")
+    )
+    rmeans = (
+        wdocs.groupBy("lang", "r")
+        .agg(
+            F.sum(F.col("w") * F.col("n_chars")).alias("swx"),
+            F.sum("w").alias("sw"),
+        )
+        .filter(F.col("sw") > 0)
+        .select(
+            "lang",
+            "r",
+            F.expr(f"CAST(({BOOT_FX} * swx) div sw AS BIGINT)").alias("mean_fx"),
+        )
+    )
+    point = t.documents.groupBy("lang").agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.expr(f"CAST(({BOOT_FX} * SUM(n_chars)) div COUNT(*) AS BIGINT)").alias(
+            "point_mean_fx"
+        ),
+    )
+    return (
+        point.join(rmeans, "lang")
+        .groupBy("lang", "n_docs", "point_mean_fx")
+        .agg(
+            F.count("r").cast("bigint").alias("n_reps"),
+            F.expr(
+                "CAST(percentile_disc(0.05) WITHIN GROUP (ORDER BY mean_fx)"
+                " AS BIGINT)"
+            ).alias("boot_p05_fx"),
+            F.expr(
+                "CAST(percentile_disc(0.5) WITHIN GROUP (ORDER BY mean_fx)"
+                " AS BIGINT)"
+            ).alias("boot_p50_fx"),
+            F.expr(
+                "CAST(percentile_disc(0.95) WITHIN GROUP (ORDER BY mean_fx)"
+                " AS BIGINT)"
+            ).alias("boot_p95_fx"),
+        )
+    )

@@ -284,3 +284,71 @@ def test_stream_index_growth_matches_sequential_recompute(spark):
     # the index must actually grow across batches (state really threads)
     sizes = [e[5] for e in expect]
     assert sizes == sorted(sizes) and sizes[-1] > sizes[0]
+
+
+def test_bootstrap_ci_matches_python_recompute(spark):
+    """q_bootstrap_ci vs a pure-Python Poisson-bootstrap replay: identical
+    md5-threshold weights, fixed-point replicate means, and
+    nearest-rank-discrete percentiles."""
+    import hashlib
+
+    from duckdb_ner_spark.operators.round8 import (
+        BOOT_B,
+        BOOT_FX,
+        BOOT_THRESHOLDS,
+    )
+
+    docs = (
+        spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+        .select("doc_id", "lang", "n_chars")
+        .collect()
+    )
+    by_lang: dict[str, list] = {}
+    for r in docs:
+        by_lang.setdefault(r.lang, []).append((r.doc_id, r.n_chars))
+    expect = {}
+    for lang, rows in by_lang.items():
+        means = []
+        for rep in range(BOOT_B):
+            swx = sw = 0
+            for doc_id, n_chars in rows:
+                u = int(
+                    hashlib.md5(f"boot|{rep}|{doc_id}".encode()).hexdigest()[:13],
+                    16,
+                )
+                w = sum(1 for t in BOOT_THRESHOLDS if u >= t)
+                swx += w * n_chars
+                sw += w
+            if sw > 0:
+                means.append((BOOT_FX * swx) // sw)
+        means.sort()
+
+        def pdisc(q):
+            import math
+
+            return means[max(0, math.ceil(q * len(means)) - 1)]
+
+        total = sum(c for _, c in rows)
+        expect[lang] = (
+            len(rows),
+            (BOOT_FX * total) // len(rows),
+            len(means),
+            pdisc(0.05),
+            pdisc(0.5),
+            pdisc(0.95),
+        )
+    got = {
+        r.lang: (
+            r.n_docs,
+            r.point_mean_fx,
+            r.n_reps,
+            r.boot_p05_fx,
+            r.boot_p50_fx,
+            r.boot_p95_fx,
+        )
+        for r in QUERIES["q_bootstrap_ci"](spark, SF_SMOKE).collect()
+    }
+    assert got == expect
+    for lang, (_, point, n_reps, p05, p50, p95) in expect.items():
+        assert n_reps == BOOT_B
+        assert p05 <= p50 <= p95
