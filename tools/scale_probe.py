@@ -453,6 +453,82 @@ def main() -> None:
             .collect()
         )
 
+    def blocked_linkage_shape(times):
+        # r8 entity-resolution family (q_record_linkage core): cheap-key
+        # blocking + the bounded-state block cap + Levenshtein on in-block
+        # pairs only. Inflation multiplies records per block (names repeat
+        # under key remap), but the cap bounds each block's pair work at
+        # C(cap,2), so past cap saturation only the scan + min-k aggregate
+        # scales — wall-clock should grow well UNDER the row multiple,
+        # the property that makes blocked linkage feasible at 100 TB.
+        from duckdb_ner_spark.operators.caps import capped_bucket_ids
+        from duckdb_ner_spark.operators.round8 import (
+            RL_BLOCK_CAP,
+            RL_CLOSE_DIST,
+        )
+
+        part = spark.read.parquet(f"{sf_dir}/part.parquet").select(
+            "p_partkey", "p_name"
+        )
+        big_p = inflate(part, times, ["p_partkey"])
+        recs = big_p.select(
+            "p_partkey", "p_name", F.split("p_name", " ").getItem(0).alias("bk")
+        )
+        bands = recs.select(
+            F.lit(0).alias("band"), F.col("bk").alias("sig"), "p_partkey"
+        )
+        kept = (
+            capped_bucket_ids(bands, "p_partkey", RL_BLOCK_CAP)
+            .select(F.col("sig").alias("bk"), "p_partkey")
+            .join(recs.select("p_partkey", "p_name"), "p_partkey")
+        )
+        a = kept.select("bk", F.col("p_partkey").alias("ka"), F.col("p_name").alias("na"))
+        b = kept.select("bk", F.col("p_partkey").alias("kb"), F.col("p_name").alias("nb"))
+        (
+            a.join(b, "bk")
+            .filter(F.col("ka") < F.col("kb"))
+            .select("bk", F.levenshtein("na", "nb").alias("d"))
+            .groupBy("bk")
+            .agg(
+                F.count("*").alias("n_pairs"),
+                F.sum(F.when(F.col("d") <= RL_CLOSE_DIST, 1).otherwise(0)).alias("nc"),
+            )
+            .agg(F.sum("n_pairs"), F.sum("nc"))
+            .collect()
+        )
+
+    def poisson_bootstrap_shape(times):
+        # r8 uncertainty family (q_bootstrap_ci core): B=32 deterministic
+        # Poisson(1) weights per row, all replicate sums in ONE map-side-
+        # combined aggregate — combiner state is (langs x B) cells no
+        # matter the corpus size, so the slope is the pure scan+hash cost.
+        from duckdb_ner_spark.operators.round8 import BOOT_B, BOOT_THRESHOLDS
+
+        big_d = inflate(
+            docs.select("doc_id", "lang", "n_chars"), times, ["doc_id"]
+        )
+        u = F.expr(
+            "CAST(conv(substr(md5(concat('boot|', CAST(r AS STRING), '|',"
+            " CAST(doc_id AS STRING))), 1, 13), 16, 10) AS BIGINT)"
+        )
+        w = sum(
+            [F.when(u >= F.lit(t), 1).otherwise(0) for t in BOOT_THRESHOLDS],
+            F.lit(0),
+        )
+        (
+            big_d.select(
+                "doc_id",
+                "lang",
+                "n_chars",
+                F.explode(F.sequence(F.lit(0), F.lit(BOOT_B - 1))).alias("r"),
+            )
+            .select("lang", "r", w.alias("w"), "n_chars")
+            .groupBy("lang", "r")
+            .agg(F.sum(F.col("w") * F.col("n_chars")).alias("swx"), F.sum("w").alias("sw"))
+            .agg(F.sum("swx"), F.sum("sw"))
+            .collect()
+        )
+
     # untimed warmup: whole-stage-codegen JIT is a one-off per plan shape
     agg_shape(1), join_shape(1), window_shape(1), funnel_shape(1), linededup_shape(1)
     hot_bucket_shape(1), cdc_chunk_shape(1), topk_salted_shape(1)
@@ -460,6 +536,7 @@ def main() -> None:
     pagerank_shape(1), novelty_index_shape(1)
     ordered_reassembly_shape(1), bpe_round_shape(1)
     sketch_build_shape(1), ring_assign_shape(1), ecdf_domain_shape(1)
+    blocked_linkage_shape(1), poisson_bootstrap_shape(1)
 
     for times in (1, 10, 30):
         probe("tpch_q1_agg", agg_shape, times)
@@ -479,6 +556,8 @@ def main() -> None:
         probe("sketch_build_cells", sketch_build_shape, times)
         probe("ring_assign_broadcast", ring_assign_shape, times)
         probe("ecdf_bounded_domain", ecdf_domain_shape, times)
+        probe("blocked_linkage_capped", blocked_linkage_shape, times)
+        probe("poisson_bootstrap_b32", poisson_bootstrap_shape, times)
 
     rows_base = li.count()
     lines = [
