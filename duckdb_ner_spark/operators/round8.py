@@ -429,3 +429,101 @@ def q_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("boot_p95_fx"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# GDPR data-subject access report (the read-side twin of q_erasure)
+# --------------------------------------------------------------------------
+
+DSAR_MOD = 100  # subjects = customers with c_custkey % DSAR_MOD == DSAR_REM
+DSAR_REM = 7
+
+_DSAR_ORACLE = f"""
+    WITH subjects AS (
+        SELECT c_custkey FROM customer
+        WHERE c_custkey % {DSAR_MOD} = {DSAR_REM}
+    ), c AS (
+        SELECT 'customer' AS table_name,
+               CAST(COUNT(*) AS BIGINT) AS n_rows,
+               CAST(COALESCE(SUM(c_custkey), 0) AS BIGINT) AS key_checksum,
+               CAST(COALESCE(SUM(CAST(ROUND(c_acctbal * 100) AS BIGINT)), 0)
+                    AS BIGINT) AS cents_checksum
+        FROM customer JOIN subjects USING (c_custkey)
+    ), o AS (
+        SELECT 'orders' AS table_name,
+               CAST(COUNT(*) AS BIGINT) AS n_rows,
+               CAST(COALESCE(SUM(o_orderkey), 0) AS BIGINT) AS key_checksum,
+               CAST(COALESCE(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)), 0)
+                    AS BIGINT) AS cents_checksum
+        FROM orders JOIN subjects ON o_custkey = c_custkey
+    ), l AS (
+        SELECT 'lineitem' AS table_name,
+               CAST(COUNT(*) AS BIGINT) AS n_rows,
+               CAST(COALESCE(SUM(li.l_orderkey * 10 + li.l_linenumber), 0)
+                    AS BIGINT) AS key_checksum,
+               CAST(COALESCE(SUM(CAST(ROUND(li.l_extendedprice * 100) AS BIGINT)), 0)
+                    AS BIGINT) AS cents_checksum
+        FROM lineitem li
+        JOIN orders ON li.l_orderkey = o_orderkey
+        JOIN subjects ON o_custkey = c_custkey
+    )
+    SELECT * FROM c UNION ALL SELECT * FROM o UNION ALL SELECT * FROM l
+"""
+
+
+@declared("q_dsar_report", oracle=_DSAR_ORACLE)
+def q_dsar_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GDPR data-subject access report (DSAR) — the READ side of the
+    compliance pair whose delete side is q_erasure: for a subject set
+    (1% of customers by key residue), account every row held about them
+    across the relational graph — directly keyed rows (customer), 1-hop
+    (orders via o_custkey), and 2-hop (lineitem via the orders join: data
+    about a subject that carries no subject key itself, the case naive
+    key-grep compliance tooling misses). Per table: row count, key
+    checksum, money checksum in exact cents — the inventory a controller
+    must produce and the fixture an erasure pass is verified against.
+
+    Engine-exactness: checksums are integer sums (cents via the house
+    ROUND(x*100) quantization); the lineitem key folds (orderkey,
+    linenumber) into one BIGINT. Scale notes (100 TB): the subject list
+    is broadcast into every fact join (semi-join pushdown shape — facts
+    never reshuffle); each table contributes one map-side-combined
+    aggregate; the 2-hop path reuses the orders->subject projection as
+    the broadcast side of the lineitem probe."""
+    t = load_tables(spark, sf_dir)
+    subjects = t.customer.filter(
+        F.col("c_custkey") % DSAR_MOD == DSAR_REM
+    ).select("c_custkey")
+    cents = lambda c: F.round(F.col(c) * 100).cast("bigint")  # noqa: E731
+
+    def report(df: DataFrame, name: str, key: F.Column, money: F.Column) -> DataFrame:
+        return df.agg(
+            F.lit(name).alias("table_name"),
+            F.count("*").cast("bigint").alias("n_rows"),
+            F.coalesce(F.sum(key), F.lit(0)).cast("bigint").alias("key_checksum"),
+            F.coalesce(F.sum(money), F.lit(0))
+            .cast("bigint")
+            .alias("cents_checksum"),
+        )
+
+    c = report(
+        t.customer.join(F.broadcast(subjects), "c_custkey"),
+        "customer",
+        F.col("c_custkey"),
+        cents("c_acctbal"),
+    )
+    subj_orders = t.orders.join(
+        F.broadcast(subjects), F.col("o_custkey") == F.col("c_custkey")
+    )
+    o = report(subj_orders, "orders", F.col("o_orderkey"), cents("o_totalprice"))
+    li = t.lineitem.join(
+        F.broadcast(subj_orders.select("o_orderkey")),
+        F.col("l_orderkey") == F.col("o_orderkey"),
+    )
+    l_ = report(
+        li,
+        "lineitem",
+        F.col("l_orderkey") * 10 + F.col("l_linenumber"),
+        cents("l_extendedprice"),
+    )
+    return c.unionAll(o).unionAll(l_)

@@ -352,3 +352,51 @@ def test_bootstrap_ci_matches_python_recompute(spark):
     for lang, (_, point, n_reps, p05, p50, p95) in expect.items():
         assert n_reps == BOOT_B
         assert p05 <= p50 <= p95
+
+
+def test_dsar_report_matches_python_recompute(spark):
+    """q_dsar_report vs a driver-side recompute of the 0/1/2-hop subject
+    row inventory and cents checksums."""
+    from duckdb_ner_spark.operators.round8 import DSAR_MOD, DSAR_REM
+
+    cust = spark.read.parquet(f"{SF_SMOKE}/customer.parquet").collect()
+    orders = spark.read.parquet(f"{SF_SMOKE}/orders.parquet").collect()
+    li = spark.read.parquet(f"{SF_SMOKE}/lineitem.parquet").collect()
+    subs = {r.c_custkey for r in cust if r.c_custkey % DSAR_MOD == DSAR_REM}
+
+    def cents(x):
+        from decimal import ROUND_HALF_UP, Decimal
+
+        return int(
+            (Decimal(repr(float(x))) * 100).quantize(
+                Decimal("1"), rounding=ROUND_HALF_UP
+            )
+        )
+
+    crows = [r for r in cust if r.c_custkey in subs]
+    orows = [r for r in orders if r.o_custkey in subs]
+    okeys = {r.o_orderkey for r in orows}
+    lrows = [r for r in li if r.l_orderkey in okeys]
+    expect = {
+        "customer": (
+            len(crows),
+            sum(r.c_custkey for r in crows),
+            sum(cents(r.c_acctbal) for r in crows),
+        ),
+        "orders": (
+            len(orows),
+            sum(r.o_orderkey for r in orows),
+            sum(cents(r.o_totalprice) for r in orows),
+        ),
+        "lineitem": (
+            len(lrows),
+            sum(r.l_orderkey * 10 + r.l_linenumber for r in lrows),
+            sum(cents(r.l_extendedprice) for r in lrows),
+        ),
+    }
+    got = {
+        r.table_name: (r.n_rows, r.key_checksum, r.cents_checksum)
+        for r in QUERIES["q_dsar_report"](spark, SF_SMOKE).collect()
+    }
+    assert got == expect
+    assert got["lineitem"][0] > 0, "2-hop rows must exist for the subjects"
