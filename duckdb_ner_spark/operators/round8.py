@@ -527,3 +527,82 @@ def q_dsar_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         cents("l_extendedprice"),
     )
     return c.unionAll(o).unionAll(l_)
+
+
+# --------------------------------------------------------------------------
+# Retraction-aware incremental aggregate maintenance (the delete path)
+# --------------------------------------------------------------------------
+
+RETRACT_MOD = 100  # erased subjects: user_id % RETRACT_MOD == RETRACT_REM
+RETRACT_REM = 7
+RETRACT_FX = 1_000_000
+
+_RETRACT_ORACLE = f"""
+    SELECT event_type,
+           CAST(SUM(CASE WHEN user_id % {RETRACT_MOD} <> {RETRACT_REM}
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_events,
+           CAST(SUM(CASE WHEN user_id % {RETRACT_MOD} <> {RETRACT_REM}
+                         THEN CAST(ROUND(value * {RETRACT_FX}) AS BIGINT)
+                         ELSE 0 END) AS BIGINT) AS total_fx,
+           CAST(SUM(CASE WHEN user_id % {RETRACT_MOD} = {RETRACT_REM}
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_retracted,
+           CAST(SUM(CASE WHEN user_id % {RETRACT_MOD} = {RETRACT_REM}
+                         THEN CAST(ROUND(value * {RETRACT_FX}) AS BIGINT)
+                         ELSE 0 END) AS BIGINT) AS retracted_fx
+    FROM events
+    GROUP BY event_type
+    HAVING SUM(CASE WHEN user_id % {RETRACT_MOD} <> {RETRACT_REM}
+                    THEN 1 ELSE 0 END) > 0
+"""
+
+
+@declared("q_incr_agg_delete", oracle=_RETRACT_ORACLE)
+def q_incr_agg_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental aggregate maintenance under DELETES — the retraction
+    path that completes the GDPR family (q_erasure prunes the dedup
+    index, q_dsar_report inventories the subject's rows, THIS maintains
+    the derived aggregates after the rows go): the engine takes the FULL
+    materialized per-type state and merges NEGATED partials of the erased
+    subjects' events (counts and fixed-point sums subtract; types whose
+    count reaches zero drop out), and the hash gate proves the retracted
+    state equals the oracle's direct aggregate over survivors — the
+    materialized-view delete rule (SUM/COUNT are retractable partials;
+    MIN/MAX are not and would need a recompute or an ordered sketch,
+    documented here as the design boundary).
+
+    Engine-exactness: every merged quantity is a 1e6-fixed-point BIGINT
+    (the q_incr_agg precedent), so merge order — full-state-minus-deletes
+    vs one pass — cannot drift an ulp.
+
+    Scale notes (100 TB): the erased-subject partials aggregate only the
+    delete slice (partition-prunable when events are user- or
+    date-bucketed); the merge re-aggregates a types-sized union; no
+    full-corpus recompute happens on the delete path — exactly why
+    production view maintenance keeps retractable partials."""
+    t = load_tables(spark, sf_dir)
+    fx = F.expr(f"CAST(ROUND(value * {RETRACT_FX}) AS BIGINT)")
+    erased = F.col("user_id") % RETRACT_MOD == RETRACT_REM
+
+    full_state = t.events.groupBy("event_type").agg(
+        F.count("*").cast("bigint").alias("n_events"),
+        F.sum(fx).cast("bigint").alias("total_fx"),
+        F.lit(0).cast("bigint").alias("n_retracted"),
+        F.lit(0).cast("bigint").alias("retracted_fx"),
+    )
+    retract = t.events.filter(erased).groupBy("event_type").agg(
+        (-F.count("*")).cast("bigint").alias("n_events"),
+        (-F.sum(fx)).cast("bigint").alias("total_fx"),
+        F.count("*").cast("bigint").alias("n_retracted"),
+        F.sum(fx).cast("bigint").alias("retracted_fx"),
+    )
+    return (
+        full_state.unionByName(retract)
+        .groupBy("event_type")
+        .agg(
+            F.sum("n_events").cast("bigint").alias("n_events"),
+            F.sum("total_fx").cast("bigint").alias("total_fx"),
+            F.sum("n_retracted").cast("bigint").alias("n_retracted"),
+            F.sum("retracted_fx").cast("bigint").alias("retracted_fx"),
+        )
+        .filter(F.col("n_events") > 0)
+    )

@@ -400,3 +400,41 @@ def test_dsar_report_matches_python_recompute(spark):
     }
     assert got == expect
     assert got["lineitem"][0] > 0, "2-hop rows must exist for the subjects"
+
+
+def test_incr_agg_delete_retraction_equals_direct(spark):
+    """The retraction-maintained state must equal a direct aggregate over
+    survivors computed INDEPENDENTLY in Spark (the oracle pins the
+    cross-engine half), and the retracted accounting must reconcile:
+    maintained + retracted == full state per type."""
+    from duckdb_ner_spark.operators.round8 import (
+        RETRACT_FX,
+        RETRACT_MOD,
+        RETRACT_REM,
+    )
+
+    ev = spark.read.parquet(f"{SF_SMOKE}/events.parquet").select(
+        "user_id", "event_type", "value"
+    )
+    fx = F.expr(f"CAST(ROUND(value * {RETRACT_FX}) AS BIGINT)")
+    direct = {
+        r.event_type: (r.n, r.s)
+        for r in ev.filter(F.col("user_id") % RETRACT_MOD != RETRACT_REM)
+        .groupBy("event_type")
+        .agg(F.count("*").alias("n"), F.sum(fx).alias("s"))
+        .collect()
+    }
+    full = {
+        r.event_type: (r.n, r.s)
+        for r in ev.groupBy("event_type")
+        .agg(F.count("*").alias("n"), F.sum(fx).alias("s"))
+        .collect()
+    }
+    got = {
+        r.event_type: (r.n_events, r.total_fx, r.n_retracted, r.retracted_fx)
+        for r in QUERIES["q_incr_agg_delete"](spark, SF_SMOKE).collect()
+    }
+    assert {k: v[:2] for k, v in got.items()} == direct
+    for k, (n, s, nr, sr) in got.items():
+        assert (n + nr, s + sr) == full[k]
+    assert sum(v[2] for v in got.values()) > 0, "no retraction ever fired"
