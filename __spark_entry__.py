@@ -46,7 +46,7 @@ _DRIVER_WINDOW_PRIORITY = [
     # tests/test_window_ledger.py enforces the never-green side).
     "q_stream_pipeline", "q_stream_index_growth",
     "q_bpe_apply", "q_lift_curve", "q_record_linkage", "q_bootstrap_ci",
-    "q_dsar_report", "q_incr_agg_delete",
+    "q_dsar_report", "q_incr_agg_delete", "q_kcore",
     # Block 2 — the 17 r2-era rows (newest driver row = round 2).
     "q_array", "q_case", "q_cast", "q_date", "q_explode", "q_filter",
     "q_map", "q_math", "q_project", "q_scan", "q_setops", "q_sort",
@@ -62,10 +62,10 @@ _DRIVER_WINDOW_PRIORITY = [
     "q_grouped_agg_udaf", "q_grouped_map", "q_udtf_chunk",
     "q_multimodal_frames",
     "q_asof_forward", "q_chunk", "q_embed_centroid", "q_fingerprint",
-    "q_heavy_hitters", "q_hop_window", "q_json",
+    "q_heavy_hitters", "q_hop_window",
     # ---- window budget line: entries below here are OUTSIDE the first-50
     # window for r8 and rotate in r9 (with the r4-era rows after them) ----
-    "q_knn_join", "q_lang_id", "q_pivot", "q_qualify", "q_quality", "q_quality_cut", "q_range_bucket",
+    "q_json", "q_knn_join", "q_lang_id", "q_pivot", "q_qualify", "q_quality", "q_quality_cut", "q_range_bucket",
     "q_repetition", "q_sample_det", "q_scd2", "q_skew_salted",
     "q_text_stats", "q_tfidf", "q_token_count", "q_unpivot", "q_upsert",
     "q_zorder",

@@ -606,3 +606,106 @@ def q_incr_agg_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("n_events") > 0)
     )
+
+
+# --------------------------------------------------------------------------
+# k-core peeling (iterative node removal — the fifth graph primitive)
+# --------------------------------------------------------------------------
+
+KCORE_K = 3
+KCORE_ROUNDS = 3
+
+_PEEL_GRAPH_CTE = """co AS (
+        SELECT DISTINCT date_trunc('hour', ts) AS h, user_id
+        FROM events WHERE ts < TIMESTAMP '2024-01-02 00:00:00'
+    ), edges AS (
+        SELECT DISTINCT a.user_id AS u, b.user_id AS v
+        FROM co a JOIN co b ON a.h = b.h AND a.user_id < b.user_id
+    )"""
+
+
+def _kcore_oracle() -> str:
+    k = KCORE_K
+    ctes = [
+        _PEEL_GRAPH_CTE,
+        """alive0 AS (
+        SELECT u AS node FROM edges UNION SELECT v FROM edges
+    )""",
+    ]
+    stats = []
+    for i in range(1, KCORE_ROUNDS + 1):
+        ctes.append(f"""e{i} AS (
+        SELECT u, v FROM edges
+        WHERE u IN (SELECT node FROM alive{i - 1})
+          AND v IN (SELECT node FROM alive{i - 1})
+    ), d{i} AS (
+        SELECT node, CAST(COUNT(*) AS BIGINT) AS deg FROM (
+            SELECT u AS node FROM e{i} UNION ALL SELECT v FROM e{i}
+        ) GROUP BY node
+    ), alive{i} AS (
+        SELECT node FROM d{i} WHERE deg >= {k}
+    )""")
+        stats.append(f"""
+    SELECT CAST({i} AS BIGINT) AS round,
+           CAST((SELECT COUNT(*) FROM alive{i}) AS BIGINT) AS n_alive,
+           CAST((SELECT COUNT(*) FROM e{i}) AS BIGINT) AS n_edges_in,
+           CAST((SELECT COALESCE(SUM(node), 0) FROM alive{i}) AS BIGINT)
+               AS alive_id_sum""")
+    return "WITH " + ", ".join(ctes) + " UNION ALL ".join(stats)
+
+
+@declared("q_kcore", oracle=_kcore_oracle())
+def q_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-core decomposition by iterative PEELING — the fifth graph
+    primitive after min-label (components), weighted sum (PageRank),
+    argmax majority (label prop), and min-plus (BFS): here the feedback
+    is node REMOVAL — each round recomputes degrees over the subgraph
+    induced by survivors and drops nodes under k={KCORE_K}, the dense-core
+    extraction used for community seeding and influence pruning.
+    {KCORE_ROUNDS} unrolled rounds (the bounded-iteration contract of the
+    PR/BFS family; a full fixpoint adds the connected-components
+    convergence guard); emits the per-round census (survivors, induced
+    edges, id checksum).
+
+    Engine-exactness: integer degrees and censuses only. Scale notes
+    (100 TB): each round is two semi-joins of the edge list against the
+    shrinking survivor set (broadcast once survivors fit; bucketed
+    co-location otherwise) + one map-side-combined degree count — the
+    PageRank shuffle shape; the edge list itself is the shared persisted
+    day-1 graph, scanned but never reshuffled (survivor sets join on the
+    same keys every round)."""
+    from .components import day1_cooccurrence_graph
+
+    edges, deg = day1_cooccurrence_graph(spark, sf_dir)
+    alive = deg.select("node")
+    outs = []
+    for i in range(1, KCORE_ROUNDS + 1):
+        e_i = (
+            edges.join(alive.withColumnRenamed("node", "u"), "u", "left_semi")
+            .join(alive.withColumnRenamed("node", "v"), "v", "left_semi")
+            .persist()
+        )
+        d_i = (
+            e_i.select(F.col("u").alias("node"))
+            .unionAll(e_i.select(F.col("v").alias("node")))
+            .groupBy("node")
+            .agg(F.count("*").cast("bigint").alias("deg"))
+        )
+        alive = d_i.filter(F.col("deg") >= KCORE_K).select("node").persist()
+        outs.append(
+            alive.agg(
+                F.lit(i).cast("bigint").alias("round"),
+                F.count("*").cast("bigint").alias("n_alive"),
+                F.coalesce(F.sum("node"), F.lit(0))
+                .cast("bigint")
+                .alias("alive_id_sum"),
+            ).crossJoin(
+                F.broadcast(
+                    e_i.agg(F.count("*").cast("bigint").alias("n_edges_in"))
+                )
+            )
+        )
+    res = outs[0]
+    for o in outs[1:]:
+        res = res.unionAll(o)
+    return res.select("round", "n_alive", "n_edges_in", "alive_id_sum")
