@@ -1,0 +1,361 @@
+"""Round-8b operators: time-weighted averaging, Pareto skyline, and the
+prefix-filtered EXACT set-similarity join (PPJoin-style).
+
+Beyond-reference surface (SURVEY.md §2.D): the reference ships no
+relational operators of its own — these extend the LLM-pipeline /
+analytics families the north-star brief mandates (BASELINE.json:6), each
+designed Spark-first for the 100 TB shape and hash-verified against a
+DuckDB replay.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..plans.registry import declared
+from ..sources.catalog import load_tables
+from .textprep import shingles_expr, sql_shingles, words_col
+
+# --------------------------------------------------------------------------
+# Time-weighted average: irregular-sample integration per entity
+# --------------------------------------------------------------------------
+
+TWA_CUTOFF = "TIMESTAMP '2024-01-02 00:00:00'"
+TWA_BUCKET_CENTS = 500  # $5 histogram buckets over the per-user TWA
+
+_TWA_ORACLE = f"""
+    WITH e AS (
+        SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+               CAST(ROUND(value * 100) AS BIGINT) AS cents
+        FROM events WHERE ts < {TWA_CUTOFF}
+    ), seg AS (
+        SELECT user_id, cents,
+               LEAD(ts_us) OVER (PARTITION BY user_id
+                                 ORDER BY ts_us, event_id) - ts_us AS dt_us
+        FROM e
+    ), u AS (
+        SELECT user_id,
+               CAST(SUM(cents * dt_us) AS BIGINT) AS wsum,
+               CAST(SUM(dt_us) AS BIGINT) AS tsum
+        FROM seg WHERE dt_us IS NOT NULL
+        GROUP BY user_id
+        HAVING SUM(dt_us) > 0
+    )
+    SELECT CAST((wsum // tsum) // {TWA_BUCKET_CENTS} AS BIGINT) AS bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_users,
+           CAST(SUM(wsum // tsum) AS BIGINT) AS twa_cents_sum
+    FROM u GROUP BY 1
+"""
+
+
+@declared("q_twa", oracle=_TWA_ORACLE)
+def q_twa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TIME-WEIGHTED average over irregular samples — the canonical
+    timeseries aggregate (billing meters, sensor states, position marks):
+    each observation holds its value until the next one, so the mean must
+    weight by HOLD DURATION, not sample count. Per user over day 1: the
+    last-observation-carried-forward integral ÷ observed span, then a $5
+    histogram over the per-user TWAs (per-user rows would be corpus-sized
+    output; the histogram is the QA artifact).
+
+    Engine-exactness: durations are integer epoch-microsecond differences;
+    values are cents (ROUND(value*100), one IEEE multiply+round both
+    engines); the integral Σ cents·Δt_us stays in BIGINT (≤5e15 per
+    segment); TWA and bucket are floor divisions of non-negative BIGINTs
+    (Spark div == DuckDB //). The LEAD tiebreak is (ts_us, event_id) —
+    total order, no tie hazard; equal-timestamp segments get Δt=0 and
+    contribute nothing, identically in both engines.
+
+    Plan shape (100 TB): one events shuffle (user_id), one ordered
+    per-partition pass for LEAD (WindowExec, partition-bounded), then two
+    map-side-combined aggregates — no self-join, no global window. The
+    classic wrong plan (events self-join on adjacent timestamps) is
+    O(n·avg-run) shuffle; LEAD is O(n)."""
+    t = load_tables(spark, sf_dir)
+    e = t.events.filter(F.col("ts") < F.expr(TWA_CUTOFF)).select(
+        "user_id",
+        "event_id",
+        F.expr(
+            "timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)"
+        ).alias("ts_us"),
+        F.expr("CAST(ROUND(value * 100) AS BIGINT)").alias("cents"),
+    )
+    w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    seg = e.select(
+        "user_id", "cents", (F.lead("ts_us").over(w) - F.col("ts_us")).alias("dt_us")
+    ).filter(F.col("dt_us").isNotNull())
+    u = (
+        seg.groupBy("user_id")
+        .agg(
+            F.sum(F.col("cents") * F.col("dt_us")).cast("bigint").alias("wsum"),
+            F.sum("dt_us").cast("bigint").alias("tsum"),
+        )
+        .filter(F.col("tsum") > 0)
+    )
+    return (
+        u.select(F.expr("wsum div tsum").alias("twa_cents"))
+        .groupBy(
+            F.expr(f"CAST(twa_cents div {TWA_BUCKET_CENTS} AS BIGINT)").alias("bucket")
+        )
+        .agg(
+            F.count("*").cast("bigint").alias("n_users"),
+            F.sum("twa_cents").cast("bigint").alias("twa_cents_sum"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Skyline (Pareto frontier): min price, max size over part
+# --------------------------------------------------------------------------
+
+SKYLINE_BUCKET_CENTS = 500  # $5 price buckets — the partition unit
+
+
+def _skyline_oracle() -> str:
+    W = SKYLINE_BUCKET_CENTS
+    return f"""
+    WITH pts AS (
+        SELECT CAST(ROUND(p_retailprice * 100) AS BIGINT) AS pc, p_size AS s,
+               CAST(COUNT(*) AS BIGINT) AS n_parts
+        FROM part GROUP BY 1, 2
+    ), g AS (
+        SELECT pc // {W} AS b, pc, MAX(s) AS smax FROM pts GROUP BY 1, 2
+    ), gw AS (
+        SELECT b, pc, smax,
+               MAX(smax) OVER (PARTITION BY b ORDER BY pc
+                               ROWS BETWEEN UNBOUNDED PRECEDING
+                                        AND 1 PRECEDING) AS m_in
+        FROM g
+    ), bw AS (
+        SELECT b, MAX(bmax) OVER (ORDER BY b
+                                  ROWS BETWEEN UNBOUNDED PRECEDING
+                                           AND 1 PRECEDING) AS m_cross
+        FROM (SELECT b, MAX(smax) AS bmax FROM g GROUP BY 1)
+    )
+    SELECT p.pc AS price_cents, p.s AS size, p.n_parts
+    FROM pts p JOIN gw ON gw.pc = p.pc JOIN bw ON bw.b = gw.b
+    WHERE NOT (COALESCE(gw.m_in, -1) >= p.s
+               OR COALESCE(bw.m_cross, -1) >= p.s
+               OR gw.smax > p.s)
+"""
+
+
+@declared("q_skyline", oracle=_skyline_oracle())
+def q_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SKYLINE / Pareto-frontier query — the classic multi-criteria OLAP
+    operator: parts for which no other part is both cheaper-or-equal AND
+    bigger-or-equal (with one strict), i.e. the undominated (price, size)
+    points a buyer would ever consider. Naive evaluation is the O(n²)
+    dominance anti-join; this plan is the partitioned 2-D form: sort one
+    dimension, running-max the other.
+
+    Decomposition: dominated(pc,s) ⟺ max-size-at-strictly-cheaper ≥ s OR
+    max-size-at-equal-price > s. Strictly-cheaper splits into same-bucket
+    cheaper prices (per-bucket ROWS window over price-level maxima,
+    partition-bounded) and strictly-lower buckets (ONE running max over
+    the ≤(price-domain/{SKYLINE_BUCKET_CENTS}-cents) bucket summaries —
+    the only global window, input bounded by the fixed price domain, and
+    broadcast back to the points).
+
+    Engine-exactness: prices as cents (ROUND(p*100), one IEEE multiply+
+    round both engines), integer sizes, comparisons only — no float
+    arithmetic; COALESCE(·,-1) is safe (sizes ≥ 1). Frames are ROWS over
+    a per-(bucket,price) grouped table, so frame contents are unique-key
+    deterministic.
+
+    Plan shape (100 TB): two map-side-combined aggregates (points, price
+    level), one partition-bounded window, one ~20-row global window, one
+    broadcast join back — the fact table is scanned once and never
+    self-joined. This is the standard distributed-skyline shape (local
+    skyline per price block + block-summary cross-filter)."""
+    W = SKYLINE_BUCKET_CENTS
+    t = load_tables(spark, sf_dir)
+    pts = (
+        t.part.select(
+            F.expr("CAST(ROUND(p_retailprice * 100) AS BIGINT)").alias("pc"),
+            F.col("p_size").alias("s"),
+        )
+        .groupBy("pc", "s")
+        .agg(F.count("*").cast("bigint").alias("n_parts"))
+        .withColumn("b", F.expr(f"pc div {W}"))
+    )
+    g = pts.groupBy("b", "pc").agg(F.max("s").alias("smax"))
+    w_in = (
+        Window.partitionBy("b")
+        .orderBy("pc")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    gw = g.select("b", "pc", "smax", F.max("smax").over(w_in).alias("m_in"))
+    # bucket summaries: one tiny global running max (≤ price-domain/W rows)
+    w_cross = Window.orderBy("b").rowsBetween(Window.unboundedPreceding, -1)
+    bw = (
+        g.groupBy("b")
+        .agg(F.max("smax").alias("bmax"))
+        .select("b", F.max("bmax").over(w_cross).alias("m_cross"))
+    )
+    return (
+        pts.join(gw.drop("b"), "pc")
+        .join(F.broadcast(bw), "b")
+        .filter(
+            ~(
+                (F.coalesce(F.col("m_in"), F.lit(-1)) >= F.col("s"))
+                | (F.coalesce(F.col("m_cross"), F.lit(-1)) >= F.col("s"))
+                | (F.col("smax") > F.col("s"))
+            )
+        )
+        .select(F.col("pc").alias("price_cents"), F.col("s").alias("size"), "n_parts")
+    )
+
+
+# --------------------------------------------------------------------------
+# Prefix-filtered EXACT set-similarity join (PPJoin-style)
+# --------------------------------------------------------------------------
+
+SETSIM_TAU_N = 7  # Jaccard threshold τ = 7/10 as an exact rational
+SETSIM_TAU_D = 10
+
+
+def _setsim_oracle() -> str:
+    n, d = SETSIM_TAU_N, SETSIM_TAU_D
+    return f"""
+    WITH w0 AS (
+        SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+    ), s0 AS (
+        SELECT doc_id, {sql_shingles(3)} AS sh FROM w0
+    ), sh AS (
+        SELECT doc_id, unnest(sh) AS w FROM s0 WHERE len(sh) > 0
+    ), sz AS (
+        SELECT doc_id, CAST(len(sh) AS BIGINT) AS n FROM s0 WHERE len(sh) > 0
+    ), dfreq AS (
+        SELECT w, COUNT(*) AS df FROM sh GROUP BY 1
+    ), pre AS (
+        SELECT doc_id, w, n FROM (
+            SELECT t.doc_id, t.w, sz.n,
+                   ROW_NUMBER() OVER (PARTITION BY t.doc_id
+                                      ORDER BY d.df ASC, t.w ASC) AS rnk
+            FROM sh t JOIN dfreq d USING (w) JOIN sz USING (doc_id)
+        ) WHERE rnk <= n - ({n} * n + {d - 1}) // {d} + 1
+    ), cand AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM pre a JOIN pre b ON a.w = b.w AND a.doc_id < b.doc_id
+        WHERE {d} * LEAST(a.n, b.n) >= {n} * GREATEST(a.n, b.n)
+    ), inter AS (
+        SELECT c.doc_a, c.doc_b, CAST(COUNT(*) AS BIGINT) AS inter_sz
+        FROM cand c
+        JOIN sh ta ON ta.doc_id = c.doc_a
+        JOIN sh tb ON tb.doc_id = c.doc_b AND tb.w = ta.w
+        GROUP BY 1, 2
+    )
+    SELECT i.doc_a, i.doc_b, i.inter_sz,
+           CAST(a.n + b.n - i.inter_sz AS BIGINT) AS union_sz,
+           CAST((10000 * i.inter_sz) // (a.n + b.n - i.inter_sz) AS BIGINT)
+               AS jaccard_bp
+    FROM inter i JOIN sz a ON a.doc_id = i.doc_a JOIN sz b ON b.doc_id = i.doc_b
+    WHERE {d} * i.inter_sz >= {n} * (a.n + b.n - i.inter_sz)
+"""
+
+
+@declared("q_setsim_prefix", oracle=_setsim_oracle())
+def q_setsim_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Prefix-filtered EXACT set-similarity join (the PPJoin/AllPairs
+    family) — the lossless counterpart to MinHash-LSH (q_dedup_near): all
+    document pairs with shingle-set Jaccard ≥ τ={SETSIM_TAU_N}/{SETSIM_TAU_D},
+    with NO false negatives. Prefix-filter lemma: order every document's
+    shingles by ascending global document frequency (rarest first, shingle
+    string tiebreak); if J(x,y) ≥ τ the two prefixes of length
+    |s| − ⌈τ|s|⌉ + 1 must share a token — so only prefixes are indexed,
+    and the inverted-index self-join runs over each document's RAREST
+    shingles (measured at sf0.01: 26 candidates from 124,750 possible
+    pairs, 25 true matches — the filter does the work and the exact verify
+    is near-free). The length filter τ·max(|a|,|b|) ≤ min(|a|,|b|) prunes
+    size-incompatible pairs inside the join.
+
+    vs q_dedup_ngram: that query bounds the inverted index by TRUNCATING
+    at a df cap (approximate recall, bounded worst case); this one is
+    EXACT — boundedness comes from rarest-first ordering (a high-df
+    shingle enters a prefix only when a document has nothing rarer, so
+    hot-token buckets shrink as τ grows).
+
+    Engine-exactness: integer set sizes; ⌈τn⌉ = (7n+9)//10 and the τ
+    comparisons cross-multiplied in BIGINT (10·inter ≥ 7·union) — no
+    float thresholds; the prefix rank ordering (df, shingle) is a total
+    order, so ROW_NUMBER is deterministic in both engines.
+
+    Plan shape (100 TB): shingle explode → two map-side-combined
+    aggregates (df, sizes) → partition-bounded rank window (per doc) →
+    inverted-index equi-join on prefix tokens only → distinct candidate
+    pairs → exact verify via array_intersect on the (persisted) shingle
+    arrays. Shuffles carry shingle digests and doc ids, never document
+    text."""
+    n, d = SETSIM_TAU_N, SETSIM_TAU_D
+    t = load_tables(spark, sf_dir)
+    docs = (
+        t.documents.select("doc_id", words_col().alias("ws"))
+        .select("doc_id", shingles_expr().alias("sh"))
+        .filter(F.size("sh") > 0)
+        .select("doc_id", "sh", F.size("sh").cast("bigint").alias("n"))
+        .persist()
+    )
+    sh = docs.select("doc_id", "n", F.explode("sh").alias("w"))
+    dfreq = sh.groupBy("w").agg(F.count("*").alias("df"))
+    rk = sh.join(dfreq, "w").select(
+        "doc_id",
+        "w",
+        "n",
+        F.row_number()
+        .over(Window.partitionBy("doc_id").orderBy(F.asc("df"), F.asc("w")))
+        .alias("rnk"),
+    )
+    pre = rk.filter(
+        F.col("rnk") <= F.col("n") - F.expr(f"({n} * n + {d - 1}) div {d}") + 1
+    ).select("doc_id", "w", "n")
+    a = pre.select(
+        F.col("doc_id").alias("doc_a"), "w", F.col("n").alias("n_a")
+    )
+    b = pre.select(
+        F.col("doc_id").alias("doc_b"), F.col("w").alias("w_b"), F.col("n").alias("n_b")
+    )
+    cand = (
+        a.join(b, (F.col("w") == F.col("w_b")) & (F.col("doc_a") < F.col("doc_b")))
+        .filter(
+            F.lit(d) * F.least("n_a", "n_b") >= F.lit(n) * F.greatest("n_a", "n_b")
+        )
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    x = docs.select(
+        F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"), F.col("n").alias("na")
+    )
+    y = docs.select(
+        F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"), F.col("n").alias("nb")
+    )
+    return (
+        cand.join(x, "doc_a")
+        .join(y, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.size(F.array_intersect("sh_a", "sh_b")).cast("bigint").alias("inter_sz"),
+            F.col("na"),
+            F.col("nb"),
+        )
+        .select(
+            "doc_a",
+            "doc_b",
+            "inter_sz",
+            (F.col("na") + F.col("nb") - F.col("inter_sz"))
+            .cast("bigint")
+            .alias("union_sz"),
+        )
+        .filter(F.lit(d) * F.col("inter_sz") >= F.lit(n) * F.col("union_sz"))
+        .select(
+            "doc_a",
+            "doc_b",
+            "inter_sz",
+            "union_sz",
+            F.expr("CAST((10000 * inter_sz) div union_sz AS BIGINT)").alias(
+                "jaccard_bp"
+            ),
+        )
+    )

@@ -247,6 +247,11 @@ def test_global_window_ledger(spark):
             "row_numbers over the <=N_IVF_CELLS centroid limit",
         ),
         "q_skew_audit": (1, "rank inside the TakeOrdered SKEW_TOP_K heap"),
+        "q_skyline": (
+            1,
+            "running max over the <=(price-domain/SKYLINE_BUCKET_CENTS) "
+            "bucket-summary rows",
+        ),
         "q_vocab_coverage": (1, "prefix sum over the <=64-row bit-length band table"),
         "q_zipf_slope": (1, "rank over the TakeOrdered ZIPF_TOP=64 words"),
     }

@@ -1,0 +1,103 @@
+"""Round-8b operator tests: TWA, skyline, prefix-filtered set-sim join.
+
+Each query is hash-gated against its DuckDB oracle by selfcheck; these
+tests pin the SEMANTICS against independent pure-Python recomputes (the
+house pattern), so an oracle that drifted with the Spark plan in lockstep
+would still be caught.
+"""
+
+from collections import defaultdict
+
+import duckdb
+
+import duckdb_ner_spark.operators  # noqa: F401  (registers declared queries)
+from duckdb_ner_spark.plans.registry import QUERIES
+from tests.conftest import SF_SMOKE
+
+
+def test_skyline_equals_bruteforce_dominance(spark):
+    """q_skyline's windowed plan must equal the O(n²) dominance
+    definition: keep (price, size) iff no other part has price ≤ and
+    size ≥ with one strict."""
+    con = duckdb.connect()
+    rows = con.execute(
+        "SELECT CAST(ROUND(p_retailprice*100) AS BIGINT), p_size "
+        f"FROM '{SF_SMOKE}/part.parquet'"
+    ).fetchall()
+    pts = defaultdict(int)
+    for pc, s in rows:
+        pts[(pc, s)] += 1
+    expected = {
+        (pc, s): n
+        for (pc, s), n in pts.items()
+        if not any(
+            pc2 <= pc and s2 >= s and (pc2 < pc or s2 > s) for (pc2, s2) in pts
+        )
+    }
+    got = {
+        (r.price_cents, r.size): r.n_parts
+        for r in QUERIES["q_skyline"](spark, SF_SMOKE).collect()
+    }
+    assert got == expected
+
+
+def _shingles(text: str, n: int = 3) -> set:
+    ws = text.split(" ")
+    return {" ".join(ws[i : i + n]) for i in range(len(ws) - n + 1)}
+
+
+def test_setsim_prefix_has_no_false_negatives(spark):
+    """The PPJoin lemma in practice: the prefix-filtered join must return
+    EXACTLY the all-pairs τ-Jaccard result — a lossy prefix (wrong ⌈τn⌉
+    arithmetic, wrong global order, wrong length filter) shows up as a
+    missing pair here."""
+    con = duckdb.connect()
+    docs = con.execute(
+        f"SELECT doc_id, text FROM '{SF_SMOKE}/documents.parquet'"
+    ).fetchall()
+    sets = {d: _shingles(t) for d, t in docs if len(_shingles(t)) > 0}
+    ids = sorted(sets)
+    expected = {}
+    for i, a in enumerate(ids):
+        for b in ids[i + 1 :]:
+            inter = len(sets[a] & sets[b])
+            union = len(sets[a]) + len(sets[b]) - inter
+            if union and 10 * inter >= 7 * union:
+                expected[(a, b)] = (inter, union, (10000 * inter) // union)
+    got = {
+        (r.doc_a, r.doc_b): (r.inter_sz, r.union_sz, r.jaccard_bp)
+        for r in QUERIES["q_setsim_prefix"](spark, SF_SMOKE).collect()
+    }
+    assert got == expected
+    assert expected, "smoke corpus must contain at least one τ-similar pair"
+
+
+def test_twa_equals_python_integration(spark):
+    """Per-user hold-duration integration recomputed in pure Python from
+    the raw events, then bucketed identically."""
+    con = duckdb.connect()
+    rows = con.execute(
+        "SELECT user_id, event_id, epoch_us(ts), CAST(ROUND(value*100) AS BIGINT) "
+        f"FROM '{SF_SMOKE}/events.parquet' "
+        "WHERE ts < TIMESTAMP '2024-01-02 00:00:00'"
+    ).fetchall()
+    by_user = defaultdict(list)
+    for uid, eid, ts_us, cents in rows:
+        by_user[uid].append((ts_us, eid, cents))
+    hist = defaultdict(lambda: [0, 0])
+    for uid, evs in by_user.items():
+        evs.sort()
+        wsum = tsum = 0
+        for (t0, _, c), (t1, _, _) in zip(evs, evs[1:]):
+            wsum += c * (t1 - t0)
+            tsum += t1 - t0
+        if tsum > 0:
+            twa = wsum // tsum
+            hist[twa // 500][0] += 1
+            hist[twa // 500][1] += twa
+    expected = {b: (n, s) for b, (n, s) in hist.items()}
+    got = {
+        r.bucket: (r.n_users, r.twa_cents_sum)
+        for r in QUERIES["q_twa"](spark, SF_SMOKE).collect()
+    }
+    assert got == expected
