@@ -529,6 +529,183 @@ def main() -> None:
             .collect()
         )
 
+    def prefix_setsim_shape(times):
+        # r8b exact-similarity family (q_setsim_prefix core): rarest-df-
+        # first prefixes bound the inverted-index self-join. Inflation
+        # DECORRELATES copies (per-copy shingle namespace) so near-dup
+        # DENSITY stays constant as the corpus grows — identical-copy
+        # inflation would quadratically inflate the true pair OUTPUT
+        # itself, which is the problem's lower bound, not the plan's.
+        # Expected: ~linear (df agg + per-doc rank window + prefix join
+        # with copy-local buckets + verify on a constant match set).
+        from pyspark.sql import Window
+
+        from duckdb_ner_spark.operators.round8b import SETSIM_TAU_D, SETSIM_TAU_N
+        from duckdb_ner_spark.operators.textprep import shingles_expr, words_col
+
+        n, d = SETSIM_TAU_N, SETSIM_TAU_D
+        base = (
+            docs.select("doc_id", words_col().alias("ws"))
+            .select("doc_id", shingles_expr().alias("sh"))
+            .filter(F.size("sh") > 0)
+        )
+        out = None
+        for i in range(times):
+            part_i = base.select(
+                (F.col("doc_id") + F.lit(i * 10_000_000)).alias("doc_id"),
+                F.transform("sh", lambda x: F.concat(F.lit(f"{i}|"), x)).alias("sh"),
+            )
+            out = part_i if out is None else out.unionAll(part_i)
+        d2 = out.select("doc_id", "sh", F.size("sh").cast("bigint").alias("n"))
+        sh = d2.select("doc_id", "n", F.explode("sh").alias("w"))
+        dfreq = sh.groupBy("w").agg(F.count("*").alias("df"))
+        rk = sh.join(dfreq, "w").select(
+            "doc_id",
+            "w",
+            "n",
+            F.row_number()
+            .over(Window.partitionBy("doc_id").orderBy(F.asc("df"), F.asc("w")))
+            .alias("rnk"),
+        )
+        pre = rk.filter(
+            F.col("rnk") <= F.col("n") - F.expr(f"({n} * n + {d - 1}) div {d}") + 1
+        ).select("doc_id", "w", "n")
+        a = pre.select(F.col("doc_id").alias("doc_a"), "w", F.col("n").alias("n_a"))
+        b = pre.select(
+            F.col("doc_id").alias("doc_b"),
+            F.col("w").alias("w_b"),
+            F.col("n").alias("n_b"),
+        )
+        cand = (
+            a.join(b, (F.col("w") == F.col("w_b")) & (F.col("doc_a") < F.col("doc_b")))
+            .filter(
+                F.lit(d) * F.least("n_a", "n_b") >= F.lit(n) * F.greatest("n_a", "n_b")
+            )
+            .select("doc_a", "doc_b")
+            .distinct()
+        )
+        x = d2.select(
+            F.col("doc_id").alias("doc_a"),
+            F.col("sh").alias("sh_a"),
+            F.col("n").alias("na"),
+        )
+        y = d2.select(
+            F.col("doc_id").alias("doc_b"),
+            F.col("sh").alias("sh_b"),
+            F.col("n").alias("nb"),
+        )
+        (
+            cand.join(x, "doc_a")
+            .join(y, "doc_b")
+            .select(
+                F.size(F.array_intersect("sh_a", "sh_b")).cast("bigint").alias("i"),
+                (F.col("na") + F.col("nb")).alias("ab"),
+            )
+            .filter(F.lit(d) * F.col("i") >= F.lit(n) * (F.col("ab") - F.col("i")))
+            .agg(F.count("*"))
+            .collect()
+        )
+
+    def skyline_shape(times):
+        # r8b multi-criteria family (q_skyline core): inflation widens the
+        # PRICE DOMAIN per copy (keys + a per-copy price offset), so the
+        # bucket-summary global window grows linearly with copies while
+        # staying thousands of times smaller than the fact table —
+        # expected slope: the points-aggregate scan, ~linear.
+        from pyspark.sql import Window
+
+        from duckdb_ner_spark.operators.round8b import SKYLINE_BUCKET_CENTS
+
+        W = SKYLINE_BUCKET_CENTS
+        part = spark.read.parquet(f"{sf_dir}/part.parquet").select(
+            "p_partkey", "p_retailprice", "p_size"
+        )
+        out = None
+        for i in range(times):
+            part_i = part.select(
+                (F.col("p_partkey") + F.lit(i * 10_000_000)).alias("p_partkey"),
+                (F.col("p_retailprice") + F.lit(i * 200.0)).alias("p_retailprice"),
+                "p_size",
+            )
+            out = part_i if out is None else out.unionAll(part_i)
+        pts = (
+            out.select(
+                F.expr("CAST(ROUND(p_retailprice * 100) AS BIGINT)").alias("pc"),
+                F.col("p_size").alias("s"),
+            )
+            .groupBy("pc", "s")
+            .agg(F.count("*").cast("bigint").alias("n_parts"))
+            .withColumn("b", F.expr(f"pc div {W}"))
+        )
+        g = pts.groupBy("b", "pc").agg(F.max("s").alias("smax"))
+        w_in = (
+            Window.partitionBy("b")
+            .orderBy("pc")
+            .rowsBetween(Window.unboundedPreceding, -1)
+        )
+        gw = g.select("b", "pc", "smax", F.max("smax").over(w_in).alias("m_in"))
+        w_cross = Window.orderBy("b").rowsBetween(Window.unboundedPreceding, -1)
+        bw = (
+            g.groupBy("b")
+            .agg(F.max("smax").alias("bmax"))
+            .select("b", F.max("bmax").over(w_cross).alias("m_cross"))
+        )
+        (
+            pts.join(gw.drop("b"), "pc")
+            .join(F.broadcast(bw), "b")
+            .filter(
+                ~(
+                    (F.coalesce(F.col("m_in"), F.lit(-1)) >= F.col("s"))
+                    | (F.coalesce(F.col("m_cross"), F.lit(-1)) >= F.col("s"))
+                    | (F.col("smax") > F.col("s"))
+                )
+            )
+            .agg(F.count("*"))
+            .collect()
+        )
+
+    def twa_lead_shape(times):
+        # r8b timeseries family (q_twa core): user-remapped inflation keeps
+        # per-user run lengths constant, so the LEAD window stays
+        # partition-bounded — expected ~linear (one shuffle + ordered pass
+        # + combiner aggregates), vs the O(n·run) adjacent-timestamp
+        # self-join this operator replaces.
+        from pyspark.sql import Window
+
+        big_e = inflate(
+            events.filter(F.col("ts") < F.expr("TIMESTAMP '2024-01-02 00:00:00'"))
+            .select("user_id", "event_id", "ts", "value"),
+            times,
+            ["user_id", "event_id"],
+        )
+        e = big_e.select(
+            "user_id",
+            "event_id",
+            F.expr(
+                "timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)"
+            ).alias("ts_us"),
+            F.expr("CAST(ROUND(value * 100) AS BIGINT)").alias("cents"),
+        )
+        w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+        seg = e.select(
+            "user_id",
+            "cents",
+            (F.lead("ts_us").over(w) - F.col("ts_us")).alias("dt_us"),
+        ).filter(F.col("dt_us").isNotNull())
+        (
+            seg.groupBy("user_id")
+            .agg(
+                F.sum(F.col("cents") * F.col("dt_us")).cast("bigint").alias("wsum"),
+                F.sum("dt_us").cast("bigint").alias("tsum"),
+            )
+            .filter(F.col("tsum") > 0)
+            .select(F.expr("wsum div tsum").alias("twa"))
+            .groupBy(F.expr("CAST(twa div 500 AS BIGINT)").alias("bucket"))
+            .agg(F.count("*"))
+            .agg(F.count("*"))
+            .collect()
+        )
+
     # untimed warmup: whole-stage-codegen JIT is a one-off per plan shape
     agg_shape(1), join_shape(1), window_shape(1), funnel_shape(1), linededup_shape(1)
     hot_bucket_shape(1), cdc_chunk_shape(1), topk_salted_shape(1)
@@ -537,6 +714,7 @@ def main() -> None:
     ordered_reassembly_shape(1), bpe_round_shape(1)
     sketch_build_shape(1), ring_assign_shape(1), ecdf_domain_shape(1)
     blocked_linkage_shape(1), poisson_bootstrap_shape(1)
+    prefix_setsim_shape(1), skyline_shape(1), twa_lead_shape(1)
 
     for times in (1, 10, 30):
         probe("tpch_q1_agg", agg_shape, times)
@@ -558,6 +736,9 @@ def main() -> None:
         probe("ecdf_bounded_domain", ecdf_domain_shape, times)
         probe("blocked_linkage_capped", blocked_linkage_shape, times)
         probe("poisson_bootstrap_b32", poisson_bootstrap_shape, times)
+        probe("prefix_setsim_join", prefix_setsim_shape, times)
+        probe("skyline_bucketed", skyline_shape, times)
+        probe("twa_lead_integrate", twa_lead_shape, times)
 
     rows_base = li.count()
     lines = [
