@@ -45,7 +45,7 @@ _DRIVER_WINDOW_PRIORITY = [
     # Block 1 — r8-NEW hash queries (prepend as added; each new entry
     # pushes one row off the Block-3 tail into the r9 rotation —
     # tests/test_window_ledger.py enforces the never-green side).
-    "q_twa", "q_skyline", "q_setsim_prefix", "q_scc",
+    "q_twa", "q_skyline", "q_setsim_prefix", "q_scc", "q_incr_join",
     "q_stream_pipeline", "q_stream_index_growth",
     "q_bpe_apply", "q_lift_curve", "q_record_linkage", "q_bootstrap_ci",
     "q_dsar_report", "q_incr_agg_delete", "q_kcore",

@@ -131,6 +131,27 @@ def test_scc_groups_are_certified_mutually_reachable(spark):
             assert m in reach(v, out_adj), (v, m)
 
 
+def test_incr_join_proof_columns_are_zero_and_full_agg_is_real(spark):
+    """The in-plan maintenance≡rebuild proof must hold (diff columns all
+    zero) AND the full-join side must match an independent DuckDB
+    recompute — guarding against both paths drifting together."""
+    con = duckdb.connect()
+    expected = dict(
+        con.execute(
+            "SELECT o.o_orderpriority, COUNT(*) "
+            f"FROM '{SF_SMOKE}/orders.parquet' o "
+            f"JOIN '{SF_SMOKE}/lineitem.parquet' l "
+            "ON o.o_orderkey = l.l_orderkey GROUP BY 1"
+        ).fetchall()
+    )
+    rows = QUERIES["q_incr_join"](spark, SF_SMOKE).collect()
+    assert rows
+    for r in rows:
+        assert r.n_diff == 0 and r.cents_diff == 0, r
+        assert r.n_maint == r.n_full
+        assert expected[r.o_orderpriority] == r.n_full
+
+
 def test_twa_equals_python_integration(spark):
     """Per-user hold-duration integration recomputed in pure Python from
     the raw events, then bucketed identically."""
