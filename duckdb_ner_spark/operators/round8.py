@@ -683,7 +683,11 @@ def q_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
         # survivor set ≤ |V| — broadcast it so the induced-subgraph filter
         # is a map-side hash semi-join and the edge list never reshuffles
         # (34 s → ~8 s first-run at sf0.1; at 100 TB swap to a bucketed
-        # co-located join once survivors outgrow broadcast)
+        # co-located join once survivors outgrow broadcast).
+        # localCheckpoint (the components.py idiom), NOT persist: e_i is
+        # referenced twice by d_i and alive twice by e_{i+1}, so an
+        # un-truncated lineage quadruples per round — the round-3 plan
+        # STRING alone OOMs a default-heap driver session.
         e_i = (
             edges.join(
                 F.broadcast(alive.withColumnRenamed("node", "u")), "u", "left_semi"
@@ -691,7 +695,7 @@ def q_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
             .join(
                 F.broadcast(alive.withColumnRenamed("node", "v")), "v", "left_semi"
             )
-            .persist()
+            .localCheckpoint(eager=False)
         )
         d_i = (
             e_i.select(F.col("u").alias("node"))
@@ -699,7 +703,11 @@ def q_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
             .groupBy("node")
             .agg(F.count("*").cast("bigint").alias("deg"))
         )
-        alive = d_i.filter(F.col("deg") >= KCORE_K).select("node").persist()
+        alive = (
+            d_i.filter(F.col("deg") >= KCORE_K)
+            .select("node")
+            .localCheckpoint(eager=False)
+        )
         outs.append(
             alive.agg(
                 F.lit(i).cast("bigint").alias("round"),
