@@ -148,13 +148,17 @@ def q_scc(spark: SparkSession, sf_dir: str) -> DataFrame:
                 .groupBy(F.col(edge_to).alias("node"))
                 .agg(F.min("plbl").alias("m"))
             )
+            # localCheckpoint, not persist: each round references the
+            # previous round's frame twice (inmin join + merge base), so
+            # an un-truncated lineage doubles per round per direction —
+            # the q_kcore/components plan-growth hazard.
             lbl = (
                 lbl.join(inmin, "node", "left")
                 .select(
                     "node",
                     F.least("lbl", F.coalesce("m", "lbl")).alias("lbl"),
                 )
-                .persist()
+                .localCheckpoint(eager=False)
             )
         return lbl
 
