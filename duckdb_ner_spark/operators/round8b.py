@@ -690,3 +690,120 @@ def q_incr_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("n_maint") - F.col("n_full")).cast("bigint").alias("n_diff"),
         (F.col("cents_maint") - F.col("cents_full")).cast("bigint").alias("cents_diff"),
     )
+
+
+# --------------------------------------------------------------------------
+# Product quantization: subspace code assignment (memory-bound ANN)
+# --------------------------------------------------------------------------
+
+PQ_M = 4  # subspaces
+PQ_SUBDIM = 16  # dims per subspace (PQ_M * PQ_SUBDIM = embedding dim 64)
+PQ_K = 8  # codewords per subspace (the first PQ_K vectors seed the codebook)
+PQ_FX = 1_000_000  # fixed-point scale for exact integer coordinates
+
+_PQ_ORACLE = f"""
+    WITH ex AS (
+        SELECT vec_id, (i - 1) // {PQ_SUBDIM} AS m, i,
+               CAST(ROUND(CAST(x AS DOUBLE) * {PQ_FX}) AS BIGINT) AS xi
+        FROM (SELECT vec_id, unnest(embedding) AS x,
+                     generate_subscripts(embedding, 1) AS i
+              FROM embeddings)
+    ), cb AS (
+        SELECT vec_id AS code, m, i, xi AS ci FROM ex WHERE vec_id < {PQ_K}
+    ), dist AS (
+        SELECT e.vec_id, e.m, cb.code,
+               CAST(SUM((e.xi - cb.ci) * (e.xi - cb.ci)) AS BIGINT) AS d
+        FROM ex e JOIN cb ON cb.i = e.i AND cb.m = e.m
+        GROUP BY 1, 2, 3
+    ), assign AS (
+        SELECT vec_id, m, code, d FROM (
+            SELECT vec_id, m, code, d,
+                   ROW_NUMBER() OVER (PARTITION BY vec_id, m
+                                      ORDER BY d ASC, code ASC) AS rn
+            FROM dist
+        ) WHERE rn = 1
+    )
+    SELECT CAST(m AS BIGINT) AS subspace, CAST(code AS BIGINT) AS code,
+           CAST(COUNT(*) AS BIGINT) AS n_vecs,
+           CAST(SUM(d) AS BIGINT) AS sse_fx
+    FROM assign GROUP BY 1, 2
+"""
+
+
+@declared("q_pq_assign", oracle=_PQ_ORACLE)
+def q_pq_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PRODUCT-QUANTIZATION code assignment — the memory-bound ANN
+    standard the similarity family was missing (int8 scalar quantization
+    = q_embed_quant shrinks storage 4×; PQ shrinks the DISTANCE
+    COMPUTATION: each vector becomes {PQ_M} codes of log2({PQ_K}) bits,
+    and query-time distances are {PQ_M} table lookups). Each vector's
+    {PQ_M} subspaces of {PQ_SUBDIM} dims are assigned to the nearest of
+    {PQ_K} codewords by squared L2; output is the per-(subspace, code)
+    census with total quantization distortion — the codebook-balance /
+    distortion readout a PQ index build monitors.
+
+    Codebook: the first {PQ_K} vectors' subvectors (deterministic,
+    SQL-stateable both engines). Production swaps in per-subspace k-means
+    codebooks — exactly the q_sim_ivf Lloyd step run per subspace; the
+    assignment plan (this query) is IDENTICAL either way.
+
+    Engine-exactness: coordinates on the ×{PQ_FX} fixed-point integer
+    grid (one IEEE multiply+round per value, the q_knn_join idiom);
+    distances and SSE are BIGINT sums of integer squares — associative,
+    order-free; argmin tiebreak is (distance, code), a total order.
+
+    Plan shape (100 TB): posexplode → ONE broadcast join against the
+    {PQ_M}·{PQ_K}·{PQ_SUBDIM}-entry codebook → map-side-combined
+    per-(vec, subspace, code) sums → per-(vec, subspace) argmin window
+    (partition-bounded, {PQ_K} rows per partition) → tiny census
+    aggregate. The corpus shuffles once on (vec_id, m) grouped partials;
+    codes (2 BIGINTs/row) are all that leaves the scan stage."""
+    t = load_tables(spark, sf_dir)
+    ex = t.embeddings.select(
+        "vec_id",
+        F.posexplode("embedding").alias("i0", "x"),
+    ).select(
+        "vec_id",
+        F.expr(f"i0 div {PQ_SUBDIM}").alias("m"),
+        F.col("i0").alias("i"),
+        F.expr(f"CAST(ROUND(CAST(x AS DOUBLE) * {PQ_FX}) AS BIGINT)").alias("xi"),
+    )
+    cb = ex.filter(F.col("vec_id") < PQ_K).select(
+        F.col("vec_id").alias("code"),
+        F.col("m").alias("cm"),
+        F.col("i").alias("ci_idx"),
+        F.col("xi").alias("ci"),
+    )
+    dist = (
+        ex.join(
+            F.broadcast(cb),
+            (F.col("ci_idx") == F.col("i")) & (F.col("cm") == F.col("m")),
+        )
+        .groupBy("vec_id", "m", "code")
+        .agg(
+            F.sum((F.col("xi") - F.col("ci")) * (F.col("xi") - F.col("ci")))
+            .cast("bigint")
+            .alias("d")
+        )
+    )
+    assign = (
+        dist.select(
+            "vec_id",
+            "m",
+            "code",
+            "d",
+            F.row_number()
+            .over(
+                Window.partitionBy("vec_id", "m").orderBy(F.asc("d"), F.asc("code"))
+            )
+            .alias("rn"),
+        )
+        .filter(F.col("rn") == 1)
+    )
+    return assign.groupBy(
+        F.col("m").cast("bigint").alias("subspace"),
+        F.col("code").cast("bigint").alias("code"),
+    ).agg(
+        F.count("*").cast("bigint").alias("n_vecs"),
+        F.sum("d").cast("bigint").alias("sse_fx"),
+    )

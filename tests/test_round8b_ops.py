@@ -152,6 +152,41 @@ def test_incr_join_proof_columns_are_zero_and_full_agg_is_real(spark):
         assert expected[r.o_orderpriority] == r.n_full
 
 
+def test_pq_assign_equals_numpy_recompute(spark):
+    """PQ assignment recomputed with NumPy over the same fixed-point grid:
+    per-subspace argmin against the first-8-vector codebook, (dist, code)
+    tiebreak, per-(subspace, code) census and SSE."""
+    import numpy as np
+
+    con = duckdb.connect()
+    rows = con.execute(
+        f"SELECT vec_id, embedding FROM '{SF_SMOKE}/embeddings.parquet' ORDER BY vec_id"
+    ).fetchall()
+    X = np.array(
+        [
+            [int(np.floor(abs(float(x)) * 1_000_000 + 0.5)) * (1 if x >= 0 else -1) for x in emb]
+            for _, emb in rows
+        ],
+        dtype=np.int64,
+    )
+    M, SUB, K = 4, 16, 8
+    expected = defaultdict(lambda: [0, 0])
+    for m in range(M):
+        seg = X[:, m * SUB : (m + 1) * SUB]
+        cb = seg[:K]
+        d = ((seg[:, None, :] - cb[None, :, :]) ** 2).sum(axis=2)
+        codes = d.argmin(axis=1)  # numpy argmin takes first min = smallest code
+        for v in range(len(X)):
+            c = int(codes[v])
+            expected[(m, c)][0] += 1
+            expected[(m, c)][1] += int(d[v, c])
+    got = {
+        (r.subspace, r.code): (r.n_vecs, r.sse_fx)
+        for r in QUERIES["q_pq_assign"](spark, SF_SMOKE).collect()
+    }
+    assert got == {k: tuple(v) for k, v in expected.items()}
+
+
 def test_twa_equals_python_integration(spark):
     """Per-user hold-duration integration recomputed in pure Python from
     the raw events, then bucketed identically."""
