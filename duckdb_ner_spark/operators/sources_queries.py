@@ -307,3 +307,46 @@ def q_source_text(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.length("text")).cast("bigint").alias("total_chars"),
         F.sum("doc_id").cast("bigint").alias("id_checksum"),
     )
+
+
+@declared(
+    "q_sink_custom",
+    cache_plan=False,
+    oracle="""
+    SELECT lang, CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+           CAST(SUM(doc_id) AS BIGINT) AS id_checksum
+    FROM documents GROUP BY lang
+    """,
+)
+def q_sink_custom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom Python DataSource WRITE path (Spark 4 DataSourceWriter) —
+    the sink half of the bring-your-own-connector surface (the read halves
+    are q_source_custom / q_source_stream): documents flow executor-
+    parallel through ``kvtext`` (each task writes its own uniquely-named
+    file and returns a commit message; the driver's commit() publishes a
+    ``_committed`` manifest), then back through the manifest-driven
+    reader, and the lang totals + id checksum must equal the parquet
+    truth. The manifest IS the correctness mechanism under test: files
+    from failed or speculative task attempts are never listed, so the
+    round-trip proves the exactly-once two-phase commit contract every
+    production sink (parquet _SUCCESS, Iceberg/Delta manifests)
+    implements.
+
+    Scale notes (100 TB): writes are per-task and never touch the driver
+    (commit messages are filename+count tuples); read parallelism = the
+    committed file count. A production variant shards by target-file size
+    and commits to an object store — same protocol, same API."""
+    from ..sources.pydatasource import register_kvtext_source
+
+    t = load_tables(spark, sf_dir)
+    register_kvtext_source(spark)
+    path = _scratch("kvtext_documents", sf_dir)
+    docs = t.documents.select("doc_id", "lang", "n_chars")
+    docs.write.format("kvtext").option("path", path).mode("append").save()
+    back = spark.read.format("kvtext").option("path", path).load()
+    return back.groupBy("lang").agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("n_chars").cast("bigint").alias("total_chars"),
+        F.sum("doc_id").cast("bigint").alias("id_checksum"),
+    )

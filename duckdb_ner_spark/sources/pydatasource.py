@@ -17,8 +17,10 @@ from __future__ import annotations
 from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
+    DataSourceWriter,
     InputPartition,
     SimpleDataSourceStreamReader,
+    WriterCommitMessage,
 )
 from pyspark.sql.types import StructType
 
@@ -124,3 +126,119 @@ class SyntheticStreamDataSource(DataSource):
 
 def register_synthetic_stream_source(spark) -> None:
     spark.dataSource.register(SyntheticStreamDataSource)
+
+
+# --------------------------------------------------------------------------
+# Custom SINK: Python DataSource WRITE path (Spark 4 DataSourceWriter)
+# --------------------------------------------------------------------------
+
+
+class _KVCommit(WriterCommitMessage):
+    def __init__(self, filename: str, n_rows: int):
+        self.filename = filename
+        self.n_rows = n_rows
+
+
+class KVTextWriter(DataSourceWriter):
+    """Executor-side writer with the real two-phase commit contract: each
+    task writes its own uniquely-named data file and returns a commit
+    message; only files named in the driver-side ``_committed`` manifest
+    are part of the dataset, so files from failed/speculative task
+    attempts are invisible to readers — the exactly-once story every
+    production sink (parquet _SUCCESS+file-listing, Iceberg/Delta
+    manifests) implements, demonstrated through the Python DataSource
+    API."""
+
+    def __init__(self, options):
+        self.path = options["path"]
+
+    def write(self, iterator):
+        import os
+        import uuid
+
+        from pyspark import TaskContext
+
+        os.makedirs(self.path, exist_ok=True)
+        pid = TaskContext.get().partitionId()
+        name = f"part-{pid:05d}-{uuid.uuid4().hex}.kv"
+        n = 0
+        with open(os.path.join(self.path, name), "w") as f:
+            for row in iterator:
+                f.write("\t".join("" if v is None else str(v) for v in row) + "\n")
+                n += 1
+        return _KVCommit(name, n)
+
+    def commit(self, messages):
+        import json
+        import os
+
+        manifest = {
+            "files": sorted(m.filename for m in messages),
+            "rows": sum(m.n_rows for m in messages),
+        }
+        with open(os.path.join(self.path, "_committed"), "w") as f:
+            json.dump(manifest, f)
+
+    def abort(self, messages):
+        import os
+
+        for m in messages:
+            try:
+                os.remove(os.path.join(self.path, m.filename))
+            except OSError:
+                pass
+
+
+class _KVFilePartition(InputPartition):
+    def __init__(self, filepath: str):
+        self.filepath = filepath
+
+
+class KVTextReader(DataSourceReader):
+    """Reads ONLY the files named by the commit manifest (one partition
+    per committed file — scan parallelism = task commit count)."""
+
+    def __init__(self, options):
+        self.path = options["path"]
+
+    def partitions(self):
+        import json
+        import os
+
+        with open(os.path.join(self.path, "_committed")) as f:
+            manifest = json.load(f)
+        return [
+            _KVFilePartition(os.path.join(self.path, name))
+            for name in manifest["files"]
+        ]
+
+    def read(self, partition: _KVFilePartition):
+        with open(partition.filepath) as f:
+            for line in f:
+                doc_id, lang, n_chars = line.rstrip("\n").split("\t")
+                yield (int(doc_id), lang, int(n_chars))
+
+
+class KVTextDataSource(DataSource):
+    """``df.write.format("kvtext").option("path", p).mode("append").save()``
+    then ``spark.read.format("kvtext").option("path", p).load()`` — a
+    complete custom Python connector: executor-parallel manifest-committed
+    writes, manifest-driven parallel reads. Fixed demo schema
+    (doc_id BIGINT, lang STRING, n_chars BIGINT)."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "kvtext"
+
+    def schema(self) -> str:
+        return "doc_id BIGINT, lang STRING, n_chars BIGINT"
+
+    def reader(self, schema: StructType) -> DataSourceReader:
+        return KVTextReader(self.options)
+
+    def writer(self, schema: StructType, overwrite: bool):
+        return KVTextWriter(self.options)
+
+
+def register_kvtext_source(spark) -> None:
+    spark.dataSource.register(KVTextDataSource)
