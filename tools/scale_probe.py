@@ -706,6 +706,70 @@ def main() -> None:
             .collect()
         )
 
+    def pq_assign_shape(times):
+        # r8b ANN-compression family (q_pq_assign core): posexplode to the
+        # fixed-point grid, ONE broadcast codebook join, combiner-aggregated
+        # per-(vec, subspace, code) distances, partition-bounded argmin.
+        # Inflation remaps vec_ids; the codebook stays the base corpus's
+        # first PQ_K vectors, so codebook size is constant — expected
+        # ~linear (the scan+explode dominates).
+        from pyspark.sql import Window
+
+        from duckdb_ner_spark.operators.round8b import (
+            PQ_FX,
+            PQ_K,
+            PQ_SUBDIM,
+        )
+
+        emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+            "vec_id", "embedding"
+        )
+        big = inflate(emb, times, ["vec_id"])
+        ex = big.select(
+            "vec_id", F.posexplode("embedding").alias("i", "x")
+        ).select(
+            "vec_id",
+            F.expr(f"i div {PQ_SUBDIM}").alias("m"),
+            "i",
+            F.expr(f"CAST(ROUND(CAST(x AS DOUBLE) * {PQ_FX}) AS BIGINT)").alias("xi"),
+        )
+        cb = ex.filter(F.col("vec_id") < PQ_K).select(
+            F.col("vec_id").alias("code"),
+            F.col("m").alias("cm"),
+            F.col("i").alias("ci_idx"),
+            F.col("xi").alias("ci"),
+        )
+        dist = (
+            ex.join(
+                F.broadcast(cb),
+                (F.col("ci_idx") == F.col("i")) & (F.col("cm") == F.col("m")),
+            )
+            .groupBy("vec_id", "m", "code")
+            .agg(
+                F.sum((F.col("xi") - F.col("ci")) * (F.col("xi") - F.col("ci")))
+                .cast("bigint")
+                .alias("d")
+            )
+        )
+        (
+            dist.select(
+                "m",
+                "code",
+                "d",
+                F.row_number()
+                .over(
+                    Window.partitionBy("vec_id", "m").orderBy(
+                        F.asc("d"), F.asc("code")
+                    )
+                )
+                .alias("rn"),
+            )
+            .filter(F.col("rn") == 1)
+            .groupBy("m", "code")
+            .agg(F.count("*"), F.sum("d"))
+            .collect()
+        )
+
     # untimed warmup: whole-stage-codegen JIT is a one-off per plan shape
     agg_shape(1), join_shape(1), window_shape(1), funnel_shape(1), linededup_shape(1)
     hot_bucket_shape(1), cdc_chunk_shape(1), topk_salted_shape(1)
@@ -715,6 +779,7 @@ def main() -> None:
     sketch_build_shape(1), ring_assign_shape(1), ecdf_domain_shape(1)
     blocked_linkage_shape(1), poisson_bootstrap_shape(1)
     prefix_setsim_shape(1), skyline_shape(1), twa_lead_shape(1)
+    pq_assign_shape(1)
 
     for times in (1, 10, 30):
         probe("tpch_q1_agg", agg_shape, times)
@@ -739,6 +804,7 @@ def main() -> None:
         probe("prefix_setsim_join", prefix_setsim_shape, times)
         probe("skyline_bucketed", skyline_shape, times)
         probe("twa_lead_integrate", twa_lead_shape, times)
+        probe("pq_assign_broadcast", pq_assign_shape, times)
 
     rows_base = li.count()
     lines = [
