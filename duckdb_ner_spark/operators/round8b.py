@@ -388,43 +388,57 @@ SETSIM_TAU_D = 10
 def _setsim_oracle() -> str:
     n, d = SETSIM_TAU_N, SETSIM_TAU_D
     return f"""
-    WITH w0 AS (
+    WITH {sql_setsim_pairs_ctes(n, d)}
+    SELECT doc_a, doc_b, inter_sz, union_sz,
+           CAST((10000 * inter_sz) // union_sz AS BIGINT) AS jaccard_bp
+    FROM ss_pairs
+"""
+
+
+def sql_setsim_pairs_ctes(n: int, d: int, prefix: str = "ss") -> str:
+    """The oracle-side prefix-filtered exact set-similarity chain as ONE
+    shared fragment (the sql_minhash_capped_cand pattern): defines
+    {prefix}_sh / {prefix}_sz / ... / {prefix}_pairs(doc_a, doc_b,
+    inter_sz, union_sz) for Jaccard ≥ n/d over 3-word shingles of
+    ``documents``. Prefixed so it composes with other CTE chains (the
+    recall audit embeds it beside the MinHash replay)."""
+    p = prefix
+    return f"""{p}_w0 AS (
         SELECT doc_id, string_split(text, ' ') AS ws FROM documents
-    ), s0 AS (
-        SELECT doc_id, {sql_shingles(3)} AS sh FROM w0
-    ), sh AS (
-        SELECT doc_id, unnest(sh) AS w FROM s0 WHERE len(sh) > 0
-    ), sz AS (
-        SELECT doc_id, CAST(len(sh) AS BIGINT) AS n FROM s0 WHERE len(sh) > 0
-    ), dfreq AS (
-        SELECT w, COUNT(*) AS df FROM sh GROUP BY 1
-    ), pre AS (
+    ), {p}_s0 AS (
+        SELECT doc_id, {sql_shingles(3)} AS sh FROM {p}_w0
+    ), {p}_sh AS (
+        SELECT doc_id, unnest(sh) AS w FROM {p}_s0 WHERE len(sh) > 0
+    ), {p}_sz AS (
+        SELECT doc_id, CAST(len(sh) AS BIGINT) AS n FROM {p}_s0 WHERE len(sh) > 0
+    ), {p}_dfreq AS (
+        SELECT w, COUNT(*) AS df FROM {p}_sh GROUP BY 1
+    ), {p}_pre AS (
         SELECT doc_id, w, n, rnk FROM (
             SELECT t.doc_id, t.w, sz.n,
                    ROW_NUMBER() OVER (PARTITION BY t.doc_id
                                       ORDER BY d.df ASC, t.w ASC) AS rnk
-            FROM sh t JOIN dfreq d USING (w) JOIN sz USING (doc_id)
+            FROM {p}_sh t JOIN {p}_dfreq d USING (w) JOIN {p}_sz sz USING (doc_id)
         ) WHERE rnk <= n - ({n} * n + {d - 1}) // {d} + 1
-    ), cand AS (
+    ), {p}_cand AS (
         SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-        FROM pre a JOIN pre b ON a.w = b.w AND a.doc_id < b.doc_id
+        FROM {p}_pre a JOIN {p}_pre b ON a.w = b.w AND a.doc_id < b.doc_id
         WHERE {d} * LEAST(a.n, b.n) >= {n} * GREATEST(a.n, b.n)
           AND 1 + LEAST(a.n - a.rnk, b.n - b.rnk)
               >= ({n} * (a.n + b.n) + {n + d - 1}) // {n + d}
-    ), inter AS (
+    ), {p}_inter AS (
         SELECT c.doc_a, c.doc_b, CAST(COUNT(*) AS BIGINT) AS inter_sz
-        FROM cand c
-        JOIN sh ta ON ta.doc_id = c.doc_a
-        JOIN sh tb ON tb.doc_id = c.doc_b AND tb.w = ta.w
+        FROM {p}_cand c
+        JOIN {p}_sh ta ON ta.doc_id = c.doc_a
+        JOIN {p}_sh tb ON tb.doc_id = c.doc_b AND tb.w = ta.w
         GROUP BY 1, 2
-    )
-    SELECT i.doc_a, i.doc_b, i.inter_sz,
-           CAST(a.n + b.n - i.inter_sz AS BIGINT) AS union_sz,
-           CAST((10000 * i.inter_sz) // (a.n + b.n - i.inter_sz) AS BIGINT)
-               AS jaccard_bp
-    FROM inter i JOIN sz a ON a.doc_id = i.doc_a JOIN sz b ON b.doc_id = i.doc_b
-    WHERE {d} * i.inter_sz >= {n} * (a.n + b.n - i.inter_sz)
-"""
+    ), {p}_pairs AS (
+        SELECT i.doc_a, i.doc_b, i.inter_sz,
+               CAST(a.n + b.n - i.inter_sz AS BIGINT) AS union_sz
+        FROM {p}_inter i JOIN {p}_sz a ON a.doc_id = i.doc_a
+                         JOIN {p}_sz b ON b.doc_id = i.doc_b
+        WHERE {d} * i.inter_sz >= {n} * (a.n + b.n - i.inter_sz)
+    )"""
 
 
 @declared("q_setsim_prefix", oracle=_setsim_oracle())
@@ -462,10 +476,24 @@ def q_setsim_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs → exact verify via array_intersect on the (persisted) shingle
     arrays. Shuffles carry shingle digests and doc ids, never document
     text."""
-    n, d = SETSIM_TAU_N, SETSIM_TAU_D
     t = load_tables(spark, sf_dir)
+    pairs = setsim_exact_pairs(t.documents, SETSIM_TAU_N, SETSIM_TAU_D)
+    return pairs.select(
+        "doc_a",
+        "doc_b",
+        "inter_sz",
+        "union_sz",
+        F.expr("CAST((10000 * inter_sz) div union_sz AS BIGINT)").alias("jaccard_bp"),
+    )
+
+
+def setsim_exact_pairs(documents: DataFrame, n: int, d: int) -> DataFrame:
+    """The q_setsim_prefix core on an arbitrary documents frame → all
+    (doc_a, doc_b, inter_sz, union_sz) with 3-shingle Jaccard ≥ n/d —
+    shared with the LSH recall audit, where it is the exact ground
+    truth."""
     docs = (
-        t.documents.select("doc_id", words_col().alias("ws"))
+        documents.select("doc_id", words_col().alias("ws"))
         .select("doc_id", shingles_expr().alias("sh"))
         .filter(F.size("sh") > 0)
         .select("doc_id", "sh", F.size("sh").cast("bigint").alias("n"))
@@ -544,15 +572,6 @@ def q_setsim_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("union_sz"),
         )
         .filter(F.lit(d) * F.col("inter_sz") >= F.lit(n) * F.col("union_sz"))
-        .select(
-            "doc_a",
-            "doc_b",
-            "inter_sz",
-            "union_sz",
-            F.expr("CAST((10000 * inter_sz) div union_sz AS BIGINT)").alias(
-                "jaccard_bp"
-            ),
-        )
     )
 
 
@@ -806,4 +825,83 @@ def q_pq_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).agg(
         F.count("*").cast("bigint").alias("n_vecs"),
         F.sum("d").cast("bigint").alias("sse_fx"),
+    )
+
+
+# --------------------------------------------------------------------------
+# LSH recall audit against the EXACT set-similarity ground truth
+# --------------------------------------------------------------------------
+
+
+def _lsh_recall_oracle() -> str:
+    from .dedup import sql_minhash_capped_cand
+
+    return f"""
+    WITH {sql_setsim_pairs_ctes(6, 10)}, docs2 AS (
+        SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+    ), sh2 AS (
+        SELECT doc_id, {sql_shingles(3)} AS shingles FROM docs2
+    ), e AS (
+        SELECT doc_id, unnest(shingles) AS s FROM sh2
+    ), {sql_minhash_capped_cand()}, lshp AS (
+        SELECT doc_a, doc_b
+        FROM cand JOIN sh2 x ON x.doc_id = doc_a JOIN sh2 y ON y.doc_id = doc_b
+        WHERE 10 * LEN(LIST_INTERSECT(x.shingles, y.shingles))
+              >= 6 * LEN(LIST_DISTINCT(x.shingles || y.shingles))
+    ), audit AS (
+        SELECT (10000 * p.inter_sz) // p.union_sz // 1000 AS jband,
+               CASE WHEN l.doc_a IS NULL THEN 0 ELSE 1 END AS hit
+        FROM ss_pairs p LEFT JOIN lshp l
+          ON l.doc_a = p.doc_a AND l.doc_b = p.doc_b
+    )
+    SELECT CAST(jband AS BIGINT) AS jband,
+           CAST(COUNT(*) AS BIGINT) AS n_true,
+           CAST(SUM(hit) AS BIGINT) AS n_hit,
+           CAST(COUNT(*) - SUM(hit) AS BIGINT) AS n_missed,
+           CAST((10000 * SUM(hit)) // COUNT(*) AS BIGINT) AS recall_bp
+    FROM audit GROUP BY 1
+"""
+
+
+@declared("q_lsh_recall_audit", oracle=_lsh_recall_oracle())
+def q_lsh_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IN-PLAN recall audit of the MinHash-LSH near-dedup against the
+    EXACT prefix-filtered join — the q_ann_recall pattern applied to the
+    dedup family, now possible because q_setsim_prefix provides lossless
+    ground truth relationally: every τ=0.6 pair the exact join proves,
+    left-joined against the pairs q_dedup_near's banded+capped+verified
+    pipeline actually finds, bucketed by Jaccard decile. High-J pairs
+    should be near-impossible for 4-band/2-hash signatures to miss; the
+    per-band recall readout is the quantitative form of that claim —
+    computed, hash-verified, not asserted.
+
+    Soundness: the LSH verify keeps exactly the float-Jaccard ≥ 0.6
+    pairs; for set sizes below ~10¹⁴ no rational inter/union lies
+    strictly between 3/5 and double(0.6), so the float filter and the
+    audit's BIGINT cross-multiplication (10·inter ≥ 6·union) define the
+    SAME pair set — LSH results are a genuine subset of the exact truth
+    and recall_bp ≤ 10000 by construction.
+
+    Plan shape (100 TB): the two pair generators are the audited
+    operators themselves (both bounded: prefix-filter + caps); the audit
+    adds one doc-pair equi-join and a 5-row aggregate. Run it on a
+    sampled partition in production — the plan is identical."""
+    from .dedup import dedup_near_minhash
+
+    t = load_tables(spark, sf_dir)
+    true_pairs = setsim_exact_pairs(t.documents, 6, 10)
+    lsh = dedup_near_minhash(t.documents, threshold=0.6).select(
+        "doc_a", "doc_b", F.lit(1).alias("hit")
+    )
+    audit = true_pairs.join(lsh, ["doc_a", "doc_b"], "left").select(
+        F.expr("CAST((10000 * inter_sz) div union_sz div 1000 AS BIGINT)").alias(
+            "jband"
+        ),
+        F.coalesce("hit", F.lit(0)).alias("hit"),
+    )
+    return audit.groupBy("jband").agg(
+        F.count("*").cast("bigint").alias("n_true"),
+        F.sum("hit").cast("bigint").alias("n_hit"),
+        (F.count("*") - F.sum("hit")).cast("bigint").alias("n_missed"),
+        F.expr("CAST((10000 * SUM(hit)) div COUNT(*) AS BIGINT)").alias("recall_bp"),
     )
