@@ -40,13 +40,13 @@ _DRIVER_WINDOW_PRIORITY = [
     # first": re-attest the rows whose newest CORRECTNESS_r* green row is
     # oldest. With every r7 slot green, the stalest set is the 17 r2-era
     # rows + the 42 r3-era rows (59 candidates for 50 slots; the r3 tail
-    # rotates to r9 along with the 49 r4-era rows). Final r8 shape: 17
-    # r8-new + 17 r2-era + 16 r3-era = 50.
+    # rotates to r9 along with the 49 r4-era rows). Final r8 shape: 18
+    # r8-new + 17 r2-era + 15 r3-era = 50.
     # Block 1 — r8-NEW hash queries (prepend as added; each new entry
     # pushes one row off the Block-3 tail into the r9 rotation —
     # tests/test_window_ledger.py enforces the never-green side).
     "q_twa", "q_skyline", "q_setsim_prefix", "q_scc", "q_incr_join",
-    "q_pq_assign", "q_sink_custom", "q_lsh_recall_audit",
+    "q_pq_assign", "q_sink_custom", "q_lsh_recall_audit", "q_pq_recall",
     "q_stream_pipeline", "q_stream_index_growth",
     "q_bpe_apply", "q_lift_curve", "q_record_linkage", "q_bootstrap_ci",
     "q_dsar_report", "q_incr_agg_delete", "q_kcore",
