@@ -701,3 +701,94 @@ def test_stream_cusum_matches_batch(spark):
         }
         assert stream == batch
         assert len(batch) >= 3  # the census actually covers the types
+
+
+def test_stream_cusum_non_cent_parity(spark, tmp_path):
+    """Stream/batch CUSUM parity on NON-CENT inputs (VERDICT r8 #4): both
+    paths must evaluate the IDENTICAL in-plan ROUND(value*100) on the
+    double product. Values like 64.085 are live traps — the double product
+    6408.499999... rounds to 6408 while a Python-side Decimal(repr)*100
+    HALF_UP re-round (the pre-r8b stream implementation) gives 6409; the
+    shipped testdata is exact cents, so only a synthetic corpus exercises
+    the divergence. The Decimal recompute is asserted to DISAGREE with the
+    batch result, proving the test has teeth against the old bug."""
+    import datetime
+    from decimal import ROUND_HALF_UP, Decimal
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from duckdb_ner_spark.operators.round7d import CUSUM_H_CENTS, CUSUM_K_CENTS
+
+    # traps (double product just below .5) interleaved with exact cents and
+    # agreeing .xx5 values; both event types get drifting sequences so the
+    # CUSUM excursion is non-zero and the peak falls on a trap-rounded sum
+    vals = [64.085, 70.00, 64.115, 59.50, 64.195, 64.225, 61.75, 64.335]
+    rows = []
+    eid = 0
+    base = datetime.datetime(2024, 1, 1)
+    for rep in range(3):
+        for et in ("alpha", "beta"):
+            for v in vals:
+                rows.append(
+                    (
+                        eid,
+                        base + datetime.timedelta(seconds=eid),
+                        1,
+                        et,
+                        v if et == "alpha" else v + 0.33,
+                        "{}",
+                    )
+                )
+                eid += 1
+    schema = pa.schema(
+        [
+            ("event_id", pa.int64()),
+            ("ts", pa.timestamp("us")),
+            ("user_id", pa.int64()),
+            ("event_type", pa.string()),
+            ("value", pa.float64()),
+            ("props", pa.string()),
+        ]
+    )
+    tbl = pa.Table.from_arrays(
+        [pa.array([r[i] for r in rows], schema.field(i).type) for i in range(6)],
+        schema=schema,
+    )
+    pq.write_table(tbl, str(tmp_path / "events.parquet"), version="2.6")
+    sf_dir = str(tmp_path)
+
+    stream = {
+        r.event_type: (r.n_events, r.max_cusum, r.at_event_id, r.alarm)
+        for r in QUERIES["q_stream_cusum"](spark, sf_dir).collect()
+    }
+    batch = {
+        r.event_type: (r.n_events, r.max_cusum, r.at_event_id, r.alarm)
+        for r in QUERIES["q_cusum"](spark, sf_dir).collect()
+    }
+    assert stream == batch
+    assert len(batch) == 2
+    assert any(v[1] > 0 for v in batch.values())  # non-trivial excursion
+
+    # the old Decimal-quantizing stream would have produced THIS — and it
+    # must differ, or the trap values stopped trapping
+    def _dec_cents(v: float) -> int:
+        return int(
+            (Decimal(repr(v)) * 100).quantize(Decimal("1"), rounding=ROUND_HALF_UP)
+        )
+
+    by_type = defaultdict(list)
+    for r in rows:
+        by_type[r[3]].append((r[1], r[0], _dec_cents(r[4])))
+    old_stream = {}
+    for et, evs in by_type.items():
+        evs.sort(key=lambda t: (t[0], t[1]))
+        s, best, at = 0, 0, None
+        for _, e, cents in evs:
+            s = max(0, s + cents - CUSUM_K_CENTS)
+            if s > best:
+                best, at = s, e
+        if at is None:
+            at = evs[0][1]
+        old_stream[et] = (len(evs), best, at, 1 if best > CUSUM_H_CENTS else 0)
+    assert old_stream != batch
