@@ -712,123 +712,6 @@ def q_incr_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
-# Product quantization: subspace code assignment (memory-bound ANN)
-# --------------------------------------------------------------------------
-
-PQ_M = 4  # subspaces
-PQ_SUBDIM = 16  # dims per subspace (PQ_M * PQ_SUBDIM = embedding dim 64)
-PQ_K = 8  # codewords per subspace (the first PQ_K vectors seed the codebook)
-PQ_FX = 1_000_000  # fixed-point scale for exact integer coordinates
-
-_PQ_ORACLE = f"""
-    WITH ex AS (
-        SELECT vec_id, (i - 1) // {PQ_SUBDIM} AS m, i,
-               CAST(ROUND(CAST(x AS DOUBLE) * {PQ_FX}) AS BIGINT) AS xi
-        FROM (SELECT vec_id, unnest(embedding) AS x,
-                     generate_subscripts(embedding, 1) AS i
-              FROM embeddings)
-    ), cb AS (
-        SELECT vec_id AS code, m, i, xi AS ci FROM ex WHERE vec_id < {PQ_K}
-    ), dist AS (
-        SELECT e.vec_id, e.m, cb.code,
-               CAST(SUM((e.xi - cb.ci) * (e.xi - cb.ci)) AS BIGINT) AS d
-        FROM ex e JOIN cb ON cb.i = e.i AND cb.m = e.m
-        GROUP BY 1, 2, 3
-    ), assign AS (
-        SELECT vec_id, m, code, d FROM (
-            SELECT vec_id, m, code, d,
-                   ROW_NUMBER() OVER (PARTITION BY vec_id, m
-                                      ORDER BY d ASC, code ASC) AS rn
-            FROM dist
-        ) WHERE rn = 1
-    )
-    SELECT CAST(m AS BIGINT) AS subspace, CAST(code AS BIGINT) AS code,
-           CAST(COUNT(*) AS BIGINT) AS n_vecs,
-           CAST(SUM(d) AS BIGINT) AS sse_fx
-    FROM assign GROUP BY 1, 2
-"""
-
-
-@declared("q_pq_assign", oracle=_PQ_ORACLE)
-def q_pq_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """PRODUCT-QUANTIZATION code assignment — the memory-bound ANN
-    standard the similarity family was missing (int8 scalar quantization
-    = q_embed_quant shrinks storage 4×; PQ shrinks the DISTANCE
-    COMPUTATION: each vector becomes {PQ_M} codes of log2({PQ_K}) bits,
-    and query-time distances are {PQ_M} table lookups). Each vector's
-    {PQ_M} subspaces of {PQ_SUBDIM} dims are assigned to the nearest of
-    {PQ_K} codewords by squared L2; output is the per-(subspace, code)
-    census with total quantization distortion — the codebook-balance /
-    distortion readout a PQ index build monitors.
-
-    Codebook: the first {PQ_K} vectors' subvectors (deterministic,
-    SQL-stateable both engines). Production swaps in per-subspace k-means
-    codebooks — exactly the q_sim_ivf Lloyd step run per subspace; the
-    assignment plan (this query) is IDENTICAL either way.
-
-    Engine-exactness: coordinates on the ×{PQ_FX} fixed-point integer
-    grid (one IEEE multiply+round per value, the q_knn_join idiom);
-    distances and SSE are BIGINT sums of integer squares — associative,
-    order-free; argmin tiebreak is (distance, code), a total order.
-
-    Plan shape (100 TB): posexplode → ONE broadcast join against the
-    {PQ_M}·{PQ_K}·{PQ_SUBDIM}-entry codebook → map-side-combined
-    per-(vec, subspace, code) sums → per-(vec, subspace) argmin window
-    (partition-bounded, {PQ_K} rows per partition) → tiny census
-    aggregate. The corpus shuffles once on (vec_id, m) grouped partials;
-    codes (2 BIGINTs/row) are all that leaves the scan stage."""
-    t = load_tables(spark, sf_dir)
-    ex = t.embeddings.select(
-        "vec_id",
-        F.posexplode("embedding").alias("i0", "x"),
-    ).select(
-        "vec_id",
-        F.expr(f"i0 div {PQ_SUBDIM}").alias("m"),
-        F.col("i0").alias("i"),
-        F.expr(f"CAST(ROUND(CAST(x AS DOUBLE) * {PQ_FX}) AS BIGINT)").alias("xi"),
-    )
-    cb = ex.filter(F.col("vec_id") < PQ_K).select(
-        F.col("vec_id").alias("code"),
-        F.col("m").alias("cm"),
-        F.col("i").alias("ci_idx"),
-        F.col("xi").alias("ci"),
-    )
-    dist = (
-        ex.join(
-            F.broadcast(cb),
-            (F.col("ci_idx") == F.col("i")) & (F.col("cm") == F.col("m")),
-        )
-        .groupBy("vec_id", "m", "code")
-        .agg(
-            F.sum((F.col("xi") - F.col("ci")) * (F.col("xi") - F.col("ci")))
-            .cast("bigint")
-            .alias("d")
-        )
-    )
-    assign = (
-        dist.select(
-            "vec_id",
-            "m",
-            "code",
-            "d",
-            F.row_number()
-            .over(
-                Window.partitionBy("vec_id", "m").orderBy(F.asc("d"), F.asc("code"))
-            )
-            .alias("rn"),
-        )
-        .filter(F.col("rn") == 1)
-    )
-    return assign.groupBy(
-        F.col("m").cast("bigint").alias("subspace"),
-        F.col("code").cast("bigint").alias("code"),
-    ).agg(
-        F.count("*").cast("bigint").alias("n_vecs"),
-        F.sum("d").cast("bigint").alias("sse_fx"),
-    )
-
-
-# --------------------------------------------------------------------------
 # LSH recall audit against the EXACT set-similarity ground truth
 # --------------------------------------------------------------------------
 
@@ -907,193 +790,3 @@ def q_lsh_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# --------------------------------------------------------------------------
-# PQ retrieval recall: ADC top-k vs exact L2 top-k (in-plan audit)
-# --------------------------------------------------------------------------
-
-PQR_NQ = 5  # vec_id < 5 are the query set (the q_knn_join convention)
-PQR_K = 10  # top-k depth audited
-
-
-def _pq_recall_oracle() -> str:
-    nq, k = PQR_NQ, PQR_K
-    return f"""
-    WITH ex AS (
-        SELECT vec_id, (i - 1) // {PQ_SUBDIM} AS m, i,
-               CAST(ROUND(CAST(x AS DOUBLE) * {PQ_FX}) AS BIGINT) AS xi
-        FROM (SELECT vec_id, unnest(embedding) AS x,
-                     generate_subscripts(embedding, 1) AS i
-              FROM embeddings)
-    ), cb AS (
-        SELECT vec_id AS code, m, i, xi AS ci FROM ex WHERE vec_id < {PQ_K}
-    ), corpus AS (
-        SELECT vec_id, m, i, xi FROM ex WHERE vec_id >= {nq}
-    ), qv AS (
-        SELECT vec_id AS qid, m, i, xi AS qxi FROM ex WHERE vec_id < {nq}
-    ), assign AS (
-        SELECT vec_id, m, code FROM (
-            SELECT c.vec_id, c.m, cb.code,
-                   ROW_NUMBER() OVER (
-                       PARTITION BY c.vec_id, c.m
-                       ORDER BY SUM((c.xi - cb.ci) * (c.xi - cb.ci)) ASC,
-                                cb.code ASC) AS rn
-            FROM corpus c JOIN cb ON cb.i = c.i AND cb.m = c.m
-            GROUP BY c.vec_id, c.m, cb.code
-        ) WHERE rn = 1
-    ), adc AS (
-        SELECT q.qid, cb.m, cb.code,
-               CAST(SUM((q.qxi - cb.ci) * (q.qxi - cb.ci)) AS BIGINT) AS t
-        FROM cb JOIN qv q ON q.i = cb.i AND q.m = cb.m
-        GROUP BY 1, 2, 3
-    ), d_pq AS (
-        SELECT a.vec_id, t.qid, CAST(SUM(t.t) AS BIGINT) AS d
-        FROM assign a JOIN adc t ON t.m = a.m AND t.code = a.code
-        GROUP BY 1, 2
-    ), top_pq AS (
-        SELECT qid, vec_id FROM (
-            SELECT qid, vec_id,
-                   ROW_NUMBER() OVER (PARTITION BY qid
-                                      ORDER BY d ASC, vec_id ASC) AS rn
-            FROM d_pq
-        ) WHERE rn <= {k}
-    ), d_true AS (
-        SELECT c.vec_id, q.qid,
-               CAST(SUM((c.xi - q.qxi) * (c.xi - q.qxi)) AS BIGINT) AS d
-        FROM corpus c JOIN qv q ON q.i = c.i
-        GROUP BY 1, 2
-    ), top_true AS (
-        SELECT qid, vec_id FROM (
-            SELECT qid, vec_id,
-                   ROW_NUMBER() OVER (PARTITION BY qid
-                                      ORDER BY d ASC, vec_id ASC) AS rn
-            FROM d_true
-        ) WHERE rn <= {k}
-    )
-    SELECT t.qid,
-           CAST(COUNT(p.vec_id) AS BIGINT) AS n_hits,
-           CAST((10000 * COUNT(p.vec_id)) // {k} AS BIGINT) AS recall_bp
-    FROM top_true t LEFT JOIN top_pq p
-      ON p.qid = t.qid AND p.vec_id = t.vec_id
-    GROUP BY t.qid
-"""
-
-
-@declared("q_pq_recall", oracle=_pq_recall_oracle())
-def q_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """PQ retrieval recall@{PQR_K}, IN-PLAN — the audit that completes the
-    PQ story (q_pq_assign builds the codes; this measures what the
-    compression costs at query time): asymmetric-distance (ADC) top-{PQR_K}
-    — query-to-codeword lookup tables summed over the {PQ_M} assigned
-    codes — against the exact fixed-point L2 top-{PQR_K}, per query.
-    The ANN family's recall ledger is now LSH (q_ann_recall), dedup-LSH
-    (q_lsh_recall_audit), and PQ (this) — every approximate index in the
-    repo ships its measured, hash-verified recall readout.
-
-    Engine-exactness: the ×{PQ_FX} fixed-point grid end to end; ADC
-    tables, PQ distances, and true distances are BIGINT sums of integer
-    squares; both top-k ranks tiebreak by (distance, vec_id) — total
-    order, deterministic in both engines.
-
-    Plan shape (100 TB): the ADC table is queries×{PQ_M}×{PQ_K} rows
-    (broadcast); PQ scoring touches only the CODES (corpus × {PQ_M}
-    rows of 2 ints — the 32×-compressed index IS the scan), one
-    broadcast join + combiner SUM per query; the exact side (one
-    coordinate equi-join) exists here as the audit ground truth, run on
-    a sample in production. Top-k windows are per-query partitions."""
-    nq, k = PQR_NQ, PQR_K
-    t = load_tables(spark, sf_dir)
-    ex = t.embeddings.select(
-        "vec_id", F.posexplode("embedding").alias("i0", "x")
-    ).select(
-        "vec_id",
-        F.expr(f"i0 div {PQ_SUBDIM}").alias("m"),
-        F.col("i0").alias("i"),
-        F.expr(f"CAST(ROUND(CAST(x AS DOUBLE) * {PQ_FX}) AS BIGINT)").alias("xi"),
-    ).persist()
-    cb = ex.filter(F.col("vec_id") < PQ_K).select(
-        F.col("vec_id").alias("code"),
-        F.col("m").alias("cm"),
-        F.col("i").alias("ci_idx"),
-        F.col("xi").alias("ci"),
-    )
-    corpus = ex.filter(F.col("vec_id") >= nq)
-    qv = ex.filter(F.col("vec_id") < nq).select(
-        F.col("vec_id").alias("qid"),
-        F.col("m").alias("qm"),
-        F.col("i").alias("qi"),
-        F.col("xi").alias("qxi"),
-    )
-    assign = (
-        corpus.join(
-            F.broadcast(cb),
-            (F.col("ci_idx") == F.col("i")) & (F.col("cm") == F.col("m")),
-        )
-        .groupBy("vec_id", "m", "code")
-        .agg(
-            F.sum((F.col("xi") - F.col("ci")) * (F.col("xi") - F.col("ci")))
-            .cast("bigint")
-            .alias("d")
-        )
-        .select(
-            "vec_id",
-            "m",
-            "code",
-            F.row_number()
-            .over(
-                Window.partitionBy("vec_id", "m").orderBy(F.asc("d"), F.asc("code"))
-            )
-            .alias("rn"),
-        )
-        .filter(F.col("rn") == 1)
-        .select("vec_id", "m", "code")
-    )
-    adc = (
-        cb.join(
-            qv, (F.col("qi") == F.col("ci_idx")) & (F.col("qm") == F.col("cm"))
-        )
-        .groupBy("qid", F.col("cm").alias("m"), "code")
-        .agg(
-            F.sum((F.col("qxi") - F.col("ci")) * (F.col("qxi") - F.col("ci")))
-            .cast("bigint")
-            .alias("t")
-        )
-    )
-    d_pq = (
-        assign.join(F.broadcast(adc), ["m", "code"])
-        .groupBy("vec_id", "qid")
-        .agg(F.sum("t").cast("bigint").alias("d"))
-    )
-    w_q = Window.partitionBy("qid").orderBy(F.asc("d"), F.asc("vec_id"))
-    top_pq = (
-        d_pq.select("qid", "vec_id", F.row_number().over(w_q).alias("rn"))
-        .filter(F.col("rn") <= k)
-        .select(F.col("qid").alias("pq_qid"), F.col("vec_id").alias("pq_vec"))
-    )
-    d_true = (
-        corpus.join(qv, F.col("qi") == F.col("i"))
-        .groupBy("vec_id", "qid")
-        .agg(
-            F.sum((F.col("xi") - F.col("qxi")) * (F.col("xi") - F.col("qxi")))
-            .cast("bigint")
-            .alias("d")
-        )
-    )
-    top_true = (
-        d_true.select("qid", "vec_id", F.row_number().over(w_q).alias("rn"))
-        .filter(F.col("rn") <= k)
-        .select("qid", "vec_id")
-    )
-    return (
-        top_true.join(
-            top_pq,
-            (F.col("qid") == F.col("pq_qid")) & (F.col("vec_id") == F.col("pq_vec")),
-            "left",
-        )
-        .groupBy("qid")
-        .agg(
-            F.count("pq_vec").cast("bigint").alias("n_hits"),
-            F.expr(f"CAST((10000 * COUNT(pq_vec)) div {k} AS BIGINT)").alias(
-                "recall_bp"
-            ),
-        )
-    )

@@ -152,41 +152,6 @@ def test_incr_join_proof_columns_are_zero_and_full_agg_is_real(spark):
         assert expected[r.o_orderpriority] == r.n_full
 
 
-def test_pq_assign_equals_numpy_recompute(spark):
-    """PQ assignment recomputed with NumPy over the same fixed-point grid:
-    per-subspace argmin against the first-8-vector codebook, (dist, code)
-    tiebreak, per-(subspace, code) census and SSE."""
-    import numpy as np
-
-    con = duckdb.connect()
-    rows = con.execute(
-        f"SELECT vec_id, embedding FROM '{SF_SMOKE}/embeddings.parquet' ORDER BY vec_id"
-    ).fetchall()
-    X = np.array(
-        [
-            [int(np.floor(abs(float(x)) * 1_000_000 + 0.5)) * (1 if x >= 0 else -1) for x in emb]
-            for _, emb in rows
-        ],
-        dtype=np.int64,
-    )
-    M, SUB, K = 4, 16, 8
-    expected = defaultdict(lambda: [0, 0])
-    for m in range(M):
-        seg = X[:, m * SUB : (m + 1) * SUB]
-        cb = seg[:K]
-        d = ((seg[:, None, :] - cb[None, :, :]) ** 2).sum(axis=2)
-        codes = d.argmin(axis=1)  # numpy argmin takes first min = smallest code
-        for v in range(len(X)):
-            c = int(codes[v])
-            expected[(m, c)][0] += 1
-            expected[(m, c)][1] += int(d[v, c])
-    got = {
-        (r.subspace, r.code): (r.n_vecs, r.sse_fx)
-        for r in QUERIES["q_pq_assign"](spark, SF_SMOKE).collect()
-    }
-    assert got == {k: tuple(v) for k, v in expected.items()}
-
-
 def test_kvtext_manifest_ignores_uncommitted_files(spark):
     """The two-phase-commit contract under test in q_sink_custom: a data
     file present in the sink directory but absent from the _committed
@@ -214,52 +179,6 @@ def test_kvtext_manifest_ignores_uncommitted_files(spark):
     ]
     manifest = json.load(open(os.path.join(path, "_committed")))
     assert manifest["rows"] == 2
-
-
-def test_pq_recall_equals_numpy_recompute(spark):
-    """Full audit recomputed with NumPy: ADC top-10 vs exact top-10 on the
-    same fixed-point grid, (distance, vec_id) tiebreaks."""
-    import numpy as np
-
-    con = duckdb.connect()
-    rows = con.execute(
-        f"SELECT vec_id, embedding FROM '{SF_SMOKE}/embeddings.parquet' ORDER BY vec_id"
-    ).fetchall()
-    X = np.array(
-        [
-            [int(np.floor(abs(float(x)) * 1_000_000 + 0.5)) * (1 if x >= 0 else -1) for x in emb]
-            for _, emb in rows
-        ],
-        dtype=np.int64,
-    )
-    M, SUB, K, NQ, TOPK = 4, 16, 8, 5, 10
-    corpus_ids = np.arange(NQ, len(X))
-    corpus = X[NQ:]
-    expected = {}
-    d_true = ((corpus[:, None, :] - X[:NQ][None, :, :]) ** 2).sum(axis=2)
-    # PQ codes per corpus vector
-    d_pq = np.zeros((len(corpus), NQ), dtype=np.int64)
-    for m in range(M):
-        seg = corpus[:, m * SUB : (m + 1) * SUB]
-        cbm = X[:K, m * SUB : (m + 1) * SUB]
-        codes = ((seg[:, None, :] - cbm[None, :, :]) ** 2).sum(axis=2).argmin(axis=1)
-        adc = ((X[:NQ][:, None, m * SUB : (m + 1) * SUB] - cbm[None, :, :]) ** 2).sum(
-            axis=2
-        )
-        d_pq += adc[:, codes].T
-    for q in range(NQ):
-
-        def topk(d):
-            order = sorted(zip(d, corpus_ids))[:TOPK]
-            return {vid for _, vid in order}
-
-        hits = len(topk(d_true[:, q]) & topk(d_pq[:, q]))
-        expected[q] = (hits, (10000 * hits) // TOPK)
-    got = {
-        r.qid: (r.n_hits, r.recall_bp)
-        for r in QUERIES["q_pq_recall"](spark, SF_SMOKE).collect()
-    }
-    assert got == expected
 
 
 def test_twa_equals_python_integration(spark):

@@ -715,7 +715,7 @@ def main() -> None:
         # ~linear (the scan+explode dominates).
         from pyspark.sql import Window
 
-        from duckdb_ner_spark.operators.round8b import (
+        from duckdb_ner_spark.operators.pq import (
             PQ_FX,
             PQ_K,
             PQ_SUBDIM,
