@@ -1,0 +1,166 @@
+"""Round-9 operators: bucketed MIN/MAX maintenance under deletes — the
+retraction case q_incr_agg_delete documents as non-retractable for plain
+partials, closed here with the standard two-level answer (VERDICT r8 #7).
+
+Beyond-reference surface (SURVEY.md §2.D, IVM/GDPR family).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..plans.registry import declared
+from ..sources.catalog import load_tables
+
+# Delete slice: the q_incr_agg_delete / q_erasure GDPR convention.
+MINMAX_MOD = 100
+MINMAX_REM = 7
+MINMAX_FX = 1_000_000
+MINMAX_BUCKETS = 64  # level-1 partial granularity (user_id % 64)
+
+_MINMAX_ORACLE = f"""
+    WITH base AS (
+        SELECT event_type, user_id % {MINMAX_BUCKETS} AS bucket,
+               CAST(ROUND(value * {MINMAX_FX}) AS BIGINT) AS fx,
+               CASE WHEN user_id % {MINMAX_MOD} = {MINMAX_REM}
+                    THEN 1 ELSE 0 END AS erased
+        FROM events
+    ), state AS (
+        SELECT event_type, bucket,
+               MIN(fx) AS bmin, MAX(fx) AS bmax, MAX(erased) AS dirty
+        FROM base GROUP BY 1, 2
+    ), dirty_recompute AS (
+        SELECT b.event_type, b.bucket, MIN(b.fx) AS bmin, MAX(b.fx) AS bmax
+        FROM base b JOIN state s
+          ON s.event_type = b.event_type AND s.bucket = b.bucket
+        WHERE s.dirty = 1 AND b.erased = 0
+        GROUP BY 1, 2
+    ), merged AS (
+        SELECT event_type, bucket, bmin, bmax FROM state WHERE dirty = 0
+        UNION ALL
+        SELECT event_type, bucket, bmin, bmax FROM dirty_recompute
+    ), maint AS (
+        SELECT event_type, CAST(MIN(bmin) AS BIGINT) AS min_fx_maint,
+               CAST(MAX(bmax) AS BIGINT) AS max_fx_maint
+        FROM merged GROUP BY 1
+    ), counts AS (
+        SELECT event_type,
+               CAST(SUM(CASE WHEN dirty = 0 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_clean_buckets,
+               CAST(SUM(dirty) AS BIGINT) AS n_dirty_buckets
+        FROM state GROUP BY 1
+    ), rebuild AS (
+        SELECT event_type, CAST(MIN(fx) AS BIGINT) AS min_fx_rebuild,
+               CAST(MAX(fx) AS BIGINT) AS max_fx_rebuild
+        FROM base WHERE erased = 0 GROUP BY 1
+    )
+    SELECT m.event_type, c.n_clean_buckets, c.n_dirty_buckets,
+           m.min_fx_maint, m.max_fx_maint,
+           r.min_fx_rebuild, r.max_fx_rebuild,
+           CAST(m.min_fx_maint - r.min_fx_rebuild AS BIGINT) AS min_diff,
+           CAST(m.max_fx_maint - r.max_fx_rebuild AS BIGINT) AS max_diff
+    FROM maint m
+    JOIN counts c ON c.event_type = m.event_type
+    JOIN rebuild r ON r.event_type = m.event_type
+"""
+
+
+@declared("q_incr_minmax", oracle=_MINMAX_ORACLE)
+def q_incr_minmax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MIN/MAX maintenance under DELETES via two-level bucketed partials —
+    the standard answer to the boundary q_incr_agg_delete documents
+    (SUM/COUNT retract by merging negated partials; MIN/MAX cannot,
+    because a deleted extremum's replacement is not derivable from the
+    aggregate alone). The engine keeps per-(type, user_id % {MINMAX_BUCKETS})
+    min/max partials (level 1); a delete marks only the buckets holding
+    retracted rows dirty, and ONLY those buckets are recomputed from
+    their own raw slice — clean buckets' partials are reused verbatim —
+    before the level-2 merge. The in-plan proof columns (the q_incr_join
+    maintenance≡rebuild idiom) compare the maintained extrema against a
+    direct rebuild over survivors: min_diff = max_diff = 0 is part of the
+    hash-verified result, and the clean/dirty census quantifies the work
+    saved (deletes land on user_id ≡ {MINMAX_REM} (mod {MINMAX_MOD}), so
+    only residues ≡ 3 (mod 4) of the {MINMAX_BUCKETS} buckets dirty —
+    ~25% recomputed, 75% reused).
+
+    Engine-exactness: values on the ×{MINMAX_FX} fixed-point BIGINT grid;
+    MIN/MAX/counts over integers; buckets from non-negative user_id
+    residues (Spark % == DuckDB % there).
+
+    Scale notes (100 TB): level-1 partials are one map-side-combined
+    aggregate over the corpus (the materialized state in production);
+    the delete path reads ONLY dirty buckets — on a bucket-partitioned
+    layout that is partition pruning, and the recompute is proportional
+    to the delete footprint, not the corpus; the level-2 merge is
+    |types|×|buckets| rows. The rebuild side exists here as the audit
+    ground truth."""
+    t = load_tables(spark, sf_dir)
+    base = t.events.select(
+        "event_type",
+        (F.col("user_id") % MINMAX_BUCKETS).alias("bucket"),
+        F.expr(f"CAST(ROUND(value * {MINMAX_FX}) AS BIGINT)").alias("fx"),
+        (F.col("user_id") % MINMAX_MOD == MINMAX_REM)
+        .cast("int")
+        .alias("erased"),
+    )
+    state = base.groupBy("event_type", "bucket").agg(
+        F.min("fx").alias("bmin"),
+        F.max("fx").alias("bmax"),
+        F.max("erased").alias("dirty"),
+    )
+    dirty_keys = state.filter(F.col("dirty") == 1).select(
+        F.col("event_type").alias("d_type"), F.col("bucket").alias("d_bucket")
+    )
+    dirty_recompute = (
+        base.filter(F.col("erased") == 0)
+        .join(
+            F.broadcast(dirty_keys),
+            (F.col("event_type") == F.col("d_type"))
+            & (F.col("bucket") == F.col("d_bucket")),
+        )
+        .groupBy("event_type", "bucket")
+        .agg(F.min("fx").alias("bmin"), F.max("fx").alias("bmax"))
+    )
+    merged = (
+        state.filter(F.col("dirty") == 0)
+        .select("event_type", "bucket", "bmin", "bmax")
+        .unionByName(dirty_recompute)
+    )
+    maint = merged.groupBy("event_type").agg(
+        F.min("bmin").cast("bigint").alias("min_fx_maint"),
+        F.max("bmax").cast("bigint").alias("max_fx_maint"),
+    )
+    counts = state.groupBy("event_type").agg(
+        F.sum((F.col("dirty") == 0).cast("int"))
+        .cast("bigint")
+        .alias("n_clean_buckets"),
+        F.sum("dirty").cast("bigint").alias("n_dirty_buckets"),
+    )
+    rebuild = (
+        base.filter(F.col("erased") == 0)
+        .groupBy(F.col("event_type").alias("r_type"))
+        .agg(
+            F.min("fx").cast("bigint").alias("min_fx_rebuild"),
+            F.max("fx").cast("bigint").alias("max_fx_rebuild"),
+        )
+    )
+    return (
+        maint.join(counts, "event_type")
+        .join(rebuild, F.col("event_type") == F.col("r_type"))
+        .select(
+            "event_type",
+            "n_clean_buckets",
+            "n_dirty_buckets",
+            "min_fx_maint",
+            "max_fx_maint",
+            "min_fx_rebuild",
+            "max_fx_rebuild",
+            (F.col("min_fx_maint") - F.col("min_fx_rebuild"))
+            .cast("bigint")
+            .alias("min_diff"),
+            (F.col("max_fx_maint") - F.col("max_fx_rebuild"))
+            .cast("bigint")
+            .alias("max_diff"),
+        )
+    )
