@@ -34,44 +34,41 @@ def entry(spark: SparkSession) -> DataFrame:
 # relational queries follow in registration order. New queries added in a
 # round should be PREPENDED here so they land inside the window.
 _DRIVER_WINDOW_PRIORITY = [
-    # ---- round-8 window (VERDICT r7 Next-round #1: STALEST-FIRST) ----
-    # All 244 hash-oracled queries are cumulatively driver-green, so the
-    # window policy flips from "never-green first" to "stalest driver row
-    # first": re-attest the rows whose newest CORRECTNESS_r* green row is
-    # oldest. With every r7 slot green, the stalest set is the 17 r2-era
-    # rows + the 42 r3-era rows (59 candidates for 50 slots; the r3 tail
-    # rotates to r9 along with the 49 r4-era rows). Final r8 shape: 18
-    # r8-new + 17 r2-era + 15 r3-era = 50.
-    # Block 1 — r8-NEW hash queries (prepend as added; each new entry
-    # pushes one row off the Block-3 tail into the r9 rotation —
-    # tests/test_window_ledger.py enforces the never-green side).
-    "q_twa", "q_skyline", "q_setsim_prefix", "q_scc", "q_incr_join",
-    "q_pq_assign", "q_sink_custom", "q_lsh_recall_audit", "q_pq_recall",
-    "q_stream_pipeline", "q_stream_index_growth",
-    "q_bpe_apply", "q_lift_curve", "q_record_linkage", "q_bootstrap_ci",
-    "q_dsar_report", "q_incr_agg_delete", "q_kcore",
-    # Block 2 — the 17 r2-era rows (newest driver row = round 2).
-    "q_array", "q_case", "q_cast", "q_date", "q_explode", "q_filter",
-    "q_map", "q_math", "q_project", "q_scan", "q_setops", "q_sort",
-    "q_string", "q_struct", "q_topk", "q_window_lag", "q_window_rank",
-    # Block 3 — r3-era rows (newest driver row = round 3), riskiest
-    # families first within equal staleness: streaming drains, then
-    # source/layout round-trips, then Python-boundary queries, then the
-    # remainder alphabetically.
-    "q_stream_dedup", "q_stream_enrich", "q_stream_hop", "q_stream_join",
-    "q_stream_left_join", "q_stream_session", "q_stream_window",
-    "q_source_csv", "q_source_custom", "q_source_json", "q_source_orc",
-    "q_schema_evolution", "q_partition_prune", "q_bucket_join",
-    "q_grouped_agg_udaf", "q_grouped_map", "q_udtf_chunk",
-    "q_multimodal_frames",
+    # ---- round-9 window (VERDICT r8 Next-round #2/#3: STALEST-FIRST) ----
+    # With all 50 r8 slots green, the stalest driver rows are the 27
+    # r3-era rows + the 49 r4-era rows. Final r9 shape: 6 r9 slots (3 NEW
+    # queries, the 2 PQ queries whose hashes CHANGED with the trained
+    # codebook, and q_stream_cusum — the one registry query with no
+    # driver row of any kind, burning a slot per VERDICT r8 #3) + all 27
+    # r3-era rows + the first 17 r4-era rows alphabetically = 50. The
+    # remaining 32 r4-era rows rotate in r10.
+    # Block 1 — r9 slots (new / changed / never-driver-seen).
+    "q_pq_assign", "q_pq_recall", "q_pq_rerank", "q_ivf_pq",
+    "q_incr_minmax", "q_stream_cusum",
+    # Block 2 — the 27 r3-era rows (newest driver row = round 3),
+    # Python-boundary and source/layout families first.
+    "q_grouped_map", "q_udtf_chunk", "q_multimodal_frames",
     "q_asof_forward", "q_chunk", "q_embed_centroid", "q_fingerprint",
     "q_heavy_hitters", "q_hop_window",
+    "q_json", "q_knn_join", "q_lang_id", "q_pivot", "q_qualify",
+    "q_quality", "q_quality_cut", "q_range_bucket", "q_repetition",
+    "q_sample_det", "q_scd2", "q_skew_salted", "q_text_stats", "q_tfidf",
+    "q_token_count", "q_unpivot", "q_upsert", "q_zorder",
+    # Block 3 — r4-era rows (newest driver row = round 4), alphabetical.
+    "q_argmax", "q_array_setops", "q_asof_tol", "q_attribution",
+    "q_bitops", "q_boolagg", "q_ccnet_bucket", "q_cohort_retention",
+    "q_cube", "q_date_diff", "q_decontam", "q_domain_cap", "q_dq_audit",
+    "q_dsir", "q_funnel", "q_fuzzy", "q_grouping_sets",
     # ---- window budget line: entries below here are OUTSIDE the first-50
-    # window for r8 and rotate in r9 (with the r4-era rows after them) ----
-    "q_json", "q_knn_join", "q_lang_id", "q_pivot", "q_qualify", "q_quality", "q_quality_cut", "q_range_bucket",
-    "q_repetition", "q_sample_det", "q_scd2", "q_skew_salted",
-    "q_text_stats", "q_tfidf", "q_token_count", "q_unpivot", "q_upsert",
-    "q_zorder",
+    # window for r9 and rotate in r10 (the r4-era tail) ----
+    "q_higher_order", "q_histogram", "q_incr_agg", "q_lateral",
+    "q_len_quantile", "q_line_dedup", "q_mix_sample", "q_nullsafe",
+    "q_pack", "q_part_margin", "q_percentile", "q_pii_scrub", "q_pmi",
+    "q_recursive", "q_regex", "q_sessionize", "q_setops_all", "q_split",
+    "q_stats", "q_stats2", "q_string2", "q_supplier_balance",
+    "q_supplier_rev", "q_surprisal", "q_temperature_mix",
+    "q_template_spectrum", "q_time_bucket", "q_token_budget",
+    "q_trycast_format", "q_values", "q_window_dist", "q_window_range",
 ]
 
 

@@ -770,6 +770,34 @@ def main() -> None:
             .collect()
         )
 
+    if "--deep" in sys.argv:
+        # VERDICT r8 #9: the two shapes whose 30x wall ratios left headroom
+        # for doubt (prefix_setsim_join 6.8x, twa_lead_integrate 5.7x at
+        # 30x) pushed to 100x to confirm the trend stays sub-quadratic.
+        prefix_setsim_shape(1), twa_lead_shape(1)  # untimed JIT warmup
+        for times in (1, 30, 100):
+            probe("prefix_setsim_join", prefix_setsim_shape, times)
+            probe("twa_lead_integrate", twa_lead_shape, times)
+        lines = [
+            "",
+            "## Deep probe: 100x on the two worst 30x shapes (round 9)",
+            "",
+            "Sub-quadratic check: a linear shape costs ~3.3x the 30x wall at",
+            "100x; a quadratic one ~11x. Decorrelated-copy inflation as above.",
+            "",
+            "| shape | 1x (s) | 30x (s) | 100x (s) | 100x/30x | 100x/1x |",
+            "|---|---|---|---|---|---|",
+        ]
+        for name, r in results.items():
+            lines.append(
+                f"| {name} | {r[1]} | {r[30]} | {r[100]} | "
+                f"{round(r[100] / r[30], 1)} | {round(r[100] / r[1], 1)} |"
+            )
+        with open("/root/repo/docs/SCALING.md", "a") as f:
+            f.write("\n".join(lines) + "\n")
+        print("\n".join(lines[-4:]))
+        return
+
     # untimed warmup: whole-stage-codegen JIT is a one-off per plan shape
     agg_shape(1), join_shape(1), window_shape(1), funnel_shape(1), linededup_shape(1)
     hot_bucket_shape(1), cdc_chunk_shape(1), topk_salted_shape(1)
