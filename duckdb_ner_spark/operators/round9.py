@@ -164,3 +164,162 @@ def q_incr_minmax(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("max_diff"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# SemDeDup: semantic dedup via trained cells + within-cell cosine collapse
+# --------------------------------------------------------------------------
+
+SEMDEDUP_CELLS = 16  # coarse cells (K ∝ corpus size at scale)
+SEMDEDUP_CELL_ITERS = 2
+SEMDEDUP_TAU_FX = 350_000  # cosine ≥ 0.35 ⇒ semantic duplicate
+SEMDEDUP_FX = 1_000_000
+
+
+def _semdedup_oracle() -> str:
+    from .pq import sql_pq_train_ctes
+
+    return f"""
+    WITH ex AS MATERIALIZED (
+        SELECT vec_id, 0 AS m, i - 1 AS i,
+               CAST(ROUND(CAST(x AS DOUBLE) * {SEMDEDUP_FX}) AS BIGINT) AS xi
+        FROM (SELECT vec_id, unnest(embedding) AS x,
+                     generate_subscripts(embedding, 1) AS i
+              FROM embeddings)
+    ), {sql_pq_train_ctes("ex", 0, SEMDEDUP_CELLS, SEMDEDUP_CELL_ITERS, "sd")},
+    assign AS MATERIALIZED (
+        SELECT vec_id, code AS cell FROM (
+            SELECT e.vec_id, cb.code,
+                   ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                       ORDER BY SUM((e.xi - cb.ci) * (e.xi - cb.ci)) ASC,
+                                cb.code ASC) AS rn
+            FROM ex e JOIN sd_cb{SEMDEDUP_CELL_ITERS} cb ON cb.i = e.i
+            GROUP BY e.vec_id, cb.code
+        ) WHERE rn = 1
+    ), pairs AS MATERIALIZED (
+        SELECT a.vec_id AS va, b.vec_id AS vb
+        FROM assign a JOIN assign b
+          ON a.cell = b.cell AND a.vec_id < b.vec_id
+    ), norms AS MATERIALIZED (
+        SELECT vec_id, SQRT(CAST(SUM(xi * xi) AS DOUBLE)) AS nrm
+        FROM ex GROUP BY vec_id
+    ), dots AS (
+        SELECT p.va, p.vb, CAST(SUM(xa.xi * xb.xi) AS BIGINT) AS dot
+        FROM pairs p
+        JOIN ex xa ON xa.vec_id = p.va
+        JOIN ex xb ON xb.vec_id = p.vb AND xb.i = xa.i
+        GROUP BY 1, 2
+    ), dup AS (
+        SELECT d.vb
+        FROM dots d
+        JOIN norms na ON na.vec_id = d.va
+        JOIN norms nb ON nb.vec_id = d.vb
+        WHERE CAST(ROUND(CAST(d.dot AS DOUBLE) / (na.nrm * nb.nrm)
+                         * {SEMDEDUP_FX}) AS BIGINT) >= {SEMDEDUP_TAU_FX}
+        GROUP BY 1
+    )
+    SELECT CAST(a.cell AS BIGINT) AS cell,
+           CAST(COUNT(*) AS BIGINT) AS n_members,
+           CAST(COUNT(dup.vb) AS BIGINT) AS n_dropped,
+           CAST((10000 * COUNT(dup.vb)) // COUNT(*) AS BIGINT) AS drop_bp
+    FROM assign a LEFT JOIN dup ON dup.vb = a.vec_id
+    GROUP BY 1
+"""
+
+
+@declared("q_semdedup", oracle=_semdedup_oracle())
+def q_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023) — SEMANTIC deduplication, the
+    embedding-space member of the dedup family (exact: q_dedup_exact;
+    lexical near-dup: q_dedup_near/q_setsim_prefix; embedding-LSH pairs:
+    q_dedup_embed; THIS: cluster-then-collapse): k-means cells from the
+    round-9 trained quantizer (pq.train_pq_codebook, ONE subspace over
+    all dims) bucket the corpus; within each cell every (lower-id,
+    higher-id) pair is scored by exact fixed-point cosine and the
+    higher id is DROPPED when cosine_fx ≥ {SEMDEDUP_TAU_FX} (the
+    keep-first collapse rule of q_dedup_near, no transitive closure).
+    Output is the per-cell census — members, dropped, drop rate — the
+    yield forecast a semantic-dedup pass reports before a corpus-wide
+    collapse (33% at sf0.1, 13% at sf0.01 at τ=0.35).
+
+    Engine-exactness: cell training replays in-oracle (sql_pq_train_ctes);
+    dots are BIGINT sums on the ×{SEMDEDUP_FX} grid; norms are SQRT of
+    exact BIGINT (the one bit-exact transcendental); cosine_fx is ONE
+    double divide+round — the q_sim_ivf idiom.
+
+    Scale notes (100 TB): cells are the unit of parallelism — the
+    within-cell pair join never crosses cells, and K scales with the
+    corpus so cell size (and the per-cell pair count) stays constant;
+    degenerate hot cells would take the caps.py bounded min-k exactly
+    like the LSH buckets. The verify joins carry vectors ONCE per side
+    (norms precomputed per vector, the q_sim_ann prenorm rule); the
+    census is one map-side-combined aggregate."""
+    from .pq import codebook_df, pq_assign_codes, train_pq_codebook
+
+    t = load_tables(spark, sf_dir)
+    emb = t.embeddings
+    n = emb.count()
+    ex1 = emb.select(
+        "vec_id", F.posexplode("embedding").alias("i", "x")
+    ).select(
+        "vec_id",
+        F.lit(0).alias("m"),
+        "i",
+        F.expr(f"CAST(ROUND(CAST(x AS DOUBLE) * {SEMDEDUP_FX}) AS BIGINT)").alias(
+            "xi"
+        ),
+    ).persist()
+    cells = train_pq_codebook(ex1, 0, n, SEMDEDUP_CELLS, SEMDEDUP_CELL_ITERS)
+    assign = pq_assign_codes(ex1, codebook_df(spark, cells)).select(
+        "vec_id", F.col("code").alias("cell")
+    )
+    xiarr = F.expr(
+        f"transform(embedding, v -> CAST(ROUND(CAST(v AS DOUBLE) * {SEMDEDUP_FX})"
+        " AS BIGINT))"
+    )
+    nrm = F.sqrt(
+        F.aggregate(
+            F.zip_with(xiarr, xiarr, lambda x, y: x * y),
+            F.lit(0).cast("bigint"),
+            lambda a, v: a + v,
+        ).cast("double")
+    )
+    vecs = emb.select("vec_id", xiarr.alias("xa"), nrm.alias("na")).join(
+        assign, "vec_id"
+    )
+    a = vecs.select(
+        F.col("vec_id").alias("va"), "cell", "xa", "na"
+    )
+    b = vecs.select(
+        F.col("vec_id").alias("vb"),
+        F.col("cell").alias("cell_b"),
+        F.col("xa").alias("xb"),
+        F.col("na").alias("nb"),
+    )
+    dot = F.aggregate(
+        F.zip_with("xa", "xb", lambda x, y: x * y),
+        F.lit(0).cast("bigint"),
+        lambda acc, v: acc + v,
+    )
+    cos_fx = F.expr(
+        f"CAST(ROUND(CAST(dot AS DOUBLE) / (na * nb) * {SEMDEDUP_FX}) AS BIGINT)"
+    )
+    dup = (
+        a.join(b, (F.col("cell") == F.col("cell_b")) & (F.col("va") < F.col("vb")))
+        .select("va", "vb", "na", "nb", dot.alias("dot"))
+        .select("vb", cos_fx.alias("cos_fx"))
+        .filter(F.col("cos_fx") >= SEMDEDUP_TAU_FX)
+        .select("vb")
+        .distinct()
+    )
+    return (
+        assign.join(dup, assign.vec_id == dup.vb, "left")
+        .groupBy(F.col("cell").cast("bigint").alias("cell"))
+        .agg(
+            F.count("*").cast("bigint").alias("n_members"),
+            F.count("vb").cast("bigint").alias("n_dropped"),
+            F.expr("CAST((10000 * COUNT(vb)) div COUNT(*) AS BIGINT)").alias(
+                "drop_bp"
+            ),
+        )
+    )

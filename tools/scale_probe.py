@@ -34,8 +34,13 @@ def main() -> None:
     from duckdb_ner_spark.session import get_spark
 
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+    # deep mode inflates 100x: shuffle partitions must scale with the data
+    # (the production sizing rule — 32 partitions of a 100x prefix join no
+    # longer fit the executor heap; the first --deep attempt proved it by
+    # OOM). 256 initial partitions, AQE coalesces the small stages back.
     spark = get_spark(
         "scale-probe",
+        shuffle_partitions=256 if "--deep" in sys.argv else None,
         extra_conf={"spark.sql.adaptive.coalescePartitions.parallelismFirst": "false"},
     )
     li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
@@ -784,6 +789,9 @@ def main() -> None:
             "",
             "Sub-quadratic check: a linear shape costs ~3.3x the 30x wall at",
             "100x; a quadratic one ~11x. Decorrelated-copy inflation as above.",
+            "Run with 256 initial shuffle partitions + 48g heap — partition",
+            "count scales with data (the production sizing rule; 32 partitions",
+            "of the 100x prefix join OOM an 8g heap).",
             "",
             "| shape | 1x (s) | 30x (s) | 100x (s) | 100x/30x | 100x/1x |",
             "|---|---|---|---|---|---|",
