@@ -170,11 +170,23 @@ def train_pq_codebook(
 
 
 def codebook_df(spark: SparkSession, cb: dict) -> DataFrame:
-    """Literal (code, m, i, ci) frame for the broadcast codebook join."""
-    rows = [(c, m, i, int(v)) for (c, m, i), v in sorted(cb.items())]
-    return spark.createDataFrame(
-        rows, "code INT, m INT, i INT, ci BIGINT"
-    ).drop("m")  # m is implied by i; dropping avoids a join-name clash
+    """Literal (code, i, ci) frame for the broadcast codebook join (m is
+    implied by i; dropping it avoids a join-name clash). Built through
+    pandas so the Arrow path plans a LocalTableScan — a tuple-list
+    createDataFrame becomes a Scan ExistingRDD that re-serializes through
+    the Python runner on EVERY plan execution (caught by plan_audit's
+    python-boundary column in r9)."""
+    import pandas as pd
+
+    items = sorted(cb.items())
+    pdf = pd.DataFrame(
+        {
+            "code": pd.array([k[0] for k, _ in items], dtype="int32"),
+            "i": pd.array([k[2] for k, _ in items], dtype="int32"),
+            "ci": pd.array([int(v) for _, v in items], dtype="int64"),
+        }
+    )
+    return spark.createDataFrame(pdf)
 
 
 def pq_assign_codes(ex: DataFrame, cbdf: DataFrame) -> DataFrame:
@@ -668,9 +680,17 @@ def q_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     cells = train_pq_codebook(
         ex1, PQR_NQ, n - PQR_NQ, IVFPQ_CELLS, IVFPQ_CELL_ITERS
     )
+    import pandas as pd
+
+    cell_items = sorted(cells.items())
     cents = spark.createDataFrame(
-        [(c, i, int(v)) for (c, _m, i), v in sorted(cells.items())],
-        "cell INT, i INT, cent BIGINT",
+        pd.DataFrame(
+            {
+                "cell": pd.array([k[0] for k, _ in cell_items], dtype="int32"),
+                "i": pd.array([k[2] for k, _ in cell_items], dtype="int32"),
+                "cent": pd.array([int(v) for _, v in cell_items], dtype="int64"),
+            }
+        )
     )
     cell_assign = (
         pq_assign_codes(ex1, cents.select(F.col("cell").alias("code"), "i",
