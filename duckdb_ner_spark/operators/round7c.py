@@ -422,7 +422,12 @@ def q_memorization(spark: SparkSession, sf_dir: str) -> DataFrame:
             "doc_id", "source",
             F.substring(F.md5(F.expr(f"substr(text, i, {k})")), 1, 16).alias("h"),
         )
-        .persist()  # feeds the count table AND the enrich join
+        # NOT persisted (r9): both consumers — the count table and the
+        # enrich join — shuffle this stream on the SAME key h, so Catalyst
+        # plans one Exchange and a ReusedExchange; caching the ~n_chars
+        # position-dense rows only added a corpus-sized storage footprint
+        # (it nondeterministically OOMed a bare default-heap 1g session at
+        # sf0.1, and at 100 TB you would never cache the exploded stream)
     )
     g = sh.groupBy("h").agg(
         F.count("*").cast("bigint").alias("n_occ"),
@@ -431,7 +436,12 @@ def q_memorization(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     dup = F.sum((F.col("n_occ") > 1).cast("bigint"))
     return (
-        sh.join(g, "h")
+        # merge-hint the enrich join: g is the per-h census of the SAME
+        # position-dense stream — corpus-sized, never broadcastable (AQE
+        # was choosing a 184 MiB broadcast at sf0.1, the actual cause of
+        # the bare-1g-session OOM; at 100 TB the h-table IS the corpus).
+        # SMJ on h rides the partitioning g's aggregate already produced.
+        sh.join(g.hint("merge"), "h")
         .groupBy("source")
         .agg(
             F.count("*").cast("bigint").alias("n_shingles"),
