@@ -41,11 +41,12 @@ _DRIVER_WINDOW_PRIORITY = [
     # codebook, and q_stream_cusum — the one registry query with no
     # driver row of any kind, burning a slot per VERDICT r8 #3) + all 27
     # r3-era rows + the first 17 r4-era rows alphabetically = 50. The
-    # remaining 33 r4-era rows rotate in r10 (q_semdedup, added after the
-    # first rotation, displaced q_grouping_sets below the line).
+    # remaining 34 r4-era rows rotate in r10 (q_semdedup and q_nprobe_sweep,
+    # added after the first rotation, displaced q_grouping_sets and
+    # q_fuzzy below the line).
     # Block 1 — r9 slots (new / changed / never-driver-seen).
     "q_pq_assign", "q_pq_recall", "q_pq_rerank", "q_ivf_pq",
-    "q_incr_minmax", "q_semdedup", "q_stream_cusum",
+    "q_incr_minmax", "q_semdedup", "q_nprobe_sweep", "q_stream_cusum",
     # Block 2 — the 27 r3-era rows (newest driver row = round 3),
     # Python-boundary and source/layout families first.
     "q_grouped_map", "q_udtf_chunk", "q_multimodal_frames",
@@ -59,10 +60,10 @@ _DRIVER_WINDOW_PRIORITY = [
     "q_argmax", "q_array_setops", "q_asof_tol", "q_attribution",
     "q_bitops", "q_boolagg", "q_ccnet_bucket", "q_cohort_retention",
     "q_cube", "q_date_diff", "q_decontam", "q_domain_cap", "q_dq_audit",
-    "q_dsir", "q_funnel", "q_fuzzy",
+    "q_dsir", "q_funnel",
     # ---- window budget line: entries below here are OUTSIDE the first-50
     # window for r9 and rotate in r10 (the r4-era tail) ----
-    "q_grouping_sets", "q_higher_order", "q_histogram", "q_incr_agg", "q_lateral",
+    "q_fuzzy", "q_grouping_sets", "q_higher_order", "q_histogram", "q_incr_agg", "q_lateral",
     "q_len_quantile", "q_line_dedup", "q_mix_sample", "q_nullsafe",
     "q_pack", "q_part_margin", "q_percentile", "q_pii_scrub", "q_pmi",
     "q_recursive", "q_regex", "q_sessionize", "q_setops_all", "q_split",

@@ -9,7 +9,7 @@ import duckdb
 import numpy as np
 
 import duckdb_ner_spark.operators  # noqa: F401 — populate the registry
-from duckdb_ner_spark.operators.pq import (
+from duckdb_ner_spark.operators.pq import (  # noqa: F401
     IVFPQ_CELL_ITERS,
     IVFPQ_CELLS,
     IVFPQ_NPROBE,
@@ -203,3 +203,57 @@ def test_ivf_pq_equals_numpy_recompute_and_beats_plain(spark):
     mean_plain = sum(plain_recall)
     assert mean_full >= mean_plain
     assert sum(v[3] for v in expected.values()) * 2 >= mean_full
+
+
+def test_nprobe_sweep_curve_and_numpy_recompute(spark):
+    """Operating curve recomputed with NumPy (same cells/residual codes as
+    the q_ivf_pq twin) plus the curve invariants: recall and cost both
+    non-decreasing in nprobe, and the full-probe point equals q_ivf_pq's
+    recall_full."""
+    from duckdb_ner_spark.operators.pq import NPROBE_GRID
+
+    X = _grid(SF_SMOKE)
+    corpus = X[PQR_NQ:]
+    ids = np.arange(len(X))[PQR_NQ:]
+    cents = _train_lloyd(corpus, IVFPQ_CELLS, IVFPQ_CELL_ITERS)
+    dc = ((corpus[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+    cell = np.argmin(dc, axis=1)
+    resid = corpus - cents[cell]
+    rcodes, rcbs = _pq_encode(resid)
+    want = {p: [0, 0] for p in NPROBE_GRID}  # np -> [n_cand, n_hits]
+    for q in range(PQR_NQ):
+        qv = X[q]
+        d_true = ((corpus - qv) ** 2).sum(axis=1)
+        true_top = set(_topk(d_true, ids, PQR_K))
+        d_res = np.empty(len(corpus), dtype=np.int64)
+        for c in range(IVFPQ_CELLS):
+            sel = np.where(cell == c)[0]
+            if len(sel):
+                d_res[sel] = _adc(qv - cents[c], rcodes[sel], rcbs)
+        dqc = ((cents - qv) ** 2).sum(axis=1)
+        order = np.lexsort((np.arange(IVFPQ_CELLS), dqc))
+        for p in NPROBE_GRID:
+            probed = set(order[:p])
+            mask = np.isin(cell, list(probed))
+            want[p][0] += int(mask.sum())
+            hits = len(true_top & set(_topk(d_res[mask], ids[mask], PQR_K)))
+            want[p][1] += hits
+    expected = {
+        p: (v[0], v[1], 10000 * v[1] // (PQR_NQ * PQR_K))
+        for p, v in want.items()
+    }
+    got = {
+        r.nprobe: (r.n_cand, r.n_hits, r.recall_bp)
+        for r in QUERIES["q_nprobe_sweep"](spark, SF_SMOKE).collect()
+    }
+    assert got == expected
+    curve = [got[p] for p in NPROBE_GRID]
+    assert all(a[0] <= b[0] for a, b in zip(curve, curve[1:]))  # cost mono
+    # top-k recall is NOT guaranteed monotone (added ADC noise can displace
+    # true hits — observed at sf0.1); the robust invariant is endpoints:
+    assert curve[-1][1] >= curve[0][1]
+    full = {
+        r.qid: r.n_hits_full
+        for r in QUERIES["q_ivf_pq"](spark, SF_SMOKE).collect()
+    }
+    assert got[IVFPQ_CELLS][1] == sum(full.values())
