@@ -653,8 +653,11 @@ def _ivfpq_scores(spark: SparkSession, sf_dir: str):
     ground truth. See q_ivf_pq's docstring for the scale story."""
     key = (id(spark), sf_dir)
     hit = _IVFPQ_CORE_CACHE.get(key)
-    if hit is not None:
-        return hit
+    # id() can be reused after GC and a stopped session keeps its id: only
+    # serve a hit whose stored session IS this live object (the _PLAN_CACHE
+    # idiom), else the cached frames may bind a dead SparkContext.
+    if hit is not None and hit[0] is spark:
+        return hit[1]
     t = load_tables(spark, sf_dir)
     emb = t.embeddings
     n = emb.count()
@@ -742,7 +745,7 @@ def _ivfpq_scores(spark: SparkSession, sf_dir: str):
     )
     top_true = _true_top(corpus, qv)
     out = (d_res, dqc, top_true)
-    _IVFPQ_CORE_CACHE[key] = out
+    _IVFPQ_CORE_CACHE[key] = (spark, out)
     return out
 
 

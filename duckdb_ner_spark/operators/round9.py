@@ -214,7 +214,8 @@ def _semdedup_oracle() -> str:
         FROM dots d
         JOIN norms na ON na.vec_id = d.va
         JOIN norms nb ON nb.vec_id = d.vb
-        WHERE CAST(ROUND(CAST(d.dot AS DOUBLE) / (na.nrm * nb.nrm)
+        WHERE na.nrm > 0 AND nb.nrm > 0
+          AND CAST(ROUND(CAST(d.dot AS DOUBLE) / (na.nrm * nb.nrm)
                          * {SEMDEDUP_FX}) AS BIGINT) >= {SEMDEDUP_TAU_FX}
         GROUP BY 1
     )
@@ -306,6 +307,11 @@ def q_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     dup = (
         a.join(b, (F.col("cell") == F.col("cell_b")) & (F.col("va") < F.col("vb")))
+        # zero-norm guard (ADVICE r9): 0/0 is NaN in Spark but engine-
+        # dependent in DuckDB — excluding degenerate all-zero embeddings
+        # on BOTH sides keeps the cosine hash contract engine-exact even
+        # if a future corpus contains one.
+        .filter((F.col("na") > 0) & (F.col("nb") > 0))
         .select("va", "vb", "na", "nb", dot.alias("dot"))
         .select("vb", cos_fx.alias("cos_fx"))
         .filter(F.col("cos_fx") >= SEMDEDUP_TAU_FX)

@@ -716,15 +716,22 @@ def main() -> None:
         # fixed-point grid, ONE broadcast codebook join, combiner-aggregated
         # per-(vec, subspace, code) distances, partition-bounded argmin.
         # Inflation remaps vec_ids; the codebook stays the base corpus's
-        # first PQ_K vectors, so codebook size is constant — expected
+        # first PROBE_PQ_K vectors, so codebook size is constant — expected
         # ~linear (the scan+explode dominates).
+        #
+        # Geometry is PINNED to the r8 probe shape (K=8, SUBDIM=16, M=4)
+        # and deliberately NOT imported from operators.pq: the r9 codebook
+        # retrain changed the live constants to M=16/K=16, which would make
+        # the probed workload ~8x heavier per vector (M*K grouped distance
+        # rows 32 -> 256) and silently invalidate every historical
+        # SCALING.md pq_assign wall-ratio row. The probe measures the SHAPE
+        # (explode + broadcast join + combiner agg), not the live index.
         from pyspark.sql import Window
 
-        from duckdb_ner_spark.operators.pq import (
-            PQ_FX,
-            PQ_K,
-            PQ_SUBDIM,
-        )
+        from duckdb_ner_spark.operators.pq import PQ_FX
+
+        PROBE_PQ_K = 8
+        PROBE_PQ_SUBDIM = 16
 
         emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
             "vec_id", "embedding"
@@ -734,11 +741,11 @@ def main() -> None:
             "vec_id", F.posexplode("embedding").alias("i", "x")
         ).select(
             "vec_id",
-            F.expr(f"i div {PQ_SUBDIM}").alias("m"),
+            F.expr(f"i div {PROBE_PQ_SUBDIM}").alias("m"),
             "i",
             F.expr(f"CAST(ROUND(CAST(x AS DOUBLE) * {PQ_FX}) AS BIGINT)").alias("xi"),
         )
-        cb = ex.filter(F.col("vec_id") < PQ_K).select(
+        cb = ex.filter(F.col("vec_id") < PROBE_PQ_K).select(
             F.col("vec_id").alias("code"),
             F.col("m").alias("cm"),
             F.col("i").alias("ci_idx"),
