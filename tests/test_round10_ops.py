@@ -1,0 +1,153 @@
+"""Round-10 operator tests: substring-span REMOVAL dedup (q_substring_dedup).
+
+The planted-fixture tests prove the VERDICT r9 #2 contract: excision removes
+EXACTLY the duplicated-span character runs from non-canonical occurrences
+(lossless elsewhere), the keep-first canonical occurrence survives, and the
+registry query matches a pure-Python recompute on shipped testdata.
+"""
+
+from collections import defaultdict
+
+import pandas as pd
+
+import duckdb_ner_spark.operators  # noqa: F401 — populate the registry
+from duckdb_ner_spark.operators.round10 import (
+    SSD_K,
+    substring_excise_spans,
+)
+from duckdb_ner_spark.plans.registry import QUERIES
+
+SF_SMOKE = "/root/testdata/sf0.001"
+
+
+def _docs_df(spark, texts: dict[int, str]):
+    pdf = pd.DataFrame(
+        {
+            "doc_id": pd.array(sorted(texts), dtype="int64"),
+            "text": [texts[k] for k in sorted(texts)],
+            "n_chars": pd.array(
+                [len(texts[k]) for k in sorted(texts)], dtype="int64"
+            ),
+        }
+    )
+    return spark.createDataFrame(pdf)
+
+
+def _apply_excisions(text: str, spans: list[tuple[int, int]]) -> str:
+    """Remove 1-based inclusive [st, en] ranges (right-to-left, no shift)."""
+    out = text
+    for st, en in sorted(spans, reverse=True):
+        out = out[: st - 1] + out[en:]
+    return out
+
+
+def _uniq(tag: str, n: int) -> str:
+    # deterministic filler with no 40-char repeat across tags
+    return "".join(f"<{tag}:{i:04d}>" for i in range(n))[:n]
+
+
+def test_substring_dedup_lossless_and_keep_first(spark):
+    """Two spans >= K planted into doc 1 from canonical doc 0: excision hits
+    exactly the planted ranges, doc 0 is untouched, every planted span
+    survives exactly once corpus-wide, and all other doc-1 characters are
+    preserved in order (lossless elsewhere)."""
+    # planted spans must be aperiodic — a periodic span (e.g. "ALPHA "*12)
+    # duplicates ITS OWN windows and correctly triggers intra-doc excision
+    s1 = _uniq("s1", 72)  # 72 chars, > K
+    s2 = _uniq("s2", 60)  # 60 chars, > K
+    pre, mid, post = _uniq("pre", 80), _uniq("mid", 90), _uniq("post", 70)
+    # '#' sentinels bound the common run at exactly the planted span —
+    # without them the shared '<' that opens every filler would extend the
+    # (correctly) maximal excision one char past the plant
+    doc0 = _uniq("zero", 50) + "#" + s1 + "#" + _uniq("z2", 60) + "#" + s2 + "#"
+    doc1 = pre + s1 + mid + s2 + post
+    doc2 = _uniq("solo", 200)
+    texts = {0: doc0, 1: doc1, 2: doc2}
+    spans = (
+        substring_excise_spans(_docs_df(spark, texts), SSD_K)
+        .orderBy("doc_id", "span_seq")
+        .collect()
+    )
+    by_doc = defaultdict(list)
+    for r in spans:
+        assert r.excise_len == r.excise_end - r.excise_start + 1
+        by_doc[r.doc_id].append((r.excise_start, r.excise_end))
+    # keep-first: canonical doc 0 untouched; unique doc 2 untouched
+    assert 0 not in by_doc and 2 not in by_doc
+    # exactly the two planted ranges in doc 1 (1-based inclusive)
+    st1 = len(pre) + 1
+    st2 = len(pre) + len(s1) + len(mid) + 1
+    assert by_doc[1] == [
+        (st1, st1 + len(s1) - 1),
+        (st2, st2 + len(s2) - 1),
+    ]
+    cleaned1 = _apply_excisions(doc1, by_doc[1])
+    assert cleaned1 == pre + mid + post  # lossless elsewhere
+    corpus = doc0 + "\x00" + cleaned1 + "\x00" + doc2
+    assert corpus.count(s1) == 1 and corpus.count(s2) == 1
+
+
+def test_substring_dedup_merges_overlapping_windows(spark):
+    """An exact-duplicate document collapses to ONE maximal span covering
+    the whole text (every window duplicated, islands merged)."""
+    body = _uniq("dupl", 150)
+    spans = (
+        substring_excise_spans(_docs_df(spark, {0: body, 1: body}), SSD_K)
+        .collect()
+    )
+    assert len(spans) == 1
+    (r,) = spans
+    assert (r.doc_id, r.span_seq, r.excise_start, r.excise_end) == (
+        1,
+        1,
+        1,
+        len(body),
+    )
+
+
+def _python_spans(texts: dict[int, str], k: int):
+    """Pure-Python recompute: shingle census, keep-first, interval merge."""
+    occ = defaultdict(list)
+    for d in sorted(texts):
+        t = texts[d]
+        for i in range(1, len(t) - k + 2):
+            occ[t[i - 1 : i - 1 + k]].append((d, i))
+    excise = defaultdict(list)
+    for positions in occ.values():
+        if len(positions) > 1:
+            for d, i in sorted(positions)[1:]:
+                excise[d].append((i, i + k - 1))
+    out = {}
+    for d, ivs in excise.items():
+        merged = []
+        for st, en in sorted(ivs):
+            if merged and st <= merged[-1][1] + 1:
+                merged[-1][1] = max(merged[-1][1], en)
+            else:
+                merged.append([st, en])
+        out[d] = [tuple(m) for m in merged]
+    return out
+
+
+def test_q_substring_dedup_matches_python_recompute(spark):
+    """Registry query vs an independent imperative recompute at sf0.001,
+    including the per-doc removed/kept rollups."""
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet").collect()
+    texts = {r.doc_id: r.text for r in docs}
+    nchars = {r.doc_id: r.n_chars for r in docs}
+    want = _python_spans(texts, SSD_K)
+    got = defaultdict(list)
+    rows = QUERIES["q_substring_dedup"](spark, SF_SMOKE).collect()
+    for r in rows:
+        got[r.doc_id].append(r)
+        assert r.doc_chars_removed == sum(
+            x.excise_len for x in rows if x.doc_id == r.doc_id
+        )
+        assert r.doc_chars_kept == nchars[r.doc_id] - r.doc_chars_removed
+    assert set(got) == set(want)
+    for d, ivs in want.items():
+        spark_ivs = [
+            (r.excise_start, r.excise_end)
+            for r in sorted(got[d], key=lambda r: r.span_seq)
+        ]
+        assert spark_ivs == ivs, d
