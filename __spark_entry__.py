@@ -34,36 +34,25 @@ def entry(spark: SparkSession) -> DataFrame:
 # relational queries follow in registration order. New queries added in a
 # round should be PREPENDED here so they land inside the window.
 _DRIVER_WINDOW_PRIORITY = [
-    # ---- round-9 window (VERDICT r8 Next-round #2/#3: STALEST-FIRST) ----
-    # With all 50 r8 slots green, the stalest driver rows are the 27
-    # r3-era rows + the 49 r4-era rows. Final r9 shape: 6 r9 slots (3 NEW
-    # queries, the 2 PQ queries whose hashes CHANGED with the trained
-    # codebook, and q_stream_cusum — the one registry query with no
-    # driver row of any kind, burning a slot per VERDICT r8 #3) + all 27
-    # r3-era rows + the first 17 r4-era rows alphabetically = 50. The
-    # remaining 34 r4-era rows rotate in r10 (q_semdedup and q_nprobe_sweep,
-    # added after the first rotation, displaced q_grouping_sets and
-    # q_fuzzy below the line).
-    # Block 1 — r9 slots (new / changed / never-driver-seen).
-    "q_pq_assign", "q_pq_recall", "q_pq_rerank", "q_ivf_pq",
-    "q_incr_minmax", "q_semdedup", "q_nprobe_sweep", "q_stream_cusum",
-    # Block 2 — the 27 r3-era rows (newest driver row = round 3),
-    # Python-boundary and source/layout families first.
-    "q_grouped_map", "q_udtf_chunk", "q_multimodal_frames",
-    "q_asof_forward", "q_chunk", "q_embed_centroid", "q_fingerprint",
-    "q_heavy_hitters", "q_hop_window",
-    "q_json", "q_knn_join", "q_lang_id", "q_pivot", "q_qualify",
-    "q_quality", "q_quality_cut", "q_range_bucket", "q_repetition",
-    "q_sample_det", "q_scd2", "q_skew_salted", "q_text_stats", "q_tfidf",
-    "q_token_count", "q_unpivot", "q_upsert", "q_zorder",
+    # ---- round-10 window (VERDICT r9 Next-round #1/#5: STALEST-FIRST +
+    # plan-fingerprint staleness guard) ----
+    # Shape: 2 r10 slots (q_substring_dedup NEW; q_memorization plan
+    # changed — two-level census, hashes unchanged, re-earning its row)
+    # + 8 stale-plan rows the new tools/plan_ledger.py guard surfaced
+    # (PLANS.md row drifted since their last driver-green round via
+    # r8/r9 shared-infra edits; all VANILLA-green locally) + the 34
+    # r4-era rows pre-attested at r9 close (q_surprisal is BOTH r4-era
+    # and stale-plan) + the 6 alphabetically-first r5-era rows = 50.
+    # The remaining 40 r5-era rows rotate in r11.
+    # Block 1 — r10 new/changed plans.
+    "q_substring_dedup", "q_memorization",
+    # Block 2 — stale-plan rows (tests/test_plan_ledger.py forces these
+    # above the budget line until a driver round re-attests them).
+    "q_bfs_dist", "q_containment", "q_jaccard_est", "q_label_prop",
+    "q_modularity", "q_pagerank", "q_textrank", "q_triangles",
     # Block 3 — r4-era rows (newest driver row = round 4), alphabetical.
-    "q_argmax", "q_array_setops", "q_asof_tol", "q_attribution",
-    "q_bitops", "q_boolagg", "q_ccnet_bucket", "q_cohort_retention",
-    "q_cube", "q_date_diff", "q_decontam", "q_domain_cap", "q_dq_audit",
-    "q_dsir", "q_funnel",
-    # ---- window budget line: entries below here are OUTSIDE the first-50
-    # window for r9 and rotate in r10 (the r4-era tail) ----
-    "q_fuzzy", "q_grouping_sets", "q_higher_order", "q_histogram", "q_incr_agg", "q_lateral",
+    "q_fuzzy", "q_grouping_sets", "q_higher_order", "q_histogram",
+    "q_incr_agg", "q_lateral",
     "q_len_quantile", "q_line_dedup", "q_mix_sample", "q_nullsafe",
     "q_pack", "q_part_margin", "q_percentile", "q_pii_scrub", "q_pmi",
     "q_recursive", "q_regex", "q_sessionize", "q_setops_all", "q_split",
@@ -71,6 +60,23 @@ _DRIVER_WINDOW_PRIORITY = [
     "q_supplier_rev", "q_surprisal", "q_temperature_mix",
     "q_template_spectrum", "q_time_bucket", "q_token_budget",
     "q_trycast_format", "q_values", "q_window_dist", "q_window_range",
+    # Block 4 — oldest r5-era rows, alphabetical.
+    "q_ab_test", "q_activity_gaps", "q_ann_recall", "q_audio_energy",
+    "q_autocorr", "q_bigram_surprisal",
+    # ---- window budget line: entries below here are OUTSIDE the first-50
+    # window for r10 and rotate in r11 (the r5-era tail) ----
+    "q_bm25", "q_canon_dedup_gain", "q_cdc_chunk", "q_cluster_sizes",
+    "q_column_profile", "q_compaction_plan", "q_decay_sum",
+    "q_dedup_yield", "q_embed_dims", "q_entropy", "q_erasure",
+    "q_first_touch", "q_funnel_timing", "q_heaps_law", "q_histogram2d",
+    "q_kmv_join_est", "q_kmv_merge", "q_lang_confusion", "q_leakage",
+    "q_mixture_diversity", "q_ner_default_empty", "q_normalize_audit",
+    "q_out_of_order", "q_pack_efficiency", "q_phrase_search",
+    "q_quality_gate", "q_rolling_7d", "q_rrf_fusion",
+    "q_seasonal_profile", "q_skew_audit", "q_source_overlap",
+    "q_source_stream", "q_stream_cdc", "q_topk_salted", "q_transitions",
+    "q_velocity_anomaly", "q_vocab_coverage", "q_watermark_sizing",
+    "q_winsorize",
 ]
 
 

@@ -48,9 +48,13 @@ def test_guard_detects_synthetic_plan_edit():
         n for n in sorted(rows) if n in att and n not in window
         and att[n].get("row") == rows[n]
     )
-    tampered = current.replace(
-        rows[victim], rows[victim].replace("|", "| 999 |", 1)
-    )
+    # bump the exchanges cell (first numeric column) — a synthetic shuffle
+    # regression in an otherwise-valid row
+    import re
+
+    tampered_row = re.sub(r"\| (\d+) \|", "| 999 |", rows[victim], count=1)
+    assert tampered_row != rows[victim]
+    tampered = current.replace(rows[victim], tampered_row)
     base = set(violations(attested=att, current_plans=current))
     got = set(violations(attested=att, current_plans=tampered))
     assert victim not in base
