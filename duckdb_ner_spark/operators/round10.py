@@ -27,8 +27,9 @@ SSD_K = 40  # minimum verbatim span length (chars) — q_memorization's K
 # to a 128-bit pack).
 SSD_POS_BIG = 100_000
 
-_SUBSTRING_DEDUP_ORACLE = f"""
-    WITH pos AS (
+# Shared oracle core: position explode -> shingle census -> keep-first
+# excise stream -> islands interval-merge -> per-doc maximal spans.
+_SSD_CORE_CTES = f"""pos AS (
         SELECT doc_id, text, n_chars,
                unnest(range(1, (n_chars - {SSD_K} + 2)::BIGINT)) AS i
         FROM documents WHERE n_chars >= {SSD_K}
@@ -63,7 +64,10 @@ _SUBSTRING_DEDUP_ORACLE = f"""
                CAST(MAX(en) AS BIGINT) AS excise_end,
                CAST(MAX(en) - MIN(st) + 1 AS BIGINT) AS excise_len
         FROM isl2 GROUP BY doc_id, span_seq
-    )
+    )"""
+
+_SUBSTRING_DEDUP_ORACLE = f"""
+    WITH {_SSD_CORE_CTES}
     SELECT s.doc_id, s.span_seq, s.excise_start, s.excise_end, s.excise_len,
            CAST(SUM(s.excise_len) OVER (PARTITION BY s.doc_id) AS BIGINT)
                AS doc_chars_removed,
@@ -152,6 +156,144 @@ def substring_excise_spans(docs: DataFrame, k: int = SSD_K) -> DataFrame:
     )
 
 
+# One staged span inventory per (session, sf_dir): the inventory job runs
+# once and BOTH registry consumers (q_substring_dedup's rollup report,
+# q_substring_scrub's apply) read the staged parquet — exactly the Lee et
+# al. production pipeline shape (inventory job -> apply job). BIGINT
+# columns round-trip bit-exact. Cleared by cachereg.release_caches.
+_SSD_SPANS_CACHE: dict = {}
+
+
+def staged_excise_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    key = (id(spark), sf_dir)
+    hit = _SSD_SPANS_CACHE.get(key)
+    if hit is not None and hit[0] is spark:
+        return hit[1]
+    from .layout_queries import _scratch
+
+    t = load_tables(spark, sf_dir)
+    spans = substring_excise_spans(t.documents, SSD_K)
+    path = _scratch("ssd_spans", sf_dir)
+    spans.write.mode("overwrite").parquet(path)
+    out = spark.read.parquet(path)
+    _SSD_SPANS_CACHE[key] = (spark, out)
+    return out
+
+
+_SUBSTRING_SCRUB_ORACLE = f"""
+    WITH {_SSD_CORE_CTES}, gaps AS (
+        SELECT doc_id,
+               COALESCE(LAG(excise_end) OVER (PARTITION BY doc_id
+                        ORDER BY span_seq), 0) + 1 AS seg_start,
+               excise_start - 1 AS seg_end
+        FROM spans
+    ), term AS (
+        SELECT s.doc_id, MAX(s.excise_end) + 1 AS seg_start,
+               MAX(d.n_chars) AS seg_end
+        FROM spans s JOIN documents d USING (doc_id)
+        GROUP BY s.doc_id
+    ), segs AS (
+        SELECT g.doc_id, g.seg_start,
+               substr(d.text, g.seg_start::INT,
+                      (g.seg_end - g.seg_start + 1)::INT) AS seg
+        FROM (SELECT * FROM gaps UNION ALL SELECT * FROM term) g
+        JOIN documents d USING (doc_id)
+        WHERE g.seg_end >= g.seg_start
+    ), agg AS (
+        SELECT doc_id, string_agg(seg, '' ORDER BY seg_start) AS cleaned
+        FROM segs GROUP BY doc_id
+    ), stats AS (
+        SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_spans,
+               CAST(SUM(excise_len) AS BIGINT) AS chars_removed
+        FROM spans GROUP BY doc_id
+    )
+    SELECT st.doc_id, st.n_spans, st.chars_removed,
+           CAST(COALESCE(LENGTH(a.cleaned), 0) AS BIGINT) AS cleaned_len,
+           COALESCE(a.cleaned, '') AS cleaned_text
+    FROM stats st LEFT JOIN agg a USING (doc_id)
+"""
+
+
+@declared("q_substring_scrub", oracle=_SUBSTRING_SCRUB_ORACLE)
+def q_substring_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cleaned-text EMIT for the substring-removal dedup — the apply half
+    of q_substring_dedup's span inventory (together they are the full Lee
+    et al. 2022 ExactSubstr production loop: inventory -> apply): for
+    every affected document, the kept segments between/around its excised
+    spans are cut with substr and concatenated in offset order; fully-
+    duplicated documents come out as the empty string (LEFT JOIN — the
+    inventory row still reports them).
+
+    Engine-exactness: segment boundaries are pure integer arithmetic on
+    the span inventory (LAG + one terminal segment from MAX(excise_end));
+    ordered concatenation is the q_merkle LISTAGG-parity construction
+    (Spark array_join of the struct-sorted collect_list == DuckDB
+    string_agg ORDER BY).
+
+    Scale notes (100 TB): unlike the inventory (which never moves text),
+    the emit necessarily materializes cleaned text — but only AFFECTED
+    docs join their spans (the spans side is the dup inventory, orders of
+    magnitude below the corpus; docs with no duplicated span are never
+    touched), segments are cut doc-locally after ONE doc_id-keyed join,
+    and the concat groups on the same doc_id partitioning. A production
+    writer unions the untouched partition-pruned remainder."""
+    t = load_tables(spark, sf_dir)
+    return _scrub_from_spans(t.documents, staged_excise_spans(spark, sf_dir))
+
+
+def substring_scrub(docs: DataFrame, k: int = SSD_K) -> DataFrame:
+    """Apply-half core over any (doc_id, text, n_chars) frame — see
+    q_substring_scrub. Planted-fixture pytests in test_round10_ops.py."""
+    return _scrub_from_spans(docs, substring_excise_spans(docs, k))
+
+
+def _scrub_from_spans(docs: DataFrame, spans: DataFrame) -> DataFrame:
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("doc_id").orderBy("span_seq")
+    gaps = spans.select(
+        "doc_id",
+        (F.coalesce(F.lag("excise_end").over(w), F.lit(0)) + 1).alias("seg_start"),
+        (F.col("excise_start") - 1).alias("seg_end"),
+    )
+    term = (
+        spans.groupBy("doc_id")
+        .agg((F.max("excise_end") + 1).alias("seg_start"))
+        .join(docs.select("doc_id", F.col("n_chars").alias("seg_end")), "doc_id")
+        .select("doc_id", "seg_start", "seg_end")
+    )
+    segs = (
+        gaps.unionByName(term)
+        .filter(F.col("seg_end") >= F.col("seg_start"))
+        .join(docs.select("doc_id", "text"), "doc_id")
+        .select(
+            "doc_id",
+            "seg_start",
+            F.expr("substr(text, CAST(seg_start AS INT),"
+                   " CAST(seg_end - seg_start + 1 AS INT))").alias("seg"),
+        )
+    )
+    agg = segs.groupBy("doc_id").agg(
+        F.expr(
+            "array_join(transform(array_sort("
+            "collect_list(struct(seg_start, seg))), s -> s.seg), '')"
+        ).alias("cleaned")
+    )
+    stats = spans.groupBy("doc_id").agg(
+        F.count("*").cast("bigint").alias("n_spans"),
+        F.sum("excise_len").cast("bigint").alias("chars_removed"),
+    )
+    return stats.join(agg, "doc_id", "left").select(
+        "doc_id",
+        "n_spans",
+        "chars_removed",
+        F.coalesce(F.length("cleaned"), F.lit(0)).cast("bigint").alias(
+            "cleaned_len"
+        ),
+        F.coalesce(F.col("cleaned"), F.lit("")).alias("cleaned_text"),
+    )
+
+
 @declared("q_substring_dedup", oracle=_SUBSTRING_DEDUP_ORACLE)
 def q_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Substring-span REMOVAL dedup — the production transform behind the
@@ -187,7 +329,7 @@ def q_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     training-data pipeline)."""
     t = load_tables(spark, sf_dir)
     docs = t.documents
-    spans = substring_excise_spans(docs, SSD_K)
+    spans = staged_excise_spans(spark, sf_dir)
     from pyspark.sql import Window
 
     w = Window.partitionBy("doc_id")

@@ -36,13 +36,14 @@ def release_caches(spark: SparkSession) -> int:
        whose blocks await the ContextCleaner (connected_components rounds'
        final labels) — unpersisted directly via the JVM map.
     """
-    from ..operators import components, pq, round7
+    from ..operators import components, pq, round7, round10
     from .registry import clear_plan_cache
 
     components._GRAPH_CACHE.clear()
     components._DIRN_CACHE.clear()
     round7._LP_CACHE.clear()
     pq._IVFPQ_CORE_CACHE.clear()
+    round10._SSD_SPANS_CACHE.clear()
     clear_plan_cache()
     spark.catalog.clearCache()
     jmap = spark.sparkContext._jsc.getPersistentRDDs()

@@ -14,6 +14,7 @@ import duckdb_ner_spark.operators  # noqa: F401 — populate the registry
 from duckdb_ner_spark.operators.round10 import (
     SSD_K,
     substring_excise_spans,
+    substring_scrub,
 )
 from duckdb_ner_spark.plans.registry import QUERIES
 
@@ -103,6 +104,25 @@ def test_substring_dedup_merges_overlapping_windows(spark):
         1,
         len(body),
     )
+
+
+def test_substring_scrub_emits_cleaned_text(spark):
+    """Apply half: the scrubbed doc equals the Python-applied excisions
+    (pre+mid+post for the two-plant doc), and a fully-duplicated doc comes
+    out as the empty string with the inventory row intact."""
+    s1, s2 = _uniq("s1", 72), _uniq("s2", 60)
+    pre, mid, post = _uniq("pre", 80), _uniq("mid", 90), _uniq("post", 70)
+    doc0 = _uniq("zero", 50) + "#" + s1 + "#" + _uniq("z2", 60) + "#" + s2 + "#"
+    dup = _uniq("dupl", 150)
+    texts = {0: doc0, 1: pre + s1 + mid + s2 + post, 2: dup, 3: dup}
+    rows = {r.doc_id: r for r in substring_scrub(_docs_df(spark, texts)).collect()}
+    assert set(rows) == {1, 3}
+    assert rows[1].cleaned_text == pre + mid + post
+    assert rows[1].n_spans == 2
+    assert rows[1].chars_removed == len(s1) + len(s2)
+    assert rows[1].cleaned_len == len(pre + mid + post)
+    assert rows[3].cleaned_text == "" and rows[3].cleaned_len == 0
+    assert rows[3].chars_removed == len(dup) and rows[3].n_spans == 1
 
 
 def _python_spans(texts: dict[int, str], k: int):
