@@ -196,7 +196,15 @@ def test_release_caches_leaves_zero_persistent_rdds(spark):
 
     sf = "/root/testdata/sf0.001"
     before = {}
-    for q in ("q_dedup_near", "q_triangles", "q_dedup_clusters", "q_sim_ivf"):
+    # q_substring_scrub: the staged-scratch idiom (r10) — release must
+    # also drop the Python-side staged-frame memo, and a re-run restages
+    for q in (
+        "q_dedup_near",
+        "q_triangles",
+        "q_dedup_clusters",
+        "q_sim_ivf",
+        "q_substring_scrub",
+    ):
         before[q] = len(QUERIES[q](spark, sf).collect())
     assert persistent_rdd_count(spark) > 0  # the queries really do persist
     release_caches(spark)

@@ -782,6 +782,32 @@ def main() -> None:
             .collect()
         )
 
+    def substring_dedup_shape(times):
+        # r10 ExactSubstr inventory (q_substring_dedup core): char-window
+        # digest explode -> (count, min-key) combiner census -> merge-hinted
+        # enrich SMJ -> islands interval-merge on one doc_id exchange.
+        # Inflation remaps doc_ids but NOT text content, so at times>1 every
+        # window is corpus-duplicated and the excise stream approaches ALL
+        # positions — this probes the maximally-duplicated WORST case (the
+        # honest stress: inventory cost scales with duplicated mass).
+        from pyspark.sql import Window
+
+        from duckdb_ner_spark.operators.round10 import (
+            SSD_K,
+            substring_excise_spans,
+        )
+
+        big_d = inflate(
+            docs.select("doc_id", "text", "n_chars"), times, ["doc_id"]
+        )
+        (
+            substring_excise_spans(big_d, SSD_K)
+            .groupBy("doc_id")
+            .agg(F.sum("excise_len").alias("rm"))
+            .agg(F.count("*"), F.sum("rm"))
+            .collect()
+        )
+
     if "--deep" in sys.argv:
         # VERDICT r8 #9: the two shapes whose 30x wall ratios left headroom
         # for doubt (prefix_setsim_join 6.8x, twa_lead_integrate 5.7x at
@@ -822,7 +848,7 @@ def main() -> None:
     sketch_build_shape(1), ring_assign_shape(1), ecdf_domain_shape(1)
     blocked_linkage_shape(1), poisson_bootstrap_shape(1)
     prefix_setsim_shape(1), skyline_shape(1), twa_lead_shape(1)
-    pq_assign_shape(1)
+    pq_assign_shape(1), substring_dedup_shape(1)
 
     for times in (1, 10, 30):
         probe("tpch_q1_agg", agg_shape, times)
@@ -848,6 +874,7 @@ def main() -> None:
         probe("skyline_bucketed", skyline_shape, times)
         probe("twa_lead_integrate", twa_lead_shape, times)
         probe("pq_assign_broadcast", pq_assign_shape, times)
+        probe("substring_dedup_inventory", substring_dedup_shape, times)
 
     rows_base = li.count()
     lines = [
