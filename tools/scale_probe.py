@@ -892,8 +892,18 @@ def main() -> None:
     for name, r in results.items():
         ratio = round(r[30] / r[1], 1) if r[1] else float("nan")
         lines.append(f"| {name} | {r[1]} | {r[10]} | {r[30]} | {ratio} |")
+    # a standard (non-deep) run must not discard a previously recorded
+    # deep-probe appendix — carry it over (it is only re-measured by --deep)
+    deep = ""
+    try:
+        old = open("/root/repo/docs/SCALING.md").read()
+        i = old.find("## Deep probe")
+        if i != -1:
+            deep = "\n" + old[i:]
+    except FileNotFoundError:
+        pass
     with open("/root/repo/docs/SCALING.md", "w") as f:
-        f.write("\n".join(lines) + "\n")
+        f.write("\n".join(lines) + "\n" + deep)
     print("\n".join(lines[-4:]))
 
 
