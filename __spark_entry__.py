@@ -36,18 +36,19 @@ def entry(spark: SparkSession) -> DataFrame:
 _DRIVER_WINDOW_PRIORITY = [
     # ---- round-10 window (VERDICT r9 Next-round #1/#5: STALEST-FIRST +
     # plan-fingerprint staleness guard) ----
-    # Shape: 3 r10 slots (q_substring_dedup/q_substring_scrub NEW;
-    # q_memorization plan changed — two-level census, hashes unchanged,
-    # re-earning its row)
+    # Shape: 4 r10 slots (q_substring_dedup/q_substring_scrub/
+    # q_substring_sparse NEW; q_memorization plan changed — two-level
+    # census, hashes unchanged, re-earning its row)
     # + 10 stale-plan rows the new tools/plan_ledger.py guard surfaced
     # (8 whose PLANS.md row drifted since their last driver-green round
     # via r8/r9 shared-infra edits, plus q_ivf_pq/q_nprobe_sweep whose
     # plans the r10 scratch-staging rewrote; all VANILLA-green locally)
     # + the 34 r4-era rows pre-attested at r9 close (q_surprisal is BOTH
-    # r4-era and stale-plan) + the 3 alphabetically-first r5-era rows
-    # = 50. The remaining 43 r5-era rows rotate in r11.
+    # r4-era and stale-plan) + the 2 alphabetically-first r5-era rows
+    # = 50. The remaining 44 r5-era rows rotate in r11.
     # Block 1 — r10 new/changed plans.
-    "q_substring_dedup", "q_substring_scrub", "q_memorization",
+    "q_substring_dedup", "q_substring_scrub", "q_substring_sparse",
+    "q_memorization",
     # Block 2 — stale-plan rows (tests/test_plan_ledger.py forces these
     # above the budget line until a driver round re-attests them).
     # q_ivf_pq/q_nprobe_sweep re-enter after the r10 scratch-staging of
@@ -66,10 +67,10 @@ _DRIVER_WINDOW_PRIORITY = [
     "q_template_spectrum", "q_time_bucket", "q_token_budget",
     "q_trycast_format", "q_values", "q_window_dist", "q_window_range",
     # Block 4 — oldest r5-era rows, alphabetical.
-    "q_ab_test", "q_activity_gaps", "q_ann_recall",
+    "q_ab_test", "q_activity_gaps",
     # ---- window budget line: entries below here are OUTSIDE the first-50
     # window for r10 and rotate in r11 (the r5-era tail) ----
-    "q_audio_energy", "q_autocorr", "q_bigram_surprisal",
+    "q_ann_recall", "q_audio_energy", "q_autocorr", "q_bigram_surprisal",
     "q_bm25", "q_canon_dedup_gain", "q_cdc_chunk", "q_cluster_sizes",
     "q_column_profile", "q_compaction_plan", "q_decay_sum",
     "q_dedup_yield", "q_embed_dims", "q_entropy", "q_erasure",

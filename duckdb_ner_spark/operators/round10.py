@@ -77,7 +77,9 @@ _SUBSTRING_DEDUP_ORACLE = f"""
 """
 
 
-def substring_excise_spans(docs: DataFrame, k: int = SSD_K) -> DataFrame:
+def substring_excise_spans(
+    docs: DataFrame, k: int = SSD_K, sparse_hex: str | None = None
+) -> DataFrame:
     """Core transform: per-doc maximal excised spans (1-based char offsets,
     inclusive) for every k-char window whose content occurs elsewhere in
     the corpus, keep-first canonical occurrence retained.
@@ -88,6 +90,14 @@ def substring_excise_spans(docs: DataFrame, k: int = SSD_K) -> DataFrame:
     survives in exactly its first (min doc_id, then min offset)
     occurrence. The pytest fixture proves removal is lossless elsewhere
     (tests/test_round10_ops.py::test_substring_dedup_lossless).
+
+    ``sparse_hex`` switches to the CONTENT-DEFINED sparse variant
+    (q_substring_sparse): only windows whose md5 starts with that hex
+    digit participate (expected density 1/16). Selection is a function
+    of window CONTENT, so a duplicated window is selected at every one
+    of its occurrences or none — the property absolute-stride sampling
+    lacks (occurrence offsets differ mod j, so strided windows never
+    align across occurrences).
     """
     big = SSD_POS_BIG
     sh = (
@@ -103,6 +113,9 @@ def substring_excise_spans(docs: DataFrame, k: int = SSD_K) -> DataFrame:
             F.substring(F.md5(F.expr(f"substr(text, i, {k})")), 1, 16).alias("h"),
         )
     )
+    if sparse_hex is not None:
+        # first hex char of h IS the first md5 hex char — no second hash
+        sh = sh.filter(F.expr(f"substr(h, 1, 1) = '{sparse_hex}'"))
     # Per-shingle census: occurrence count + keep-first key. Both are
     # algebraic (map-side combined); no countDistinct expand. min of the
     # packed BIGINT is the lexicographic min over (doc_id, i).
@@ -152,6 +165,123 @@ def substring_excise_spans(docs: DataFrame, k: int = SSD_K) -> DataFrame:
             F.min("st").cast("bigint").alias("excise_start"),
             F.max("en").cast("bigint").alias("excise_end"),
             (F.max("en") - F.min("st") + 1).cast("bigint").alias("excise_len"),
+        )
+    )
+
+
+SSD_SPARSE_HEX = "0"  # content-defined selection: md5 first hex digit
+
+_SUBSTRING_SPARSE_ORACLE = f"""
+    WITH {_SSD_CORE_CTES}, s_g AS (
+        SELECT h, COUNT(*) AS n_occ,
+               MIN(doc_id * {SSD_POS_BIG} + i) AS first_key
+        FROM sh WHERE substr(h, 1, 1) = '{SSD_SPARSE_HEX}' GROUP BY h
+    ), s_excise AS (
+        SELECT s.doc_id, s.i AS st, s.i + {SSD_K} - 1 AS en
+        FROM sh s JOIN s_g g ON g.h = s.h
+        WHERE substr(s.h, 1, 1) = '{SSD_SPARSE_HEX}' AND g.n_occ > 1
+          AND s.doc_id * {SSD_POS_BIG} + s.i <> g.first_key
+    ), s_isl AS (
+        SELECT doc_id, st, en,
+               CASE WHEN st > COALESCE(MAX(en) OVER (
+                        PARTITION BY doc_id ORDER BY st, en
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                        -1) + 1
+                    THEN 1 ELSE 0 END AS new_isl
+        FROM s_excise
+    ), s_isl2 AS (
+        SELECT doc_id, st, en,
+               SUM(new_isl) OVER (PARTITION BY doc_id ORDER BY st, en)
+                   AS span_seq
+        FROM s_isl
+    ), s_spans AS (
+        SELECT doc_id, span_seq,
+               MAX(en) - MIN(st) + 1 AS excise_len
+        FROM s_isl2 GROUP BY doc_id, span_seq
+    ), f_doc AS (
+        SELECT doc_id, CAST(SUM(excise_len) AS BIGINT) AS fc
+        FROM spans GROUP BY doc_id
+    ), s_doc AS (
+        SELECT doc_id, CAST(SUM(excise_len) AS BIGINT) AS sc
+        FROM s_spans GROUP BY doc_id
+    )
+    SELECT d.source,
+           CAST(COUNT(f.doc_id) AS BIGINT) AS full_docs,
+           CAST(COUNT(s.doc_id) AS BIGINT) AS sparse_docs,
+           CAST((10000 * COUNT(s.doc_id)) // COUNT(f.doc_id) AS BIGINT)
+               AS docs_detected_bp,
+           CAST(SUM(f.fc) AS BIGINT) AS full_chars,
+           CAST(SUM(COALESCE(s.sc, 0)) AS BIGINT) AS sparse_chars,
+           CAST((10000 * SUM(COALESCE(s.sc, 0))) // SUM(f.fc) AS BIGINT)
+               AS mass_detected_bp
+    FROM documents d
+    JOIN f_doc f ON f.doc_id = d.doc_id
+    LEFT JOIN s_doc s ON s.doc_id = d.doc_id
+    GROUP BY d.source
+"""
+
+
+@declared("q_substring_sparse", oracle=_SUBSTRING_SPARSE_ORACLE)
+def q_substring_sparse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SPARSE ExactSubstr inventory with an IN-PLAN recall audit — the
+    production cost knob for q_substring_dedup at 100 TB, where hashing
+    EVERY window position costs ~16 digest bytes per input byte. Only
+    windows whose md5 starts with SSD_SPARSE_HEX ('0') participate
+    (expected density 1/16). Selection is CONTENT-DEFINED (the
+    winnowing/MinHash family trick), so a duplicated window is selected
+    at ALL of its occurrences or none — its census count and keep-first
+    canonical are IDENTICAL to the full inventory's, and the sparse
+    excise stream is exactly the full stream restricted to selected
+    content (sparse spans are subsets of full spans by construction).
+    Absolute-stride sampling (every j-th offset) lacks this: the same
+    content re-occurs at different offsets mod j, strided windows never
+    align across occurrences, and detection silently fails — which is
+    why the sampling rule the q_memorization docstring prescribes must
+    be content-defined, and why this audit exists.
+
+    Per-source scorecard vs the (staged) full inventory: affected docs
+    detected (docs_detected_bp) and duplicated char mass covered
+    (mass_detected_bp). A span with W eligible windows is missed with
+    probability (15/16)^W under the md5-uniformity assumption — ~0.6%
+    at W=80 — and the measured audit replaces the assumption.
+
+    Engine-exactness: the sparse chain reuses the full chain's digests
+    (first hex char of h IS the md5 first digit — no second hash); all
+    audit arithmetic is BIGINT counting + non-negative floor division.
+
+    Scale notes (100 TB): the sparse census shuffles 1/16 of the digest
+    mass; the full-inventory side of the audit reads the STAGED spans
+    parquet (computed once per session by q_substring_dedup's job); at
+    production scale the audit runs on a sampled partition of the
+    corpus while the sparse inventory runs on all of it."""
+    t = load_tables(spark, sf_dir)
+    docs = t.documents
+    full = staged_excise_spans(spark, sf_dir)
+    sparse = substring_excise_spans(docs, SSD_K, sparse_hex=SSD_SPARSE_HEX)
+    f_doc = full.groupBy("doc_id").agg(
+        F.sum("excise_len").cast("bigint").alias("fc")
+    )
+    s_doc = sparse.groupBy("doc_id").agg(
+        F.sum("excise_len").cast("bigint").alias("sc")
+    )
+    return (
+        docs.select("doc_id", "source")
+        .join(f_doc, "doc_id")
+        .join(s_doc, "doc_id", "left")
+        .groupBy("source")
+        .agg(
+            F.count("fc").cast("bigint").alias("full_docs"),
+            F.count("sc").cast("bigint").alias("sparse_docs"),
+            F.expr("CAST((10000 * COUNT(sc)) div COUNT(fc) AS BIGINT)").alias(
+                "docs_detected_bp"
+            ),
+            F.sum("fc").cast("bigint").alias("full_chars"),
+            F.sum(F.coalesce(F.col("sc"), F.lit(0))).cast("bigint").alias(
+                "sparse_chars"
+            ),
+            F.expr(
+                "CAST((10000 * SUM(COALESCE(sc, 0))) div SUM(fc) AS BIGINT)"
+            ).alias("mass_detected_bp"),
         )
     )
 

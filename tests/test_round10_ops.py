@@ -125,13 +125,23 @@ def test_substring_scrub_emits_cleaned_text(spark):
     assert rows[3].chars_removed == len(dup) and rows[3].n_spans == 1
 
 
-def _python_spans(texts: dict[int, str], k: int):
-    """Pure-Python recompute: shingle census, keep-first, interval merge."""
+def _python_spans(texts: dict[int, str], k: int, sparse_hex: str | None = None):
+    """Pure-Python recompute: shingle census, keep-first, interval merge.
+    With sparse_hex, only windows whose md5 starts with it participate
+    (the q_substring_sparse content-defined selection)."""
+    import hashlib
+
     occ = defaultdict(list)
     for d in sorted(texts):
         t = texts[d]
         for i in range(1, len(t) - k + 2):
-            occ[t[i - 1 : i - 1 + k]].append((d, i))
+            w = t[i - 1 : i - 1 + k]
+            if (
+                sparse_hex is not None
+                and hashlib.md5(w.encode()).hexdigest()[0] != sparse_hex
+            ):
+                continue
+            occ[w].append((d, i))
     excise = defaultdict(list)
     for positions in occ.values():
         if len(positions) > 1:
@@ -171,3 +181,26 @@ def test_q_substring_dedup_matches_python_recompute(spark):
             for r in sorted(got[d], key=lambda r: r.span_seq)
         ]
         assert spark_ivs == ivs, d
+
+def test_sparse_spans_subset_and_python_recompute(spark):
+    """q_substring_sparse core properties at sf0.001: the sparse excise
+    spans equal an independent pure-Python content-defined recompute, and
+    every sparse span is contained in a full span of the same doc (the
+    subset-by-construction claim in the docstring)."""
+    from duckdb_ner_spark.operators.round10 import SSD_SPARSE_HEX
+
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet").collect()
+    texts = {r.doc_id: r.text for r in docs}
+    want = _python_spans(texts, SSD_K, sparse_hex=SSD_SPARSE_HEX)
+    df = spark.read.parquet(f"{SF_SMOKE}/documents.parquet").select(
+        "doc_id", "text", "n_chars"
+    )
+    got = defaultdict(list)
+    for r in substring_excise_spans(df, SSD_K, sparse_hex=SSD_SPARSE_HEX).collect():
+        got[r.doc_id].append((r.excise_start, r.excise_end))
+    assert {d: sorted(v) for d, v in got.items()} == want
+    full = _python_spans(texts, SSD_K)
+    for d, ivs in want.items():
+        assert d in full
+        for st, en in ivs:
+            assert any(fs <= st and en <= fe for fs, fe in full[d]), (d, st, en)
