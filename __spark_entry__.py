@@ -45,7 +45,9 @@ _DRIVER_WINDOW_PRIORITY = [
     # plans the r10 scratch-staging rewrote; all VANILLA-green locally)
     # + the 34 r4-era rows pre-attested at r9 close (q_surprisal is BOTH
     # r4-era and stale-plan) + the 2 alphabetically-first r5-era rows
-    # = 50. The remaining 44 r5-era rows rotate in r11.
+    # = 50. The remaining 43 r5-era rows rotate in r11 (q_containment is
+    # r5-era AND stale-plan, already above the line in Block 2) —
+    # pre-attested at r10 close: one fresh VANILLA sf0.01 session, 43/43.
     # Block 1 — r10 new/changed plans.
     "q_substring_dedup", "q_substring_scrub", "q_substring_sparse",
     "q_memorization",
