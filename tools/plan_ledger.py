@@ -68,7 +68,16 @@ def newest_green_rounds() -> dict[str, int]:
     return newest
 
 
-def build() -> dict:
+def build(write: bool = True) -> dict:
+    """Derive the ledger from git round-commits + CORRECTNESS files.
+
+    A CORRECTNESS_r{N}.json with no matching ``round N: verdict`` commit
+    yet (the window between a driver run and its round commit) simply
+    yields no attested row for its queries — violations() then requires
+    them in-window, which is exactly where a driver-green round's rows
+    already are. The pytest calls build(write=False) so the guard is
+    SELF-MAINTAINING: it can never run against a stale committed ledger.
+    """
     commits = _round_commits()
     newest = newest_green_rounds()
     attest: dict[str, dict] = {}
@@ -91,15 +100,17 @@ def build() -> dict:
         attest[name] = {"round": rnd, "row": row}
     ledger = {
         "_comment": "query -> PLANS.md row at its newest driver-green round;"
-        " regenerate with: python tools/plan_ledger.py build",
+        " regenerate with: python tools/plan_ledger.py build (the pytest"
+        " rebuilds in-memory and never trusts this file)",
         "queries": attest,
     }
-    with open(ATTEST_PATH, "w") as f:
-        json.dump(ledger, f, indent=1, sort_keys=True)
-        f.write("\n")
-    if missing_tree:
-        print(f"WARNING no round commit for: {missing_tree}")
-    print(f"wrote {ATTEST_PATH} ({len(attest)} attested rows)")
+    if write:
+        with open(ATTEST_PATH, "w") as f:
+            json.dump(ledger, f, indent=1, sort_keys=True)
+            f.write("\n")
+        if missing_tree:
+            print(f"WARNING no round commit for: {missing_tree}")
+        print(f"wrote {ATTEST_PATH} ({len(attest)} attested rows)")
     return ledger
 
 
