@@ -36,21 +36,23 @@ def entry(spark: SparkSession) -> DataFrame:
 _DRIVER_WINDOW_PRIORITY = [
     # ---- round-10 window (VERDICT r9 Next-round #1/#5: STALEST-FIRST +
     # plan-fingerprint staleness guard) ----
-    # Shape: 4 r10 slots (q_substring_dedup/q_substring_scrub/
-    # q_substring_sparse NEW; q_memorization plan changed — two-level
-    # census, hashes unchanged, re-earning its row)
+    # Shape: 5 r10 slots (q_substring_dedup/q_substring_scrub/
+    # q_substring_sparse/q_suffix_rank NEW; q_memorization plan changed
+    # — two-level census, hashes unchanged, re-earning its row)
     # + 10 stale-plan rows the new tools/plan_ledger.py guard surfaced
     # (8 whose PLANS.md row drifted since their last driver-green round
     # via r8/r9 shared-infra edits, plus q_ivf_pq/q_nprobe_sweep whose
     # plans the r10 scratch-staging rewrote; all VANILLA-green locally)
     # + the 34 r4-era rows pre-attested at r9 close (q_surprisal is BOTH
-    # r4-era and stale-plan) + the 2 alphabetically-first r5-era rows
-    # = 50. The remaining 43 r5-era rows rotate in r11 (q_containment is
+    # r4-era and stale-plan) + the alphabetically-first r5-era row
+    # = 50. The remaining 44 r5-era rows rotate in r11 (q_containment is
     # r5-era AND stale-plan, already above the line in Block 2) —
-    # pre-attested at r10 close: one fresh VANILLA sf0.01 session, 43/43.
+    # pre-attested at r10 close in fresh VANILLA sf0.01 sessions (the
+    # 43-row tail in one session 43/43, q_activity_gaps in the final
+    # window-candidate re-verifications).
     # Block 1 — r10 new/changed plans.
     "q_substring_dedup", "q_substring_scrub", "q_substring_sparse",
-    "q_memorization",
+    "q_suffix_rank", "q_memorization",
     # Block 2 — stale-plan rows (tests/test_plan_ledger.py forces these
     # above the budget line until a driver round re-attests them).
     # q_ivf_pq/q_nprobe_sweep re-enter after the r10 scratch-staging of
@@ -68,11 +70,11 @@ _DRIVER_WINDOW_PRIORITY = [
     "q_supplier_rev", "q_surprisal", "q_temperature_mix",
     "q_template_spectrum", "q_time_bucket", "q_token_budget",
     "q_trycast_format", "q_values", "q_window_dist", "q_window_range",
-    # Block 4 — oldest r5-era rows, alphabetical.
-    "q_ab_test", "q_activity_gaps",
+    # Block 4 — oldest r5-era row, alphabetical.
+    "q_ab_test",
     # ---- window budget line: entries below here are OUTSIDE the first-50
     # window for r10 and rotate in r11 (the r5-era tail) ----
-    "q_ann_recall", "q_audio_energy", "q_autocorr", "q_bigram_surprisal",
+    "q_activity_gaps", "q_ann_recall", "q_audio_energy", "q_autocorr", "q_bigram_surprisal",
     "q_bm25", "q_canon_dedup_gain", "q_cdc_chunk", "q_cluster_sizes",
     "q_column_profile", "q_compaction_plan", "q_decay_sum",
     "q_dedup_yield", "q_embed_dims", "q_entropy", "q_erasure",

@@ -204,3 +204,29 @@ def test_sparse_spans_subset_and_python_recompute(spark):
         assert d in full
         for st, en in ivs:
             assert any(fs <= st and en <= fe for fs, fe in full[d]), (d, st, en)
+
+def test_suffix_rank_matches_bruteforce_prefix_classes(spark):
+    """q_suffix_rank depth-d classes must equal the brute-force grouping by
+    (suffix prefix of length d, min(suffix_len, d)) — the equivalence the
+    doubling recursion with a rank-0 past-end sentinel induces — and the
+    convergence curve must be monotone (classes up, dup mass down)."""
+    from collections import Counter
+
+    from duckdb_ner_spark.operators.round10 import SUFR_DEPTHS
+
+    rows = QUERIES["q_suffix_rank"](spark, SF_SMOKE).orderBy("depth").collect()
+    assert [r.depth for r in rows] == list(SUFR_DEPTHS)
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet").collect()
+    for r in rows:
+        cnt = Counter()
+        for doc in docs:
+            t, L = doc.text, len(doc.text)
+            for i in range(L):
+                cnt[(t[i : i + r.depth], min(L - i, r.depth))] += 1
+        assert r.n_classes == len(cnt), r.depth
+        assert r.dup_positions == sum(c for c in cnt.values() if c > 1), r.depth
+        assert r.max_class_size == max(cnt.values()), r.depth
+    for a, b in zip(rows, rows[1:]):
+        assert b.n_classes >= a.n_classes
+        assert b.dup_positions <= a.dup_positions
+        assert b.max_class_size <= a.max_class_size
