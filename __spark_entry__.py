@@ -34,47 +34,22 @@ def entry(spark: SparkSession) -> DataFrame:
 # relational queries follow in registration order. New queries added in a
 # round should be PREPENDED here so they land inside the window.
 _DRIVER_WINDOW_PRIORITY = [
-    # ---- round-10 window (VERDICT r9 Next-round #1/#5: STALEST-FIRST +
-    # plan-fingerprint staleness guard) ----
-    # Shape: 5 r10 slots (q_substring_dedup/q_substring_scrub/
-    # q_substring_sparse/q_suffix_rank NEW; q_memorization plan changed
-    # — two-level census, hashes unchanged, re-earning its row)
-    # + 10 stale-plan rows the new tools/plan_ledger.py guard surfaced
-    # (8 whose PLANS.md row drifted since their last driver-green round
-    # via r8/r9 shared-infra edits, plus q_ivf_pq/q_nprobe_sweep whose
-    # plans the r10 scratch-staging rewrote; all VANILLA-green locally)
-    # + the 34 r4-era rows pre-attested at r9 close (q_surprisal is BOTH
-    # r4-era and stale-plan) + the alphabetically-first r5-era row
-    # = 50. The remaining 44 r5-era rows rotate in r11 (q_containment is
-    # r5-era AND stale-plan, already above the line in Block 2) —
-    # pre-attested at r10 close in fresh VANILLA sf0.01 sessions (the
-    # 43-row tail in one session 43/43, q_activity_gaps in the final
-    # window-candidate re-verifications).
-    # Block 1 — r10 new/changed plans.
-    "q_substring_dedup", "q_substring_scrub", "q_substring_sparse",
-    "q_suffix_rank", "q_memorization",
-    # Block 2 — stale-plan rows (tests/test_plan_ledger.py forces these
-    # above the budget line until a driver round re-attests them).
-    # q_ivf_pq/q_nprobe_sweep re-enter after the r10 scratch-staging of
-    # the shared scored core (26/24 exchanges -> 8/7, hashes unchanged).
-    "q_bfs_dist", "q_containment", "q_jaccard_est", "q_label_prop",
-    "q_modularity", "q_pagerank", "q_textrank", "q_triangles",
-    "q_ivf_pq", "q_nprobe_sweep",
-    # Block 3 — r4-era rows (newest driver row = round 4), alphabetical.
-    "q_fuzzy", "q_grouping_sets", "q_higher_order", "q_histogram",
-    "q_incr_agg", "q_lateral",
-    "q_len_quantile", "q_line_dedup", "q_mix_sample", "q_nullsafe",
-    "q_pack", "q_part_margin", "q_percentile", "q_pii_scrub", "q_pmi",
-    "q_recursive", "q_regex", "q_sessionize", "q_setops_all", "q_split",
-    "q_stats", "q_stats2", "q_string2", "q_supplier_balance",
-    "q_supplier_rev", "q_surprisal", "q_temperature_mix",
-    "q_template_spectrum", "q_time_bucket", "q_token_budget",
-    "q_trycast_format", "q_values", "q_window_dist", "q_window_range",
-    # Block 4 — oldest r5-era row, alphabetical.
-    "q_ab_test",
-    # ---- window budget line: entries below here are OUTSIDE the first-50
-    # window for r10 and rotate in r11 (the r5-era tail) ----
-    "q_activity_gaps", "q_ann_recall", "q_audio_energy", "q_autocorr", "q_bigram_surprisal",
+    # ---- round-11 window (VERDICT r10 Next-round #1/#2/#7) ----
+    # Shape: 2 NEW r11 queries (q_suffix_spans — the suffix-rank
+    # ExactSubstr inventory; q_substring_packed — the digest-free exact
+    # census) + 4 r11 plan-changed rows the ledger forces in-window
+    # (q_suffix_rank: composite two-column rank keys + lead-based
+    # doubling, values unchanged; q_substring_dedup/q_substring_sparse/
+    # q_substring_scrub: the SSD_POS_BIG in-plan guard + digest_chars
+    # plumbing, values unchanged) + the 44 r5-era rows pre-attested at
+    # r10 close (commit 8738e2 + q_activity_gaps; re-attested in r11
+    # VANILLA sweeps) = 50 exactly.
+    # Block 1 — r11 new/changed plans.
+    "q_suffix_spans", "q_substring_packed", "q_suffix_rank",
+    "q_substring_dedup", "q_substring_sparse", "q_substring_scrub",
+    # Block 2 — the r5-era tail (oldest driver rows), alphabetical.
+    "q_activity_gaps", "q_ann_recall", "q_audio_energy", "q_autocorr",
+    "q_bigram_surprisal",
     "q_bm25", "q_canon_dedup_gain", "q_cdc_chunk", "q_cluster_sizes",
     "q_column_profile", "q_compaction_plan", "q_decay_sum",
     "q_dedup_yield", "q_embed_dims", "q_entropy", "q_erasure",
@@ -87,6 +62,27 @@ _DRIVER_WINDOW_PRIORITY = [
     "q_source_stream", "q_stream_cdc", "q_topk_salted", "q_transitions",
     "q_velocity_anomaly", "q_vocab_coverage", "q_watermark_sizing",
     "q_winsorize",
+    # ---- window budget line: entries below here are OUTSIDE the first-50
+    # window for r11 (all driver-green at r10 or earlier; stalest rotate
+    # back in r12) ----
+    # Below the line, in r10-window order (all driver-green at r10): the
+    # r10 blocks — q_memorization + the stale-plan re-attests + the
+    # r4-era rotation — then everything else in registration order via
+    # queries()'s dict update. Stalest-first resumes in r12.
+    "q_memorization",
+    "q_bfs_dist", "q_containment", "q_jaccard_est", "q_label_prop",
+    "q_modularity", "q_pagerank", "q_textrank", "q_triangles",
+    "q_ivf_pq", "q_nprobe_sweep",
+    "q_fuzzy", "q_grouping_sets", "q_higher_order", "q_histogram",
+    "q_incr_agg", "q_lateral",
+    "q_len_quantile", "q_line_dedup", "q_mix_sample", "q_nullsafe",
+    "q_pack", "q_part_margin", "q_percentile", "q_pii_scrub", "q_pmi",
+    "q_recursive", "q_regex", "q_sessionize", "q_setops_all", "q_split",
+    "q_stats", "q_stats2", "q_string2", "q_supplier_balance",
+    "q_supplier_rev", "q_surprisal", "q_temperature_mix",
+    "q_template_spectrum", "q_time_bucket", "q_token_budget",
+    "q_trycast_format", "q_values", "q_window_dist", "q_window_range",
+    "q_ab_test",
 ]
 
 

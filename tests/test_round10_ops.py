@@ -230,3 +230,143 @@ def test_suffix_rank_matches_bruteforce_prefix_classes(spark):
         assert b.n_classes >= a.n_classes
         assert b.dup_positions <= a.dup_positions
         assert b.max_class_size <= a.max_class_size
+
+
+def test_suffix_spans_equal_full_inventory(spark):
+    """VERDICT r10 #1 done-criterion: the suffix-rank span inventory
+    (q_suffix_spans) is row-for-row EQUAL to the windowed-hash inventory
+    (q_substring_dedup) at sf0.001 — two independent algorithms, one
+    relation."""
+    key = lambda r: (  # noqa: E731
+        r.doc_id,
+        r.span_seq,
+        r.excise_start,
+        r.excise_end,
+        r.excise_len,
+        r.doc_chars_removed,
+        r.doc_chars_kept,
+    )
+    a = sorted(map(key, QUERIES["q_suffix_spans"](spark, SF_SMOKE).collect()))
+    b = sorted(map(key, QUERIES["q_substring_dedup"](spark, SF_SMOKE).collect()))
+    assert a == b and len(a) > 0
+
+
+def test_suffix_spans_planted_equals_hash_census(spark):
+    """Planted-corpus equality of the two span engines: the in-memory
+    suffix-rank chain (suffix_excise_spans) emits exactly the spans the
+    md5-window census emits — including the keep-first canonical, the
+    sentinel-bounded maximal runs, and the untouched unique doc."""
+    from duckdb_ner_spark.operators.round10 import suffix_excise_spans
+
+    s1, s2 = _uniq("s1", 72), _uniq("s2", 60)
+    pre, mid, post = _uniq("pre", 80), _uniq("mid", 90), _uniq("post", 70)
+    doc0 = _uniq("zero", 50) + "#" + s1 + "#" + _uniq("z2", 60) + "#" + s2 + "#"
+    dup = _uniq("dupl", 150)
+    texts = {
+        0: doc0,
+        1: pre + s1 + mid + s2 + post,
+        2: _uniq("solo", 200),
+        3: dup,
+        4: dup,
+    }
+    df = _docs_df(spark, texts)
+    key = lambda r: (r.doc_id, r.span_seq, r.excise_start, r.excise_end)  # noqa: E731
+    got = sorted(map(key, suffix_excise_spans(df, SSD_K).collect()))
+    want = sorted(map(key, substring_excise_spans(df, SSD_K).collect()))
+    assert got == want and len(got) == 3  # doc1 x2 spans + doc4 full collapse
+
+
+def test_scrub_many_spans_per_doc(spark):
+    """Many-span fixture (VERDICT r10 Next-round #4): a doc carrying 8
+    distinct duplicated spans interleaved with unique filler scrubs to
+    exactly its fillers, the inventory reports 8 spans, and the span count
+    respects the islands bound (n_chars + 1) div (SSD_K + 1) that keeps
+    the per-doc collect_list in _scrub_from_spans bounded."""
+    n_spans = 8
+    spans = [_uniq(f"sp{j}", 48) for j in range(n_spans)]
+    fillers = [_uniq(f"fl{j}", 25) for j in range(n_spans + 1)]
+    # canonical doc: sentinel-bounded plants so maximal runs stop exactly
+    doc0 = "#".join([_uniq("zero", 30)] + spans + [_uniq("z2", 30)])
+    doc1 = fillers[0] + "".join(
+        s + f for s, f in zip(spans, fillers[1:])
+    )
+    rows = substring_scrub(_docs_df(spark, {0: doc0, 1: doc1})).collect()
+    assert len(rows) == 1 and rows[0].doc_id == 1
+    r = rows[0]
+    assert r.n_spans == n_spans
+    assert r.cleaned_text == "".join(fillers)
+    assert r.chars_removed == sum(len(s) for s in spans)
+    assert n_spans <= (len(doc1) + 1) // (SSD_K + 1)
+
+
+def test_pack_guard_raises_on_oversized_doc(spark):
+    """ADVICE r10 #1: a document with n_chars >= SSD_POS_BIG must FAIL the
+    inventory job loudly (packed keep-first keys would silently collide
+    across docs and the destructive dedup would excise wrong spans)."""
+    import pytest
+
+    from duckdb_ner_spark.operators.round10 import SSD_POS_BIG
+
+    big_doc = _uniq("big", SSD_POS_BIG)
+    df = _docs_df(spark, {0: big_doc, 1: _uniq("ok", 120)})
+    with pytest.raises(Exception, match="packed keep-first key"):
+        substring_excise_spans(df, SSD_K).collect()
+
+
+def test_packed_census_equals_hash_census(spark):
+    """q_substring_packed's digest-free core: the packed-content census
+    emits exactly the spans the md5 census emits on a planted corpus with
+    multi-span docs, full-dup collapse, and an untouched unique doc — and
+    a NUL character packs distinctly (cp+1 keeps real chars nonzero)."""
+    from duckdb_ner_spark.operators.round10 import packed_excise_spans
+
+    s1, s2 = _uniq("s1", 72), _uniq("s2", 60)
+    pre, mid, post = _uniq("pre", 80), _uniq("mid", 90), _uniq("post", 70)
+    doc0 = _uniq("zero", 50) + "#" + s1 + "#" + _uniq("z2", 60) + "#" + s2 + "#"
+    dup = _uniq("dupl", 150)
+    # docs 5/6: differ ONLY by a NUL vs its absence inside the window —
+    # must NOT be counted as duplicates of each other
+    nul_a = _uniq("nul", 60) + "\x00" + _uniq("nul2", 60)
+    nul_b = _uniq("nul", 60) + "~" + _uniq("nul2", 60)
+    texts = {
+        0: doc0,
+        1: pre + s1 + mid + s2 + post,
+        2: _uniq("solo", 200),
+        3: dup,
+        4: dup,
+        5: nul_a,
+        6: nul_b,
+    }
+    df = _docs_df(spark, texts)
+    key = lambda r: (r.doc_id, r.span_seq, r.excise_start, r.excise_end)  # noqa: E731
+    got = sorted(map(key, packed_excise_spans(df, SSD_K).collect()))
+    want = sorted(map(key, substring_excise_spans(df, SSD_K).collect()))
+    assert got == want and len(got) == 5
+    # doc 5 is canonical (lower id) for the shared fillers; doc 6's two
+    # spans are exactly the fillers and EXCLUDE position 61 — the one char
+    # where '\x00' vs '~' differ, proving NUL packs distinctly
+    doc6 = [(st, en) for d, _seq, st, en in got if d == 6]
+    assert doc6 == [(1, 60), (62, 121)]
+    assert all(d != 5 for d, *_ in got)
+
+
+def test_packed_census_registry_equals_inventory(spark):
+    """Registry-level: q_substring_packed == q_substring_dedup at sf0.001
+    (three algorithms — md5, suffix-rank, packed — one relation)."""
+    key = lambda r: tuple(r)  # noqa: E731
+    a = sorted(map(key, QUERIES["q_substring_packed"](spark, SF_SMOKE).collect()))
+    b = sorted(map(key, QUERIES["q_substring_dedup"](spark, SF_SMOKE).collect()))
+    assert a == b and len(a) > 0
+
+
+def test_packed_census_rejects_wide_codepoints(spark):
+    """The ASCII-only pack must fail loudly on a codepoint > 126 inside an
+    eligible window (silent misordering would corrupt the census)."""
+    import pytest
+
+    from duckdb_ner_spark.operators.round10 import packed_excise_spans
+
+    texts = {0: _uniq("w", 30) + "é" + _uniq("w2", 30), 1: _uniq("x", 120)}
+    df = _docs_df(spark, texts)
+    with pytest.raises(Exception, match="codepoint > 126"):
+        packed_excise_spans(df, SSD_K).collect()

@@ -197,13 +197,17 @@ def test_release_caches_leaves_zero_persistent_rdds(spark):
     sf = "/root/testdata/sf0.001"
     before = {}
     # q_substring_scrub: the staged-scratch idiom (r10) — release must
-    # also drop the Python-side staged-frame memo, and a re-run restages
+    # also drop the Python-side staged-frame memo, and a re-run restages.
+    # q_suffix_rank: the staged suffix-rank chain (r11, sufr_p* scratch +
+    # _SUFR_ROUNDS_CACHE) — release drops the chain memo, a re-run
+    # restages all rounds into the same per-pid dirs (atexit-cleaned).
     for q in (
         "q_dedup_near",
         "q_triangles",
         "q_dedup_clusters",
         "q_sim_ivf",
         "q_substring_scrub",
+        "q_suffix_rank",
     ):
         before[q] = len(QUERIES[q](spark, sf).collect())
     assert persistent_rdd_count(spark) > 0  # the queries really do persist

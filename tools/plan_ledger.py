@@ -150,7 +150,11 @@ def main() -> None:
     import __spark_entry__ as entrymod
 
     window = entrymod._DRIVER_WINDOW_PRIORITY[:50]
-    bad = [v for v in violations() if v not in window]
+    # Rebuild the ledger in-memory (ADVICE r10 #3): the committed
+    # docs/plan_attest.json can be stale; check must match the pytest's
+    # self-maintaining path instead of trusting the file.
+    fresh = build(write=False)["queries"]
+    bad = [v for v in violations(attested=fresh) if v not in window]
     for name in bad:
         print(f"STALE-PLAN-OUTSIDE-WINDOW {name}")
     print(f"{len(bad)} violations")
