@@ -956,11 +956,15 @@ def _packed_window_terms(k: int = SSD_K) -> list:
     return terms
 
 
-def packed_excise_spans(docs: DataFrame, k: int = SSD_K) -> DataFrame:
-    """Digest-free ExactSubstr inventory core: explode eligible window
-    starts, pack each window's CONTENT into k/8 BIGINTs map-side, census
-    via the join-free window form (_census_excise), islands-merge. One
-    full-corpus exchange total; exact by construction."""
+def _packed_key_cols(k: int = SSD_K) -> list:
+    return [f"w{n}" for n in range(k // SSD_PACK_CHARS)]
+
+
+def _packed_windows(docs: DataFrame, k: int = SSD_K) -> DataFrame:
+    """(doc_id, i, w0..w{k/8-1}): every eligible window start with its
+    content packed map-side. Carries the family's SSD_POS_BIG in-plan
+    guard in the explode bound (the packed keep-first consumers depend on
+    it; probe-only consumers inherit it as a cheap invariant check)."""
     big = SSD_POS_BIG
     last_start = F.expr(
         f"CASE WHEN n_chars < {big} THEN n_chars - {k} + 1 "
@@ -968,7 +972,7 @@ def packed_excise_spans(docs: DataFrame, k: int = SSD_K) -> DataFrame:
         f" packed keep-first key (raise SSD_POS_BIG or switch to a"
         f" two-column key)') END"
     )
-    keyed = (
+    return (
         docs.filter(F.col("n_chars") >= k)
         .select(
             "doc_id",
@@ -984,8 +988,16 @@ def packed_excise_spans(docs: DataFrame, k: int = SSD_K) -> DataFrame:
             ],
         )
     )
-    key_cols = [f"w{n}" for n in range(k // SSD_PACK_CHARS)]
-    return _islands_spans(_census_excise(keyed, key_cols, k))
+
+
+def packed_excise_spans(docs: DataFrame, k: int = SSD_K) -> DataFrame:
+    """Digest-free ExactSubstr inventory core: explode eligible window
+    starts, pack each window's CONTENT into k/8 BIGINTs map-side, census
+    via the join-free window form (_census_excise), islands-merge. One
+    full-corpus exchange total; exact by construction."""
+    return _islands_spans(
+        _census_excise(_packed_windows(docs, k), _packed_key_cols(k), k)
+    )
 
 
 @declared("q_substring_packed", oracle=_SUBSTRING_DEDUP_ORACLE)
@@ -1022,3 +1034,156 @@ def q_substring_packed(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = load_tables(spark, sf_dir)
     spans = packed_excise_spans(t.documents, SSD_K)
     return _span_rollup(spans, t.documents)
+
+
+# --------------------------------------------------------------------------
+# q_substring_incr — ExactSubstr dedup AT INGEST: a new batch's windows
+# probe the persistent packed-content index of the already-ingested corpus
+# --------------------------------------------------------------------------
+
+SSD_INCR_REJECT_BP = 5000  # reject a batch doc if >= 50% of its chars dup
+
+_SUBSTRING_INCR_ORACLE = f"""
+    WITH c_w AS (
+        SELECT DISTINCT substr(md5(substr(text, i::INT, {SSD_K})), 1, 16) AS h
+        FROM (SELECT text, unnest(range(1, (n_chars - {SSD_K} + 2)::BIGINT))
+                  AS i
+              FROM documents WHERE doc_id % 2 = 0 AND n_chars >= {SSD_K})
+    ), b_w AS (
+        SELECT doc_id, i,
+               substr(md5(substr(text, i::INT, {SSD_K})), 1, 16) AS h
+        FROM (SELECT doc_id, text,
+                     unnest(range(1, (n_chars - {SSD_K} + 2)::BIGINT)) AS i
+              FROM documents WHERE doc_id % 2 = 1 AND n_chars >= {SSD_K})
+    ), dupw AS (
+        SELECT doc_id, i AS st, i + {SSD_K} - 1 AS en
+        FROM b_w WHERE h IN (SELECT h FROM c_w)
+    ), isl AS (
+        SELECT doc_id, st, en,
+               CASE WHEN st > COALESCE(MAX(en) OVER (
+                        PARTITION BY doc_id ORDER BY st, en
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                        -1) + 1
+                    THEN 1 ELSE 0 END AS new_isl
+        FROM dupw
+    ), isl2 AS (
+        SELECT doc_id, st, en,
+               SUM(new_isl) OVER (PARTITION BY doc_id ORDER BY st, en)
+                   AS span_seq
+        FROM isl
+    ), sp AS (
+        SELECT doc_id, SUM(mx - mn + 1) AS dup_chars
+        FROM (SELECT doc_id, span_seq, MIN(st) AS mn, MAX(en) AS mx
+              FROM isl2 GROUP BY doc_id, span_seq)
+        GROUP BY doc_id
+    ), dw AS (
+        SELECT doc_id, COUNT(*) AS n_dup FROM dupw GROUP BY doc_id
+    )
+    SELECT d.doc_id,
+           CAST(GREATEST(d.n_chars - {SSD_K} + 1, 0) AS BIGINT) AS n_windows,
+           CAST(COALESCE(dw.n_dup, 0) AS BIGINT) AS n_dup_windows,
+           CAST(COALESCE(sp.dup_chars, 0) AS BIGINT) AS dup_chars,
+           CAST((10000 * COALESCE(sp.dup_chars, 0)) // d.n_chars AS BIGINT)
+               AS dup_bp,
+           CASE WHEN (10000 * COALESCE(sp.dup_chars, 0)) // d.n_chars
+                     >= {SSD_INCR_REJECT_BP}
+                THEN 'reject' ELSE 'admit' END AS verdict
+    FROM documents d
+    LEFT JOIN dw ON dw.doc_id = d.doc_id
+    LEFT JOIN sp ON sp.doc_id = d.doc_id
+    WHERE d.doc_id % 2 = 1
+"""
+
+
+def substring_pack_index(corpus: DataFrame, k: int = SSD_K) -> DataFrame:
+    """The persistent substring index: one row per DISTINCT window content
+    in the corpus (k/8 packed BIGINTs — no digest, no collision). At
+    production this is a maintained table partitioned on its own key
+    columns; appends are the admitted batch's distinct tuples (the
+    q_stream_index_growth pattern), GDPR erasure is a keyed anti-join
+    (the q_erasure pattern)."""
+    return _packed_windows(corpus, k).select(*_packed_key_cols(k)).distinct()
+
+
+def substring_ingest_probe(
+    batch: DataFrame, index: DataFrame, k: int = SSD_K
+) -> DataFrame:
+    """Per-batch-doc admission scorecard against the packed index: window
+    counts, duplicated-window count, islands-merged duplicated char mass,
+    dup share in bp, and the admit/reject verdict."""
+    key_cols = _packed_key_cols(k)
+    dupw = (
+        _packed_windows(batch, k)
+        .join(index, key_cols, "left_semi")
+        .select("doc_id", F.col("i").alias("st"), (F.col("i") + k - 1).alias("en"))
+    )
+    n_dup = dupw.groupBy("doc_id").agg(F.count("*").alias("n_dup"))
+    chars = (
+        _islands_spans(dupw)
+        .groupBy("doc_id")
+        .agg(F.sum("excise_len").alias("dup_chars"))
+    )
+    return (
+        batch.select("doc_id", "n_chars")
+        .join(n_dup, "doc_id", "left")
+        .join(chars, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.greatest(F.col("n_chars") - k + 1, F.lit(0))
+            .cast("bigint")
+            .alias("n_windows"),
+            F.coalesce(F.col("n_dup"), F.lit(0)).cast("bigint").alias(
+                "n_dup_windows"
+            ),
+            F.coalesce(F.col("dup_chars"), F.lit(0)).cast("bigint").alias(
+                "dup_chars"
+            ),
+            F.expr(
+                "CAST((10000 * COALESCE(dup_chars, 0)) div n_chars AS BIGINT)"
+            ).alias("dup_bp"),
+            F.expr(
+                f"CASE WHEN (10000 * COALESCE(dup_chars, 0)) div n_chars"
+                f" >= {SSD_INCR_REJECT_BP} THEN 'reject' ELSE 'admit' END"
+            ).alias("verdict"),
+        )
+    )
+
+
+@declared("q_substring_incr", oracle=_SUBSTRING_INCR_ORACLE)
+def q_substring_incr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ExactSubstr dedup AT INGEST — the production FRONT DOOR the batch
+    inventory (q_substring_packed) implies: even doc_ids are the already-
+    ingested corpus whose DISTINCT packed window contents form the
+    persistent substring index (substring_pack_index); odd doc_ids arrive
+    as the new batch, pack their windows map-side, and probe the index
+    with a LEFT SEMI join. Output is the per-batch-doc admission
+    scorecard: eligible windows (pure arithmetic — n_chars - k + 1, no
+    join), duplicated windows, islands-merged duplicated char mass, dup
+    share in basis points, and the admit/reject verdict at
+    {SSD_INCR_REJECT_BP} bp (>= 50% of the doc already exists verbatim in
+    the corpus). The MinHash twin is q_dedup_incr (document-level
+    near-dup admission); this is the SUBSTRING-level exact gate that
+    catches quotes/boilerplate/partial mirrors a whole-doc signature
+    misses.
+
+    Exactness: the probe key is packed window CONTENT (q_substring_packed's
+    five BIGINTs) — no digest anywhere in the Spark plan, so a false
+    index hit is impossible at any corpus size; the oracle replays the
+    probe with md5 keys (content equality is algorithm-independent), a
+    third cross-algorithm differential for the packed pack.
+
+    Scale notes (100 TB): the index is one row per DISTINCT window
+    content, partitioned on its own key columns and maintained
+    incrementally (append admitted batches' distinct tuples — the
+    q_stream_index_growth pattern; GDPR erasure is the q_erasure keyed
+    anti-join); the probe is a semi-join shuffled on the window key —
+    only the BATCH explodes (corpus-sized work never recurs per ingest),
+    and batch text never shuffles (packed keys + offsets only). AQE
+    picks broadcast when a small index allows it; at production the
+    index dwarfs the batch and the semi-join co-partitions with the
+    index's layout. Skew = hot boilerplate windows, same bound as every
+    census shape (per-key work linear)."""
+    t = load_tables(spark, sf_dir)
+    corpus = t.documents.filter(F.col("doc_id") % 2 == 0)
+    batch = t.documents.filter(F.col("doc_id") % 2 == 1)
+    return substring_ingest_probe(batch, substring_pack_index(corpus), SSD_K)

@@ -370,3 +370,88 @@ def test_packed_census_rejects_wide_codepoints(spark):
     df = _docs_df(spark, texts)
     with pytest.raises(Exception, match="codepoint > 126"):
         packed_excise_spans(df, SSD_K).collect()
+
+
+def test_substring_incr_probe_planted(spark):
+    """Ingest-probe semantics on a planted corpus: a batch doc quoting a
+    corpus span is charged exactly the span's windows/chars, an exact
+    mirror of a corpus doc is rejected at 10000 bp, and a unique batch doc
+    admits with zeros."""
+    from duckdb_ner_spark.operators.round10 import (
+        SSD_K,
+        substring_ingest_probe,
+        substring_pack_index,
+    )
+
+    s1 = _uniq("s1", 100)
+    mirror = _uniq("mirr", 180)
+    # corpus (even ids): canonical span carrier + the doc to be mirrored
+    corpus = _docs_df(
+        spark,
+        {0: _uniq("zero", 40) + "#" + s1 + "#" + _uniq("z2", 40), 2: mirror},
+    )
+    pre, post = _uniq("pre", 70), _uniq("post", 60)
+    batch = _docs_df(
+        spark,
+        {1: pre + s1 + post, 3: mirror, 5: _uniq("solo", 200)},
+    )
+    rows = {
+        r.doc_id: r
+        for r in substring_ingest_probe(
+            batch, substring_pack_index(corpus)
+        ).collect()
+    }
+    assert set(rows) == {1, 3, 5}
+    quoted = rows[1]
+    assert quoted.n_dup_windows == len(s1) - SSD_K + 1
+    assert quoted.dup_chars == len(s1)
+    n1 = len(pre) + len(s1) + len(post)
+    assert quoted.n_windows == n1 - SSD_K + 1
+    assert quoted.dup_bp == 10000 * len(s1) // n1
+    assert quoted.verdict == ("reject" if quoted.dup_bp >= 5000 else "admit")
+    assert rows[3].dup_bp == 10000 and rows[3].verdict == "reject"
+    assert rows[3].dup_chars == len(mirror)
+    assert rows[5].n_dup_windows == 0 and rows[5].dup_bp == 0
+    assert rows[5].verdict == "admit"
+
+
+def test_substring_incr_matches_python_recompute(spark):
+    """Registry q_substring_incr vs an independent imperative recompute at
+    sf0.001 (window membership, islands mass, bp arithmetic, verdict)."""
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet").collect()
+    k = SSD_K
+    corpus_w = set()
+    for r in docs:
+        if r.doc_id % 2 == 0:
+            for i in range(len(r.text) - k + 1):
+                corpus_w.add(r.text[i : i + k])
+    want = {}
+    for r in docs:
+        if r.doc_id % 2 == 1:
+            t = r.text
+            hits = [
+                (i + 1, i + k)
+                for i in range(len(t) - k + 1)
+                if t[i : i + k] in corpus_w
+            ]
+            merged = []
+            for st, en in hits:
+                if merged and st <= merged[-1][1] + 1:
+                    merged[-1][1] = max(merged[-1][1], en)
+                else:
+                    merged.append([st, en])
+            dup_chars = sum(en - st + 1 for st, en in merged)
+            bp = 10000 * dup_chars // len(t)
+            want[r.doc_id] = (
+                max(len(t) - k + 1, 0),
+                len(hits),
+                dup_chars,
+                bp,
+                "reject" if bp >= 5000 else "admit",
+            )
+    got = {
+        r.doc_id: (r.n_windows, r.n_dup_windows, r.dup_chars, r.dup_bp, r.verdict)
+        for r in QUERIES["q_substring_incr"](spark, SF_SMOKE).collect()
+    }
+    assert got == want
+    assert any(v[4] == "reject" for v in want.values())  # non-vacuous
