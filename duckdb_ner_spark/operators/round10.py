@@ -578,7 +578,9 @@ def q_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 
 SUFR_OFFSETS = (1, 2, 4, 8)  # q_suffix_rank's reported rounds -> depths 2..16
-SUFR_ALL_OFFSETS = (1, 2, 4, 8, 16)  # staged rounds -> depths 2, 4, 8, 16, 32
+# staged rounds -> depths 2, 4, ..., 1024; consumers take a prefix
+# (q_suffix_rank: 4 rounds; q_suffix_spans: 5; q_suffix_lcp: all 10)
+SUFR_ALL_OFFSETS = (1, 2, 4, 8, 16, 32, 64, 128, 256, 512)
 SUFR_DEPTHS = (1, 2, 4, 8, 16)
 SUFR_BUCKETS = 1024  # two-level rank granularity (bounded offset table)
 SUFR_SPAN_ROUNDS = 5  # depth 2^5 = 32: the rank depth q_suffix_spans pairs
@@ -733,12 +735,13 @@ def staged_suffix_rounds(
     return rounds[: n_rounds + 1]
 
 
-def _suffix_rank_oracle() -> str:
+def _doubling_ctes(n_rounds: int) -> str:
     """DuckDB replay of the SPEC each doubling round implements: a global
     DENSE_RANK over the two-column pair (k1, k2) — the two-level bucketed
     construction on the Spark side is provably equal (order-preserving
     interval buckets + distinct-count prefix offsets), so the hash gate
-    pins the distributed re-densification against the plain definition."""
+    pins the distributed re-densification against the plain definition.
+    Emits CTEs pp0..pp{n_rounds}."""
     parts = [
         """pp0 AS MATERIALIZED (
         SELECT doc_id, CAST(i AS BIGINT) AS pos,
@@ -747,7 +750,8 @@ def _suffix_rank_oracle() -> str:
               FROM documents))"""
     ]
     prev = "pp0"
-    for t, o in enumerate(SUFR_OFFSETS, start=1):
+    for t in range(1, n_rounds + 1):
+        o = SUFR_ALL_OFFSETS[t - 1]
         parts.append(f""", kk{t} AS MATERIALIZED (
         SELECT a.doc_id, a.pos, a.r AS k1, COALESCE(b.r, 0) AS k2
         FROM {prev} a LEFT JOIN {prev} b
@@ -758,6 +762,10 @@ def _suffix_rank_oracle() -> str:
         FROM kk{t}
     )""")
         prev = f"pp{t}"
+    return "".join(parts)
+
+
+def _suffix_rank_oracle() -> str:
     stats = [
         f"""(SELECT CAST({d} AS BIGINT) AS depth,
             CAST(COUNT(*) AS BIGINT) AS n_classes,
@@ -769,7 +777,7 @@ def _suffix_rank_oracle() -> str:
     ]
     return (
         "\n    WITH "
-        + "".join(parts)
+        + _doubling_ctes(len(SUFR_OFFSETS))
         + "\n    SELECT * FROM "
         + "\n    UNION ALL SELECT * FROM ".join(stats)
     )
@@ -1187,3 +1195,304 @@ def q_substring_incr(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus = t.documents.filter(F.col("doc_id") % 2 == 0)
     batch = t.documents.filter(F.col("doc_id") % 2 == 1)
     return substring_ingest_probe(batch, substring_pack_index(corpus), SSD_K)
+
+
+# --------------------------------------------------------------------------
+# q_suffix_lcp — the full suffix-array deliverable: total suffix order,
+# adjacent-pair LCP by binary lifting over the staged rank chain, exact
+# longest repeated substring, and the census cross-check
+# --------------------------------------------------------------------------
+
+SUFR_LCP_ROUNDS = 10  # depth 2^10 = 1024 — must exceed max doc length
+SUFR_LCP_GUARD = 1 << SUFR_LCP_ROUNDS
+
+
+def _suffix_lcp_oracle() -> str:
+    """Replays the whole construction in DuckDB: 10 doubling rounds, the
+    (rank, doc, pos)-total suffix order, 11 lifting steps, the rem-capped
+    LCP, and the bucket/summary assembly."""
+    big = SSD_POS_BIG
+    parts = [_doubling_ctes(SUFR_LCP_ROUNDS)]
+    parts.append(f""", sa AS MATERIALIZED (
+        SELECT doc_id, pos,
+               CAST(DENSE_RANK() OVER (
+                   ORDER BY r, doc_id * {big} + pos) AS BIGINT) AS sa
+        FROM pp{SUFR_LCP_ROUNDS}
+    ), lift{SUFR_LCP_ROUNDS + 1} AS MATERIALIZED (
+        SELECT a.doc_id AS a_doc, a.pos AS a_pos,
+               b.doc_id AS b_doc, b.pos AS b_pos, CAST(0 AS BIGINT) AS l
+        FROM sa a JOIN sa b ON b.sa = a.sa + 1
+    )""")
+    for t in range(SUFR_LCP_ROUNDS, -1, -1):
+        d = 1 << t
+        parts.append(f""", lift{t} AS MATERIALIZED (
+        SELECT t.a_doc, t.a_pos, t.b_doc, t.b_pos,
+               t.l + CASE WHEN ra.r IS NOT NULL AND ra.r = rb.r
+                          THEN {d} ELSE 0 END AS l
+        FROM lift{t + 1} t
+        LEFT JOIN pp{t} ra
+          ON ra.doc_id = t.a_doc AND ra.pos = t.a_pos + t.l
+        LEFT JOIN pp{t} rb
+          ON rb.doc_id = t.b_doc AND rb.pos = t.b_pos + t.l
+    )""")
+    parts.append(f""", lcps AS MATERIALIZED (
+        SELECT t.a_doc, t.a_pos, t.b_doc, t.b_pos,
+               LEAST(t.l, da.n_chars - t.a_pos + 1,
+                     db.n_chars - t.b_pos + 1) AS lcp
+        FROM lift0 t
+        JOIN documents da ON da.doc_id = t.a_doc
+        JOIN documents db ON db.doc_id = t.b_doc
+    ), s AS (
+        SELECT MAX(lcp) AS lrs_len FROM lcps
+    ), pm AS (
+        SELECT COUNT(*) AS n_pairs_at_lrs FROM lcps, s WHERE lcps.lcp = s.lrs_len
+    ), d40 AS (
+        SELECT COUNT(*) AS n_pos_dup40 FROM (
+            SELECT doc_id, pos, MAX(lcp) AS ml FROM (
+                SELECT a_doc AS doc_id, a_pos AS pos, lcp FROM lcps
+                UNION ALL SELECT b_doc, b_pos, lcp FROM lcps
+            ) GROUP BY doc_id, pos
+        ) m JOIN documents d USING (doc_id)
+        WHERE m.ml >= {SSD_K} AND m.pos <= d.n_chars - {SSD_K} + 1
+    )
+    SELECT CAST(CASE WHEN lcp = 0 THEN 0 ELSE LENGTH(bin(lcp)) END AS BIGINT)
+               AS lcp_bits,
+           CAST(COUNT(*) AS BIGINT) AS n_pairs,
+           CAST(s.lrs_len AS BIGINT) AS lrs_len,
+           CAST(pm.n_pairs_at_lrs AS BIGINT) AS n_pairs_at_lrs,
+           CAST(d40.n_pos_dup40 AS BIGINT) AS n_pos_dup40
+    FROM lcps, s, pm, d40
+    GROUP BY 1, s.lrs_len, pm.n_pairs_at_lrs, d40.n_pos_dup40""")
+    return "\n    WITH " + "".join(parts)
+
+
+def suffix_adjacent_lcps(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """(a_doc, a_pos, b_doc, b_pos, lcp) for every adjacent pair of the
+    total suffix order — the LCP array of the corpus suffix array."""
+    from .layout_queries import _scratch
+
+    big = SSD_POS_BIG
+    t = load_tables(spark, sf_dir)
+    rounds = staged_suffix_rounds(spark, sf_dir, SUFR_LCP_ROUNDS)
+    top = rounds[SUFR_LCP_ROUNDS][0]
+    # Total order: depth-1024 rank (a full suffix-content class — the
+    # in-plan guard below proves 1024 exceeds every doc, so the class IS
+    # the (content, length) identity) tie-broken by the packed (doc, pos)
+    # so identical suffixes from duplicate docs still get distinct ranks.
+    keyed = top.select(
+        "doc_id",
+        "pos",
+        F.col("r").alias("k1"),
+        (F.col("doc_id") * big + F.col("pos")).alias("k2"),
+    )
+    # hi2 must be a TRUE upper bound on k2 (the packed-bucket formula is
+    # order-preserving only when k2 <= hi2); one O(1) driver exchange,
+    # same as the per-round max-rank scalars
+    hi2 = int(
+        t.documents.agg(
+            F.max(F.col("doc_id") * big + F.col("n_chars"))
+        ).collect()[0][0]
+    )
+    saf = _two_level_dense_rank(keyed, rounds[SUFR_LCP_ROUNDS][1], hi2)
+    sa = saf.select("doc_id", "pos", F.col("r").alias("sa"))
+    left = sa.select(
+        F.col("sa").alias("j"),
+        F.col("doc_id").alias("a_doc"),
+        F.col("pos").alias("a_pos"),
+    )
+    right = sa.select(
+        (F.col("sa") - 1).alias("j"),
+        F.col("doc_id").alias("b_doc"),
+        F.col("pos").alias("b_pos"),
+    )
+    lift = left.join(right, "j").select(
+        "a_doc", "a_pos", "b_doc", "b_pos", F.lit(0).cast("bigint").alias("l")
+    )
+    for t_step in range(SUFR_LCP_ROUNDS, -1, -1):
+        d = 1 << t_step
+        rt = rounds[t_step][0]
+        ra = rt.select(
+            F.col("doc_id").alias("ad"),
+            F.col("pos").alias("ap"),
+            F.col("r").alias("ra"),
+        )
+        rb = rt.select(
+            F.col("doc_id").alias("bd"),
+            F.col("pos").alias("bp"),
+            F.col("r").alias("rb"),
+        )
+        lift = (
+            lift.join(
+                ra,
+                (F.col("a_doc") == F.col("ad"))
+                & (F.col("a_pos") + F.col("l") == F.col("ap")),
+                "left",
+            )
+            .join(
+                rb,
+                (F.col("b_doc") == F.col("bd"))
+                & (F.col("b_pos") + F.col("l") == F.col("bp")),
+                "left",
+            )
+            .select(
+                "a_doc",
+                "a_pos",
+                "b_doc",
+                "b_pos",
+                (
+                    F.col("l")
+                    + F.when(
+                        F.col("ra").isNotNull() & (F.col("ra") == F.col("rb")),
+                        d,
+                    ).otherwise(0)
+                ).cast("bigint").alias("l"),
+            )
+        )
+        if t_step == 5:
+            # stage mid-chain: bounds the lifting plan at ~6 joins per
+            # segment instead of 22 in one tree (the r10 staging idiom)
+            p = _scratch("suflcp_mid", sf_dir)
+            lift.write.mode("overwrite").parquet(p)
+            lift = spark.read.parquet(p)
+    docs = load_tables(spark, sf_dir).documents
+    da = docs.select(
+        F.col("doc_id").alias("a_doc"), F.col("n_chars").alias("a_len")
+    )
+    db = docs.select(
+        F.col("doc_id").alias("b_doc"), F.col("n_chars").alias("b_len")
+    )
+    return (
+        lift.join(da, "a_doc")
+        .join(db, "b_doc")
+        .select(
+            "a_doc",
+            "a_pos",
+            "b_doc",
+            "b_pos",
+            F.least(
+                F.col("l"),
+                F.col("a_len") - F.col("a_pos") + 1,
+                F.col("b_len") - F.col("b_pos") + 1,
+            ).cast("bigint").alias("lcp"),
+        )
+    )
+
+
+# One staged LCP array per (session, sf_dir): the chain+lifting job runs
+# once and every aggregate branch of q_suffix_lcp reads the staged
+# parquet — without this the lifting lineage is COPIED into each of the
+# five consumer branches (measured 156 broadcast nodes in the un-staged
+# plan tree). Cleared by cachereg.release_caches.
+_SUFLCP_CACHE: dict = {}
+
+
+def staged_adjacent_lcps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    key = (id(spark), sf_dir)
+    hit = _SUFLCP_CACHE.get(key)
+    if hit is not None and hit[0] is spark:
+        return hit[1]
+    from .layout_queries import _scratch
+
+    path = _scratch("suflcp_lcps", sf_dir)
+    suffix_adjacent_lcps(spark, sf_dir).write.mode("overwrite").parquet(path)
+    out = spark.read.parquet(path)
+    _SUFLCP_CACHE[key] = (spark, out)
+    return out
+
+
+@declared("q_suffix_lcp", oracle=_suffix_lcp_oracle())
+def q_suffix_lcp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The FULL suffix-array deliverable — total suffix order + LCP array
+    + exact longest repeated substring — the rank-adjacency analysis the
+    VERDICT r10 suffix-path item names, built entirely from the staged
+    doubling chain the family shares:
+
+    1. chain to depth 2^{SUFR_LCP_ROUNDS} = 1024 (exceeds every document
+       — guarded in-plan below — so the top rank class IS full suffix
+       content+length); total order = (rank, packed doc/pos tiebreak)
+       via the same two-level dense rank; identical suffixes from
+       duplicate documents stay distinct.
+    2. the LCP array: each rank-adjacent pair's longest common prefix by
+       BINARY LIFTING over the staged rounds (11 steps, descending
+       powers; each step is two co-partitioned equi-joins on
+       (doc, pos + l) against round-t parquet; mid-chain staged so no
+       plan carries more than ~6 joins). The lift is capped by both
+       suffix lengths: identical tails match their depth-d class with
+       rem < d and would overshoot by d - rem — the LEAST() clamp is
+       exact in every case (prefix-suffix pairs included, pinned by
+       pytest against a brute-force character LCP).
+    3. outputs: LCP histogram by bit-length bucket, the exact LRS length
+       (= max LCP; suffix-array textbook identity) with its pair count,
+       and n_pos_dup40 — positions whose adjacent LCP >= 40 with a full
+       window remaining, which MUST equal the packed census's count of
+       positions in duplicated 40-windows (a third independent
+       derivation of the ExactSubstr census, pinned by pytest).
+
+    Engine-exactness: ranks are dense ranks, lifting is integer
+    adds, the bucket is LENGTH(bin(l)) (the q_postings_compression
+    identity), LEAST/comparisons integer-only; the oracle replays every
+    step (10 materialized dense-rank rounds + 11 lifting joins).
+
+    Scale notes (100 TB): the chain is the family's staged asset
+    (log2(maxlen) rounds, computed once); the suffix-order rank reuses
+    _two_level_dense_rank (no corpus-size bound — two-column identity);
+    adjacency is an equi-join on rank+1 (dense ranks — no global
+    window); each lifting step is a pair of equi-joins against a staged
+    round, linear in corpus size, with the join payload (4 ids + l) —
+    no text, no digests. Packed tiebreak needs doc_id < 2^63/SSD_POS_BIG
+    (~9e13 docs) — beyond that, rank on the 3-column composite. The LCP
+    array is STAGED once per (session, sf_dir) and all five aggregate
+    branches read the staged parquet (the family idiom)."""
+    lcps = staged_adjacent_lcps(spark, sf_dir)
+    t = load_tables(spark, sf_dir)
+    # in-plan guard: depth 1024 must exceed every doc (else the top class
+    # is not full suffix identity and the LRS could be understated)
+    guard = t.documents.select(
+        F.expr(
+            f"CASE WHEN n_chars < {SUFR_LCP_GUARD} THEN 1 "
+            f"ELSE raise_error('q_suffix_lcp: document longer than"
+            f" {SUFR_LCP_GUARD} chars — raise SUFR_LCP_ROUNDS') END"
+        ).alias("ok")
+    ).groupBy().agg(F.count("*").alias("n_docs_checked"))
+    s = lcps.agg(F.max("lcp").alias("lrs_len"))
+    pm = (
+        lcps.crossJoin(F.broadcast(s))
+        .filter(F.col("lcp") == F.col("lrs_len"))
+        .agg(F.count("*").alias("n_pairs_at_lrs"))
+    )
+    pos_side = lcps.select(
+        F.col("a_doc").alias("doc_id"), F.col("a_pos").alias("pos"), "lcp"
+    ).unionByName(
+        lcps.select(
+            F.col("b_doc").alias("doc_id"), F.col("b_pos").alias("pos"), "lcp"
+        )
+    )
+    d40 = (
+        pos_side.groupBy("doc_id", "pos")
+        .agg(F.max("lcp").alias("ml"))
+        .join(t.documents.select("doc_id", "n_chars"), "doc_id")
+        .filter(
+            (F.col("ml") >= SSD_K)
+            & (F.col("pos") <= F.col("n_chars") - SSD_K + 1)
+        )
+        .agg(F.count("*").alias("n_pos_dup40"))
+    )
+    buckets = lcps.groupBy(
+        F.expr("CAST(CASE WHEN lcp = 0 THEN 0 ELSE LENGTH(bin(lcp)) END"
+               " AS BIGINT)").alias("lcp_bits")
+    ).agg(F.count("*").cast("bigint").alias("n_pairs"))
+    return (
+        buckets.crossJoin(F.broadcast(s))
+        .crossJoin(F.broadcast(pm))
+        .crossJoin(F.broadcast(d40))
+        .crossJoin(F.broadcast(guard.select(F.lit(1).alias("_g"))))
+        .select(
+            "lcp_bits",
+            "n_pairs",
+            F.col("lrs_len").cast("bigint").alias("lrs_len"),
+            F.col("n_pairs_at_lrs").cast("bigint").alias("n_pairs_at_lrs"),
+            F.col("n_pos_dup40").cast("bigint").alias("n_pos_dup40"),
+        )
+    )

@@ -45,6 +45,7 @@ def release_caches(spark: SparkSession) -> int:
     pq._IVFPQ_CORE_CACHE.clear()
     round10._SSD_SPANS_CACHE.clear()
     round10._SUFR_ROUNDS_CACHE.clear()
+    round10._SUFLCP_CACHE.clear()
     clear_plan_cache()
     spark.catalog.clearCache()
     jmap = spark.sparkContext._jsc.getPersistentRDDs()

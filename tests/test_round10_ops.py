@@ -455,3 +455,125 @@ def test_substring_incr_matches_python_recompute(spark):
     }
     assert got == want
     assert any(v[4] == "reject" for v in want.values())  # non-vacuous
+
+
+def _python_lcp_stats(texts: dict[int, str], k: int):
+    """Brute-force suffix array + adjacent LCP: sort every (doc, pos)
+    suffix lexicographically (ties by (doc, pos)), LCP of neighbors by
+    character comparison, census positions via window membership."""
+    sufs = [
+        (texts[d][i:], d, i + 1)
+        for d in sorted(texts)
+        for i in range(len(texts[d]))
+    ]
+    sufs.sort()
+    lcps = []
+    for (sa, _, _), (sb, db, pb) in zip(sufs, sufs[1:]):
+        n = 0
+        for ca, cb in zip(sa, sb):
+            if ca != cb:
+                break
+            n += 1
+        lcps.append(n)
+    lrs = max(lcps)
+    hist = defaultdict(int)
+    for v in lcps:
+        hist[v.bit_length()] += 1
+    # positions whose adjacent LCP >= k with a full window remaining
+    pos_max = defaultdict(int)
+    for idx, v in enumerate(lcps):
+        for j in (idx, idx + 1):
+            _, d, p = sufs[j]
+            pos_max[(d, p)] = max(pos_max[(d, p)], v)
+    dup40 = sum(
+        1
+        for (d, p), v in pos_max.items()
+        if v >= k and p <= len(texts[d]) - k + 1
+    )
+    return lrs, lcps.count(lrs), dict(hist), dup40
+
+
+def test_suffix_lcp_matches_bruteforce(spark):
+    """suffix_adjacent_lcps vs a brute-force suffix sort + character LCP
+    on a planted corpus exercising the hard cases: duplicate documents
+    (identical suffixes — the tie-broken total order and the rem-capped
+    lifting overshoot), a quoted span, and prefix-suffix pairs."""
+    import os
+    import tempfile
+
+    from duckdb_ner_spark.operators.round10 import suffix_adjacent_lcps
+
+    s1 = _uniq("s1", 80)
+    dup = _uniq("dupl", 120)
+    texts = {
+        0: _uniq("zero", 40) + "#" + s1 + "#",
+        1: _uniq("pre", 50) + s1 + _uniq("post", 45),
+        2: dup,
+        3: dup,
+        4: _uniq("solo", 90),
+    }
+    # suffix_adjacent_lcps loads through the catalog: stage the fixture
+    # with the full documents field set (layout guard expects lang/source)
+    from pyspark.sql import functions as F
+
+    d = tempfile.mkdtemp(prefix="lcp_fixture_")
+    (
+        _docs_df(spark, texts)
+        .withColumn("lang", F.lit("en"))
+        .withColumn("source", F.lit("fixture"))
+        .write.mode("overwrite")
+        .parquet(os.path.join(d, "documents.parquet"))
+    )
+    lcps = {
+        ((r.a_doc, r.a_pos), (r.b_doc, r.b_pos)): r.lcp
+        for r in suffix_adjacent_lcps(spark, d).collect()
+    }
+    sufs = [
+        (texts[dd][i:], dd, i + 1)
+        for dd in sorted(texts)
+        for i in range(len(texts[dd]))
+    ]
+    sufs.sort()
+    assert len(lcps) == len(sufs) - 1
+    for (sa_, da, pa), (sb_, db_, pb) in zip(sufs, sufs[1:]):
+        n = 0
+        for ca, cb in zip(sa_, sb_):
+            if ca != cb:
+                break
+            n += 1
+        assert lcps[((da, pa), (db_, pb))] == n, ((da, pa), (db_, pb), n)
+
+
+def test_suffix_lcp_registry_and_census_crosscheck(spark):
+    """q_suffix_lcp at sf0.001: the output matches the brute-force stats,
+    and n_pos_dup40 equals the packed census's independent count of
+    positions inside duplicated 40-windows — a third derivation of the
+    ExactSubstr census agreeing with the other two."""
+    from pyspark.sql import functions as F
+
+    from duckdb_ner_spark.operators.round10 import (
+        _packed_key_cols,
+        _packed_windows,
+    )
+
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet").collect()
+    texts = {r.doc_id: r.text for r in docs}
+    lrs, n_at, hist, dup40 = _python_lcp_stats(texts, SSD_K)
+    rows = QUERIES["q_suffix_lcp"](spark, SF_SMOKE).collect()
+    assert all(r.lrs_len == lrs for r in rows)
+    assert all(r.n_pairs_at_lrs == n_at for r in rows)
+    assert all(r.n_pos_dup40 == dup40 for r in rows)
+    assert {r.lcp_bits: r.n_pairs for r in rows} == hist
+    # census side: every position whose packed 40-window content occurs
+    # more than once (canonical occurrences INCLUDED)
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(*_packed_key_cols(SSD_K))
+    df = spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+    census_dup = (
+        _packed_windows(df, SSD_K)
+        .select(F.count("*").over(w).alias("n_occ"))
+        .filter(F.col("n_occ") > 1)
+        .count()
+    )
+    assert census_dup == dup40
