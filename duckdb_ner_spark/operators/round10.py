@@ -1307,7 +1307,11 @@ def suffix_adjacent_lcps(
         F.col("doc_id").alias("b_doc"),
         F.col("pos").alias("b_pos"),
     )
-    lift = left.join(right, "j").select(
+    # merge hints throughout: every join here is corpus-sized on BOTH
+    # sides — AQE would happily broadcast a 1.5M-row round frame and OOM
+    # a default-heap driver (the q_memorization r9 lesson; observed as a
+    # bare-1g VANILLA failure at sf0.1 before the hints)
+    lift = left.join(right.hint("merge"), "j").select(
         "a_doc", "a_pos", "b_doc", "b_pos", F.lit(0).cast("bigint").alias("l")
     )
     for t_step in range(SUFR_LCP_ROUNDS, -1, -1):
@@ -1325,13 +1329,13 @@ def suffix_adjacent_lcps(
         )
         lift = (
             lift.join(
-                ra,
+                ra.hint("merge"),
                 (F.col("a_doc") == F.col("ad"))
                 & (F.col("a_pos") + F.col("l") == F.col("ap")),
                 "left",
             )
             .join(
-                rb,
+                rb.hint("merge"),
                 (F.col("b_doc") == F.col("bd"))
                 & (F.col("b_pos") + F.col("l") == F.col("bp")),
                 "left",
