@@ -44,11 +44,11 @@ _DRIVER_WINDOW_PRIORITY = [
     # plumbing, values unchanged) + the 44 r5-era rows pre-attested at
     # r10 close (commit 8738e2 + q_activity_gaps; re-attested in r11
     # VANILLA sweeps) = 50 exactly.
-    # Block 1 — r11 new/changed plans (q_substring_incr and q_suffix_lcp
-    # displaced q_winsorize and q_watermark_sizing below the line; both
-    # re-enter in r12).
+    # Block 1 — r11 new/changed plans (the three extra new queries
+    # displaced q_vocab_coverage/q_watermark_sizing/q_winsorize below the
+    # line; they re-enter in r12).
     "q_suffix_spans", "q_substring_packed", "q_substring_incr",
-    "q_suffix_lcp", "q_suffix_rank",
+    "q_suffix_lcp", "q_stream_substring_incr", "q_suffix_rank",
     "q_substring_dedup", "q_substring_sparse", "q_substring_scrub",
     # Block 2 — the r5-era tail (oldest driver rows), alphabetical.
     "q_activity_gaps", "q_ann_recall", "q_audio_energy", "q_autocorr",
@@ -63,11 +63,11 @@ _DRIVER_WINDOW_PRIORITY = [
     "q_quality_gate", "q_rolling_7d", "q_rrf_fusion",
     "q_seasonal_profile", "q_skew_audit", "q_source_overlap",
     "q_source_stream", "q_stream_cdc", "q_topk_salted", "q_transitions",
-    "q_velocity_anomaly", "q_vocab_coverage",
+    "q_velocity_anomaly",
     # ---- window budget line: entries below here are OUTSIDE the first-50
     # window for r11 (all driver-green at r10 or earlier; stalest rotate
     # back in r12) ----
-    "q_watermark_sizing", "q_winsorize",
+    "q_vocab_coverage", "q_watermark_sizing", "q_winsorize",
     # Below the line, in r10-window order (all driver-green at r10): the
     # r10 blocks — q_memorization + the stale-plan re-attests + the
     # r4-era rotation — then everything else in registration order via

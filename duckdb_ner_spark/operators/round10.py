@@ -934,43 +934,48 @@ def q_suffix_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
 # birthday-collision hazard in one move)
 # --------------------------------------------------------------------------
 
-SSD_PACK_CHARS = 8  # chars per BIGINT: (codepoint + 1) in 7 bits, cp <= 126
+SSD_PACK_BYTES = 7  # bytes per BIGINT block: 56 bits, signed-safe under conv
+
+
+def _n_pack_terms(k: int = SSD_K) -> int:
+    return (k + SSD_PACK_BYTES - 1) // SSD_PACK_BYTES  # k=40 -> 6 blocks
 
 
 def _packed_window_terms(k: int = SSD_K) -> list:
-    """SQL expressions packing the k-char window at position i into
-    k/8 BIGINTs, 8 chars each: term = sum (cp_j + 1) * 128^(7-j). The
-    pack is INJECTIVE for codepoints 0..126 (NUL included — the +1 keeps
-    every real char nonzero), so tuple equality IS window-content
-    equality: an exact census with zero digest bytes. Codepoints > 126
-    raise in-plan (ASCII-only pack; a production UTF-8 corpus packs
-    BYTES instead — same arithmetic over octets, 255 needs 8 bits so 7
-    bytes/BIGINT)."""
-    assert k % SSD_PACK_CHARS == 0, "pack tiles the window in 8-char blocks"
+    """SQL expressions packing the k-char window's BYTES into
+    ceil(k/7) BIGINTs: hex-encode the pre-sliced window once, then parse
+    each 7-byte (14-hex-char) block with conv(.., 16, 10). The blocks
+    partition the hex string exactly, so tuple equality IS byte-content
+    equality (NUL included — hex is faithful to every octet): an exact
+    census with zero digest bytes. 7-byte blocks keep conv's result
+    under 2^56 (conv of 16 hex chars can exceed signed-BIGINT range and
+    would null out — a silent collision).
+
+    Why hex+conv and not per-char ascii(): the scale probe measured the
+    80-per-position ascii(substr(..)) pack at ~6x the md5 census wall —
+    per-call UTF8String allocation dominated. One encode + one hex +
+    ceil(k/7) conv calls per position is ~an md5's worth of work.
+
+    The guard rides in the hexw expression: a window whose octet length
+    differs from its char length contains a multi-byte codepoint, and
+    the fixed block layout only covers k bytes — raise in-plan (a
+    production UTF-8 corpus keys on the byte-window instead: same conv
+    blocks over ceil(max_bytes/7) terms)."""
     terms = []
-    for b in range(k // SSD_PACK_CHARS):
-        parts = []
-        for j in range(SSD_PACK_CHARS):
-            o = b * SSD_PACK_CHARS + j
-            cp = f"ascii(substr(text, CAST(i + {o} AS INT), 1))"
-            mult = 128 ** (SSD_PACK_CHARS - 1 - j)
-            parts.append(
-                f"(CASE WHEN {cp} <= 126 THEN CAST({cp} + 1 AS BIGINT)"
-                f" ELSE raise_error('packed census: codepoint > 126 at"
-                f" window offset {o} (ASCII-only pack; use byte-packing"
-                f" or the suffix path for wide text)') END) * {mult}"
-            )
-        terms.append("(" + " + ".join(parts) + ")")
+    for b in range(_n_pack_terms(k)):
+        lo = b * SSD_PACK_BYTES * 2 + 1
+        ln = min(SSD_PACK_BYTES * 2, k * 2 - (lo - 1))
+        terms.append(f"CAST(conv(substr(hexw, {lo}, {ln}), 16, 10) AS BIGINT)")
     return terms
 
 
 def _packed_key_cols(k: int = SSD_K) -> list:
-    return [f"w{n}" for n in range(k // SSD_PACK_CHARS)]
+    return [f"w{n}" for n in range(_n_pack_terms(k))]
 
 
 def _packed_windows(docs: DataFrame, k: int = SSD_K) -> DataFrame:
-    """(doc_id, i, w0..w{k/8-1}): every eligible window start with its
-    content packed map-side. Carries the family's SSD_POS_BIG in-plan
+    """(doc_id, i, w0..w{ceil(k/7)-1}): every eligible window start with
+    its content packed map-side. Carries the family's SSD_POS_BIG in-plan
     guard in the explode bound (the packed keep-first consumers depend on
     it; probe-only consumers inherit it as a cheap invariant check)."""
     big = SSD_POS_BIG
@@ -990,6 +995,23 @@ def _packed_windows(docs: DataFrame, k: int = SSD_K) -> DataFrame:
         .select(
             "doc_id",
             "i",
+            F.expr(f"substr(text, CAST(i AS INT), {k})").alias("win"),
+        )
+        .select(
+            "doc_id",
+            "i",
+            F.expr(
+                f"CASE WHEN octet_length(win) = char_length(win)"
+                f" THEN hex(encode(win, 'UTF-8'))"
+                f" ELSE raise_error('packed census: non-ASCII window"
+                f" (octet_length != char_length) — the fixed {k}-byte"
+                f" block layout covers single-byte chars only; key on"
+                f" the byte-window for wide text') END"
+            ).alias("hexw"),
+        )
+        .select(
+            "doc_id",
+            "i",
             *[
                 F.expr(t).alias(f"w{n}")
                 for n, t in enumerate(_packed_window_terms(k))
@@ -1000,9 +1022,9 @@ def _packed_windows(docs: DataFrame, k: int = SSD_K) -> DataFrame:
 
 def packed_excise_spans(docs: DataFrame, k: int = SSD_K) -> DataFrame:
     """Digest-free ExactSubstr inventory core: explode eligible window
-    starts, pack each window's CONTENT into k/8 BIGINTs map-side, census
-    via the join-free window form (_census_excise), islands-merge. One
-    full-corpus exchange total; exact by construction."""
+    starts, pack each window's CONTENT into ceil(k/7) BIGINTs map-side,
+    census via the join-free window form (_census_excise), islands-merge.
+    One full-corpus exchange total; exact by construction."""
     return _islands_spans(
         _census_excise(_packed_windows(docs, k), _packed_key_cols(k), k)
     )
@@ -1015,7 +1037,7 @@ def q_substring_packed(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffling an incompressible 16-hex md5 digest per corpus character
     (~1.6 PB of digest at 100 TB, and birthday-BROKEN at ~1e14 windows —
     ADVICE r10 #2), each 40-char window packs its own CONTENT into five
-    BIGINTs (7 bits per char, injective for codepoints 0..126), computed
+    BIGINTs (7-byte hex-conv blocks, faithful to every octet), computed
     map-side with no hashing, and the census is ONE window exchange
     (count + packed-MIN keep-first per 5-tuple partition, join-free).
     Exactness is structural: tuple equality IS window equality, so no
@@ -1175,7 +1197,7 @@ def q_substring_incr(spark: SparkSession, sf_dir: str) -> DataFrame:
     misses.
 
     Exactness: the probe key is packed window CONTENT (q_substring_packed's
-    five BIGINTs) — no digest anywhere in the Spark plan, so a false
+    six BIGINTs) — no digest anywhere in the Spark plan, so a false
     index hit is impossible at any corpus size; the oracle replays the
     probe with md5 keys (content equality is algorithm-independent), a
     third cross-algorithm differential for the packed pack.

@@ -1162,3 +1162,109 @@ def q_stream_index_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
         "batch_id long, n_docs long, n_banded long, n_admitted long, "
         "admitted_id_sum long, index_size long",
     )
+
+
+# ---------------------------------------------------------------------------
+# q_stream_substring_incr — ExactSubstr admission AT INGEST, as a stream
+# ---------------------------------------------------------------------------
+
+
+def _stream_substring_incr_oracle() -> str:
+    from .round10 import SSD_K
+
+    return f"""
+    WITH c_w AS (
+        SELECT DISTINCT substr(md5(substr(text, i::INT, {SSD_K})), 1, 16) AS h
+        FROM (SELECT text, unnest(range(1, (n_chars - {SSD_K} + 2)::BIGINT))
+                  AS i
+              FROM documents WHERE doc_id % 2 = 0 AND n_chars >= {SSD_K})
+    ), b_w AS (
+        SELECT doc_id, i,
+               substr(md5(substr(text, i::INT, {SSD_K})), 1, 16) AS h
+        FROM (SELECT doc_id, text,
+                     unnest(range(1, (n_chars - {SSD_K} + 2)::BIGINT)) AS i
+              FROM documents WHERE doc_id % 2 = 1 AND n_chars >= {SSD_K})
+    )
+    SELECT b.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_windows,
+           CAST(SUM(CASE WHEN c.h IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_dup_windows,
+           CASE WHEN 2 * SUM(CASE WHEN c.h IS NOT NULL THEN 1 ELSE 0 END)
+                     >= COUNT(*)
+                THEN 'reject' ELSE 'admit' END AS verdict
+    FROM b_w b LEFT JOIN c_w c ON c.h = b.h
+    GROUP BY b.doc_id
+"""
+
+
+@declared(
+    "q_stream_substring_incr",
+    cache_plan=False,
+    oracle=_stream_substring_incr_oracle(),
+)
+def q_stream_substring_incr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ExactSubstr admission AT INGEST as a STREAM — the streaming twin of
+    q_substring_incr, completing the family's front door exactly as
+    q_stream_dedup_incr does for the MinHash gate: new documents (odd
+    doc_ids) arrive in N_DOC_SLICES real micro-batches, each batch packs
+    its 40-char windows map-side (stateless narrow transform — the
+    q_substring_packed five-BIGINT content pack, no digest anywhere),
+    probes the STATIC packed index of the ingested corpus (even doc_ids)
+    via a broadcast stream-static left join, and the ONE stateful
+    operator is the per-doc scorecard aggregate (window count + dup
+    count accumulate across micro-batches in complete mode — a doc whose
+    windows straddle a batch boundary is scored correctly only if the
+    aggregate state carries over, which the sliced staging forces).
+
+    The verdict here is WINDOW-share based (reject when >= half the
+    windows already exist verbatim) rather than q_substring_incr's
+    islands-merged char mass: an interval merge is a window function,
+    which a streaming aggregate cannot host — the window-share rule is
+    the streamable admission signal, and the oracle replays exactly it
+    in batch SQL (stream == batch parity for the whole decision).
+
+    Scale notes (100 TB): packing is per-row JVM codegen; the index is
+    one row per distinct corpus window content — broadcast here, (key-
+    bucketed stream-static join once it outgrows broadcast); per-doc
+    state is two BIGINTs; admitted ids stream onward. Production appends
+    admitted batches' distinct tuples back to the index per batch — the
+    q_stream_index_growth foreachBatch pattern applies verbatim."""
+    from ..streaming.ner_stream import stream_documents_sliced
+    from .round10 import SSD_K, _packed_key_cols, _packed_windows
+
+    key_cols = _packed_key_cols(SSD_K)
+    corpus = spark.read.parquet(f"{sf_dir}/documents.parquet").filter(
+        F.col("doc_id") % 2 == 0
+    )
+    idx = (
+        _packed_windows(corpus, SSD_K)
+        .select(*key_cols)
+        .distinct()
+        .withColumn("hit", F.lit(1))
+    )
+    new_docs = stream_documents_sliced(spark, sf_dir).filter(
+        F.col("doc_id") % 2 == 1
+    )
+    probe = _packed_windows(new_docs, SSD_K).join(
+        F.broadcast(idx), key_cols, "left"
+    )
+    score = (
+        probe.groupBy("doc_id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_windows"),
+            F.sum(F.coalesce(F.col("hit"), F.lit(0)))
+            .cast("bigint")
+            .alias("n_dup_windows"),
+        )
+        .select(
+            "doc_id",
+            "n_windows",
+            "n_dup_windows",
+            F.expr(
+                "CASE WHEN 2 * n_dup_windows >= n_windows"
+                " THEN 'reject' ELSE 'admit' END"
+            ).alias("verdict"),
+        )
+    )
+    sink = _drain(score, "complete")
+    return spark.table(sink)

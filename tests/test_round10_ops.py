@@ -360,7 +360,7 @@ def test_packed_census_registry_equals_inventory(spark):
 
 
 def test_packed_census_rejects_wide_codepoints(spark):
-    """The ASCII-only pack must fail loudly on a codepoint > 126 inside an
+    """The single-byte-only pack must fail loudly on a multi-byte char in an
     eligible window (silent misordering would corrupt the census)."""
     import pytest
 
@@ -368,7 +368,7 @@ def test_packed_census_rejects_wide_codepoints(spark):
 
     texts = {0: _uniq("w", 30) + "é" + _uniq("w2", 30), 1: _uniq("x", 120)}
     df = _docs_df(spark, texts)
-    with pytest.raises(Exception, match="codepoint > 126"):
+    with pytest.raises(Exception, match="non-ASCII window"):
         packed_excise_spans(df, SSD_K).collect()
 
 
@@ -577,3 +577,26 @@ def test_suffix_lcp_registry_and_census_crosscheck(spark):
         .count()
     )
     assert census_dup == dup40
+
+
+def test_stream_substring_incr_matches_batch(spark):
+    """Stream == batch for the substring admission gate at sf0.001: the
+    streaming scorecard's window counts equal q_substring_incr's (two
+    independent probe paths — stream-static broadcast join vs batch left
+    semi + left join), and the stream's window-share verdict matches a
+    recomputation from the batch counts."""
+    stream = {
+        r.doc_id: r
+        for r in QUERIES["q_stream_substring_incr"](spark, SF_SMOKE).collect()
+    }
+    batch = {
+        r.doc_id: r for r in QUERIES["q_substring_incr"](spark, SF_SMOKE).collect()
+    }
+    # batch covers every odd doc (zero-window docs included with 0s);
+    # the stream emits only docs that produced windows
+    assert set(stream) == {d for d, r in batch.items() if r.n_windows > 0}
+    for d, s in stream.items():
+        b = batch[d]
+        assert (s.n_windows, s.n_dup_windows) == (b.n_windows, b.n_dup_windows), d
+        want = "reject" if 2 * b.n_dup_windows >= b.n_windows else "admit"
+        assert s.verdict == want, d

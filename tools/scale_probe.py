@@ -808,6 +808,28 @@ def main() -> None:
             .collect()
         )
 
+    def packed_census_shape(times):
+        # r11 production inventory (q_substring_packed core): map-side
+        # 5-BIGINT content pack -> ONE join-free window census -> islands.
+        # Same maximally-duplicated worst-case inflation as
+        # substring_dedup_inventory, so the two rows compare the md5 and
+        # packed algorithms directly at inflated scale.
+        from duckdb_ner_spark.operators.round10 import (
+            SSD_K,
+            packed_excise_spans,
+        )
+
+        big_d = inflate(
+            docs.select("doc_id", "text", "n_chars"), times, ["doc_id"]
+        )
+        (
+            packed_excise_spans(big_d, SSD_K)
+            .groupBy("doc_id")
+            .agg(F.sum("excise_len").alias("rm"))
+            .agg(F.count("*"), F.sum("rm"))
+            .collect()
+        )
+
     if "--deep" in sys.argv:
         # VERDICT r8 #9: the two shapes whose 30x wall ratios left headroom
         # for doubt (prefix_setsim_join 6.8x, twa_lead_integrate 5.7x at
@@ -848,7 +870,7 @@ def main() -> None:
     sketch_build_shape(1), ring_assign_shape(1), ecdf_domain_shape(1)
     blocked_linkage_shape(1), poisson_bootstrap_shape(1)
     prefix_setsim_shape(1), skyline_shape(1), twa_lead_shape(1)
-    pq_assign_shape(1), substring_dedup_shape(1)
+    pq_assign_shape(1), substring_dedup_shape(1), packed_census_shape(1)
 
     for times in (1, 10, 30):
         probe("tpch_q1_agg", agg_shape, times)
@@ -875,6 +897,7 @@ def main() -> None:
         probe("twa_lead_integrate", twa_lead_shape, times)
         probe("pq_assign_broadcast", pq_assign_shape, times)
         probe("substring_dedup_inventory", substring_dedup_shape, times)
+        probe("packed_census_inventory", packed_census_shape, times)
 
     rows_base = li.count()
     lines = [
