@@ -1,0 +1,885 @@
+"""Round-11 operators: the 1-bit embedding index, integer-exact weighted
+priority sampling, and URL-canonicalization dedup.
+
+Beyond-reference surface (SURVEY.md §2.D — D33 family): three ops a 100 TB
+training-data pipeline runs that the corpus did not yet cover:
+
+- q_binary_ann   — BINARY (1-bit/dim) embedding quantization: sign bits of
+                   the fixed-point unit vector packed into two 32-bit words,
+                   Hamming-distance shortlist (bit_count(xor)), exact
+                   fixed-point cosine re-rank, in-plan recall audit vs the
+                   brute-force top-k. The 32x-compression ANN path (vs the
+                   4x int8 path q_embed_quant already ships).
+- q_wsample_priority — Duffield–Lund–Thorup PRIORITY SAMPLING: top-k by
+                   priority w/u with an integer-exact u and the unbiased
+                   subset-sum estimator max(w, tau); the estimator-vs-truth
+                   audit is part of the hash-verified result.
+- q_url_dedup    — URL canonicalization + keep-first dedup (the CommonCrawl
+                   ingest step): scheme/www/tracking-param/fragment/trailing-
+                   slash normalization over deterministically synthesized
+                   messy URLs, then per-canonical-URL groups with yield stats.
+
+House rules (SURVEY §2.C): integer or single-correctly-rounded-op arithmetic
+only, every integer aggregate CAST to BIGINT on both sides, md5-derived
+determinism for anything sampled, column aliases identical Spark/DuckDB.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..plans.registry import declared
+from ..sources.catalog import load_tables
+from .similarity import FX_SCALE, _unit_fx_expr
+
+# --------------------------------------------------------------------------
+# q_binary_ann — 1-bit binary quantization + Hamming shortlist + exact
+# fixed-point cosine re-rank + in-plan recall audit
+# --------------------------------------------------------------------------
+
+BQ_DIM = 64  # testdata embedding width; packing below asserts it in-plan
+BQ_WORD_BITS = 32  # bits per packed word (positive-BIGINT-safe in any engine)
+BQ_NQ = 4  # query vectors: vec_id 0..3 (present at every SF)
+BQ_M = 48  # Hamming shortlist size per query
+BQ_K = 8  # re-ranked neighbors returned per query
+
+# Shared fixed-point unit-vector CTE (the q_sim_ivf precedent,
+# similarity.py:_sim_ivf_oracle): per-element quantize FIRST, integer squared
+# norm, one sqrt, one rounded division — order-independent in any combine
+# order. i is 1-based in DuckDB (generate_subscripts).
+_U_CTE = f"""
+    ex AS (
+        SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS x,
+               generate_subscripts(embedding, 1) AS i
+        FROM embeddings
+    ), exq0 AS (
+        SELECT vec_id, i, CAST(ROUND(x * {FX_SCALE}) AS BIGINT) AS xi0 FROM ex
+    ), norms0 AS (
+        SELECT vec_id, SQRT(CAST(SUM(xi0 * xi0) AS DOUBLE)) AS nrm
+        FROM exq0 GROUP BY vec_id
+    ), u AS (
+        SELECT e.vec_id, e.i,
+               CAST(ROUND(CAST(e.xi0 AS DOUBLE) / n.nrm * {FX_SCALE}) AS BIGINT) AS xi
+        FROM exq0 e JOIN norms0 n ON e.vec_id = n.vec_id
+    )
+"""
+
+# sign-bit packing: word = (i-1) // 32, bit = (i-1) % 32 (1-based i).
+_SIG_CTE = f"""
+    sig AS (
+        SELECT vec_id,
+               CAST(SUM(CASE WHEN xi >= 0 AND i <= {BQ_WORD_BITS}
+                             THEN (1::BIGINT << ((i - 1) % {BQ_WORD_BITS}))
+                             ELSE 0 END) AS BIGINT) AS w0,
+               CAST(SUM(CASE WHEN xi >= 0 AND i > {BQ_WORD_BITS}
+                             THEN (1::BIGINT << ((i - 1) % {BQ_WORD_BITS}))
+                             ELSE 0 END) AS BIGINT) AS w1
+        FROM u GROUP BY vec_id
+    )
+"""
+
+_BINARY_ANN_ORACLE = f"""
+    WITH {_U_CTE}, {_SIG_CTE}, q AS (
+        SELECT vec_id AS q_id, w0 AS qw0, w1 AS qw1 FROM sig
+        WHERE vec_id < {BQ_NQ}
+    ), ham AS (
+        SELECT q.q_id, s.vec_id,
+               CAST(bit_count(xor(s.w0, q.qw0))
+                    + bit_count(xor(s.w1, q.qw1)) AS BIGINT) AS hamming
+        FROM sig s CROSS JOIN q
+        WHERE s.vec_id <> q.q_id
+    ), shortlist AS (
+        SELECT q_id, vec_id, hamming,
+               ROW_NUMBER() OVER (PARTITION BY q_id
+                                  ORDER BY hamming, vec_id) AS hrank
+        FROM ham
+    ), cand_dots AS (
+        SELECT sl.q_id, sl.vec_id, sl.hamming,
+               CAST(SUM(uc.xi * uq.xi) AS BIGINT) AS dot_fx
+        FROM shortlist sl
+        JOIN u uc ON uc.vec_id = sl.vec_id
+        JOIN u uq ON uq.vec_id = sl.q_id AND uq.i = uc.i
+        WHERE sl.hrank <= {BQ_M}
+        GROUP BY sl.q_id, sl.vec_id, sl.hamming
+    ), approx AS (
+        SELECT q_id, vec_id, hamming, dot_fx,
+               CAST(ROW_NUMBER() OVER (PARTITION BY q_id
+                                       ORDER BY dot_fx DESC, vec_id)
+                    AS BIGINT) AS rank
+        FROM cand_dots
+    ), exact_dots AS (
+        SELECT uq.vec_id AS q_id, uc.vec_id,
+               CAST(SUM(uc.xi * uq.xi) AS BIGINT) AS dot_fx
+        FROM u uc
+        JOIN u uq ON uq.vec_id < {BQ_NQ} AND uq.i = uc.i
+        WHERE uc.vec_id <> uq.vec_id
+        GROUP BY uq.vec_id, uc.vec_id
+    ), exact_topk AS (
+        SELECT q_id, vec_id
+        FROM (SELECT q_id, vec_id,
+                     ROW_NUMBER() OVER (PARTITION BY q_id
+                                        ORDER BY dot_fx DESC, vec_id) AS r
+              FROM exact_dots)
+        WHERE r <= {BQ_K}
+    ), recall AS (
+        SELECT a.q_id,
+               CAST(10000 * COUNT(e.vec_id) / {BQ_K} AS BIGINT) AS recall_bp
+        FROM approx a
+        LEFT JOIN exact_topk e
+          ON e.q_id = a.q_id AND e.vec_id = a.vec_id
+        WHERE a.rank <= {BQ_K}
+        GROUP BY a.q_id
+    )
+    SELECT a.q_id, a.rank, a.vec_id, a.dot_fx, a.hamming, r.recall_bp
+    FROM approx a JOIN recall r ON r.q_id = a.q_id
+    WHERE a.rank <= {BQ_K}
+"""
+
+
+def binary_signatures(emb: DataFrame) -> DataFrame:
+    """(vec_id, u, w0, w1): fixed-point unit vector (similarity.py
+    _unit_fx_expr — the shared order-independent quantize contract) + its
+    1-bit signature packed into two {BQ_WORD_BITS}-bit BIGINT words (bit b
+    of word w = sign of dim w*{BQ_WORD_BITS}+b >= 0). Map-side only — no
+    shuffle. The width guard lives INSIDE the word expression (a CASE arm
+    feeding a consumed column) so Catalyst cannot prune it away: a
+    non-{BQ_DIM}-dim embedding raises instead of silently packing a
+    wrong-width signature."""
+    bits = (
+        f"transform(u, (v, i) -> CASE WHEN v >= 0 THEN "
+        f"CAST(1 AS BIGINT) << (i % {BQ_WORD_BITS}) ELSE CAST(0 AS BIGINT) END)"
+    )
+    word = (
+        f"CASE WHEN size(u) = {BQ_DIM} THEN "
+        "aggregate(slice({bits}, {lo}, {n}), CAST(0 AS BIGINT), (a, b) -> a + b)"
+        f" ELSE raise_error('binary_signatures: embedding width != {BQ_DIM}"
+        f" — adjust BQ_DIM / word count') END"
+    )
+    return emb.select("vec_id", _unit_fx_expr().alias("u")).select(
+        "vec_id",
+        "u",
+        F.expr(word.format(bits=bits, lo=1, n=BQ_WORD_BITS)).alias("w0"),
+        F.expr(
+            word.format(bits=bits, lo=BQ_WORD_BITS + 1, n=BQ_WORD_BITS)
+        ).alias("w1"),
+    )
+
+
+@declared("q_binary_ann", oracle=_BINARY_ANN_ORACLE)
+def q_binary_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BINARY-quantized ANN: 1 bit per dimension (sign of the unit vector),
+    Hamming shortlist, exact re-rank — the 32x index-compression path a
+    100 TB vector corpus uses when even int8 (q_embed_quant, 4x) is too
+    big to keep hot. Per query vector: top-{BQ_M} candidates by Hamming
+    distance over the packed words, exact fixed-point cosine re-rank to
+    top-{BQ_K}, and an IN-PLAN recall audit against the brute-force exact
+    top-{BQ_K} (recall_bp is a hash-verified output column — the
+    similarity.py:1198 audit idiom).
+
+    Engine-exactness: signatures are integer bit-packs of the fixed-point
+    unit vector (sign threshold xi >= 0 on an integer); Hamming is
+    bit_count(xor) on BIGINT words; dots are integer sums; every rank tie
+    breaks on vec_id.
+
+    Scale notes (100 TB): signatures are computed map-side and are 16
+    bytes/vector — the Hamming scan shuffles ONLY (q_id, vec_id, hamming)
+    census rows (the narrow-shuffle census idiom), never the vectors; the
+    shortlist (|Q|x{BQ_M} ids) is broadcast back to fetch full vectors for
+    the re-rank, so full-width vectors only ever move for shortlisted
+    candidates. The brute-force side exists here as the audit ground truth
+    (same class as q_lsh_recall_audit); production serves from signatures
+    + shortlist re-rank alone. Per-query rank is a window over the census —
+    at production |Q| use the two-level local-top-M merge (the q_topk
+    TakeOrdered shape per query)."""
+    t = load_tables(spark, sf_dir)
+    sig = binary_signatures(t.embeddings)
+    q = sig.filter(F.col("vec_id") < BQ_NQ).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("u").alias("qu"),
+        F.col("w0").alias("qw0"),
+        F.col("w1").alias("qw1"),
+    )
+    # Hamming census: narrow columns only (signatures, not vectors).
+    ham = (
+        sig.select("vec_id", "w0", "w1")
+        .crossJoin(F.broadcast(q.select("q_id", "qw0", "qw1")))
+        .filter(F.col("vec_id") != F.col("q_id"))
+        .select(
+            "q_id",
+            "vec_id",
+            (
+                F.expr("bit_count(w0 ^ qw0)") + F.expr("bit_count(w1 ^ qw1)")
+            )
+            .cast("bigint")
+            .alias("hamming"),
+        )
+    )
+    hw = Window.partitionBy("q_id").orderBy("hamming", "vec_id")
+    shortlist = (
+        ham.withColumn("hrank", F.row_number().over(hw))
+        .filter(F.col("hrank") <= BQ_M)
+        .drop("hrank")
+    )
+    # Re-rank: fetch full fixed-point vectors for shortlisted ids only.
+    cand = (
+        sig.select("vec_id", "u")
+        .join(F.broadcast(shortlist), "vec_id")
+        .join(F.broadcast(q.select("q_id", "qu")), "q_id")
+        .select(
+            "q_id",
+            "vec_id",
+            "hamming",
+            F.aggregate(
+                F.zip_with(F.col("u"), F.col("qu"), lambda x, y: x * y),
+                F.lit(0).cast("bigint"),
+                lambda a, v: a + v,
+            ).alias("dot_fx"),
+        )
+    )
+    rw = Window.partitionBy("q_id").orderBy(F.desc("dot_fx"), "vec_id")
+    approx = (
+        cand.withColumn("rank", F.row_number().over(rw).cast("bigint"))
+        .filter(F.col("rank") <= BQ_K)
+    )
+    # Audit ground truth: brute-force exact top-k per query.
+    exact = (
+        sig.select("vec_id", "u")
+        .crossJoin(F.broadcast(q.select("q_id", "qu")))
+        .filter(F.col("vec_id") != F.col("q_id"))
+        .select(
+            "q_id",
+            "vec_id",
+            F.aggregate(
+                F.zip_with(F.col("u"), F.col("qu"), lambda x, y: x * y),
+                F.lit(0).cast("bigint"),
+                lambda a, v: a + v,
+            ).alias("edot"),
+        )
+        .withColumn("r", F.row_number().over(
+            Window.partitionBy("q_id").orderBy(F.desc("edot"), "vec_id")
+        ))
+        .filter(F.col("r") <= BQ_K)
+        .select("q_id", F.col("vec_id").alias("e_vec"))
+    )
+    recall = (
+        approx.join(
+            exact,
+            (approx.q_id == exact.q_id) & (approx.vec_id == exact.e_vec),
+            "left",
+        )
+        .groupBy(approx.q_id)
+        .agg(
+            (10000 * F.count("e_vec") / BQ_K).cast("bigint").alias("recall_bp")
+        )
+        .select(F.col("q_id").alias("r_qid"), "recall_bp")
+    )
+    return approx.join(
+        F.broadcast(recall), approx.q_id == recall.r_qid
+    ).select("q_id", "rank", "vec_id", "dot_fx", "hamming", "recall_bp")
+
+
+# --------------------------------------------------------------------------
+# q_wsample_priority — Duffield–Lund–Thorup priority sampling, integer-exact
+# --------------------------------------------------------------------------
+
+WS_K = 25  # sample size
+WS_U_SCALE = 1 << 40  # u quantized to 40 bits: w * 2^40 stays << 2^63
+
+
+def _hex10_to_int_sql(h: str) -> str:
+    """DuckDB replay of Spark's conv(substr(md5,1,10),16,10): positional
+    strpos sum over the 10 hex digits (DuckDB has no conv; the
+    q_shard_shuffle strpos idiom, widened to 40 bits)."""
+    return " + ".join(
+        f"(strpos('0123456789abcdef', substr({h}, {j + 1}, 1)) - 1)"
+        f" * {16 ** (9 - j)}::BIGINT"
+        for j in range(10)
+    )
+
+
+_WSAMPLE_ORACLE = f"""
+    WITH v AS (
+        SELECT doc_id, source, n_chars AS w,
+               CAST({_hex10_to_int_sql("md5('wpri|' || CAST(doc_id AS VARCHAR))")}
+                    AS BIGINT) AS v40
+        FROM documents
+    ), p AS (
+        SELECT doc_id, source, w,
+               (w * {WS_U_SCALE}::BIGINT) // (v40 + 1) AS priority
+        FROM v
+    ), top AS (
+        SELECT doc_id, source, w, priority,
+               ROW_NUMBER() OVER (ORDER BY priority DESC, doc_id) AS rnk
+        FROM p
+    ), tau AS (
+        SELECT priority AS tau FROM top WHERE rnk = {WS_K} + 1
+    ), tot AS (
+        SELECT CAST(SUM(w) AS BIGINT) AS total_w_true FROM p
+    ), sample AS (
+        SELECT doc_id, source, w, priority,
+               CAST(GREATEST(w, (SELECT tau FROM tau)) AS BIGINT) AS est_w
+        FROM top WHERE rnk <= {WS_K}
+    ), est AS (
+        SELECT CAST(SUM(est_w) AS BIGINT) AS total_w_est FROM sample
+    )
+    SELECT s.doc_id, s.source, CAST(s.w AS BIGINT) AS w, s.priority, s.est_w,
+           CAST((SELECT tau FROM tau) AS BIGINT) AS tau,
+           (SELECT total_w_true FROM tot) AS total_w_true,
+           (SELECT total_w_est FROM est) AS total_w_est,
+           CAST(10000 * ABS((SELECT total_w_est FROM est)
+                            - (SELECT total_w_true FROM tot))
+                // (SELECT total_w_true FROM tot) AS BIGINT) AS err_bp
+    FROM sample s
+"""
+
+
+@declared("q_wsample_priority", oracle=_WSAMPLE_ORACLE)
+def q_wsample_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PRIORITY SAMPLING (Duffield–Lund–Thorup 2007): a weighted sample of
+    {WS_K} documents with the unbiased subset-sum estimator, integer-exact.
+    Every doc gets priority = floor(w * 2^40 / (v+1)) where v is a 40-bit
+    md5-derived uniform (deterministic across reruns/executors — the house
+    RAND() replacement) and w = n_chars; the sample is the top-{WS_K} by
+    (priority DESC, doc_id); tau = the ({WS_K}+1)-th priority; each sampled
+    doc's estimator weight is max(w, tau). The audit columns — true corpus
+    weight, estimator total, and err_bp — are hash-verified output, so the
+    estimator's quality is pinned, not asserted.
+
+    Engine-exactness: u is an integer (40-bit hex prefix; 16^10 stays in
+    DOUBLE-exact BIGINT range for DuckDB's strpos-sum replay); priority is
+    one integer floor-division evaluated identically in both engines
+    (w <= ~600 so w * 2^40 < 2^50); ties on priority break on doc_id.
+
+    Scale notes (100 TB): priorities are computed map-side from (doc_id,
+    n_chars) — the corpus is never shuffled; top-({WS_K}+1) is TakeOrdered
+    (per-partition local top then driver merge of k+1 rows — no global
+    sort). The downstream tau/estimator derivation is ONE LINEAR CHAIN of
+    three ledgered global windows over those k+1 rows (rank; tau = MIN
+    priority of the k+1 set; estimator total) — the TakeOrdered corpus
+    subtree is instantiated exactly once, not re-run per consumer. The one
+    full-corpus aggregate (total_w_true, the audit ground truth) is
+    map-side-combined and broadcast back as a 1-row join. This is the
+    one-pass weighted-sampling primitive the temperature-mix and
+    domain-cap operators (sampling.py) compose with when budgets are
+    expressed in tokens rather than documents."""
+    t = load_tables(spark, sf_dir)
+    p = t.documents.select(
+        "doc_id",
+        "source",
+        F.col("n_chars").cast("bigint").alias("w"),
+        F.expr(
+            "CAST(conv(substr(md5(concat('wpri|', CAST(doc_id AS STRING))), 1, 10),"
+            " 16, 10) AS BIGINT)"
+        ).alias("v40"),
+    ).select(
+        "doc_id",
+        "source",
+        "w",
+        F.expr(f"(w * CAST({WS_U_SCALE} AS BIGINT)) DIV (v40 + 1)").alias(
+            "priority"
+        ),
+    )
+    # TakeOrdered top-(k+1): no global window over the corpus.
+    top = p.orderBy(F.desc("priority"), "doc_id").limit(WS_K + 1)
+    rnk_w = Window.orderBy(F.desc("priority"), "doc_id")  # k+1 rows only
+    all_w = Window.partitionBy().rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    # tau = the (k+1)-th priority = MIN over the k+1 set — derivable in the
+    # same chain, no second instantiation of the TakeOrdered subtree.
+    ranked = (
+        top.withColumn("rnk", F.row_number().over(rnk_w))
+        .withColumn("tau", F.min("priority").over(all_w).cast("bigint"))
+    )
+    sample = (
+        ranked.filter(F.col("rnk") <= WS_K)
+        .withColumn(
+            "est_w", F.greatest("w", "tau").cast("bigint")
+        )
+        .withColumn(
+            "total_w_est", F.sum("est_w").over(all_w).cast("bigint")
+        )
+    )
+    tot = p.agg(F.sum("w").cast("bigint").alias("total_w_true"))
+    return sample.crossJoin(F.broadcast(tot)).select(
+        "doc_id",
+        "source",
+        "w",
+        "priority",
+        "est_w",
+        "tau",
+        "total_w_true",
+        "total_w_est",
+        F.expr(
+            "CAST(10000 * ABS(total_w_est - total_w_true)"
+            " DIV total_w_true AS BIGINT)"
+        ).alias("err_bp"),
+    )
+
+
+# --------------------------------------------------------------------------
+# q_url_dedup — URL canonicalization + keep-first dedup (CommonCrawl ingest)
+# --------------------------------------------------------------------------
+
+# Deterministic messy-URL synthesis (the q_trycast_format precedent: the op
+# under test is the CANONICALIZATION, so the fixture is generated in-query,
+# identically in both engines, from doc_id alone):
+#   - 4 docs per page (doc_id // 4) -> mirrors of one canonical page
+#   - scheme case/http, WWW., trailing slash, tracking params, fragment all
+#     vary by doc_id residues
+#   - doc_id % 11 == 0 docs get a unique path -> singleton groups
+_URL_RAW_TMPL = """
+    CASE WHEN doc_id % 2 = 0 THEN 'http://' ELSE 'HTTPS://' END
+    || CASE WHEN doc_id % 3 = 0 THEN 'WWW.' ELSE '' END
+    || 'Mirror' || CAST((doc_id {idiv} 4) % 25 AS {str_t}) || '.Example.com'
+    || '/articles/'
+    || CASE WHEN doc_id % 11 = 0 THEN 'unique-' || CAST(doc_id AS {str_t})
+            ELSE CAST(doc_id {idiv} 4 AS {str_t}) END
+    || CASE WHEN doc_id % 4 = 0 THEN '/' ELSE '' END
+    || CASE WHEN doc_id % 5 = 0 THEN '?utm_source=feed&utm_campaign=x'
+            WHEN doc_id % 5 = 1 THEN '?ref=home&utm_medium=social'
+            ELSE '' END
+    || CASE WHEN doc_id % 7 = 0 THEN '#section-2' ELSE '' END
+"""
+
+# Integer division and the string type are the only dialect splits
+# ('//' would also corrupt 'http://' under a blanket replace).
+_URL_RAW_SQL = _URL_RAW_TMPL.format(idiv="//", str_t="VARCHAR")
+_URL_RAW_SPARK = _URL_RAW_TMPL.format(idiv="div", str_t="STRING")
+
+_URL_CANON_STEPS = [
+    (r"#.*$", ""),  # strip fragment
+    (r"^http://", "https://"),  # scheme normalization (post-lower)
+    (r"^https://www\.", "https://"),  # strip www.
+    (r"[?&](utm_[a-z]+|ref)=[^&#]*", ""),  # strip tracking params
+    (r"\?$", ""),  # dangling '?' after param strip
+    (r"/$", ""),  # trailing slash
+]
+
+
+def _canon_sql(col: str) -> str:
+    """DuckDB-side nested canonicalization expression (explicit 'g' flag —
+    Spark's regexp_replace is global by default). The Spark side applies
+    the same _URL_CANON_STEPS through the Python F.regexp_replace API so
+    the patterns never pass through SQL string-literal escaping (Spark's
+    parser would eat the backslashes in `www\\.` / `\\?$`)."""
+    e = f"lower({col})"
+    for pat, rep in _URL_CANON_STEPS:
+        e = f"regexp_replace({e}, '{pat}', '{rep}', 'g')"
+    return e
+
+
+def _canon_col(col: F.Column) -> F.Column:
+    c = F.lower(col)
+    for pat, rep in _URL_CANON_STEPS:
+        c = F.regexp_replace(c, pat, rep)
+    return c
+
+
+_URL_DEDUP_ORACLE = f"""
+    WITH raw AS (
+        SELECT doc_id, n_chars, ({_URL_RAW_SQL}) AS raw_url
+        FROM documents
+    ), canon AS (
+        SELECT doc_id, n_chars,
+               {_canon_sql("raw_url")} AS canonical_url
+        FROM raw
+    )
+    SELECT canonical_url,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(MIN(doc_id) AS BIGINT) AS keeper_doc,
+           CAST(COUNT(*) - 1 AS BIGINT) AS n_dropped,
+           CAST(SUM(n_chars) - MIN(n_chars_of_keeper) AS BIGINT)
+               AS chars_dropped
+    FROM (
+        SELECT canonical_url, doc_id, n_chars,
+               FIRST_VALUE(n_chars) OVER (
+                   PARTITION BY canonical_url ORDER BY doc_id
+               ) AS n_chars_of_keeper
+        FROM canon
+    )
+    GROUP BY canonical_url
+"""
+
+
+@declared("q_url_dedup", oracle=_URL_DEDUP_ORACLE)
+def q_url_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL-canonicalization dedup — the CommonCrawl/WARC ingest step that
+    runs BEFORE any text dedup: lowercase, fragment strip, http->https,
+    www. strip, tracking-param (utm_*/ref) strip, trailing-slash strip,
+    then keep-first per canonical URL. Messy URLs are synthesized
+    deterministically from doc_id (4 mirrors per page, residue-driven
+    scheme/www/params/fragment noise, 1-in-11 unique pages), identically
+    in both engines — the op under test is the canonicalization chain and
+    the keep-first accounting, not the fixture. Output: one row per
+    canonical URL with group size, keeper, and dropped-doc/char yield.
+
+    Engine-exactness: the regex chain uses RE2/Java-compatible patterns
+    only (anchors, literal classes, [^&#]); DuckDB replays with the 'g'
+    flag Spark applies by default; keeper = MIN(doc_id); all aggregates
+    CAST to BIGINT.
+
+    Scale notes (100 TB): canonicalization is map-side string work; the
+    dedup is ONE hash-partitioned groupBy on canonical_url (the
+    q_dedup_exact digest-groupBy shape — in production key on
+    md5(canonical_url) so the shuffle carries a fixed-width digest, and
+    the skew point is hot hosts, handled like every census: per-key work
+    is linear). The keeper's n_chars rides the same window the group
+    already needs — no second join back to the corpus."""
+    t = load_tables(spark, sf_dir)
+    canon = t.documents.select(
+        "doc_id",
+        "n_chars",
+        _canon_col(F.expr(_URL_RAW_SPARK)).alias("canonical_url"),
+    )
+    kw = Window.partitionBy("canonical_url").orderBy("doc_id")
+    return (
+        canon.withColumn("n_chars_of_keeper", F.first("n_chars").over(kw))
+        .groupBy("canonical_url")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.min("doc_id").cast("bigint").alias("keeper_doc"),
+            (F.count("*") - 1).cast("bigint").alias("n_dropped"),
+            (F.sum("n_chars") - F.min("n_chars_of_keeper"))
+            .cast("bigint")
+            .alias("chars_dropped"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# q_quantile_sketch — mergeable bucketed quantile sketch with an in-plan
+# error-bound CERTIFICATE vs exact PERCENTILE_DISC
+# --------------------------------------------------------------------------
+
+QS_W = 8  # bucket width in chars: the error bound (est_hi - est_lo = 7)
+QS_DOMAIN = 8192  # in-plan guard: bucket count stays <= QS_DOMAIN / QS_W
+QS_GRID = (50, 90, 99)  # percentiles audited
+
+_QS_GRID_SQL = ", ".join(f"({q})" for q in QS_GRID)
+
+_QUANTILE_SKETCH_ORACLE = f"""
+    WITH b AS (
+        SELECT lang, n_chars // {QS_W} AS bucket
+        FROM documents
+    ), sketch AS (
+        SELECT lang, bucket, CAST(COUNT(*) AS BIGINT) AS cnt
+        FROM b GROUP BY lang, bucket
+    ), cumed AS (
+        SELECT lang, bucket, cnt,
+               SUM(cnt) OVER (PARTITION BY lang ORDER BY bucket) AS cum,
+               SUM(cnt) OVER (PARTITION BY lang) AS n,
+               COUNT(*) OVER (PARTITION BY lang) AS sketch_rows
+        FROM sketch
+    ), picks AS (
+        SELECT c.lang, g.q,
+               CAST(MIN(c.n) AS BIGINT) AS n,
+               CAST(MIN(c.sketch_rows) AS BIGINT) AS sketch_rows,
+               CAST((g.q * MIN(c.n) + 99) // 100 AS BIGINT) AS r,
+               CAST(MIN(CASE WHEN c.cum >= (g.q * c.n + 99) // 100
+                             THEN c.bucket END) AS BIGINT) AS b
+        FROM cumed c CROSS JOIN (VALUES {_QS_GRID_SQL}) AS g(q)
+        GROUP BY c.lang, g.q
+    ), exact AS (
+        SELECT lang,
+               CAST(PERCENTILE_DISC(0.50) WITHIN GROUP (ORDER BY n_chars) AS BIGINT) AS p50,
+               CAST(PERCENTILE_DISC(0.90) WITHIN GROUP (ORDER BY n_chars) AS BIGINT) AS p90,
+               CAST(PERCENTILE_DISC(0.99) WITHIN GROUP (ORDER BY n_chars) AS BIGINT) AS p99
+        FROM documents GROUP BY lang
+    )
+    SELECT p.lang, CAST(p.q AS BIGINT) AS q, p.n, p.r,
+           p.b * {QS_W} AS est_lo,
+           p.b * {QS_W} + {QS_W} - 1 AS est_hi,
+           CASE p.q WHEN 50 THEN e.p50 WHEN 90 THEN e.p90 ELSE e.p99 END
+               AS exact_v,
+           CASE p.q WHEN 50 THEN e.p50 WHEN 90 THEN e.p90 ELSE e.p99 END
+               - p.b * {QS_W} AS err,
+           CAST(CASE WHEN (CASE p.q WHEN 50 THEN e.p50 WHEN 90 THEN e.p90
+                           ELSE e.p99 END)
+                     BETWEEN p.b * {QS_W} AND p.b * {QS_W} + {QS_W} - 1
+                THEN 1 ELSE 0 END AS BIGINT) AS in_bound,
+           p.sketch_rows
+    FROM picks p JOIN exact e ON e.lang = p.lang
+"""
+
+
+@declared("q_quantile_sketch", oracle=_QUANTILE_SKETCH_ORACLE)
+def q_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGEABLE bucketed quantile sketch with an in-plan error-bound
+    CERTIFICATE — the hash-verifiable counterpart to the rows-only
+    q_len_quantile_approx (the q_approx_distinct -> q_hll_registers
+    pattern: when the engine sketch is internal, ship a portable twin the
+    oracle can replay). The sketch is per-(lang, n_chars//{QS_W}) counts —
+    pure addition, so shard partials merge associatively (the mergeability
+    CMS/HLL/KMV already demonstrate, here for QUANTILES). The q-quantile
+    estimate is the first bucket whose running count reaches
+    r = ceil(q*n/100); by construction the r-th smallest value lies inside
+    that bucket, so est_lo <= exact <= est_hi is a THEOREM — and the query
+    emits exact PERCENTILE_DISC beside the bounds with an in_bound flag,
+    so the hash gate certifies the bound on real data instead of trusting
+    the comment ({QS_W}-char max error, err in [0, {QS_W - 1}]).
+
+    Engine-exactness: all integers — bucket floor-division, running sums,
+    r by the positive-ceil identity (q*n + 99) // 100; PERCENTILE_DISC
+    picks a data element (no interpolation ulp).
+
+    Scale notes (100 TB): the sketch is ONE map-side-combined aggregate
+    over (lang, bucket) — cardinality <= |langs| * {QS_DOMAIN // QS_W},
+    independent of corpus size; the cumulative walk is a window over that
+    bounded sketch, partitioned by lang (never corpus-global). The exact
+    PERCENTILE_DISC branch is the audit ground truth and is the piece a
+    production run drops — q_len_quantile keeps the exact path; THIS query
+    is the certified cheap path. Guard: n_chars outside [0, {QS_DOMAIN})
+    raises in-plan (bucket-count boundedness is the contract)."""
+    t = load_tables(spark, sf_dir)
+    bucket = F.expr(
+        f"CASE WHEN n_chars >= 0 AND n_chars < {QS_DOMAIN}"
+        f" THEN n_chars DIV {QS_W}"
+        f" ELSE raise_error('quantile sketch: n_chars outside [0, {QS_DOMAIN})"
+        f" — widen QS_DOMAIN to keep the sketch bounded') END"
+    )
+    sketch = (
+        t.documents.select("lang", bucket.alias("bucket"))
+        .groupBy("lang", "bucket")
+        .agg(F.count("*").cast("bigint").alias("cnt"))
+    )
+    lang_w = Window.partitionBy("lang")
+    cum_w = lang_w.orderBy("bucket")
+    cumed = sketch.select(
+        "lang",
+        "bucket",
+        "cnt",
+        F.sum("cnt").over(cum_w).alias("cum"),
+        F.sum("cnt").over(
+            lang_w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+        ).alias("n"),
+        F.count("*").over(
+            lang_w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+        ).alias("sketch_rows"),
+    )
+    grid = spark.createDataFrame([(q,) for q in QS_GRID], "q int")
+    picks = (
+        cumed.crossJoin(F.broadcast(grid))
+        .groupBy("lang", "q")
+        .agg(
+            F.min("n").cast("bigint").alias("n"),
+            F.min("sketch_rows").cast("bigint").alias("sketch_rows"),
+            F.expr("CAST((q * MIN(n) + 99) DIV 100 AS BIGINT)").alias("r"),
+            F.expr(
+                "CAST(MIN(CASE WHEN cum >= (q * n + 99) DIV 100"
+                " THEN bucket END) AS BIGINT)"
+            ).alias("b"),
+        )
+    )
+    exact = t.documents.groupBy("lang").agg(
+        *[
+            F.expr(
+                f"CAST(percentile_disc(0.{q}) WITHIN GROUP (ORDER BY n_chars)"
+                f" AS BIGINT)"
+            ).alias(f"p{q}")
+            for q in QS_GRID
+        ]
+    )
+    exact_v = F.expr(
+        "CASE q WHEN 50 THEN p50 WHEN 90 THEN p90 ELSE p99 END"
+    )
+    return (
+        picks.join(F.broadcast(exact), "lang")
+        .select(
+            "lang",
+            F.col("q").cast("bigint").alias("q"),
+            "n",
+            "r",
+            (F.col("b") * QS_W).alias("est_lo"),
+            (F.col("b") * QS_W + QS_W - 1).alias("est_hi"),
+            exact_v.alias("exact_v"),
+            (exact_v - F.col("b") * QS_W).alias("err"),
+            exact_v.between(F.col("b") * QS_W, F.col("b") * QS_W + QS_W - 1)
+            .cast("bigint")
+            .alias("in_bound"),
+            "sketch_rows",
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# q_ivf_incr — IVF index maintenance under APPENDS: new vectors probe the
+# existing cells; per-cell growth + drift decide when to retrain
+# --------------------------------------------------------------------------
+
+IVFI_CELLS = 8
+
+
+def _ivf_incr_oracle() -> str:
+    """DuckDB twin of q_ivf_incr: replays base-half stride seeding, the
+    integer spherical assignment of BOTH halves (the _sim_ivf_oracle
+    scoring, similarity.py), and the per-cell growth/drift census."""
+    return f"""
+    WITH {_U_CTE}, st AS (
+        SELECT GREATEST(1, COUNT(DISTINCT vec_id) // {IVFI_CELLS}) AS stride
+        FROM u WHERE vec_id % 2 = 0
+    ), cents AS (
+        SELECT vec_id AS cent_vid,
+               CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS INT) AS cent_id
+        FROM (SELECT DISTINCT vec_id FROM u
+              WHERE vec_id % 2 = 0
+                AND vec_id % (SELECT stride FROM st) = 0
+              ORDER BY vec_id LIMIT {IVFI_CELLS})
+    ), cu AS (
+        SELECT c.cent_id, u.i, u.xi FROM u JOIN cents c ON u.vec_id = c.cent_vid
+    ), csq AS (
+        SELECT cent_id, SUM(xi * xi) AS sq FROM cu GROUP BY cent_id
+    ), usq AS (
+        SELECT vec_id, SUM(xi * xi) AS usq FROM u GROUP BY vec_id
+    ), scores AS (
+        SELECT v.vec_id, c.cent_id,
+               2 * SUM(v.xi * c.xi) - MAX(q.sq) AS score2
+        FROM u v JOIN cu c ON v.i = c.i JOIN csq q ON q.cent_id = c.cent_id
+        GROUP BY v.vec_id, c.cent_id
+    ), assign AS (
+        SELECT vec_id, cent_id, score2 FROM (
+            SELECT vec_id, cent_id, score2,
+                   ROW_NUMBER() OVER (PARTITION BY vec_id
+                                      ORDER BY score2 DESC, cent_id) AS rn
+            FROM scores
+        ) WHERE rn = 1
+    ), j AS (
+        SELECT a.cent_id, a.vec_id % 2 AS par, q.usq - a.score2 AS sqd
+        FROM assign a JOIN usq q ON q.vec_id = a.vec_id
+    )
+    SELECT CAST(cent_id AS BIGINT) AS cent_id,
+           CAST(SUM(CASE WHEN par = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_base,
+           CAST(SUM(CASE WHEN par = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_new,
+           CAST(10000 * SUM(CASE WHEN par = 1 THEN 1 ELSE 0 END)
+                // GREATEST(SUM(CASE WHEN par = 0 THEN 1 ELSE 0 END), 1)
+                AS BIGINT) AS growth_bp,
+           CAST(SUM(CASE WHEN par = 0 THEN sqd ELSE 0 END)
+                // GREATEST(SUM(CASE WHEN par = 0 THEN 1 ELSE 0 END), 1)
+                AS BIGINT) AS base_avg_sqd,
+           CAST(SUM(CASE WHEN par = 1 THEN sqd ELSE 0 END)
+                // GREATEST(SUM(CASE WHEN par = 1 THEN 1 ELSE 0 END), 1)
+                AS BIGINT) AS new_avg_sqd,
+           CAST(SUM(CASE WHEN par = 1 THEN sqd ELSE 0 END)
+                // GREATEST(SUM(CASE WHEN par = 1 THEN 1 ELSE 0 END), 1)
+                - SUM(CASE WHEN par = 0 THEN sqd ELSE 0 END)
+                // GREATEST(SUM(CASE WHEN par = 0 THEN 1 ELSE 0 END), 1)
+                AS BIGINT) AS drift_delta
+    FROM j GROUP BY cent_id
+    """
+
+
+@declared("q_ivf_incr", oracle=_ivf_incr_oracle())
+def q_ivf_incr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF index MAINTENANCE UNDER APPENDS — the ANN-family member of the
+    incremental trio (q_dedup_incr: MinHash index probe; q_substring_incr:
+    packed-content index probe; THIS: cell-routing probe). Even vec_ids
+    are the already-indexed corpus: stride-seeded unit-sphere centroids
+    (the q_sim_ivf engine-exact construction) and their cell census are
+    the persisted index state. Odd vec_ids arrive as the append batch and
+    are routed to the EXISTING cells by the same pure-integer spherical
+    argmax (2·dot(x̂,c) − ‖c‖²) — no retraining. The output is the
+    retrain-decision table: per cell, base/new counts, growth_bp (load
+    imbalance from the append), and the DRIFT readout — average squared
+    L2-to-centroid of new vs base members (sqd = usq − score2, exact
+    integers): a cell whose new members sit systematically farther from
+    its centroid (drift_delta >> 0) is where the append's distribution
+    moved and the index needs retraining THERE, not globally.
+
+    Engine-exactness: seeding/assignment identical to the q_sim_ivf
+    contract; all census arithmetic is integer floor-division over
+    non-negative sums; GREATEST(...,1) guards empty sides.
+
+    Scale notes (100 TB): centroids are an {IVFI_CELLS}-row broadcast;
+    assignment of each half is a narrow map + max_by combiner aggregate
+    (no window over vectors); the census is {IVFI_CELLS} rows. The batch
+    never joins the base corpus — only its routing against the O(cells)
+    index state, so ingest cost is O(|batch|·cells·dim), independent of
+    corpus size. The one global window is the stride-seeding row_number
+    over <= {IVFI_CELLS} rows (ledgered)."""
+    t = load_tables(spark, sf_dir)
+    # carry par INSIDE the persisted frame: it differentiates this logical
+    # plan from q_sim_ivf's persisted u — identical subtrees would make the
+    # CacheManager substitute this cache into q_sim_ivf's plan when built
+    # later in the same session, drifting its attested plan fingerprint
+    u = t.embeddings.select(
+        "vec_id",
+        (F.col("vec_id") % 2).alias("par"),
+        _unit_fx_expr().alias("u"),
+    ).persist()
+    n_base = u.filter(F.col("par") == 0).count()
+    stride = max(1, n_base // IVFI_CELLS)
+    cents = (
+        u.filter((F.col("par") == 0) & (F.col("vec_id") % stride == 0))
+        .orderBy("vec_id")
+        .limit(IVFI_CELLS)
+        .select(
+            (F.row_number().over(Window.orderBy("vec_id")) - 1)
+            .cast("int")
+            .alias("cent_id"),
+            F.col("u").alias("c"),
+        )
+    )
+    csq = F.aggregate(
+        F.zip_with("c", "c", lambda x, y: x * y),
+        F.lit(0).cast("bigint"),
+        lambda a, v: a + v,
+    )
+    cents = cents.select("cent_id", "c", csq.alias("csq"))
+    dot_uc = F.aggregate(
+        F.zip_with("u", "c", lambda x, y: x * y),
+        F.lit(0).cast("bigint"),
+        lambda a, v: a + v,
+    )
+    usq = F.aggregate(
+        F.zip_with("u", "u", lambda x, y: x * y),
+        F.lit(0).cast("bigint"),
+        lambda a, v: a + v,
+    )
+    scored = u.crossJoin(F.broadcast(cents)).select(
+        "vec_id",
+        "par",
+        usq.alias("usq"),
+        "cent_id",
+        (2 * dot_uc - F.col("csq")).alias("score2"),
+    )
+    assign = scored.groupBy("vec_id").agg(
+        F.first("par").alias("par"),
+        F.max_by(
+            "cent_id", F.struct(F.col("score2"), (-F.col("cent_id")).alias("tb"))
+        ).alias("cent_id"),
+        (F.max("usq") - F.max("score2")).alias("sqd"),
+    )
+    base_n = F.sum(F.when(F.col("par") == 0, 1).otherwise(0)).cast("bigint")
+    new_n = F.sum(F.when(F.col("par") == 1, 1).otherwise(0)).cast("bigint")
+    return (
+        assign.groupBy("cent_id")
+        .agg(
+            base_n.alias("n_base"),
+            new_n.alias("n_new"),
+            F.expr(
+                "CAST(10000 * SUM(CASE WHEN par = 1 THEN 1 ELSE 0 END)"
+                " DIV GREATEST(SUM(CASE WHEN par = 0 THEN 1 ELSE 0 END), 1)"
+                " AS BIGINT)"
+            ).alias("growth_bp"),
+            F.expr(
+                "CAST(SUM(CASE WHEN par = 0 THEN sqd ELSE 0 END)"
+                " DIV GREATEST(SUM(CASE WHEN par = 0 THEN 1 ELSE 0 END), 1)"
+                " AS BIGINT)"
+            ).alias("base_avg_sqd"),
+            F.expr(
+                "CAST(SUM(CASE WHEN par = 1 THEN sqd ELSE 0 END)"
+                " DIV GREATEST(SUM(CASE WHEN par = 1 THEN 1 ELSE 0 END), 1)"
+                " AS BIGINT)"
+            ).alias("new_avg_sqd"),
+        )
+        .select(
+            F.col("cent_id").cast("bigint").alias("cent_id"),
+            "n_base",
+            "n_new",
+            "growth_bp",
+            "base_avg_sqd",
+            "new_avg_sqd",
+            (F.col("new_avg_sqd") - F.col("base_avg_sqd")).alias("drift_delta"),
+        )
+    )

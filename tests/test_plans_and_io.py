@@ -252,7 +252,16 @@ def test_global_window_ledger(spark):
             "running max over the <=(price-domain/SKYLINE_BUCKET_CENTS) "
             "bucket-summary rows",
         ),
+        "q_ivf_incr": (
+            1,
+            "stride-seeding row_number over the <=IVFI_CELLS centroid limit",
+        ),
         "q_vocab_coverage": (1, "prefix sum over the <=64-row bit-length band table"),
+        "q_wsample_priority": (
+            3,
+            "one linear chain over the TakeOrdered top-(WS_K+1) rows: "
+            "rank + tau(MIN) + estimator-total(SUM)",
+        ),
         "q_zipf_slope": (1, "rank over the TakeOrdered ZIPF_TOP=64 words"),
     }
 

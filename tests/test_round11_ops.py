@@ -1,0 +1,380 @@
+"""Round-11 operator tests: binary-quantized ANN (q_binary_ann), integer
+priority sampling (q_wsample_priority), URL-canonicalization dedup
+(q_url_dedup).
+
+Each query is hash-verified against its DuckDB oracle by the driver; these
+tests pin the SEMANTICS with planted fixtures and independent pure-Python
+recomputes on shipped testdata (the house test model, SURVEY §5).
+"""
+
+import hashlib
+import math
+import re
+
+import duckdb
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+import duckdb_ner_spark.operators  # noqa: F401 — populate the registry
+from duckdb_ner_spark.operators.round11 import (
+    BQ_K,
+    BQ_M,
+    BQ_NQ,
+    WS_K,
+    WS_U_SCALE,
+    _URL_CANON_STEPS,
+    _canon_col,
+    binary_signatures,
+)
+from duckdb_ner_spark.plans.registry import QUERIES
+
+SF_SMOKE = "/root/testdata/sf0.001"
+
+
+# --------------------------------------------------------------------------
+# q_binary_ann
+# --------------------------------------------------------------------------
+
+
+def test_binary_signature_packing_known_vector(spark):
+    """A hand-built 64-dim vector with known signs packs to the expected
+    two 32-bit words (bit i%32 of word i//32 set iff unit-vector element
+    i >= 0; the fixed-point unit transform preserves signs)."""
+    vec = [(1.0 if i % 3 == 0 else -1.0) for i in range(64)]
+    df = spark.createDataFrame(
+        pd.DataFrame({"vec_id": pd.array([0], dtype="int64"), "embedding": [vec]})
+    )
+    row = binary_signatures(df).collect()[0]
+    w0 = sum(1 << i for i in range(32) if i % 3 == 0)
+    w1 = sum(1 << (i % 32) for i in range(32, 64) if i % 3 == 0)
+    assert (row["w0"], row["w1"]) == (w0, w1)
+
+
+def test_binary_signature_width_guard(spark):
+    """A non-64-dim embedding raises instead of silently mispacking."""
+    df = spark.createDataFrame(
+        pd.DataFrame(
+            {"vec_id": pd.array([0], dtype="int64"), "embedding": [[1.0] * 8]}
+        )
+    )
+    with pytest.raises(Exception, match="width"):
+        binary_signatures(df).collect()
+
+
+def test_binary_ann_exact_duplicate_ranks_first(spark):
+    """Planted corpus: vec 100 is an exact copy of query vec 0 — Hamming 0,
+    maximal dot, rank 1; recall audit compares like-for-like."""
+    import numpy as np
+
+    rng = np.random.RandomState(7)
+    vecs = {i: rng.randn(64).tolist() for i in range(BQ_NQ + 60)}
+    vecs[100] = list(vecs[0])  # exact duplicate of query 0
+    pdf = pd.DataFrame(
+        {
+            "vec_id": pd.array(sorted(vecs), dtype="int64"),
+            "embedding": [vecs[k] for k in sorted(vecs)],
+        }
+    )
+    df = spark.createDataFrame(pdf)
+    sig = binary_signatures(df)
+    qrow = sig.filter("vec_id = 0").collect()[0]
+    dup = sig.filter("vec_id = 100").collect()[0]
+    assert (dup["w0"], dup["w1"]) == (qrow["w0"], qrow["w1"])
+    # exact fixed-point dot of the duplicate == query's self-dot
+    dot = sum(a * b for a, b in zip(qrow["u"], dup["u"]))
+    self_dot = sum(a * a for a in qrow["u"])
+    assert dot == self_dot
+
+
+def test_binary_ann_registry_audit_on_testdata(spark):
+    """On shipped testdata: shape (BQ_NQ x BQ_K rows), ranks 1..K per
+    query, hamming consistent with a pure-Python repack, and recall_bp
+    matches a brute-force numpy recompute of the whole audit."""
+    rows = QUERIES["q_binary_ann"](spark, SF_SMOKE).collect()
+    assert len(rows) == BQ_NQ * BQ_K
+    by_q = {}
+    for r in rows:
+        by_q.setdefault(r["q_id"], []).append(r)
+    assert sorted(by_q) == list(range(BQ_NQ))
+    for q, rs in by_q.items():
+        assert sorted(r["rank"] for r in rs) == list(range(1, BQ_K + 1))
+        assert len({r["recall_bp"] for r in rs}) == 1
+
+    # independent recompute (DuckDB fetch + python float/int replay)
+    con = duckdb.connect()
+    emb = con.execute(
+        f"SELECT vec_id, embedding FROM '{SF_SMOKE}/embeddings.parquet'"
+    ).fetchall()
+    FX = 1_000_000
+    units = {}
+    for vid, e in emb:
+        q = [round(float(x) * FX) for x in e]
+        n = math.sqrt(sum(v * v for v in q))
+        units[vid] = [round(v / n * FX) for v in q]
+    for q, rs in by_q.items():
+        qu = units[q]
+        exact = sorted(
+            ((sum(a * b for a, b in zip(u, qu)), -vid), vid)
+            for vid, u in units.items()
+            if vid != q
+        )
+        exact_top = {vid for _, vid in sorted(exact, key=lambda t: (-t[0][0], t[1]))[:BQ_K]}
+        got = {r["vec_id"] for r in rs}
+        expected_recall = 10000 * len(got & exact_top) // BQ_K
+        assert rs[0]["recall_bp"] == expected_recall
+        # and the reported dots are the true fixed-point dots
+        for r in rs:
+            assert r["dot_fx"] == sum(
+                a * b for a, b in zip(units[r["vec_id"]], qu)
+            )
+
+
+# --------------------------------------------------------------------------
+# q_wsample_priority
+# --------------------------------------------------------------------------
+
+
+def _md5_v40(doc_id: int) -> int:
+    return int(hashlib.md5(f"wpri|{doc_id}".encode()).hexdigest()[:10], 16)
+
+
+def test_wsample_matches_pure_python_recompute(spark):
+    """The sampled doc set, tau, and the estimator columns all match a
+    from-scratch Python replay of the DLT priority sample on the shipped
+    parquet (independent of BOTH engines)."""
+    con = duckdb.connect()
+    docs = con.execute(
+        f"SELECT doc_id, n_chars FROM '{SF_SMOKE}/documents.parquet'"
+    ).fetchall()
+    pri = sorted(
+        ((w * WS_U_SCALE) // (_md5_v40(d) + 1), d, w) for d, w in docs
+    )[::-1]
+    pri.sort(key=lambda t: (-t[0], t[1]))
+    tau = pri[WS_K][0]
+    expect = {
+        d: (p, max(w, tau)) for p, d, w in pri[:WS_K]
+    }
+    total_true = sum(w for _, w in docs)
+    total_est = sum(e for _, e in expect.values())
+
+    rows = QUERIES["q_wsample_priority"](spark, SF_SMOKE).collect()
+    assert len(rows) == WS_K
+    for r in rows:
+        assert r["doc_id"] in expect, r
+        p, e = expect[r["doc_id"]]
+        assert (r["priority"], r["est_w"], r["tau"]) == (p, e, tau)
+        assert (r["total_w_true"], r["total_w_est"]) == (total_true, total_est)
+        assert r["err_bp"] == 10000 * abs(total_est - total_true) // total_true
+
+
+def test_wsample_estimator_is_weight_sensitive():
+    """Priority keys actually bias toward heavy docs: the mean sampled
+    weight exceeds the corpus mean weight (the property uniform md5-rank
+    sampling lacks)."""
+    con = duckdb.connect()
+    docs = con.execute(
+        f"SELECT doc_id, n_chars FROM '{SF_SMOKE}/documents.parquet'"
+    ).fetchall()
+    pri = sorted(
+        ((w * WS_U_SCALE) // (_md5_v40(d) + 1), d, w) for d, w in docs
+    )
+    pri.sort(key=lambda t: (-t[0], t[1]))
+    sampled_mean = sum(w for _, _, w in pri[:WS_K]) / WS_K
+    corpus_mean = sum(w for _, w in docs) / len(docs)
+    assert sampled_mean > corpus_mean
+
+
+# --------------------------------------------------------------------------
+# q_url_dedup
+# --------------------------------------------------------------------------
+
+
+def _canon_py(url: str) -> str:
+    u = url.lower()
+    for pat, rep in _URL_CANON_STEPS:
+        u = re.sub(pat, rep, u)
+    return u
+
+
+def test_url_canonicalization_unit_cases(spark):
+    """The canonicalization chain collapses the classic mess: scheme case,
+    http->https, www., tracking params, fragments, trailing slash."""
+    cases = {
+        "HTTP://WWW.Example.com/a/": "https://example.com/a",
+        "https://example.com/a?utm_source=x&utm_medium=y": "https://example.com/a",
+        "https://example.com/a?ref=home#frag": "https://example.com/a",
+        "http://example.com/a#sec-2": "https://example.com/a",
+        "https://example.com/a": "https://example.com/a",
+    }
+    df = spark.createDataFrame(pd.DataFrame({"raw": list(cases)})).select(
+        "raw", _canon_col(F.col("raw")).alias("c")
+    )
+    got = {r["raw"]: r["c"] for r in df.collect()}
+    assert got == cases
+    # and the python replay agrees (same steps the DuckDB oracle runs)
+    for raw, want in cases.items():
+        assert _canon_py(raw) == want
+
+
+def test_url_dedup_group_accounting(spark):
+    """Group sizes follow the fixture construction: docs come in pages of 4
+    mirrors; doc_id % 11 == 0 docs split off as singletons; keeper is the
+    min doc_id; chars_dropped = group chars minus keeper chars."""
+    rows = QUERIES["q_url_dedup"](spark, SF_SMOKE).collect()
+    con = duckdb.connect()
+    docs = dict(
+        con.execute(
+            f"SELECT doc_id, n_chars FROM '{SF_SMOKE}/documents.parquet'"
+        ).fetchall()
+    )
+    # independent python rebuild of the groups
+    groups = {}
+    for d in docs:
+        if d % 11 == 0:
+            key = ("u", d)
+        else:
+            key = ("p", d // 4)
+        groups.setdefault(key, []).append(d)
+    sizes = sorted(len(v) for v in groups.values())
+    assert sizes == sorted(r["n_docs"] for r in rows)
+    by_keeper = {min(v): sorted(v) for v in groups.values()}
+    for r in rows:
+        members = by_keeper[r["keeper_doc"]]
+        assert r["n_docs"] == len(members)
+        assert r["n_dropped"] == len(members) - 1
+        assert r["chars_dropped"] == sum(docs[m] for m in members) - docs[
+            members[0]
+        ]
+        assert r["canonical_url"].startswith("https://mirror")
+        assert "utm" not in r["canonical_url"]
+        assert "#" not in r["canonical_url"]
+        assert not r["canonical_url"].endswith("/")
+
+
+# --------------------------------------------------------------------------
+# q_quantile_sketch
+# --------------------------------------------------------------------------
+
+
+def test_quantile_sketch_certificate_and_python_replay(spark):
+    """On shipped testdata: every row's in_bound certificate is 1 (the
+    bucket-containment theorem holds on real data), err stays inside
+    [0, QS_W), and the sketch picks match a pure-Python replay of both the
+    bucketed walk and the exact rank statistic."""
+    from duckdb_ner_spark.operators.round11 import QS_GRID, QS_W
+
+    rows = QUERIES["q_quantile_sketch"](spark, SF_SMOKE).collect()
+    con = duckdb.connect()
+    docs = con.execute(
+        f"SELECT lang, n_chars FROM '{SF_SMOKE}/documents.parquet'"
+    ).fetchall()
+    by_lang = {}
+    for lang, n_chars in docs:
+        by_lang.setdefault(lang, []).append(n_chars)
+    assert len(rows) == len(by_lang) * len(QS_GRID)
+    for r in rows:
+        vals = sorted(by_lang[r["lang"]])
+        n = len(vals)
+        rank = (r["q"] * n + 99) // 100
+        exact = vals[rank - 1]
+        # bucketed walk replay
+        from collections import Counter
+
+        sk = Counter(v // QS_W for v in vals)
+        cum, pick = 0, None
+        for b in sorted(sk):
+            cum += sk[b]
+            if cum >= rank:
+                pick = b
+                break
+        assert r["n"] == n and r["r"] == rank
+        assert r["est_lo"] == pick * QS_W
+        assert r["est_hi"] == pick * QS_W + QS_W - 1
+        assert r["exact_v"] == exact
+        assert r["in_bound"] == 1
+        assert 0 <= r["err"] < QS_W
+        assert r["sketch_rows"] == len(sk)
+
+
+def test_quantile_sketch_domain_guard(spark):
+    """An out-of-domain n_chars raises in-plan instead of silently growing
+    the sketch unboundedly."""
+    from duckdb_ner_spark.operators.round11 import QS_DOMAIN
+
+    pdf = pd.DataFrame(
+        {
+            "lang": ["en"],
+            "n_chars": pd.array([QS_DOMAIN + 1], dtype="int64"),
+        }
+    )
+    df = spark.createDataFrame(pdf)
+    bucketed = df.select(
+        F.expr(
+            f"CASE WHEN n_chars >= 0 AND n_chars < {QS_DOMAIN}"
+            f" THEN n_chars DIV 8"
+            f" ELSE raise_error('quantile sketch: out of domain') END"
+        ).alias("b")
+    )
+    with pytest.raises(Exception, match="out of domain"):
+        bucketed.collect()
+
+
+# --------------------------------------------------------------------------
+# q_ivf_incr
+# --------------------------------------------------------------------------
+
+
+def test_ivf_incr_census_invariants(spark):
+    """Cell census invariants on shipped testdata: counts cover both halves
+    exactly, every centroid's own cell contains it (a centroid assigns to
+    itself with sqd = 0 => base_avg_sqd of a 1-member cell is 0), growth
+    and drift columns agree with their definitions."""
+    from duckdb_ner_spark.operators.round11 import IVFI_CELLS
+
+    rows = QUERIES["q_ivf_incr"](spark, SF_SMOKE).collect()
+    assert 1 <= len(rows) <= IVFI_CELLS
+    con = duckdb.connect()
+    n_all = con.execute(
+        f"SELECT COUNT(*) FROM '{SF_SMOKE}/embeddings.parquet'"
+    ).fetchone()[0]
+    assert sum(r["n_base"] + r["n_new"] for r in rows) == n_all
+    for r in rows:
+        assert r["growth_bp"] == 10000 * r["n_new"] // max(r["n_base"], 1)
+        assert r["drift_delta"] == r["new_avg_sqd"] - r["base_avg_sqd"]
+        assert r["base_avg_sqd"] >= 0 and r["new_avg_sqd"] >= 0
+
+
+def test_ivf_incr_routing_matches_numpy(spark):
+    """The per-cell (n_base, n_new) census matches a from-scratch numpy
+    replay of the stride seeding and integer spherical argmax."""
+    import numpy as np
+
+    from duckdb_ner_spark.operators.round11 import IVFI_CELLS
+
+    con = duckdb.connect()
+    emb = con.execute(
+        f"SELECT vec_id, embedding FROM '{SF_SMOKE}/embeddings.parquet'"
+        " ORDER BY vec_id"
+    ).fetchall()
+    FX = 1_000_000
+    units = {}
+    for vid, e in emb:
+        q = np.array([round(float(x) * FX) for x in e], dtype=np.int64)
+        n = math.sqrt(float((q * q).sum()))
+        units[vid] = np.array([round(v / n * FX) for v in q], dtype=np.int64)
+    base_ids = [v for v in units if v % 2 == 0]
+    stride = max(1, len(base_ids) // IVFI_CELLS)
+    seeds = sorted(v for v in base_ids if v % stride == 0)[:IVFI_CELLS]
+    cents = [units[s] for s in seeds]
+    census = {}
+    for vid, u in units.items():
+        best = max(
+            range(len(cents)),
+            key=lambda c: (2 * int(u @ cents[c]) - int(cents[c] @ cents[c]), -c),
+        )
+        key = census.setdefault(best, [0, 0])
+        key[vid % 2] += 1
+    rows = QUERIES["q_ivf_incr"](spark, SF_SMOKE).collect()
+    got = {r["cent_id"]: [r["n_base"], r["n_new"]] for r in rows}
+    assert got == {c: v for c, v in census.items()}
