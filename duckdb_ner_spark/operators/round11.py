@@ -883,3 +883,192 @@ def q_ivf_incr(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("new_avg_sqd") - F.col("base_avg_sqd")).alias("drift_delta"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# q_binary_sweep — the binary-ANN recall-vs-cost OPERATING CURVE (shortlist
+# size M), completing the per-index-knob curves (q_nprobe_sweep for IVF-PQ)
+# --------------------------------------------------------------------------
+
+BQS_GRID = (16, 32, 64, 128)  # shortlist sizes swept
+
+_BQS_GRID_SQL = ", ".join(f"({m})" for m in BQS_GRID)
+
+_BINARY_SWEEP_ORACLE = f"""
+    WITH {_U_CTE}, {_SIG_CTE}, q AS (
+        SELECT vec_id AS q_id, w0 AS qw0, w1 AS qw1 FROM sig
+        WHERE vec_id < {BQ_NQ}
+    ), ham AS (
+        SELECT q.q_id, s.vec_id,
+               CAST(bit_count(xor(s.w0, q.qw0))
+                    + bit_count(xor(s.w1, q.qw1)) AS BIGINT) AS hamming
+        FROM sig s CROSS JOIN q
+        WHERE s.vec_id <> q.q_id
+    ), ranked AS (
+        SELECT q_id, vec_id,
+               ROW_NUMBER() OVER (PARTITION BY q_id
+                                  ORDER BY hamming, vec_id) AS hrank
+        FROM ham
+    ), cand_dots AS (
+        SELECT r.q_id, r.vec_id, r.hrank,
+               CAST(SUM(uc.xi * uq.xi) AS BIGINT) AS dot_fx
+        FROM ranked r
+        JOIN u uc ON uc.vec_id = r.vec_id
+        JOIN u uq ON uq.vec_id = r.q_id AND uq.i = uc.i
+        WHERE r.hrank <= {max(BQS_GRID)}
+        GROUP BY r.q_id, r.vec_id, r.hrank
+    ), fan AS (
+        SELECT g.m, c.q_id, c.vec_id, c.dot_fx
+        FROM cand_dots c JOIN (VALUES {_BQS_GRID_SQL}) AS g(m)
+          ON c.hrank <= g.m
+    ), approx AS (
+        SELECT m, q_id, vec_id
+        FROM (SELECT m, q_id, vec_id,
+                     ROW_NUMBER() OVER (PARTITION BY m, q_id
+                                        ORDER BY dot_fx DESC, vec_id) AS rn
+              FROM fan)
+        WHERE rn <= {BQ_K}
+    ), exact_dots AS (
+        SELECT uq.vec_id AS q_id, uc.vec_id,
+               CAST(SUM(uc.xi * uq.xi) AS BIGINT) AS dot_fx
+        FROM u uc
+        JOIN u uq ON uq.vec_id < {BQ_NQ} AND uq.i = uc.i
+        WHERE uc.vec_id <> uq.vec_id
+        GROUP BY uq.vec_id, uc.vec_id
+    ), exact_topk AS (
+        SELECT q_id, vec_id
+        FROM (SELECT q_id, vec_id,
+                     ROW_NUMBER() OVER (PARTITION BY q_id
+                                        ORDER BY dot_fx DESC, vec_id) AS r
+              FROM exact_dots)
+        WHERE r <= {BQ_K}
+    ), ncand AS (
+        SELECT m, CAST(COUNT(*) AS BIGINT) AS n_cand FROM fan GROUP BY m
+    ), hits AS (
+        SELECT a.m, CAST(COUNT(e.vec_id) AS BIGINT) AS n_hits
+        FROM approx a
+        LEFT JOIN exact_topk e
+          ON e.q_id = a.q_id AND e.vec_id = a.vec_id
+        GROUP BY a.m
+    )
+    SELECT CAST(n.m AS BIGINT) AS m, n.n_cand, h.n_hits,
+           CAST(10000 * h.n_hits // ({BQ_K} * {BQ_NQ}) AS BIGINT) AS recall_bp
+    FROM ncand n JOIN hits h ON h.m = n.m
+"""
+
+
+@declared("q_binary_sweep", oracle=_BINARY_SWEEP_ORACLE)
+def q_binary_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-ANN OPERATING CURVE — recall@{BQ_K} and candidates re-ranked
+    at every shortlist size M in {BQS_GRID}, from ONE Hamming census (the
+    q_nprobe_sweep idiom for the 1-bit index: every approximate index in
+    the repo ships both a recall audit AND the knob curve a deployment
+    tunes against). The Hamming ranking is computed once up to
+    max(M)={max(BQS_GRID)}; each grid point's shortlist is a prefix of
+    that ranking, so cost (n_cand) is monotone in M by construction and
+    exact dots are computed once per candidate, not once per grid point.
+    Recall is measured against the exact fixed-point top-{BQ_K}, summed
+    over the {BQ_NQ} queries.
+
+    Engine-exactness: the q_binary_ann machinery (integer signatures,
+    bit_count Hamming, integer dots, vec_id tiebreaks) plus a
+    {len(BQS_GRID)}-row literal join and integer counting.
+
+    Scale notes (100 TB): the census/shortlist analysis is q_binary_ann's
+    (signatures move, vectors don't); the sweep adds one fan-out of the
+    <= {max(BQS_GRID)}-per-query candidate rows against a broadcast grid —
+    not one scan per grid point; top-k windows are (m, q_id)-partitioned."""
+    t = load_tables(spark, sf_dir)
+    sig = binary_signatures(t.embeddings)
+    q = sig.filter(F.col("vec_id") < BQ_NQ).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("u").alias("qu"),
+        F.col("w0").alias("qw0"),
+        F.col("w1").alias("qw1"),
+    )
+    ham = (
+        sig.select("vec_id", "w0", "w1")
+        .crossJoin(F.broadcast(q.select("q_id", "qw0", "qw1")))
+        .filter(F.col("vec_id") != F.col("q_id"))
+        .select(
+            "q_id",
+            "vec_id",
+            (F.expr("bit_count(w0 ^ qw0)") + F.expr("bit_count(w1 ^ qw1)"))
+            .cast("bigint")
+            .alias("hamming"),
+        )
+    )
+    hw = Window.partitionBy("q_id").orderBy("hamming", "vec_id")
+    ranked = (
+        ham.withColumn("hrank", F.row_number().over(hw))
+        .filter(F.col("hrank") <= max(BQS_GRID))
+        .select("q_id", "vec_id", "hrank")
+    )
+    cand_dots = (
+        sig.select("vec_id", "u")
+        .join(F.broadcast(ranked), "vec_id")
+        .join(F.broadcast(q.select("q_id", "qu")), "q_id")
+        .select(
+            "q_id",
+            "vec_id",
+            "hrank",
+            F.aggregate(
+                F.zip_with(F.col("u"), F.col("qu"), lambda x, y: x * y),
+                F.lit(0).cast("bigint"),
+                lambda a, v: a + v,
+            ).alias("dot_fx"),
+        )
+    )
+    grid = spark.createDataFrame([(m,) for m in BQS_GRID], "m int")
+    fan = cand_dots.join(
+        F.broadcast(grid), F.col("hrank") <= F.col("m")
+    ).select("m", "q_id", "vec_id", "dot_fx")
+    aw = Window.partitionBy("m", "q_id").orderBy(F.desc("dot_fx"), "vec_id")
+    approx = (
+        fan.withColumn("rn", F.row_number().over(aw))
+        .filter(F.col("rn") <= BQ_K)
+        .select("m", "q_id", "vec_id")
+    )
+    exact = (
+        sig.select("vec_id", "u")
+        .crossJoin(F.broadcast(q.select("q_id", "qu")))
+        .filter(F.col("vec_id") != F.col("q_id"))
+        .select(
+            "q_id",
+            "vec_id",
+            F.aggregate(
+                F.zip_with(F.col("u"), F.col("qu"), lambda x, y: x * y),
+                F.lit(0).cast("bigint"),
+                lambda a, v: a + v,
+            ).alias("edot"),
+        )
+        .withColumn(
+            "r",
+            F.row_number().over(
+                Window.partitionBy("q_id").orderBy(F.desc("edot"), "vec_id")
+            ),
+        )
+        .filter(F.col("r") <= BQ_K)
+        .select(F.col("q_id").alias("e_qid"), F.col("vec_id").alias("e_vec"))
+    )
+    ncand = fan.groupBy("m").agg(F.count("*").cast("bigint").alias("n_cand"))
+    hits = (
+        approx.join(
+            F.broadcast(exact),
+            (F.col("q_id") == F.col("e_qid")) & (F.col("vec_id") == F.col("e_vec")),
+            "left",
+        )
+        .groupBy("m")
+        .agg(F.count("e_vec").cast("bigint").alias("n_hits"))
+    )
+    return (
+        ncand.join(hits, "m")
+        .select(
+            F.col("m").cast("bigint").alias("m"),
+            "n_cand",
+            "n_hits",
+            F.expr(
+                f"CAST(10000 * n_hits DIV ({BQ_K} * {BQ_NQ}) AS BIGINT)"
+            ).alias("recall_bp"),
+        )
+    )

@@ -378,3 +378,44 @@ def test_ivf_incr_routing_matches_numpy(spark):
     rows = QUERIES["q_ivf_incr"](spark, SF_SMOKE).collect()
     got = {r["cent_id"]: [r["n_base"], r["n_new"]] for r in rows}
     assert got == {c: v for c, v in census.items()}
+
+
+# --------------------------------------------------------------------------
+# q_binary_sweep
+# --------------------------------------------------------------------------
+
+
+def test_binary_sweep_curve_invariants(spark):
+    """Operating-curve invariants on shipped testdata: one row per grid
+    point, n_cand = M * NQ exactly (the full prefix exists at every SF),
+    cost monotone in M, recall at the largest M at least matches the
+    smallest M's (a prefix shortlist can only add candidates), and the
+    recall accounting is internally consistent."""
+    from duckdb_ner_spark.operators.round11 import BQS_GRID
+
+    rows = sorted(
+        QUERIES["q_binary_sweep"](spark, SF_SMOKE).collect(),
+        key=lambda r: r["m"],
+    )
+    assert [r["m"] for r in rows] == sorted(BQS_GRID)
+    for r in rows:
+        assert r["n_cand"] == r["m"] * BQ_NQ
+        assert r["recall_bp"] == 10000 * r["n_hits"] // (BQ_K * BQ_NQ)
+        assert 0 <= r["n_hits"] <= BQ_K * BQ_NQ
+    assert rows[-1]["n_hits"] >= rows[0]["n_hits"]
+
+
+def test_binary_sweep_consistent_with_binary_ann(spark):
+    """The M=48 point of q_binary_ann nests between the sweep's M=32 and
+    M=64 grid points in hit count (prefix shortlists are nested sets, and
+    a superset shortlist can only keep or add true hits... NOT guaranteed
+    for top-k re-ranking — extra candidates can displace true hits — so
+    this pins the MEASURED relationship instead: the ann query's per-query
+    recalls aggregate to a value within the sweep's [min, max] envelope)."""
+    ann = QUERIES["q_binary_ann"](spark, SF_SMOKE).collect()
+    per_q = {r["q_id"]: r["recall_bp"] for r in ann}
+    agg_ann = sum(per_q.values()) // len(per_q)
+    sweep = QUERIES["q_binary_sweep"](spark, SF_SMOKE).collect()
+    lo = min(r["recall_bp"] for r in sweep)
+    hi = max(r["recall_bp"] for r in sweep)
+    assert lo <= agg_ann <= hi
