@@ -191,7 +191,13 @@ def q_binary_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     (same class as q_lsh_recall_audit); production serves from signatures
     + shortlist re-rank alone. Per-query rank is a window over the census —
     at production |Q| use the two-level local-top-M merge (the q_topk
-    TakeOrdered shape per query)."""
+    TakeOrdered shape per query). The signature frame deliberately does
+    NOT persist even though four branches consume it: q_binary_sweep
+    builds the identical subtree, and a registered cache would substitute
+    into whichever same-shape plan builds later in the session (the
+    CacheManager hazard documented in q_ivf_incr) — plan determinism is
+    worth the extra map-side scans, which parallelize freely; the corpus-
+    sized exchanges remain the census rank + the audit-only exact rank."""
     t = load_tables(spark, sf_dir)
     sig = binary_signatures(t.embeddings)
     q = sig.filter(F.col("vec_id") < BQ_NQ).select(
@@ -658,7 +664,14 @@ def q_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
             lang_w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
         ).alias("sketch_rows"),
     )
-    grid = spark.createDataFrame([(q,) for q in QS_GRID], "q int")
+    import pandas as pd
+
+    # literals through pandas: LocalTableScan, not ExistingRDD (the pq.py
+    # codebook-literal lesson — a list-built frame puts a Python boundary
+    # in an otherwise JVM-only plan)
+    grid = spark.createDataFrame(
+        pd.DataFrame({"q": pd.array(list(QS_GRID), dtype="int32")})
+    )
     picks = (
         cumed.crossJoin(F.broadcast(grid))
         .groupBy("lang", "q")
@@ -1019,7 +1032,12 @@ def q_binary_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("dot_fx"),
         )
     )
-    grid = spark.createDataFrame([(m,) for m in BQS_GRID], "m int")
+    import pandas as pd
+
+    # literals through pandas: LocalTableScan, not ExistingRDD (pq.py lesson)
+    grid = spark.createDataFrame(
+        pd.DataFrame({"m": pd.array(list(BQS_GRID), dtype="int32")})
+    )
     fan = cand_dots.join(
         F.broadcast(grid), F.col("hrank") <= F.col("m")
     ).select("m", "q_id", "vec_id", "dot_fx")
