@@ -382,9 +382,15 @@ def q_wsample_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         "source",
         "w",
-        F.expr(f"(w * CAST({WS_U_SCALE} AS BIGINT)) DIV (v40 + 1)").alias(
-            "priority"
-        ),
+        # in-plan overflow guard (the SSD_POS_BIG idiom): w * 2^40 must stay
+        # under 2^63, so w < 2^22 is the contract — a corpus with longer
+        # documents raises here instead of silently wrapping priorities
+        F.expr(
+            f"CASE WHEN w >= 0 AND w < {1 << 22}"
+            f" THEN (w * CAST({WS_U_SCALE} AS BIGINT)) DIV (v40 + 1)"
+            f" ELSE raise_error('priority sample: weight >= 2^22 overflows"
+            f" the w * 2^40 priority — rescale WS_U_SCALE') END"
+        ).alias("priority"),
     )
     # TakeOrdered top-(k+1): no global window over the corpus.
     top = p.orderBy(F.desc("priority"), "doc_id").limit(WS_K + 1)

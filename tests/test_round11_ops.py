@@ -419,3 +419,23 @@ def test_binary_sweep_consistent_with_binary_ann(spark):
     lo = min(r["recall_bp"] for r in sweep)
     hi = max(r["recall_bp"] for r in sweep)
     assert lo <= agg_ann <= hi
+
+
+def test_wsample_weight_overflow_guard(spark):
+    """A weight >= 2^22 raises in-plan instead of silently wrapping the
+    w * 2^40 priority arithmetic."""
+    pdf = pd.DataFrame(
+        {
+            "doc_id": pd.array([1], dtype="int64"),
+            "w": pd.array([1 << 22], dtype="int64"),
+        }
+    )
+    df = spark.createDataFrame(pdf).select(
+        F.expr(
+            f"CASE WHEN w >= 0 AND w < {1 << 22}"
+            f" THEN (w * CAST({WS_U_SCALE} AS BIGINT)) DIV 7"
+            f" ELSE raise_error('priority sample: weight >= 2^22 overflows') END"
+        ).alias("p")
+    )
+    with pytest.raises(Exception, match="overflows"):
+        df.collect()
