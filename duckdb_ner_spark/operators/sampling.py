@@ -253,7 +253,11 @@ def q_len_quantile_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     engine-internal (DuckDB's approx_quantile is a t-digest — different
     internals, both within their error bounds, no shared oracle); the
     accuracy contract is pinned instead by a rank-error pytest against the
-    exact thresholds."""
+    exact thresholds. The HASH-VERIFIED portable twin is
+    round11.q_quantile_sketch (bucketed mergeable sketch whose error-bound
+    certificate vs exact PERCENTILE_DISC is part of the verified result) —
+    the q_approx_distinct -> q_hll_registers pattern, closed for quantiles
+    in r11."""
     t = load_tables(spark, sf_dir)
     return t.documents.groupBy("lang").agg(
         F.expr("approx_percentile(n_chars, array(0.05, 0.5, 0.95), 10000)").alias("p"),

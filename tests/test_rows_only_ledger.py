@@ -40,6 +40,8 @@ ROWS_ONLY_LEDGER = {
         "test_rows_only_ledger.py",
         "test_approx_distinct_error_contract",
     ),
+    # (hash-verified portable twin since r11: q_quantile_sketch — bucketed
+    # mergeable sketch, error-bound certificate in the verified result)
     "q_len_quantile_approx": (
         "test_pipeline_ops.py",
         "test_len_quantile_approx_rank_error_bound",
