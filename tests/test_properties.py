@@ -371,3 +371,81 @@ def test_line_dedup_matches_reference(spark, wordlists):
                 seen.add(b)
         expect[doc_id] = (len(blocks), n_dup)
     assert got == expect
+
+
+# --------------------------------------------------------------------------
+# round-11 operator properties (pure-Python models of the declared SQL)
+# --------------------------------------------------------------------------
+
+import re as _re
+
+
+def _canon_py(url: str) -> str:
+    from duckdb_ner_spark.operators.round11 import _URL_CANON_STEPS
+
+    u = url.lower()
+    for pat, rep in _URL_CANON_STEPS:
+        u = _re.sub(pat, rep, u)
+    return u
+
+
+_url_schemes = st.sampled_from(["http://", "https://", "HTTP://", "HTTPS://"])
+_url_host = st.from_regex(r"(www\.)?[a-z]{1,8}(\.[a-z]{2,6}){1,2}", fullmatch=True)
+_url_path = st.from_regex(r"(/[a-z0-9\-]{1,10}){0,4}/?", fullmatch=True)
+_url_params = st.sampled_from(
+    ["", "?utm_source=a", "?ref=x&utm_medium=b", "?utm_campaign=c&ref=y"]
+)
+_url_frag = st.sampled_from(["", "#top", "#sec-2"])
+
+
+@given(_url_schemes, _url_host, _url_path, _url_params, _url_frag)
+@settings(max_examples=300, deadline=None)
+def test_url_canonicalization_idempotent_and_clean(sch, host, path, params, frag):
+    """canon(canon(u)) == canon(u) (the canonicalization contract), and the
+    output never carries a fragment, a tracking param, www., plain http,
+    or a trailing slash on a non-empty path."""
+    u = f"{sch}{host}{path}{params}{frag}"
+    c = _canon_py(u)
+    assert _canon_py(c) == c
+    assert "#" not in c
+    assert "utm_" not in c and "ref=" not in c
+    assert c.startswith("https://")
+    assert not c.startswith("https://www.")
+    assert not (len(c) > len("https://") and c.endswith("/"))
+
+
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 10_000), st.integers(1, 4_000_000)),
+        min_size=2,
+        max_size=120,
+        unique_by=lambda t: t[0],
+    )
+)
+@settings(max_examples=200, deadline=None)
+def test_priority_sample_threshold_property(docs):
+    """The DLT sample's defining property under the integer-exact priority
+    (w * 2^40) // (v+1): every sampled doc's priority >= tau >= every
+    unsampled doc's priority, est_w >= w for sampled docs, and the sample
+    is exactly min(k, n) docs."""
+    import hashlib
+
+    from duckdb_ner_spark.operators.round11 import WS_U_SCALE
+
+    k = 5
+
+    def v40(d):
+        return int(hashlib.md5(f"wpri|{d}".encode()).hexdigest()[:10], 16)
+
+    pri = sorted(
+        ((w * WS_U_SCALE) // (v40(d) + 1), d, w) for d, w in docs
+    )
+    pri.sort(key=lambda t: (-t[0], t[1]))
+    take = min(k, len(pri))
+    sample, rest = pri[:take], pri[take:]
+    tau = pri[k][0] if len(pri) > k else 0
+    assert all(p >= tau for p, _, _ in sample)
+    assert all(p <= tau for p, _, _ in rest)
+    for p, d, w in sample:
+        assert max(w, tau) >= w
+        assert p >= w  # priority = w/u with u <= 1 can only inflate
