@@ -1,7 +1,8 @@
-"""Round-11 operators: the 1-bit embedding index, integer-exact weighted
-priority sampling, and URL-canonicalization dedup.
+"""Round-11 operators: the 1-bit embedding index and its operating curve,
+integer-exact weighted priority sampling, URL-canonicalization dedup, the
+certified quantile sketch, and ANN index maintenance.
 
-Beyond-reference surface (SURVEY.md §2.D — D33 family): three ops a 100 TB
+Beyond-reference surface (SURVEY.md §2.D — D34 family): ops a 100 TB
 training-data pipeline runs that the corpus did not yet cover:
 
 - q_binary_ann   — BINARY (1-bit/dim) embedding quantization: sign bits of
@@ -10,6 +11,9 @@ training-data pipeline runs that the corpus did not yet cover:
                    fixed-point cosine re-rank, in-plan recall audit vs the
                    brute-force top-k. The 32x-compression ANN path (vs the
                    4x int8 path q_embed_quant already ships).
+- q_binary_sweep — the recall-vs-cost OPERATING CURVE of that index
+                   (shortlist M in 16..128 from one Hamming census — the
+                   q_nprobe_sweep idiom).
 - q_wsample_priority — Duffield–Lund–Thorup PRIORITY SAMPLING: top-k by
                    priority w/u with an integer-exact u and the unbiased
                    subset-sum estimator max(w, tau); the estimator-vs-truth
@@ -18,6 +22,12 @@ training-data pipeline runs that the corpus did not yet cover:
                    ingest step): scheme/www/tracking-param/fragment/trailing-
                    slash normalization over deterministically synthesized
                    messy URLs, then per-canonical-URL groups with yield stats.
+- q_quantile_sketch — mergeable bucketed quantile sketch whose error-bound
+                   certificate vs exact PERCENTILE_DISC is hash-verified —
+                   the portable twin of the rows-only q_len_quantile_approx.
+- q_ivf_incr     — IVF index MAINTENANCE UNDER APPENDS: the batch routes to
+                   existing cells; per-cell growth + integer drift readout
+                   is the retrain-decision table.
 
 House rules (SURVEY §2.C): integer or single-correctly-rounded-op arithmetic
 only, every integer aggregate CAST to BIGINT on both sides, md5-derived
