@@ -1106,3 +1106,246 @@ def q_binary_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("recall_bp"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# q_basket_affinity — association-rule mining (market-basket support /
+# confidence / lift) over orders x lineitem
+# --------------------------------------------------------------------------
+
+BA_MIN_SUP = 2  # minimum pair support (co-occurrence count)
+
+_BASKET_ORACLE = f"""
+    WITH b AS (
+        SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem
+    ), n AS (
+        SELECT CAST(COUNT(DISTINCT o) AS BIGINT) AS n_orders FROM b
+    ), item AS (
+        SELECT p, CAST(COUNT(*) AS BIGINT) AS c FROM b GROUP BY p
+    ), pair AS (
+        SELECT a.p AS part_a, b2.p AS part_b,
+               CAST(COUNT(*) AS BIGINT) AS support
+        FROM b a JOIN b b2 ON a.o = b2.o AND a.p < b2.p
+        GROUP BY a.p, b2.p
+        HAVING COUNT(*) >= {BA_MIN_SUP}
+    )
+    SELECT pr.part_a, pr.part_b, pr.support,
+           ia.c AS n_a, ib.c AS n_b,
+           CAST(10000 * pr.support // ia.c AS BIGINT) AS conf_ab_bp,
+           CAST(10000 * pr.support // ib.c AS BIGINT) AS conf_ba_bp,
+           CAST(10000 * (SELECT n_orders FROM n) * pr.support
+                // (ia.c * ib.c) AS BIGINT) AS lift_bp,
+           (SELECT n_orders FROM n) AS n_orders
+    FROM pair pr
+    JOIN item ia ON ia.p = pr.part_a
+    JOIN item ib ON ib.p = pr.part_b
+"""
+
+
+@declared("q_basket_affinity", oracle=_BASKET_ORACLE)
+def q_basket_affinity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ASSOCIATION-RULE MINING (market-basket support/confidence/lift) —
+    the classic co-occurrence analytic over orders x lineitem: for every
+    part pair bought together in >= {BA_MIN_SUP} orders, its support,
+    directional confidences (10000*c_ab // c_a), and lift
+    (10000*N*c_ab // (c_a*c_b)) — all integer basis points, so the full
+    rule table is hash-verified. Lift > 10000 = bought together MORE than
+    independence predicts; this is the co-occurrence primitive the PMI
+    collocation op (q_pmi) applies to words, here on transactions (recsys
+    candidate generation, data-mix co-occurrence audits).
+
+    Engine-exactness: DISTINCT basket rows, integer counts, floor-divided
+    bp ratios, (part_a < part_b) canonical pair order.
+
+    Scale notes (100 TB): the pair self-join is per-basket —
+    O(sum |basket|^2) pairs, bounded because TPC-H baskets hold <= 7
+    items; an unbounded-cart corpus caps per-basket fan-out with the
+    bounded-state min-k (caps.py, the q_dedup_near idiom) before pairing.
+    Pair and item counts are map-side-combined aggregates; the support
+    threshold filters BEFORE the enrich joins; the 1-row order count
+    broadcasts. Baskets co-partition on orderkey (the natural lineitem
+    layout) so pairing is shuffle-local on a bucketed table."""
+    t = load_tables(spark, sf_dir)
+    b = t.lineitem.select(
+        F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p")
+    ).distinct()
+    n = b.agg(F.countDistinct("o").cast("bigint").alias("n_orders"))
+    item = b.groupBy("p").agg(F.count("*").cast("bigint").alias("c"))
+    b2 = b.select(F.col("o").alias("o2"), F.col("p").alias("p2"))
+    pair = (
+        b.join(b2, (F.col("o") == F.col("o2")) & (F.col("p") < F.col("p2")))
+        .groupBy(F.col("p").alias("part_a"), F.col("p2").alias("part_b"))
+        .agg(F.count("*").cast("bigint").alias("support"))
+        .filter(F.col("support") >= BA_MIN_SUP)
+    )
+    ia = item.select(F.col("p").alias("part_a"), F.col("c").alias("n_a"))
+    ib = item.select(F.col("p").alias("part_b"), F.col("c").alias("n_b"))
+    return (
+        pair.join(F.broadcast(ia), "part_a")
+        .join(F.broadcast(ib), "part_b")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "part_a",
+            "part_b",
+            "support",
+            "n_a",
+            "n_b",
+            F.expr("CAST(10000 * support DIV n_a AS BIGINT)").alias(
+                "conf_ab_bp"
+            ),
+            F.expr("CAST(10000 * support DIV n_b AS BIGINT)").alias(
+                "conf_ba_bp"
+            ),
+            F.expr(
+                "CAST(10000 * n_orders * support DIV (n_a * n_b) AS BIGINT)"
+            ).alias("lift_bp"),
+            "n_orders",
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# q_max_concurrency — peak concurrent users per day via a TWO-LEVEL
+# sweep line (hour partials + day carry), capacity planning over events
+# --------------------------------------------------------------------------
+
+_US_PER_HOUR = 3_600_000_000
+_US_PER_DAY = 86_400_000_000
+
+_CONCURRENCY_ORACLE = f"""
+    WITH iv AS (
+        SELECT user_id,
+               epoch_us(ts) // {_US_PER_DAY} AS day,
+               MIN(epoch_us(ts)) AS s,
+               LEAST(MAX(epoch_us(ts)) + 1,
+                     (epoch_us(ts) // {_US_PER_DAY} + 1) * {_US_PER_DAY} - 1)
+                   AS e
+        FROM events GROUP BY user_id, epoch_us(ts) // {_US_PER_DAY}
+    ), bound AS (
+        SELECT day, s AS te, 1 AS delta, user_id FROM iv
+        UNION ALL
+        SELECT day, e AS te, -1 AS delta, user_id FROM iv
+    ), hour_local AS (
+        SELECT day, te // {_US_PER_HOUR} AS hour, delta,
+               SUM(delta) OVER (
+                   PARTITION BY te // {_US_PER_HOUR}
+                   ORDER BY te, delta DESC, user_id
+               ) AS run
+        FROM bound
+    ), hourly AS (
+        SELECT day, hour,
+               CAST(MAX(run) AS BIGINT) AS local_max,
+               CAST(SUM(delta) AS BIGINT) AS net
+        FROM hour_local GROUP BY day, hour
+    ), peak AS (
+        SELECT day, hour,
+               COALESCE(SUM(net) OVER (
+                   PARTITION BY day ORDER BY hour
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+               ), 0) + local_max AS hour_max
+        FROM hourly
+    )
+    SELECT CAST(day AS BIGINT) AS day,
+           CAST(MAX(hour_max) AS BIGINT) AS max_concurrency,
+           CAST(MIN(CASE WHEN hour_max = mx THEN hour END) AS BIGINT)
+               AS peak_hour
+    FROM (SELECT day, hour, hour_max,
+                 MAX(hour_max) OVER (PARTITION BY day) AS mx
+          FROM peak)
+    GROUP BY day
+"""
+
+
+@declared("q_max_concurrency", oracle=_CONCURRENCY_ORACLE)
+def q_max_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PEAK CONCURRENCY per day (capacity planning): how many users are
+    simultaneously active, where a user's daily activity interval is
+    [first event, last event] — the classic sweep line (+1 at start, -1
+    just after end; at an exact tie the +1 sorts first so a handoff
+    instant counts both users), decomposed into the TWO-LEVEL shape that
+    survives 100 TB: within-HOUR running sums give each hour's local max
+    and net delta (windows partitioned by hour — the partition grain is
+    the knob: finer buckets bound any partition), then a per-DAY carry
+    (prefix sum over <= 24 hour rows) lifts local maxima to absolute
+    concurrency, exactly like distributed prefix sums compose (block
+    partials + block carry). Output per day: the max concurrency and the
+    earliest peak hour.
+
+    Engine-exactness: all arithmetic on integer epoch-microseconds
+    (unix_micros / epoch_us — no timestamp-interval dialects); boundary
+    order (te, delta DESC, user_id) is total; counts/sums BIGINT.
+
+    Scale notes (100 TB): intervals are one map-side-combined aggregate
+    per (user, day); the sweep shuffles two 4-column boundary rows per
+    interval, partitioned by hour; the day-level carry runs over 24
+    rows/day. No corpus-global window anywhere."""
+    t = load_tables(spark, sf_dir)
+    iv = (
+        t.events.select(
+            "user_id",
+            # epoch microseconds via timestampdiff from the NTZ epoch —
+            # the catalog's ts is TIMESTAMP_NTZ, which unix_micros rejects
+            # (the q_rolling_7d idiom; DuckDB side is epoch_us)
+            F.expr(
+                "timestampdiff(MICROSECOND,"
+                f" TIMESTAMP_NTZ '1970-01-01 00:00:00', ts) DIV {_US_PER_DAY}"
+            ).alias("day"),
+            F.expr(
+                "timestampdiff(MICROSECOND,"
+                " TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)"
+            ).alias("te"),
+        )
+        .groupBy("user_id", "day")
+        .agg(
+            F.min("te").alias("s"),
+            # clamp the exclusive end inside the day so a last-microsecond
+            # event cannot leak a boundary row into the next day's hours
+            F.least(
+                F.max("te") + 1,
+                (F.col("day") + 1) * _US_PER_DAY - 1,
+            ).alias("e"),
+        )
+    )
+    bound = iv.select(
+        "day", F.col("s").alias("te"), F.lit(1).alias("delta"), "user_id"
+    ).unionAll(
+        iv.select(
+            "day", F.col("e").alias("te"), F.lit(-1).alias("delta"), "user_id"
+        )
+    ).withColumn("hour", F.expr(f"te DIV {_US_PER_HOUR}"))
+    run_w = Window.partitionBy("hour").orderBy(
+        "te", F.desc("delta"), "user_id"
+    )
+    hour_rows = bound.withColumn("run", F.sum("delta").over(run_w))
+    hourly = hour_rows.groupBy("day", "hour").agg(
+        F.max("run").cast("bigint").alias("local_max"),
+        F.sum("delta").cast("bigint").alias("net"),
+    )
+    carry_w = (
+        Window.partitionBy("day")
+        .orderBy("hour")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    peak = hourly.select(
+        "day",
+        "hour",
+        (
+            F.coalesce(F.sum("net").over(carry_w), F.lit(0))
+            + F.col("local_max")
+        ).alias("hour_max"),
+    )
+    mx_w = Window.partitionBy("day")
+    return (
+        peak.withColumn("mx", F.max("hour_max").over(mx_w))
+        .groupBy("day")
+        .agg(
+            F.max("hour_max").cast("bigint").alias("max_concurrency"),
+            F.min(
+                F.when(F.col("hour_max") == F.col("mx"), F.col("hour"))
+            )
+            .cast("bigint")
+            .alias("peak_hour"),
+        )
+        .select(F.col("day").cast("bigint").alias("day"),
+                "max_concurrency", "peak_hour")
+    )

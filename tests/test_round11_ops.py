@@ -439,3 +439,159 @@ def test_wsample_weight_overflow_guard(spark):
     )
     with pytest.raises(Exception, match="overflows"):
         df.collect()
+
+
+# --------------------------------------------------------------------------
+# q_basket_affinity
+# --------------------------------------------------------------------------
+
+
+def test_basket_affinity_python_recompute(spark):
+    """The full rule table (support, directional confidences, lift) matches
+    a from-scratch Python recompute over the parquet baskets."""
+    from collections import Counter
+
+    from duckdb_ner_spark.operators.round11 import BA_MIN_SUP
+
+    con = duckdb.connect()
+    rows = con.execute(
+        f"SELECT DISTINCT l_orderkey, l_partkey FROM"
+        f" '{SF_SMOKE}/lineitem.parquet'"
+    ).fetchall()
+    baskets = {}
+    for o, p in rows:
+        baskets.setdefault(o, set()).add(p)
+    n_orders = len(baskets)
+    item = Counter()
+    pair = Counter()
+    for items in baskets.values():
+        for p in items:
+            item[p] += 1
+        s = sorted(items)
+        for i in range(len(s)):
+            for j in range(i + 1, len(s)):
+                pair[(s[i], s[j])] += 1
+    expect = {
+        (a, b): c for (a, b), c in pair.items() if c >= BA_MIN_SUP
+    }
+    got = QUERIES["q_basket_affinity"](spark, SF_SMOKE).collect()
+    assert len(got) == len(expect)
+    for r in got:
+        key = (r["part_a"], r["part_b"])
+        c = expect[key]
+        assert r["support"] == c
+        assert r["n_a"] == item[r["part_a"]]
+        assert r["n_b"] == item[r["part_b"]]
+        assert r["conf_ab_bp"] == 10000 * c // item[r["part_a"]]
+        assert r["conf_ba_bp"] == 10000 * c // item[r["part_b"]]
+        assert r["lift_bp"] == 10000 * n_orders * c // (
+            item[r["part_a"]] * item[r["part_b"]]
+        )
+        assert r["n_orders"] == n_orders
+    # co-occurrence at this sparsity should beat independence somewhere
+    assert any(r["lift_bp"] > 10000 for r in got)
+
+
+# --------------------------------------------------------------------------
+# q_max_concurrency
+# --------------------------------------------------------------------------
+
+
+def test_max_concurrency_flat_sweep_recompute(spark):
+    """The two-level (hour partials + day carry) decomposition equals a
+    FLAT single-pass sweep line recomputed in Python over the same
+    intervals — the distributed prefix-sum composition proof on real
+    data (intervals freely cross hour boundaries)."""
+    US_DAY = 86_400_000_000
+    US_HOUR = 3_600_000_000
+    con = duckdb.connect()
+    rows = con.execute(
+        f"SELECT user_id, epoch_us(ts) FROM '{SF_SMOKE}/events.parquet'"
+    ).fetchall()
+    iv = {}
+    for u, te in rows:
+        key = (u, te // US_DAY)
+        s, e = iv.get(key, (te, te))
+        iv[key] = (min(s, te), max(e, te))
+    bounds = {}
+    for (u, day), (s, e) in iv.items():
+        e = min(e + 1, (day + 1) * US_DAY - 1)
+        bounds.setdefault(day, []).append((s, -1, u))  # -delta: +1 first
+        bounds.setdefault(day, []).append((e, 1, u))
+    expect = {}
+    for day, bs in bounds.items():
+        bs.sort()
+        run = best = 0
+        best_hour = None
+        for te, negdelta, _u in bs:
+            run -= negdelta
+            if run > best:
+                best = run
+                best_hour = te // US_HOUR
+        expect[day] = (best, best_hour)
+    got = QUERIES["q_max_concurrency"](spark, SF_SMOKE).collect()
+    assert len(got) == len(expect)
+    for r in got:
+        mx, hour = expect[r["day"]]
+        assert r["max_concurrency"] == mx
+        # earliest hour whose hour_max == day max == the hour where the
+        # flat sweep FIRST attains the maximum
+        assert r["peak_hour"] == hour
+
+
+def test_max_concurrency_handoff_tie_counts_both(spark):
+    """At an exact boundary tie the +1 sorts before the -1 (delta DESC), so
+    a handoff instant counts both users — planted two-user fixture where
+    user B's interval starts exactly when user A's ends."""
+    US_DAY = 86_400_000_000
+    t0 = 10 * US_DAY + 3_600_000_000  # day 10, 01:00
+    rows = [
+        (1, t0), (1, t0 + 50),          # A active [t0, t0+51)
+        (2, t0 + 51), (2, t0 + 500),    # B starts exactly at A's e
+    ]
+    pdf = pd.DataFrame(
+        {
+            "user_id": pd.array([r[0] for r in rows], dtype="int64"),
+            "te": pd.array([r[1] for r in rows], dtype="int64"),
+        }
+    )
+    df = spark.createDataFrame(pdf).select(
+        "user_id", F.expr("timestamp_micros(te)").alias("ts")
+    )
+    # replicate the query's construction on the planted frame
+    iv = (
+        df.select(
+            "user_id",
+            F.expr(
+                "timestampdiff(MICROSECOND,"
+                f" TIMESTAMP_NTZ '1970-01-01 00:00:00', ts) DIV {US_DAY}"
+            ).alias("day"),
+            F.expr(
+                "timestampdiff(MICROSECOND,"
+                " TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)"
+            ).alias("te"),
+        )
+        .groupBy("user_id", "day")
+        .agg(
+            F.min("te").alias("s"),
+            F.least(
+                F.max("te") + 1, (F.col("day") + 1) * US_DAY - 1
+            ).alias("e"),
+        )
+    )
+    bound = iv.select(
+        "day", F.col("s").alias("te"), F.lit(1).alias("delta"), "user_id"
+    ).unionAll(
+        iv.select(
+            "day", F.col("e").alias("te"), F.lit(-1).alias("delta"), "user_id"
+        )
+    )
+    from pyspark.sql import Window as W
+
+    run_w = W.partitionBy("day").orderBy("te", F.desc("delta"), "user_id")
+    mx = (
+        bound.withColumn("run", F.sum("delta").over(run_w))
+        .agg(F.max("run"))
+        .collect()[0][0]
+    )
+    assert mx == 2  # the handoff instant counts both
