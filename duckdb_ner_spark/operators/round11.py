@@ -1349,3 +1349,95 @@ def q_max_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("day").cast("bigint").alias("day"),
                 "max_concurrency", "peak_hour")
     )
+
+
+# --------------------------------------------------------------------------
+# q_corpus_diff — dataset version diff (the release audit): classify every
+# doc_id across two corpus versions as added / deleted / modified /
+# unchanged by content digest, rolled up per (source, status)
+# --------------------------------------------------------------------------
+
+_CORPUS_DIFF_ORACLE = """
+    WITH v1 AS (
+        SELECT doc_id, source, n_chars, md5(text) AS h
+        FROM documents WHERE doc_id % 10 <> 1
+    ), v2 AS (
+        SELECT doc_id, source,
+               CASE WHEN doc_id % 7 = 0
+                    THEN n_chars + 7 ELSE n_chars END AS n_chars,
+               CASE WHEN doc_id % 7 = 0
+                    THEN md5(text || ' [rev2]') ELSE md5(text) END AS h
+        FROM documents WHERE doc_id % 10 <> 0
+    ), j AS (
+        SELECT COALESCE(v1.doc_id, v2.doc_id) AS doc_id,
+               COALESCE(v1.source, v2.source) AS source,
+               CASE WHEN v1.doc_id IS NULL THEN 'added'
+                    WHEN v2.doc_id IS NULL THEN 'deleted'
+                    WHEN v1.h <> v2.h THEN 'modified'
+                    ELSE 'unchanged' END AS status,
+               COALESCE(v1.n_chars, 0) AS c1,
+               COALESCE(v2.n_chars, 0) AS c2
+        FROM v1 FULL OUTER JOIN v2 ON v1.doc_id = v2.doc_id
+    )
+    SELECT source, status,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(c1) AS BIGINT) AS chars_v1,
+           CAST(SUM(c2) AS BIGINT) AS chars_v2,
+           CAST(SUM(c2) - SUM(c1) AS BIGINT) AS delta_chars
+    FROM j GROUP BY source, status
+"""
+
+
+@declared("q_corpus_diff", oracle=_CORPUS_DIFF_ORACLE)
+def q_corpus_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DATASET VERSION DIFF — the release audit every corpus refresh runs:
+    classify each doc_id across two versions as added / deleted /
+    modified / unchanged and roll up doc and char deltas per (source,
+    status). Versions are carved deterministically from the one shipped
+    table (v1 drops doc_id%10==1 — those are v2's ADDS; v2 drops %10==0 —
+    DELETES; v2 rewrites %7==0 — MODIFIED via digest mismatch), so the op
+    under test is the diff algebra: digest-compare, FULL OUTER join,
+    status classification, signed char accounting.
+
+    Engine-exactness: md5 digests computed identically; COALESCE sides;
+    integer sums CAST to BIGINT.
+
+    Scale notes (100 TB): digests are computed map-side so the FULL OUTER
+    join carries (doc_id, source, n_chars, 32-hex) — never text (the
+    census-narrow rule); the join co-partitions both versions on doc_id
+    (on an id-bucketed layout it is shuffle-free); the rollup is a
+    map-side-combined aggregate over |sources| x 4 groups. This is the
+    batch twin of the CDC/SCD2 family (scalepatterns.py) for the case
+    where only two snapshots exist — no change log."""
+    t = load_tables(spark, sf_dir)
+    v1 = t.documents.filter(F.col("doc_id") % 10 != 1).select(
+        "doc_id", "source", "n_chars", F.md5("text").alias("h")
+    )
+    v2 = t.documents.filter(F.col("doc_id") % 10 != 0).select(
+        F.col("doc_id").alias("doc_id2"),
+        F.col("source").alias("source2"),
+        F.when(F.col("doc_id") % 7 == 0, F.col("n_chars") + 7)
+        .otherwise(F.col("n_chars"))
+        .alias("n_chars2"),
+        F.when(
+            F.col("doc_id") % 7 == 0, F.md5(F.concat("text", F.lit(" [rev2]")))
+        )
+        .otherwise(F.md5("text"))
+        .alias("h2"),
+    )
+    j = v1.join(v2, v1.doc_id == v2.doc_id2, "full_outer").select(
+        F.coalesce("source", "source2").alias("source"),
+        F.when(F.col("doc_id").isNull(), "added")
+        .when(F.col("doc_id2").isNull(), "deleted")
+        .when(F.col("h") != F.col("h2"), "modified")
+        .otherwise("unchanged")
+        .alias("status"),
+        F.coalesce("n_chars", F.lit(0)).alias("c1"),
+        F.coalesce("n_chars2", F.lit(0)).alias("c2"),
+    )
+    return j.groupBy("source", "status").agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.sum("c1").cast("bigint").alias("chars_v1"),
+        F.sum("c2").cast("bigint").alias("chars_v2"),
+        (F.sum("c2") - F.sum("c1")).cast("bigint").alias("delta_chars"),
+    )

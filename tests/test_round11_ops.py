@@ -595,3 +595,46 @@ def test_max_concurrency_handoff_tie_counts_both(spark):
         .collect()[0][0]
     )
     assert mx == 2  # the handoff instant counts both
+
+
+# --------------------------------------------------------------------------
+# q_corpus_diff
+# --------------------------------------------------------------------------
+
+
+def test_corpus_diff_python_recompute(spark):
+    """The (source, status) rollup matches a from-scratch Python replay of
+    the version carve + digest diff, and the status taxonomy is exactly
+    the fixture construction: %10==1 added, %10==0 deleted, %7==0 (when in
+    both) modified, rest unchanged."""
+    con = duckdb.connect()
+    docs = con.execute(
+        f"SELECT doc_id, source, n_chars FROM '{SF_SMOKE}/documents.parquet'"
+    ).fetchall()
+    expect = {}
+    for d, src, n in docs:
+        in1, in2 = d % 10 != 1, d % 10 != 0
+        if not in1 and not in2:
+            continue
+        if not in1:
+            st, c1, c2 = "added", 0, n + 7 if d % 7 == 0 else n
+        elif not in2:
+            st, c1, c2 = "deleted", n, 0
+        elif d % 7 == 0:
+            st, c1, c2 = "modified", n, n + 7
+        else:
+            st, c1, c2 = "unchanged", n, n
+        k = (src, st)
+        agg = expect.setdefault(k, [0, 0, 0])
+        agg[0] += 1
+        agg[1] += c1
+        agg[2] += c2
+    rows = QUERIES["q_corpus_diff"](spark, SF_SMOKE).collect()
+    assert len(rows) == len(expect)
+    for r in rows:
+        n_docs, c1, c2 = expect[(r["source"], r["status"])]
+        assert (r["n_docs"], r["chars_v1"], r["chars_v2"]) == (n_docs, c1, c2)
+        assert r["delta_chars"] == c2 - c1
+    assert {r["status"] for r in rows} == {
+        "added", "deleted", "modified", "unchanged"
+    }
