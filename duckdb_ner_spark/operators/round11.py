@@ -1441,3 +1441,196 @@ def q_corpus_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("c2").cast("bigint").alias("chars_v2"),
         (F.sum("c2") - F.sum("c1")).cast("bigint").alias("delta_chars"),
     )
+
+
+# --------------------------------------------------------------------------
+# q_lsh_sweep — the MinHash-LSH banding OPERATING CURVE: candidate volume,
+# precision, and recall at every (bands x rows-per-band) split of the same
+# 8 min-hashes, against the EXACT set-similarity ground truth
+# --------------------------------------------------------------------------
+
+LSW_CONFIGS = ((8, 1), (4, 2), (2, 4), (1, 8))  # (n_bands, rows_per_band)
+LSW_TAU_N, LSW_TAU_D = 6, 10  # tau = 0.6, the q_dedup_near threshold
+
+
+def _lsw_band_union_sql() -> str:
+    from .dedup import N_HASHES  # noqa: F401 — 8 minhashes, shared layout
+
+    rows = []
+    for nb, rpb in LSW_CONFIGS:
+        for b in range(nb):
+            sig = " || ".join(f"h{b * rpb + r}" for r in range(rpb))
+            rows.append(f"SELECT doc_id, {nb * 100 + b} AS band, {sig} AS sig FROM mh")
+    return " UNION ALL ".join(rows)
+
+
+def _lsh_sweep_oracle() -> str:
+    from .dedup import LSH_BUCKET_CAP, N_HASHES
+    from .round8b import sql_setsim_pairs_ctes
+    from .caps import sql_capped_bucket_ctes
+    from .textprep import sql_shingles
+
+    mh_cols = ", ".join(
+        f"MIN(md5('s{k}|' || s)) AS h{k}" for k in range(N_HASHES)
+    )
+    n, d = LSW_TAU_N, LSW_TAU_D
+    return f"""
+    WITH w0 AS (
+        SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+    ), s0 AS (
+        SELECT doc_id, {sql_shingles(3)} AS shingles FROM w0
+    ), e AS (
+        SELECT doc_id, unnest(shingles) AS s FROM s0 WHERE len(shingles) > 0
+    ), mh AS (
+        SELECT doc_id, {mh_cols} FROM e GROUP BY doc_id
+    ), bands AS (
+        {_lsw_band_union_sql()}
+    ), {sql_capped_bucket_ctes("bands", "doc_id", LSH_BUCKET_CAP)}, cand AS (
+        SELECT DISTINCT a.band // 100 AS cfg, a.doc_id AS doc_a,
+               b.doc_id AS doc_b
+        FROM capped a JOIN capped b ON a.band = b.band AND a.sig = b.sig
+        WHERE a.doc_id < b.doc_id
+    ), upairs AS (
+        SELECT DISTINCT doc_a, doc_b FROM cand
+    ), ver AS (
+        SELECT u.doc_a, u.doc_b,
+               CASE WHEN {d} * len(list_intersect(a.shingles, b.shingles))
+                    >= {n} * len(list_distinct(a.shingles || b.shingles))
+                    THEN 1 ELSE 0 END AS hit
+        FROM upairs u
+        JOIN s0 a ON a.doc_id = u.doc_a
+        JOIN s0 b ON b.doc_id = u.doc_b
+    ), {sql_setsim_pairs_ctes(n, d)}, truth AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_true FROM ss_pairs
+    ), percfg AS (
+        SELECT c.cfg,
+               CAST(COUNT(*) AS BIGINT) AS n_cand,
+               CAST(SUM(v.hit) AS BIGINT) AS n_hit
+        FROM cand c JOIN ver v
+          ON v.doc_a = c.doc_a AND v.doc_b = c.doc_b
+        GROUP BY c.cfg
+    )
+    SELECT CAST(p.cfg AS BIGINT) AS n_bands,
+           CAST({N_HASHES} // p.cfg AS BIGINT) AS rows_per_band,
+           p.n_cand, p.n_hit,
+           (SELECT n_true FROM truth) AS n_true,
+           CAST(10000 * p.n_hit // (SELECT n_true FROM truth) AS BIGINT)
+               AS recall_bp,
+           CAST(10000 * p.n_hit // GREATEST(p.n_cand, 1) AS BIGINT)
+               AS precision_bp
+    FROM percfg p
+    """
+
+
+@declared("q_lsh_sweep", oracle=_lsh_sweep_oracle())
+def q_lsh_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH BANDING CURVE — candidate volume, precision, and recall
+    at every (bands x rows-per-band) split of the SAME 8 min-hashes
+    ({LSW_CONFIGS}), measured against the exact prefix-join ground truth
+    (q_setsim_prefix) at tau = 0.6. This is the table an LSH deployment is
+    tuned from: more bands / shorter signatures -> higher recall, more
+    candidates to verify (the S-curve moves left); the q_nprobe_sweep /
+    q_binary_sweep idiom completing the knob curves for the dedup family
+    (q_lsh_recall_audit fixes the shipped config and audits per decile;
+    THIS varies the config). Signatures are computed once; each config is
+    a different grouping of the same 8 columns, so the sweep costs one
+    15-way band fan-out, not four signature builds. Every config's buckets
+    take the same bounded-state cap (caps.py) keyed on the packed
+    (cfg*100+band) integer, and each candidate pair's exact Jaccard is
+    verified ONCE across configs (distinct pairs), then joined back.
+
+    Engine-exactness: md5 min-hashes, integer cross-multiplied Jaccard
+    (d*inter >= n*union — no float threshold), capped buckets replayed by
+    the shared SQL fragments, bp ratios floor-divided.
+
+    Scale notes (100 TB): the banding fan-out is 15 narrow rows/doc
+    (id + 2-4 hex sigs); buckets are capped so no config can blow up on
+    boilerplate clusters; the exact ground truth is the audit side (run on
+    a sampled partition in production — the q_lsh_recall_audit note)."""
+    from .caps import capped_bucket_ids
+    from .dedup import LSH_BUCKET_CAP, N_HASHES, _minhash_cols
+    from .round8b import setsim_exact_pairs
+    from .textprep import shingles_expr, words_col
+    from ..plans.exprcache import cached_exprs
+
+    t = load_tables(spark, sf_dir)
+    sigs = (
+        t.documents.select("doc_id", words_col().alias("ws"))
+        .select(
+            "doc_id", cached_exprs("shingles_ws3", shingles_expr).alias("shingles")
+        )
+        .select("doc_id", *_minhash_cols())
+    )
+    entries = []
+    for nb, rpb in LSW_CONFIGS:
+        for b in range(nb):
+            entries.append(
+                F.struct(
+                    F.lit(nb * 100 + b).alias("band"),
+                    F.concat(
+                        *[F.col(f"h{b * rpb + r}") for r in range(rpb)]
+                    ).alias("sig"),
+                )
+            )
+    bands = sigs.select(
+        "doc_id", F.explode(F.array(*entries)).alias("bs")
+    ).select("doc_id", F.col("bs.band").alias("band"), F.col("bs.sig").alias("sig"))
+    capped = capped_bucket_ids(bands, "doc_id", LSH_BUCKET_CAP)
+    a = capped.select(F.col("doc_id").alias("doc_a"), "band", "sig")
+    b2 = capped.select(F.col("doc_id").alias("doc_b"), "band", "sig")
+    cand = (
+        a.join(b2, ["band", "sig"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select((F.col("band") / 100).cast("int").alias("cfg"), "doc_a", "doc_b")
+        .distinct()
+    )
+    upairs = cand.select("doc_a", "doc_b").distinct()
+    sh = t.documents.select("doc_id", words_col().alias("ws")).select(
+        "doc_id", cached_exprs("shingles_ws3", shingles_expr).alias("shingles")
+    )
+    ver = (
+        upairs.join(
+            sh.select(
+                F.col("doc_id").alias("doc_a"), F.col("shingles").alias("sh_a")
+            ),
+            "doc_a",
+        )
+        .join(
+            sh.select(
+                F.col("doc_id").alias("doc_b"), F.col("shingles").alias("sh_b")
+            ),
+            "doc_b",
+        )
+        .select(
+            "doc_a",
+            "doc_b",
+            (
+                F.lit(LSW_TAU_D) * F.size(F.array_intersect("sh_a", "sh_b"))
+                >= F.lit(LSW_TAU_N) * F.size(F.array_union("sh_a", "sh_b"))
+            )
+            .cast("int")
+            .alias("hit"),
+        )
+    )
+    truth = setsim_exact_pairs(t.documents, LSW_TAU_N, LSW_TAU_D).agg(
+        F.count("*").cast("bigint").alias("n_true")
+    )
+    percfg = (
+        cand.join(F.broadcast(ver), ["doc_a", "doc_b"])
+        .groupBy("cfg")
+        .agg(
+            F.count("*").cast("bigint").alias("n_cand"),
+            F.sum("hit").cast("bigint").alias("n_hit"),
+        )
+    )
+    return percfg.crossJoin(F.broadcast(truth)).select(
+        F.col("cfg").cast("bigint").alias("n_bands"),
+        F.expr(f"CAST({N_HASHES} DIV cfg AS BIGINT)").alias("rows_per_band"),
+        "n_cand",
+        "n_hit",
+        "n_true",
+        F.expr("CAST(10000 * n_hit DIV n_true AS BIGINT)").alias("recall_bp"),
+        F.expr("CAST(10000 * n_hit DIV GREATEST(n_cand, 1) AS BIGINT)").alias(
+            "precision_bp"
+        ),
+    )

@@ -638,3 +638,57 @@ def test_corpus_diff_python_recompute(spark):
     assert {r["status"] for r in rows} == {
         "added", "deleted", "modified", "unchanged"
     }
+
+
+# --------------------------------------------------------------------------
+# q_lsh_sweep
+# --------------------------------------------------------------------------
+
+
+def test_lsh_sweep_curve_and_exact_truth(spark):
+    """Banding-curve invariants: candidate sets are nested (a (b,2r) band
+    collision implies the two (2b,r) collisions), so n_cand and n_hit are
+    non-decreasing in n_bands and precision is non-increasing; n_true
+    matches an O(n^2) pure-Python exact-Jaccard count; and the shipped
+    4x2 config sits on the sweet spot (full recall at a fraction of the
+    8x1 candidate volume)."""
+    from duckdb_ner_spark.operators.round11 import LSW_TAU_D, LSW_TAU_N
+
+    rows = sorted(
+        QUERIES["q_lsh_sweep"](spark, SF_SMOKE).collect(),
+        key=lambda r: r["n_bands"],
+    )
+    assert [(r["n_bands"], r["rows_per_band"]) for r in rows] == [
+        (1, 8), (2, 4), (4, 2), (8, 1)
+    ]
+    for a, b in zip(rows, rows[1:]):
+        assert a["n_cand"] <= b["n_cand"]
+        assert a["n_hit"] <= b["n_hit"]
+        assert a["precision_bp"] >= b["precision_bp"]
+    for r in rows:
+        assert r["recall_bp"] == 10000 * r["n_hit"] // r["n_true"]
+
+    # exact ground truth replay: O(n^2) Jaccard over 3-word shingle sets
+    con = duckdb.connect()
+    docs = con.execute(
+        f"SELECT doc_id, text FROM '{SF_SMOKE}/documents.parquet'"
+    ).fetchall()
+    sh = {}
+    for d, text in docs:
+        ws = text.split(" ")
+        s = {" ".join(ws[i : i + 3]) for i in range(len(ws) - 2)}
+        if s:
+            sh[d] = s
+    ids = sorted(sh)
+    n_true = 0
+    for i, a in enumerate(ids):
+        for b in ids[i + 1 :]:
+            inter = len(sh[a] & sh[b])
+            if LSW_TAU_D * inter >= LSW_TAU_N * len(sh[a] | sh[b]):
+                n_true += 1
+    assert rows[0]["n_true"] == n_true
+
+    full = rows[-1]  # 8 bands x 1 row: max recall, max candidates
+    shipped = next(r for r in rows if (r["n_bands"], r["rows_per_band"]) == (4, 2))
+    assert shipped["recall_bp"] == full["recall_bp"]
+    assert shipped["n_cand"] * 5 < full["n_cand"]
