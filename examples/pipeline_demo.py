@@ -151,6 +151,28 @@ def main() -> None:
         "(minimal disruption — only the new shard takes load)"
     )
 
+    print("== round-11 surface: compressed ANN, certified sketches, ingest ops ==")
+    from duckdb_ner_spark.plans.registry import QUERIES
+
+    ba = QUERIES["q_binary_ann"](spark, sf_dir)
+    r0 = ba.filter(F.col("q_id") == 0).orderBy("rank").collect()
+    print(
+        f"1-bit binary ANN (32x compression): query 0 top-{len(r0)} via "
+        f"Hamming shortlist + exact re-rank, recall {r0[0].recall_bp} bp "
+        f"(audited in-plan): {[r.vec_id for r in r0]}"
+    )
+    print("LSH banding curve (the dedup tuning table):")
+    QUERIES["q_lsh_sweep"](spark, sf_dir).orderBy("n_bands").show()
+    print("certified quantile sketch (error bound <= 7 chars, in_bound == 1):")
+    QUERIES["q_quantile_sketch"](spark, sf_dir).orderBy("lang", "q").show(6)
+    ws = QUERIES["q_wsample_priority"](spark, sf_dir).collect()
+    print(
+        f"priority sample (k={len(ws)}): estimator total {ws[0].total_w_est} "
+        f"vs true {ws[0].total_w_true} ({ws[0].err_bp} bp error, unbiased DLT)"
+    )
+    print("peak concurrency per day (first 3):")
+    QUERIES["q_max_concurrency"](spark, sf_dir).orderBy("day").show(3)
+
 
 if __name__ == "__main__":
     main()
