@@ -54,6 +54,7 @@ _DRIVER_WINDOW_PRIORITY = [
     "q_binary_ann", "q_wsample_priority", "q_url_dedup",
     "q_quantile_sketch", "q_ivf_incr", "q_binary_sweep",
     "q_basket_affinity", "q_max_concurrency", "q_corpus_diff", "q_lsh_sweep",
+    "q_index_delta",
     "q_suffix_spans", "q_substring_packed", "q_substring_incr",
     "q_suffix_lcp", "q_stream_substring_incr", "q_suffix_rank",
     "q_substring_dedup", "q_substring_sparse", "q_substring_scrub",
@@ -67,10 +68,10 @@ _DRIVER_WINDOW_PRIORITY = [
     "q_kmv_join_est", "q_kmv_merge", "q_lang_confusion", "q_leakage",
     "q_mixture_diversity", "q_ner_default_empty", "q_normalize_audit",
     "q_out_of_order", "q_pack_efficiency", "q_phrase_search",
-    "q_quality_gate",
     # ---- window budget line: entries below here are OUTSIDE the first-50
     # window for r11 (all driver-green at r10 or earlier; stalest rotate
     # back in r12) ----
+    "q_quality_gate",
     "q_rolling_7d", "q_rrf_fusion", "q_seasonal_profile", "q_skew_audit",
     "q_source_overlap", "q_source_stream", "q_stream_cdc",
     "q_topk_salted", "q_transitions", "q_velocity_anomaly",

@@ -1634,3 +1634,164 @@ def q_lsh_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
             "precision_bp"
         ),
     )
+
+
+# --------------------------------------------------------------------------
+# q_index_delta — segment-model inverted index (Lucene/main+delta): the
+# merged lookup provably equals a full rebuild, in-plan
+# --------------------------------------------------------------------------
+
+IDX_TERMS = ("scan", "window", "value")  # query terms (common at every SF)
+IDX_TOPK = 3
+
+_IDX_TERMS_SQL = ", ".join(f"('{t}')" for t in IDX_TERMS)
+
+_INDEX_DELTA_ORACLE = f"""
+    WITH tok AS (
+        SELECT doc_id, doc_id % 2 AS seg, unnest(string_split(text, ' ')) AS w
+        FROM documents
+    ), post AS (
+        SELECT w, doc_id, seg, CAST(COUNT(*) AS BIGINT) AS tf
+        FROM tok GROUP BY w, doc_id, seg
+    ), q AS (SELECT * FROM (VALUES {_IDX_TERMS_SQL}) AS q(term)
+    ), seg_df AS (
+        SELECT p.w AS term,
+               CAST(SUM(CASE WHEN seg = 0 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS df_main,
+               CAST(SUM(CASE WHEN seg = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS df_delta,
+               CAST(COUNT(*) AS BIGINT) AS df_merged,
+               CAST(SUM(tf) AS BIGINT) AS tf_merged
+        FROM post p JOIN q ON q.term = p.w
+        GROUP BY p.w
+    ), rebuild AS (
+        SELECT w AS term, CAST(COUNT(*) AS BIGINT) AS df_rebuild,
+               CAST(SUM(tf) AS BIGINT) AS tf_rebuild
+        FROM (SELECT w, doc_id, CAST(COUNT(*) AS BIGINT) AS tf
+              FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w
+                    FROM documents) GROUP BY w, doc_id)
+        JOIN q ON q.term = w GROUP BY w
+    ), topm AS (
+        SELECT term, list(doc_id ORDER BY tf DESC, doc_id) FILTER (rnk <= {IDX_TOPK})
+                   AS top_merged
+        FROM (SELECT p.w AS term, p.doc_id, p.tf,
+                     ROW_NUMBER() OVER (PARTITION BY p.w
+                                        ORDER BY p.tf DESC, p.doc_id) AS rnk
+              FROM post p JOIN q ON q.term = p.w)
+        GROUP BY term
+    )
+    SELECT s.term, s.df_main, s.df_delta, s.df_merged, s.tf_merged,
+           r.df_rebuild, r.tf_rebuild,
+           CAST(s.df_merged - r.df_rebuild AS BIGINT) AS df_diff,
+           CAST(s.tf_merged - r.tf_rebuild AS BIGINT) AS tf_diff,
+           t.top_merged
+    FROM seg_df s
+    JOIN rebuild r ON r.term = s.term
+    JOIN topm t ON t.term = s.term
+"""
+
+
+@declared("q_index_delta", oracle=_INDEX_DELTA_ORACLE)
+def q_index_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SEGMENT-MODEL inverted index (the Lucene main+delta pattern): the
+    corpus's postings live in two segments (even doc_ids = the long-lived
+    MAIN index; odd = the fresh DELTA segment appends land in), a term
+    lookup reads BOTH and merges — and the query emits the
+    maintenance≡rebuild proof IN-PLAN (the q_incr_join idiom, applied to
+    text retrieval): merged df/tf per query term minus a from-scratch
+    single-index rebuild, hash-verified at 0. Also returns each term's
+    top-{IDX_TOPK} posting doc_ids by (tf, doc_id) from the merged
+    segments — the ranked lookup a search serves.
+
+    Why segments matter at 100 TB: rebuilding one monolithic inverted
+    index per ingest batch is O(corpus); the segment model appends a
+    delta index (O(batch)) and merges AT QUERY TIME (df/tf are
+    sum-mergeable because each doc lives in exactly one segment), with
+    background compaction amortized (q_compaction_plan is the planning
+    half). This closes the incremental quartet: LSH (q_dedup_incr),
+    packed substrings (q_substring_incr), IVF cells (q_ivf_incr), and now
+    text postings.
+
+    Engine-exactness: integer tf/df; query terms are a 3-row literal
+    table (the q_phrase_search broadcast-the-query rule — the corpus
+    never shuffles, only query-term postings); top-k ties break on
+    doc_id; the top list is ORDER-constructed on both sides.
+
+    Scale notes (100 TB): postings build is one map-side-combined
+    aggregate per segment (tokens never shuffle — the (w, doc_id) combine
+    happens map-side); the lookup semi-joins the 3-term broadcast before
+    any aggregation, so the plan touches query-term postings only; the
+    rebuild side is the audit ground truth."""
+    t = load_tables(spark, sf_dir)
+    import pandas as pd
+
+    tok = t.documents.select(
+        "doc_id",
+        (F.col("doc_id") % 2).alias("seg"),
+        F.explode(F.split("text", " ")).alias("w"),
+    )
+    q = F.broadcast(
+        spark.createDataFrame(pd.DataFrame({"term": list(IDX_TERMS)}))
+    )
+    post = (
+        tok.join(q, tok.w == q.term)
+        .groupBy("w", "doc_id", "seg")
+        .agg(F.count("*").cast("bigint").alias("tf"))
+    )
+    seg_df = post.groupBy(F.col("w").alias("term")).agg(
+        F.sum(F.when(F.col("seg") == 0, 1).otherwise(0))
+        .cast("bigint")
+        .alias("df_main"),
+        F.sum(F.when(F.col("seg") == 1, 1).otherwise(0))
+        .cast("bigint")
+        .alias("df_delta"),
+        F.count("*").cast("bigint").alias("df_merged"),
+        F.sum("tf").cast("bigint").alias("tf_merged"),
+    )
+    rebuild = (
+        t.documents.select(
+            "doc_id", F.explode(F.split("text", " ")).alias("w")
+        )
+        .join(q, F.col("w") == F.col("term"))
+        .groupBy("w", "doc_id")
+        .agg(F.count("*").cast("bigint").alias("tf"))
+        .groupBy(F.col("w").alias("r_term"))
+        .agg(
+            F.count("*").cast("bigint").alias("df_rebuild"),
+            F.sum("tf").cast("bigint").alias("tf_rebuild"),
+        )
+    )
+    rk = Window.partitionBy("w").orderBy(F.desc("tf"), "doc_id")
+    topm = (
+        post.withColumn("rnk", F.row_number().over(rk))
+        .filter(F.col("rnk") <= IDX_TOPK)
+        .groupBy(F.col("w").alias("t_term"))
+        .agg(
+            # ordered list via sorted (rnk, doc_id) structs — Spark's
+            # array_agg has no ORDER BY clause
+            F.expr(
+                "transform(array_sort(collect_list(struct(rnk, doc_id))),"
+                " s -> s.doc_id)"
+            ).alias("top_merged")
+        )
+    )
+    return (
+        seg_df.join(F.broadcast(rebuild), seg_df.term == rebuild.r_term)
+        .join(F.broadcast(topm), seg_df.term == topm.t_term)
+        .select(
+            "term",
+            "df_main",
+            "df_delta",
+            "df_merged",
+            "tf_merged",
+            "df_rebuild",
+            "tf_rebuild",
+            (F.col("df_merged") - F.col("df_rebuild"))
+            .cast("bigint")
+            .alias("df_diff"),
+            (F.col("tf_merged") - F.col("tf_rebuild"))
+            .cast("bigint")
+            .alias("tf_diff"),
+            "top_merged",
+        )
+    )

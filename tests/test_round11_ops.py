@@ -692,3 +692,37 @@ def test_lsh_sweep_curve_and_exact_truth(spark):
     shipped = next(r for r in rows if (r["n_bands"], r["rows_per_band"]) == (4, 2))
     assert shipped["recall_bp"] == full["recall_bp"]
     assert shipped["n_cand"] * 5 < full["n_cand"]
+
+
+# --------------------------------------------------------------------------
+# q_index_delta
+# --------------------------------------------------------------------------
+
+
+def test_index_delta_merge_equals_rebuild(spark):
+    """Segment-merge proof on shipped testdata: df/tf diffs are 0 for every
+    query term, segment dfs partition the merged df, and the merged top-k
+    posting list matches a pure-Python recompute."""
+    from collections import Counter
+
+    from duckdb_ner_spark.operators.round11 import IDX_TERMS, IDX_TOPK
+
+    con = duckdb.connect()
+    docs = con.execute(
+        f"SELECT doc_id, text FROM '{SF_SMOKE}/documents.parquet'"
+    ).fetchall()
+    tf = {t: Counter() for t in IDX_TERMS}
+    for d, text in docs:
+        for w in text.split(" "):
+            if w in tf:
+                tf[w][d] += 1
+    rows = QUERIES["q_index_delta"](spark, SF_SMOKE).collect()
+    assert {r["term"] for r in rows} == set(IDX_TERMS)
+    for r in rows:
+        c = tf[r["term"]]
+        assert r["df_diff"] == 0 and r["tf_diff"] == 0
+        assert r["df_main"] + r["df_delta"] == r["df_merged"] == len(c)
+        assert r["tf_merged"] == sum(c.values())
+        assert r["df_main"] == sum(1 for d in c if d % 2 == 0)
+        top = sorted(c.items(), key=lambda kv: (-kv[1], kv[0]))[:IDX_TOPK]
+        assert list(r["top_merged"]) == [d for d, _ in top]
