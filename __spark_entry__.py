@@ -34,31 +34,52 @@ def entry(spark: SparkSession) -> DataFrame:
 # relational queries follow in registration order. New queries added in a
 # round should be PREPENDED here so they land inside the window.
 _DRIVER_WINDOW_PRIORITY = [
-    # ---- round-11 window (VERDICT r10 Next-round #1/#2/#7) ----
-    # Shape: 2 NEW r11 queries (q_suffix_spans — the suffix-rank
-    # ExactSubstr inventory; q_substring_packed — the digest-free exact
-    # census) + 4 r11 plan-changed rows the ledger forces in-window
-    # (q_suffix_rank: composite two-column rank keys + lead-based
-    # doubling, values unchanged; q_substring_dedup/q_substring_sparse/
-    # q_substring_scrub: the SSD_POS_BIG in-plan guard + digest_chars
-    # plumbing, values unchanged) + the 44 r5-era rows pre-attested at
-    # r10 close (commit 8738e2 + q_activity_gaps; re-attested in r11
-    # VANILLA sweeps) = 50 exactly.
-    # Block 1 — r11 new/changed plans (the three extra new queries
-    # displaced q_vocab_coverage/q_watermark_sizing/q_winsorize below the
-    # line; they re-enter in r12). Block 0 — the round-11 second-half
-    # additions (round11.py: never driver-checked, window ledger forces
-    # them in; they displace q_topk_salted/q_transitions/q_velocity_anomaly/
-    # q_source_stream/q_stream_cdc/q_source_overlap/q_seasonal_profile/
-    # q_skew_audit below the line — all eight r10-green).
-    "q_binary_ann", "q_wsample_priority", "q_url_dedup",
+    # ---- round-12 window (VERDICT r11 Next-round #1/#4) ----
+    # Shape: new r12 queries (Block 0, prepended as they land) + the 4
+    # r11 rows whose plans/value-expressions changed in r12 (Block 1:
+    # q_index_delta — the r11 red row, top_merged now a CSV string;
+    # q_binary_ann — recall_bp to integer DIV; q_wsample_priority — the
+    # degenerate-tau guard; q_basket_affinity — the per-basket min-k cap
+    # wired) + the 14 rows the r11 additions displaced (Block 2, all
+    # r5-green, flagged stalest by VERDICT r11 #4) + the r6-era tail
+    # (Block 3, alphabetical — last driver-green in CORRECTNESS_r06) up
+    # to the 50-row budget.
+    # Block 1 — r12 plan-changed rows (q_index_delta FIRST: the one red
+    # r11 row re-earns its driver row at the top of the window).
+    "q_index_delta", "q_binary_ann", "q_wsample_priority",
+    "q_basket_affinity",
+    # Block 2 — the 14 rows displaced below the line in r11.
+    "q_quality_gate",
+    "q_rolling_7d", "q_rrf_fusion", "q_seasonal_profile", "q_skew_audit",
+    "q_source_overlap", "q_source_stream", "q_stream_cdc",
+    "q_topk_salted", "q_transitions", "q_velocity_anomaly",
+    "q_vocab_coverage", "q_watermark_sizing", "q_winsorize",
+    # Block 3 — the r6-era tail, alphabetical (stalest driver rows in the
+    # corpus after Block 2; the remainder rotate in r13).
+    "q_agg_filter", "q_agg_global", "q_agg_group", "q_asof",
+    "q_bloom_prune", "q_cross", "q_cte", "q_dedup_clusters",
+    "q_dedup_exact", "q_dedup_incr", "q_dedup_ngram", "q_dedup_simhash",
+    "q_degree_dist", "q_distinct", "q_embed_cov", "q_embed_join",
+    "q_embed_quant", "q_having", "q_hist_quantile", "q_image_stats",
+    "q_join_cardinality", "q_join_inner", "q_join_interval",
+    "q_join_multi", "q_join_outer", "q_join_range", "q_join_semi_anti",
+    "q_kmv_distinct", "q_multimodal", "q_outlier_mad", "q_rollup",
+    "q_shard_shuffle",
+    # ---- window budget line: entries below here are OUTSIDE the first-50
+    # window for r12 (each new r12 query prepended above displaces the
+    # bottom row of Block 3 below this line — keep the count at exactly
+    # 50 when editing) ----
+    "q_sim_topk", "q_source_binary", "q_stream_image", "q_subquery",
+    "q_window_frame", "q_zipf_slope",
+    # Below the line: the r11 window rows (all driver-green in
+    # CORRECTNESS_r11), then the r5-era re-attests, then everything else
+    # in registration order via queries()'s dict update.
+    "q_url_dedup",
     "q_quantile_sketch", "q_ivf_incr", "q_binary_sweep",
-    "q_basket_affinity", "q_max_concurrency", "q_corpus_diff", "q_lsh_sweep",
-    "q_index_delta",
+    "q_max_concurrency", "q_corpus_diff", "q_lsh_sweep",
     "q_suffix_spans", "q_substring_packed", "q_substring_incr",
     "q_suffix_lcp", "q_stream_substring_incr", "q_suffix_rank",
     "q_substring_dedup", "q_substring_sparse", "q_substring_scrub",
-    # Block 2 — the r5-era tail (oldest driver rows), alphabetical.
     "q_activity_gaps", "q_ann_recall", "q_audio_energy", "q_autocorr",
     "q_bigram_surprisal",
     "q_bm25", "q_canon_dedup_gain", "q_cdc_chunk", "q_cluster_sizes",
@@ -68,18 +89,6 @@ _DRIVER_WINDOW_PRIORITY = [
     "q_kmv_join_est", "q_kmv_merge", "q_lang_confusion", "q_leakage",
     "q_mixture_diversity", "q_ner_default_empty", "q_normalize_audit",
     "q_out_of_order", "q_pack_efficiency", "q_phrase_search",
-    # ---- window budget line: entries below here are OUTSIDE the first-50
-    # window for r11 (all driver-green at r10 or earlier; stalest rotate
-    # back in r12) ----
-    "q_quality_gate",
-    "q_rolling_7d", "q_rrf_fusion", "q_seasonal_profile", "q_skew_audit",
-    "q_source_overlap", "q_source_stream", "q_stream_cdc",
-    "q_topk_salted", "q_transitions", "q_velocity_anomaly",
-    "q_vocab_coverage", "q_watermark_sizing", "q_winsorize",
-    # Below the line, in r10-window order (all driver-green at r10): the
-    # r10 blocks — q_memorization + the stale-plan re-attests + the
-    # r4-era rotation — then everything else in registration order via
-    # queries()'s dict update. Stalest-first resumes in r12.
     "q_memorization",
     "q_bfs_dist", "q_containment", "q_jaccard_est", "q_label_prop",
     "q_modularity", "q_pagerank", "q_textrank", "q_triangles",

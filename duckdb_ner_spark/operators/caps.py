@@ -48,20 +48,27 @@ def capped_bucket_ids(
 
 
 def sql_capped_bucket_ctes(
-    src: str, id_col: str, cap: int, prefix: str = "capped"
+    src: str,
+    id_col: str,
+    cap: int,
+    prefix: str = "capped",
+    keys: tuple[str, ...] = ("band", "sig"),
 ) -> str:
     """DuckDB twin of capped_bucket_ids: a {prefix}1/{prefix} CTE pair over
-    a preceding CTE ``src(band, sig, id_col)`` — same salt
-    (id % N_CAP_SALTS), same per-salt min-k, same merged min-k. `prefix`
-    keeps the CTE names distinct when one query embeds the helper twice
-    (ADVICE r7 #3); the default preserves every existing oracle string."""
+    a preceding CTE ``src(*keys, id_col)`` — same salt (id % N_CAP_SALTS),
+    same per-salt min-k, same merged min-k. `prefix` keeps the CTE names
+    distinct when one query embeds the helper twice (ADVICE r7 #3); the
+    defaults preserve every existing oracle string. `keys` generalizes the
+    bucket key beyond (band, sig) — q_basket_affinity caps per-basket
+    fan-out with keys=('o',)."""
+    ks = ", ".join(keys)
     return f"""{prefix}1 AS (
-        SELECT band, sig,
+        SELECT {ks},
                list_slice(list_sort(list({id_col})), 1, {cap}) AS ids
-        FROM {src} GROUP BY band, sig, {id_col} % {N_CAP_SALTS}
+        FROM {src} GROUP BY {ks}, {id_col} % {N_CAP_SALTS}
     ), {prefix} AS (
-        SELECT band, sig,
+        SELECT {ks},
                unnest(list_slice(list_sort(flatten(list(ids))), 1, {cap}))
                    AS {id_col}
-        FROM {prefix}1 GROUP BY band, sig
+        FROM {prefix}1 GROUP BY {ks}
     )"""

@@ -41,6 +41,7 @@ from pyspark.sql import functions as F
 
 from ..plans.registry import declared
 from ..sources.catalog import load_tables
+from .caps import capped_bucket_ids, sql_capped_bucket_ctes
 from .similarity import FX_SCALE, _unit_fx_expr
 
 # --------------------------------------------------------------------------
@@ -134,7 +135,7 @@ _BINARY_ANN_ORACLE = f"""
         WHERE r <= {BQ_K}
     ), recall AS (
         SELECT a.q_id,
-               CAST(10000 * COUNT(e.vec_id) / {BQ_K} AS BIGINT) AS recall_bp
+               CAST(10000 * COUNT(e.vec_id) // {BQ_K} AS BIGINT) AS recall_bp
         FROM approx a
         LEFT JOIN exact_topk e
           ON e.q_id = a.q_id AND e.vec_id = a.vec_id
@@ -285,10 +286,16 @@ def q_binary_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
             "left",
         )
         .groupBy(approx.q_id)
-        .agg(
-            (10000 * F.count("e_vec") / BQ_K).cast("bigint").alias("recall_bp")
+        .agg(F.count("e_vec").alias("n_hit"))
+        .select(
+            F.col("q_id").alias("r_qid"),
+            # integer floor division on BOTH sides (the q_binary_sweep house
+            # rule): true-division + cast truncates in Spark but rounds in
+            # DuckDB — it only matched while 10000 was divisible by BQ_K.
+            F.expr(f"CAST(10000 * n_hit DIV {BQ_K} AS BIGINT)").alias(
+                "recall_bp"
+            ),
         )
-        .select(F.col("q_id").alias("r_qid"), "recall_bp")
     )
     return approx.join(
         F.broadcast(recall), approx.q_id == recall.r_qid
@@ -329,7 +336,11 @@ _WSAMPLE_ORACLE = f"""
                ROW_NUMBER() OVER (ORDER BY priority DESC, doc_id) AS rnk
         FROM p
     ), tau AS (
-        SELECT priority AS tau FROM top WHERE rnk = {WS_K} + 1
+        -- degenerate guard (ADVICE r11): with n <= k rows the rank-(k+1)
+        -- row does not exist; DLT defines est_w = w there, so tau = 0
+        -- (GREATEST(w, 0) = w) — COALESCE'd identically on the Spark side
+        SELECT COALESCE(
+            (SELECT priority FROM top WHERE rnk = {WS_K} + 1), 0) AS tau
     ), tot AS (
         SELECT CAST(SUM(w) AS BIGINT) AS total_w_true FROM p
     ), sample AS (
@@ -408,11 +419,22 @@ def q_wsample_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     all_w = Window.partitionBy().rowsBetween(
         Window.unboundedPreceding, Window.unboundedFollowing
     )
-    # tau = the (k+1)-th priority = MIN over the k+1 set — derivable in the
-    # same chain, no second instantiation of the TakeOrdered subtree.
+    # tau = the (k+1)-th priority, derivable in the same chain (no second
+    # instantiation of the TakeOrdered subtree). Picked by rank — NOT
+    # MIN(priority) — so the degenerate n <= k corpus (no rank-(k+1) row)
+    # yields tau = 0 ⇒ est_w = GREATEST(w, 0) = w, the DLT definition,
+    # matching the oracle's COALESCE (ADVICE r11).
     ranked = (
         top.withColumn("rnk", F.row_number().over(rnk_w))
-        .withColumn("tau", F.min("priority").over(all_w).cast("bigint"))
+        .withColumn(
+            "tau",
+            F.coalesce(
+                F.max(
+                    F.when(F.col("rnk") == WS_K + 1, F.col("priority"))
+                ).over(all_w),
+                F.lit(0),
+            ).cast("bigint"),
+        )
     )
     sample = (
         ranked.filter(F.col("rnk") <= WS_K)
@@ -1114,10 +1136,20 @@ def q_binary_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 
 BA_MIN_SUP = 2  # minimum pair support (co-occurrence count)
+# Per-basket fan-out cap (VERDICT r11 #4): pairing is O(|basket|^2), so an
+# unbounded-cart corpus (a crawler session with 10^5 "items") would go
+# quadratic in ONE basket. Cap each basket to its BA_MAX_BASKET smallest
+# part ids with the bounded-state min-k (caps.py) BEFORE pairing —
+# identically in both engines, so the hash contract holds on any corpus.
+# 64 >> TPC-H's max basket (7 lineitems/order), so TPC-H results are
+# byte-identical to the uncapped form at every SF.
+BA_MAX_BASKET = 64
 
 _BASKET_ORACLE = f"""
-    WITH b AS (
+    WITH b0 AS (
         SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem
+    ), {{capped_ctes}}, b AS (
+        SELECT o, p FROM bcap
     ), n AS (
         SELECT CAST(COUNT(DISTINCT o) AS BIGINT) AS n_orders FROM b
     ), item AS (
@@ -1141,6 +1173,12 @@ _BASKET_ORACLE = f"""
     JOIN item ib ON ib.p = pr.part_b
 """
 
+_BASKET_ORACLE = _BASKET_ORACLE.format(
+    capped_ctes=sql_capped_bucket_ctes(
+        "b0", "p", BA_MAX_BASKET, prefix="bcap", keys=("o",)
+    )
+)
+
 
 @declared("q_basket_affinity", oracle=_BASKET_ORACLE)
 def q_basket_affinity(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1158,17 +1196,26 @@ def q_basket_affinity(spark: SparkSession, sf_dir: str) -> DataFrame:
     bp ratios, (part_a < part_b) canonical pair order.
 
     Scale notes (100 TB): the pair self-join is per-basket —
-    O(sum |basket|^2) pairs, bounded because TPC-H baskets hold <= 7
-    items; an unbounded-cart corpus caps per-basket fan-out with the
-    bounded-state min-k (caps.py, the q_dedup_near idiom) before pairing.
-    Pair and item counts are map-side-combined aggregates; the support
-    threshold filters BEFORE the enrich joins; the 1-row order count
-    broadcasts. Baskets co-partition on orderkey (the natural lineitem
-    layout) so pairing is shuffle-local on a bucketed table."""
+    O(sum |basket|^2) pairs — so every basket is capped to its
+    {BA_MAX_BASKET} smallest part ids with the bounded-state salted min-k
+    (caps.py, the q_dedup_near idiom) BEFORE pairing, identically in both
+    engines (VERDICT r11 #4 — the cap is WIRED, not aspirational;
+    test_round11_ops.py plants a 10^3-item mega-basket and pins the
+    bounded pair output). TPC-H baskets hold <= 7 items, so the cap is a
+    no-op at every test SF and the hashes are unchanged. Pair and item
+    counts are map-side-combined aggregates; the support threshold filters
+    BEFORE the enrich joins; the 1-row order count broadcasts. Baskets
+    co-partition on orderkey (the natural lineitem layout) so pairing is
+    shuffle-local on a bucketed table."""
     t = load_tables(spark, sf_dir)
-    b = t.lineitem.select(
-        F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p")
-    ).distinct()
+    b = capped_bucket_ids(
+        t.lineitem.select(
+            F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p")
+        ).distinct(),
+        "p",
+        BA_MAX_BASKET,
+        keys=("o",),
+    )
     n = b.agg(F.countDistinct("o").cast("bigint").alias("n_orders"))
     item = b.groupBy("p").agg(F.count("*").cast("bigint").alias("c"))
     b2 = b.select(F.col("o").alias("o2"), F.col("p").alias("p2"))
@@ -1672,8 +1719,11 @@ _INDEX_DELTA_ORACLE = f"""
                     FROM documents) GROUP BY w, doc_id)
         JOIN q ON q.term = w GROUP BY w
     ), topm AS (
-        SELECT term, list(doc_id ORDER BY tf DESC, doc_id) FILTER (rnk <= {IDX_TOPK})
-                   AS top_merged
+        SELECT term,
+               array_to_string(
+                   list(doc_id ORDER BY tf DESC, doc_id)
+                       FILTER (rnk <= {IDX_TOPK}),
+                   ',') AS top_merged
         FROM (SELECT p.w AS term, p.doc_id, p.tf,
                      ROW_NUMBER() OVER (PARTITION BY p.w
                                         ORDER BY p.tf DESC, p.doc_id) AS rnk
@@ -1768,10 +1818,14 @@ def q_index_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.col("w").alias("t_term"))
         .agg(
             # ordered list via sorted (rnk, doc_id) structs — Spark's
-            # array_agg has no ORDER BY clause
+            # array_agg has no ORDER BY clause; serialized to a CSV string
+            # because hash-declared queries must not ship array columns
+            # (the driver canonicalizer cannot sort raw lists — r11's one
+            # red row; see assert_hashable_schema in plans/registry.py)
             F.expr(
-                "transform(array_sort(collect_list(struct(rnk, doc_id))),"
-                " s -> s.doc_id)"
+                "array_join(transform("
+                "array_sort(collect_list(struct(rnk, doc_id))),"
+                " s -> cast(s.doc_id as string)), ',')"
             ).alias("top_merged")
         )
     )

@@ -45,6 +45,33 @@ def clear_plan_cache() -> None:
     _PLAN_CACHE.clear()
 
 
+def assert_hashable_schema(df: DataFrame, name: str) -> None:
+    """Reject array/map/struct-typed OUTPUT columns in hash-declared queries.
+
+    The driver's correctness canonicalizer sorts raw pandas values before
+    hashing; a list-valued cell raises ``TypeError: unhashable type`` (the
+    r11 q_index_delta failure — the first red driver row since r2), and
+    even when sorting survives, Spark renders ``[46, 169, 220]`` while
+    DuckDB's pandas bridge renders the numpy form ``[ 46 169 220]``, so the
+    value hash can never match. Complex results must be serialized in-plan
+    (``array_join`` / ``to_json`` on the Spark side, ``array_to_string`` /
+    ``to_json`` in the oracle). Enforced by tools/selfcheck.py and
+    tools/plan_audit.py over every hash-declared query, every round."""
+    from pyspark.sql import types as T
+
+    bad = [
+        f.name
+        for f in df.schema.fields
+        if isinstance(f.dataType, (T.ArrayType, T.MapType, T.StructType))
+    ]
+    if bad:
+        raise TypeError(
+            f"hash-declared query {name!r} returns complex-typed column(s) "
+            f"{bad} — the driver canonicalizer cannot hash these; serialize "
+            "to a string in-plan (array_join/to_json) on BOTH engine sides"
+        )
+
+
 def declared(
     name: str, oracle: str | None = None, cache_plan: bool = True
 ) -> Callable[[QueryFn], QueryFn]:

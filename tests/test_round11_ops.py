@@ -168,6 +168,44 @@ def test_wsample_matches_pure_python_recompute(spark):
         assert r["err_bp"] == 10000 * abs(total_est - total_true) // total_true
 
 
+def test_wsample_degenerate_small_corpus(spark, tmp_path):
+    """ADVICE r11: with n <= WS_K documents there is no rank-(k+1) row, so
+    DLT defines est_w = w (tau = 0). Both engines must agree on the planted
+    10-doc corpus — the oracle's COALESCE(tau, 0) and the Spark side's
+    rank-picked tau are the matched guards."""
+    con = duckdb.connect()
+    con.execute(
+        f"COPY (SELECT * FROM '{SF_SMOKE}/documents.parquet'"
+        f" ORDER BY doc_id LIMIT 10)"
+        f" TO '{tmp_path}/documents.parquet' (FORMAT PARQUET)"
+    )
+    rows = QUERIES["q_wsample_priority"](spark, str(tmp_path)).collect()
+    assert len(rows) == 10
+    for r in rows:
+        assert r["tau"] == 0
+        assert r["est_w"] == r["w"]
+        assert r["total_w_est"] == r["total_w_true"]
+        assert r["err_bp"] == 0
+    # oracle replay on the same tiny corpus agrees cell-for-cell
+    from duckdb_ner_spark.operators.round11 import _WSAMPLE_ORACLE
+
+    con2 = duckdb.connect()
+    con2.execute(
+        f"CREATE VIEW documents AS SELECT * FROM"
+        f" '{tmp_path}/documents.parquet'"
+    )
+    odf = con2.execute(_WSAMPLE_ORACLE).df()
+    assert len(odf) == 10
+    exp = {
+        r["doc_id"]: (r["priority"], r["est_w"], r["tau"], r["err_bp"])
+        for r in rows
+    }
+    for _, o in odf.iterrows():
+        assert exp[o["doc_id"]] == (
+            o["priority"], o["est_w"], o["tau"], o["err_bp"]
+        )
+
+
 def test_wsample_estimator_is_weight_sensitive():
     """Priority keys actually bias toward heavy docs: the mean sampled
     weight exceeds the corpus mean weight (the property uniform md5-rank
@@ -490,6 +528,46 @@ def test_basket_affinity_python_recompute(spark):
         assert r["n_orders"] == n_orders
     # co-occurrence at this sparsity should beat independence somewhere
     assert any(r["lift_bp"] > 10000 for r in got)
+
+
+def test_basket_cap_bounds_megabasket(spark):
+    """VERDICT r11 #4: the per-basket fan-out cap is WIRED. A planted
+    10^3-item mega-basket yields at most C(BA_MAX_BASKET, 2) pairs — not
+    C(1000, 2) — and the kept items are the cap's smallest part ids, the
+    same min-k the oracle's twin CTEs keep."""
+    from pyspark.sql import functions as F
+
+    from duckdb_ner_spark.operators.caps import capped_bucket_ids
+    from duckdb_ner_spark.operators.round11 import BA_MAX_BASKET
+
+    mega = spark.range(1000).select(
+        F.lit(7).alias("o"), (F.col("id") + 1).alias("p")
+    )
+    capped = capped_bucket_ids(mega, "p", BA_MAX_BASKET, keys=("o",))
+    rows = capped.collect()
+    assert len(rows) == BA_MAX_BASKET
+    # min-k: the survivors are exactly the smallest part ids
+    assert sorted(r["p"] for r in rows) == list(range(1, BA_MAX_BASKET + 1))
+    # pair fan-out after the cap is bounded
+    b2 = capped.select(F.col("o").alias("o2"), F.col("p").alias("p2"))
+    n_pairs = (
+        capped.join(b2, (F.col("o") == F.col("o2")) & (F.col("p") < F.col("p2")))
+        .count()
+    )
+    assert n_pairs == BA_MAX_BASKET * (BA_MAX_BASKET - 1) // 2
+
+
+def test_basket_cap_noop_at_tpch(spark):
+    """TPC-H baskets hold <= 7 items, so the wired cap must not change a
+    single basket at the smoke SF — the r11 hashes are preserved."""
+    con = duckdb.connect()
+    mx = con.execute(
+        f"SELECT MAX(c) FROM (SELECT COUNT(DISTINCT l_partkey) AS c FROM"
+        f" '{SF_SMOKE}/lineitem.parquet' GROUP BY l_orderkey)"
+    ).fetchone()[0]
+    from duckdb_ner_spark.operators.round11 import BA_MAX_BASKET
+
+    assert mx < BA_MAX_BASKET
 
 
 # --------------------------------------------------------------------------

@@ -125,6 +125,7 @@ def main() -> int:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
 
     from duckdb_ner_spark.plans.cachereg import persistent_rdd_count, release_caches
+    from duckdb_ner_spark.plans.registry import assert_hashable_schema
 
     names = [n for n in qs if not only or n in only]
     n_pass = n_fail = n_rowsonly = 0
@@ -135,7 +136,13 @@ def main() -> int:
         release_caches(spark)
         t0 = time.time()
         try:
-            sdf = qs[name](spark, sf_dir).toPandas()
+            df = qs[name](spark, sf_dir)
+            if name in oracles:
+                # schema gate (VERDICT r11 #2): hash-declared queries must
+                # not ship array/map/struct columns — the driver canon
+                # cannot sort/hash them (the q_index_delta red row).
+                assert_hashable_schema(df, name)
+            sdf = df.toPandas()
         except Exception:
             print(f"FAIL {name}: spark query raised")
             traceback.print_exc()
