@@ -174,6 +174,14 @@ def _quant_q4_0_modern(arr: np.ndarray) -> bytes:
     inv = np.divide(1.0, d, out=np.zeros_like(d), where=d != 0)
     q = np.minimum((x * inv[:, None] + 8.5).astype(np.int32), 15).astype(np.uint8)
     out = np.empty((len(x), _Q4_BYTES_MODERN), dtype=np.uint8)
+    # f16 scale storage caps |d| at 65504; casting a larger scale emits a
+    # numpy overflow RuntimeWarning and silently stores inf (which the
+    # dequant misframe guard then rejects far from the cause). Fail HERE,
+    # explicitly, so real overflows stay visible (VERDICT r11 #7).
+    if d.size and np.abs(d).max() > 65504.0:
+        raise ValueError(
+            "q4_0 scale exceeds f16 range (|weight| too large to quantize)"
+        )
     out[:, :2] = np.ascontiguousarray(d.astype(np.float16)).view(np.uint8).reshape(-1, 2)
     out[:, 2:] = q[:, :16] | (q[:, 16:] << 4)
     return out.tobytes()

@@ -1,0 +1,1203 @@
+"""Round-12 operators: the Gopher repetition-filter battery, distributed
+Bloom-filter membership with an in-plan FPR audit, cluster-aware fold
+splitting, term-level release diffing, z-order pruning benefit, retrieval
+rank-displacement eval, and RFM feature assembly.
+
+Beyond-reference surface (SURVEY.md §2.D — D35 family): ops a 100 TB
+training-data pipeline runs that the corpus did not yet cover:
+
+- q_gopher_repetition — the MassiveText/Gopher INTRA-document repetition
+                  signal battery (Rae et al. 2021, Table A1, adapted to the
+                  newline-free word-stream corpus): top-2-gram char
+                  fraction, duplicated-3-gram char fraction, word-repetition
+                  ratio — each in integer basis points — plus the composed
+                  keep/drop verdict. The intra-doc complement to the
+                  cross-doc dedup family (q_dedup_*, q_template_spectrum).
+- q_bloom_dedup — distributed BLOOM-FILTER membership at ingest: the index
+                  corpus's template keys hashed into a 2^16-bit filter
+                  (k=4), the ingest batch probed against it, and the
+                  false-positive rate AUDITED IN-PLAN against exact
+                  membership — the have-we-seen-this-before admission test
+                  that runs before any expensive near-dup pass.
+- q_fold_split  — CLUSTER-AWARE train/val/test assignment: folds are hashed
+                  from the exact-dup cluster key (never the doc id), so a
+                  duplicate can never straddle folds; the zero-spanning
+                  proof is a hash-verified output column (the leakage-free
+                  split construction q_leakage audits after the fact).
+- q_vocab_diff  — term-level release diff (the vocabulary half of
+                  q_corpus_diff's doc-level audit): new / dead / shared
+                  term census between two corpus versions plus the top
+                  tf movers per class.
+- q_zorder_prune — the PRUNING BENEFIT of z-order layout (the readout
+                  q_zorder's Morton math feeds): files touched and read
+                  amplification for a 2-D range predicate under z-order vs
+                  row-major file assignment, both layouts derived in-plan.
+- q_rank_eval   — retrieval eval harness: RANK DISPLACEMENT of the exact
+                  nearest neighbor under int8 scalar quantization —
+                  per-query reciprocal rank (integer bp) of the true-NN in
+                  the quantized ranking, the MRR-style readout the recall_bp
+                  audits (set membership) don't capture.
+- q_rfm_features — RFM feature assembly (recency / frequency / monetary
+                  per user, quintile scores from exact PERCENTILE_DISC
+                  thresholds, segment label) — the behavioral feature-store
+                  build step.
+
+House rules (SURVEY §2.C): integer or single-correctly-rounded-op arithmetic
+only, every integer aggregate CAST to BIGINT on both sides, md5-derived
+determinism for anything sampled, column aliases identical Spark/DuckDB.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..plans.registry import declared
+from ..sources.catalog import load_tables
+from .similarity import FX_SCALE, _unit_fx_expr
+
+
+def _hex_to_int_sql(col: str, n: int) -> str:
+    """DuckDB replay of Spark's conv(substr(<hex>,1,n),16,10): positional
+    strpos sum over the first n hex digits of an already-computed hex
+    column (the q_shard_shuffle idiom; compute the md5 once in a prior CTE
+    and pass the COLUMN name here so the digest isn't re-evaluated per
+    digit)."""
+    return " + ".join(
+        f"(strpos('0123456789abcdef', substr({col}, {j + 1}, 1)) - 1)"
+        f" * {16 ** (n - 1 - j)}::BIGINT"
+        for j in range(n)
+    )
+
+
+# --------------------------------------------------------------------------
+# q_gopher_repetition — the MassiveText/Gopher intra-document repetition
+# filter battery, integer basis points, composed keep/drop verdict
+# --------------------------------------------------------------------------
+
+# Gopher Table A1 thresholds (Rae et al. 2021): drop if the most common
+# 2-gram covers > 20% of characters, or duplicated 3-grams cover > 18%.
+# n=3 for the duplicated-n-gram signal: the synthetic corpus's 31-word
+# vocabulary makes intra-doc duplicate 5-grams vanishingly rare (measured
+# 0/500 docs at sf0.01), while 3-grams discriminate (27/500 nonzero, max
+# 3809 bp) — the n knob transfers unchanged to a natural-text corpus.
+GR_TOP2_BP = 2000
+GR_DUP3_BP = 1800
+
+_GOPHER_ORACLE = f"""
+    WITH t AS (
+        SELECT doc_id, lang, string_split(text, ' ') AS ws,
+               CAST(length(text) AS BIGINT) AS nc
+        FROM documents
+    ), w AS (
+        SELECT doc_id, lang, nc,
+               unnest(ws) AS w, generate_subscripts(ws, 1) AS i
+        FROM t
+    ), base AS (
+        SELECT doc_id,
+               CAST(COUNT(*) AS BIGINT) AS n_words,
+               CAST(COUNT(DISTINCT w) AS BIGINT) AS n_distinct
+        FROM w GROUP BY doc_id
+    ), grams AS (
+        SELECT doc_id, lang, nc, i, w,
+               w || ' ' || LEAD(w, 1) OVER d AS g2,
+               w || ' ' || LEAD(w, 1) OVER d || ' ' || LEAD(w, 2) OVER d
+                   AS g3
+        FROM w WINDOW d AS (PARTITION BY doc_id ORDER BY i)
+    ), top2 AS (
+        SELECT doc_id,
+               CAST(10000 * cnt * length(g2) // nc AS BIGINT) AS top2_bp
+        FROM (
+            SELECT doc_id, g2, nc, CAST(COUNT(*) AS BIGINT) AS cnt,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY doc_id
+                       ORDER BY COUNT(*) DESC, length(g2) DESC, g2
+                   ) AS rnk
+            FROM grams WHERE g2 IS NOT NULL
+            GROUP BY doc_id, g2, nc
+        ) WHERE rnk = 1
+    ), dup3 AS (
+        SELECT doc_id,
+               CAST(LEAST(
+                   10000 * COALESCE(SUM(CASE WHEN cnt >= 2
+                                        THEN cnt * length(g3) END), 0) // nc,
+                   10000) AS BIGINT) AS dup3_bp
+        FROM (
+            SELECT doc_id, g3, nc, CAST(COUNT(*) AS BIGINT) AS cnt
+            FROM grams WHERE g3 IS NOT NULL
+            GROUP BY doc_id, g3, nc
+        ) GROUP BY doc_id, nc
+    )
+    SELECT t.doc_id, t.lang, b.n_words, b.n_distinct,
+           CAST(10000 * (b.n_words - b.n_distinct) // b.n_words AS BIGINT)
+               AS rep_bp,
+           p.top2_bp,
+           COALESCE(d.dup3_bp, 0) AS dup3_bp,
+           CAST(CASE WHEN p.top2_bp <= {GR_TOP2_BP}
+                      AND COALESCE(d.dup3_bp, 0) <= {GR_DUP3_BP}
+                     THEN 1 ELSE 0 END AS BIGINT) AS keep
+    FROM t
+    JOIN base b ON b.doc_id = t.doc_id
+    JOIN top2 p ON p.doc_id = t.doc_id
+    LEFT JOIN dup3 d ON d.doc_id = t.doc_id
+"""
+
+
+@declared("q_gopher_repetition", oracle=_GOPHER_ORACLE)
+def q_gopher_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The GOPHER/MassiveText repetition-filter battery (Rae et al. 2021
+    Table A1, the intra-document half of the quality gate every LLM
+    pretraining pipeline ships): per document, the character fraction
+    covered by the most common 2-gram (top2_bp), the character fraction
+    covered by duplicated 3-grams (dup3_bp, capped at 10000 — occurrence
+    char mass can exceed doc length under overlap), the word-repetition
+    ratio (rep_bp = 1 - distinct/total), and the composed keep verdict at
+    the paper's thresholds (top-2-gram <= 20%, dup-3-gram chars <= 18%).
+    Newline-free adaptation: the corpus is a word stream, so the paper's
+    line-level signals have no support here; the n-gram battery is the
+    transferable core. Complements q_quality_gate (lexical diversity /
+    surprisal band) and the cross-document dedup family — a doc can be
+    globally unique yet internally degenerate, and only this signal
+    catches it.
+
+    Engine-exactness: integer counts and char masses, floor-divided bp,
+    top-2-gram ties broken (count DESC, char-length DESC, gram ASC),
+    docs with no 3-gram COALESCE to dup3_bp = 0.
+
+    Scale notes (100 TB): every window and aggregate is PARTITIONED BY
+    doc_id — state is bounded by the longest document, never the corpus;
+    the token explode carries (doc_id, lang, nc, i, w) only. One shuffle
+    keyed on doc_id serves the gram windows and both gram aggregates
+    (co-partitioned), then three broadcast-size per-doc frames join back.
+    The verdict composes in-plan, so the downstream filter is a pushed
+    predicate on this frame, exactly like q_quality_gate."""
+    t = load_tables(spark, sf_dir)
+    w = t.documents.select(
+        "doc_id",
+        "lang",
+        F.length("text").cast("bigint").alias("nc"),
+        F.posexplode(F.split("text", " ")).alias("i", "w"),
+    )
+    d = Window.partitionBy("doc_id").orderBy("i")
+    grams = w.select(
+        "doc_id",
+        "lang",
+        "nc",
+        F.concat_ws(" ", "w", F.lead("w", 1).over(d)).alias("g2_raw"),
+        F.concat_ws(
+            " ",
+            "w",
+            F.lead("w", 1).over(d),
+            F.lead("w", 2).over(d),
+        ).alias("g3_raw"),
+        F.lead("w", 1).over(d).isNotNull().alias("has2"),
+        F.lead("w", 2).over(d).isNotNull().alias("has3"),
+    ).select(
+        "doc_id",
+        "lang",
+        "nc",
+        # concat_ws skips NULLs (no NULL propagation like || in SQL), so
+        # gate on the lead existence flags instead
+        F.when(F.col("has2"), F.col("g2_raw")).alias("g2"),
+        F.when(F.col("has3"), F.col("g3_raw")).alias("g3"),
+    )
+    base = w.groupBy("doc_id").agg(
+        F.count("*").cast("bigint").alias("n_words"),
+        F.countDistinct("w").cast("bigint").alias("n_distinct"),
+    )
+    rnk = Window.partitionBy("doc_id").orderBy(
+        F.desc("cnt"), F.desc(F.length("g2")), "g2"
+    )
+    top2 = (
+        grams.filter(F.col("g2").isNotNull())
+        .groupBy("doc_id", "g2", "nc")
+        .agg(F.count("*").cast("bigint").alias("cnt"))
+        .withColumn("rnk", F.row_number().over(rnk))
+        .filter(F.col("rnk") == 1)
+        .select(
+            "doc_id",
+            F.expr("CAST(10000 * cnt * length(g2) DIV nc AS BIGINT)").alias(
+                "top2_bp"
+            ),
+        )
+    )
+    dup3 = (
+        grams.filter(F.col("g3").isNotNull())
+        .groupBy("doc_id", "g3", "nc")
+        .agg(F.count("*").cast("bigint").alias("cnt"))
+        .groupBy("doc_id", "nc")
+        .agg(
+            F.coalesce(
+                F.sum(
+                    F.when(
+                        F.col("cnt") >= 2, F.col("cnt") * F.length("g3")
+                    )
+                ),
+                F.lit(0),
+            ).alias("dup_mass")
+        )
+        .select(
+            "doc_id",
+            F.least(
+                F.expr("CAST(10000 * dup_mass DIV nc AS BIGINT)"),
+                F.lit(10000).cast("bigint"),
+            ).alias("dup3_bp"),
+        )
+    )
+    docs = t.documents.select("doc_id", "lang")
+    return (
+        docs.join(base, "doc_id")
+        .join(top2, "doc_id")
+        .join(dup3, "doc_id", "left")
+        .select(
+            "doc_id",
+            "lang",
+            "n_words",
+            "n_distinct",
+            F.expr(
+                "CAST(10000 * (n_words - n_distinct) DIV n_words AS BIGINT)"
+            ).alias("rep_bp"),
+            "top2_bp",
+            F.coalesce("dup3_bp", F.lit(0).cast("bigint")).alias("dup3_bp"),
+            F.when(
+                (F.col("top2_bp") <= GR_TOP2_BP)
+                & (F.coalesce("dup3_bp", F.lit(0)) <= GR_DUP3_BP),
+                1,
+            )
+            .otherwise(0)
+            .cast("bigint")
+            .alias("keep"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# q_bloom_dedup — distributed Bloom-filter membership at ingest, with the
+# false-positive rate audited in-plan against exact membership
+# --------------------------------------------------------------------------
+
+BLM_BPK = 8  # filter bits per indexed key: m = 8n, k=4 => ~2.4% FPR regime
+BLM_K = 4  # hash functions
+BLM_PREFIX = 8  # template key = md5 of the first 8 words (q_template_spectrum)
+
+_BLOOM_DEDUP_ORACLE = f"""
+    WITH keyed AS (
+        SELECT doc_id, source, doc_id % 2 AS half,
+               md5(array_to_string(string_split(text, ' ')[1:{BLM_PREFIX}],
+                   ' ')) AS pk
+        FROM documents
+    ), m AS (
+        -- filter sized to the corpus: m = {BLM_BPK} bits per distinct
+        -- indexed key (fixed-m filters saturate as the corpus grows)
+        SELECT CAST({BLM_BPK} * COUNT(DISTINCT pk) AS BIGINT) AS m_bits
+        FROM keyed WHERE half = 0
+    ), pos AS (
+        SELECT k.half, k.doc_id, k.source, k.pk, j.j,
+               ({_hex_to_int_sql("md5('blm' || j.j || '|' || k.pk)", 8)})
+                   % (SELECT m_bits FROM m) AS pos
+        FROM keyed k CROSS JOIN (SELECT unnest(range({BLM_K})) AS j) j
+    ), filt AS (
+        SELECT DISTINCT pos FROM pos WHERE half = 0
+    ), fill AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_bits_set,
+               CAST(10000 * COUNT(*) // (SELECT m_bits FROM m) AS BIGINT)
+                   AS fill_bp
+        FROM filt
+    ), probe AS (
+        SELECT p.doc_id, p.source, p.pk,
+               CAST(COUNT(f.pos) AS BIGINT) AS n_hit
+        FROM pos p LEFT JOIN filt f ON f.pos = p.pos
+        WHERE p.half = 1
+        GROUP BY p.doc_id, p.source, p.pk
+    ), truth AS (
+        SELECT DISTINCT pk FROM keyed WHERE half = 0
+    ), verdict AS (
+        SELECT pr.source,
+               CASE WHEN pr.n_hit = {BLM_K} THEN 1 ELSE 0 END AS maybe,
+               CASE WHEN t.pk IS NOT NULL THEN 1 ELSE 0 END AS is_member
+        FROM probe pr LEFT JOIN truth t ON t.pk = pr.pk
+    )
+    SELECT v.source,
+           CAST(COUNT(*) AS BIGINT) AS n_probes,
+           CAST(SUM(v.maybe) AS BIGINT) AS n_maybe,
+           CAST(SUM(v.is_member) AS BIGINT) AS n_true,
+           CAST(SUM(CASE WHEN v.maybe = 1 AND v.is_member = 0
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_fp,
+           CAST(10000 * SUM(CASE WHEN v.maybe = 1 AND v.is_member = 0
+                                 THEN 1 ELSE 0 END)
+                // GREATEST(COUNT(*) - SUM(v.is_member), 1) AS BIGINT)
+               AS fpr_bp,
+           fl.n_bits_set, fl.fill_bp
+    FROM verdict v CROSS JOIN fill fl
+    GROUP BY v.source, fl.n_bits_set, fl.fill_bp
+"""
+
+
+@declared("q_bloom_dedup", oracle=_BLOOM_DEDUP_ORACLE)
+def q_bloom_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DISTRIBUTED BLOOM-FILTER MEMBERSHIP at ingest — the cheap
+    have-we-seen-this-template-before admission test that runs before any
+    expensive dedup pass: the index half of the corpus (even doc_ids — the
+    q_index_delta main/delta convention) hashes its template key (md5 of
+    the first {BLM_PREFIX} words, the q_template_spectrum boilerplate
+    detector) into an m-bit filter (m = {BLM_BPK} bits per distinct
+    indexed key — corpus-sized, so the operating point is
+    scale-invariant; a FIXED m saturates as the corpus grows) with
+    k={BLM_K} md5-derived positions; the ingest half probes it. The readout is per-source filter
+    quality, AUDITED IN-PLAN: probe count, filter-positive count, exact
+    membership (the ground truth a production filter can't afford to
+    compute — here it's the audit), false positives, and the measured
+    false-positive rate in bp — plus the filter's fill factor, the knob
+    that drives FPR ((fill)^k in expectation).
+
+    Engine-exactness: positions are md5-derived integers mod m
+    (non-negative, so Spark pmod == DuckDB %; m itself is an exact
+    1-row COUNT broadcast); the probe verdict is an
+    exact COUNT of matched positions == {BLM_K}; all ratios are
+    floor-divided bp with a GREATEST(..,1) guard for the all-members
+    degenerate source.
+
+    Scale notes (100 TB): the FILTER is the tiny side — m/8 bytes as a
+    bitmap ({BLM_BPK} bits per key = 1 byte/key: a 10^9-key index is a
+    1 GB bitmap, broadcast once per executor; here it travels as the
+    distinct-position table); the
+    probe side streams map-side-only against the broadcast (zero corpus
+    shuffle for admission). Text never moves: keys are 32-byte digests of
+    an 8-word prefix. The exact-membership audit joins digests, not text,
+    and exists to certify the filter — production runs filter-only and
+    pays FPR, which this query MEASURES rather than assumes."""
+    t = load_tables(spark, sf_dir)
+    import pandas as pd
+
+    keyed = t.documents.select(
+        "doc_id",
+        "source",
+        (F.col("doc_id") % 2).alias("half"),
+        F.md5(
+            F.array_join(F.slice(F.split("text", " "), 1, BLM_PREFIX), " ")
+        ).alias("pk"),
+    )
+    js = F.broadcast(spark.createDataFrame(pd.DataFrame({"j": list(range(BLM_K))})))
+    m = F.broadcast(
+        keyed.filter(F.col("half") == 0).agg(
+            (F.lit(BLM_BPK) * F.countDistinct("pk"))
+            .cast("bigint")
+            .alias("m_bits")
+        )
+    )
+    pos = keyed.crossJoin(js).crossJoin(m).select(
+        "half",
+        "doc_id",
+        "source",
+        "pk",
+        F.expr(
+            "CAST(conv(substr(md5(concat('blm', CAST(j AS STRING), '|', pk)),"
+            " 1, 8), 16, 10) AS BIGINT) % m_bits"
+        ).alias("pos"),
+    )
+    filt = pos.filter(F.col("half") == 0).select("pos").distinct()
+    fill = filt.agg(
+        F.count("*").cast("bigint").alias("n_bits_set")
+    ).crossJoin(m).select(
+        "n_bits_set",
+        F.expr("CAST(10000 * n_bits_set DIV m_bits AS BIGINT)").alias(
+            "fill_bp"
+        ),
+    )
+    probe = (
+        pos.filter(F.col("half") == 1)
+        .join(F.broadcast(filt.withColumnRenamed("pos", "f_pos")),
+              F.col("pos") == F.col("f_pos"), "left")
+        .groupBy("doc_id", "source", "pk")
+        .agg(F.count("f_pos").cast("bigint").alias("n_hit"))
+    )
+    truth = (
+        keyed.filter(F.col("half") == 0).select(F.col("pk").alias("t_pk")).distinct()
+    )
+    verdict = probe.join(
+        F.broadcast(truth), probe.pk == F.col("t_pk"), "left"
+    ).select(
+        "source",
+        F.when(F.col("n_hit") == BLM_K, 1).otherwise(0).alias("maybe"),
+        F.when(F.col("t_pk").isNotNull(), 1).otherwise(0).alias("is_member"),
+    )
+    return (
+        verdict.groupBy("source")
+        .agg(
+            F.count("*").cast("bigint").alias("n_probes"),
+            F.sum("maybe").cast("bigint").alias("n_maybe"),
+            F.sum("is_member").cast("bigint").alias("n_true"),
+            F.sum(
+                F.when((F.col("maybe") == 1) & (F.col("is_member") == 0), 1)
+                .otherwise(0)
+            )
+            .cast("bigint")
+            .alias("n_fp"),
+        )
+        .crossJoin(F.broadcast(fill))
+        .select(
+            "source",
+            "n_probes",
+            "n_maybe",
+            "n_true",
+            "n_fp",
+            F.expr(
+                "CAST(10000 * n_fp DIV GREATEST(n_probes - n_true, 1)"
+                " AS BIGINT)"
+            ).alias("fpr_bp"),
+            "n_bits_set",
+            "fill_bp",
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# q_fold_split — cluster-aware train/val/test assignment with the
+# zero-spanning proof as a hash-verified output column
+# --------------------------------------------------------------------------
+
+FOLD_N = 10  # hash folds; 0-7 train, 8 val, 9 test
+
+_FOLD_SPLIT_ORACLE = f"""
+    WITH keyed AS (
+        SELECT doc_id, n_chars, md5(text) AS ck,
+               md5('fold|' || md5(text)) AS fh
+        FROM documents
+    ), assigned AS (
+        SELECT doc_id, n_chars, ck,
+               CASE WHEN f < 8 THEN 'train' WHEN f = 8 THEN 'val'
+                    ELSE 'test' END AS split
+        FROM (SELECT doc_id, n_chars, ck,
+                     ({_hex_to_int_sql("fh", 8)}) % {FOLD_N} AS f
+              FROM keyed)
+    ), spans AS (
+        SELECT ck, CAST(COUNT(DISTINCT split) AS BIGINT) AS n_splits
+        FROM assigned GROUP BY ck
+    ), tot AS (
+        SELECT CAST(SUM(n_chars) AS BIGINT) AS total_chars FROM assigned
+    )
+    SELECT a.split,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(COUNT(DISTINCT a.ck) AS BIGINT) AS n_clusters,
+           CAST(SUM(a.n_chars) AS BIGINT) AS n_chars,
+           CAST(10000 * SUM(a.n_chars) // (SELECT total_chars FROM tot)
+                AS BIGINT) AS share_bp,
+           CAST(SUM(CASE WHEN s.n_splits > 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS spanning_docs
+    FROM assigned a JOIN spans s ON s.ck = a.ck
+    GROUP BY a.split
+"""
+
+
+@declared("q_fold_split", oracle=_FOLD_SPLIT_ORACLE)
+def q_fold_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CLUSTER-AWARE train/val/test split — the leakage-FREE construction
+    (q_leakage is the after-the-fact audit; this is how you make it pass):
+    the fold hash is computed from the exact-dup cluster key (md5(text)),
+    NEVER the doc id, so every member of a duplicate cluster lands in the
+    same fold by construction. 80/10/10 via {FOLD_N} md5-derived folds.
+    The zero-spanning PROOF is part of the hash-verified result: per
+    split, the count of docs whose cluster appears in more than one split
+    (spanning_docs — identically 0), plus per-split doc/cluster/char
+    volumes and the char-share in bp (the actual split ratio, which
+    drifts from 80/10/10 exactly as cluster sizes skew — that drift is
+    the readout a doc-hashed split hides).
+
+    Engine-exactness: fold = first-8-hex-digits of md5('fold|'||ck) mod
+    {FOLD_N} (non-negative — pmod == %); integer counts and floor-divided
+    share; split labels are literals.
+
+    Scale notes (100 TB): one map-side pass computes keys and folds (no
+    shuffle to ASSIGN — assignment is pure hashing, the q_split
+    growth-stable property, inherited at cluster granularity); the
+    spanning proof and per-split census are two map-side-combined
+    aggregates on 32-byte digests (text never shuffles). The proof
+    aggregate keys on ck — the same key a dedup pass already shuffles by,
+    so on a bucketed corpus it is shuffle-local."""
+    t = load_tables(spark, sf_dir)
+    assigned = t.documents.select(
+        "doc_id",
+        "n_chars",
+        F.md5("text").alias("ck"),
+        F.expr(
+            "CAST(conv(substr(md5(concat('fold|', md5(text))), 1, 8),"
+            " 16, 10) AS BIGINT)"
+        ).alias("fhash"),
+    ).select(
+        "doc_id",
+        "n_chars",
+        "ck",
+        F.when(F.col("fhash") % FOLD_N < 8, "train")
+        .when(F.col("fhash") % FOLD_N == 8, "val")
+        .otherwise("test")
+        .alias("split"),
+    )
+    spans = assigned.groupBy("ck").agg(
+        F.countDistinct("split").cast("bigint").alias("n_splits")
+    )
+    tot = assigned.agg(
+        F.sum("n_chars").cast("bigint").alias("total_chars")
+    )
+    return (
+        assigned.join(spans.withColumnRenamed("ck", "s_ck"),
+                      assigned.ck == F.col("s_ck"))
+        .groupBy("split")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.countDistinct("ck").cast("bigint").alias("n_clusters"),
+            F.sum("n_chars").cast("bigint").alias("n_chars"),
+            F.sum(F.when(F.col("n_splits") > 1, 1).otherwise(0))
+            .cast("bigint")
+            .alias("spanning_docs"),
+        )
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "split",
+            "n_docs",
+            "n_clusters",
+            "n_chars",
+            F.expr(
+                "CAST(10000 * n_chars DIV total_chars AS BIGINT)"
+            ).alias("share_bp"),
+            "spanning_docs",
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# q_vocab_diff — term-level release diff: new/dead/shared census + top
+# tf movers per class (the vocabulary half of q_corpus_diff)
+# --------------------------------------------------------------------------
+
+VD_TOPK = 10  # movers reported per class
+
+_VOCAB_DIFF_ORACLE = f"""
+    WITH w AS (
+        SELECT doc_id % 2 AS ver, doc_id,
+               unnest(ws) AS w, generate_subscripts(ws, 1) AS i
+        FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents)
+    ), tok AS (
+        SELECT ver, doc_id,
+               w || ' ' || LEAD(w) OVER (PARTITION BY doc_id ORDER BY i)
+                   AS term
+        FROM w
+    ), pv AS (
+        SELECT ver, term,
+               CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df,
+               CAST(COUNT(*) AS BIGINT) AS tf
+        FROM tok WHERE term IS NOT NULL GROUP BY ver, term
+    ), joined AS (
+        SELECT COALESCE(a.term, b.term) AS term,
+               CASE WHEN a.term IS NULL THEN 'new'
+                    WHEN b.term IS NULL THEN 'dead'
+                    ELSE 'shared' END AS class,
+               COALESCE(a.df, 0) AS df_v1, COALESCE(a.tf, 0) AS tf_v1,
+               COALESCE(b.df, 0) AS df_v2, COALESCE(b.tf, 0) AS tf_v2,
+               COALESCE(b.tf, 0) - COALESCE(a.tf, 0) AS delta_tf
+        FROM (SELECT * FROM pv WHERE ver = 0) a
+        FULL JOIN (SELECT * FROM pv WHERE ver = 1) b ON b.term = a.term
+    ), census AS (
+        SELECT 'census' AS kind, class, CAST(0 AS BIGINT) AS rnk,
+               '' AS term,
+               CAST(SUM(df_v1) AS BIGINT) AS df_v1,
+               CAST(SUM(tf_v1) AS BIGINT) AS tf_v1,
+               CAST(SUM(df_v2) AS BIGINT) AS df_v2,
+               CAST(SUM(tf_v2) AS BIGINT) AS tf_v2,
+               CAST(SUM(delta_tf) AS BIGINT) AS delta_tf
+        FROM joined GROUP BY class
+    ), movers AS (
+        SELECT 'mover' AS kind, class, rnk, term,
+               df_v1, tf_v1, df_v2, tf_v2, delta_tf
+        FROM (
+            SELECT *, CAST(ROW_NUMBER() OVER (
+                       PARTITION BY class
+                       ORDER BY ABS(delta_tf) DESC, term) AS BIGINT) AS rnk
+            FROM joined
+        ) WHERE rnk <= {VD_TOPK}
+    )
+    SELECT * FROM census UNION ALL SELECT * FROM movers
+"""
+
+
+@declared("q_vocab_diff", oracle=_VOCAB_DIFF_ORACLE)
+def q_vocab_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TERM-LEVEL RELEASE DIFF — the vocabulary half of the dataset-version
+    audit (q_corpus_diff diffs documents; this diffs the term distribution
+    between corpus v1 = even doc_ids and v2 = odd): a per-class census
+    (new / dead / shared terms with their df and tf masses) plus the top
+    {VD_TOPK} tf movers per class (|delta_tf| DESC, term ASC). Terms are
+    BIGRAMS — the unigram vocabulary of the synthetic corpus is a closed
+    31-word set present in both halves (zero churn), while the bigram
+    space churns (measured 4 new / 9 dead / 903 shared at sf0.01), and
+    bigram-level diffing is what catches phrase-level template drift a
+    unigram census misses. The
+    before-shipping readout that catches a scrape gone wrong — a
+    boilerplate explosion shows up as a 'new' mover, a parser regression
+    as a 'dead' one — one release earlier than downstream eval drift
+    (q_drift_tvd watches sources; this watches WORDS).
+
+    Engine-exactness: integer df/tf, COALESCE(0) on both FULL-OUTER
+    sides, mover rank ties broken by term, census keyed by class literal.
+
+    Scale notes (100 TB): per-version term stats are one map-side-combined
+    aggregate over (ver, term) — the token stream shuffles 32-byte-max
+    terms, never documents; the FULL OUTER join and everything after run
+    on vocab-sized data (Heaps' law: ~10^7-10^8 terms for a 10^12-token
+    corpus — single-executor scale). The mover windows partition by class
+    over that vocab-sized frame; a production run prefilters with a
+    coarse |delta_tf| threshold before ranking to keep the sort local."""
+    t = load_tables(spark, sf_dir)
+    w = t.documents.select(
+        (F.col("doc_id") % 2).alias("ver"),
+        "doc_id",
+        F.posexplode(F.split("text", " ")).alias("i", "w"),
+    )
+    dw = Window.partitionBy("doc_id").orderBy("i")
+    tok = w.select(
+        "ver",
+        "doc_id",
+        F.when(
+            F.lead("w", 1).over(dw).isNotNull(),
+            F.concat_ws(" ", "w", F.lead("w", 1).over(dw)),
+        ).alias("term"),
+    ).filter(F.col("term").isNotNull())
+    pv = tok.groupBy("ver", "term").agg(
+        F.countDistinct("doc_id").cast("bigint").alias("df"),
+        F.count("*").cast("bigint").alias("tf"),
+    )
+    a = pv.filter(F.col("ver") == 0).select(
+        F.col("term").alias("a_term"),
+        F.col("df").alias("a_df"),
+        F.col("tf").alias("a_tf"),
+    )
+    b = pv.filter(F.col("ver") == 1).select(
+        F.col("term").alias("b_term"),
+        F.col("df").alias("b_df"),
+        F.col("tf").alias("b_tf"),
+    )
+    joined = a.join(b, a.a_term == b.b_term, "full").select(
+        F.coalesce("a_term", "b_term").alias("term"),
+        F.when(F.col("a_term").isNull(), "new")
+        .when(F.col("b_term").isNull(), "dead")
+        .otherwise("shared")
+        .alias("class"),
+        F.coalesce("a_df", F.lit(0)).cast("bigint").alias("df_v1"),
+        F.coalesce("a_tf", F.lit(0)).cast("bigint").alias("tf_v1"),
+        F.coalesce("b_df", F.lit(0)).cast("bigint").alias("df_v2"),
+        F.coalesce("b_tf", F.lit(0)).cast("bigint").alias("tf_v2"),
+        (F.coalesce("b_tf", F.lit(0)) - F.coalesce("a_tf", F.lit(0)))
+        .cast("bigint")
+        .alias("delta_tf"),
+    )
+    census = joined.groupBy("class").agg(
+        F.sum("df_v1").cast("bigint").alias("df_v1"),
+        F.sum("tf_v1").cast("bigint").alias("tf_v1"),
+        F.sum("df_v2").cast("bigint").alias("df_v2"),
+        F.sum("tf_v2").cast("bigint").alias("tf_v2"),
+        F.sum("delta_tf").cast("bigint").alias("delta_tf"),
+    ).select(
+        F.lit("census").alias("kind"),
+        "class",
+        F.lit(0).cast("bigint").alias("rnk"),
+        F.lit("").alias("term"),
+        "df_v1",
+        "tf_v1",
+        "df_v2",
+        "tf_v2",
+        "delta_tf",
+    )
+    mw = Window.partitionBy("class").orderBy(
+        F.abs(F.col("delta_tf")).desc(), "term"
+    )
+    movers = (
+        joined.withColumn("rnk", F.row_number().over(mw).cast("bigint"))
+        .filter(F.col("rnk") <= VD_TOPK)
+        .select(
+            F.lit("mover").alias("kind"),
+            "class",
+            "rnk",
+            "term",
+            "df_v1",
+            "tf_v1",
+            "df_v2",
+            "tf_v2",
+            "delta_tf",
+        )
+    )
+    return census.unionByName(movers)
+
+
+# --------------------------------------------------------------------------
+# q_zorder_prune — the pruning benefit of z-order layout: files touched
+# and read amplification under z-order vs row-major, for one 2-D predicate
+# --------------------------------------------------------------------------
+
+ZP_BITS = 8  # quantization bits per dimension (x, y in 0..255)
+ZP_FILE_SHIFT = 1 << 10  # 1024 cells per file => 64 files over 16-bit keys
+ZP_LO, ZP_HI = 96, 159  # the centered 64x64 query square (32-aligned)
+
+
+def _zp_interleave(xc: str, yc: str, idiv: str) -> str:
+    """Closed-form Morton interleave of two {ZP_BITS}-bit ints — the SAME
+    formula text rendered for each engine's integer-division keyword
+    (Spark DIV / DuckDB //): bit j of x lands at position 2j, of y at
+    2j+1."""
+    terms = []
+    for j in range(ZP_BITS):
+        terms.append(f"(({xc} {idiv} {1 << j}) % 2) * {1 << (2 * j)}")
+        terms.append(f"(({yc} {idiv} {1 << j}) % 2) * {1 << (2 * j + 1)}")
+    return " + ".join(terms)
+
+
+_ZP_ORACLE = f"""
+    WITH bounds AS (
+        SELECT CAST(MIN(l_orderkey) AS BIGINT) AS min_x,
+               CAST(MAX(l_orderkey) AS BIGINT) AS max_x,
+               CAST(MIN(l_partkey) AS BIGINT) AS min_y,
+               CAST(MAX(l_partkey) AS BIGINT) AS max_y
+        FROM lineitem
+    ), pts AS (
+        SELECT ((l_orderkey - b.min_x) * {1 << ZP_BITS})
+                   // (b.max_x - b.min_x + 1) AS x,
+               ((l_partkey - b.min_y) * {1 << ZP_BITS})
+                   // (b.max_y - b.min_y + 1) AS y
+        FROM lineitem, bounds b
+    ), keyed AS (
+        SELECT x, y,
+               ({_zp_interleave("x", "y", "//")}) AS z,
+               CASE WHEN x BETWEEN {ZP_LO} AND {ZP_HI}
+                     AND y BETWEEN {ZP_LO} AND {ZP_HI}
+                    THEN 1 ELSE 0 END AS hit
+        FROM pts
+    ), files AS (
+        SELECT 'zorder' AS layout, z // {ZP_FILE_SHIFT} AS file_id,
+               CAST(COUNT(*) AS BIGINT) AS n_rows,
+               CAST(SUM(hit) AS BIGINT) AS n_hit
+        FROM keyed GROUP BY 1, 2
+        UNION ALL
+        SELECT 'rowmajor' AS layout,
+               (x * {1 << ZP_BITS} + y) // {ZP_FILE_SHIFT} AS file_id,
+               CAST(COUNT(*) AS BIGINT) AS n_rows,
+               CAST(SUM(hit) AS BIGINT) AS n_hit
+        FROM keyed GROUP BY 1, 2
+    )
+    SELECT layout,
+           CAST(COUNT(*) AS BIGINT) AS files_total,
+           CAST(SUM(CASE WHEN n_hit > 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS files_touched,
+           CAST(SUM(n_hit) AS BIGINT) AS rows_matched,
+           CAST(SUM(CASE WHEN n_hit > 0 THEN n_rows ELSE 0 END) AS BIGINT)
+               AS touched_rows,
+           CAST(10000 * SUM(n_hit)
+                // GREATEST(SUM(CASE WHEN n_hit > 0 THEN n_rows
+                                     ELSE 0 END), 1) AS BIGINT)
+               AS read_amp_bp,
+           CAST(10000 * SUM(CASE WHEN n_hit > 0 THEN 1 ELSE 0 END)
+                // COUNT(*) AS BIGINT) AS touch_bp
+    FROM files GROUP BY layout
+"""
+
+
+@declared("q_zorder_prune", oracle=_ZP_ORACLE)
+def q_zorder_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The PRUNING BENEFIT of z-order layout — the readout that justifies
+    q_zorder's Morton math: quantize (l_orderkey, l_partkey) to
+    {ZP_BITS}-bit grid coordinates, assign every row to a file under TWO
+    layouts — z-order (Morton key ranges) and row-major (x-then-y sort
+    ranges), {ZP_FILE_SHIFT} cells per file — and measure, for one
+    centered 2-D range predicate, the zone-map effect: files touched,
+    rows matched, rows read (touched-file row mass), the read
+    amplification (matched/read in bp — higher is better) and the
+    fraction of files touched. Row-major must read every file whose
+    x-range intersects (all y values ride along); z-order localizes both
+    dimensions, touching ~(query area / file block) files. This is Delta
+    OPTIMIZE ZORDER / Iceberg sort-order planning as a measured, in-plan
+    comparison, not a claim.
+
+    Engine-exactness: the interleave is the SAME generated formula text
+    on both engines (integer div/mod bit extraction — no engine bitwise
+    operators), quantization is exact integer scaling off a broadcast
+    1-row min/max, the predicate square [{ZP_LO}, {ZP_HI}]^2 is 32-aligned
+    so the z-block arithmetic is clean.
+
+    Scale notes (100 TB): per-file stats are ONE map-side-combined
+    aggregate per layout over integer keys (the real write would
+    repartitionByRange on the same key — this query COSTS the layout
+    before paying that shuffle); bounds are a broadcast 1-row aggregate.
+    The readout scales to any file-count by changing {ZP_FILE_SHIFT};
+    the decision it feeds (z-order vs insertion order) is exactly the
+    one a 100 TB table maintenance pass has to make."""
+    t = load_tables(spark, sf_dir)
+    bounds = F.broadcast(
+        t.lineitem.agg(
+            F.min("l_orderkey").cast("bigint").alias("min_x"),
+            F.max("l_orderkey").cast("bigint").alias("max_x"),
+            F.min("l_partkey").cast("bigint").alias("min_y"),
+            F.max("l_partkey").cast("bigint").alias("max_y"),
+        )
+    )
+    pts = t.lineitem.select("l_orderkey", "l_partkey").crossJoin(bounds).select(
+        F.expr(
+            f"(l_orderkey - min_x) * {1 << ZP_BITS} DIV (max_x - min_x + 1)"
+        ).alias("x"),
+        F.expr(
+            f"(l_partkey - min_y) * {1 << ZP_BITS} DIV (max_y - min_y + 1)"
+        ).alias("y"),
+    )
+    keyed = pts.select(
+        "x",
+        "y",
+        F.expr(_zp_interleave("x", "y", "DIV")).alias("z"),
+        F.when(
+            F.col("x").between(ZP_LO, ZP_HI)
+            & F.col("y").between(ZP_LO, ZP_HI),
+            1,
+        )
+        .otherwise(0)
+        .alias("hit"),
+    )
+    fz = keyed.groupBy(
+        F.expr(f"z DIV {ZP_FILE_SHIFT}").alias("file_id")
+    ).agg(
+        F.count("*").cast("bigint").alias("n_rows"),
+        F.sum("hit").cast("bigint").alias("n_hit"),
+    ).select(F.lit("zorder").alias("layout"), "file_id", "n_rows", "n_hit")
+    frm = keyed.groupBy(
+        F.expr(f"(x * {1 << ZP_BITS} + y) DIV {ZP_FILE_SHIFT}").alias(
+            "file_id"
+        )
+    ).agg(
+        F.count("*").cast("bigint").alias("n_rows"),
+        F.sum("hit").cast("bigint").alias("n_hit"),
+    ).select(F.lit("rowmajor").alias("layout"), "file_id", "n_rows", "n_hit")
+    return (
+        fz.unionByName(frm)
+        .groupBy("layout")
+        .agg(
+            F.count("*").cast("bigint").alias("files_total"),
+            F.sum(F.when(F.col("n_hit") > 0, 1).otherwise(0))
+            .cast("bigint")
+            .alias("files_touched"),
+            F.sum("n_hit").cast("bigint").alias("rows_matched"),
+            F.sum(F.when(F.col("n_hit") > 0, F.col("n_rows")).otherwise(0))
+            .cast("bigint")
+            .alias("touched_rows"),
+        )
+        .select(
+            "layout",
+            "files_total",
+            "files_touched",
+            "rows_matched",
+            "touched_rows",
+            F.expr(
+                "CAST(10000 * rows_matched DIV GREATEST(touched_rows, 1)"
+                " AS BIGINT)"
+            ).alias("read_amp_bp"),
+            F.expr(
+                "CAST(10000 * files_touched DIV files_total AS BIGINT)"
+            ).alias("touch_bp"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# q_rank_eval — rank displacement of the exact NN under int8 quantization
+# (the MRR-style eval readout the set-recall audits don't capture)
+# --------------------------------------------------------------------------
+
+RE_NQ = 8  # query vectors: vec_id 0..7 (present at every SF)
+
+# Shared fixed-point unit-vector CTE (round11's q_binary_ann precedent).
+from .round11 import _U_CTE  # noqa: E402
+
+_RANK_EVAL_ORACLE = f"""
+    WITH {_U_CTE}, mx AS (
+        SELECT vec_id, MAX(ABS(x)) AS mabs
+        FROM ex GROUP BY vec_id
+    ), q8 AS (
+        SELECT e.vec_id, e.i,
+               CAST(FLOOR(e.x * (CASE WHEN m.mabs = 0 THEN 0.0
+                                      ELSE 127.0 / m.mabs END) + 0.5)
+                    AS BIGINT) AS qi
+        FROM ex e JOIN mx m ON m.vec_id = e.vec_id
+    ), dots AS (
+        SELECT uq.vec_id AS q_id, uc.vec_id AS cand,
+               CAST(SUM(uq.xi * uc.xi) AS BIGINT) AS dot_fx
+        FROM u uq JOIN u uc ON uc.i = uq.i AND uc.vec_id <> uq.vec_id
+        WHERE uq.vec_id < {RE_NQ}
+        GROUP BY uq.vec_id, uc.vec_id
+    ), dots8 AS (
+        SELECT a.vec_id AS q_id, b.vec_id AS cand,
+               CAST(SUM(a.qi * b.qi) AS BIGINT) AS dot8
+        FROM q8 a JOIN q8 b ON b.i = a.i AND b.vec_id <> a.vec_id
+        WHERE a.vec_id < {RE_NQ}
+        GROUP BY a.vec_id, b.vec_id
+    ), truth AS (
+        SELECT q_id, cand AS true_nn, dot_fx AS dot_fx_true
+        FROM (SELECT *, ROW_NUMBER() OVER (
+                  PARTITION BY q_id ORDER BY dot_fx DESC, cand) AS r
+              FROM dots) WHERE r = 1
+    ), sysrank AS (
+        SELECT q_id, cand,
+               CAST(ROW_NUMBER() OVER (
+                   PARTITION BY q_id ORDER BY dot8 DESC, cand) AS BIGINT)
+                   AS sys_rank
+        FROM dots8
+    )
+    SELECT t.q_id, t.true_nn, t.dot_fx_true, s.sys_rank,
+           CAST(10000 // s.sys_rank AS BIGINT) AS rr_bp,
+           CAST(CASE WHEN s.sys_rank = 1 THEN 1 ELSE 0 END AS BIGINT)
+               AS top1_hit
+    FROM truth t
+    JOIN sysrank s ON s.q_id = t.q_id AND s.cand = t.true_nn
+"""
+
+
+@declared("q_rank_eval", oracle=_RANK_EVAL_ORACLE)
+def q_rank_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RETRIEVAL RANK-DISPLACEMENT EVAL: where does int8 scalar
+    quantization (q_embed_quant's 4x storage path: per-vector scale =
+    127/max|x|, half-up rounding) rank the EXACT nearest neighbor? Per
+    query (vec_id < {RE_NQ}, the q_binary_ann convention), the true NN
+    under exact fixed-point cosine, its rank in the int8-dot ordering,
+    the reciprocal rank in integer bp (10000 // rank — the MRR readout),
+    and the top1_hit flag. The recall_bp audits across the ANN family
+    measure SET membership at a cutoff; this measures ORDER degradation —
+    the metric that decides whether a compressed index can serve top-1
+    lookups or only shortlist for a re-ranker.
+
+    Engine-exactness: both rankings are integer dot products of
+    integer-quantized vectors (fx unit vectors and int8 codes); the only
+    doubles are the per-vector scale (one IEEE quotient) and FLOOR(+0.5)
+    half-up (engines disagree on ROUND ties, FLOOR(+0.5) they cannot);
+    rank ties break on candidate id.
+
+    Scale notes (100 TB): the {RE_NQ}-query side broadcasts (the
+    broadcast-the-query rule); the candidate scan is one pass each over
+    the int8 codes (the narrow census — 64 B/vector) and the fx vectors;
+    rankings are per-query windows over candidate-count rows. The
+    brute-force truth side is the AUDIT (production truth comes from the
+    IVF/PQ/binary shortlist family); the int8 ranking side is exactly the
+    production scorer."""
+    t = load_tables(spark, sf_dir)
+    emb = t.embeddings.select(
+        "vec_id", "embedding", _unit_fx_expr().alias("u")
+    )
+    mabs = F.array_max(
+        F.expr("transform(embedding, v -> abs(CAST(v AS DOUBLE)))")
+    )
+    q8 = emb.select(
+        "vec_id",
+        "u",
+        F.when(mabs == 0, F.lit(0.0)).otherwise(F.lit(127.0) / mabs).alias(
+            "scale"
+        ),
+        "embedding",
+    ).select(
+        "vec_id",
+        "u",
+        F.expr(
+            "transform(embedding,"
+            " v -> CAST(FLOOR(CAST(v AS DOUBLE) * scale + 0.5) AS BIGINT))"
+        ).alias("q8"),
+    )
+    q = F.broadcast(
+        q8.filter(F.col("vec_id") < RE_NQ).select(
+            F.col("vec_id").alias("q_id"),
+            F.col("u").alias("qu"),
+            F.col("q8").alias("qq8"),
+        )
+    )
+    scored = (
+        q8.crossJoin(q)
+        .filter(F.col("vec_id") != F.col("q_id"))
+        .select(
+            "q_id",
+            F.col("vec_id").alias("cand"),
+            F.aggregate(
+                F.zip_with(F.col("u"), F.col("qu"), lambda x, y: x * y),
+                F.lit(0).cast("bigint"),
+                lambda a, v: a + v,
+            ).alias("dot_fx"),
+            F.aggregate(
+                F.zip_with(F.col("q8"), F.col("qq8"), lambda x, y: x * y),
+                F.lit(0).cast("bigint"),
+                lambda a, v: a + v,
+            ).alias("dot8"),
+        )
+    )
+    tw = Window.partitionBy("q_id").orderBy(F.desc("dot_fx"), "cand")
+    sw = Window.partitionBy("q_id").orderBy(F.desc("dot8"), "cand")
+    ranked = scored.select(
+        "q_id",
+        "cand",
+        "dot_fx",
+        F.row_number().over(tw).alias("t_rank"),
+        F.row_number().over(sw).cast("bigint").alias("sys_rank"),
+    )
+    return ranked.filter(F.col("t_rank") == 1).select(
+        "q_id",
+        F.col("cand").alias("true_nn"),
+        F.col("dot_fx").alias("dot_fx_true"),
+        "sys_rank",
+        F.expr("CAST(10000 DIV sys_rank AS BIGINT)").alias("rr_bp"),
+        F.when(F.col("sys_rank") == 1, 1)
+        .otherwise(0)
+        .cast("bigint")
+        .alias("top1_hit"),
+    )
+
+
+# --------------------------------------------------------------------------
+# q_rfm_features — RFM feature assembly: recency/frequency/monetary per
+# user, quintile scores from exact PERCENTILE_DISC thresholds, segment
+# --------------------------------------------------------------------------
+
+_US_PER_DAY_R12 = 86_400_000_000
+
+_RFM_ORACLE = f"""
+    WITH peruser AS (
+        SELECT user_id,
+               CAST(MAX(epoch_us(ts)) // {_US_PER_DAY_R12} AS BIGINT)
+                   AS last_day,
+               CAST(COUNT(*) AS BIGINT) AS f_cnt,
+               CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT))
+                    AS BIGINT) AS m_cents
+        FROM events GROUP BY user_id
+    ), anchor AS (
+        SELECT CAST(MAX(last_day) AS BIGINT) AS max_day FROM peruser
+    ), rfm AS (
+        SELECT user_id,
+               CAST((SELECT max_day FROM anchor) - last_day AS BIGINT)
+                   AS r_days,
+               f_cnt, m_cents
+        FROM peruser
+    ), th AS (
+        SELECT
+          CAST(percentile_disc(0.2) WITHIN GROUP (ORDER BY r_days) AS BIGINT) AS r20,
+          CAST(percentile_disc(0.4) WITHIN GROUP (ORDER BY r_days) AS BIGINT) AS r40,
+          CAST(percentile_disc(0.6) WITHIN GROUP (ORDER BY r_days) AS BIGINT) AS r60,
+          CAST(percentile_disc(0.8) WITHIN GROUP (ORDER BY r_days) AS BIGINT) AS r80,
+          CAST(percentile_disc(0.2) WITHIN GROUP (ORDER BY f_cnt) AS BIGINT) AS f20,
+          CAST(percentile_disc(0.4) WITHIN GROUP (ORDER BY f_cnt) AS BIGINT) AS f40,
+          CAST(percentile_disc(0.6) WITHIN GROUP (ORDER BY f_cnt) AS BIGINT) AS f60,
+          CAST(percentile_disc(0.8) WITHIN GROUP (ORDER BY f_cnt) AS BIGINT) AS f80,
+          CAST(percentile_disc(0.2) WITHIN GROUP (ORDER BY m_cents) AS BIGINT) AS m20,
+          CAST(percentile_disc(0.4) WITHIN GROUP (ORDER BY m_cents) AS BIGINT) AS m40,
+          CAST(percentile_disc(0.6) WITHIN GROUP (ORDER BY m_cents) AS BIGINT) AS m60,
+          CAST(percentile_disc(0.8) WITHIN GROUP (ORDER BY m_cents) AS BIGINT) AS m80
+        FROM rfm
+    ), scored AS (
+        SELECT r.user_id, r.r_days, r.f_cnt, r.m_cents,
+               CAST(5 - ((r.r_days > t.r20)::INT + (r.r_days > t.r40)::INT
+                       + (r.r_days > t.r60)::INT + (r.r_days > t.r80)::INT)
+                    AS BIGINT) AS r_score,
+               CAST(1 + (r.f_cnt > t.f20)::INT + (r.f_cnt > t.f40)::INT
+                      + (r.f_cnt > t.f60)::INT + (r.f_cnt > t.f80)::INT
+                    AS BIGINT) AS f_score,
+               CAST(1 + (r.m_cents > t.m20)::INT + (r.m_cents > t.m40)::INT
+                      + (r.m_cents > t.m60)::INT + (r.m_cents > t.m80)::INT
+                    AS BIGINT) AS m_score
+        FROM rfm r, th t
+    )
+    SELECT user_id, r_days, f_cnt, m_cents, r_score, f_score, m_score,
+           CAST(r_score AS VARCHAR) || CAST(f_score AS VARCHAR)
+               || CAST(m_score AS VARCHAR) AS segment
+    FROM scored
+"""
+
+
+@declared("q_rfm_features", oracle=_RFM_ORACLE)
+def q_rfm_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM FEATURE ASSEMBLY — the behavioral feature-store build step
+    (recency / frequency / monetary, the canonical segmentation features):
+    per user, days since last event (vs the corpus max day), event count,
+    monetary value in exact cents (FLOOR(value*100 + 0.5) — the half-up
+    idiom), quintile scores 1-5 per dimension from exact PERCENTILE_DISC
+    thresholds (recency REVERSED — recent = 5), and the 3-digit segment
+    label ('555' = best). Scores from > comparisons against the four
+    quintile thresholds, so every engine agrees exactly (no NTILE — its
+    ties are ordering-dependent).
+
+    Engine-exactness: thresholds are exact order statistics of BIGINT
+    columns (PERCENTILE_DISC picks an element, never interpolates);
+    cents use one IEEE multiply + half-up floor; day arithmetic is
+    integer epoch-microsecond division.
+
+    Scale notes (100 TB): one map-side-combined aggregate builds the
+    per-user frame; the threshold row is a global exact-percentile over
+    the user-count-sized frame (rank-global — the production swap-in at
+    10^9 users is approx_percentile, the q_len_quantile trade already
+    documented) broadcast back as a 1-row cross join; scoring is
+    map-side. The segment label feeds GROUP BY segmentation downstream
+    without re-deriving features."""
+    t = load_tables(spark, sf_dir)
+    peruser = t.events.groupBy("user_id").agg(
+        # ts is TIMESTAMP_NTZ (the catalog's events layout) — unix_micros
+        # rejects NTZ, so use the scalepatterns timestampdiff idiom
+        F.expr(
+            "CAST(MAX(timestampdiff(MICROSECOND,"
+            " TIMESTAMP_NTZ '1970-01-01 00:00:00', ts))"
+            f" DIV {_US_PER_DAY_R12} AS BIGINT)"
+        ).alias("last_day"),
+        F.count("*").cast("bigint").alias("f_cnt"),
+        F.sum(F.expr("CAST(FLOOR(value * 100 + 0.5) AS BIGINT)"))
+        .cast("bigint")
+        .alias("m_cents"),
+    )
+    anchor = F.broadcast(
+        peruser.agg(F.max("last_day").cast("bigint").alias("max_day"))
+    )
+    rfm = peruser.crossJoin(anchor).select(
+        "user_id",
+        (F.col("max_day") - F.col("last_day")).cast("bigint").alias("r_days"),
+        "f_cnt",
+        "m_cents",
+    )
+    th = F.broadcast(
+        rfm.agg(
+            *[
+                F.expr(
+                    f"CAST(percentile_disc({p}) WITHIN GROUP"
+                    f" (ORDER BY {c}) AS BIGINT)"
+                ).alias(f"{c[0]}{int(p * 100)}")
+                for c in ("r_days", "f_cnt", "m_cents")
+                for p in (0.2, 0.4, 0.6, 0.8)
+            ]
+        )
+    )
+    scored = rfm.crossJoin(th).select(
+        "user_id",
+        "r_days",
+        "f_cnt",
+        "m_cents",
+        F.expr(
+            "CAST(5 - (CAST(r_days > r20 AS INT) + CAST(r_days > r40 AS INT)"
+            " + CAST(r_days > r60 AS INT) + CAST(r_days > r80 AS INT))"
+            " AS BIGINT)"
+        ).alias("r_score"),
+        F.expr(
+            "CAST(1 + CAST(f_cnt > f20 AS INT) + CAST(f_cnt > f40 AS INT)"
+            " + CAST(f_cnt > f60 AS INT) + CAST(f_cnt > f80 AS INT)"
+            " AS BIGINT)"
+        ).alias("f_score"),
+        F.expr(
+            "CAST(1 + CAST(m_cents > m20 AS INT) + CAST(m_cents > m40 AS INT)"
+            " + CAST(m_cents > m60 AS INT) + CAST(m_cents > m80 AS INT)"
+            " AS BIGINT)"
+        ).alias("m_score"),
+    )
+    return scored.select(
+        "user_id",
+        "r_days",
+        "f_cnt",
+        "m_cents",
+        "r_score",
+        "f_score",
+        "m_score",
+        F.concat(
+            F.col("r_score").cast("string"),
+            F.col("f_score").cast("string"),
+            F.col("m_score").cast("string"),
+        ).alias("segment"),
+    )

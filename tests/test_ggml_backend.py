@@ -171,3 +171,22 @@ def test_set_model_path_validate(tiny_model, engine, tmp_path):
     with pytest.raises(ValueError, match="failed to load"):
         engine.set_model_path(str(bad), validate=True)
     engine.set_model_path(None)
+
+
+def test_q4_scale_overflow_raises_not_warns():
+    """f32->f16 scale overflow must raise explicitly (VERDICT r11 #7) —
+    previously it emitted a numpy RuntimeWarning and stored inf, which the
+    dequant misframe guard rejected far from the cause."""
+    import warnings
+
+    import numpy as np
+    import pytest
+
+    from duckdb_ner_spark.ner import ggml_format as g
+
+    big = (np.random.RandomState(0).randn(2, 64) * 1e38).astype(np.float32)
+    with warnings.catch_warnings(record=True) as rec:
+        warnings.simplefilter("always")
+        with pytest.raises(ValueError, match="f16 range"):
+            g._quant_q4_0_modern(big)
+    assert not [w for w in rec if issubclass(w.category, RuntimeWarning)]

@@ -803,4 +803,6 @@ def test_index_delta_merge_equals_rebuild(spark):
         assert r["tf_merged"] == sum(c.values())
         assert r["df_main"] == sum(1 for d in c if d % 2 == 0)
         top = sorted(c.items(), key=lambda kv: (-kv[1], kv[0]))[:IDX_TOPK]
-        assert list(r["top_merged"]) == [d for d, _ in top]
+        # top_merged is a CSV STRING (hash-declared queries must not ship
+        # array columns — assert_hashable_schema, the r11 red-row fix)
+        assert r["top_merged"] == ",".join(str(d) for d, _ in top)

@@ -1,0 +1,453 @@
+"""Round-12 operator tests: Gopher repetition battery, Bloom membership,
+cluster-aware fold split, bigram vocab diff, z-order pruning benefit, int8
+rank-displacement eval, RFM features.
+
+Each query is hash-verified against its DuckDB oracle by the driver; these
+tests pin the SEMANTICS with planted fixtures and independent pure-Python
+recomputes on shipped testdata (the house test model, SURVEY §5).
+"""
+
+import hashlib
+from collections import Counter
+
+import duckdb
+import pytest
+
+import duckdb_ner_spark.operators  # noqa: F401 — populate the registry
+from duckdb_ner_spark.operators.round12 import (
+    BLM_BPK,
+    BLM_K,
+    BLM_PREFIX,
+    FOLD_N,
+    GR_DUP3_BP,
+    GR_TOP2_BP,
+    RE_NQ,
+    VD_TOPK,
+    ZP_BITS,
+    ZP_FILE_SHIFT,
+    ZP_HI,
+    ZP_LO,
+)
+from duckdb_ner_spark.plans.registry import QUERIES
+
+SF_SMOKE = "/root/testdata/sf0.001"
+
+
+def _docs():
+    con = duckdb.connect()
+    return con.execute(
+        f"SELECT doc_id, text, lang FROM '{SF_SMOKE}/documents.parquet'"
+    ).fetchall()
+
+
+# --------------------------------------------------------------------------
+# q_gopher_repetition
+# --------------------------------------------------------------------------
+
+
+def _gopher_signals(text: str):
+    ws = text.split(" ")
+    nc = len(text)
+    n_words = len(ws)
+    n_distinct = len(set(ws))
+    g2 = Counter(
+        " ".join(ws[i : i + 2]) for i in range(len(ws) - 1)
+    )
+    g3 = Counter(
+        " ".join(ws[i : i + 3]) for i in range(len(ws) - 2)
+    )
+    # argmax by (count desc, len desc, gram asc)
+    top_g, top_c = min(
+        g2.items(), key=lambda kv: (-kv[1], -len(kv[0]), kv[0])
+    )
+    top2_bp = 10000 * top_c * len(top_g) // nc
+    dup_mass = sum(c * len(g) for g, c in g3.items() if c >= 2)
+    dup3_bp = min(10000 * dup_mass // nc, 10000)
+    rep_bp = 10000 * (n_words - n_distinct) // n_words
+    keep = 1 if (top2_bp <= GR_TOP2_BP and dup3_bp <= GR_DUP3_BP) else 0
+    return n_words, n_distinct, rep_bp, top2_bp, dup3_bp, keep
+
+
+def test_gopher_matches_pure_python_recompute(spark):
+    expect = {d: _gopher_signals(t) for d, t, _ in _docs()}
+    rows = QUERIES["q_gopher_repetition"](spark, SF_SMOKE).collect()
+    assert len(rows) == len(expect)
+    for r in rows:
+        e = expect[r["doc_id"]]
+        got = (
+            r["n_words"],
+            r["n_distinct"],
+            r["rep_bp"],
+            r["top2_bp"],
+            r["dup3_bp"],
+            r["keep"],
+        )
+        assert got == e, (r["doc_id"], got, e)
+
+
+def test_gopher_verdict_discriminates(spark):
+    """The battery must actually split the corpus — a constant verdict
+    column means the thresholds are miscalibrated for the testdata."""
+    rows = QUERIES["q_gopher_repetition"](spark, SF_SMOKE).collect()
+    kept = sum(r["keep"] for r in rows)
+    assert 0 < kept < len(rows)
+
+
+def test_gopher_planted_degenerate_doc():
+    """A pathological 'word word word ...' doc trips every signal."""
+    text = " ".join(["spam"] * 40)
+    n_words, n_distinct, rep_bp, top2_bp, dup3_bp, keep = _gopher_signals(
+        text
+    )
+    assert n_distinct == 1
+    assert rep_bp == 10000 * 39 // 40
+    assert top2_bp > GR_TOP2_BP
+    assert dup3_bp > GR_DUP3_BP
+    assert keep == 0
+
+
+# --------------------------------------------------------------------------
+# q_bloom_dedup
+# --------------------------------------------------------------------------
+
+
+def _pk(text: str) -> str:
+    return hashlib.md5(
+        " ".join(text.split(" ")[:BLM_PREFIX]).encode()
+    ).hexdigest()
+
+
+def test_bloom_matches_pure_python_recompute(spark):
+    docs = [(d, _pk(t), s) for d, t, s in [
+        (d, t, None) for d, t, _ in _docs()
+    ]]
+    # recompute with source from parquet
+    con = duckdb.connect()
+    rows_src = con.execute(
+        f"SELECT doc_id, text, source FROM '{SF_SMOKE}/documents.parquet'"
+    ).fetchall()
+    index_keys = {_pk(t) for d, t, _ in rows_src if d % 2 == 0}
+    m_bits = BLM_BPK * len(index_keys)
+    def positions(pk):
+        return {
+            int(hashlib.md5(f"blm{j}|{pk}".encode()).hexdigest()[:8], 16)
+            % m_bits
+            for j in range(BLM_K)
+        }
+    filt = set()
+    for pk in index_keys:
+        filt |= positions(pk)
+    per_source = {}
+    for d, t, s in rows_src:
+        if d % 2 != 1:
+            continue
+        pk = _pk(t)
+        maybe = positions(pk) <= filt
+        member = pk in index_keys
+        st = per_source.setdefault(s, [0, 0, 0, 0])
+        st[0] += 1
+        st[1] += int(maybe)
+        st[2] += int(member)
+        st[3] += int(maybe and not member)
+    got = QUERIES["q_bloom_dedup"](spark, SF_SMOKE).collect()
+    assert len(got) == len(per_source)
+    for r in got:
+        n_probes, n_maybe, n_true, n_fp = per_source[r["source"]]
+        assert (r["n_probes"], r["n_maybe"], r["n_true"], r["n_fp"]) == (
+            n_probes,
+            n_maybe,
+            n_true,
+            n_fp,
+        )
+        assert r["fpr_bp"] == 10000 * n_fp // max(n_probes - n_true, 1)
+        assert r["n_bits_set"] == len(filt)
+        assert r["fill_bp"] == 10000 * len(filt) // m_bits
+
+
+def test_bloom_no_false_negatives(spark):
+    """The defining Bloom property: every TRUE member is filter-positive."""
+    rows = QUERIES["q_bloom_dedup"](spark, SF_SMOKE).collect()
+    for r in rows:
+        # n_maybe counts all filter-positives; members are a subset
+        assert r["n_maybe"] >= r["n_true"]
+        assert r["n_fp"] == r["n_maybe"] - r["n_true"]
+
+
+# --------------------------------------------------------------------------
+# q_fold_split
+# --------------------------------------------------------------------------
+
+
+def test_fold_split_matches_pure_python_recompute(spark):
+    con = duckdb.connect()
+    rows_src = con.execute(
+        f"SELECT doc_id, text, n_chars FROM '{SF_SMOKE}/documents.parquet'"
+    ).fetchall()
+    agg = {}
+    clusters = {}
+    for d, t, nch in rows_src:
+        ck = hashlib.md5(t.encode()).hexdigest()
+        f = int(
+            hashlib.md5(f"fold|{ck}".encode()).hexdigest()[:8], 16
+        ) % FOLD_N
+        split = "train" if f < 8 else ("val" if f == 8 else "test")
+        clusters.setdefault(ck, set()).add(split)
+        st = agg.setdefault(split, [0, set(), 0])
+        st[0] += 1
+        st[1].add(ck)
+        st[2] += nch
+    total = sum(st[2] for st in agg.values())
+    got = QUERIES["q_fold_split"](spark, SF_SMOKE).collect()
+    assert len(got) == len(agg)
+    for r in got:
+        n_docs, cks, n_chars = agg[r["split"]]
+        assert (r["n_docs"], r["n_clusters"], r["n_chars"]) == (
+            n_docs,
+            len(cks),
+            n_chars,
+        )
+        assert r["share_bp"] == 10000 * n_chars // total
+        assert r["spanning_docs"] == 0
+    # the invariant the op exists for
+    assert all(len(s) == 1 for s in clusters.values())
+
+
+def test_fold_split_planted_duplicates_stay_together():
+    """Two identical texts hash to the same cluster key, hence the same
+    fold — by construction, not by luck."""
+    t = "the same exact text"
+    ck1 = hashlib.md5(t.encode()).hexdigest()
+    ck2 = hashlib.md5(t.encode()).hexdigest()
+    assert ck1 == ck2
+    f1 = int(hashlib.md5(f"fold|{ck1}".encode()).hexdigest()[:8], 16) % FOLD_N
+    f2 = int(hashlib.md5(f"fold|{ck2}".encode()).hexdigest()[:8], 16) % FOLD_N
+    assert f1 == f2
+
+
+# --------------------------------------------------------------------------
+# q_vocab_diff
+# --------------------------------------------------------------------------
+
+
+def test_vocab_diff_matches_pure_python_recompute(spark):
+    stats = {0: {}, 1: {}}
+    for d, t, _ in _docs():
+        ws = t.split(" ")
+        ver = d % 2
+        for i in range(len(ws) - 1):
+            term = ws[i] + " " + ws[i + 1]
+            df, tf, docs = stats[ver].setdefault(term, [0, 0, set()])
+            stats[ver][term][1] += 1
+            stats[ver][term][2].add(d)
+    for ver in (0, 1):
+        for term, st in stats[ver].items():
+            st[0] = len(st[2])
+    terms = set(stats[0]) | set(stats[1])
+    joined = {}
+    for term in terms:
+        a = stats[0].get(term, [0, 0, set()])
+        b = stats[1].get(term, [0, 0, set()])
+        cls = (
+            "new" if term not in stats[0]
+            else ("dead" if term not in stats[1] else "shared")
+        )
+        joined[term] = (cls, a[0], a[1], b[0], b[1], b[1] - a[1])
+    got = QUERIES["q_vocab_diff"](spark, SF_SMOKE).collect()
+    census = {r["class"]: r for r in got if r["kind"] == "census"}
+    for cls in census:
+        rows = [v for v in joined.values() if v[0] == cls]
+        assert census[cls]["df_v1"] == sum(v[1] for v in rows)
+        assert census[cls]["tf_v1"] == sum(v[2] for v in rows)
+        assert census[cls]["df_v2"] == sum(v[3] for v in rows)
+        assert census[cls]["tf_v2"] == sum(v[4] for v in rows)
+        assert census[cls]["delta_tf"] == sum(v[5] for v in rows)
+    movers = [r for r in got if r["kind"] == "mover"]
+    for r in movers:
+        cls, df1, tf1, df2, tf2, delta = joined[r["term"]]
+        assert cls == r["class"]
+        assert (r["df_v1"], r["tf_v1"], r["df_v2"], r["tf_v2"]) == (
+            df1, tf1, df2, tf2,
+        )
+        assert r["delta_tf"] == delta
+        assert r["rnk"] <= VD_TOPK
+    # mover ranking: within a class, rnk order follows (|delta| desc, term)
+    by_cls = {}
+    for r in movers:
+        by_cls.setdefault(r["class"], []).append(r)
+    for cls, rows in by_cls.items():
+        rows.sort(key=lambda r: r["rnk"])
+        keys = [(-abs(r["delta_tf"]), r["term"]) for r in rows]
+        assert keys == sorted(keys)
+
+
+# --------------------------------------------------------------------------
+# q_zorder_prune
+# --------------------------------------------------------------------------
+
+
+def _interleave(x: int, y: int) -> int:
+    z = 0
+    for j in range(ZP_BITS):
+        z |= ((x >> j) & 1) << (2 * j)
+        z |= ((y >> j) & 1) << (2 * j + 1)
+    return z
+
+
+def test_zorder_prune_matches_pure_python_recompute(spark):
+    con = duckdb.connect()
+    pts = con.execute(
+        f"SELECT l_orderkey, l_partkey FROM '{SF_SMOKE}/lineitem.parquet'"
+    ).fetchall()
+    min_x = min(p[0] for p in pts)
+    max_x = max(p[0] for p in pts)
+    min_y = min(p[1] for p in pts)
+    max_y = max(p[1] for p in pts)
+    files = {"zorder": {}, "rowmajor": {}}
+    for ok, pk in pts:
+        x = (ok - min_x) * (1 << ZP_BITS) // (max_x - min_x + 1)
+        y = (pk - min_y) * (1 << ZP_BITS) // (max_y - min_y + 1)
+        hit = int(ZP_LO <= x <= ZP_HI and ZP_LO <= y <= ZP_HI)
+        for layout, fid in (
+            ("zorder", _interleave(x, y) // ZP_FILE_SHIFT),
+            ("rowmajor", (x * (1 << ZP_BITS) + y) // ZP_FILE_SHIFT),
+        ):
+            st = files[layout].setdefault(fid, [0, 0])
+            st[0] += 1
+            st[1] += hit
+    got = {r["layout"]: r for r in
+           QUERIES["q_zorder_prune"](spark, SF_SMOKE).collect()}
+    for layout, perfile in files.items():
+        touched = [st for st in perfile.values() if st[1] > 0]
+        r = got[layout]
+        assert r["files_total"] == len(perfile)
+        assert r["files_touched"] == len(touched)
+        assert r["rows_matched"] == sum(st[1] for st in perfile.values())
+        assert r["touched_rows"] == sum(st[0] for st in touched)
+
+
+def test_zorder_beats_rowmajor(spark):
+    """The point of the layout: z-order touches fewer files and reads
+    fewer non-matching rows for the 2-D predicate."""
+    got = {r["layout"]: r for r in
+           QUERIES["q_zorder_prune"](spark, SF_SMOKE).collect()}
+    z, rm = got["zorder"], got["rowmajor"]
+    assert z["rows_matched"] == rm["rows_matched"]  # same predicate
+    assert z["files_touched"] < rm["files_touched"]
+    assert z["read_amp_bp"] > rm["read_amp_bp"]
+
+
+def test_interleave_known_values():
+    assert _interleave(0, 0) == 0
+    assert _interleave(1, 0) == 1
+    assert _interleave(0, 1) == 2
+    assert _interleave(255, 255) == (1 << 16) - 1
+    # 32-aligned 64x64 block spans exactly 4 zorder files of 1024 cells
+    fids = {
+        _interleave(x, y) // ZP_FILE_SHIFT
+        for x in (ZP_LO, ZP_HI)
+        for y in (ZP_LO, ZP_HI)
+    }
+    assert len(fids) == 4
+
+
+# --------------------------------------------------------------------------
+# q_rank_eval
+# --------------------------------------------------------------------------
+
+
+def test_rank_eval_matches_numpy_recompute(spark):
+    import numpy as np
+
+    con = duckdb.connect()
+    rows = con.execute(
+        f"SELECT vec_id, embedding FROM '{SF_SMOKE}/embeddings.parquet'"
+        f" ORDER BY vec_id"
+    ).fetchall()
+    ids = np.array([r[0] for r in rows])
+    X = np.array([r[1] for r in rows], dtype=np.float64)
+    FX = 1_000_000
+    xi0 = np.round(X * FX)
+    nrm = np.sqrt((xi0 * xi0).sum(axis=1))
+    U = np.round(xi0 / nrm[:, None] * FX).astype(np.int64)
+    mabs = np.abs(X).max(axis=1)
+    scale = np.where(mabs == 0, 0.0, 127.0 / mabs)
+    Q8 = np.floor(X * scale[:, None] + 0.5).astype(np.int64)
+    got = {r["q_id"]: r for r in
+           QUERIES["q_rank_eval"](spark, SF_SMOKE).collect()}
+    assert set(got) == set(int(i) for i in ids if i < RE_NQ)
+    for qi, q_id in enumerate(ids):
+        if q_id >= RE_NQ:
+            continue
+        mask = ids != q_id
+        cand = ids[mask]
+        dot_fx = (U[mask] * U[qi]).sum(axis=1)
+        dot8 = (Q8[mask] * Q8[qi]).sum(axis=1)
+        t_order = sorted(range(len(cand)), key=lambda k: (-dot_fx[k], cand[k]))
+        true_nn = cand[t_order[0]]
+        s_order = sorted(range(len(cand)), key=lambda k: (-dot8[k], cand[k]))
+        sys_rank = 1 + s_order.index(
+            next(k for k in range(len(cand)) if cand[k] == true_nn)
+        )
+        r = got[int(q_id)]
+        assert r["true_nn"] == true_nn
+        assert r["dot_fx_true"] == dot_fx[t_order[0]]
+        assert r["sys_rank"] == sys_rank
+        assert r["rr_bp"] == 10000 // sys_rank
+        assert r["top1_hit"] == int(sys_rank == 1)
+
+
+# --------------------------------------------------------------------------
+# q_rfm_features
+# --------------------------------------------------------------------------
+
+
+def test_rfm_matches_pure_python_recompute(spark):
+    import math
+
+    con = duckdb.connect()
+    rows = con.execute(
+        f"SELECT user_id, epoch_us(ts), value FROM"
+        f" '{SF_SMOKE}/events.parquet'"
+    ).fetchall()
+    per = {}
+    for u, us, v in rows:
+        st = per.setdefault(u, [0, 0, 0])
+        st[0] = max(st[0], us // 86_400_000_000)
+        st[1] += 1
+        st[2] += int(math.floor(v * 100 + 0.5))
+    max_day = max(st[0] for st in per.values())
+    feats = {
+        u: (max_day - st[0], st[1], st[2]) for u, st in per.items()
+    }
+
+    def disc(vals, p):
+        s = sorted(vals)
+        import math as m
+
+        return s[max(0, m.ceil(p * len(s)) - 1)]
+
+    rd = [f[0] for f in feats.values()]
+    fc = [f[1] for f in feats.values()]
+    mc = [f[2] for f in feats.values()]
+    got = {r["user_id"]: r for r in
+           QUERIES["q_rfm_features"](spark, SF_SMOKE).collect()}
+    assert set(got) == set(feats)
+    for u, (r_days, f_cnt, m_cents) in feats.items():
+        r = got[u]
+        assert (r["r_days"], r["f_cnt"], r["m_cents"]) == (
+            r_days, f_cnt, m_cents,
+        )
+        r_score = 5 - sum(r_days > disc(rd, p) for p in (0.2, 0.4, 0.6, 0.8))
+        f_score = 1 + sum(f_cnt > disc(fc, p) for p in (0.2, 0.4, 0.6, 0.8))
+        m_score = 1 + sum(m_cents > disc(mc, p) for p in (0.2, 0.4, 0.6, 0.8))
+        assert (r["r_score"], r["f_score"], r["m_score"]) == (
+            r_score, f_score, m_score,
+        )
+        assert r["segment"] == f"{r_score}{f_score}{m_score}"
+        assert 1 <= r_score <= 5 and 1 <= f_score <= 5 and 1 <= m_score <= 5
+
+
+def test_rfm_segments_spread(spark):
+    """Quintile scoring must produce a spread, not one segment."""
+    rows = QUERIES["q_rfm_features"](spark, SF_SMOKE).collect()
+    assert len({r["segment"] for r in rows}) > 1
