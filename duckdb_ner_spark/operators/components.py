@@ -49,18 +49,41 @@ def _release_checkpoint(df: DataFrame) -> None:
         pass
 
 
-def connected_components(pairs: DataFrame, a: str = "doc_a", b: str = "doc_b", max_iter: int = 20) -> DataFrame:
-    """(a,b) edges → (node, component) with component = min node id reachable."""
+def connected_components(
+    pairs: DataFrame,
+    a: str = "doc_a",
+    b: str = "doc_b",
+    max_iter: int = 20,
+    seed: DataFrame | None = None,
+) -> DataFrame:
+    """(a,b) edges → (node, component) with component = min node id reachable.
+
+    ``seed`` (optional, columns (node, comp)): INCREMENTAL MAINTENANCE —
+    start propagation from a previous labeling instead of node ids
+    (q_cc_incr). Any seed whose labels are node ids within each node's own
+    component converges to the same fixed point (the component-min node
+    id), because the min label initially present in a component is exactly
+    its min node id: every node carries either its own id or an old
+    component minimum, which is itself a member node's id. Convergence
+    then takes rounds proportional to how far the DELTA edges moved
+    labels, not the full graph diameter — the incremental win."""
     edges = (
         pairs.select(F.col(a).alias("u"), F.col(b).alias("v"))
         .unionAll(pairs.select(F.col(b).alias("u"), F.col(a).alias("v")))
         .distinct()
         .persist()
     )
+    nodes = edges.select(F.col("u").alias("node")).distinct()
+    if seed is not None:
+        init = nodes.join(
+            seed.select(F.col("node").alias("s_node"), F.col("comp").alias("s_comp")),
+            nodes.node == F.col("s_node"),
+            "left",
+        ).select("node", F.coalesce("s_comp", "node").alias("comp"))
+    else:
+        init = nodes.select("node", F.col("node").alias("comp"))
     labels = (
-        edges.select(F.col("u").alias("node"))
-        .distinct()
-        .select("node", F.col("node").alias("comp"))
+        init
         # localCheckpoint, not persist: each round's frame references the
         # previous round's TWICE (propagation join + change check), so an
         # un-truncated lineage doubles per round — exponential plan growth

@@ -14,9 +14,9 @@ training-data pipeline runs that the corpus did not yet cover:
                   keep/drop verdict. The intra-doc complement to the
                   cross-doc dedup family (q_dedup_*, q_template_spectrum).
 - q_bloom_dedup — distributed BLOOM-FILTER membership at ingest: the index
-                  corpus's template keys hashed into a 2^16-bit filter
-                  (k=4), the ingest batch probed against it, and the
-                  false-positive rate AUDITED IN-PLAN against exact
+                  corpus's template keys hashed into a corpus-sized filter
+                  (8 bits/key, k=4), the ingest batch probed against it,
+                  and the false-positive rate AUDITED IN-PLAN against exact
                   membership — the have-we-seen-this-before admission test
                   that runs before any expensive near-dup pass.
 - q_fold_split  — CLUSTER-AWARE train/val/test assignment: folds are hashed
@@ -581,21 +581,24 @@ _VOCAB_DIFF_ORACLE = f"""
                w || ' ' || LEAD(w) OVER (PARTITION BY doc_id ORDER BY i)
                    AS term
         FROM w
-    ), pv AS (
-        SELECT ver, term,
-               CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df,
-               CAST(COUNT(*) AS BIGINT) AS tf
-        FROM tok WHERE term IS NOT NULL GROUP BY ver, term
     ), joined AS (
-        SELECT COALESCE(a.term, b.term) AS term,
-               CASE WHEN a.term IS NULL THEN 'new'
-                    WHEN b.term IS NULL THEN 'dead'
+        -- ONE conditional aggregate instead of per-version branches +
+        -- FULL OUTER self-join: each doc lives in exactly one version, so
+        -- per-version df/tf are filter-aggregable from the same token
+        -- stream (the q_index_delta segment-merge identity)
+        SELECT term,
+               CASE WHEN COUNT(*) FILTER (ver = 0) = 0 THEN 'new'
+                    WHEN COUNT(*) FILTER (ver = 1) = 0 THEN 'dead'
                     ELSE 'shared' END AS class,
-               COALESCE(a.df, 0) AS df_v1, COALESCE(a.tf, 0) AS tf_v1,
-               COALESCE(b.df, 0) AS df_v2, COALESCE(b.tf, 0) AS tf_v2,
-               COALESCE(b.tf, 0) - COALESCE(a.tf, 0) AS delta_tf
-        FROM (SELECT * FROM pv WHERE ver = 0) a
-        FULL JOIN (SELECT * FROM pv WHERE ver = 1) b ON b.term = a.term
+               CAST(COUNT(DISTINCT doc_id) FILTER (ver = 0) AS BIGINT)
+                   AS df_v1,
+               CAST(COUNT(*) FILTER (ver = 0) AS BIGINT) AS tf_v1,
+               CAST(COUNT(DISTINCT doc_id) FILTER (ver = 1) AS BIGINT)
+                   AS df_v2,
+               CAST(COUNT(*) FILTER (ver = 1) AS BIGINT) AS tf_v2,
+               CAST(COUNT(*) FILTER (ver = 1)
+                    - COUNT(*) FILTER (ver = 0) AS BIGINT) AS delta_tf
+        FROM tok WHERE term IS NOT NULL GROUP BY term
     ), census AS (
         SELECT 'census' AS kind, class, CAST(0 AS BIGINT) AS rnk,
                '' AS term,
@@ -661,33 +664,26 @@ def q_vocab_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.concat_ws(" ", "w", F.lead("w", 1).over(dw)),
         ).alias("term"),
     ).filter(F.col("term").isNotNull())
-    pv = tok.groupBy("ver", "term").agg(
-        F.countDistinct("doc_id").cast("bigint").alias("df"),
-        F.count("*").cast("bigint").alias("tf"),
-    )
-    a = pv.filter(F.col("ver") == 0).select(
-        F.col("term").alias("a_term"),
-        F.col("df").alias("a_df"),
-        F.col("tf").alias("a_tf"),
-    )
-    b = pv.filter(F.col("ver") == 1).select(
-        F.col("term").alias("b_term"),
-        F.col("df").alias("b_df"),
-        F.col("tf").alias("b_tf"),
-    )
-    joined = a.join(b, a.a_term == b.b_term, "full").select(
-        F.coalesce("a_term", "b_term").alias("term"),
-        F.when(F.col("a_term").isNull(), "new")
-        .when(F.col("b_term").isNull(), "dead")
+    joined = tok.groupBy("term").agg(
+        F.count(F.when(F.col("ver") == 0, 1)).alias("n1"),
+        F.count(F.when(F.col("ver") == 1, 1)).alias("n2"),
+        F.countDistinct(F.when(F.col("ver") == 0, F.col("doc_id")))
+        .cast("bigint")
+        .alias("df_v1"),
+        F.countDistinct(F.when(F.col("ver") == 1, F.col("doc_id")))
+        .cast("bigint")
+        .alias("df_v2"),
+    ).select(
+        "term",
+        F.when(F.col("n1") == 0, "new")
+        .when(F.col("n2") == 0, "dead")
         .otherwise("shared")
         .alias("class"),
-        F.coalesce("a_df", F.lit(0)).cast("bigint").alias("df_v1"),
-        F.coalesce("a_tf", F.lit(0)).cast("bigint").alias("tf_v1"),
-        F.coalesce("b_df", F.lit(0)).cast("bigint").alias("df_v2"),
-        F.coalesce("b_tf", F.lit(0)).cast("bigint").alias("tf_v2"),
-        (F.coalesce("b_tf", F.lit(0)) - F.coalesce("a_tf", F.lit(0)))
-        .cast("bigint")
-        .alias("delta_tf"),
+        "df_v1",
+        F.col("n1").cast("bigint").alias("tf_v1"),
+        "df_v2",
+        F.col("n2").cast("bigint").alias("tf_v2"),
+        (F.col("n2") - F.col("n1")).cast("bigint").alias("delta_tf"),
     )
     census = joined.groupBy("class").agg(
         F.sum("df_v1").cast("bigint").alias("df_v1"),
@@ -1200,4 +1196,227 @@ def q_rfm_features(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("f_score").cast("string"),
             F.col("m_score").cast("string"),
         ).alias("segment"),
+    )
+
+
+# --------------------------------------------------------------------------
+# q_cc_incr — incremental connected components: near-dup clusters
+# maintained under a delta-edge batch by SEEDED min-label propagation
+# --------------------------------------------------------------------------
+
+
+def _cc_incr_oracle() -> str:
+    """Merged-graph CC (the REBUILD — the recursive-CTE transitive closure,
+    orthogonal to Spark's seeded iterative propagation, so the hash gate IS
+    the maintenance==rebuild proof) plus the base-graph CC for the changed
+    flag. Edges replay dedup_near_minhash exactly (the _clusters_oracle
+    construction)."""
+    from .dedup import sql_minhash_capped_cand
+    from .textprep import sql_shingles
+
+    return f"""
+    WITH RECURSIVE docs AS (
+        SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+    ), sh AS (
+        SELECT doc_id, {sql_shingles(3)} AS shingles FROM docs
+    ), e AS (
+        SELECT doc_id, unnest(shingles) AS s FROM sh
+    ), {sql_minhash_capped_cand()}, pairs AS (
+        SELECT doc_a, doc_b
+        FROM cand JOIN sh x ON x.doc_id = doc_a JOIN sh y ON y.doc_id = doc_b
+        WHERE LEN(LIST_INTERSECT(x.shingles, y.shingles)) * 1.0
+              / LEN(LIST_DISTINCT(x.shingles || y.shingles)) >= 0.6
+    ), edges AS (
+        SELECT doc_a AS u, doc_b AS v FROM pairs
+        UNION SELECT doc_b, doc_a FROM pairs
+    ), reach AS (
+        SELECT u, v FROM edges
+        UNION
+        SELECT r.u, e2.v FROM reach r JOIN edges e2 ON r.v = e2.u
+    ), comps AS (
+        SELECT n.u AS node, LEAST(n.u, MIN(r.v)) AS comp
+        FROM (SELECT DISTINCT u FROM edges) n
+        LEFT JOIN reach r ON r.u = n.u
+        GROUP BY n.u
+    ), bedges AS (
+        SELECT u, v FROM edges WHERE u % 2 = 0 AND v % 2 = 0
+    ), breach AS (
+        SELECT u, v FROM bedges
+        UNION
+        SELECT r.u, e2.v FROM breach r JOIN bedges e2 ON r.v = e2.u
+    ), bcomps AS (
+        SELECT n.u AS node, LEAST(n.u, MIN(r.v)) AS comp
+        FROM (SELECT DISTINCT u FROM bedges) n
+        LEFT JOIN breach r ON r.u = n.u
+        GROUP BY n.u
+    )
+    SELECT CAST(c.node AS BIGINT) AS node, CAST(c.comp AS BIGINT) AS comp,
+           CAST(c.node % 2 AS BIGINT) AS is_new,
+           CAST(CASE WHEN b.comp IS NULL OR b.comp <> c.comp
+                     THEN 1 ELSE 0 END AS BIGINT) AS changed
+    FROM comps c LEFT JOIN bcomps b ON b.node = c.node
+    """
+
+
+@declared("q_cc_incr", oracle=_cc_incr_oracle())
+def q_cc_incr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INCREMENTAL CONNECTED COMPONENTS — dedup-cluster MAINTENANCE under
+    an edge-append batch, the graph member that closes the incremental
+    family (LSH docs q_dedup_incr, packed substrings q_substring_incr,
+    IVF cells q_ivf_incr, text postings q_index_delta, aggregates/joins
+    q_incr_agg/q_incr_join — and now cluster labels): the BASE graph is
+    the near-dup pairs among even doc_ids (the long-lived index), the
+    DELTA is every pair touching an odd doc_id (the ingest batch's
+    collisions), and the merged labeling is computed by min-label
+    propagation SEEDED from the base labels (components.py seed param) —
+    converging in rounds proportional to how far the delta moved labels,
+    not the merged graph's diameter. Output per node: its maintained
+    component, is_new (odd = delta arrival), and changed (label differs
+    from the base labeling — the blast radius of the batch, which is the
+    number a production maintainer watches to decide merge-vs-rebuild).
+
+    Maintenance==rebuild proof: the ORACLE computes the merged graph's CC
+    from scratch by recursive-CTE transitive closure (the q_dedup_clusters
+    orthogonal-implementation pattern) — the driver hash gate therefore
+    certifies that SEEDED propagation reached the true from-scratch fixed
+    point (seed validity argument in connected_components' docstring).
+
+    Scale notes (100 TB): edges shuffle once per propagation round
+    (co-partitioned join on u); labels are localCheckpointed per round so
+    plan lineage stays flat; the base labeling is the persisted artifact a
+    production run reads back instead of recomputing (here it is rebuilt
+    because the testdata has no cross-round storage); delta-seeded rounds
+    touch only partitions containing changed labels after the first
+    iteration (AQE skew/locality does the rest)."""
+    from .components import connected_components
+    from .dedup import dedup_near_minhash
+
+    t = load_tables(spark, sf_dir)
+    pairs = dedup_near_minhash(t.documents, threshold=0.6).select(
+        "doc_a", "doc_b"
+    )
+    base_pairs = pairs.filter(
+        (F.col("doc_a") % 2 == 0) & (F.col("doc_b") % 2 == 0)
+    )
+    old = connected_components(base_pairs)
+    maintained = connected_components(pairs, seed=old)
+    return (
+        maintained.join(
+            old.select(
+                F.col("node").alias("o_node"), F.col("comp").alias("o_comp")
+            ),
+            maintained.node == F.col("o_node"),
+            "left",
+        )
+        .select(
+            F.col("node").cast("bigint").alias("node"),
+            F.col("comp").cast("bigint").alias("comp"),
+            (F.col("node") % 2).cast("bigint").alias("is_new"),
+            F.when(
+                F.col("o_comp").isNull() | (F.col("o_comp") != F.col("comp")),
+                1,
+            )
+            .otherwise(0)
+            .cast("bigint")
+            .alias("changed"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# q_rand_response — epsilon-DP randomized response with the unbiased
+# estimator audited in-plan against ground truth
+# --------------------------------------------------------------------------
+
+RR_P_NUM, RR_P_DEN = 3, 4  # truth-telling probability p = 3/4 (eps = ln 3)
+
+_RAND_RESPONSE_ORACLE = f"""
+    WITH resp AS (
+        SELECT source,
+               CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 0 END AS v,
+               CASE WHEN ({_hex_to_int_sql(
+                   "md5('rr|' || CAST(doc_id AS VARCHAR))", 8)})
+                    % {RR_P_DEN} < {RR_P_NUM}
+                    THEN CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 0 END
+                    ELSE CASE WHEN doc_id % 3 = 0 THEN 0 ELSE 1 END
+               END AS reported
+        FROM documents
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(v) AS BIGINT) AS n_true,
+           CAST(SUM(reported) AS BIGINT) AS n_reported,
+           CAST(({RR_P_DEN} * SUM(reported)
+                 - ({RR_P_DEN} - {RR_P_NUM}) * COUNT(*))
+                // (2 * {RR_P_NUM} - {RR_P_DEN}) AS BIGINT) AS n_est,
+           CAST(10000 * ABS(({RR_P_DEN} * SUM(reported)
+                             - ({RR_P_DEN} - {RR_P_NUM}) * COUNT(*))
+                            // (2 * {RR_P_NUM} - {RR_P_DEN}) - SUM(v))
+                // GREATEST(SUM(v), 1) AS BIGINT) AS err_bp
+    FROM resp GROUP BY source
+"""
+
+
+@declared("q_rand_response", oracle=_RAND_RESPONSE_ORACLE)
+def q_rand_response(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EPSILON-DP RANDOMIZED RESPONSE (Warner 1965 — the local-DP
+    mechanism): each document "reports" its sensitive bit (the planted
+    doc_id %% 3 == 0 attribute) truthfully with probability
+    p = {RR_P_NUM}/{RR_P_DEN} (md5-derived deterministic coin — the house
+    RAND() replacement) and flipped otherwise — eps = ln(p/(1-p)) = ln 3
+    local differential privacy. The debiased estimator
+    n_est = (4*n_reported - n) // 2 (the p=3/4 instance of
+    (obs - (1-p)n)/(2p-1)) is emitted BESIDE the ground truth with err_bp,
+    so the privacy/utility trade is MEASURED in-plan per source — the
+    mechanism-level complement to q_dp_sensitivity's contribution
+    bounding and q_k_anonymity's QI audit.
+
+    Engine-exactness: the coin is an md5-derived integer mod {RR_P_DEN}
+    (non-negative); the estimator is one integer division whose numerator
+    CAN go negative (an unlucky source can under-report) — Spark DIV and
+    DuckDB // both TRUNCATE toward zero there (measured: -1//2 = 0 in
+    both), so the engines agree; python replays must trunc-divide, not
+    floor (the one house-rule corner where // != DIV). err bp divides
+    non-negative values with a GREATEST guard for an all-zero source.
+
+    Scale notes (100 TB): one map-side pass computes bit+coin+report
+    (no shuffle before the per-source combine); the ground-truth column
+    exists because the testdata is non-private — a production local-DP
+    pipeline never materializes v, and the query shape (report-only
+    aggregation) is exactly what it runs."""
+    t = load_tables(spark, sf_dir)
+    resp = t.documents.select(
+        "source",
+        F.when(F.col("doc_id") % 3 == 0, 1).otherwise(0).alias("v"),
+        F.expr(
+            "CAST(conv(substr(md5(concat('rr|', CAST(doc_id AS STRING))),"
+            f" 1, 8), 16, 10) AS BIGINT) % {RR_P_DEN}"
+        ).alias("coin"),
+    ).select(
+        "source",
+        "v",
+        F.when(F.col("coin") < RR_P_NUM, F.col("v"))
+        .otherwise(1 - F.col("v"))
+        .alias("reported"),
+    )
+    return resp.groupBy("source").agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("v").cast("bigint").alias("n_true"),
+        F.sum("reported").cast("bigint").alias("n_reported"),
+    ).select(
+        "source",
+        "n",
+        "n_true",
+        "n_reported",
+        F.expr(
+            f"CAST(({RR_P_DEN} * n_reported"
+            f" - ({RR_P_DEN} - {RR_P_NUM}) * n)"
+            f" DIV (2 * {RR_P_NUM} - {RR_P_DEN}) AS BIGINT)"
+        ).alias("n_est"),
+        F.expr(
+            f"CAST(10000 * ABS(({RR_P_DEN} * n_reported"
+            f" - ({RR_P_DEN} - {RR_P_NUM}) * n)"
+            f" DIV (2 * {RR_P_NUM} - {RR_P_DEN}) - n_true)"
+            " DIV GREATEST(n_true, 1) AS BIGINT)"
+        ).alias("err_bp"),
     )

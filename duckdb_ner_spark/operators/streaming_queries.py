@@ -1268,3 +1268,155 @@ def q_stream_substring_incr(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     sink = _drain(score, "complete")
     return spark.table(sink)
+
+
+# --------------------------------------------------------------------------
+# q_stream_bloom — the Bloom-filter admission gate AS A STREAM
+# --------------------------------------------------------------------------
+
+
+def _stream_bloom_oracle() -> str:
+    """Batch replay of the streamed Bloom admission census — the
+    q_bloom_dedup oracle verbatim (same filter, same probes, same
+    verdicts): what the stream adds and what this gate therefore verifies
+    END TO END is the streaming path itself (in-flight key hashing +
+    position fan-out, stream-static broadcast probe, cross-batch
+    aggregate state, complete-mode emission)."""
+    from .round12 import _BLOOM_DEDUP_ORACLE
+
+    return _BLOOM_DEDUP_ORACLE
+
+
+@declared("q_stream_bloom", cache_plan=False, oracle=_stream_bloom_oracle())
+def q_stream_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BLOOM ADMISSION AT THE STREAMING FRONT DOOR — q_bloom_dedup's
+    have-we-seen-this-template-before test run the way production runs
+    it: the corpus filter is STATIC (even doc_ids' template-key positions,
+    m = 8 bits/key, k = 4 — built once, broadcast), the ingest is a real
+    multi-micro-batch stream (odd doc_ids, N_DOC_SLICES doc_id-ordered
+    slices with maxFilesPerTrigger=1), each batch hashes its keys and
+    fans out its k positions IN-FLIGHT (stateless narrow transforms — no
+    stream-side shuffle before the probe), probes the broadcast filter
+    with a stream-static left join, and the per-doc matched-position
+    count is the ONE stateful operator (cross-batch aggregate state,
+    complete mode). The per-source admission census (probes / maybes /
+    true members / false positives / measured FPR) and the filter's fill
+    factor are assembled on the drained sink and hash-verified against
+    the batch oracle — exact stream==batch parity for the whole
+    admission decision (the q_stream_dedup_incr contract, now for the
+    cheaper pre-LSH gate that runs in front of it).
+
+    Scale notes (100 TB): the filter is m/8 bytes as a bitmap (1
+    byte/indexed key) broadcast once; the unbounded stream never
+    shuffles before the probe and carries (doc_id, source, 32-hex, pos)
+    only; per-doc state is one counter, evictable on emission in a
+    production update-mode sink. m is resolved from the static index
+    with one bounded O(1) driver exchange at plan-build time (the
+    suffix-doubling bounded-exchange precedent) because a literal must
+    parameterize the in-flight hash."""
+    from ..streaming.ner_stream import stream_documents_sliced
+    from .round12 import BLM_BPK, BLM_K, BLM_PREFIX
+
+    keyed_static = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .filter(F.col("doc_id") % 2 == 0)
+        .select(
+            F.md5(
+                F.array_join(
+                    F.slice(F.split("text", " "), 1, BLM_PREFIX), " "
+                )
+            ).alias("pk")
+        )
+    )
+    # bounded O(1) exchange: the filter SIZE is a static-index scalar that
+    # must appear as a literal inside the streaming expression
+    m_bits = BLM_BPK * keyed_static.distinct().count()
+    pos_expr = (
+        "CAST(conv(substr(md5(concat('blm', CAST(j AS STRING), '|', pk)),"
+        f" 1, 8), 16, 10) AS BIGINT) % {m_bits}"
+    )
+    filt = F.broadcast(
+        keyed_static.select(
+            "pk",
+            F.explode(
+                F.array(*[F.lit(j) for j in range(BLM_K)])
+            ).alias("j"),
+        )
+        .select(F.expr(pos_expr).alias("f_pos"))
+        .distinct()
+    )
+    truth = F.broadcast(
+        keyed_static.distinct().select(F.col("pk").alias("t_pk"))
+    )
+    stream = (
+        stream_documents_sliced(spark, sf_dir)
+        .filter(F.col("doc_id") % 2 == 1)
+        .select(
+            "doc_id",
+            "source",
+            F.md5(
+                F.array_join(
+                    F.slice(F.split("text", " "), 1, BLM_PREFIX), " "
+                )
+            ).alias("pk"),
+        )
+        .select(
+            "doc_id",
+            "source",
+            "pk",
+            F.explode(
+                F.array(*[F.lit(j) for j in range(BLM_K)])
+            ).alias("j"),
+        )
+        .select("doc_id", "source", "pk", F.expr(pos_expr).alias("pos"))
+    )
+    probe = stream.join(filt, stream.pos == F.col("f_pos"), "left")
+    perdoc = probe.groupBy("doc_id", "source", "pk").agg(
+        F.count("f_pos").cast("bigint").alias("n_hit")
+    )
+    sink = _drain(perdoc, "complete")
+    verdict = (
+        spark.table(sink)
+        .join(truth, F.col("pk") == F.col("t_pk"), "left")
+        .select(
+            "source",
+            F.when(F.col("n_hit") == BLM_K, 1).otherwise(0).alias("maybe"),
+            F.when(F.col("t_pk").isNotNull(), 1)
+            .otherwise(0)
+            .alias("is_member"),
+        )
+    )
+    fill = filt.agg(F.count("*").cast("bigint").alias("n_bits_set")).select(
+        "n_bits_set",
+        F.expr(f"CAST(10000 * n_bits_set DIV {m_bits} AS BIGINT)").alias(
+            "fill_bp"
+        ),
+    )
+    return (
+        verdict.groupBy("source")
+        .agg(
+            F.count("*").cast("bigint").alias("n_probes"),
+            F.sum("maybe").cast("bigint").alias("n_maybe"),
+            F.sum("is_member").cast("bigint").alias("n_true"),
+            F.sum(
+                F.when((F.col("maybe") == 1) & (F.col("is_member") == 0), 1)
+                .otherwise(0)
+            )
+            .cast("bigint")
+            .alias("n_fp"),
+        )
+        .crossJoin(F.broadcast(fill))
+        .select(
+            "source",
+            "n_probes",
+            "n_maybe",
+            "n_true",
+            "n_fp",
+            F.expr(
+                "CAST(10000 * n_fp DIV GREATEST(n_probes - n_true, 1)"
+                " AS BIGINT)"
+            ).alias("fpr_bp"),
+            "n_bits_set",
+            "fill_bp",
+        )
+    )

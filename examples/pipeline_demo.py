@@ -173,6 +173,39 @@ def main() -> None:
     print("peak concurrency per day (first 3):")
     QUERIES["q_max_concurrency"](spark, sf_dir).orderBy("day").show(3)
 
+    print("== round-12 surface: quality gates, layout, privacy, maintenance ==")
+    gr = QUERIES["q_gopher_repetition"](spark, sf_dir)
+    n_drop = gr.filter(F.col("keep") == 0).count()
+    print(
+        f"Gopher repetition battery: {n_drop}/{gr.count()} docs dropped "
+        "(top-2-gram / dup-3-gram char-fraction thresholds)"
+    )
+    print("Bloom admission census (filter FPR audited in-plan, first 4):")
+    QUERIES["q_bloom_dedup"](spark, sf_dir).orderBy("source").show(4)
+    print("cluster-aware fold split (spanning_docs == 0 is the proof):")
+    QUERIES["q_fold_split"](spark, sf_dir).orderBy("split").show()
+    zp = {r["layout"]: r for r in QUERIES["q_zorder_prune"](spark, sf_dir).collect()}
+    print(
+        f"z-order pruning: {zp['zorder'].files_touched} files touched vs "
+        f"{zp['rowmajor'].files_touched} row-major (read-amp "
+        f"{zp['zorder'].read_amp_bp} vs {zp['rowmajor'].read_amp_bp} bp)"
+    )
+    re_rows = QUERIES["q_rank_eval"](spark, sf_dir).collect()
+    hit = sum(r.top1_hit for r in re_rows)
+    print(
+        f"int8 rank-displacement eval: true NN ranked #1 for {hit}/"
+        f"{len(re_rows)} queries (mean rr {sum(r.rr_bp for r in re_rows) // len(re_rows)} bp)"
+    )
+    cc = QUERIES["q_cc_incr"](spark, sf_dir)
+    print(
+        f"incremental CC: {cc.filter(F.col('changed') == 1).count()} of "
+        f"{cc.count()} cluster labels changed by the delta batch "
+        "(maintenance == rebuild via the cross-engine hash gate)"
+    )
+    rr = QUERIES["q_rand_response"](spark, sf_dir).orderBy("source")
+    print("epsilon-DP randomized response (estimator vs truth, first 4):")
+    rr.show(4)
+
 
 if __name__ == "__main__":
     main()

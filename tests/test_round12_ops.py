@@ -451,3 +451,158 @@ def test_rfm_segments_spread(spark):
     """Quintile scoring must produce a spread, not one segment."""
     rows = QUERIES["q_rfm_features"](spark, SF_SMOKE).collect()
     assert len({r["segment"] for r in rows}) > 1
+
+
+# --------------------------------------------------------------------------
+# q_cc_incr
+# --------------------------------------------------------------------------
+
+
+def _cc_pure_python(edges):
+    """Union-find over (a, b) pairs -> {node: min-node-id component}."""
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    return {n: find(n) for n in parent}
+
+
+def test_cc_incr_matches_union_find(spark):
+    """Maintained labels equal a third-implementation union-find over the
+    SAME pair set (Spark seeded propagation vs DuckDB recursive CTE vs
+    pure-Python union-find), and the changed flag matches the base-graph
+    labeling."""
+    from duckdb_ner_spark.operators.dedup import dedup_near_minhash
+    from duckdb_ner_spark.sources.catalog import load_tables
+
+    t = load_tables(spark, SF_SMOKE)
+    pairs = [
+        (r["doc_a"], r["doc_b"])
+        for r in dedup_near_minhash(t.documents, threshold=0.6)
+        .select("doc_a", "doc_b")
+        .collect()
+    ]
+    full = _cc_pure_python(pairs)
+    base = _cc_pure_python(
+        [(a, b) for a, b in pairs if a % 2 == 0 and b % 2 == 0]
+    )
+    rows = QUERIES["q_cc_incr"](spark, SF_SMOKE).collect()
+    assert {r["node"] for r in rows} == set(full)
+    for r in rows:
+        assert r["comp"] == full[r["node"]]
+        assert r["is_new"] == r["node"] % 2
+        expect_changed = int(
+            r["node"] not in base or base[r["node"]] != r["comp"]
+        )
+        assert r["changed"] == expect_changed
+
+
+def test_cc_seeded_propagation_planted_merge(spark):
+    """Planted merge: two base components bridged by a delta edge converge
+    to one label under seeded propagation."""
+    from duckdb_ner_spark.operators.components import connected_components
+
+    base_pairs = spark.createDataFrame(
+        [(0, 2), (4, 6)], ["doc_a", "doc_b"]
+    )
+    old = connected_components(base_pairs)
+    assert {(r["node"], r["comp"]) for r in old.collect()} == {
+        (0, 0), (2, 0), (4, 4), (6, 4),
+    }
+    merged_pairs = spark.createDataFrame(
+        [(0, 2), (4, 6), (2, 5), (5, 4)], ["doc_a", "doc_b"]
+    )
+    new = connected_components(merged_pairs, seed=old)
+    assert {(r["node"], r["comp"]) for r in new.collect()} == {
+        (0, 0), (2, 0), (4, 0), (5, 0), (6, 0),
+    }
+
+
+# --------------------------------------------------------------------------
+# q_rand_response
+# --------------------------------------------------------------------------
+
+
+def test_rand_response_matches_pure_python_recompute(spark):
+    from duckdb_ner_spark.operators.round12 import RR_P_DEN, RR_P_NUM
+
+    con = duckdb.connect()
+    rows_src = con.execute(
+        f"SELECT doc_id, source FROM '{SF_SMOKE}/documents.parquet'"
+    ).fetchall()
+    per = {}
+    for d, s in rows_src:
+        v = int(d % 3 == 0)
+        coin = int(
+            hashlib.md5(f"rr|{d}".encode()).hexdigest()[:8], 16
+        ) % RR_P_DEN
+        rep = v if coin < RR_P_NUM else 1 - v
+        st = per.setdefault(s, [0, 0, 0])
+        st[0] += 1
+        st[1] += v
+        st[2] += rep
+    got = QUERIES["q_rand_response"](spark, SF_SMOKE).collect()
+    assert len(got) == len(per)
+    for r in got:
+        n, n_true, n_rep = per[r["source"]]
+        assert (r["n"], r["n_true"], r["n_reported"]) == (n, n_true, n_rep)
+        # Spark DIV and DuckDB // both TRUNCATE toward zero (python //
+        # floors) — the estimator numerator can go negative, so replay
+        # with truncating division
+        num = RR_P_DEN * n_rep - (RR_P_DEN - RR_P_NUM) * n
+        den = 2 * RR_P_NUM - RR_P_DEN
+        est = int(num / den) if num < 0 else num // den
+        assert r["n_est"] == est
+        assert r["err_bp"] == 10000 * abs(est - n_true) // max(n_true, 1)
+
+
+def test_rand_response_estimator_unbiased_at_scale():
+    """Mechanism math at production n (pure Python, same formulas): with a
+    rare attribute (5%) and n = 10^5, the debiased estimator lands within
+    1% of truth while the raw report is ~21pp off — the utility claim the
+    per-source testdata census can't show (at n = 25 with truth near the
+    RR fixed point n/2, estimator variance exceeds the raw bias, which is
+    why the query emits BOTH est and raw for the analyst to weigh)."""
+    from duckdb_ner_spark.operators.round12 import RR_P_DEN, RR_P_NUM
+
+    n, n_true = 100_000, 5_000
+    n_rep = 0
+    for d in range(n):
+        v = int(d < n_true)
+        coin = int(
+            hashlib.md5(f"rr|{d}".encode()).hexdigest()[:8], 16
+        ) % RR_P_DEN
+        n_rep += v if coin < RR_P_NUM else 1 - v
+    num = RR_P_DEN * n_rep - (RR_P_DEN - RR_P_NUM) * n
+    den = 2 * RR_P_NUM - RR_P_DEN
+    est = int(num / den) if num < 0 else num // den
+    assert abs(est - n_true) < 0.01 * n  # within 1% of corpus size
+    assert abs(n_rep - n_true) > 0.15 * n  # raw report is badly biased
+
+
+# --------------------------------------------------------------------------
+# q_stream_bloom
+# --------------------------------------------------------------------------
+
+
+def test_stream_bloom_equals_batch(spark):
+    """Stream==batch parity for the whole admission census — the streamed
+    result is row-identical to q_bloom_dedup."""
+    batch = {
+        r["source"]: r.asDict()
+        for r in QUERIES["q_bloom_dedup"](spark, SF_SMOKE).collect()
+    }
+    stream = {
+        r["source"]: r.asDict()
+        for r in QUERIES["q_stream_bloom"](spark, SF_SMOKE).collect()
+    }
+    assert stream == batch
