@@ -1420,3 +1420,391 @@ def q_rand_response(spark: SparkSession, sf_dir: str) -> DataFrame:
             " DIV GREATEST(n_true, 1) AS BIGINT)"
         ).alias("err_bp"),
     )
+
+
+# --------------------------------------------------------------------------
+# q_simhash_sweep — the SimHash pigeonhole-block operating curve
+# (radius -> blocks -> candidates -> emitted pairs -> semantic recall)
+# --------------------------------------------------------------------------
+
+SHS_SIG_BITS = 60  # simhash_md5 width
+SHS_RADII = (0, 1, 2, 3)  # Hamming radii; r+1 blocks each (pigeonhole)
+SHS_TAU_N, SHS_TAU_D = 1, 2  # semantic truth: exact 3-shingle Jaccard >= 0.5
+
+
+def _shs_cfg(r: int) -> tuple[int, int]:
+    """(n_blocks, block_bits) for radius r: r+1 equal blocks — any pair
+    within Hamming distance r is identical on >= 1 block (pigeonhole), so
+    block-bucket candidates have ZERO false negatives at radius r."""
+    nb = r + 1
+    return nb, SHS_SIG_BITS // nb
+
+
+def _simhash_sweep_oracle() -> str:
+    from .caps import sql_capped_bucket_ctes
+    from .dedup import LSH_BUCKET_CAP
+    from .round8b import sql_setsim_pairs_ctes
+
+    band_selects = []
+    for r in SHS_RADII:
+        nb, bits = _shs_cfg(r)
+        band_selects.append(
+            f"""SELECT {r} AS cfg, doc_id,
+               b.band, (simhash >> CAST(b.band * {bits} AS INT))
+                       & {(1 << bits) - 1} AS sig
+        FROM sim, (SELECT unnest(range({nb})) AS band) b"""
+        )
+    bands = "\n        UNION ALL\n        ".join(band_selects)
+    cfg_rows = ", ".join(
+        f"({r}, {_shs_cfg(r)[0]}, {_shs_cfg(r)[1]})" for r in SHS_RADII
+    )
+    return f"""
+    WITH words AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents
+    ), h AS (
+        SELECT doc_id, md5(w) AS hx FROM words
+    ), bits AS (
+        SELECT doc_id, b,
+               CASE WHEN ((strpos('0123456789abcdef', substr(hx, 1 + b // 4, 1)) - 1)
+                          >> (3 - (b % 4))) & 1 = 1 THEN 1 ELSE -1 END AS vote
+        FROM h, (SELECT unnest(range({SHS_SIG_BITS})) AS b)
+    ), votes AS (
+        SELECT doc_id, b, SUM(vote) AS v FROM bits GROUP BY doc_id, b
+    ), sim AS (
+        SELECT doc_id,
+               SUM(CASE WHEN v > 0 THEN (CAST(1 AS BIGINT)
+                                         << CAST({SHS_SIG_BITS - 1} - b AS INT))
+                        ELSE CAST(0 AS BIGINT) END) AS simhash
+        FROM votes GROUP BY doc_id
+    ), bands AS (
+        {bands}
+    ), {sql_capped_bucket_ctes("bands", "doc_id", "LSHCAP",
+                               prefix="shcap", keys=("cfg", "band", "sig"))},
+    cand AS (
+        SELECT DISTINCT a.cfg, a.doc_id AS doc_a, b2.doc_id AS doc_b
+        FROM shcap a
+        JOIN shcap b2 ON b2.cfg = a.cfg AND b2.band = a.band
+                     AND b2.sig = a.sig AND a.doc_id < b2.doc_id
+    ), {sql_setsim_pairs_ctes(SHS_TAU_N, SHS_TAU_D)}, scored AS (
+        SELECT c.cfg, c.doc_a, c.doc_b,
+               bit_count(xor(sa.simhash, sb.simhash)) AS ham,
+               CASE WHEN t.doc_a IS NOT NULL THEN 1 ELSE 0 END AS is_true
+        FROM cand c
+        JOIN sim sa ON sa.doc_id = c.doc_a
+        JOIN sim sb ON sb.doc_id = c.doc_b
+        LEFT JOIN ss_pairs t ON t.doc_a = c.doc_a AND t.doc_b = c.doc_b
+    ), truth AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_true FROM ss_pairs
+    )
+    SELECT CAST(s.cfg AS BIGINT) AS radius,
+           CAST(cf.nb AS BIGINT) AS n_blocks,
+           CAST(cf.bits AS BIGINT) AS block_bits,
+           CAST(COUNT(*) AS BIGINT) AS n_cand,
+           CAST(SUM(CASE WHEN s.ham <= s.cfg THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_emit,
+           CAST(SUM(CASE WHEN s.ham <= s.cfg AND s.is_true = 1
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_sem_hit,
+           (SELECT n_true FROM truth) AS n_true,
+           CAST(10000 * SUM(CASE WHEN s.ham <= s.cfg THEN 1 ELSE 0 END)
+                // GREATEST(COUNT(*), 1) AS BIGINT) AS bucket_yield_bp,
+           CAST(10000 * SUM(CASE WHEN s.ham <= s.cfg AND s.is_true = 1
+                                 THEN 1 ELSE 0 END)
+                // GREATEST((SELECT n_true FROM truth), 1) AS BIGINT)
+               AS sem_recall_bp
+    FROM scored s
+    JOIN (VALUES {cfg_rows}) AS cf(cfg, nb, bits) ON cf.cfg = s.cfg
+    GROUP BY s.cfg, cf.nb, cf.bits
+    """.replace("LSHCAP", str(LSH_BUCKET_CAP))
+
+
+@declared("q_simhash_sweep", oracle=_simhash_sweep_oracle())
+def q_simhash_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SIMHASH OPERATING CURVE — the q_lsh_sweep idiom applied to the
+    other near-dup signature family: for Hamming radius r in {SHS_RADII},
+    split the {SHS_SIG_BITS}-bit SimHash into r+1 equal blocks (PIGEONHOLE:
+    any pair within distance r is identical on >= 1 block, so block-bucket
+    candidate generation has zero false negatives at that radius — pinned
+    by an O(n^2) pytest), bucket-join per block (every (cfg, band, sig)
+    bucket capped by the shared bounded-state min-k), verify the exact
+    Hamming distance on candidates, and score the EMITTED pair set (ham
+    <= r) against the exact 3-shingle-Jaccard >= {SHS_TAU_N}/{SHS_TAU_D}
+    ground truth (setsim_exact_pairs — the prefix-join exact join, zero
+    false negatives). Output per radius: candidate volume (the cost),
+    emitted pairs, bucket yield (emitted/candidates — collapses as r grows
+    because wider radii need shorter blocks = hotter buckets), and
+    semantic recall vs the truth — the table that picks the radius for
+    q_dedup_simhash's production threshold.
+
+    Engine-exactness: signatures are the q_dedup_simhash md5-bit
+    construction replayed bit-for-bit; blocks are shift/mask integer
+    arithmetic; every ratio floor-divided bp with GREATEST guards.
+
+    Scale notes (100 TB): one signature pass serves all 4 configs (the
+    fan-out is 1+2+3+4 = 10 band rows per doc — integer keys only, text
+    never moves); every bucket is capped (caps.py) so a degenerate block
+    value cannot go quadratic; the exact-truth side is the audit
+    (production runs bucket+verify only). The curve's cost column is the
+    number a capacity plan multiplies by corpus size."""
+    from .caps import capped_bucket_ids
+    from .dedup import LSH_BUCKET_CAP, simhash_md5
+    from .round8b import setsim_exact_pairs
+
+    t = load_tables(spark, sf_dir)
+    sim = simhash_md5(t.documents, "doc_id", "text")
+    band_frames = []
+    for r in SHS_RADII:
+        nb, bits = _shs_cfg(r)
+        keys = [
+            F.shiftright(F.col("simhash"), b * bits)
+            .bitwiseAND(F.lit((1 << bits) - 1))
+            for b in range(nb)
+        ]
+        band_frames.append(
+            sim.select(
+                F.lit(r).alias("cfg"),
+                "doc_id",
+                F.posexplode(F.array(*keys)).alias("band", "sig"),
+            )
+        )
+    bands = band_frames[0]
+    for f in band_frames[1:]:
+        bands = bands.unionByName(f)
+    capped = capped_bucket_ids(
+        bands, "doc_id", LSH_BUCKET_CAP, keys=("cfg", "band", "sig")
+    )
+    a = capped.select("cfg", "band", "sig", F.col("doc_id").alias("doc_a"))
+    b = capped.select(
+        F.col("cfg").alias("cfg_b"),
+        F.col("band").alias("band_b"),
+        F.col("sig").alias("sig_b"),
+        F.col("doc_id").alias("doc_b"),
+    )
+    cand = (
+        a.join(
+            b,
+            (F.col("cfg") == F.col("cfg_b"))
+            & (F.col("band") == F.col("band_b"))
+            & (F.col("sig") == F.col("sig_b"))
+            & (F.col("doc_a") < F.col("doc_b")),
+        )
+        .select("cfg", "doc_a", "doc_b")
+        .distinct()
+    )
+    sa = sim.select(F.col("doc_id").alias("doc_a"), F.col("simhash").alias("sim_a"))
+    sb = sim.select(F.col("doc_id").alias("doc_b"), F.col("simhash").alias("sim_b"))
+    truth_pairs = setsim_exact_pairs(t.documents, SHS_TAU_N, SHS_TAU_D).select(
+        F.col("doc_a").alias("t_a"), F.col("doc_b").alias("t_b")
+    )
+    scored = (
+        cand.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .join(
+            truth_pairs,
+            (F.col("doc_a") == F.col("t_a")) & (F.col("doc_b") == F.col("t_b")),
+            "left",
+        )
+        .select(
+            "cfg",
+            F.expr("bit_count(sim_a ^ sim_b)").alias("ham"),
+            F.when(F.col("t_a").isNotNull(), 1).otherwise(0).alias("is_true"),
+        )
+    )
+    n_true = truth_pairs.agg(F.count("*").cast("bigint").alias("n_true"))
+    import pandas as pd
+
+    cfgtab = F.broadcast(
+        spark.createDataFrame(
+            pd.DataFrame(
+                {
+                    "c_cfg": list(SHS_RADII),
+                    "n_blocks": [_shs_cfg(r)[0] for r in SHS_RADII],
+                    "block_bits": [_shs_cfg(r)[1] for r in SHS_RADII],
+                }
+            )
+        )
+    )
+    return (
+        scored.groupBy("cfg")
+        .agg(
+            F.count("*").cast("bigint").alias("n_cand"),
+            F.sum(F.when(F.col("ham") <= F.col("cfg"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_emit"),
+            F.sum(
+                F.when(
+                    (F.col("ham") <= F.col("cfg")) & (F.col("is_true") == 1), 1
+                ).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("n_sem_hit"),
+        )
+        .join(cfgtab, F.col("cfg") == F.col("c_cfg"))
+        .crossJoin(F.broadcast(n_true))
+        .select(
+            F.col("cfg").cast("bigint").alias("radius"),
+            F.col("n_blocks").cast("bigint").alias("n_blocks"),
+            F.col("block_bits").cast("bigint").alias("block_bits"),
+            "n_cand",
+            "n_emit",
+            "n_sem_hit",
+            "n_true",
+            F.expr(
+                "CAST(10000 * n_emit DIV GREATEST(n_cand, 1) AS BIGINT)"
+            ).alias("bucket_yield_bp"),
+            F.expr(
+                "CAST(10000 * n_sem_hit DIV GREATEST(n_true, 1) AS BIGINT)"
+            ).alias("sem_recall_bp"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# q_maxsim_topk — late-interaction (ColBERT MaxSim) retrieval over
+# sub-vector decompositions, fixed-point exact
+# --------------------------------------------------------------------------
+
+MS_NQ = 4  # query vectors: vec_id 0..3
+MS_SUB = 4  # sub-vectors per embedding (64 dims -> 4 x 16)
+MS_SUBDIM = 16
+MS_K = 5  # results per query
+
+# per-(vec, slice) fixed-point unit sub-vector: same arithmetic as
+# similarity._unit_fx_expr, applied to each 16-dim slice independently
+# (ColBERT normalizes each token vector; slices stand in for token vectors)
+_MS_U_SQL = f"""
+    ex AS (
+        SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS x,
+               generate_subscripts(embedding, 1) AS i
+        FROM embeddings
+    ), exs AS (
+        SELECT vec_id, (i - 1) // {MS_SUBDIM} AS s,
+               (i - 1) % {MS_SUBDIM} AS li,
+               CAST(ROUND(x * {{FX}}) AS BIGINT) AS xi0
+        FROM ex
+    ), norms AS (
+        SELECT vec_id, s, SQRT(CAST(SUM(xi0 * xi0) AS DOUBLE)) AS nrm
+        FROM exs GROUP BY vec_id, s
+    ), u AS (
+        SELECT e.vec_id, e.s, e.li,
+               CASE WHEN n.nrm = 0 THEN CAST(0 AS BIGINT)
+                    ELSE CAST(ROUND(CAST(e.xi0 AS DOUBLE) / n.nrm * {{FX}})
+                              AS BIGINT) END AS xi
+        FROM exs e JOIN norms n ON n.vec_id = e.vec_id AND n.s = e.s
+    )
+"""
+
+_MAXSIM_ORACLE = f"""
+    WITH {_MS_U_SQL}, dots AS (
+        SELECT uq.vec_id AS q_id, uq.s AS qs, uc.vec_id AS cand, uc.s AS cs,
+               CAST(SUM(uq.xi * uc.xi) AS BIGINT) AS dot
+        FROM u uq JOIN u uc ON uc.li = uq.li AND uc.vec_id <> uq.vec_id
+        WHERE uq.vec_id < {MS_NQ}
+        GROUP BY uq.vec_id, uq.s, uc.vec_id, uc.s
+    ), best AS (
+        SELECT q_id, qs, cand, MAX(dot) AS best_dot
+        FROM dots GROUP BY q_id, qs, cand
+    ), score AS (
+        SELECT q_id, cand, CAST(SUM(best_dot) AS BIGINT) AS maxsim_fx
+        FROM best GROUP BY q_id, cand
+    )
+    SELECT q_id, CAST(rnk AS BIGINT) AS rank, cand AS vec_id, maxsim_fx
+    FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id
+                                       ORDER BY maxsim_fx DESC, cand) AS rnk
+          FROM score)
+    WHERE rnk <= {MS_K}
+""".replace("{FX}", str(FX_SCALE))
+
+
+@declared("q_maxsim_topk", oracle=_MAXSIM_ORACLE)
+def q_maxsim_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LATE-INTERACTION retrieval (the ColBERT MaxSim operator): each
+    embedding is decomposed into {MS_SUB} independent {MS_SUBDIM}-dim
+    sub-vectors (standing in for per-token vectors — the testdata carries
+    one vector per item), each sub-vector L2-normalized in shared fixed
+    point, and score(q, d) = sum over q's sub-vectors of the MAX dot
+    against any of d's sub-vectors — the sum-of-max interaction that makes
+    ColBERT-style retrieval strictly richer than single-vector cosine
+    (a doc matches if EACH aspect of the query finds SOME aspect of the
+    doc). Top-{MS_K} per query (vec_id < {MS_NQ}) with integer MaxSim
+    scores, hash-verified.
+
+    Engine-exactness: per-slice unit vectors use the _unit_fx_expr
+    arithmetic (integer-first quantization, one sqrt, one rounded division
+    per element — zero-norm slices guarded to 0 identically); MaxSim is
+    MAX/SUM over BIGINT dots; rank ties break on candidate id.
+
+    Scale notes (100 TB): the query side is {MS_NQ} x {MS_SUB} unit
+    sub-vectors — broadcast (the broadcast-the-query rule); the corpus
+    side is one narrow (vec_id, s, u) pass; the interaction is
+    sum-of-max over a per-(query, cand) group — map-side-combinable
+    after the broadcast join, no corpus self-join. Production composes
+    this with the ANN family: IVF/binary shortlist first, MaxSim re-rank
+    on the <= M survivors (exactly q_pq_rerank's shortlist-then-exact
+    shape with MaxSim as the exact scorer)."""
+    t = load_tables(spark, sf_dir)
+    slices = t.embeddings.select(
+        "vec_id",
+        F.posexplode(
+            F.array(
+                *[
+                    F.slice(F.col("embedding"), s * MS_SUBDIM + 1, MS_SUBDIM)
+                    for s in range(MS_SUB)
+                ]
+            )
+        ).alias("s", "sub"),
+    )
+    qa = (
+        f"transform(sub, v -> CAST(ROUND(CAST(v AS DOUBLE) * {FX_SCALE}, 0)"
+        " AS BIGINT))"
+    )
+    u = slices.select(
+        "vec_id",
+        "s",
+        F.expr(
+            f"""zip_with(
+                {qa},
+                array_repeat(
+                    sqrt(CAST(aggregate(zip_with({qa}, {qa}, (x, y) -> x * y),
+                                        CAST(0 AS BIGINT), (a, v) -> a + v)
+                              AS DOUBLE)),
+                    size(sub)),
+                (x, n) -> CASE WHEN n = 0.0D THEN CAST(0 AS BIGINT)
+                               ELSE CAST(ROUND(CAST(x AS DOUBLE) / n
+                                               * {FX_SCALE}, 0) AS BIGINT)
+                          END)"""
+        ).alias("u"),
+    )
+    q = F.broadcast(
+        u.filter(F.col("vec_id") < MS_NQ).select(
+            F.col("vec_id").alias("q_id"),
+            F.col("s").alias("qs"),
+            F.col("u").alias("qu"),
+        )
+    )
+    dots = (
+        u.crossJoin(q)
+        .filter(F.col("vec_id") != F.col("q_id"))
+        .select(
+            "q_id",
+            "qs",
+            F.col("vec_id").alias("cand"),
+            F.col("s").alias("cs"),
+            F.aggregate(
+                F.zip_with(F.col("u"), F.col("qu"), lambda x, y: x * y),
+                F.lit(0).cast("bigint"),
+                lambda a, v: a + v,
+            ).alias("dot"),
+        )
+    )
+    score = (
+        dots.groupBy("q_id", "qs", "cand")
+        .agg(F.max("dot").alias("best_dot"))
+        .groupBy("q_id", "cand")
+        .agg(F.sum("best_dot").cast("bigint").alias("maxsim_fx"))
+    )
+    rw = Window.partitionBy("q_id").orderBy(F.desc("maxsim_fx"), "cand")
+    return (
+        score.withColumn("rank", F.row_number().over(rw).cast("bigint"))
+        .filter(F.col("rank") <= MS_K)
+        .select("q_id", "rank", F.col("cand").alias("vec_id"), "maxsim_fx")
+    )

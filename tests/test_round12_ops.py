@@ -606,3 +606,133 @@ def test_stream_bloom_equals_batch(spark):
         for r in QUERIES["q_stream_bloom"](spark, SF_SMOKE).collect()
     }
     assert stream == batch
+
+
+# --------------------------------------------------------------------------
+# q_simhash_sweep
+# --------------------------------------------------------------------------
+
+
+def _simhash60(text: str) -> int:
+    votes = [0] * 60
+    for w in text.split(" "):
+        hx = hashlib.md5(w.encode()).hexdigest()
+        for b in range(60):
+            bit = (int(hx[b // 4], 16) >> (3 - b % 4)) & 1
+            votes[b] += 1 if bit else -1
+    sig = 0
+    for b in range(60):
+        if votes[b] > 0:
+            sig |= 1 << (59 - b)
+    return sig
+
+
+def test_simhash_sweep_pigeonhole_completeness(spark):
+    """The zero-false-negative theorem behind the block decomposition,
+    checked O(n^2): every pair within Hamming distance r shares at least
+    one of the r+1 blocks — so n_emit equals the TRUE count of
+    bucket-reachable pairs at each radius (no pair is lost to bucketing,
+    only to the explicit cap)."""
+    from duckdb_ner_spark.operators.round12 import SHS_RADII, _shs_cfg
+
+    sigs = {d: _simhash60(t) for d, t, _ in _docs()}
+    ids = sorted(sigs)
+    got = {r["radius"]: r for r in
+           QUERIES["q_simhash_sweep"](spark, SF_SMOKE).collect()}
+    for r in SHS_RADII:
+        nb, bits = _shs_cfg(r)
+        mask = (1 << bits) - 1
+        true_within = 0
+        for i, a in enumerate(ids):
+            for b in ids[i + 1:]:
+                ham = bin(sigs[a] ^ sigs[b]).count("1")
+                if ham <= r:
+                    true_within += 1
+                    # pigeonhole: the pair must share a block
+                    assert any(
+                        (sigs[a] >> (k * bits)) & mask
+                        == (sigs[b] >> (k * bits)) & mask
+                        for k in range(nb)
+                    )
+        assert got[r]["n_emit"] == true_within
+        assert got[r]["n_blocks"] == nb and got[r]["block_bits"] == bits
+
+
+def test_simhash_sweep_curve_monotone(spark):
+    """Wider radius => more candidates and at-least-as-much semantic
+    recall; bucket yield collapses as blocks shorten — the trade the
+    table exists to show."""
+    rows = sorted(
+        QUERIES["q_simhash_sweep"](spark, SF_SMOKE).collect(),
+        key=lambda r: r["radius"],
+    )
+    for a, b in zip(rows, rows[1:]):
+        assert b["n_cand"] >= a["n_cand"]
+        assert b["n_emit"] >= a["n_emit"]
+        assert b["n_sem_hit"] >= a["n_sem_hit"]
+    assert rows[0]["bucket_yield_bp"] >= rows[-1]["bucket_yield_bp"]
+    assert len({r["n_true"] for r in rows}) == 1
+
+
+# --------------------------------------------------------------------------
+# q_maxsim_topk
+# --------------------------------------------------------------------------
+
+
+def test_maxsim_matches_numpy_recompute(spark):
+    import numpy as np
+
+    from duckdb_ner_spark.operators.round12 import (
+        MS_K,
+        MS_NQ,
+        MS_SUB,
+        MS_SUBDIM,
+    )
+
+    con = duckdb.connect()
+    rows = con.execute(
+        f"SELECT vec_id, embedding FROM '{SF_SMOKE}/embeddings.parquet'"
+        f" ORDER BY vec_id"
+    ).fetchall()
+    ids = [r[0] for r in rows]
+    X = np.array([r[1] for r in rows], dtype=np.float64)
+    FX = 1_000_000
+    U = {}
+    for k, vid in enumerate(ids):
+        subs = []
+        for s in range(MS_SUB):
+            x = X[k, s * MS_SUBDIM : (s + 1) * MS_SUBDIM]
+            xi0 = np.round(x * FX)
+            nrm = np.sqrt((xi0 * xi0).sum())
+            subs.append(
+                np.zeros(MS_SUBDIM, dtype=np.int64)
+                if nrm == 0
+                else np.round(xi0 / nrm * FX).astype(np.int64)
+            )
+        U[vid] = subs
+    got = {}
+    for r in QUERIES["q_maxsim_topk"](spark, SF_SMOKE).collect():
+        got.setdefault(r["q_id"], []).append(r)
+    assert set(got) == set(i for i in ids if i < MS_NQ)
+    for q_id, rows_q in got.items():
+        scores = {}
+        for c in ids:
+            if c == q_id:
+                continue
+            scores[c] = sum(
+                max(int((qu * cu).sum()) for cu in U[c]) for qu in U[q_id]
+            )
+        expect = sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))[:MS_K]
+        rows_q.sort(key=lambda r: r["rank"])
+        assert [(r["vec_id"], r["maxsim_fx"]) for r in rows_q] == expect
+
+
+def test_maxsim_dominates_single_subvector(spark):
+    """Sum-of-max over MS_SUB sub-vectors >= any single sub-vector's dot:
+    the late-interaction score is an upper envelope by construction."""
+    from duckdb_ner_spark.operators.round12 import MS_SUB
+
+    rows = QUERIES["q_maxsim_topk"](spark, SF_SMOKE).collect()
+    # unit-fx dots are bounded by FX^2 per sub-vector pair
+    for r in rows:
+        assert r["maxsim_fx"] <= MS_SUB * 1_000_000 ** 2 * 1.01
