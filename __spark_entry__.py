@@ -53,7 +53,7 @@ _DRIVER_WINDOW_PRIORITY = [
     "q_gopher_repetition", "q_bloom_dedup", "q_fold_split",
     "q_vocab_diff", "q_zorder_prune", "q_rank_eval", "q_rfm_features",
     "q_cc_incr", "q_rand_response", "q_stream_bloom",
-    "q_simhash_sweep", "q_maxsim_topk",
+    "q_simhash_sweep", "q_maxsim_topk", "q_topk_bounds",
     # Block 1 — r12 plan-changed rows (q_index_delta FIRST: the one red
     # r11 row re-earns its driver row at the top of the window).
     "q_index_delta", "q_binary_ann", "q_wsample_priority",
@@ -70,12 +70,12 @@ _DRIVER_WINDOW_PRIORITY = [
     "q_bloom_prune", "q_cross", "q_cte", "q_dedup_clusters",
     "q_dedup_exact", "q_dedup_incr", "q_dedup_ngram", "q_dedup_simhash",
     "q_degree_dist", "q_distinct", "q_embed_cov", "q_embed_join",
-    "q_embed_quant", "q_having", "q_hist_quantile", "q_image_stats",
+    "q_embed_quant", "q_having", "q_hist_quantile",
     # ---- window budget line: entries below here are OUTSIDE the first-50
     # window for r12 (each new r12 query prepended above displaces the
     # bottom row of Block 3 below this line — keep the count at exactly
     # 50 when editing) ----
-    "q_join_cardinality", "q_join_inner",
+    "q_image_stats", "q_join_cardinality", "q_join_inner",
     "q_join_interval", "q_join_multi", "q_join_outer",
     "q_join_range", "q_join_semi_anti",
     "q_kmv_distinct", "q_multimodal", "q_outlier_mad", "q_rollup",

@@ -1808,3 +1808,208 @@ def q_maxsim_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") <= MS_K)
         .select("q_id", "rank", F.col("cand").alias("vec_id"), "maxsim_fx")
     )
+
+
+# --------------------------------------------------------------------------
+# q_topk_bounds — distributed top-k with Fagin/TA-style bound certificates:
+# global candidates from per-shard top-m, lower/upper count bounds, and the
+# guaranteed-membership certificate, audited against the exact answer
+# --------------------------------------------------------------------------
+
+TKB_M = 5  # per-shard (per-source) reported top-m
+TKB_K = 5  # global top-k sought
+
+_TOPK_BOUNDS_ORACLE = f"""
+    WITH wc AS (
+        SELECT source, w, CAST(COUNT(*) AS BIGINT) AS cnt
+        FROM (SELECT source, unnest(string_split(text, ' ')) AS w
+              FROM documents)
+        GROUP BY source, w
+    ), ranked AS (
+        SELECT source, w, cnt,
+               ROW_NUMBER() OVER (PARTITION BY source
+                                  ORDER BY cnt DESC, w) AS rnk,
+               COUNT(*) OVER (PARTITION BY source) AS n_words
+        FROM wc
+    ), rep AS (
+        SELECT source, w, cnt FROM ranked WHERE rnk <= {TKB_M}
+    ), thr AS (
+        -- a shard's unreported words each count <= its m-th reported count;
+        -- a shard with <= m distinct words reports everything (thr = 0)
+        SELECT source,
+               CAST(CASE WHEN MAX(n_words) > {TKB_M}
+                         THEN MAX(CASE WHEN rnk = {TKB_M} THEN cnt END)
+                         ELSE 0 END AS BIGINT) AS thr
+        FROM ranked GROUP BY source
+    ), tot_thr AS (
+        SELECT CAST(SUM(thr) AS BIGINT) AS total_thr FROM thr
+    ), cand AS (
+        SELECT w,
+               CAST(SUM(cnt) AS BIGINT) AS lb,
+               CAST(COUNT(*) AS BIGINT) AS n_reporting,
+               CAST(SUM(cnt) + (SELECT total_thr FROM tot_thr)
+                    - SUM((SELECT thr FROM thr t WHERE t.source = rep.source))
+                    AS BIGINT) AS ub
+        FROM rep GROUP BY w
+    ), certified AS (
+        SELECT c.w, c.lb, c.ub, c.n_reporting,
+               CAST((SELECT COUNT(*) FROM cand o
+                     WHERE o.w <> c.w AND o.ub > c.lb) AS BIGINT)
+                   AS n_possibly_above
+        FROM cand c
+    ), truth AS (
+        SELECT w, CAST(SUM(cnt) AS BIGINT) AS exact_cnt
+        FROM wc GROUP BY w
+    ), true_topk AS (
+        -- TakeOrdered, not a global rank window (the q_topk idiom)
+        SELECT w FROM truth ORDER BY exact_cnt DESC, w LIMIT {TKB_K}
+    )
+    SELECT ce.w AS word, ce.lb, ce.ub, ce.n_reporting, ce.n_possibly_above,
+           CAST(CASE WHEN ce.n_possibly_above < {TKB_K}
+                     THEN 1 ELSE 0 END AS BIGINT) AS guaranteed,
+           t.exact_cnt,
+           CAST(CASE WHEN ce.w IN (SELECT w FROM true_topk)
+                     THEN 1 ELSE 0 END AS BIGINT) AS in_true_topk,
+           CAST(CASE WHEN ce.lb <= t.exact_cnt AND t.exact_cnt <= ce.ub
+                     THEN 1 ELSE 0 END AS BIGINT) AS bound_holds
+    FROM certified ce JOIN truth t ON t.w = ce.w
+"""
+
+
+@declared("q_topk_bounds", oracle=_TOPK_BOUNDS_ORACLE)
+def q_topk_bounds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DISTRIBUTED TOP-K WITH BOUND CERTIFICATES (the Fagin/threshold-
+    algorithm reasoning every scatter-gather top-k rests on): each shard
+    (source) reports only its local top-{TKB_M} word counts; the merge
+    derives, per candidate, a LOWER bound (sum of reported counts) and an
+    UPPER bound (+ each silent shard's m-th reported count — a shard
+    cannot hide more than its own reporting threshold), and the membership
+    CERTIFICATE: a candidate is GUARANTEED global top-{TKB_K} iff fewer
+    than {TKB_K} other candidates have ub above its lb. The exact global
+    counts ride beside the bounds (bound_holds, in_true_topk — both
+    hash-verified), so the certificate logic is AUDITED, not asserted.
+    This is the correctness core of every per-executor-partial top-k
+    (q_topk_salted ships the performance half; this ships the bound
+    arithmetic that says when partial views are ENOUGH and when a second
+    round-trip is needed).
+
+    Corpus regime note: the synthetic corpus's 31-word vocabulary is
+    near-UNIFORM, so every certificate is honestly OPEN (guaranteed = 0
+    for all candidates — the bounds overlap) — which is the CORRECT
+    threshold-algorithm answer for uniform data: partial views cannot
+    early-terminate, a second exchange is needed for the whole candidate
+    set. The certificate logic itself (closing on skewed data) is pinned
+    by a planted-skew pure-Python fixture in tests/test_round12_ops.py;
+    what the corpus rows hash-verify is the bound arithmetic
+    (bound_holds = 1 everywhere) and the candidate-completeness audit
+    (every true top-{TKB_K} word is a candidate).
+
+    Engine-exactness: integer counts; per-shard rank ties (cnt DESC, w);
+    thr = 0 for shards reporting their whole vocabulary; the
+    possibly-above count uses strict ub > lb on both sides.
+
+    Scale notes (100 TB): shards ship m rows each — the merge input is
+    O(m x shards) regardless of corpus size (the entire point); the
+    candidate certificate is an O(candidates^2) comparison on that tiny
+    frame (50 rows here; a 10k-shard merge is 50k rows — still one
+    executor). The exact-truth side is the audit; production runs
+    bounds-only and pays a second targeted exchange for any candidate
+    whose certificate is open (guaranteed = 0)."""
+    t = load_tables(spark, sf_dir)
+    wc = (
+        t.documents.select(
+            "source", F.explode(F.split("text", " ")).alias("w")
+        )
+        .groupBy("source", "w")
+        .agg(F.count("*").cast("bigint").alias("cnt"))
+    )
+    sw = Window.partitionBy("source")
+    ranked = wc.select(
+        "source",
+        "w",
+        "cnt",
+        F.row_number()
+        .over(sw.orderBy(F.desc("cnt"), "w"))
+        .alias("rnk"),
+        F.count("*").over(sw).alias("n_words"),
+    )
+    rep = ranked.filter(F.col("rnk") <= TKB_M)
+    thr = ranked.groupBy("source").agg(
+        F.when(
+            F.max("n_words") > TKB_M,
+            F.max(F.when(F.col("rnk") == TKB_M, F.col("cnt"))),
+        )
+        .otherwise(0)
+        .cast("bigint")
+        .alias("thr")
+    )
+    tot_thr = F.broadcast(
+        thr.agg(F.sum("thr").cast("bigint").alias("total_thr"))
+    )
+    cand = (
+        rep.join(F.broadcast(thr), "source")
+        .groupBy("w")
+        .agg(
+            F.sum("cnt").cast("bigint").alias("lb"),
+            F.count("*").cast("bigint").alias("n_reporting"),
+            F.sum("thr").cast("bigint").alias("rep_thr"),
+        )
+        .crossJoin(tot_thr)
+        .select(
+            "w",
+            "lb",
+            "n_reporting",
+            (F.col("lb") + F.col("total_thr") - F.col("rep_thr"))
+            .cast("bigint")
+            .alias("ub"),
+        )
+    )
+    other = cand.select(
+        F.col("w").alias("o_w"), F.col("ub").alias("o_ub")
+    )
+    certified = (
+        cand.join(
+            F.broadcast(other),
+            (F.col("o_w") != F.col("w")) & (F.col("o_ub") > F.col("lb")),
+            "left",
+        )
+        .groupBy("w", "lb", "ub", "n_reporting")
+        .agg(F.count("o_w").cast("bigint").alias("n_possibly_above"))
+    )
+    truth = wc.groupBy(F.col("w").alias("t_w")).agg(
+        F.sum("cnt").cast("bigint").alias("exact_cnt")
+    )
+    # TakeOrdered (orderBy+limit), not a global rank window
+    true_topk = F.broadcast(
+        truth.orderBy(F.desc("exact_cnt"), "t_w")
+        .limit(TKB_K)
+        .select(F.col("t_w").alias("k_w"))
+    )
+    return (
+        certified.join(F.broadcast(truth), certified.w == F.col("t_w"))
+        .join(true_topk, certified.w == F.col("k_w"), "left")
+        .select(
+            F.col("w").alias("word"),
+            "lb",
+            "ub",
+            "n_reporting",
+            "n_possibly_above",
+            F.when(F.col("n_possibly_above") < TKB_K, 1)
+            .otherwise(0)
+            .cast("bigint")
+            .alias("guaranteed"),
+            "exact_cnt",
+            F.when(F.col("k_w").isNotNull(), 1)
+            .otherwise(0)
+            .cast("bigint")
+            .alias("in_true_topk"),
+            F.when(
+                (F.col("lb") <= F.col("exact_cnt"))
+                & (F.col("exact_cnt") <= F.col("ub")),
+                1,
+            )
+            .otherwise(0)
+            .cast("bigint")
+            .alias("bound_holds"),
+        )
+    )

@@ -736,3 +736,80 @@ def test_maxsim_dominates_single_subvector(spark):
     # unit-fx dots are bounded by FX^2 per sub-vector pair
     for r in rows:
         assert r["maxsim_fx"] <= MS_SUB * 1_000_000 ** 2 * 1.01
+
+
+# --------------------------------------------------------------------------
+# q_topk_bounds
+# --------------------------------------------------------------------------
+
+
+def _tkb_bounds(shard_counts, m, k):
+    """Pure-Python replay of the TA bound/certificate math.
+    shard_counts: {shard: {item: count}} -> {item: (lb, ub, guaranteed)}."""
+    rep = {}
+    thr = {}
+    for s, cnts in shard_counts.items():
+        top = sorted(cnts.items(), key=lambda kv: (-kv[1], kv[0]))[:m]
+        rep[s] = dict(top)
+        thr[s] = top[-1][1] if len(cnts) > m else 0
+    cand = {w for r in rep.values() for w in r}
+    out = {}
+    for w in cand:
+        lb = sum(r.get(w, 0) for r in rep.values())
+        ub = lb + sum(t for s, t in thr.items() if w not in rep[s])
+        out[w] = [lb, ub]
+    for w in cand:
+        above = sum(
+            1 for o in cand if o != w and out[o][1] > out[w][0]
+        )
+        out[w].append(int(above < k))
+    return {w: tuple(v) for w, v in out.items()}
+
+
+def test_topk_bounds_matches_pure_python_recompute(spark):
+    from duckdb_ner_spark.operators.round12 import TKB_K, TKB_M
+
+    shard_counts = {}
+    truth = Counter()
+    con = duckdb.connect()
+    for s, t in con.execute(
+        f"SELECT source, text FROM '{SF_SMOKE}/documents.parquet'"
+    ).fetchall():
+        cnts = shard_counts.setdefault(s, Counter())
+        for w in t.split(" "):
+            cnts[w] += 1
+            truth[w] += 1
+    expect = _tkb_bounds(shard_counts, TKB_M, TKB_K)
+    true_topk = {
+        w for w, _ in sorted(
+            truth.items(), key=lambda kv: (-kv[1], kv[0])
+        )[:TKB_K]
+    }
+    rows = QUERIES["q_topk_bounds"](spark, SF_SMOKE).collect()
+    assert {r["word"] for r in rows} == set(expect)
+    for r in rows:
+        lb, ub, guar = expect[r["word"]]
+        assert (r["lb"], r["ub"], r["guaranteed"]) == (lb, ub, guar)
+        assert r["exact_cnt"] == truth[r["word"]]
+        assert r["bound_holds"] == 1  # the TA bound theorem, verified
+        assert r["in_true_topk"] == int(r["word"] in true_topk)
+    # candidate completeness: every true top-k word was proposed
+    assert true_topk <= {r["word"] for r in rows}
+
+
+def test_topk_bounds_certificates_close_on_skewed_shards():
+    """The certificate logic the uniform corpus can't exhibit: on a
+    planted Zipf-skewed shard set, the head items' certificates CLOSE
+    (guaranteed=1) while tail candidates stay open — the early-termination
+    decision the threshold algorithm exists for."""
+    shard_counts = {
+        s: {f"w{i}": 10_000 // (i + 1) + (s * 7) % 5 for i in range(40)}
+        for s in range(4)
+    }
+    out = _tkb_bounds(shard_counts, m=10, k=3)
+    # head items close
+    assert out["w0"][2] == 1 and out["w1"][2] == 1 and out["w2"][2] == 1
+    # bounds: lb <= truth <= ub for every candidate
+    for w, (lb, ub, _) in out.items():
+        t = sum(c[w] for c in shard_counts.values())
+        assert lb <= t <= ub
