@@ -205,6 +205,18 @@ def main() -> None:
     rr = QUERIES["q_rand_response"](spark, sf_dir).orderBy("source")
     print("epsilon-DP randomized response (estimator vs truth, first 4):")
     rr.show(4)
+    print("SimHash operating curve (radius -> cost/recall):")
+    QUERIES["q_simhash_sweep"](spark, sf_dir).orderBy("radius").show()
+    ms = QUERIES["q_maxsim_topk"](spark, sf_dir)
+    print(f"MaxSim late-interaction top-k: {ms.count()} ranked rows "
+          "(sum-of-max over 4 unit sub-vectors, integer fixed point)")
+    tb = QUERIES["q_topk_bounds"](spark, sf_dir)
+    open_c = tb.filter(F.col("guaranteed") == 0).count()
+    print(
+        f"distributed top-k bounds: {tb.count()} candidates from per-shard "
+        f"top-5, {open_c} certificates open (uniform corpus: the TA answer "
+        "is 'second exchange needed'), bounds hold for all"
+    )
 
 
 if __name__ == "__main__":
