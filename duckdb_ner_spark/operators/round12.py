@@ -2013,3 +2013,132 @@ def q_topk_bounds(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("bound_holds"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# q_batch_padding — length-bucketed batch assembly with the padding-waste
+# audit: the seqlen-bucketing decision every training pipeline makes
+# --------------------------------------------------------------------------
+
+BP_BUCKET = 16  # length-bucket width (words)
+BP_BATCH = 8  # sequences per batch
+
+_BATCH_PADDING_ORACLE = f"""
+    WITH d AS (
+        SELECT doc_id,
+               CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+        FROM documents
+    ), bucketed AS (
+        SELECT 'bucketed' AS strategy, doc_id, n_tok,
+               (ROW_NUMBER() OVER (PARTITION BY n_tok // {BP_BUCKET}
+                                   ORDER BY n_tok, doc_id) - 1)
+                   // {BP_BATCH} AS local_batch,
+               n_tok // {BP_BUCKET} AS grp
+        FROM d
+        UNION ALL
+        SELECT 'arrival' AS strategy, doc_id, n_tok,
+               (ROW_NUMBER() OVER (ORDER BY doc_id) - 1) // {BP_BATCH}
+                   AS local_batch,
+               CAST(0 AS BIGINT) AS grp
+        FROM d
+    ), batches AS (
+        SELECT strategy, grp, local_batch,
+               CAST(COUNT(*) AS BIGINT) AS n_seqs,
+               CAST(SUM(n_tok) AS BIGINT) AS real_tokens,
+               CAST(COUNT(*) * MAX(n_tok) AS BIGINT) AS padded_tokens
+        FROM bucketed GROUP BY strategy, grp, local_batch
+    )
+    SELECT strategy,
+           CAST(COUNT(*) AS BIGINT) AS n_batches,
+           CAST(SUM(n_seqs) AS BIGINT) AS n_seqs,
+           CAST(SUM(real_tokens) AS BIGINT) AS real_tokens,
+           CAST(SUM(padded_tokens) AS BIGINT) AS padded_tokens,
+           CAST(10000 * (SUM(padded_tokens) - SUM(real_tokens))
+                // SUM(padded_tokens) AS BIGINT) AS waste_bp
+    FROM batches GROUP BY strategy
+"""
+
+
+@declared("q_batch_padding", oracle=_BATCH_PADDING_ORACLE)
+def q_batch_padding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LENGTH-BUCKETED BATCH ASSEMBLY with the padding-waste audit — the
+    seqlen-bucketing decision every fixed-shape training loop makes (a
+    batch pads every sequence to its longest member, so batching by
+    ARRIVAL order burns FLOPs on pad tokens; batching within
+    {BP_BUCKET}-word length buckets bounds the intra-batch spread):
+    assemble {BP_BATCH}-sequence batches under BOTH strategies from the
+    same corpus and emit, per strategy, batch count, real vs padded token
+    totals and the padding-waste fraction in bp — the measured FLOP tax
+    the bucketing removes. Complements q_pack (which ELIMINATES padding
+    by concatenation where the objective allows crossing document
+    boundaries; bucketing is what you do when it doesn't, e.g. SFT with
+    per-example loss masks).
+
+    Engine-exactness: deterministic assembly order (within-bucket:
+    n_tok then doc_id; arrival: doc_id), integer token counts,
+    floor-divided waste bp.
+
+    Scale notes (100 TB): assembly is one ROW_NUMBER window PER LENGTH
+    BUCKET (partition-bounded — the bucket width is the knob; an arrival
+    batcher is the one corpus-global window, kept here as the baseline
+    under comparison and replaced by per-shard arrival order in
+    production, which changes nothing about its waste); the audit
+    aggregates are map-side-combined per (strategy, bucket, batch). The
+    waste_bp delta is the number that justifies the extra shuffle a
+    bucketed batcher costs."""
+    t = load_tables(spark, sf_dir)
+    d = t.documents.select(
+        "doc_id",
+        F.size(F.split("text", " ")).cast("bigint").alias("n_tok"),
+    )
+    wb = Window.partitionBy(
+        F.expr(f"n_tok DIV {BP_BUCKET}")
+    ).orderBy("n_tok", "doc_id")
+    wa = Window.orderBy("doc_id")
+    bucketed = d.select(
+        F.lit("bucketed").alias("strategy"),
+        "doc_id",
+        "n_tok",
+        F.expr(f"n_tok DIV {BP_BUCKET}").alias("grp"),
+        ((F.row_number().over(wb) - 1) / BP_BATCH)
+        .cast("bigint")
+        .alias("local_batch"),
+    ).unionByName(
+        d.select(
+            F.lit("arrival").alias("strategy"),
+            "doc_id",
+            "n_tok",
+            F.lit(0).cast("bigint").alias("grp"),
+            ((F.row_number().over(wa) - 1) / BP_BATCH)
+            .cast("bigint")
+            .alias("local_batch"),
+        )
+    )
+    return (
+        bucketed.groupBy("strategy", "grp", "local_batch")
+        .agg(
+            F.count("*").cast("bigint").alias("n_seqs"),
+            F.sum("n_tok").cast("bigint").alias("real_tokens"),
+            (F.count("*") * F.max("n_tok"))
+            .cast("bigint")
+            .alias("padded_tokens"),
+        )
+        .groupBy("strategy")
+        .agg(
+            F.count("*").cast("bigint").alias("n_batches"),
+            F.sum("n_seqs").cast("bigint").alias("n_seqs"),
+            F.sum("real_tokens").cast("bigint").alias("real_tokens"),
+            F.sum("padded_tokens").cast("bigint").alias("padded_tokens"),
+        )
+        .select(
+            "strategy",
+            "n_batches",
+            "n_seqs",
+            "real_tokens",
+            "padded_tokens",
+            F.expr(
+                "CAST(10000 * (padded_tokens - real_tokens)"
+                " DIV padded_tokens AS BIGINT)"
+            ).alias("waste_bp"),
+        )
+    )

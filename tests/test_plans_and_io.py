@@ -263,6 +263,13 @@ def test_global_window_ledger(spark):
             "rank + tau(MIN) + estimator-total(SUM)",
         ),
         "q_zipf_slope": (1, "rank over the TakeOrdered ZIPF_TOP=64 words"),
+        "q_batch_padding": (
+            1,
+            "the ARRIVAL-order baseline batcher under comparison (the "
+            "bucketed strategy's windows are per-length-bucket); production "
+            "replaces it with per-shard arrival order — same waste, no "
+            "global sort",
+        ),
     }
 
     clear_plan_cache()

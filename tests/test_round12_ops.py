@@ -813,3 +813,54 @@ def test_topk_bounds_certificates_close_on_skewed_shards():
     for w, (lb, ub, _) in out.items():
         t = sum(c[w] for c in shard_counts.values())
         assert lb <= t <= ub
+
+
+# --------------------------------------------------------------------------
+# q_batch_padding
+# --------------------------------------------------------------------------
+
+
+def test_batch_padding_matches_pure_python_recompute(spark):
+    from duckdb_ner_spark.operators.round12 import BP_BATCH, BP_BUCKET
+
+    lens = {d: len(t.split(" ")) for d, t, _ in _docs()}
+
+    def assemble(order, keyfn=None):
+        groups = {}
+        for d in order:
+            groups.setdefault(keyfn(d) if keyfn else 0, []).append(d)
+        n_batches = real = padded = 0
+        for g, ds in groups.items():
+            for i in range(0, len(ds), BP_BATCH):
+                batch = ds[i : i + BP_BATCH]
+                n_batches += 1
+                real += sum(lens[d] for d in batch)
+                padded += len(batch) * max(lens[d] for d in batch)
+        return n_batches, real, padded
+
+    arrival = assemble(sorted(lens))
+    bucketed = assemble(
+        sorted(lens, key=lambda d: (lens[d] // BP_BUCKET, lens[d], d)),
+        keyfn=lambda d: lens[d] // BP_BUCKET,
+    )
+    got = {r["strategy"]: r for r in
+           QUERIES["q_batch_padding"](spark, SF_SMOKE).collect()}
+    for name, (nb, real, padded) in (
+        ("arrival", arrival), ("bucketed", bucketed),
+    ):
+        r = got[name]
+        assert (r["n_batches"], r["real_tokens"], r["padded_tokens"]) == (
+            nb, real, padded,
+        )
+        assert r["waste_bp"] == 10000 * (padded - real) // padded
+        assert r["n_seqs"] == len(lens)
+
+
+def test_batch_padding_bucketing_wins(spark):
+    """The point of the op: bucketing strictly reduces padding waste on
+    any length-diverse corpus."""
+    got = {r["strategy"]: r for r in
+           QUERIES["q_batch_padding"](spark, SF_SMOKE).collect()}
+    assert got["bucketed"]["waste_bp"] < got["arrival"]["waste_bp"]
+    # identical real work under both strategies
+    assert got["bucketed"]["real_tokens"] == got["arrival"]["real_tokens"]
