@@ -44,10 +44,10 @@ _DRIVER_WINDOW_PRIORITY = [
     # r5-green, flagged stalest by VERDICT r11 #4) + the r6-era tail
     # (Block 3, alphabetical — last driver-green in CORRECTNESS_r06) up
     # to the 50-row budget.
-    # Block 0 — the 14 NEW r12 queries (round12.py + q_stream_bloom in
+    # Block 0 — the 15 NEW r12 queries (round12.py + q_stream_bloom in
     # streaming_queries.py), never driver-checked; the window ledger
-    # forces them in. They displace the bottom 14 of Block 3
-    # (q_hist_quantile, q_image_stats, q_join_cardinality, q_join_inner,
+    # forces them in. They displace the bottom 15 of Block 3 (q_having,
+    # q_hist_quantile, q_image_stats, q_join_cardinality, q_join_inner,
     # q_join_interval, q_join_multi, q_join_outer, q_join_range,
     # q_join_semi_anti, q_kmv_distinct, q_multimodal, q_outlier_mad,
     # q_rollup, q_shard_shuffle — all r6-green) below the line; those
@@ -56,7 +56,7 @@ _DRIVER_WINDOW_PRIORITY = [
     "q_vocab_diff", "q_zorder_prune", "q_rank_eval", "q_rfm_features",
     "q_cc_incr", "q_rand_response", "q_stream_bloom",
     "q_simhash_sweep", "q_maxsim_topk", "q_topk_bounds",
-    "q_batch_padding",
+    "q_batch_padding", "q_quant_sweep",
     # Block 1 — r12 plan-changed rows (q_index_delta FIRST: the one red
     # r11 row re-earns its driver row at the top of the window).
     "q_index_delta", "q_binary_ann", "q_wsample_priority",
@@ -73,12 +73,12 @@ _DRIVER_WINDOW_PRIORITY = [
     "q_bloom_prune", "q_cross", "q_cte", "q_dedup_clusters",
     "q_dedup_exact", "q_dedup_incr", "q_dedup_ngram", "q_dedup_simhash",
     "q_degree_dist", "q_distinct", "q_embed_cov", "q_embed_join",
-    "q_embed_quant", "q_having",
+    "q_embed_quant",
     # ---- window budget line: entries below here are OUTSIDE the first-50
     # window for r12 (each new r12 query prepended above displaces the
     # bottom row of Block 3 below this line — keep the count at exactly
     # 50 when editing) ----
-    "q_hist_quantile", "q_image_stats", "q_join_cardinality", "q_join_inner",
+    "q_having", "q_hist_quantile", "q_image_stats", "q_join_cardinality", "q_join_inner",
     "q_join_interval", "q_join_multi", "q_join_outer",
     "q_join_range", "q_join_semi_anti",
     "q_kmv_distinct", "q_multimodal", "q_outlier_mad", "q_rollup",

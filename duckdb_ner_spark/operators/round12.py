@@ -2142,3 +2142,168 @@ def q_batch_padding(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("waste_bp"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# q_quant_sweep — the scalar-quantization BITS operating curve: rank
+# displacement of the exact NN at 2/4/8 bits per dimension, one pass
+# --------------------------------------------------------------------------
+
+QS_BITS = (2, 4, 8)  # bits per dimension; levels = 2^(b-1) - 1 (symmetric)
+
+_QUANT_SWEEP_ORACLE = f"""
+    WITH {_U_CTE}, mx AS (
+        SELECT vec_id, MAX(ABS(x)) AS mabs FROM ex GROUP BY vec_id
+    ), qv AS (
+        SELECT b.bits, e.vec_id, e.i,
+               CAST(FLOOR(e.x * (CASE WHEN m.mabs = 0 THEN 0.0
+                                      ELSE (POWER(2, b.bits - 1) - 1) / m.mabs
+                                 END) + 0.5) AS BIGINT) AS qi
+        FROM ex e
+        JOIN mx m ON m.vec_id = e.vec_id
+        CROSS JOIN (VALUES {", ".join(f"({b})" for b in QS_BITS)}) AS b(bits)
+    ), dots_exact AS (
+        SELECT uq.vec_id AS q_id, uc.vec_id AS cand,
+               CAST(SUM(uq.xi * uc.xi) AS BIGINT) AS dot_fx
+        FROM u uq JOIN u uc ON uc.i = uq.i AND uc.vec_id <> uq.vec_id
+        WHERE uq.vec_id < {RE_NQ}
+        GROUP BY uq.vec_id, uc.vec_id
+    ), truth AS (
+        SELECT q_id, cand AS true_nn
+        FROM (SELECT *, ROW_NUMBER() OVER (
+                  PARTITION BY q_id ORDER BY dot_fx DESC, cand) AS r
+              FROM dots_exact) WHERE r = 1
+    ), dots_q AS (
+        SELECT a.bits, a.vec_id AS q_id, b2.vec_id AS cand,
+               CAST(SUM(a.qi * b2.qi) AS BIGINT) AS dotq
+        FROM qv a JOIN qv b2 ON b2.bits = a.bits AND b2.i = a.i
+                           AND b2.vec_id <> a.vec_id
+        WHERE a.vec_id < {RE_NQ}
+        GROUP BY a.bits, a.vec_id, b2.vec_id
+    ), ranks AS (
+        SELECT d.bits, d.q_id, t.true_nn,
+               CAST(sr.sys_rank AS BIGINT) AS sys_rank
+        FROM (SELECT DISTINCT bits, q_id FROM dots_q) d
+        JOIN truth t ON t.q_id = d.q_id
+        JOIN (SELECT bits, q_id, cand,
+                     ROW_NUMBER() OVER (PARTITION BY bits, q_id
+                                        ORDER BY dotq DESC, cand) AS sys_rank
+              FROM dots_q) sr
+          ON sr.bits = d.bits AND sr.q_id = d.q_id AND sr.cand = t.true_nn
+    )
+    SELECT CAST(bits AS BIGINT) AS bits,
+           CAST(COUNT(*) AS BIGINT) AS n_queries,
+           CAST(SUM(CASE WHEN sys_rank = 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS top1_hits,
+           CAST(SUM(10000 // sys_rank) // COUNT(*) AS BIGINT)
+               AS mean_rr_bp,
+           CAST(MAX(sys_rank) AS BIGINT) AS worst_rank
+    FROM ranks GROUP BY bits
+"""
+
+
+@declared("q_quant_sweep", oracle=_QUANT_SWEEP_ORACLE)
+def q_quant_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SCALAR-QUANTIZATION BITS OPERATING CURVE — the knob curve for
+    the compression family (the house rule: every approximate structure
+    ships its curve — q_nprobe_sweep for IVF, q_binary_sweep for 1-bit,
+    q_lsh_sweep for banding, q_simhash_sweep for radius — now bits/dim
+    for scalar quantization): per bits b in {QS_BITS}, quantize every
+    embedding to symmetric b-bit codes (levels = 2^(b-1)-1, the
+    q_embed_quant half-up construction) and measure, per query (vec_id <
+    {RE_NQ}), where the b-bit dot ranking places the EXACT fixed-point-
+    cosine nearest neighbor: top-1 hits, mean reciprocal rank (integer
+    bp), worst rank. One pass: codes for all widths are generated from
+    one scan (the q_lsh_sweep multi-config idiom), the exact truth is
+    computed once and shared. The memory/quality trade in one
+    hash-verified table: 16x compression (2-bit) vs 4x (8-bit), priced
+    in rank displacement rather than asserted.
+
+    Engine-exactness: codes are FLOOR(x*scale + 0.5) with scale =
+    (2^(b-1)-1)/max|x| — one IEEE quotient per (vec, bits); POWER(2, b-1)
+    on small integers is exact in both engines; rankings are integer
+    dots with candidate-id tie-break; mean_rr floor-divides a sum of
+    integer reciprocal ranks.
+
+    Scale notes (100 TB): the query side broadcasts; the candidate side
+    is |bits| narrow passes over integer code arrays; rankings are
+    per-(bits, query) windows over candidate counts. Production composes
+    the chosen width with the ANN shortlist family (this curve picks the
+    width; q_rank_eval is its single-width deep readout)."""
+    t = load_tables(spark, sf_dir)
+    mabs = F.array_max(
+        F.expr("transform(embedding, v -> abs(CAST(v AS DOUBLE)))")
+    )
+    base = t.embeddings.select(
+        "vec_id", "embedding", _unit_fx_expr().alias("u"), mabs.alias("mabs")
+    )
+    qcols = [
+        F.expr(
+            f"transform(embedding, v -> CAST(FLOOR(CAST(v AS DOUBLE)"
+            f" * (CASE WHEN mabs = 0 THEN 0.0D"
+            f" ELSE CAST({2 ** (b - 1) - 1} AS DOUBLE) / mabs END)"
+            f" + 0.5) AS BIGINT))"
+        ).alias(f"q{b}")
+        for b in QS_BITS
+    ]
+    coded = base.select("vec_id", "u", *qcols)
+    q = F.broadcast(
+        coded.filter(F.col("vec_id") < RE_NQ).select(
+            F.col("vec_id").alias("q_id"),
+            F.col("u").alias("qu"),
+            *[F.col(f"q{b}").alias(f"qq{b}") for b in QS_BITS],
+        )
+    )
+    scored = (
+        coded.crossJoin(q)
+        .filter(F.col("vec_id") != F.col("q_id"))
+        .select(
+            "q_id",
+            F.col("vec_id").alias("cand"),
+            F.aggregate(
+                F.zip_with(F.col("u"), F.col("qu"), lambda x, y: x * y),
+                F.lit(0).cast("bigint"),
+                lambda a, v: a + v,
+            ).alias("dot_fx"),
+            *[
+                F.aggregate(
+                    F.zip_with(
+                        F.col(f"q{b}"), F.col(f"qq{b}"), lambda x, y: x * y
+                    ),
+                    F.lit(0).cast("bigint"),
+                    lambda a, v: a + v,
+                ).alias(f"dot{b}")
+                for b in QS_BITS
+            ],
+        )
+    )
+    tw = Window.partitionBy("q_id").orderBy(F.desc("dot_fx"), "cand")
+    ranked = scored.select(
+        "q_id",
+        "cand",
+        F.row_number().over(tw).alias("t_rank"),
+        *[
+            F.row_number()
+            .over(Window.partitionBy("q_id").orderBy(F.desc(f"dot{b}"), "cand"))
+            .cast("bigint")
+            .alias(f"rank{b}")
+            for b in QS_BITS
+        ],
+    ).filter(F.col("t_rank") == 1)
+    per_bits = None
+    for b in QS_BITS:
+        fb = ranked.select(
+            F.lit(b).cast("bigint").alias("bits"),
+            F.col(f"rank{b}").alias("sys_rank"),
+        )
+        per_bits = fb if per_bits is None else per_bits.unionByName(fb)
+    return per_bits.groupBy("bits").agg(
+        F.count("*").cast("bigint").alias("n_queries"),
+        F.sum(F.when(F.col("sys_rank") == 1, 1).otherwise(0))
+        .cast("bigint")
+        .alias("top1_hits"),
+        F.expr("CAST(SUM(10000 DIV sys_rank) DIV COUNT(*) AS BIGINT)").alias(
+            "mean_rr_bp"
+        ),
+        F.max("sys_rank").cast("bigint").alias("worst_rank"),
+    )

@@ -864,3 +864,64 @@ def test_batch_padding_bucketing_wins(spark):
     assert got["bucketed"]["waste_bp"] < got["arrival"]["waste_bp"]
     # identical real work under both strategies
     assert got["bucketed"]["real_tokens"] == got["arrival"]["real_tokens"]
+
+
+# --------------------------------------------------------------------------
+# q_quant_sweep
+# --------------------------------------------------------------------------
+
+
+def test_quant_sweep_matches_numpy_recompute(spark):
+    import numpy as np
+
+    from duckdb_ner_spark.operators.round12 import QS_BITS, RE_NQ
+
+    con = duckdb.connect()
+    rows = con.execute(
+        f"SELECT vec_id, embedding FROM '{SF_SMOKE}/embeddings.parquet'"
+        f" ORDER BY vec_id"
+    ).fetchall()
+    ids = np.array([r[0] for r in rows])
+    X = np.array([r[1] for r in rows], dtype=np.float64)
+    FX = 1_000_000
+    xi0 = np.round(X * FX)
+    nrm = np.sqrt((xi0 * xi0).sum(axis=1))
+    U = np.round(xi0 / nrm[:, None] * FX).astype(np.int64)
+    mabs = np.abs(X).max(axis=1)
+    got = {r["bits"]: r for r in
+           QUERIES["q_quant_sweep"](spark, SF_SMOKE).collect()}
+    for b in QS_BITS:
+        lv = (1 << (b - 1)) - 1
+        scale = np.where(mabs == 0, 0.0, lv / mabs)
+        Q = np.floor(X * scale[:, None] + 0.5).astype(np.int64)
+        ranks = []
+        for qi, q_id in enumerate(ids):
+            if q_id >= RE_NQ:
+                continue
+            mask = ids != q_id
+            cand = ids[mask]
+            dfx = (U[mask] * U[qi]).sum(axis=1)
+            dq = (Q[mask] * Q[qi]).sum(axis=1)
+            t = sorted(range(len(cand)), key=lambda k: (-dfx[k], cand[k]))
+            true_nn = cand[t[0]]
+            so = sorted(range(len(cand)), key=lambda k: (-dq[k], cand[k]))
+            ranks.append(
+                1 + so.index(next(k for k in range(len(cand))
+                                  if cand[k] == true_nn))
+            )
+        r = got[b]
+        assert r["n_queries"] == len(ranks)
+        assert r["top1_hits"] == sum(1 for x in ranks if x == 1)
+        assert r["mean_rr_bp"] == sum(10000 // x for x in ranks) // len(ranks)
+        assert r["worst_rank"] == max(ranks)
+
+
+def test_quant_sweep_monotone_in_bits(spark):
+    """More bits never rank the true NN worse in aggregate."""
+    rows = sorted(
+        QUERIES["q_quant_sweep"](spark, SF_SMOKE).collect(),
+        key=lambda r: r["bits"],
+    )
+    for a, b in zip(rows, rows[1:]):
+        assert b["mean_rr_bp"] >= a["mean_rr_bp"]
+        assert b["top1_hits"] >= a["top1_hits"]
