@@ -131,14 +131,14 @@ _GOPHER_ORACLE = f"""
     SELECT t.doc_id, t.lang, b.n_words, b.n_distinct,
            CAST(10000 * (b.n_words - b.n_distinct) // b.n_words AS BIGINT)
                AS rep_bp,
-           p.top2_bp,
+           COALESCE(p.top2_bp, 0) AS top2_bp,
            COALESCE(d.dup3_bp, 0) AS dup3_bp,
-           CAST(CASE WHEN p.top2_bp <= {GR_TOP2_BP}
+           CAST(CASE WHEN COALESCE(p.top2_bp, 0) <= {GR_TOP2_BP}
                       AND COALESCE(d.dup3_bp, 0) <= {GR_DUP3_BP}
                      THEN 1 ELSE 0 END AS BIGINT) AS keep
     FROM t
     JOIN base b ON b.doc_id = t.doc_id
-    JOIN top2 p ON p.doc_id = t.doc_id
+    LEFT JOIN top2 p ON p.doc_id = t.doc_id
     LEFT JOIN dup3 d ON d.doc_id = t.doc_id
 """
 
@@ -162,7 +162,10 @@ def q_gopher_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Engine-exactness: integer counts and char masses, floor-divided bp,
     top-2-gram ties broken (count DESC, char-length DESC, gram ASC),
-    docs with no 3-gram COALESCE to dup3_bp = 0.
+    docs with no 3-gram COALESCE to dup3_bp = 0, and docs with no 2-gram
+    (single-word documents) LEFT-JOIN in with top2_bp = 0 so every
+    document receives a keep/drop verdict (ADVICE r12 — an inner join to
+    top2 silently exempted degenerate docs from the gate).
 
     Scale notes (100 TB): every window and aggregate is PARTITIONED BY
     doc_id — state is bounded by the longest document, never the corpus;
@@ -247,7 +250,7 @@ def q_gopher_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = t.documents.select("doc_id", "lang")
     return (
         docs.join(base, "doc_id")
-        .join(top2, "doc_id")
+        .join(top2, "doc_id", "left")
         .join(dup3, "doc_id", "left")
         .select(
             "doc_id",
@@ -257,10 +260,10 @@ def q_gopher_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr(
                 "CAST(10000 * (n_words - n_distinct) DIV n_words AS BIGINT)"
             ).alias("rep_bp"),
-            "top2_bp",
+            F.coalesce("top2_bp", F.lit(0).cast("bigint")).alias("top2_bp"),
             F.coalesce("dup3_bp", F.lit(0).cast("bigint")).alias("dup3_bp"),
             F.when(
-                (F.col("top2_bp") <= GR_TOP2_BP)
+                (F.coalesce("top2_bp", F.lit(0)) <= GR_TOP2_BP)
                 & (F.coalesce("dup3_bp", F.lit(0)) <= GR_DUP3_BP),
                 1,
             )
@@ -291,11 +294,18 @@ _BLOOM_DEDUP_ORACLE = f"""
         -- indexed key (fixed-m filters saturate as the corpus grows)
         SELECT CAST({BLM_BPK} * COUNT(DISTINCT pk) AS BIGINT) AS m_bits
         FROM keyed WHERE half = 0
-    ), pos AS (
+    ), hx AS (
+        -- digest computed ONCE per (key, j) row; _hex_to_int_sql then
+        -- reads the column 8 times (one strpos per hex digit) instead of
+        -- re-evaluating the md5 per digit (ADVICE r12)
         SELECT k.half, k.doc_id, k.source, k.pk, j.j,
-               ({_hex_to_int_sql("md5('blm' || j.j || '|' || k.pk)", 8)})
-                   % (SELECT m_bits FROM m) AS pos
+               md5('blm' || j.j || '|' || k.pk) AS h
         FROM keyed k CROSS JOIN (SELECT unnest(range({BLM_K})) AS j) j
+    ), pos AS (
+        SELECT half, doc_id, source, pk, j,
+               ({_hex_to_int_sql("h", 8)})
+                   % (SELECT m_bits FROM m) AS pos
+        FROM hx
     ), filt AS (
         SELECT DISTINCT pos FROM pos WHERE half = 0
     ), fill AS (
@@ -395,6 +405,18 @@ def q_bloom_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             " 1, 8), 16, 10) AS BIGINT) % m_bits"
         ).alias("pos"),
     )
+    # Stage the k-position fan-out to parquet scratch (the r10
+    # staged-scratch idiom, VERDICT r12 #7): filt (index half) and probe
+    # (ingest half) both consume pos — inlined, each re-scanned the
+    # corpus and re-did the md5 fan-out (22 exchanges); staged, the
+    # corpus is hashed once and both halves scan the narrow (ids, pk,
+    # pos) summary. Bit-exact round-trip (BIGINT + digest strings) —
+    # hashes re-attested at all 3 SFs.
+    from .layout_queries import _scratch
+
+    pos_path = _scratch("blm_pos", sf_dir)
+    pos.write.mode("overwrite").parquet(pos_path)
+    pos = spark.read.parquet(pos_path)
     filt = pos.filter(F.col("half") == 0).select("pos").distinct()
     fill = filt.agg(
         F.count("*").cast("bigint").alias("n_bits_set")
@@ -639,12 +661,16 @@ def q_vocab_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     as a 'dead' one — one release earlier than downstream eval drift
     (q_drift_tvd watches sources; this watches WORDS).
 
-    Engine-exactness: integer df/tf, COALESCE(0) on both FULL-OUTER
-    sides, mover rank ties broken by term, census keyed by class literal.
+    Engine-exactness: integer df/tf via ONE conditional aggregate over
+    the combined token stream (COUNT(*) FILTER (ver = ...) in the oracle,
+    count(when(ver == ...)) in Spark — each doc lives in exactly one
+    version, so per-version stats are filter-aggregable with no
+    FULL-OUTER self-join and the absent side reads as a plain 0 count);
+    mover rank ties broken by term, census keyed by class literal.
 
     Scale notes (100 TB): per-version term stats are one map-side-combined
     aggregate over (ver, term) — the token stream shuffles 32-byte-max
-    terms, never documents; the FULL OUTER join and everything after run
+    terms, never documents; the class census and everything after run
     on vocab-sized data (Heaps' law: ~10^7-10^8 terms for a 10^12-token
     corpus — single-executor scale). The mover windows partition by class
     over that vocab-sized frame; a production run prefilters with a
@@ -1331,16 +1357,21 @@ def q_cc_incr(spark: SparkSession, sf_dir: str) -> DataFrame:
 RR_P_NUM, RR_P_DEN = 3, 4  # truth-telling probability p = 3/4 (eps = ln 3)
 
 _RAND_RESPONSE_ORACLE = f"""
-    WITH resp AS (
+    WITH hx AS (
+        -- digest once per row; the hex->int expansion below reads the
+        -- column per digit instead of re-hashing 8x (ADVICE r12)
+        SELECT source, doc_id,
+               md5('rr|' || CAST(doc_id AS VARCHAR)) AS h
+        FROM documents
+    ), resp AS (
         SELECT source,
                CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 0 END AS v,
-               CASE WHEN ({_hex_to_int_sql(
-                   "md5('rr|' || CAST(doc_id AS VARCHAR))", 8)})
+               CASE WHEN ({_hex_to_int_sql("h", 8)})
                     % {RR_P_DEN} < {RR_P_NUM}
                     THEN CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 0 END
                     ELSE CASE WHEN doc_id % 3 = 0 THEN 0 ELSE 1 END
                END AS reported
-        FROM documents
+        FROM hx
     )
     SELECT source,
            CAST(COUNT(*) AS BIGINT) AS n,
@@ -1693,6 +1724,46 @@ _MS_U_SQL = f"""
     )
 """
 
+def maxsim_slice_units(emb: DataFrame) -> DataFrame:
+    """(vec_id, s, u): each embedding decomposed into {MS_SUB} independent
+    {MS_SUBDIM}-dim sub-vectors, each L2-normalized in shared fixed point
+    (the per-slice twin of similarity._unit_fx_expr). Map-side only.
+    Shared by q_maxsim_topk (exact late interaction) and round13's
+    q_maxsim_rerank (shortlist-then-MaxSim production path)."""
+    slices = emb.select(
+        "vec_id",
+        F.posexplode(
+            F.array(
+                *[
+                    F.slice(F.col("embedding"), s * MS_SUBDIM + 1, MS_SUBDIM)
+                    for s in range(MS_SUB)
+                ]
+            )
+        ).alias("s", "sub"),
+    )
+    qa = (
+        f"transform(sub, v -> CAST(ROUND(CAST(v AS DOUBLE) * {FX_SCALE}, 0)"
+        " AS BIGINT))"
+    )
+    return slices.select(
+        "vec_id",
+        "s",
+        F.expr(
+            f"""zip_with(
+                {qa},
+                array_repeat(
+                    sqrt(CAST(aggregate(zip_with({qa}, {qa}, (x, y) -> x * y),
+                                        CAST(0 AS BIGINT), (a, v) -> a + v)
+                              AS DOUBLE)),
+                    size(sub)),
+                (x, n) -> CASE WHEN n = 0.0D THEN CAST(0 AS BIGINT)
+                               ELSE CAST(ROUND(CAST(x AS DOUBLE) / n
+                                               * {FX_SCALE}, 0) AS BIGINT)
+                          END)"""
+        ).alias("u"),
+    )
+
+
 _MAXSIM_ORACLE = f"""
     WITH {_MS_U_SQL}, dots AS (
         SELECT uq.vec_id AS q_id, uq.s AS qs, uc.vec_id AS cand, uc.s AS cs,
@@ -1742,38 +1813,7 @@ def q_maxsim_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     on the <= M survivors (exactly q_pq_rerank's shortlist-then-exact
     shape with MaxSim as the exact scorer)."""
     t = load_tables(spark, sf_dir)
-    slices = t.embeddings.select(
-        "vec_id",
-        F.posexplode(
-            F.array(
-                *[
-                    F.slice(F.col("embedding"), s * MS_SUBDIM + 1, MS_SUBDIM)
-                    for s in range(MS_SUB)
-                ]
-            )
-        ).alias("s", "sub"),
-    )
-    qa = (
-        f"transform(sub, v -> CAST(ROUND(CAST(v AS DOUBLE) * {FX_SCALE}, 0)"
-        " AS BIGINT))"
-    )
-    u = slices.select(
-        "vec_id",
-        "s",
-        F.expr(
-            f"""zip_with(
-                {qa},
-                array_repeat(
-                    sqrt(CAST(aggregate(zip_with({qa}, {qa}, (x, y) -> x * y),
-                                        CAST(0 AS BIGINT), (a, v) -> a + v)
-                              AS DOUBLE)),
-                    size(sub)),
-                (x, n) -> CASE WHEN n = 0.0D THEN CAST(0 AS BIGINT)
-                               ELSE CAST(ROUND(CAST(x AS DOUBLE) / n
-                                               * {FX_SCALE}, 0) AS BIGINT)
-                          END)"""
-        ).alias("u"),
-    )
+    u = maxsim_slice_units(t.embeddings)
     q = F.broadcast(
         u.filter(F.col("vec_id") < MS_NQ).select(
             F.col("vec_id").alias("q_id"),
@@ -1866,6 +1906,7 @@ _TOPK_BOUNDS_ORACLE = f"""
     )
     SELECT ce.w AS word, ce.lb, ce.ub, ce.n_reporting, ce.n_possibly_above,
            CAST(CASE WHEN ce.n_possibly_above < {TKB_K}
+                      AND ce.lb >= (SELECT total_thr FROM tot_thr)
                      THEN 1 ELSE 0 END AS BIGINT) AS guaranteed,
            t.exact_cnt,
            CAST(CASE WHEN ce.w IN (SELECT w FROM true_topk)
@@ -1885,7 +1926,11 @@ def q_topk_bounds(spark: SparkSession, sf_dir: str) -> DataFrame:
     UPPER bound (+ each silent shard's m-th reported count — a shard
     cannot hide more than its own reporting threshold), and the membership
     CERTIFICATE: a candidate is GUARANTEED global top-{TKB_K} iff fewer
-    than {TKB_K} other candidates have ub above its lb. The exact global
+    than {TKB_K} other candidates have ub above its lb AND its lb is at
+    least total_thr — the upper bound on any word reported by NO shard
+    (such a word never becomes a candidate, yet its true count can reach
+    the sum of all shard thresholds, so a certificate that ignores it is
+    unsound; ADVICE r12). The exact global
     counts ride beside the bounds (bound_holds, in_true_topk — both
     hash-verified), so the certificate logic is AUDITED, not asserted.
     This is the correctness core of every per-executor-partial top-k
@@ -1923,6 +1968,18 @@ def q_topk_bounds(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("source", "w")
         .agg(F.count("*").cast("bigint").alias("cnt"))
     )
+    # Stage the per-shard word census to parquet scratch (the r10
+    # staged-scratch idiom, VERDICT r12 #7): six branches (rep, thr,
+    # tot_thr, cand, truth, true_topk) consume wc — inlined, each one
+    # re-scanned and re-aggregated the CORPUS (28 exchanges); staged,
+    # the corpus is read once and every branch scans the vocab-sized
+    # (source, w, cnt) BIGINT summary. Bit-exact round-trip (BIGINT +
+    # strings only) — hashes re-attested at all 3 SFs.
+    from .layout_queries import _scratch
+
+    wc_path = _scratch("tkb_wc", sf_dir)
+    wc.write.mode("overwrite").parquet(wc_path)
+    wc = spark.read.parquet(wc_path)
     sw = Window.partitionBy("source")
     ranked = wc.select(
         "source",
@@ -1962,6 +2019,7 @@ def q_topk_bounds(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("lb") + F.col("total_thr") - F.col("rep_thr"))
             .cast("bigint")
             .alias("ub"),
+            "total_thr",
         )
     )
     other = cand.select(
@@ -1973,7 +2031,7 @@ def q_topk_bounds(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("o_w") != F.col("w")) & (F.col("o_ub") > F.col("lb")),
             "left",
         )
-        .groupBy("w", "lb", "ub", "n_reporting")
+        .groupBy("w", "lb", "ub", "n_reporting", "total_thr")
         .agg(F.count("o_w").cast("bigint").alias("n_possibly_above"))
     )
     truth = wc.groupBy(F.col("w").alias("t_w")).agg(
@@ -1994,7 +2052,11 @@ def q_topk_bounds(spark: SparkSession, sf_dir: str) -> DataFrame:
             "ub",
             "n_reporting",
             "n_possibly_above",
-            F.when(F.col("n_possibly_above") < TKB_K, 1)
+            F.when(
+                (F.col("n_possibly_above") < TKB_K)
+                & (F.col("lb") >= F.col("total_thr")),
+                1,
+            )
             .otherwise(0)
             .cast("bigint")
             .alias("guaranteed"),
@@ -2022,6 +2084,7 @@ def q_topk_bounds(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 BP_BUCKET = 16  # length-bucket width (words)
 BP_BATCH = 8  # sequences per batch
+BP_SHARD = 256  # docs per arrival shard (multiple of BP_BATCH)
 
 _BATCH_PADDING_ORACLE = f"""
     WITH d AS (
@@ -2036,10 +2099,14 @@ _BATCH_PADDING_ORACLE = f"""
                n_tok // {BP_BUCKET} AS grp
         FROM d
         UNION ALL
+        -- arrival batching is PER SHARD of {BP_SHARD} docs (doc_id //
+        -- {BP_SHARD}) — a production arrival batcher sees one shard's
+        -- stream, never a corpus-global order (VERDICT r12 #2)
         SELECT 'arrival' AS strategy, doc_id, n_tok,
-               (ROW_NUMBER() OVER (ORDER BY doc_id) - 1) // {BP_BATCH}
+               (ROW_NUMBER() OVER (PARTITION BY doc_id // {BP_SHARD}
+                                   ORDER BY doc_id) - 1) // {BP_BATCH}
                    AS local_batch,
-               CAST(0 AS BIGINT) AS grp
+               doc_id // {BP_SHARD} AS grp
         FROM d
     ), batches AS (
         SELECT strategy, grp, local_batch,
@@ -2075,17 +2142,22 @@ def q_batch_padding(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-example loss masks).
 
     Engine-exactness: deterministic assembly order (within-bucket:
-    n_tok then doc_id; arrival: doc_id), integer token counts,
-    floor-divided waste bp.
+    n_tok then doc_id; arrival: doc_id within a {BP_SHARD}-doc shard),
+    integer token counts, floor-divided waste bp. Shard size is a
+    multiple of {BP_BATCH}, so sharding the arrival stream changes batch
+    composition only at the corpus tail — the waste arithmetic is the
+    same decision a single global stream would price.
 
-    Scale notes (100 TB): assembly is one ROW_NUMBER window PER LENGTH
-    BUCKET (partition-bounded — the bucket width is the knob; an arrival
-    batcher is the one corpus-global window, kept here as the baseline
-    under comparison and replaced by per-shard arrival order in
-    production, which changes nothing about its waste); the audit
-    aggregates are map-side-combined per (strategy, bucket, batch). The
-    waste_bp delta is the number that justifies the extra shuffle a
-    bucketed batcher costs."""
+    Scale notes (100 TB): BOTH windows are partition-bounded — bucketed
+    assembly partitions by length bucket, arrival assembly partitions by
+    a deterministic {BP_SHARD}-doc shard key (doc_id DIV {BP_SHARD}),
+    which is what a production arrival batcher actually sees (each
+    loader consumes one shard's stream; a corpus-global arrival order
+    never exists at 100 TB, and the r12 version that modeled it as one
+    unpartitioned ROW_NUMBER window was the plan's scale-killer —
+    VERDICT r12 #2). The audit aggregates are map-side-combined per
+    (strategy, shard/bucket, batch). The waste_bp delta is the number
+    that justifies the extra shuffle a bucketed batcher costs."""
     t = load_tables(spark, sf_dir)
     d = t.documents.select(
         "doc_id",
@@ -2094,7 +2166,9 @@ def q_batch_padding(spark: SparkSession, sf_dir: str) -> DataFrame:
     wb = Window.partitionBy(
         F.expr(f"n_tok DIV {BP_BUCKET}")
     ).orderBy("n_tok", "doc_id")
-    wa = Window.orderBy("doc_id")
+    wa = Window.partitionBy(
+        F.expr(f"doc_id DIV {BP_SHARD}")
+    ).orderBy("doc_id")
     bucketed = d.select(
         F.lit("bucketed").alias("strategy"),
         "doc_id",
@@ -2108,7 +2182,7 @@ def q_batch_padding(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit("arrival").alias("strategy"),
             "doc_id",
             "n_tok",
-            F.lit(0).cast("bigint").alias("grp"),
+            F.expr(f"doc_id DIV {BP_SHARD}").alias("grp"),
             ((F.row_number().over(wa) - 1) / BP_BATCH)
             .cast("bigint")
             .alias("local_batch"),

@@ -56,11 +56,15 @@ def _gopher_signals(text: str):
     g3 = Counter(
         " ".join(ws[i : i + 3]) for i in range(len(ws) - 2)
     )
-    # argmax by (count desc, len desc, gram asc)
-    top_g, top_c = min(
-        g2.items(), key=lambda kv: (-kv[1], -len(kv[0]), kv[0])
-    )
-    top2_bp = 10000 * top_c * len(top_g) // nc
+    # argmax by (count desc, len desc, gram asc); single-word docs have
+    # no 2-gram and get top2_bp = 0 (ADVICE r12: LEFT JOIN + COALESCE)
+    if g2:
+        top_g, top_c = min(
+            g2.items(), key=lambda kv: (-kv[1], -len(kv[0]), kv[0])
+        )
+        top2_bp = 10000 * top_c * len(top_g) // nc
+    else:
+        top2_bp = 0
     dup_mass = sum(c * len(g) for g, c in g3.items() if c >= 2)
     dup3_bp = min(10000 * dup_mass // nc, 10000)
     rep_bp = 10000 * (n_words - n_distinct) // n_words
@@ -91,6 +95,17 @@ def test_gopher_verdict_discriminates(spark):
     rows = QUERIES["q_gopher_repetition"](spark, SF_SMOKE).collect()
     kept = sum(r["keep"] for r in rows)
     assert 0 < kept < len(rows)
+
+
+def test_gopher_single_word_doc_gets_a_verdict():
+    """ADVICE r12 regression: a one-word doc has no 2-gram; it must still
+    receive a verdict (top2_bp = 0, dup3_bp = 0, keep = 1) instead of
+    being silently dropped by an inner join to the top-2-gram frame."""
+    n_words, n_distinct, rep_bp, top2_bp, dup3_bp, keep = _gopher_signals(
+        "lonely"
+    )
+    assert (n_words, n_distinct, rep_bp) == (1, 1, 0)
+    assert (top2_bp, dup3_bp, keep) == (0, 0, 1)
 
 
 def test_gopher_planted_degenerate_doc():
@@ -753,6 +768,7 @@ def _tkb_bounds(shard_counts, m, k):
         rep[s] = dict(top)
         thr[s] = top[-1][1] if len(cnts) > m else 0
     cand = {w for r in rep.values() for w in r}
+    total_thr = sum(thr.values())
     out = {}
     for w in cand:
         lb = sum(r.get(w, 0) for r in rep.values())
@@ -762,7 +778,9 @@ def _tkb_bounds(shard_counts, m, k):
         above = sum(
             1 for o in cand if o != w and out[o][1] > out[w][0]
         )
-        out[w].append(int(above < k))
+        # a word reported by NO shard can have true count up to
+        # total_thr, so lb must also clear that unseen-word bound
+        out[w].append(int(above < k and out[w][0] >= total_thr))
     return {w: tuple(v) for w, v in out.items()}
 
 
@@ -815,13 +833,29 @@ def test_topk_bounds_certificates_close_on_skewed_shards():
         assert lb <= t <= ub
 
 
+def test_topk_bounds_unseen_word_keeps_certificate_open():
+    """ADVICE r12 regression: a word reported by NO shard ('sleeper',
+    count 9 in each of 3 shards, total 27) can outrank every candidate
+    (lb = 10 each). The pre-fix certificate counted only other CANDIDATES
+    with ub > lb and would falsely close (n_possibly_above = 2 < k = 3);
+    the sound rule also requires lb >= total_thr (= 30 here)."""
+    shard_counts = {s: {f"top{s}": 10, "sleeper": 9} for s in range(3)}
+    out = _tkb_bounds(shard_counts, m=1, k=3)
+    assert set(out) == {"top0", "top1", "top2"}  # sleeper never reported
+    assert all(g == 0 for (_, _, g) in out.values())
+
+
 # --------------------------------------------------------------------------
 # q_batch_padding
 # --------------------------------------------------------------------------
 
 
 def test_batch_padding_matches_pure_python_recompute(spark):
-    from duckdb_ner_spark.operators.round12 import BP_BATCH, BP_BUCKET
+    from duckdb_ner_spark.operators.round12 import (
+        BP_BATCH,
+        BP_BUCKET,
+        BP_SHARD,
+    )
 
     lens = {d: len(t.split(" ")) for d, t, _ in _docs()}
 
@@ -838,7 +872,9 @@ def test_batch_padding_matches_pure_python_recompute(spark):
                 padded += len(batch) * max(lens[d] for d in batch)
         return n_batches, real, padded
 
-    arrival = assemble(sorted(lens))
+    # arrival batching is per BP_SHARD-doc shard (VERDICT r12 #2: no
+    # corpus-global window), so the replay shards the arrival stream too
+    arrival = assemble(sorted(lens), keyfn=lambda d: d // BP_SHARD)
     bucketed = assemble(
         sorted(lens, key=lambda d: (lens[d] // BP_BUCKET, lens[d], d)),
         keyfn=lambda d: lens[d] // BP_BUCKET,
