@@ -34,60 +34,60 @@ def entry(spark: SparkSession) -> DataFrame:
 # relational queries follow in registration order. New queries added in a
 # round should be PREPENDED here so they land inside the window.
 _DRIVER_WINDOW_PRIORITY = [
-    # ---- round-12 window (VERDICT r11 Next-round #1/#4) ----
-    # Shape: new r12 queries (Block 0, prepended as they land) + the 4
-    # r11 rows whose plans/value-expressions changed in r12 (Block 1:
-    # q_index_delta — the r11 red row, top_merged now a CSV string;
-    # q_binary_ann — recall_bp to integer DIV; q_wsample_priority — the
-    # degenerate-tau guard; q_basket_affinity — the per-basket min-k cap
-    # wired) + the 14 rows the r11 additions displaced (Block 2, all
-    # r5-green, flagged stalest by VERDICT r11 #4) + the r6-era tail
-    # (Block 3, alphabetical — last driver-green in CORRECTNESS_r06) up
-    # to the 50-row budget.
-    # Block 0 — the 15 NEW r12 queries (round12.py + q_stream_bloom in
-    # streaming_queries.py), never driver-checked; the window ledger
-    # forces them in. They displace the bottom 15 of Block 3 (q_having,
-    # q_hist_quantile, q_image_stats, q_join_cardinality, q_join_inner,
-    # q_join_interval, q_join_multi, q_join_outer, q_join_range,
-    # q_join_semi_anti, q_kmv_distinct, q_multimodal, q_outlier_mad,
-    # q_rollup, q_shard_shuffle — all r6-green) below the line; those
-    # rotate back in r13.
-    "q_gopher_repetition", "q_bloom_dedup", "q_fold_split",
-    "q_vocab_diff", "q_zorder_prune", "q_rank_eval", "q_rfm_features",
-    "q_cc_incr", "q_rand_response", "q_stream_bloom",
-    "q_simhash_sweep", "q_maxsim_topk", "q_topk_bounds",
-    "q_batch_padding", "q_quant_sweep",
-    # Block 1 — r12 plan-changed rows (q_index_delta FIRST: the one red
-    # r11 row re-earns its driver row at the top of the window).
+    # ---- round-13 window (VERDICT r12 Next-round #1: rotate
+    # stalest-first, mechanically — staleness = last green round across
+    # CORRECTNESS_r01..r12) ----
+    # Block 0 — the 3 NEW r13 queries (round13.py), never driver-checked.
+    "q_maxsim_rerank", "q_langid", "q_quality_score",
+    # Block 1 — r13 plan/value-changed rows re-earning driver rows:
+    # q_topk_bounds (certificate soundness fix, ADVICE r12 medium),
+    # q_gopher_repetition (LEFT JOIN top2 — single-word docs gated),
+    # q_batch_padding (arrival window de-globalized, VERDICT r12 #2),
+    # q_bloom_dedup + q_rand_response (oracle digest precomputed in a
+    # CTE), q_maxsim_topk (slice-unit construction factored out for
+    # round13 reuse — plan identical, re-attested anyway).
+    "q_topk_bounds", "q_gopher_repetition", "q_batch_padding",
+    "q_bloom_dedup", "q_rand_response", "q_maxsim_topk",
+    # Block 2 — the 21 stalest hash rows (all last green in
+    # CORRECTNESS_r06; the 15 VERDICT r12 #1 named + the 6 r6-era rows
+    # that sat just below the r12 line), alphabetical.
+    "q_having", "q_hist_quantile", "q_image_stats",
+    "q_join_cardinality", "q_join_inner", "q_join_interval",
+    "q_join_multi", "q_join_outer", "q_join_range", "q_join_semi_anti",
+    "q_kmv_distinct", "q_multimodal", "q_outlier_mad", "q_rollup",
+    "q_shard_shuffle", "q_sim_topk", "q_source_binary",
+    "q_stream_image", "q_subquery", "q_window_frame", "q_zipf_slope",
+    # Block 3 — the next-stalest tail (r7-green), alphabetical, filling
+    # the window to exactly 50; the rest of the r7 cohort rotates in r14.
+    "q_apportion", "q_assortativity", "q_auc", "q_benford",
+    "q_bpe_merges", "q_chi2_independence", "q_consistent_hash",
+    "q_count_min", "q_curriculum", "q_cusum", "q_dedup_embed",
+    "q_dedup_keep_best", "q_dedup_near", "q_dialog_assembly",
+    "q_dp_sensitivity", "q_drift_tvd", "q_emd_drift",
+    "q_feature_hashing", "q_fim_transform", "q_grpo_advantage",
+    # ---- window budget line: entries below here are OUTSIDE the first-50
+    # window for r13 (each new r13 query prepended above displaces the
+    # bottom row of Block 3 below this line — keep the count at exactly
+    # 50 when editing) ----
+    # The r12 window rows (all 50/50 green in CORRECTNESS_r12, freshest
+    # in the corpus), then the prior below-line tail, then everything
+    # else in registration order via queries()'s dict update.
+    "q_fold_split",
+    "q_zorder_prune", "q_rank_eval", "q_rfm_features",
+    "q_cc_incr", "q_stream_bloom",
+    "q_simhash_sweep", "q_quant_sweep",
     "q_index_delta", "q_binary_ann", "q_wsample_priority",
-    "q_basket_affinity",
-    # Block 2 — the 14 rows displaced below the line in r11.
+    "q_basket_affinity", "q_vocab_diff",
     "q_quality_gate",
     "q_rolling_7d", "q_rrf_fusion", "q_seasonal_profile", "q_skew_audit",
     "q_source_overlap", "q_source_stream", "q_stream_cdc",
     "q_topk_salted", "q_transitions", "q_velocity_anomaly",
     "q_vocab_coverage", "q_watermark_sizing", "q_winsorize",
-    # Block 3 — the r6-era tail, alphabetical (stalest driver rows in the
-    # corpus after Block 2; the remainder rotate in r13).
     "q_agg_filter", "q_agg_global", "q_agg_group", "q_asof",
     "q_bloom_prune", "q_cross", "q_cte", "q_dedup_clusters",
     "q_dedup_exact", "q_dedup_incr", "q_dedup_ngram", "q_dedup_simhash",
     "q_degree_dist", "q_distinct", "q_embed_cov", "q_embed_join",
     "q_embed_quant",
-    # ---- window budget line: entries below here are OUTSIDE the first-50
-    # window for r12 (each new r12 query prepended above displaces the
-    # bottom row of Block 3 below this line — keep the count at exactly
-    # 50 when editing) ----
-    "q_having", "q_hist_quantile", "q_image_stats", "q_join_cardinality", "q_join_inner",
-    "q_join_interval", "q_join_multi", "q_join_outer",
-    "q_join_range", "q_join_semi_anti",
-    "q_kmv_distinct", "q_multimodal", "q_outlier_mad", "q_rollup",
-    "q_shard_shuffle",
-    "q_sim_topk", "q_source_binary", "q_stream_image", "q_subquery",
-    "q_window_frame", "q_zipf_slope",
-    # Below the line: the r11 window rows (all driver-green in
-    # CORRECTNESS_r11), then the r5-era re-attests, then everything else
-    # in registration order via queries()'s dict update.
     "q_url_dedup",
     "q_quantile_sketch", "q_ivf_incr", "q_binary_sweep",
     "q_max_concurrency", "q_corpus_diff", "q_lsh_sweep",
