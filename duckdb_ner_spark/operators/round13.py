@@ -823,3 +823,461 @@ def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("agree_bp"),
         F.sum("score").cast("bigint").alias("sum_score"),
     )
+
+
+# --------------------------------------------------------------------------
+# q_maxsim_sweep — the shortlist-size operating curve of the two-stage
+# compressed-MaxSim path (the house knob-curve rule)
+# --------------------------------------------------------------------------
+
+MSW_MS = (4, 8, 16, 32)  # stage-1 shortlist sizes swept
+MSW_K = 5  # exact top-k recalled against (q_maxsim_rerank's MR_K)
+
+
+_MAXSIM_SWEEP_ORACLE = f"""
+    WITH ex AS (
+        SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS x,
+               generate_subscripts(embedding, 1) AS i
+        FROM embeddings
+    ), exq0 AS (
+        SELECT vec_id, i, CAST(ROUND(x * {FX_SCALE}) AS BIGINT) AS xi0
+        FROM ex
+    ), {_MR_SLICE_SQL}, mx AS (
+        SELECT vec_id, s, CAST(MAX(ABS(xi)) AS BIGINT) AS mabs
+        FROM su GROUP BY vec_id, s
+    ), q8 AS (
+        SELECT s2.vec_id, s2.s, s2.li,
+               CAST(FLOOR(CAST(s2.xi AS DOUBLE)
+                          * (CASE WHEN m.mabs = 0 THEN 0.0
+                                  ELSE {MR_LEVELS}.0
+                                       / CAST(m.mabs AS DOUBLE) END)
+                          + 0.5) AS BIGINT) AS qi
+        FROM su s2 JOIN mx m ON m.vec_id = s2.vec_id AND m.s = s2.s
+    ), q8q AS (
+        SELECT vec_id AS q_id, s AS qs, li, qi FROM q8
+        WHERE vec_id < {MR_NQ}
+    ), q8dots AS (
+        SELECT qq.q_id, qq.qs, c.vec_id AS cand, c.s AS cs,
+               CAST(SUM(qq.qi * c.qi) AS BIGINT) AS dot
+        FROM q8 c JOIN q8q qq ON qq.li = c.li AND c.vec_id <> qq.q_id
+        GROUP BY qq.q_id, qq.qs, c.vec_id, c.s
+    ), q8rank AS (
+        SELECT q_id, cand,
+               CAST(ROW_NUMBER() OVER (PARTITION BY q_id
+                                       ORDER BY q8sim DESC, cand)
+                    AS BIGINT) AS srank
+        FROM (SELECT q_id, cand, CAST(SUM(best_dot) AS BIGINT) AS q8sim
+              FROM (SELECT q_id, qs, cand, MAX(dot) AS best_dot
+                    FROM q8dots GROUP BY q_id, qs, cand)
+              GROUP BY q_id, cand)
+    ), qsu AS (
+        SELECT vec_id AS q_id, s AS qs, li, xi FROM su
+        WHERE vec_id < {MR_NQ}
+    ), edots AS (
+        SELECT uq.q_id, uq.qs, uc.vec_id AS cand, uc.s AS cs,
+               CAST(SUM(uq.xi * uc.xi) AS BIGINT) AS dot
+        FROM su uc JOIN qsu uq ON uq.li = uc.li AND uc.vec_id <> uq.q_id
+        GROUP BY uq.q_id, uq.qs, uc.vec_id, uc.s
+    ), exact_topk AS (
+        SELECT q_id, cand
+        FROM (SELECT q_id, cand,
+                     ROW_NUMBER() OVER (PARTITION BY q_id
+                                        ORDER BY ms DESC, cand) AS r
+              FROM (SELECT q_id, cand, CAST(SUM(best_dot) AS BIGINT) AS ms
+                    FROM (SELECT q_id, qs, cand, MAX(dot) AS best_dot
+                          FROM edots GROUP BY q_id, qs, cand)
+                    GROUP BY q_id, cand))
+        WHERE r <= {MSW_K}
+    ), hits AS (
+        -- stage-2 re-ranks by EXACT MaxSim, so a true top-k member that
+        -- reaches the shortlist always survives to the final top-k:
+        -- recall@m == |exact top-k  INTERSECT  stage-1 top-m|
+        SELECT ms.m, e.q_id,
+               CAST(SUM(CASE WHEN r.srank <= ms.m THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_hit
+        FROM exact_topk e
+        JOIN q8rank r ON r.q_id = e.q_id AND r.cand = e.cand
+        CROSS JOIN (VALUES {", ".join(f"({m})" for m in MSW_MS)}) AS ms(m)
+        GROUP BY ms.m, e.q_id
+    )
+    SELECT CAST(m AS BIGINT) AS m,
+           CAST(COUNT(*) AS BIGINT) AS n_queries,
+           CAST(10000 * SUM(n_hit) // ({MSW_K} * COUNT(*)) AS BIGINT)
+               AS mean_recall_bp,
+           CAST(10000 * MIN(n_hit) // {MSW_K} AS BIGINT) AS min_recall_bp
+    FROM hits GROUP BY m
+"""
+
+
+@declared("q_maxsim_sweep", oracle=_MAXSIM_SWEEP_ORACLE)
+def q_maxsim_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SHORTLIST-SIZE OPERATING CURVE of the two-stage compressed-
+    MaxSim path (the house knob-curve rule: every approximate structure
+    ships its curve — q_nprobe_sweep for IVF, q_binary_sweep for 1-bit,
+    q_lsh_sweep for banding, q_simhash_sweep for radius, q_quant_sweep
+    for bits/dim — now stage-1 M for late interaction): per shortlist
+    size m in {MSW_MS}, the recall of q_maxsim_rerank's composed path
+    against the exact MaxSim top-{MSW_K}, ALL m from ONE stage-1 census
+    (the q_lsh_sweep multi-config idiom — the int8 interaction and the
+    exact truth are each computed once; the sweep is a VALUES fan-out
+    over the tiny rank census). This is the table that PRICES
+    q_maxsim_rerank's M={MR_M} choice instead of asserting it.
+
+    Recall identity (why no per-m re-rank is needed): stage 2 re-ranks
+    by the EXACT MaxSim score, and exact top-{MSW_K} members outrank
+    every other shortlist member under that score — so a true top-k
+    member survives to the final top-k IFF stage 1 admitted it:
+    recall@m == |exact top-k INTERSECT stage-1 top-m|. The pure-Python
+    replay in tests/test_round13_ops.py runs the LITERAL two-stage path
+    per m and asserts the identity.
+
+    Engine-exactness: same int8/fixed-point arithmetic as
+    q_maxsim_rerank (one IEEE quotient per (vec, slice), BIGINT dots),
+    rank ties on candidate id, floor-divided recall bp.
+
+    Scale notes (100 TB): identical physics to q_maxsim_rerank — int8
+    codes are the only corpus-wide touch, both censuses are narrow
+    (q_id, cand, score) frames, and the sweep itself runs on
+    |Q| x k x |Ms| rows. The exact side is the audit; production picks
+    m off this curve and runs stage 1 + bounded stage 2 only."""
+    t = load_tables(spark, sf_dir)
+    su = maxsim_slice_units(t.embeddings)
+    from .layout_queries import _scratch
+
+    su_path = _scratch("msw_su", sf_dir)
+    su.write.mode("overwrite").parquet(su_path)
+    su = spark.read.parquet(su_path)
+    q8 = su.select(
+        "vec_id",
+        "s",
+        F.expr("array_max(transform(u, v -> abs(v)))").alias("mabs"),
+        "u",
+    ).select(
+        "vec_id",
+        "s",
+        F.expr(
+            f"transform(u, v -> CAST(FLOOR(CAST(v AS DOUBLE)"
+            f" * (CASE WHEN mabs = 0 THEN 0.0D"
+            f" ELSE CAST({MR_LEVELS} AS DOUBLE)"
+            f" / CAST(mabs AS DOUBLE) END)"
+            f" + 0.5) AS BIGINT))"
+        ).alias("c8"),
+    )
+    q8q = F.broadcast(
+        q8.filter(F.col("vec_id") < MR_NQ).select(
+            F.col("vec_id").alias("q_id"),
+            F.col("s").alias("qs"),
+            F.col("c8").alias("qc8"),
+        )
+    )
+    q8rank = (
+        q8.crossJoin(q8q)
+        .filter(F.col("vec_id") != F.col("q_id"))
+        .select(
+            "q_id",
+            "qs",
+            F.col("vec_id").alias("cand"),
+            F.aggregate(
+                F.zip_with(F.col("c8"), F.col("qc8"), lambda x, y: x * y),
+                F.lit(0).cast("bigint"),
+                lambda a, v: a + v,
+            ).alias("dot"),
+        )
+        .groupBy("q_id", "qs", "cand")
+        .agg(F.max("dot").alias("best_dot"))
+        .groupBy("q_id", "cand")
+        .agg(F.sum("best_dot").cast("bigint").alias("q8sim"))
+        .withColumn(
+            "srank",
+            F.row_number()
+            .over(Window.partitionBy("q_id").orderBy(F.desc("q8sim"), "cand"))
+            .cast("bigint"),
+        )
+        .select("q_id", "cand", "srank")
+    )
+    qsu = F.broadcast(
+        su.filter(F.col("vec_id") < MR_NQ).select(
+            F.col("vec_id").alias("q_id"),
+            F.col("s").alias("qs"),
+            F.col("u").alias("qu"),
+        )
+    )
+    exact_topk = (
+        su.crossJoin(qsu)
+        .filter(F.col("vec_id") != F.col("q_id"))
+        .select(
+            "q_id",
+            "qs",
+            F.col("vec_id").alias("e_cand"),
+            F.aggregate(
+                F.zip_with(F.col("u"), F.col("qu"), lambda x, y: x * y),
+                F.lit(0).cast("bigint"),
+                lambda a, v: a + v,
+            ).alias("dot"),
+        )
+        .groupBy("q_id", "qs", "e_cand")
+        .agg(F.max("dot").alias("best_dot"))
+        .groupBy("q_id", "e_cand")
+        .agg(F.sum("best_dot").cast("bigint").alias("ms"))
+        .withColumn(
+            "r",
+            F.row_number().over(
+                Window.partitionBy("q_id").orderBy(F.desc("ms"), "e_cand")
+            ),
+        )
+        .filter(F.col("r") <= MSW_K)
+        .select("q_id", "e_cand")
+    )
+    import pandas as pd
+
+    ms = F.broadcast(
+        spark.createDataFrame(pd.DataFrame({"m": list(MSW_MS)}))
+    )
+    hits = (
+        exact_topk.join(
+            q8rank,
+            (exact_topk.q_id == q8rank.q_id)
+            & (exact_topk.e_cand == q8rank.cand),
+        )
+        .select(exact_topk.q_id, "srank")
+        .crossJoin(ms)
+        .groupBy("m", "q_id")
+        .agg(
+            F.sum(F.when(F.col("srank") <= F.col("m"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_hit")
+        )
+    )
+    return hits.groupBy("m").agg(
+        F.count("*").cast("bigint").alias("n_queries"),
+        F.expr(
+            f"CAST(10000 * SUM(n_hit) DIV ({MSW_K} * COUNT(*)) AS BIGINT)"
+        ).alias("mean_recall_bp"),
+        F.expr(f"CAST(10000 * MIN(n_hit) DIV {MSW_K} AS BIGINT)").alias(
+            "min_recall_bp"
+        ),
+    ).select(F.col("m").cast("bigint").alias("m"), "n_queries",
+             "mean_recall_bp", "min_recall_bp")
+
+
+# --------------------------------------------------------------------------
+# q_ndcg_eval — graded-relevance retrieval eval with bit-length-quantized
+# discounts (the nDCG readout beside q_rank_eval's MRR)
+# --------------------------------------------------------------------------
+
+NDCG_K = 8  # graded depth: exact rank r <= K earns relevance K + 1 - r
+NDCG_NQ = 8  # query vectors (the q_rank_eval RE_NQ convention)
+
+# Quantized discount W(i) = 10000 // floor(log2(i + 1)) and the ideal DCG
+# (relevance grades are the fixed multiset {K..1}, so IDCG is a constant):
+_NDCG_W = [10000 // ((i + 1).bit_length() - 1) for i in range(1, NDCG_K + 1)]
+NDCG_IDCG = sum(
+    (NDCG_K + 1 - i) * _NDCG_W[i - 1] for i in range(1, NDCG_K + 1)
+)
+
+_NDCG_ORACLE = f"""
+    WITH ex AS (
+        SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS x,
+               generate_subscripts(embedding, 1) AS i
+        FROM embeddings
+    ), exq0 AS (
+        SELECT vec_id, i, CAST(ROUND(x * {FX_SCALE}) AS BIGINT) AS xi0
+        FROM ex
+    ), norms0 AS (
+        SELECT vec_id, SQRT(CAST(SUM(xi0 * xi0) AS DOUBLE)) AS nrm
+        FROM exq0 GROUP BY vec_id
+    ), u AS (
+        SELECT e.vec_id, e.i,
+               CAST(ROUND(CAST(e.xi0 AS DOUBLE) / n.nrm * {FX_SCALE})
+                    AS BIGINT) AS xi
+        FROM exq0 e JOIN norms0 n ON e.vec_id = n.vec_id
+    ), mx AS (
+        SELECT vec_id, MAX(ABS(x)) AS mabs FROM ex GROUP BY vec_id
+    ), q8 AS (
+        SELECT e.vec_id, e.i,
+               CAST(FLOOR(e.x * (CASE WHEN m.mabs = 0 THEN 0.0
+                                      ELSE 127.0 / m.mabs END) + 0.5)
+                    AS BIGINT) AS qi
+        FROM ex e JOIN mx m ON m.vec_id = e.vec_id
+    ), dots AS (
+        SELECT uq.vec_id AS q_id, uc.vec_id AS cand,
+               CAST(SUM(uq.xi * uc.xi) AS BIGINT) AS dot_fx
+        FROM u uq JOIN u uc ON uc.i = uq.i AND uc.vec_id <> uq.vec_id
+        WHERE uq.vec_id < {NDCG_NQ}
+        GROUP BY uq.vec_id, uc.vec_id
+    ), dots8 AS (
+        SELECT a.vec_id AS q_id, b.vec_id AS cand,
+               CAST(SUM(a.qi * b.qi) AS BIGINT) AS dot8
+        FROM q8 a JOIN q8 b ON b.i = a.i AND b.vec_id <> a.vec_id
+        WHERE a.vec_id < {NDCG_NQ}
+        GROUP BY a.vec_id, b.vec_id
+    ), rel AS (
+        -- graded relevance off the EXACT ranking: top-{NDCG_K} earn
+        -- {NDCG_K}..1, everything deeper 0
+        SELECT q_id, cand,
+               CAST({NDCG_K} + 1 - r AS BIGINT) AS rel
+        FROM (SELECT q_id, cand,
+                     ROW_NUMBER() OVER (PARTITION BY q_id
+                                        ORDER BY dot_fx DESC, cand) AS r
+              FROM dots)
+        WHERE r <= {NDCG_K}
+    ), sys AS (
+        SELECT q_id, cand,
+               CAST(ROW_NUMBER() OVER (PARTITION BY q_id
+                                       ORDER BY dot8 DESC, cand)
+                    AS BIGINT) AS srank
+        FROM dots8
+    ), dcg AS (
+        SELECT s.q_id,
+               CAST(SUM(COALESCE(r.rel, 0)
+                        * (10000 // (LENGTH(bin(s.srank + 1)) - 1)))
+                    AS BIGINT) AS dcg_fx,
+               CAST(SUM(CASE WHEN r.cand IS NOT NULL THEN 1 ELSE 0 END)
+                    AS BIGINT) AS overlap
+        FROM sys s
+        LEFT JOIN rel r ON r.q_id = s.q_id AND r.cand = s.cand
+        WHERE s.srank <= {NDCG_K}
+        GROUP BY s.q_id
+    )
+    SELECT q_id, dcg_fx,
+           CAST({NDCG_IDCG} AS BIGINT) AS idcg_fx,
+           CAST(10000 * dcg_fx // {NDCG_IDCG} AS BIGINT) AS ndcg_bp,
+           overlap
+    FROM dcg
+"""
+
+
+@declared("q_ndcg_eval", oracle=_NDCG_ORACLE)
+def q_ndcg_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GRADED-RELEVANCE RETRIEVAL EVAL — the nDCG readout beside
+    q_rank_eval's MRR (rank of ONE true NN) and the family's recall_bp
+    audits (SET membership at a cutoff): how much of the exact ranking's
+    graded order does the int8-quantized ranking preserve in its
+    top-{NDCG_K}? Relevance grades come off the EXACT fixed-point-cosine
+    ranking (top-{NDCG_K} earn {NDCG_K}..1); the system ranking is the
+    int8-dot ordering (q_rank_eval's system); DCG uses BIT-LENGTH-
+    QUANTIZED discounts W(i) = 10000 // floor(log2(i+1)) — the
+    q_surprisal integer-log2 idiom applied to the position discount, so
+    the whole metric is engine-exact integer arithmetic (classical nDCG's
+    1/log2(i+1) is irrational; the quantized discount keeps the
+    position-decay SHAPE and both engines agree bit-for-bit). IDCG is a
+    constant ({NDCG_IDCG}: the grades are always the multiset
+    {{{NDCG_K}..1}}), so ndcg_bp = 10000 * DCG // IDCG. Per query:
+    dcg_fx, idcg_fx, ndcg_bp, and the top-{NDCG_K} overlap count —
+    MRR says where the single best item went, nDCG says how the whole
+    graded head survived compression.
+
+    Engine-exactness: int8 codes are the q_rank_eval construction
+    (127/max|x|, half-up); dots are BIGINT; discounts are
+    LENGTH(bin(srank + 1)) - 1 (floor-log2, >= 1 for srank >= 1 — no
+    division-by-zero arm needed); all ranks tie-break on candidate id;
+    floor-divided bp.
+
+    Scale notes (100 TB): queries broadcast ({NDCG_NQ} unit vectors +
+    {NDCG_NQ} int8 code rows); both score passes are narrow
+    (q_id, cand, score) censuses — vectors never shuffle; the DCG join
+    runs on |Q| x {NDCG_K} rows. Production scores dots8 from the
+    compressed index it already serves (q_embed_quant's 4x path) — the
+    eval rides the same scan."""
+    t = load_tables(spark, sf_dir)
+    from .similarity import _unit_fx_expr
+
+    base = t.embeddings.select(
+        "vec_id",
+        "embedding",
+        _unit_fx_expr().alias("u"),
+        F.expr(
+            "array_max(transform(embedding, v -> abs(CAST(v AS DOUBLE))))"
+        ).alias("mabs"),
+    ).select(
+        "vec_id",
+        "u",
+        F.expr(
+            "transform(embedding, v -> CAST(FLOOR(CAST(v AS DOUBLE)"
+            " * (CASE WHEN mabs = 0 THEN 0.0D ELSE 127.0D / mabs END)"
+            " + 0.5) AS BIGINT))"
+        ).alias("c8"),
+    )
+    # Stage the per-vector unit + int8 code frame once (the r10
+    # staged-scratch idiom): the exact and int8 censuses plus both query
+    # sides otherwise each re-derive it from the embeddings scan.
+    from .layout_queries import _scratch
+
+    base_path = _scratch("ndcg_base", sf_dir)
+    base.write.mode("overwrite").parquet(base_path)
+    base = spark.read.parquet(base_path)
+    q = F.broadcast(
+        base.filter(F.col("vec_id") < NDCG_NQ).select(
+            F.col("vec_id").alias("q_id"),
+            F.col("u").alias("qu"),
+            F.col("c8").alias("qc8"),
+        )
+    )
+    scored = (
+        base.crossJoin(q)
+        .filter(F.col("vec_id") != F.col("q_id"))
+        .select(
+            "q_id",
+            F.col("vec_id").alias("cand"),
+            F.aggregate(
+                F.zip_with(F.col("u"), F.col("qu"), lambda x, y: x * y),
+                F.lit(0).cast("bigint"),
+                lambda a, v: a + v,
+            ).alias("dot_fx"),
+            F.aggregate(
+                F.zip_with(F.col("c8"), F.col("qc8"), lambda x, y: x * y),
+                F.lit(0).cast("bigint"),
+                lambda a, v: a + v,
+            ).alias("dot8"),
+        )
+    )
+    rel = (
+        scored.withColumn(
+            "r",
+            F.row_number().over(
+                Window.partitionBy("q_id").orderBy(F.desc("dot_fx"), "cand")
+            ),
+        )
+        .filter(F.col("r") <= NDCG_K)
+        .select(
+            F.col("q_id").alias("r_qid"),
+            F.col("cand").alias("r_cand"),
+            (F.lit(NDCG_K) + 1 - F.col("r")).cast("bigint").alias("rel"),
+        )
+    )
+    sys = scored.select(
+        "q_id",
+        "cand",
+        F.row_number()
+        .over(Window.partitionBy("q_id").orderBy(F.desc("dot8"), "cand"))
+        .cast("bigint")
+        .alias("srank"),
+    ).filter(F.col("srank") <= NDCG_K)
+    dcg = (
+        sys.join(
+            F.broadcast(rel),
+            (sys.q_id == F.col("r_qid")) & (sys.cand == F.col("r_cand")),
+            "left",
+        )
+        .groupBy("q_id")
+        .agg(
+            F.sum(
+                F.coalesce(F.col("rel"), F.lit(0))
+                * F.expr("10000 DIV (LENGTH(bin(srank + 1)) - 1)")
+            )
+            .cast("bigint")
+            .alias("dcg_fx"),
+            F.sum(F.when(F.col("r_cand").isNotNull(), 1).otherwise(0))
+            .cast("bigint")
+            .alias("overlap"),
+        )
+    )
+    return dcg.select(
+        "q_id",
+        "dcg_fx",
+        F.lit(NDCG_IDCG).cast("bigint").alias("idcg_fx"),
+        F.expr(f"CAST(10000 * dcg_fx DIV {NDCG_IDCG} AS BIGINT)").alias(
+            "ndcg_bp"
+        ),
+        "overlap",
+    )

@@ -334,3 +334,116 @@ def test_quality_score_weights_are_zero_sum_scaled():
     ]
     wgt = _qsc_weights(train)
     assert abs(sum(wgt.values())) <= 2 * QSC_NB  # floor losses only
+
+
+# --------------------------------------------------------------------------
+# q_maxsim_sweep
+# --------------------------------------------------------------------------
+
+
+def test_maxsim_sweep_matches_literal_two_stage_replay(spark):
+    """Runs the LITERAL two-stage path per m (shortlist by int8 MaxSim,
+    re-rank shortlist by exact MaxSim, take top-k, intersect with exact
+    top-k) and asserts the query's recall identity census matches."""
+    from duckdb_ner_spark.operators.round13 import MSW_K, MSW_MS
+
+    ids, su = _slice_units()
+    n = len(ids)
+    mabs = np.abs(su).max(axis=2)
+    scale = np.where(mabs == 0, 0.0, MR_LEVELS / np.maximum(mabs, 1e-300))
+    q8 = np.floor(su * scale[:, :, None] + 0.5).astype(np.int64)
+    per_m = {m: [] for m in MSW_MS}
+    for q in range(MR_NQ):
+        c8 = np.einsum("qd,ncd->nqc", q8[q], q8)
+        s1 = c8.max(axis=2).sum(axis=1)
+        ms_scores = _maxsim_scores(su, q)
+        cands = [c for c in range(n) if c != q]
+        s1order = sorted(cands, key=lambda c: (-s1[c], c))
+        exact = set(sorted(cands, key=lambda c: (-ms_scores[c], c))[:MSW_K])
+        for m in MSW_MS:
+            short = s1order[:m]
+            reranked = sorted(short, key=lambda c: (-ms_scores[c], c))[:MSW_K]
+            per_m[m].append(len(set(reranked) & exact))
+    rows = {r["m"]: r for r in QUERIES["q_maxsim_sweep"](spark, SF_SMOKE).collect()}
+    assert set(rows) == set(MSW_MS)
+    for m in MSW_MS:
+        hits = per_m[m]
+        assert rows[m]["n_queries"] == MR_NQ
+        assert rows[m]["mean_recall_bp"] == 10000 * sum(hits) // (
+            MSW_K * MR_NQ
+        )
+        assert rows[m]["min_recall_bp"] == 10000 * min(hits) // MSW_K
+
+
+def test_maxsim_sweep_curve_is_monotone(spark):
+    """More shortlist can never lose a true top-k member: mean recall is
+    non-decreasing in m (the operating curve's defining property)."""
+    rows = sorted(
+        QUERIES["q_maxsim_sweep"](spark, SF_SMOKE).collect(),
+        key=lambda r: r["m"],
+    )
+    means = [r["mean_recall_bp"] for r in rows]
+    assert means == sorted(means)
+    mins = [r["min_recall_bp"] for r in rows]
+    assert mins == sorted(mins)
+
+
+# --------------------------------------------------------------------------
+# q_ndcg_eval
+# --------------------------------------------------------------------------
+
+
+def test_ndcg_matches_numpy_recompute(spark):
+    from duckdb_ner_spark.operators.round13 import (
+        NDCG_IDCG,
+        NDCG_K,
+        NDCG_NQ,
+    )
+
+    con = duckdb.connect()
+    rows_e = con.execute(
+        f"SELECT vec_id, embedding FROM '{SF_SMOKE}/embeddings.parquet'"
+        f" ORDER BY vec_id"
+    ).fetchall()
+    X = np.array([r[1] for r in rows_e], dtype=np.float64)
+    n = len(rows_e)
+    xi0 = np.round(X * FX)
+    nrm = np.sqrt((xi0 * xi0).sum(axis=1))
+    U = np.round(xi0 / nrm[:, None] * FX).astype(np.int64)
+    mabs = np.abs(X).max(axis=1)
+    Q8 = np.floor(
+        X * np.where(mabs == 0, 0.0, 127.0 / np.maximum(mabs, 1e-300))[:, None]
+        + 0.5
+    ).astype(np.int64)
+    expect = {}
+    for q in range(NDCG_NQ):
+        cands = [c for c in range(n) if c != q]
+        exact = sorted(cands, key=lambda c: (-(U[c] @ U[q]), c))
+        rel = {c: NDCG_K - i for i, c in enumerate(exact[:NDCG_K])}
+        sys_order = sorted(cands, key=lambda c: (-(Q8[c] @ Q8[q]), c))
+        dcg = sum(
+            rel.get(c, 0) * (10000 // ((i + 2).bit_length() - 1))
+            for i, c in enumerate(sys_order[:NDCG_K])
+        )
+        overlap = len(set(sys_order[:NDCG_K]) & set(rel))
+        expect[q] = (dcg, 10000 * dcg // NDCG_IDCG, overlap)
+    rows = QUERIES["q_ndcg_eval"](spark, SF_SMOKE).collect()
+    assert len(rows) == NDCG_NQ
+    for r in rows:
+        dcg, bp, ov = expect[r["q_id"]]
+        assert (r["dcg_fx"], r["ndcg_bp"], r["overlap"]) == (dcg, bp, ov)
+        assert r["idcg_fx"] == NDCG_IDCG
+
+
+def test_ndcg_perfect_system_scores_10000():
+    """The normalization contract: a system that reproduces the exact
+    ranking exactly earns DCG == IDCG (ndcg_bp == 10000), and any
+    permutation of the head can only lose."""
+    from duckdb_ner_spark.operators.round13 import NDCG_IDCG, NDCG_K
+
+    W = [10000 // ((i + 1).bit_length() - 1) for i in range(1, NDCG_K + 1)]
+    perfect = sum((NDCG_K - i) * W[i] for i in range(NDCG_K))
+    assert perfect == NDCG_IDCG
+    # reversed head: strictly worse
+    reversed_dcg = sum((i + 1) * W[i] for i in range(NDCG_K))
+    assert reversed_dcg < NDCG_IDCG
