@@ -218,6 +218,31 @@ def main() -> None:
         "is 'second exchange needed'), bounds hold for all"
     )
 
+    # round-13 surface: the composed retrieval path, its operating curve,
+    # graded order eval, and the two in-plan classifiers
+    mr = QUERIES["q_maxsim_rerank"](spark, sf_dir)
+    recs = sorted({r.q_id: r.recall_bp for r in mr.collect()}.values())
+    print(
+        f"two-stage compressed MaxSim: int8 shortlist -> exact re-rank, "
+        f"recall_bp per query {recs} vs brute force"
+    )
+    print("shortlist-size operating curve (m -> recall):")
+    QUERIES["q_maxsim_sweep"](spark, sf_dir).orderBy("m").show()
+    nd = QUERIES["q_ndcg_eval"](spark, sf_dir).collect()
+    print(
+        f"integer nDCG of the int8 ranking: mean "
+        f"{sum(r.ndcg_bp for r in nd) // len(nd)} bp over {len(nd)} queries"
+    )
+    li = QUERIES["q_langid"](spark, sf_dir)
+    agree = {r.lang: r.agree_bp for r in li.collect()}
+    print(
+        f"language-ID inference (quantized NB): per-lang agreement vs "
+        f"shipped labels {agree} (prior-collapse regime — see docstring)"
+    )
+    qs = QUERIES["q_quality_score"](spark, sf_dir).orderBy("source")
+    print("linear quality classifier vs the exact gate (first 4 sources):")
+    qs.show(4)
+
 
 if __name__ == "__main__":
     main()
