@@ -37,11 +37,12 @@ _DRIVER_WINDOW_PRIORITY = [
     # ---- round-13 window (VERDICT r12 Next-round #1: rotate
     # stalest-first, mechanically — staleness = last green round across
     # CORRECTNESS_r01..r12) ----
-    # Block 0 — the 5 NEW r13 queries (round13.py), never driver-checked
-    # (the sweep and ndcg queries displace q_fim_transform and
-    # q_grpo_advantage from Block 3 below the line; they rotate in r14).
+    # Block 0 — the 6 NEW r13 queries (round13.py + q_stream_langid in
+    # streaming_queries.py), never driver-checked (they displace
+    # q_fim_transform, q_grpo_advantage and q_feature_hashing from
+    # Block 3 below the line; those rotate in r14).
     "q_maxsim_rerank", "q_langid", "q_quality_score",
-    "q_maxsim_sweep", "q_ndcg_eval",
+    "q_maxsim_sweep", "q_ndcg_eval", "q_stream_langid",
     # Block 1 — r13 plan/value-changed rows re-earning driver rows:
     # q_topk_bounds (certificate soundness fix, ADVICE r12 medium),
     # q_gopher_repetition (LEFT JOIN top2 — single-word docs gated),
@@ -67,7 +68,6 @@ _DRIVER_WINDOW_PRIORITY = [
     "q_count_min", "q_curriculum", "q_cusum", "q_dedup_embed",
     "q_dedup_keep_best", "q_dedup_near", "q_dialog_assembly",
     "q_dp_sensitivity", "q_drift_tvd", "q_emd_drift",
-    "q_feature_hashing",
     # ---- window budget line: entries below here are OUTSIDE the first-50
     # window for r13 (each new r13 query prepended above displaces the
     # bottom row of Block 3 below this line — keep the count at exactly
@@ -75,7 +75,7 @@ _DRIVER_WINDOW_PRIORITY = [
     # The r12 window rows (all 50/50 green in CORRECTNESS_r12, freshest
     # in the corpus), then the prior below-line tail, then everything
     # else in registration order via queries()'s dict update.
-    "q_fim_transform", "q_grpo_advantage",
+    "q_fim_transform", "q_grpo_advantage", "q_feature_hashing",
     "q_fold_split",
     "q_zorder_prune", "q_rank_eval", "q_rfm_features",
     "q_cc_incr", "q_stream_bloom",

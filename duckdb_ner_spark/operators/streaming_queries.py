@@ -1420,3 +1420,137 @@ def q_stream_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
             "fill_bp",
         )
     )
+
+
+# --------------------------------------------------------------------------
+# q_stream_langid — language-ID inference at the streaming front door
+# --------------------------------------------------------------------------
+
+
+def _stream_langid_oracle() -> str:
+    """Batch replay of the streamed language-ID census — the q_langid
+    oracle verbatim (same model, same scoring, same confusion/agreement):
+    what the stream adds and what this gate therefore verifies END TO END
+    is the streaming path itself (in-flight tokenization + per-language
+    fan-out against the broadcast model, cross-batch per-(doc, lang)
+    score state, argmin + census on the drained sink)."""
+    from .round13 import _LANGID_ORACLE
+
+    return _LANGID_ORACLE
+
+
+@declared("q_stream_langid", cache_plan=False, oracle=_stream_langid_oracle())
+def q_stream_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LANGUAGE-ID AT THE STREAMING FRONT DOOR — q_langid's quantized-NB
+    inference run the way production runs classification-at-ingest: the
+    MODEL is STATIC (per-(lang, word) bit-length surprisal weights + the
+    per-language unseen weight, trained on the even half — built once,
+    broadcast), the ingest is a real multi-micro-batch stream (odd
+    doc_ids, doc_id-ordered slices, maxFilesPerTrigger=1), each batch
+    tokenizes IN-FLIGHT, fans out its tokens against the |langs|-row
+    broadcast model (stateless narrow transforms — no stream-side shuffle
+    before the score), and the per-(doc, lang) surprisal sum is the ONE
+    stateful operator (cross-batch aggregate state, complete mode). The
+    argmin, confusion matrix and per-language agreement are assembled on
+    the drained sink and hash-verified against the batch oracle — exact
+    stream==batch parity for the whole inference decision (the
+    q_stream_bloom contract, for model inference instead of membership).
+
+    Scale notes (100 TB): the model is vocab-sized (Heaps-bounded),
+    broadcast once — the giant-stream x tiny-model pattern; the unbounded
+    stream never shuffles before scoring and carries (doc_id, lang,
+    weight) rows only; per-(doc, lang) state is one counter, evictable on
+    emission in a production update-mode sink (|langs| counters per
+    in-flight doc). Training is the batch side's one (lang, word)
+    aggregate, refreshed offline like any model."""
+    from ..streaming.ner_stream import stream_documents_sliced
+
+    w_static = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .filter(F.col("doc_id") % 2 == 0)
+        .select("lang", F.explode(F.split("text", " ")).alias("w"))
+    )
+    lt = w_static.groupBy("lang", "w").agg(
+        F.count("*").cast("bigint").alias("c")
+    )
+    tl = lt.groupBy("lang").agg(F.sum("c").cast("bigint").alias("t"))
+    vocab = lt.agg(F.countDistinct("w").cast("bigint").alias("v"))
+    lw = F.broadcast(
+        lt.join(tl, "lang")
+        .crossJoin(vocab)
+        .select(
+            F.col("lang").alias("p_lang"),
+            F.col("w").alias("p_w"),
+            (F.length(F.bin(F.expr("(t + v) div (c + 1)"))) - 1)
+            .cast("bigint")
+            .alias("q"),
+        )
+    )
+    unseen = F.broadcast(
+        tl.crossJoin(vocab).select(
+            F.col("lang").alias("u_lang"),
+            (F.length(F.bin(F.expr("t + v"))) - 1)
+            .cast("bigint")
+            .alias("uq"),
+        )
+    )
+    stream = (
+        stream_documents_sliced(spark, sf_dir)
+        .filter(F.col("doc_id") % 2 == 1)
+        .select("doc_id", F.explode(F.split("text", " ")).alias("w"))
+        .crossJoin(unseen)
+        .join(
+            lw,
+            (F.col("p_lang") == F.col("u_lang"))
+            & (F.col("p_w") == F.col("w")),
+            "left",
+        )
+        .select(
+            "doc_id",
+            "u_lang",
+            F.coalesce(F.col("q"), F.col("uq")).alias("wq"),
+        )
+    )
+    surp = stream.groupBy("doc_id", "u_lang").agg(
+        F.sum("wq").cast("bigint").alias("surp")
+    )
+    sink = _drain(surp, "complete")
+    from pyspark.sql import Window
+
+    pw = Window.partitionBy("doc_id").orderBy("surp", "u_lang")
+    pred = (
+        spark.table(sink)
+        .withColumn("r", F.row_number().over(pw))
+        .filter(F.col("r") == 1)
+        .select("doc_id", F.col("u_lang").alias("pred"))
+    )
+    truth = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .filter(F.col("doc_id") % 2 == 1)
+        .select("doc_id", "lang")
+    )
+    conf = (
+        truth.join(pred, "doc_id")
+        .groupBy("lang", "pred")
+        .agg(F.count("*").cast("bigint").alias("n_docs"))
+    )
+    agree = conf.groupBy(F.col("lang").alias("a_lang")).agg(
+        F.sum("n_docs").cast("bigint").alias("lang_docs"),
+        F.sum(
+            F.when(F.col("lang") == F.col("pred"), F.col("n_docs")).otherwise(
+                0
+            )
+        )
+        .cast("bigint")
+        .alias("n_correct"),
+    ).select(
+        "a_lang",
+        "lang_docs",
+        "n_correct",
+        F.expr("CAST(10000 * n_correct DIV lang_docs AS BIGINT)").alias(
+            "agree_bp"
+        ),
+    )
+    return conf.join(F.broadcast(agree), conf.lang == F.col("a_lang")).select(
+        "lang", "pred", "n_docs", "lang_docs", "n_correct", "agree_bp"
+    )

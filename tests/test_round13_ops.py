@@ -447,3 +447,24 @@ def test_ndcg_perfect_system_scores_10000():
     # reversed head: strictly worse
     reversed_dcg = sum((i + 1) * W[i] for i in range(NDCG_K))
     assert reversed_dcg < NDCG_IDCG
+
+
+# --------------------------------------------------------------------------
+# q_stream_langid
+# --------------------------------------------------------------------------
+
+
+def test_stream_langid_equals_batch(spark):
+    """Stream==batch parity for the whole inference decision — the
+    streamed confusion/agreement census is row-identical to q_langid
+    (same broadcast model, same quantized-NB scoring, the per-(doc, lang)
+    score accumulated across micro-batches instead of in one aggregate)."""
+    batch = {
+        (r["lang"], r["pred"]): r.asDict()
+        for r in QUERIES["q_langid"](spark, SF_SMOKE).collect()
+    }
+    stream = {
+        (r["lang"], r["pred"]): r.asDict()
+        for r in QUERIES["q_stream_langid"](spark, SF_SMOKE).collect()
+    }
+    assert stream == batch
