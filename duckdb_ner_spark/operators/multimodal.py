@@ -396,7 +396,9 @@ def q_multimodal(spark: SparkSession, sf_dir: str) -> DataFrame:
     (ASCII corpus ⇒ byte length == char length) — implementation-orthogonal
     verification of the Python batch path."""
     t = load_tables(spark, sf_dir)
-    docs = t.documents.repartition(spark.sparkContext.defaultParallelism)
+    # catalog scan floor supplies the Python-stage parallelism (catalog.py
+    # _FLOOR_TABLES); a per-query repartition re-shuffled the text every run
+    docs = t.documents
     media = attach_media(docs)
     return featurize_media(media)
 
@@ -427,7 +429,8 @@ def q_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     form SQL. Plan: scan → mapInPandas → one map-side-combined agg keyed
     doc_id; frames (binary) reduce to scalars BEFORE the shuffle."""
     t = load_tables(spark, sf_dir)
-    docs = t.documents.repartition(spark.sparkContext.defaultParallelism)
+    # catalog scan floor supplies the Python-stage parallelism (see q_multimodal)
+    docs = t.documents
     frames = sample_frames(attach_media(docs), frame_size=64, every_n=2)
     return frames.groupBy("doc_id").agg(
         F.count("*").alias("n_frames"),

@@ -32,8 +32,12 @@ def q_ner(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     t = load_tables(spark, sf_dir)
     udf = make_ner_udf(DOC_STUB_MODEL, default_truncate=True)
-    # single-file source arrives as 1 partition — spread across Python workers
-    docs = t.documents.repartition(spark.sparkContext.defaultParallelism)
+    # Scan parallelism comes from the catalog's documents floor (catalog.py
+    # _FLOOR_TABLES) / scanRepartition — NOT a per-query repartition: that was
+    # a second full shuffle of the text column on every run (r13 measured
+    # 1.037 s → 0.605 s best-of-5 dropping it at sf0.1), and at 100 TB the
+    # scan is thousands of splits so a blanket repartition is pure cost.
+    docs = t.documents
     ents = docs.select("doc_id", udf(F.col("text")).alias("entities"))
     ex = ents.select("doc_id", F.explode("entities").alias("e"))
     return (
@@ -72,7 +76,8 @@ def q_ner_bert(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     t = load_tables(spark, sf_dir)
     udf = make_ner_udf(model_path, default_truncate=True)
-    docs = t.documents.repartition(spark.sparkContext.defaultParallelism)
+    # catalog scan floor supplies the Python-stage parallelism (see q_ner)
+    docs = t.documents
     ents = docs.select("doc_id", udf(F.col("text")).alias("entities"))
     return ents.select("doc_id", F.size("entities").alias("n_entities"))
 
@@ -212,7 +217,8 @@ def q_ner_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     t = load_tables(spark, sf_dir)
     udf = make_ner_udf(DOC_STUB_MODEL, default_truncate=True)
-    docs = t.documents.repartition(spark.sparkContext.defaultParallelism)
+    # catalog scan floor supplies the Python-stage parallelism (see q_ner)
+    docs = t.documents
     ents = (
         docs.select("doc_id", udf(F.col("text")).alias("entities"))
         .select(

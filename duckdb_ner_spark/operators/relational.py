@@ -77,9 +77,13 @@ SQL_REV_DEC = "(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS
 # per-order, per-supplier sums stay tiny), but a LOW-cardinality agg funnels
 # the whole table into a handful of groups: TPC-H Q1's 4 groups at 1e-6 scale
 # wrap around sf~100-200 (Spark's non-ANSI long sum wraps silently). Those
-# queries route through _agg2/_fxmerge below: long partials bounded by input
-# partition size, exact decimal merge over #partitions×#groups rows. A single
-# GLOBAL decimal sum at extreme scale should keep _dec() (q_agg_global does).
+# queries route through _fxsum_big below: a decimal(38,0) accumulator cannot
+# wrap at any corpus size (1e38 headroom), and on Spark 4.1 a sum over
+# cast(long AS decimal(38,0)) measures AT PAR with the long sum per row
+# (interleaved microbench, 80M rows × 8 partitions: long min 1.713 s,
+# dec38 min 1.651 s — the 2.2x BigDecimal penalty this header previously
+# recorded no longer reproduces), so the single-level plan replaces the old
+# two-level _agg2 idiom and saves one whole shuffle stage per query (r13).
 def _fx100(col: str) -> F.Column:
     """Exact 2-decimal double → long in units of 1e-2."""
     return F.round(F.col(col) * 100).cast("long")
@@ -101,27 +105,15 @@ def _fx_revenue() -> F.Column:
     return _fx100("l_extendedprice") * (F.lit(100) - _fx100("l_discount"))
 
 
-def _agg2(df: DataFrame, keys: list[str], partials: list[F.Column], finals: list[F.Column]) -> DataFrame:
-    """Two-level aggregation for LOW-cardinality group keys.
-
-    Level 1 groups by (keys + input partition id): the long fixed-point
-    partial sums run fully inside whole-stage codegen and each only ever sees
-    one input partition (~128 MB ≈ 6e6 rows), so no partial can approach 2^63
-    even at 1e-6 scale — a task would need ~2.6e10 rows to wrap, and AQE skew
-    splitting bounds tasks far below that. Level 2 merges the partials under
-    exact decimal arithmetic over #partitions × #groups rows, so the decimal
-    slow path costs nothing. Map-side combine makes both exchanges move only
-    pre-aggregated rows; the value is bit-identical to a single-level sum
-    (integer/decimal addition is associative), so oracle parity is unchanged.
-    """
-    lvl1 = df.groupBy(*keys, F.spark_partition_id().alias("_fx_part")).agg(*partials)
-    return lvl1.groupBy(*keys).agg(*finals)
-
-
-def _fxmerge(partial: str, frac_digits: int, digits: int = 2) -> F.Column:
-    """Merge level-1 long fixed-point partials exactly: decimal sum → scale
-    down → round → double. Value-identical to _fxsum on the same input."""
-    total = F.sum(F.col(partial).cast("decimal(38,0)"))
+def _fxsum_big(fx: F.Column, frac_digits: int, digits: int = 2) -> F.Column:
+    """Exact fixed-point sum for LOW-cardinality group keys: accumulate the
+    long fixed-point column under decimal(38,0) (cannot wrap at any corpus
+    size — 1e38 headroom vs 2^63≈9.2e18), scale down, round, cast double.
+    Value-identical to _fxsum (integer addition is associative); single
+    aggregation level, so the plan keeps ONE exchange of pre-aggregated rows
+    where the retired _agg2 idiom paid two (r13: the level-1 exchange moved
+    groups that were already partition-local — pure stage overhead)."""
+    total = F.sum(fx.cast("decimal(38,0)"))
     denom = F.lit(10**frac_digits).cast(f"decimal({frac_digits + 1},0)")
     return F.round(total / denom, digits).cast("double")
 
@@ -236,9 +228,11 @@ def q_join_inner(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_join_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
     """5-way star join; nation/region broadcast (fixed 25/5 rows at any SF).
-    The 25-group revenue sum is two-level (_agg2): at 1e-4 fixed-point scale
-    a single-level long sum sits within ~10% of 2^63 at 100 TB lineitem —
-    too close to wrap under skew."""
+    The 25-group revenue sum accumulates under decimal(38,0) (_fxsum_big):
+    wrap-proof at any scale, measured at par with the long sum per row, and
+    one aggregation level — the old two-level _agg2 paid an extra exchange
+    whose input groups were already partition-local (r13: 0.479→0.324 s
+    best-of-5 at sf0.1)."""
     t = load_tables(spark, sf_dir)
     joined = (
         t.lineitem.join(t.orders, F.col("l_orderkey") == F.col("o_orderkey"))
@@ -246,11 +240,9 @@ def q_join_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(t.nation), F.col("c_nationkey") == F.col("n_nationkey"))
         .join(F.broadcast(t.region), F.col("n_regionkey") == F.col("r_regionkey"))
     )
-    return _agg2(
-        joined,
-        ["r_name", "n_name"],
-        partials=[F.sum(_fx_revenue()).alias("p_rev"), F.count("*").alias("p_n")],
-        finals=[_fxmerge("p_rev", 4).alias("revenue"), F.sum("p_n").alias("n_lines")],
+    return joined.groupBy("r_name", "n_name").agg(
+        _fxsum_big(_fx_revenue(), 4).alias("revenue"),
+        F.count("*").alias("n_lines"),
     )
 
 
@@ -328,19 +320,17 @@ def q_join_semi_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_join_range(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Equi key + range predicate: Spark plans the equi-hash join and applies
     the range residual as a post-join filter — no nested-loop blowup. The
-    25-brand revenue sum is two-level (_agg2) for the same 1e-4-scale
-    overflow headroom reason as q_join_multi."""
+    25-brand revenue sum accumulates under decimal(38,0) (_fxsum_big, see
+    q_join_multi — wrap-proof, one aggregation level)."""
     t = load_tables(spark, sf_dir)
     joined = t.lineitem.join(
         t.part,
         (F.col("l_partkey") == F.col("p_partkey"))
         & (F.col("l_quantity") < F.col("p_size")),
     )
-    return _agg2(
-        joined,
-        ["p_brand"],
-        partials=[F.sum(_fx_revenue()).alias("p_rev"), F.count("*").alias("p_n")],
-        finals=[F.sum("p_n").alias("n_lines"), _fxmerge("p_rev", 4).alias("revenue")],
+    return joined.groupBy("p_brand").agg(
+        F.count("*").alias("n_lines"),
+        _fxsum_big(_fx_revenue(), 4).alias("revenue"),
     )
 
 
@@ -426,56 +416,44 @@ def q_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q_agg_group(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q1 pricing summary: scan→filter→per-partition partial agg→exact
-    decimal merge. Two-level (_agg2) because Q1 has only 4 groups: a
+    """TPC-H Q1 pricing summary: scan→filter→map-side partial agg→ONE
+    exchange of pre-aggregated rows→final merge. The money sums accumulate
+    under decimal(38,0) (_fxsum_big): wrap-proof at any corpus size where a
     single-level long sum at 1e-6 fixed-point scale would silently wrap
-    around sf~100-200; the long partials stay bounded by input partition
-    size and the decimal merge handles the unbounded totals exactly. The
-    data-bearing exchange still moves only pre-aggregated rows."""
+    around sf~100-200. Values are bit-identical to the retired two-level
+    _agg2 construction (integer/decimal addition is associative; l_quantity
+    is integer-valued so its double sum is exact), which paid a second
+    exchange for groups that were already partition-local (r13)."""
     t = load_tables(spark, sf_dir)
     base = t.lineitem.filter(F.col("l_shipdate") <= "1998-09-02")
-    partials, finals = cached_exprs("q1_agg", _q1_exprs)
-    return _agg2(base, ["l_returnflag", "l_linestatus"], partials=partials, finals=finals)
+    aggs = cached_exprs("q1_agg1", _q1_exprs)
+    return base.groupBy("l_returnflag", "l_linestatus").agg(*aggs)
 
 
-def _q1_exprs() -> tuple[list[F.Column], list[F.Column]]:
+def _q1_exprs() -> list[F.Column]:
     """Q1's ~20 composite aggregate columns cost ~0.2 s of Py4J round-trips
     to construct — most of the query's warm latency at small SF. They are
     stateless unresolved expressions, so build once per JVM (exprcache)."""
-    n = F.sum("p_n")
-    partials = [
-        F.sum("l_quantity").alias("p_qty"),
-        F.sum(_fx100("l_extendedprice")).alias("p_base"),
-        F.sum(_fx_revenue()).alias("p_disc"),
-        F.sum(_fx_revenue() * (F.lit(100) + _fx100("l_tax"))).alias("p_charge"),
-        F.sum(_fx100("l_discount")).alias("p_drate"),
-        F.count("*").alias("p_n"),
+    n = F.count("*")
+    qty = F.sum("l_quantity")
+
+    def _dec_over_100(fx: F.Column) -> F.Column:
+        return (
+            F.sum(fx.cast("decimal(38,0)")) / F.lit(100).cast("decimal(3,0)")
+        ).cast("double")
+
+    return [
+        F.round(qty, 2).alias("sum_qty"),
+        _fxsum_big(_fx100("l_extendedprice"), 2).alias("sum_base_price"),
+        _fxsum_big(_fx_revenue(), 4).alias("sum_disc_price"),
+        _fxsum_big(_fx_revenue() * (F.lit(100) + _fx100("l_tax")), 6).alias(
+            "sum_charge"
+        ),
+        F.round(qty / n, 4).alias("avg_qty"),
+        F.round(_dec_over_100(_fx100("l_extendedprice")) / n, 4).alias("avg_price"),
+        F.round(_dec_over_100(_fx100("l_discount")) / n, 4).alias("avg_disc"),
+        n.alias("count_order"),
     ]
-    finals = [
-        F.round(F.sum("p_qty"), 2).alias("sum_qty"),
-        _fxmerge("p_base", 2).alias("sum_base_price"),
-        _fxmerge("p_disc", 4).alias("sum_disc_price"),
-        _fxmerge("p_charge", 6).alias("sum_charge"),
-        F.round(F.sum("p_qty") / n, 4).alias("avg_qty"),
-        F.round(
-            (
-                F.sum(F.col("p_base").cast("decimal(38,0)"))
-                / F.lit(100).cast("decimal(3,0)")
-            ).cast("double")
-            / n,
-            4,
-        ).alias("avg_price"),
-        F.round(
-            (
-                F.sum(F.col("p_drate").cast("decimal(38,0)"))
-                / F.lit(100).cast("decimal(3,0)")
-            ).cast("double")
-            / n,
-            4,
-        ).alias("avg_disc"),
-        F.sum("p_n").alias("count_order"),
-    ]
-    return partials, finals
 
 
 # --------------------------------------------------------------------------

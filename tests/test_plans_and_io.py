@@ -31,10 +31,10 @@ def test_small_dim_join_broadcasts(spark):
 
 
 def test_flagship_plan_is_single_shuffle(spark):
-    """TPC-H Q1 shape: two exchanges, both post-partial-aggregation (level 1
-    groups by (key, input partition) so each moves only #mappers × #groups
-    pre-aggregated rows — the _agg2 overflow-safe form; the data-bearing scan
-    stage still aggregates before any shuffle). Wholestage codegen on."""
+    """TPC-H Q1 shape: ONE exchange, post-partial-aggregation (map-side
+    combine reduces each scan partition to ≤4 group rows before the shuffle;
+    money sums accumulate under decimal(38,0) — the r13 _fxsum_big form that
+    retired _agg2's second exchange). Wholestage codegen on."""
     import __spark_entry__ as e
     from duckdb_ner_spark.plans.inspect import plan_report
     from duckdb_ner_spark.plans.registry import clear_plan_cache
@@ -51,12 +51,13 @@ def test_flagship_plan_is_single_shuffle(spark):
         clear_plan_cache()
         df = e.queries()["q_agg_group"](spark, SF_SMOKE)
         rep = plan_report(df)
-        assert rep.n_exchanges == 2, rep.summary()
+        assert rep.n_exchanges == 1, rep.summary()
     finally:
         spark.conf.set("spark.duckdb_ner.scanRepartition", "0")
-    # both exchanges sit ABOVE a partial HashAggregate: no raw-row shuffle
+    # the exchange sits ABOVE a partial HashAggregate: no raw-row shuffle —
+    # and the retired spark_partition_id level-1 key must NOT reappear
     plan = df._jdf.queryExecution().optimizedPlan().toString()
-    assert "spark_partition_id" in plan.lower()
+    assert "spark_partition_id" not in plan.lower()
     assert not rep.has_python_udf
     # codegen spans only materialize in the AQE-final (executed) plan
     df.collect()

@@ -135,35 +135,29 @@ class TestZOrder:
         assert zx < px / 2 and zy < py / 2, (px, py, zx, zy)
 
 
-def test_agg2_fixed_point_survives_values_past_long_range(spark):
-    """_agg2/_fxmerge guard (ADVICE r1): totals past 2^63 must merge exactly.
+def test_fxsum_big_fixed_point_survives_values_past_long_range(spark):
+    """_fxsum_big guard (ADVICE r1, re-pinned for the r13 single-level form):
+    totals past 2^63 must accumulate exactly.
 
-    Four partials of 5e18 each overflow a single-level long sum — under
-    Spark 4's default ANSI mode that THROWS (fail-stop at scale; with ANSI
-    off it would wrap silently). The two-level decimal merge returns the
-    exact 2e19-unit total either way. repartitionByRange on a distinct subkey
-    gives each row its own input partition, so every level-1 long partial
-    stays in range.
+    Four rows of 5e18 each overflow a single-level LONG sum — under Spark 4's
+    default ANSI mode that THROWS (fail-stop at scale; with ANSI off it would
+    wrap silently). The decimal(38,0) accumulator returns the exact 2e19-unit
+    total either way: 1e38 headroom means no corpus size can wrap it.
     """
     import pytest
     from pyspark.errors.exceptions.captured import ArithmeticException
     from pyspark.sql import functions as F
 
-    from duckdb_ner_spark.operators.relational import _agg2, _fxmerge
+    from duckdb_ner_spark.operators.relational import _fxsum_big
 
     vals = [5_000_000_000_000_000_000] * 4  # fx units at 1e-6 scale
     df = spark.createDataFrame(
         [(1, i, v) for i, v in enumerate(vals)], "k int, sub int, fx long"
-    ).repartitionByRange(4, "sub")  # exactly one row per input partition
+    ).repartitionByRange(4, "sub")
 
     # single-level long sum: overflows (the failure mode being guarded)
     with pytest.raises(ArithmeticException):
         df.groupBy("k").agg(F.sum("fx").alias("s")).collect()
 
-    out = _agg2(
-        df,
-        ["k"],
-        partials=[F.sum("fx").alias("p")],
-        finals=[_fxmerge("p", 6).alias("total")],
-    ).collect()
+    out = df.groupBy("k").agg(_fxsum_big(F.col("fx"), 6).alias("total")).collect()
     assert out[0]["total"] == sum(vals) / 10**6  # 2e13 money units, exact
