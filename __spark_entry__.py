@@ -52,26 +52,40 @@ _DRIVER_WINDOW_PRIORITY = [
     # round13 reuse — plan identical, re-attested anyway).
     "q_topk_bounds", "q_gopher_repetition", "q_batch_padding",
     "q_bloom_dedup", "q_rand_response", "q_maxsim_topk",
+    # Block 1b — r13 OPTIMIZATION plan-changed rows (values attested
+    # identical at 3 SFs this round; plan_ledger requires them windowed):
+    # single-level _fxsum_big aggregation (q_agg_group/q_join_range —
+    # q_join_multi already sits in Block 2) and the bucket-array pair
+    # generation that retired the LSH bucket self-joins (caps.py
+    # bucket_array_pairs; q_dedup_near/q_dedup_embed already in Block 3).
+    "q_agg_group", "q_join_range", "q_containment", "q_image_dedup",
+    "q_jaccard_est", "q_lsh_recall_audit", "q_lsh_sweep", "q_sim_ann",
+    "q_simhash_sweep",
     # Block 2 — the 21 stalest hash rows (all last green in
     # CORRECTNESS_r06; the 15 VERDICT r12 #1 named + the 6 r6-era rows
     # that sat just below the r12 line), alphabetical.
     "q_having", "q_hist_quantile", "q_image_stats",
     "q_join_cardinality", "q_join_inner", "q_join_interval",
-    "q_join_multi", "q_join_outer", "q_join_range", "q_join_semi_anti",
+    "q_join_multi", "q_join_outer", "q_join_semi_anti",
     "q_kmv_distinct", "q_multimodal", "q_outlier_mad", "q_rollup",
     "q_shard_shuffle", "q_sim_topk", "q_source_binary",
     "q_stream_image", "q_subquery", "q_window_frame", "q_zipf_slope",
     # Block 3 — the next-stalest tail (r7-green), alphabetical, filling
-    # the window to exactly 50; the rest of the r7 cohort rotates in r14.
+    # the window to exactly 50; the rest of the r7 cohort rotates in r14
+    # (the 9 Block-1b optimization rows displaced q_consistent_hash,
+    # q_count_min, q_curriculum, q_cusum, q_dedup_keep_best,
+    # q_dialog_assembly, q_dp_sensitivity, q_drift_tvd, q_emd_drift
+    # below the line — none of them plan-changed this round).
     "q_apportion", "q_assortativity", "q_auc", "q_benford",
-    "q_bpe_merges", "q_chi2_independence", "q_consistent_hash",
-    "q_count_min", "q_curriculum", "q_cusum", "q_dedup_embed",
-    "q_dedup_keep_best", "q_dedup_near", "q_dialog_assembly",
-    "q_dp_sensitivity", "q_drift_tvd", "q_emd_drift",
+    "q_bpe_merges", "q_chi2_independence", "q_dedup_embed",
+    "q_dedup_near",
     # ---- window budget line: entries below here are OUTSIDE the first-50
     # window for r13 (each new r13 query prepended above displaces the
     # bottom row of Block 3 below this line — keep the count at exactly
     # 50 when editing) ----
+    "q_consistent_hash", "q_count_min", "q_curriculum", "q_cusum",
+    "q_dedup_keep_best", "q_dialog_assembly", "q_dp_sensitivity",
+    "q_drift_tvd", "q_emd_drift",
     # The r12 window rows (all 50/50 green in CORRECTNESS_r12, freshest
     # in the corpus), then the prior below-line tail, then everything
     # else in registration order via queries()'s dict update.
@@ -79,7 +93,7 @@ _DRIVER_WINDOW_PRIORITY = [
     "q_fold_split",
     "q_zorder_prune", "q_rank_eval", "q_rfm_features",
     "q_cc_incr", "q_stream_bloom",
-    "q_simhash_sweep", "q_quant_sweep",
+    "q_quant_sweep",
     "q_index_delta", "q_binary_ann", "q_wsample_priority",
     "q_basket_affinity", "q_vocab_diff",
     "q_quality_gate",
@@ -87,14 +101,14 @@ _DRIVER_WINDOW_PRIORITY = [
     "q_source_overlap", "q_source_stream", "q_stream_cdc",
     "q_topk_salted", "q_transitions", "q_velocity_anomaly",
     "q_vocab_coverage", "q_watermark_sizing", "q_winsorize",
-    "q_agg_filter", "q_agg_global", "q_agg_group", "q_asof",
+    "q_agg_filter", "q_agg_global", "q_asof",
     "q_bloom_prune", "q_cross", "q_cte", "q_dedup_clusters",
     "q_dedup_exact", "q_dedup_incr", "q_dedup_ngram", "q_dedup_simhash",
     "q_degree_dist", "q_distinct", "q_embed_cov", "q_embed_join",
     "q_embed_quant",
     "q_url_dedup",
     "q_quantile_sketch", "q_ivf_incr", "q_binary_sweep",
-    "q_max_concurrency", "q_corpus_diff", "q_lsh_sweep",
+    "q_max_concurrency", "q_corpus_diff",
     "q_suffix_spans", "q_substring_packed", "q_substring_incr",
     "q_suffix_lcp", "q_stream_substring_incr", "q_suffix_rank",
     "q_substring_dedup", "q_substring_sparse", "q_substring_scrub",
@@ -108,7 +122,7 @@ _DRIVER_WINDOW_PRIORITY = [
     "q_mixture_diversity", "q_ner_default_empty", "q_normalize_audit",
     "q_out_of_order", "q_pack_efficiency", "q_phrase_search",
     "q_memorization",
-    "q_bfs_dist", "q_containment", "q_jaccard_est", "q_label_prop",
+    "q_bfs_dist", "q_label_prop",
     "q_modularity", "q_pagerank", "q_textrank", "q_triangles",
     "q_ivf_pq", "q_nprobe_sweep",
     "q_fuzzy", "q_grouping_sets", "q_higher_order", "q_histogram",

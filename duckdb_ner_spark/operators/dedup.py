@@ -138,19 +138,26 @@ def lsh_candidate_pairs(
 
     Banding uses ONE posexplode pass, not a per-band union — Spark does not
     dedupe common subtrees across union branches, so the union form would
-    recompute the minhash aggregation N_BANDS times."""
+    recompute the minhash aggregation N_BANDS times. Pairs are generated
+    from each bucket's capped id ARRAY (bucket_array_pairs) rather than a
+    bucket self-join: the join form re-evaluated the entire banding+cap
+    aggregation chain once per join side (r13 plan audit) — identical pair
+    set, two aggregation subtrees and one join fewer."""
+    from .caps import bucket_array_pairs, capped_bucket_id_arrays
+
     band_expr = cached_exprs("minhash_band_sigs", _band_sigs_expr)
     bands = sigs.select(F.col(id_col), F.posexplode(band_expr).alias("band", "sig"))
-    if bucket_cap is not None:
-        bands = capped_bucket_ids(bands, id_col, bucket_cap)
-    a = bands.select(F.col(id_col).alias("doc_a"), "band", "sig")
-    b = bands.select(F.col(id_col).alias("doc_b"), "band", "sig")
-    return (
-        a.join(b, ["band", "sig"])
-        .filter(F.col("doc_a") < F.col("doc_b"))
-        .select("doc_a", "doc_b")
-        .distinct()
-    )
+    if bucket_cap is None:
+        a = bands.select(F.col(id_col).alias("doc_a"), "band", "sig")
+        b = bands.select(F.col(id_col).alias("doc_b"), "band", "sig")
+        return (
+            a.join(b, ["band", "sig"])
+            .filter(F.col("doc_a") < F.col("doc_b"))
+            .select("doc_a", "doc_b")
+            .distinct()
+        )
+    buckets = capped_bucket_id_arrays(bands, id_col, bucket_cap)
+    return bucket_array_pairs(buckets, "doc_a", "doc_b")
 
 
 def jaccard_verify(

@@ -37,7 +37,7 @@ from pyspark.sql.types import (
 
 from ..plans.registry import declared
 from ..sources.catalog import load_tables
-from .dedup import capped_bucket_ids, sql_capped_bucket_ctes
+from .dedup import sql_capped_bucket_ctes
 
 MEDIA_SCHEMA = StructType(
     [
@@ -694,14 +694,12 @@ def q_image_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             "band", "sig"
         ),
     )
-    capped = capped_bucket_ids(bands, "doc_id", AHASH_BUCKET_CAP)
-    a = capped.select(F.col("doc_id").alias("doc_a"), "band", "sig")
-    b = capped.select(F.col("doc_id").alias("doc_b"), "band", "sig")
-    cand = (
-        a.join(b, ["band", "sig"])
-        .filter(F.col("doc_a") < F.col("doc_b"))
-        .select("doc_a", "doc_b")
-        .distinct()
+    # pairs from each bucket's capped id array — identical set to the old
+    # bucket self-join, minus the second evaluation of the cap chain (r13)
+    from .caps import bucket_array_pairs, capped_bucket_id_arrays
+
+    cand = bucket_array_pairs(
+        capped_bucket_id_arrays(bands, "doc_id", AHASH_BUCKET_CAP), "doc_a", "doc_b"
     )
     ha = hs.select(
         F.col("doc_id").alias("doc_a"),

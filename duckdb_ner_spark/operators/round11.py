@@ -1594,7 +1594,6 @@ def q_lsh_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     (id + 2-4 hex sigs); buckets are capped so no config can blow up on
     boilerplate clusters; the exact ground truth is the audit side (run on
     a sampled partition in production — the q_lsh_recall_audit note)."""
-    from .caps import capped_bucket_ids
     from .dedup import LSH_BUCKET_CAP, N_HASHES, _minhash_cols
     from .round8b import setsim_exact_pairs
     from .textprep import shingles_expr, words_col
@@ -1622,14 +1621,16 @@ def q_lsh_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     bands = sigs.select(
         "doc_id", F.explode(F.array(*entries)).alias("bs")
     ).select("doc_id", F.col("bs.band").alias("band"), F.col("bs.sig").alias("sig"))
-    capped = capped_bucket_ids(bands, "doc_id", LSH_BUCKET_CAP)
-    a = capped.select(F.col("doc_id").alias("doc_a"), "band", "sig")
-    b2 = capped.select(F.col("doc_id").alias("doc_b"), "band", "sig")
-    cand = (
-        a.join(b2, ["band", "sig"])
-        .filter(F.col("doc_a") < F.col("doc_b"))
-        .select((F.col("band") / 100).cast("int").alias("cfg"), "doc_a", "doc_b")
-        .distinct()
+    # pairs from each bucket's capped id array (caps.bucket_array_pairs):
+    # identical (cfg, doc_a, doc_b) set to the old bucket self-join, minus
+    # the second evaluation of the banding+cap chain (r13)
+    from .caps import bucket_array_pairs, capped_bucket_id_arrays
+
+    cand = bucket_array_pairs(
+        capped_bucket_id_arrays(bands, "doc_id", LSH_BUCKET_CAP),
+        "doc_a",
+        "doc_b",
+        carry=((F.col("band") / 100).cast("int").alias("cfg"),),
     )
     upairs = cand.select("doc_a", "doc_b").distinct()
     sh = t.documents.select("doc_id", words_col().alias("ws")).select(

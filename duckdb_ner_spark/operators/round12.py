@@ -1576,7 +1576,6 @@ def q_simhash_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     value cannot go quadratic; the exact-truth side is the audit
     (production runs bucket+verify only). The curve's cost column is the
     number a capacity plan multiplies by corpus size."""
-    from .caps import capped_bucket_ids
     from .dedup import LSH_BUCKET_CAP, simhash_md5
     from .round8b import setsim_exact_pairs
 
@@ -1600,26 +1599,18 @@ def q_simhash_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     bands = band_frames[0]
     for f in band_frames[1:]:
         bands = bands.unionByName(f)
-    capped = capped_bucket_ids(
-        bands, "doc_id", LSH_BUCKET_CAP, keys=("cfg", "band", "sig")
-    )
-    a = capped.select("cfg", "band", "sig", F.col("doc_id").alias("doc_a"))
-    b = capped.select(
-        F.col("cfg").alias("cfg_b"),
-        F.col("band").alias("band_b"),
-        F.col("sig").alias("sig_b"),
-        F.col("doc_id").alias("doc_b"),
-    )
-    cand = (
-        a.join(
-            b,
-            (F.col("cfg") == F.col("cfg_b"))
-            & (F.col("band") == F.col("band_b"))
-            & (F.col("sig") == F.col("sig_b"))
-            & (F.col("doc_a") < F.col("doc_b")),
-        )
-        .select("cfg", "doc_a", "doc_b")
-        .distinct()
+    # pairs from each bucket's capped id array (caps.bucket_array_pairs):
+    # identical (cfg, doc_a, doc_b) set to the old 3-key bucket self-join,
+    # minus the second evaluation of the banding+cap chain (r13)
+    from .caps import bucket_array_pairs, capped_bucket_id_arrays
+
+    cand = bucket_array_pairs(
+        capped_bucket_id_arrays(
+            bands, "doc_id", LSH_BUCKET_CAP, keys=("cfg", "band", "sig")
+        ),
+        "doc_a",
+        "doc_b",
+        carry=("cfg",),
     )
     sa = sim.select(F.col("doc_id").alias("doc_a"), F.col("simhash").alias("sim_a"))
     sb = sim.select(F.col("doc_id").alias("doc_b"), F.col("simhash").alias("sim_b"))

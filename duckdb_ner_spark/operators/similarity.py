@@ -23,7 +23,7 @@ from pyspark.sql import functions as F
 
 from ..plans.registry import declared
 from ..sources.catalog import load_tables
-from .caps import capped_bucket_ids, sql_capped_bucket_ctes
+from .caps import sql_capped_bucket_ctes
 
 
 def _explode_embeddings(df: DataFrame, id_col: str = "vec_id") -> DataFrame:
@@ -202,16 +202,16 @@ def lsh_cosine_pairs(
     cosine verify on the candidates. No all-pairs join anywhere — candidate
     volume is cap-bounded even on a degenerate corpus, verify joins
     broadcast the (tiny) candidate list so the vector table never
-    reshuffles."""
-    sigs = capped_bucket_ids(fx_band_sigs(df, dim, id_col), id_col, SIM_BUCKET_CAP)
-    a = sigs.select(F.col(id_col).alias("vec_a"), "band", "sig")
-    b = sigs.select(F.col(id_col).alias("vec_b"), "band", "sig")
-    cands = (
-        a.join(b, ["band", "sig"])
-        .filter(F.col("vec_a") < F.col("vec_b"))
-        .select("vec_a", "vec_b")
-        .distinct()
+    reshuffles. Candidates come from each bucket's capped id ARRAY
+    (bucket_array_pairs) rather than a bucket self-join — identical pair
+    set, but the banding+cap aggregation chain is evaluated once instead of
+    once per join side (r13)."""
+    from .caps import bucket_array_pairs, capped_bucket_id_arrays
+
+    buckets = capped_bucket_id_arrays(
+        fx_band_sigs(df, dim, id_col), id_col, SIM_BUCKET_CAP
     )
+    cands = bucket_array_pairs(buckets, "vec_a", "vec_b")
     dd = F.expr("transform(embedding, v -> CAST(v AS DOUBLE))")
     # per-vector norms computed ONCE on the vector side of the verify joins
     # (not per candidate pair): same left-to-right double accumulation over
@@ -829,14 +829,14 @@ def q_sim_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
             f"transform(embedding, v -> CAST(ROUND(CAST(v AS DOUBLE) * {FX_SCALE}, 0) AS BIGINT))"
         ).alias("e"),
     )
-    sigs = capped_bucket_ids(fx_band_sigs(emb, dim=64), "vec_id", SIM_BUCKET_CAP)
-    a = sigs.select(F.col("vec_id").alias("vec_a"), "band", "sig")
-    b = sigs.select(F.col("vec_id").alias("vec_b"), "band", "sig")
-    cands = (
-        a.join(b, ["band", "sig"])
-        .filter(F.col("vec_a") < F.col("vec_b"))
-        .select("vec_a", "vec_b")
-        .distinct()
+    # pairs from each bucket's capped id array — identical set to the old
+    # bucket self-join, minus the second evaluation of the cap chain (r13)
+    from .caps import bucket_array_pairs, capped_bucket_id_arrays
+
+    cands = bucket_array_pairs(
+        capped_bucket_id_arrays(fx_band_sigs(emb, dim=64), "vec_id", SIM_BUCKET_CAP),
+        "vec_a",
+        "vec_b",
     )
     nrm = lambda c: F.sqrt(  # noqa: E731
         F.aggregate(
