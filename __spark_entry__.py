@@ -60,7 +60,7 @@ _DRIVER_WINDOW_PRIORITY = [
     # bucket_array_pairs; q_dedup_near/q_dedup_embed already in Block 3).
     "q_agg_group", "q_join_range", "q_containment", "q_image_dedup",
     "q_jaccard_est", "q_lsh_recall_audit", "q_lsh_sweep", "q_sim_ann",
-    "q_simhash_sweep",
+    "q_simhash_sweep", "q_basket_affinity",
     # Block 2 — the 21 stalest hash rows (all last green in
     # CORRECTNESS_r06; the 15 VERDICT r12 #1 named + the 6 r6-era rows
     # that sat just below the r12 line), alphabetical.
@@ -77,12 +77,13 @@ _DRIVER_WINDOW_PRIORITY = [
     # q_dialog_assembly, q_dp_sensitivity, q_drift_tvd, q_emd_drift
     # below the line — none of them plan-changed this round).
     "q_apportion", "q_assortativity", "q_auc", "q_benford",
-    "q_bpe_merges", "q_chi2_independence", "q_dedup_embed",
+    "q_bpe_merges", "q_dedup_embed",
     "q_dedup_near",
     # ---- window budget line: entries below here are OUTSIDE the first-50
     # window for r13 (each new r13 query prepended above displaces the
     # bottom row of Block 3 below this line — keep the count at exactly
     # 50 when editing) ----
+    "q_chi2_independence",
     "q_consistent_hash", "q_count_min", "q_curriculum", "q_cusum",
     "q_dedup_keep_best", "q_dialog_assembly", "q_dp_sensitivity",
     "q_drift_tvd", "q_emd_drift",
@@ -95,7 +96,7 @@ _DRIVER_WINDOW_PRIORITY = [
     "q_cc_incr", "q_stream_bloom",
     "q_quant_sweep",
     "q_index_delta", "q_binary_ann", "q_wsample_priority",
-    "q_basket_affinity", "q_vocab_diff",
+    "q_vocab_diff",
     "q_quality_gate",
     "q_rolling_7d", "q_rrf_fusion", "q_seasonal_profile", "q_skew_audit",
     "q_source_overlap", "q_source_stream", "q_stream_cdc",

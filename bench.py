@@ -196,7 +196,19 @@ def main() -> None:
     # AQE's first-run replanning — one-off costs that amortize away in any
     # real deployment), then best of 3 timed runs. Symmetric with the DuckDB
     # baseline methodology (tools/bench_duckdb.py: warmup + best-of-3).
+    #
+    # MEASUREMENT NOTE (r13, guide §1.4): count() lets Catalyst PRUNE final
+    # aggregate/projection expressions — q_agg_group timed via count()
+    # executes only its group keys, not the money sums (verified from the
+    # optimized plan). The count()-timed entries below stay the PRIMARY
+    # "queries"/"value" numbers for round-over-round comparability with
+    # BENCH_r01..r12 (same methodology); the noop-sink twins added beside
+    # them ("noop_queries"/"noop_value", df.write.format("noop")) force
+    # every column of every row and are the honest full-computation cost.
+    # The DuckDB pair fetches full result sets, so ratio_steady_noop_o16 is
+    # the apples-to-apples engine ratio. See OPTIMIZATION_r13.md.
     timings: dict[str, float] = {}
+    noop_timings: dict[str, float] = {}
     for name in HEADLINE:
         qs[name](spark, sf_dir).count()
         best = float("inf")
@@ -205,8 +217,15 @@ def main() -> None:
             qs[name](spark, sf_dir).count()
             best = min(best, time.time() - t0)
         timings[name] = round(best, 3)
+        best = float("inf")
+        for _ in range(3):
+            t0 = time.time()
+            qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
+            best = min(best, time.time() - t0)
+        noop_timings[name] = round(best, 3)
 
     total = round(sum(timings.values()), 3)
+    noop_total = round(sum(noop_timings.values()), 3)
 
     # same-run DuckDB pair (VERDICT r5 #5): time the headline oracles in the
     # same process right after the Spark passes, so the artifact carries
@@ -217,6 +236,10 @@ def main() -> None:
     ddb = duckdb_pair(sf_dir, HEADLINE, entrymod.oracle_sql())
     o16_spark = round(
         sum(t for n, t in timings.items() if ddb["queries"].get(n) is not None), 3
+    )
+    o16_noop_spark = round(
+        sum(t for n, t in noop_timings.items() if ddb["queries"].get(n) is not None),
+        3,
     )
     o16_cold_spark = round(
         sum(t for n, t in cold_timings.items() if ddb["cold_queries"].get(n) is not None),
@@ -233,6 +256,11 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "noop_value": noop_total,
+                "noop_queries": noop_timings,
+                "ratio_steady_noop_o16": (
+                    round(o16_noop_spark / ddb["value"], 3) if ddb["value"] else None
+                ),
                 "cold_value": cold_total,
                 "cold_queries": cold_timings,
                 "duckdb_value": ddb["value"],

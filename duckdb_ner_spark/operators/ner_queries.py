@@ -76,8 +76,14 @@ def q_ner_bert(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     t = load_tables(spark, sf_dir)
     udf = make_ner_udf(model_path, default_truncate=True)
-    # catalog scan floor supplies the Python-stage parallelism (see q_ner)
-    docs = t.documents
+    # REAL-inference regime (unlike stub-model q_ner): the forward pass costs
+    # ~1.8 ms/doc (sf0.1: 9.08 s single-core for 5 000 docs), so stage width
+    # = every core beats the shuffle it costs at any scale — noop-sink A/B
+    # at sf0.1 (r13): 8-wide 1.400 s vs 16-wide 1.118 s vs 32-wide 0.896 s.
+    # q_ner's no-repart choice does NOT transfer here; its count()-timed
+    # cell never executed the UDF (Catalyst prunes an unreferenced project —
+    # OPTIMIZATION_r13.md §bench measurement note).
+    docs = t.documents.repartition(spark.sparkContext.defaultParallelism)
     ents = docs.select("doc_id", udf(F.col("text")).alias("entities"))
     return ents.select("doc_id", F.size("entities").alias("n_entities"))
 

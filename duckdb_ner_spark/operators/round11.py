@@ -1207,8 +1207,14 @@ def q_basket_affinity(spark: SparkSession, sf_dir: str) -> DataFrame:
     BEFORE the enrich joins; the 1-row order count broadcasts. Baskets
     co-partition on orderkey (the natural lineitem layout) so pairing is
     shuffle-local on a bucketed table."""
+    from .caps import bucket_array_pairs, capped_bucket_id_arrays
+
     t = load_tables(spark, sf_dir)
-    b = capped_bucket_ids(
+    # capped basket ARRAYS (one row per order): pairs, item counts and the
+    # order count all derive from this one aggregate — the old row-shaped
+    # form self-joined on o, evaluating the whole cap chain once per join
+    # side (r13; see caps.bucket_array_pairs)
+    buckets = capped_bucket_id_arrays(
         t.lineitem.select(
             F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p")
         ).distinct(),
@@ -1216,12 +1222,18 @@ def q_basket_affinity(spark: SparkSession, sf_dir: str) -> DataFrame:
         BA_MAX_BASKET,
         keys=("o",),
     )
-    n = b.agg(F.countDistinct("o").cast("bigint").alias("n_orders"))
-    item = b.groupBy("p").agg(F.count("*").cast("bigint").alias("c"))
-    b2 = b.select(F.col("o").alias("o2"), F.col("p").alias("p2"))
+    # one row per order ⇒ COUNT(*) == COUNT(DISTINCT o) of the exploded form
+    n = buckets.agg(F.count("*").cast("bigint").alias("n_orders"))
+    item = (
+        buckets.select(F.explode("__ids__").alias("p"))
+        .groupBy("p")
+        .agg(F.count("*").cast("bigint").alias("c"))
+    )
+    # dedupe=False: within-basket pairs are already unique; support counts
+    # one row per (order, pair) exactly as the old join output did
     pair = (
-        b.join(b2, (F.col("o") == F.col("o2")) & (F.col("p") < F.col("p2")))
-        .groupBy(F.col("p").alias("part_a"), F.col("p2").alias("part_b"))
+        bucket_array_pairs(buckets, "part_a", "part_b", dedupe=False)
+        .groupBy("part_a", "part_b")
         .agg(F.count("*").cast("bigint").alias("support"))
         .filter(F.col("support") >= BA_MIN_SUP)
     )
