@@ -798,8 +798,16 @@ def q_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
         WHERE o.o_totalprice > (
             -- long fixed-point sum (cents) ÷ 100 as exact decimal == the
             -- oracle's decimal sum bit-for-bit, but stays on the codegen
-            -- fast path (sum(decimal(12,2)) would accumulate via BigDecimal)
-            SELECT CAST(CAST(SUM(CAST(ROUND(o2.o_totalprice * 100) AS BIGINT))
+            -- fast path (sum(decimal(12,2)) would accumulate via BigDecimal).
+            -- The unparameterized BROADCAST hint survives Catalyst's
+            -- decorrelation and lands on the decorrelated per-nation
+            -- aggregate (25 rows at any SF — nation count, not data size),
+            -- turning the final re-attach join into a BroadcastHashJoin:
+            -- without it the planner's size ESTIMATE for the aggregate is
+            -- the orders⨝customer product, so the big side paid a full
+            -- shuffle + two sorts for a 25-row probe (r14, guide §3.1).
+            SELECT /*+ BROADCAST */
+                   CAST(CAST(SUM(CAST(ROUND(o2.o_totalprice * 100) AS BIGINT))
                              AS DECIMAL(28,0)) / 100 AS DOUBLE) / COUNT(*)
             FROM v_orders o2 JOIN v_customer c2 ON o2.o_custkey = c2.c_custkey
             WHERE c2.c_nationkey = c.c_nationkey)

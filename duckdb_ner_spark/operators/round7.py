@@ -393,7 +393,19 @@ def label_prop_labels(
     q_label_prop (class census) and q_modularity (community quality):
     returns (node, lbl) with lbl NULL where propagation never reached.
     Pass a pre-partitioned ``dirn(src, dst)`` (day1_directed_edges) to let
-    every round's edge join reuse one src hash partitioning."""
+    every round's edge join reuse one src hash partitioning.
+
+    r14 (guide §2.4): the vote argmax is PIVOTED over the LP_N_LABELS
+    (3, a compile-time constant) — one aggregate per round producing a
+    count column per label, with the argmax as a greatest()/CASE
+    projection. The old (node, lbl)-keyed count + (node)-keyed max_by pair
+    cost two exchanges per round; the pivoted form costs one, and its
+    output is node-partitioned so the re-attach join to deg needs no
+    further shuffle. Identical labels: integer vote counts per label are
+    the same numbers either way, labels with zero votes can never win
+    (any voted node has a count ≥ 1), and the CASE checks labels in
+    ascending order so ties break to the smallest label exactly like the
+    old (count, -lbl) max_by total order."""
     if dirn is None:
         dirn = edges.select(
             F.col("u").alias("src"), F.col("v").alias("dst")
@@ -410,14 +422,20 @@ def label_prop_labels(
                 ),
                 "src",
             )
-            .groupBy(F.col("dst").alias("node"), "lbl")
-            .agg(F.count("*").alias("c"))
-        )
-        pick = votes.groupBy("node").agg(
-            F.max_by("lbl", F.struct(F.col("c"), (-F.col("lbl")).alias("tb"))).alias(
-                "picked"
+            .groupBy(F.col("dst").alias("node"))
+            .agg(
+                *[
+                    F.sum(F.when(F.col("lbl") == k, 1).otherwise(0)).alias(f"c{k}")
+                    for k in range(LP_N_LABELS)
+                ]
             )
         )
+        top = F.greatest(*[F.col(f"c{k}") for k in range(LP_N_LABELS)])
+        picked = F.when(F.col("c0") == top, F.lit(0))
+        for k in range(1, LP_N_LABELS - 1):
+            picked = picked.when(F.col(f"c{k}") == top, F.lit(k))
+        picked = picked.otherwise(F.lit(LP_N_LABELS - 1))
+        pick = votes.select("node", picked.alias("picked"))
         lab = deg.select("node").join(pick, "node", "left").select(
             "node", F.coalesce(seed, F.col("picked")).cast("bigint").alias("lbl")
         )
@@ -694,8 +712,18 @@ def q_bfs_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = deg.filter(F.col("node") % BFS_SEED_MOD == 0).select(
         "node", F.lit(0).alias("dist")
     )
-    for _ in range(BFS_ROUNDS):
-        hop = dirn.join(d.withColumnRenamed("node", "src"), "src").select(
+    for i in range(BFS_ROUNDS):
+        # FRONTIER-DELTA (r14, guide §2.3 — shuffle fewer bytes): expand
+        # only from nodes first reached LAST round (their exact dist is the
+        # round number, so the frontier is a narrow filter over d — no
+        # anti-join, and d's shuffle is reused under it). Hops from
+        # already-settled nodes are pure duplicates: a node settled in
+        # round j < i already sent its neighbors dist j+1 ≤ i, which the
+        # MIN keeps over any later j'+1 — so dropping them changes nothing
+        # (hash-attested vs the full-relaxation oracle at 3 SFs). At scale
+        # the per-round join volume falls from |reached| to |frontier|.
+        frontier = d.filter(F.col("dist") == i)
+        hop = dirn.join(frontier.withColumnRenamed("node", "src"), "src").select(
             F.col("dst").alias("node"), (F.col("dist") + 1).alias("dist")
         )
         d = d.unionAll(hop).groupBy("node").agg(F.min("dist").alias("dist"))

@@ -238,55 +238,49 @@ def q_record_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
     block cap is deterministic (smallest keys survive) and replayed by
     the shared SQL fragment.
 
-    Scale notes (100 TB): the blocking key shuffles 3-column digests of
-    the record set, never full records; the capped pair join is the
-    q_dedup_near bucket shape; a production pass would follow with
-    union-find over close pairs (components.py) for cluster collapse."""
-    from .caps import capped_bucket_ids
+    Scale notes (100 TB): the blocking key shuffles (key, name) digests of
+    the record set, never full records; since r14 the per-block scorecard
+    is computed INSIDE each block's capped array row — the block self-join
+    (which re-evaluated the whole cap chain per join side, Spark sharing no
+    common subtrees across branches) and the n_records/pair_stats re-attach
+    joins are gone; one cap chain (2 exchanges) is the entire plan. A
+    production pass would follow with union-find over close pairs
+    (components.py) for cluster collapse."""
+    from .caps import capped_bucket_id_arrays
 
     t = load_tables(spark, sf_dir)
-    recs = t.part.select(
-        "p_partkey", "p_name", F.split("p_name", " ").getItem(0).alias("bk")
+    # rec = struct(p_partkey, p_name): p_partkey is distinct, so struct
+    # order == key order and the cap's min-k survivor set is EXACTLY the
+    # old min-k over bare p_partkey — the name rides along so Levenshtein
+    # never needs a join back to the record table.
+    bands = t.part.select(
+        F.lit(0).alias("band"),
+        F.split("p_name", " ").getItem(0).alias("sig"),
+        F.struct(F.col("p_partkey"), F.col("p_name")).alias("rec"),
     )
-    bands = recs.select(
-        F.lit(0).alias("band"), F.col("bk").alias("sig"), "p_partkey"
+    blocks = capped_bucket_id_arrays(
+        bands, "rec", RL_BLOCK_CAP, salt_on=F.col("rec.p_partkey")
     )
-    kept = (
-        capped_bucket_ids(bands, "p_partkey", RL_BLOCK_CAP)
-        .select(F.col("sig").alias("bk"), "p_partkey")
-        .join(recs.select("p_partkey", "p_name"), "p_partkey")
+    # All i<j in-block pair distances as one array per block (sorted array
+    # ⇒ i<j ⇔ key_i<key_j — the exact a<b pair set of the retired
+    # self-join), then the scorecard folds out of that array: no joins.
+    blocks = blocks.select(
+        F.col("sig").alias("block_key"),
+        F.size("__ids__").alias("n_recs_i"),
+        F.expr(
+            "flatten(transform(__ids__, (a, i) -> "
+            "transform(slice(__ids__, i + 2, size(__ids__)), "
+            "b -> levenshtein(a.p_name, b.p_name))))"
+        ).alias("__d__"),
     )
-    a = kept.select(
-        "bk", F.col("p_partkey").alias("ka"), F.col("p_name").alias("na")
-    )
-    b = kept.select(
-        "bk", F.col("p_partkey").alias("kb"), F.col("p_name").alias("nb")
-    )
-    pairs = (
-        a.join(b, "bk")
-        .filter(F.col("ka") < F.col("kb"))
-        .select("bk", F.levenshtein("na", "nb").cast("bigint").alias("d"))
-    )
-    pair_stats = pairs.groupBy("bk").agg(
-        F.count("*").cast("bigint").alias("n_pairs"),
-        F.sum(F.when(F.col("d") <= RL_CLOSE_DIST, 1).otherwise(0))
+    return blocks.select(
+        "block_key",
+        F.col("n_recs_i").cast("bigint").alias("n_records"),
+        F.size("__d__").cast("bigint").alias("n_pairs"),
+        F.size(F.filter("__d__", lambda d: d <= RL_CLOSE_DIST))
         .cast("bigint")
         .alias("n_close"),
-        F.min("d").cast("bigint").alias("min_dist"),
-    )
-    return (
-        kept.groupBy(F.col("bk").alias("block_key"))
-        .agg(F.countDistinct("p_partkey").cast("bigint").alias("n_records"))
-        .join(
-            pair_stats.withColumnRenamed("bk", "block_key"), "block_key", "left"
-        )
-        .select(
-            "block_key",
-            "n_records",
-            F.coalesce("n_pairs", F.lit(0)).cast("bigint").alias("n_pairs"),
-            F.coalesce("n_close", F.lit(0)).cast("bigint").alias("n_close"),
-            F.col("min_dist").cast("bigint").alias("min_dist"),
-        )
+        F.array_min("__d__").cast("bigint").alias("min_dist"),
     )
 
 

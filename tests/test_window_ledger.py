@@ -52,3 +52,19 @@ def test_window_has_no_unknown_names():
 
     missing = [n for n in e._DRIVER_WINDOW_PRIORITY if n not in e.queries()]
     assert not missing, missing
+
+
+def test_window_list_is_exactly_the_driver_window():
+    """ADVICE r13 #1: the old in-comment 'budget line' marker drifted off by
+    one. The window is now a dedicated list; this pins the structural
+    invariants so rotations edited against it cannot miscount again."""
+    import __spark_entry__ as e
+
+    assert len(e._DRIVER_WINDOW_50) == DRIVER_WINDOW
+    assert len(set(e._DRIVER_WINDOW_50)) == DRIVER_WINDOW, "duplicates in window"
+    assert not set(e._DRIVER_WINDOW_50) & set(e._DRIVER_WINDOW_TAIL), (
+        "window entries duplicated in the tail"
+    )
+    assert list(e.queries())[:DRIVER_WINDOW] == e._DRIVER_WINDOW_50, (
+        "queries() first-50 must be exactly _DRIVER_WINDOW_50"
+    )
