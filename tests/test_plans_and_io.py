@@ -289,3 +289,54 @@ def test_global_window_ledger(spark):
     assert actual == expected, (
         f"global-window counts drifted: actual={actual} expected={expected}"
     )
+
+
+def test_subquery_reattach_join_broadcasts(spark):
+    """r14: the decorrelated per-nation aggregate (25 rows at any SF) must
+    re-attach via BroadcastHashJoin — the BROADCAST hint inside the scalar
+    subquery has to survive decorrelation. No SortMergeJoin (and so no Sort
+    of the big probe side) may remain anywhere in q_subquery's plan."""
+    import __spark_entry__ as e
+    from duckdb_ner_spark.plans.inspect import formatted_plan
+    from duckdb_ner_spark.plans.registry import clear_plan_cache
+
+    clear_plan_cache()  # fresh plan (see test_flagship_plan_is_single_shuffle)
+    plan = formatted_plan(e.queries()["q_subquery"](spark, SF_SMOKE))
+    assert "SortMergeJoin" not in plan
+    assert "BroadcastHashJoin" in plan
+
+
+def test_record_linkage_plan_has_no_joins(spark):
+    """r14: the per-block scorecard folds out of the capped block arrays
+    with higher-order functions — the block self-join (which re-evaluated
+    the whole cap chain per side) and both re-attach joins are gone. The
+    plan must contain NO join node of any kind and exactly the cap chain's
+    two aggregation exchanges (cluster-scale shape, scanRepartition=-1)."""
+    import __spark_entry__ as e
+    from duckdb_ner_spark.plans.inspect import formatted_plan, plan_report
+    from duckdb_ner_spark.plans.registry import clear_plan_cache
+
+    spark.conf.set("spark.duckdb_ner.scanRepartition", "-1")
+    try:
+        clear_plan_cache()
+        df = e.queries()["q_record_linkage"](spark, SF_SMOKE)
+        plan = formatted_plan(df)
+        assert "Join" not in plan, plan[:2000]
+        assert plan_report(df).n_exchanges == 2
+    finally:
+        spark.conf.set("spark.duckdb_ner.scanRepartition", "0")
+        clear_plan_cache()
+
+
+def test_label_prop_one_exchange_per_round(spark):
+    """r14: the pivoted vote argmax aggregates ONCE per propagation round
+    (a count column per label + greatest/CASE argmax) — the retired
+    (node,lbl)-keyed count + (node)-keyed max_by pair cost two. max_by must
+    not reappear anywhere in the optimized propagation plan."""
+    from duckdb_ner_spark.operators.components import day1_cooccurrence_graph
+    from duckdb_ner_spark.operators.round7 import label_prop_labels
+
+    edges, deg = day1_cooccurrence_graph(spark, SF_SMOKE)
+    lab = label_prop_labels(edges, deg)
+    plan = lab._jdf.queryExecution().optimizedPlan().toString()
+    assert "max_by" not in plan.lower()
